@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Accessors for the driver-generated testdata tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

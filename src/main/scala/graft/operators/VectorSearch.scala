@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One scored candidate flowing through the top-k aggregator. */
+final case class ScoredId(id: String, score: Double)
+
+/** Bounded top-k aggregate: keeps the k best (score DESC, id ASC) rows per group.
+  *
+  * Why an Aggregator and not a window: `Window.partitionBy(q).orderBy(score)` shuffles
+  * and sorts EVERY scored row (n_queries × corpus_size). An aggregate gets map-side
+  * partial aggregation (ObjectHashAggregate): each input partition reduces to ≤k rows
+  * per query before the shuffle, so shuffle volume is O(queries × k × partitions)
+  * instead of O(queries × corpus). At 100 TB corpus scale this is the difference
+  * between a broadcast-scan-reduce and an impossible sort.
+  *
+  * Determinism: ties broken by id ascending (SURVEY §7.5 — Milvus ties are
+  * unspecified; we pin them and encode the same tie-break in the DuckDB oracle).
+  */
+class TopKAggregator(k: Int) extends Aggregator[ScoredId, ArrayBuffer[ScoredId], Seq[ScoredId]] {
+  private val ord: Ordering[ScoredId] =
+    Ordering.by((s: ScoredId) => (-s.score, s.id))
+
+  // Buffer holds at most 4k candidates; compacted to k on overflow/merge/finish.
+  private def compact(b: ArrayBuffer[ScoredId]): ArrayBuffer[ScoredId] = {
+    val kept = b.sorted(ord).take(k)
+    b.clear(); b ++= kept; b
+  }
+
+  override def zero: ArrayBuffer[ScoredId] = new ArrayBuffer[ScoredId](k + 1)
+  override def reduce(b: ArrayBuffer[ScoredId], a: ScoredId): ArrayBuffer[ScoredId] = {
+    b += a
+    if (b.length >= 4 * k + 4) compact(b) else b
+  }
+  override def merge(a: ArrayBuffer[ScoredId], b: ArrayBuffer[ScoredId]): ArrayBuffer[ScoredId] =
+    compact(a ++= b)
+  override def finish(b: ArrayBuffer[ScoredId]): Seq[ScoredId] = b.sorted(ord).take(k).toSeq
+  override def bufferEncoder: Encoder[ArrayBuffer[ScoredId]] = Encoders.kryo[ArrayBuffer[ScoredId]]
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}
+
+/** Brute-force exact KNN (SURVEY §2.6) — the semantic spec of the reference's Milvus
+  * `search` (IP metric on L2-normalized vectors ⇒ cosine; storage/milvus.py:346-427).
+  *
+  * Physical shape at scale: the query side is tiny (a question's entities), the corpus
+  * side is huge. So: broadcast the queries, stream the corpus once (no shuffle of
+  * corpus rows), score with the codegen'd [[graft.functions.DotProduct]], reduce to
+  * top-k per query map-side via [[TopKAggregator]]. One narrow scan + one tiny shuffle.
+  */
+object VectorSearch {
+
+  /** For each row of `queries`, the top-k rows of `corpus` by dot-product score.
+    *
+    * Output columns: `<qIdOut>`, `rank` (1-based), `<cIdOut>`, `score`.
+    * Ties broken by corpus id ascending. `queries` must be broadcast-small.
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      qIdOut: String = "query_id",
+      cIdOut: String = "neighbor_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val topk = udaf(new TopKAggregator(k))
+    val q = queries.select(col(qId).cast("string").as("__qid"), col(qVec).as("__qvec"))
+    val c = corpus.select(col(cId).cast("string").as("__cid"), col(cVec).as("__cvec"))
+    c.join(broadcast(q))
+      .select(col("__qid"),
+        col("__cid"),
+        VectorFunctions.dot(col("__qvec"), col("__cvec")).as("__score"))
+      .groupBy(col("__qid"))
+      .agg(topk(col("__cid"), col("__score")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")))
+      .select(
+        col("__qid").as(qIdOut),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(cIdOut),
+        col("col.score").as("score"))
+  }
+
+  /** Window-based reference implementation of the same semantics (used to cross-check
+    * the aggregator in tests; O(n log n) per query — do not use at scale). */
+  def knnJoinWindow(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      qIdOut: String = "query_id",
+      cIdOut: String = "neighbor_id"): DataFrame = {
+    val q = queries.select(col(qId).cast("string").as("__qid"), col(qVec).as("__qvec"))
+    val c = corpus.select(col(cId).cast("string").as("__cid"), col(cVec).as("__cvec"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__score").desc, col("__cid").asc)
+    c.join(broadcast(q))
+      .select(col("__qid"), col("__cid"),
+        VectorFunctions.dot(col("__qvec"), col("__cvec")).as("__score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qIdOut), col("rank"),
+        col("__cid").as(cIdOut), col("__score").as("score"))
+  }
+
+  /** R2/R5 score-threshold filter. */
+  def thresholdFilter(hits: DataFrame, theta: Double): DataFrame =
+    hits.filter(col("score") > theta)
+
+  /** R3 dedup-union across query entities: one row per neighbor, best score,
+    * earliest (query, rank) for first-seen ordering parity (retriever.py:135-153). */
+  def dedupUnion(hits: DataFrame, cIdCol: String = "neighbor_id"): DataFrame =
+    hits.groupBy(col(cIdCol))
+      .agg(max(col("score")).as("score"), min(col("rank")).as("best_rank"))
+
+  /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
+  def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
+    table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+
+  /** R8 filtered KNN: restrict corpus to an id set, then search. Falls out of plan
+    * order naturally — the semi-join narrows the scan before scoring
+    * (retriever.py:267-285). */
+  def filteredKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      allowedIds: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame =
+    knnJoin(queries, corpus.join(allowedIds.select(col(cId)).distinct(), Seq(cId), "left_semi"),
+      qId, qVec, cId, cVec, k)
+}
