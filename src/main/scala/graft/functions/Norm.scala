@@ -46,10 +46,9 @@ object Norm {
 
   /** Word n-grams (as space-joined strings) over an array of tokens.
     * `shingles(tokens, 3)` → ["a b c", "b c d", ...]; fewer than n tokens → empty. */
-  def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-    filter(
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => s =!= "")
-  }
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.model.ExpansionStep
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Result of an expansion: the id sets plus the audit log the API exposes
+  * (knowledge_graph.py:149-192 SubGraph + expansion_history). */
+final case class Subgraph(
+    entityIds: DataFrame,   // column: entity_id
+    relationIds: DataFrame, // column: relation_id
+    history: Seq[ExpansionStep])
+
+/** P1–P6 iterative subgraph expansion (knowledge_graph.py:258-358).
+  *
+  * Semantics (SURVEY §2.7): init-merge relations(seed entities) ∪ seed relations;
+  * then per degree: frontier relations → unseen entities → those entities' unseen
+  * relations. Driver loops over DataFrames; each hop is a semi-join against the
+  * distributed edge table with an `except`(seen) — the frontier is small (bounded by
+  * top-k × degree), the edge table is the big side, so each hop is one broadcast
+  * semi-join + set difference, never a full-graph materialization. `localCheckpoint`
+  * per hop truncates lineage (SURVEY §7.5).
+  */
+object SubgraphExpansion {
+
+  def expand(
+      seedEntityIds: DataFrame,  // column: entity_id
+      seedRelationIds: DataFrame, // column: relation_id
+      entityRelation: DataFrame,  // entity_id, relation_id, [role]
+      degree: Int): Subgraph = {
+
+    val er = entityRelation.select("entity_id", "relation_id")
+
+    // P1 + init-merge (knowledge_graph.py:280-302): relations incident to seed
+    // entities, unioned with seed relations.
+    var entities = seedEntityIds.select("entity_id").distinct().localCheckpoint(true)
+    val seedRels = seedRelationIds.select("relation_id").distinct()
+    val incident = er.join(broadcast(entities), Seq("entity_id"), "left_semi")
+      .select("relation_id").distinct()
+    var relations = incident.union(seedRels).distinct().localCheckpoint(true)
+
+    val history = Seq.newBuilder[ExpansionStep]
+    history += ExpansionStep(0,
+      sortedIds(entities, "entity_id"), sortedIds(relations, "relation_id"),
+      entities.count(), relations.count())
+
+    // P2/P3/P4 degree loop (knowledge_graph.py:305-346).
+    for (d <- 1 to degree) {
+      // relations → their endpoint entities not yet seen
+      val newEntities = er.join(broadcast(relations), Seq("relation_id"), "left_semi")
+        .select("entity_id").distinct()
+        .except(entities)
+        .localCheckpoint(true)
+      // new entities → their incident relations not yet seen
+      val newRelations = er.join(broadcast(newEntities), Seq("entity_id"), "left_semi")
+        .select("relation_id").distinct()
+        .except(relations)
+        .localCheckpoint(true)
+      entities = entities.union(newEntities).localCheckpoint(true)
+      relations = relations.union(newRelations).localCheckpoint(true)
+      history += ExpansionStep(d,
+        sortedIds(newEntities, "entity_id"), sortedIds(newRelations, "relation_id"),
+        entities.count(), relations.count())
+    }
+
+    Subgraph(entities, relations, history.result())
+  }
+
+  /** P5 passage collection: distinct passages of all subgraph relations
+    * (knowledge_graph.py:348-356) via the edge table. */
+  def collectPassages(relationIds: DataFrame, relationPassage: DataFrame): DataFrame =
+    relationPassage.join(broadcast(relationIds.select("relation_id")),
+        Seq("relation_id"), "left_semi")
+      .select("passage_id").distinct()
+
+  private def sortedIds(df: DataFrame, col0: String): Seq[String] =
+    df.select(col0).collect().map(_.getString(0)).sorted.toSeq
+}

@@ -1,0 +1,173 @@
+package graft.rag
+
+import graft.functions.{Embedder, HashEmbedder, Norm, VectorFunctions}
+import graft.model._
+import graft.operators._
+import graft.sources.GraphStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Engine configuration — defaults mirror the reference's
+  * (src/vector_graph_rag/config.py:83-106). */
+final case class RagConfig(
+    entityTopK: Int = 20,
+    relationTopK: Int = 20,
+    entitySimilarityThreshold: Double = 0.9,
+    relationSimilarityThreshold: Double = -1.0,
+    expansionDegree: Int = 1,
+    relationNumberThreshold: Int = 1000,
+    rerankSelect: Int = 5,
+    finalTopK: Int = 3)
+
+/** The engine façade — the reference's `VectorGraphRAG` (rag.py) re-expressed as
+  * Spark DataFrame jobs orchestrated from the driver.
+  *
+  * Indexing (§3.1): one declarative DAG docs→triplets→graph→embeddings ending in a
+  * full-replace Parquet write (mirroring drop-and-recreate, rag.py:354-356).
+  *
+  * Query (§3.2): NER → embed → two KNN searches → threshold filters → degree-bounded
+  * subgraph expansion → eviction → rerank → relation→passage join → answer. The
+  * working set after top-k is tiny, so hop loops run as broadcast semi-joins and
+  * final assembly collects only bounded id lists to the driver.
+  */
+final class GraphRag(
+    spark: SparkSession,
+    store: GraphStore,
+    graph: String,
+    config: RagConfig = RagConfig(),
+    embedder: Embedder = HashEmbedder(),
+    extractor: TripletExtractor = WindowTripletExtractor(),
+    ner: NerExtractor = CachedNerExtractor(Map.empty),
+    reranker: Reranker = ScoreReranker,
+    answerer: AnswerGenerator = TemplateAnswerGenerator) {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ indexing
+
+  /** §3.1 add_documents: extract triplets (X1) then index. Full-replace. */
+  def addDocuments(docs: Seq[Doc]): Map[String, Long] = {
+    val ex = extractor
+    addDocumentsWithTriplets(docs.map(d =>
+      if (d.triplets.nonEmpty) d else d.copy(triplets = ex.extract(d.text))))
+  }
+
+  /** §3.1 add_documents_with_triplets (rag.py:390-435): pre-extracted path. */
+  def addDocumentsWithTriplets(docs: Seq[Doc]): Map[String, Long] = {
+    val docsDf = spark.createDataset(docs).toDF()
+      .select(col("id"), col("text"), col("triplets"))
+    val tables = GraphBuilder.build(docsDf, embedder)
+    store.save(graph, tables)
+    store.stats(graph)
+  }
+
+  // ------------------------------------------------------------------- queries
+
+  /** §3.2 full pipeline: retrieve + answer generation. */
+  def query(question: String): QueryResult = {
+    val r = retrieve(question)
+    val texts = passageTexts(r.passages.map(_.id))
+    r.copy(answer = answerer.answer(question, r.passages.map(h => texts.getOrElse(h.id, ""))))
+  }
+
+  /** §3.2 stages 1–8 (no answer LLM call), with V5 naive backfill (rag.py:629-638). */
+  def retrieve(question: String): QueryResult = {
+    val t = store.load(graph)
+    val entitiesT = t.entities.cache()
+    val relationsT = t.relations.cache()
+
+    // Stage 1: NER (X2) + T2 normalization.
+    val queryEntities = ner.entities(question)
+
+    // Stage 2+3: embed query entities, entity KNN + threshold + dedup-union (R1–R3).
+    val entitySeeds: DataFrame =
+      if (queryEntities.isEmpty) spark.emptyDataset[String].toDF("entity_id")
+      else {
+        val qdf = queryEntities.toDF("qtext")
+          .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
+        val hits = VectorSearch.knnJoin(
+          qdf, entitiesT, "qtext", "qvec", "id", "embedding", config.entityTopK)
+        VectorSearch.dedupUnion(
+            VectorSearch.thresholdFilter(hits, config.entitySimilarityThreshold))
+          .select(col("neighbor_id").as("entity_id"))
+      }
+
+    // Stage 4: relation KNN on the whole question (R4–R5).
+    val qvecDf = Seq(question).toDF("qtext")
+      .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
+    val relationHits = VectorSearch.thresholdFilter(
+      VectorSearch.knnJoin(
+        qvecDf, relationsT, "qtext", "qvec", "id", "embedding", config.relationTopK),
+      config.relationSimilarityThreshold)
+    val relationSeeds = relationHits.select(col("neighbor_id").as("relation_id"))
+
+    // Stage 5: subgraph expansion (P1–P6).
+    val sub = SubgraphExpansion.expand(
+      entitySeeds, relationSeeds, t.entityRelation, config.expansionDegree)
+
+    // Stage 6: eviction (V1) against the question embedding.
+    val qvec = qvecDf.select("qvec").as[Seq[Double]].head()
+    val candidates = relationsT
+      .join(sub.relationIds.withColumnRenamed("relation_id", "id"), Seq("id"), "left_semi")
+      .select(col("id"), col("embedding"))
+    val (kept, evicted) = Assembly.evictionTopK(candidates, qvec, config.relationNumberThreshold)
+
+    // Stage 7: rerank (V2) or head-k (V3). Candidates carry text + question score.
+    val candRows = kept
+      .join(relationsT.select(col("id"), col("text"), col("embedding")), Seq("id"))
+      .select(col("id"), col("text"), col("rank"),
+        VectorFunctions.dot(col("embedding"), typedLit(qvec)).as("score"))
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+      .toSeq
+    val selected = reranker.rerank(candRows, question, config.rerankSelect)
+
+    // Stage 8: relation→passage join (V4) + V5 naive backfill.
+    val ranked = selected.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toDF("relation_id", "rel_rank")
+    val graphPassages = Assembly.passagesForRelations(ranked, relationsT, config.finalTopK)
+    val naive = naivePassageHits(qvecDf)
+    val finalPassages = Assembly.backfill(graphPassages, naive, config.finalTopK)
+      .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+
+    val texts = passageTexts(finalPassages.map(_._1))
+    val scoreById = candRows.map(c => c._1 -> c._3).toMap
+    QueryResult(
+      question = question,
+      answer = "",
+      passages = finalPassages.map { case (id, rk) =>
+        RetrievalHit(id, texts.getOrElse(id, ""), 0.0, rk) },
+      relations = selected.zipWithIndex.map { case (id, i) =>
+        val text = candRows.find(_._1 == id).map(_._2).getOrElse("")
+        RetrievalHit(id, text, scoreById.getOrElse(id, 0.0), i + 1) },
+      namedEntities = queryEntities,
+      expansionHistory = sub.history,
+      evictionApplied = evicted)
+  }
+
+  /** R6 naive RAG: passage KNN only (retriever.py:367-385). */
+  def retrieveNaive(question: String): Seq[RetrievalHit] = {
+    val qvecDf = Seq(question).toDF("qtext")
+      .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
+    naivePassageHits(qvecDf)
+      .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      .map { case (id, rk) => RetrievalHit(id, passageTexts(Seq(id)).getOrElse(id, ""), 0.0, rk) }
+  }
+
+  def stats(): Map[String, Long] = store.stats(graph)
+
+  private def naivePassageHits(qvecDf: DataFrame): DataFrame =
+    VectorSearch.knnJoin(
+      qvecDf, store.table(graph, "passages"),
+      "qtext", "qvec", "id", "embedding", config.finalTopK)
+      .select(col("neighbor_id").as("passage_id"), col("rank"))
+
+  private def passageTexts(ids: Seq[String]): Map[String, String] = {
+    if (ids.isEmpty) Map.empty
+    else store.table(graph, "passages")
+      .filter(col("id").isin(ids: _*))
+      .select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+}

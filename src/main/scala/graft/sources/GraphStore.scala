@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.operators.GraphTables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Parquet-backed graph catalog (SURVEY §2.1 S6–S10).
+  *
+  * Layout: `{base}/{graph}/{entities|relations|passages|entity_relation|
+  * entity_passage|relation_passage}.parquet` — one directory per graph, mirroring
+  * the reference's prefix-namespaced Milvus collections (milvus.py:121-152).
+  *
+  * Writes are plain Parquet with Spark handling file batching (the reference's
+  * hand-rolled batch_size=32 insert loop, milvus.py:154-202, is subsumed by the
+  * writer). `save` is full-replace like the reference's drop-and-recreate indexing
+  * path (rag.py:354-356); incremental CRUD is a separate path (upsert/delete below),
+  * exactly as in the reference (SURVEY §7.5).
+  */
+final class GraphStore(spark: SparkSession, base: String) {
+
+  private val tableNames = Seq(
+    "entities", "relations", "passages",
+    "entity_relation", "entity_passage", "relation_passage")
+
+  private def path(graph: String, table: String) = s"$base/$graph/$table.parquet"
+
+  // ----------------------------------------------------------------- S6 / S9
+  def save(graph: String, t: GraphTables): Unit = {
+    Seq(
+      "entities" -> t.entities, "relations" -> t.relations, "passages" -> t.passages,
+      "entity_relation" -> t.entityRelation, "entity_passage" -> t.entityPassage,
+      "relation_passage" -> t.relationPassage
+    ).foreach { case (n, df) => df.write.mode(SaveMode.Overwrite).parquet(path(graph, n)) }
+  }
+
+  def load(graph: String): GraphTables = GraphTables(
+    entities = table(graph, "entities"),
+    relations = table(graph, "relations"),
+    passages = table(graph, "passages"),
+    entityRelation = table(graph, "entity_relation"),
+    entityPassage = table(graph, "entity_passage"),
+    relationPassage = table(graph, "relation_passage"))
+
+  def table(graph: String, name: String): DataFrame =
+    spark.read.parquet(path(graph, name))
+
+  /** S9 graph discovery = directory listing (milvus.py:847-978). */
+  def listGraphs(): Seq[String] = {
+    val p = Paths.get(base)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** S9 drop. */
+  def dropGraph(graph: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(s"$base/$graph"))
+  }
+
+  /** S10 per-collection row counts (milvus.py:980-1014). */
+  def stats(graph: String): Map[String, Long] =
+    Seq("entities", "relations", "passages")
+      .map(n => n -> table(graph, n).count()).toMap
+
+  // ----------------------------------------------------------------- S7 upsert
+  /** Read-modify-write merge: rows in `updates` replace same-id rows, others kept
+    * (milvus.py:511-713). Delta-style `left_anti ∪ updates` then atomic swap. */
+  def upsert(graph: String, tableName: String, updates: DataFrame): Unit = {
+    val old = table(graph, tableName)
+    val merged = old.join(updates.select("id"), Seq("id"), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    rewrite(graph, tableName, merged)
+  }
+
+  // ----------------------------------------------------------------- S8 delete
+  /** Delete by id batch = anti-join (milvus.py:717-843). */
+  def delete(graph: String, tableName: String, ids: Seq[String]): Unit = {
+    val victims = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+    rewrite(graph, tableName, table(graph, tableName).join(victims, Seq("id"), "left_anti"))
+  }
+
+  /** G9 cascade delete of a passage: remove the row AND scrub its id from every
+    * neighbor's adjacency arrays + edge tables (graph/graph.py:634-672). */
+  def deletePassageCascade(graph: String, passageId: String): Unit = {
+    delete(graph, "passages", Seq(passageId))
+    val scrub = (df: DataFrame) => df.withColumn(
+      "passage_ids", array_remove(col("passage_ids"), passageId))
+    rewrite(graph, "entities", scrub(table(graph, "entities")))
+    rewrite(graph, "relations", scrub(table(graph, "relations")))
+    rewrite(graph, "entity_passage",
+      table(graph, "entity_passage").filter(col("passage_id") =!= passageId))
+    rewrite(graph, "relation_passage",
+      table(graph, "relation_passage").filter(col("passage_id") =!= passageId))
+  }
+
+  /** G9 cascade delete of an entity (graph/graph.py:237-282): drop the entity, its
+    * incident relations, and scrub both from passages' adjacency. */
+  def deleteEntityCascade(graph: String, entityId: String): Unit = {
+    val doomedRels = table(graph, "entity_relation")
+      .filter(col("entity_id") === entityId)
+      .select("relation_id").distinct().collect().map(_.getString(0)).toSeq
+    delete(graph, "entities", Seq(entityId))
+    delete(graph, "relations", doomedRels)
+    val dr = doomedRels
+    rewrite(graph, "passages",
+      table(graph, "passages")
+        .withColumn("entity_ids", array_remove(col("entity_ids"), entityId))
+        .withColumn("relation_ids",
+          filter(col("relation_ids"), r => !r.isin(dr: _*))))
+    rewrite(graph, "entities",
+      table(graph, "entities").withColumn("relation_ids",
+        filter(col("relation_ids"), r => !r.isin(dr: _*))))
+    rewrite(graph, "entity_relation",
+      table(graph, "entity_relation").filter(!col("relation_id").isin(dr: _*)))
+    rewrite(graph, "relation_passage",
+      table(graph, "relation_passage").filter(!col("relation_id").isin(dr: _*)))
+  }
+
+  /** Materialize-then-swap: parquet can't be rewritten in place from itself. */
+  private def rewrite(graph: String, tableName: String, df: DataFrame): Unit = {
+    val tmp = path(graph, s"__tmp_$tableName")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = path(graph, tableName)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dst)
+    dropPath(tmp)
+  }
+
+  private def dropPath(s: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(s))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.model.{Doc, Triplet}
+import graft.rag.{CachedNerExtractor, GraphRag, RagConfig}
+import graft.sources.GraphStore
+import java.nio.file.Files
+
+/** End-to-end port of the reference's offline smoke path (FIXTURES.md §9):
+  * documents with inline triplets → index → retrieve → gold passage in top-k.
+  * Zero network, deterministic embedder. */
+class GraphRagSpec extends SparkSpec {
+
+  private lazy val base = Files.createTempDirectory("graftstore").toString
+  private lazy val store = new GraphStore(spark, base)
+
+  private val docs = Seq(
+    Doc("einstein", "Albert Einstein\nAlbert Einstein published the theory of relativity in 1905.",
+      Seq(Triplet("Albert Einstein", "published", "theory of relativity"),
+        Triplet("theory of relativity", "published in", "1905"))),
+    Doc("curie", "Marie Curie\nMarie Curie discovered radium and polonium.",
+      Seq(Triplet("Marie Curie", "discovered", "radium"),
+        Triplet("Marie Curie", "discovered", "polonium"))),
+    Doc("darwin", "Charles Darwin\nCharles Darwin wrote On the Origin of Species.",
+      Seq(Triplet("Charles Darwin", "wrote", "On the Origin of Species"))),
+    Doc("newton", "Isaac Newton\nIsaac Newton formulated the laws of motion.",
+      Seq(Triplet("Isaac Newton", "formulated", "laws of motion"))))
+
+  private val question = "When did Albert Einstein publish his theory of relativity?"
+
+  private lazy val rag = new GraphRag(
+    spark, store, "smoke",
+    config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3),
+    ner = CachedNerExtractor(Map(question -> Seq("Albert Einstein", "theory of relativity"))))
+
+  test("indexing builds three collections with expected counts (§3.1)") {
+    val stats = rag.addDocumentsWithTriplets(docs)
+    assert(stats("passages") == 4)
+    assert(stats("relations") == 6)
+    // entities: einstein, relativity, 1905, curie, radium, polonium, darwin,
+    // origin-of-species, newton, laws-of-motion = 10
+    assert(stats("entities") == 10)
+  }
+
+  test("query returns the gold passage in top-3 (§3.2, SURVEY §7.3)") {
+    rag.addDocumentsWithTriplets(docs)
+    val r = rag.retrieve(question)
+    assert(r.passages.map(_.id).contains("einstein"),
+      s"got ${r.passages.map(_.id)}")
+    assert(r.relations.nonEmpty)
+    assert(r.expansionHistory.nonEmpty)
+    assert(!r.evictionApplied) // 6 relations < threshold 1000
+  }
+
+  test("expansion history logs per-degree additions (P6)") {
+    rag.addDocumentsWithTriplets(docs)
+    val r = rag.retrieve(question)
+    val degrees = r.expansionHistory.map(_.degree)
+    assert(degrees == Seq(0, 1))
+    assert(r.expansionHistory.last.relationCount >= r.expansionHistory.head.relationCount)
+  }
+
+  test("full query produces a deterministic answer via the template answerer (V6)") {
+    rag.addDocumentsWithTriplets(docs)
+    val r1 = rag.query(question)
+    val r2 = rag.query(question)
+    assert(r1.answer == r2.answer)
+    assert(r1.answer.nonEmpty)
+  }
+
+  test("naive RAG (R6) returns passages") {
+    rag.addDocumentsWithTriplets(docs)
+    val hits = rag.retrieveNaive("Who discovered radium?")
+    assert(hits.nonEmpty)
+    assert(hits.map(_.id).contains("curie"))
+  }
+
+  test("cascade delete scrubs adjacency (G9, tests/test_graph.py:233-288)") {
+    rag.addDocumentsWithTriplets(docs)
+    store.deletePassageCascade("smoke", "curie")
+    import org.apache.spark.sql.functions._
+    assert(store.table("smoke", "passages").filter(col("id") === "curie").count() == 0)
+    val stillRef = store.table("smoke", "relations")
+      .filter(array_contains(col("passage_ids"), "curie")).count()
+    assert(stillRef == 0)
+    val entRef = store.table("smoke", "entities")
+      .filter(array_contains(col("passage_ids"), "curie")).count()
+    assert(entRef == 0)
+  }
+
+  test("upsert replaces rows, preserves others (S7)") {
+    rag.addDocumentsWithTriplets(docs)
+    import org.apache.spark.sql.functions._
+    val upd = store.table("smoke", "passages")
+      .filter(col("id") === "newton")
+      .withColumn("text", lit("Isaac Newton\nRewritten."))
+    store.upsert("smoke", "passages", upd)
+    val after = store.table("smoke", "passages")
+    assert(after.count() == 4)
+    assert(after.filter(col("id") === "newton").select("text")
+      .head().getString(0).contains("Rewritten"))
+  }
+}

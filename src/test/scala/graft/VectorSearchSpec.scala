@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.VectorSearch
+import org.apache.spark.sql.functions._
+
+class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("embeddings")).cache()
+
+  test("codegen DotProduct equals HOF spec form") {
+    val d = emb.limit(50)
+      .select(abs(VectorFunctions.dot($"embedding", $"embedding") -
+        VectorFunctions.dotHof($"embedding", $"embedding")).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(d == 0.0)
+  }
+
+  test("l2Normalize yields unit vectors; zero vector survives") {
+    val err = emb.limit(50)
+      .select(abs(VectorFunctions.l2Norm(VectorFunctions.l2Normalize($"embedding")) - 1.0).as("e"))
+      .agg(max($"e")).as[Double].head()
+    assert(err < 1e-12)
+    val z = Seq(Seq(0.0, 0.0)).toDF("v")
+      .select(VectorFunctions.l2Normalize($"v")).as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0))
+  }
+
+  test("aggregator KNN == window KNN (R1 semantics, ties by id)") {
+    val q = emb.filter($"vec_id" < 5)
+    val c = emb.filter($"vec_id" >= 5)
+    val a = VectorSearch.knnJoin(q, c, "vec_id", "embedding", "vec_id", "embedding", 7)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val w = VectorSearch.knnJoinWindow(q, c, "vec_id", "embedding", "vec_id", "embedding", 7)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(a == w)
+    assert(a.size == 35)
+  }
+
+  test("filteredKnn only returns allowed ids (R8)") {
+    val q = emb.filter($"vec_id" < 3)
+    val c = emb.filter($"vec_id" >= 3)
+    val allowed = emb.filter($"label" === 2).select("vec_id")
+    val got = VectorSearch.filteredKnn(q, c, allowed,
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+    val ids = got.select("neighbor_id").as[String].collect().map(_.toLong).toSet
+    val allowedIds = allowed.as[Long].collect().toSet
+    assert(ids.subsetOf(allowedIds))
+  }
+
+  test("thresholdFilter + dedupUnion keep best score per id (R2/R3)") {
+    val hits = Seq(
+      ("q1", 1, "a", 0.9), ("q1", 2, "b", 0.5),
+      ("q2", 1, "a", 0.7), ("q2", 2, "c", 0.1))
+      .toDF("query_id", "rank", "neighbor_id", "score")
+    val got = VectorSearch.dedupUnion(VectorSearch.thresholdFilter(hits, 0.4))
+      .orderBy("neighbor_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("a", 0.9, 1), ("b", 0.5, 2)))
+  }
+}
