@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{Norm, VectorFunctions => VF}
-import graft.operators.VectorSearch
+import graft.functions.{Norm, TextAnalysis => TA, VectorFunctions => VF}
+import graft.operators._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,13 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Each entry in [[queries]] is one operator from SURVEY §2 (or a scale-pipeline
   * operator) expressed over the driver's TPC-H-ish testdata; [[oracleSql]] holds the
-  * equivalent DuckDB SQL the driver hash-compares against at sf0.01.
+  * equivalent DuckDB SQL the driver hash-compares against at sf0.01. Entries without
+  * oracle SQL (chunker, multimodal) get the driver's rows-only check.
   *
   * Conventions for oracle parity:
   *  - every computed column aliased identically on both sides;
   *  - floats either avoided, produced by identical sequential double arithmetic
   *    (DotProduct ≡ list_dot_product on DOUBLE[]), or rounded;
-  *  - ties in any top-k broken by id ascending on both sides.
+  *  - ties in any top-k broken by id on both sides, same direction.
   */
 object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -54,6 +55,13 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------- §2.2 text prep
+    // T1 recursive chunker (loaders/chunker.py) — not SQL-expressible, rows check.
+    "t1_chunker" -> ((s, dir) => {
+      Chunker.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 200, overlap = 50)
+        .select(col("id").as("doc_id"), col("chunk_index"), col("total_chunks"),
+          length(col("chunk")).as("chunk_len"))
+    }),
     // T2 processing_phrases (llm/extractor.py:17-28)
     "t2_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -78,15 +86,14 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(Norm.normTokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("word"))
     }),
-    // G2 entity dedup + deterministic id (graph/builder.py:76-85): distinct
-    // normalized token -> md5 id.
+    // G2 entity dedup + deterministic id (graph/builder.py:76-85)
     "g2_entity_dedup" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(Norm.normTokens(col("text"))).as("name"))
         .distinct()
         .select(Norm.idOf(col("name")).as("id"), col("name"))
     }),
-    // G4/G5 adjacency build (graph/builder.py:86-122): word -> sorted distinct doc ids.
+    // G4/G5 adjacency build (graph/builder.py:86-122)
     "g4_adjacency" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), explode(Norm.normTokens(col("text"))).as("word"))
@@ -95,7 +102,6 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
     }),
     // G9 cascade delete: strip a victim id out of adjacency arrays
-    // (graph/graph.py:237-282; array filter semantics).
     "g9_cascade" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), explode(Norm.normTokens(col("text"))).as("word"))
@@ -106,7 +112,7 @@ object SparkEntry {
     }),
 
     // ----------------------------------------------------------- §2.5 embeddings
-    // E3 L2 normalization (embeddings.py:142-143), rounded for float stability.
+    // E3 L2 normalization (embeddings.py:142-143)
     "e3_l2_normalize" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -114,8 +120,7 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------------ §2.6 retrieval
-    // R1 KNN top-k (retriever.py:101-132 / milvus.py:346-373): queries = vec_id<8,
-    // corpus = the rest; exact top-5 by dot product, ties by id.
+    // R1 KNN top-k (retriever.py:101-132): queries = vec_id<8, corpus = rest.
     "r1_knn_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorSearch.knnJoin(
@@ -150,8 +155,213 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // ------------------------------------------- §2.7 subgraph expansion (P2–P4)
+    // P2 one-hop: seed parts → co-ordered parts (semi-join + anti-join shape).
+    "p2_hop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val seeds = li.filter(col("l_partkey") % 211 === 0).select("l_partkey").distinct()
+      val seedOrders = li.join(seeds, Seq("l_partkey"), "left_semi")
+        .select("l_orderkey").distinct()
+      li.join(seedOrders, Seq("l_orderkey"), "left_semi")
+        .select("l_partkey").distinct()
+        .join(seeds, Seq("l_partkey"), "left_anti")
+        .select(col("l_partkey").as("hop_partkey"))
+    }),
+    // P4 degree-2 expansion through the REAL SubgraphExpansion operator over the
+    // lineitem bipartite graph (part=entity, order=relation).
+    "p4_degree2" -> ((s, dir) => {
+      val er = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("entity_id"),
+          col("l_orderkey").cast("string").as("relation_id"))
+        .distinct()
+      val seeds = er.filter(col("entity_id").cast("long") % 211 === 0)
+        .select("entity_id").distinct()
+      val emptyRel = seeds.sparkSession.createDataFrame(
+        seeds.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("relation_id",
+            org.apache.spark.sql.types.StringType))))
+      SubgraphExpansion.expand(seeds, emptyRel, er, degree = 2)
+        .entityIds.select(col("entity_id"))
+    }),
+
+    // ------------------------------------------------- §2.8 eviction/assembly (V)
+    // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
+    // per customer: >20 orders ⇒ top-20 by totalprice; else ALL sorted by orderkey.
+    "v1_eviction" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val byCust = Window.partitionBy(col("o_custkey"))
+      val byScore = byCust.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val byId = byCust.orderBy(col("o_orderkey").asc)
+      o.withColumn("cnt", count(lit(1)).over(byCust))
+        .withColumn("rank_score", row_number().over(byScore))
+        .withColumn("rank_id", row_number().over(byId))
+        .filter((col("cnt") > 20 && col("rank_score") <= 20) || col("cnt") <= 20)
+        .select(col("o_custkey"),
+          when(col("cnt") > 20, col("rank_score")).otherwise(col("rank_id")).as("rank"),
+          col("o_orderkey"), (col("cnt") > 20).as("evicted"))
+    }),
+    // V4 first-seen-order passage join (rag.py:161-194): top-10 orders by revenue
+    // (the "reranked relations"), explode their parts positionally, dedup each part
+    // keeping its first (order_rank, linenumber) occurrence, cut to 20.
+    "v4_first_seen" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val top = li.groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey").asc).limit(10)
+        .withColumn("rel_rank", row_number().over(
+          Window.orderBy(col("rev").desc, col("l_orderkey").asc)))
+      val exploded = li.join(top, Seq("l_orderkey"))
+        .select(col("rel_rank"), col("l_linenumber").as("pos"), col("l_partkey"))
+      val firstSeen = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("rel_rank").asc, col("pos").asc)
+      val ordered = Window.orderBy(col("rel_rank").asc, col("pos").asc, col("l_partkey").asc)
+      exploded.withColumn("rn", row_number().over(firstSeen)).filter(col("rn") === 1)
+        .withColumn("rank", row_number().over(ordered)).filter(col("rank") <= 20)
+        .select(col("rank"), col("l_partkey"))
+    }),
+
+    // ------------------------------------------------------------ §2.9 eval (M1)
+    // Recall@5 by label: queries vec_id<20 vs corpus >=20; hit = same label.
+    "m1_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20)
+      val hits = VectorSearch.knnJoin(q, c, "vec_id", "embedding", "vec_id", "embedding", 5)
+      hits
+        .join(q.select(col("vec_id").cast("string").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(c.select(col("vec_id").cast("string").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .groupBy("query_id")
+        .agg((sum(when(col("q_label") === col("n_label"), 1).otherwise(0)) / 5.0)
+          .as("recall_at_5"))
+    }),
+
+    // ------------------------------------------------- scale pipeline: dedup (D)
+    // D1 exact dedup on normalized text (hash-groupBy).
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+    // D2a MinHash signatures (6 hashes over word 3-shingles).
+    "d2_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 6, shingleSize = 3)
+    }),
+    // D2b MinHash-LSH candidate pairs (3 bands × 2 rows) + estimated Jaccard.
+    "d2_lsh_pairs" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 6, shingleSize = 3)
+      val pairs = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
+      Dedup.minhashSimilarity(pairs, sigs, numHashes = 6)
+    }),
+    // D3 SimHash (16-bit) document sketches.
+    "d3_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", nBits = 16)
+    }),
+    // D4 exact n-gram Jaccard pairs ≥ 0.5.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+    }),
+    // D5 embedding near-duplicates: cosine ≥ 0.35 (exact pair scan).
+    "d5_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }),
+
+    // ------------------------------------------------ scale pipeline: ANN (IVF)
+    // A1 IVF search: 8 seed centroids, 3 probes, top-5 (vs r1's exact spec).
+    "a1_ivf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+      IvfIndex.search(index, emb,
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+        "vec_id", "embedding", "vec_id", "embedding", nProbe = 3, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score_r"))
+    }),
+
+    // --------------------------------------------- scale pipeline: text analysis
+    // X1 heuristic language ID.
+    "x1_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), TA.langId(col("text")).as("lang_pred"))
+    }),
+    // X2 quality scoring.
+    "x2_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TA.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TA.qualityScore(col("text")).as("quality"))
+    }),
+    // X3 token counting (whitespace + subword proxy).
+    "x3_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.subwordCount(col("text")).as("n_subwords"))
+    }),
+    // X4 fingerprints: token-set md5 + min k-gram rolling hash.
+    "x4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.minKgramHash(col("text"), 8).as("min_kgram"))
+    }),
+
+    // --------------------------------------------------- events: windows/sessions
+    // ST1 tumbling hourly aggregation (batch twin of StreamingOps.windowedCounts).
+    "st1_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select((col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket"),
+          col("event_type"), col("value"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+    // ST2 gap sessionization (30 min) + per-session rollup.
+    "st2_sessionize" -> ((s, dir) => {
+      val sess = Sessionize.byGap(t(s, dir, "events"), "user_id", "ts",
+        gapNanos = 30L * 60 * 1000000000L)
+      Sessionize.sessionStats(sess, "user_id", "ts", "value")
+        // µs truncation: DuckDB reads parquet nanos as TIMESTAMP (µs), so the
+        // oracle can only see microsecond precision.
+        .select(col("user_id"), col("session_seq"),
+          expr("session_start div 1000").as("session_start_us"),
+          expr("session_end div 1000").as("session_end_us"),
+          col("n_events"), col("sum_value"))
+    }),
+    // AJ1 backward as-of join: each event picks the user's most recent order
+    // (oracle = DuckDB's native ASOF JOIN — an independent implementation).
+    "aj1_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          (col("o_orderdate").cast("timestamp").cast("long") * 1000000000L).as("ots"),
+          col("o_totalprice"))
+        .groupBy("user_id", "ots")
+        .agg(round(max(col("o_totalprice")), 2).as("ord_price"))
+      AsOfJoin.backward(ev, ord, "user_id", "ts", "ots", Seq("ord_price"))
+        .select(col("event_id"), col("asof_ord_price"))
+    }),
+
+    // ------------------------------------------------------- multimodal plumbing
+    // MM1 video frame sampling over binary payloads (rows-only check).
+    "mm1_frames" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(
+        t(s, dir, "documents").filter(col("n_chars") > 0), "doc_id", "text", "video")
+      Multimodal.sampleFrames(assets, frameBytes = 64, stride = 2)
+        .select(col("asset_id"), col("frame_index"), col("byte_offset"),
+          length(col("frame_payload")).as("frame_len"))
+    }),
+    // MM2 feature extraction: partition-batched decode (stubbed) → stats.
+    "mm2_features" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal.extractFeatures(assets, dim = 8)
+        .select(col("asset_id"), col("modality"), col("n_bytes"))
+    }),
+
     // ------------------------------------------------------------ classic bench
-    // TPC-H Q1-shaped pricing summary (baseline aggregate shape)
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -161,7 +371,6 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
-    // TPC-H Q3-shaped top-10 revenue (join + agg + top-k)
     "q3_top_orders" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
@@ -172,28 +381,51 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
+    }),
+    // Q5-shaped: revenue by supplier nation (broadcast dimension chain).
+    "q5_nation_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet dirs). */
   def oracleSql: Map[String, String] = {
-    val tables = Tables.names
-    val statsUnion = tables
+    val statsUnion = Tables.names
       .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
       .mkString(" UNION ALL ")
-    // shared snippets
-    val normDoc = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+    val normE = (c: String) => s"trim(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'))"
+    val normDoc = normE("text")
+    val toksDoc = s"list_filter(string_split($normDoc, ' '), x -> x <> '')"
     val docWords =
       s"""SELECT doc_id, w.word, w.pos FROM (
-         |  SELECT doc_id, unnest(list_filter(string_split($normDoc, ' '), x -> x <> '')) AS word,
-         |         generate_subscripts(list_filter(string_split($normDoc, ' '), x -> x <> ''), 1) AS pos
+         |  SELECT doc_id, unnest($toksDoc) AS word,
+         |         generate_subscripts($toksDoc, 1) AS pos
          |  FROM documents) w""".stripMargin.replace("\n", " ")
+    // word 3-shingles per document (empty for docs with <3 tokens)
+    val docShingles =
+      s"""SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+         |  i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh
+         |FROM (SELECT doc_id, $toksDoc AS w FROM documents) t""".stripMargin.replace("\n", " ")
+    val minhashSigs =
+      s"""SELECT doc_id AS id,
+         |  ${(0 until 6).map(i => s"min(md5('mh$i-' || sh)) AS sig_$i").mkString(", ")}
+         |FROM ($docShingles) s GROUP BY doc_id""".stripMargin.replace("\n", " ")
     val knnBase =
       """SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
         |       CAST(c.vec_id AS VARCHAR) AS neighbor_id,
         |       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 8 AND c.vec_id >= 8""".stripMargin.replace("\n", " ")
+    val stopList = "['the','a','an','of','to','in','and','is','on','for']"
     Map(
       "s10_stats" -> statsUnion,
       "s7_upsert" ->
@@ -205,10 +437,8 @@ object SparkEntry {
       "t2_normalize" ->
         s"SELECT doc_id, $normDoc AS norm_text FROM documents",
       "t3_relation_text" ->
-        ("SELECT p_partkey, concat_ws(' ', " +
-          "trim(regexp_replace(lower(p_brand), '[^a-z0-9 ]', ' ', 'g')), " +
-          "trim(regexp_replace(lower(p_type), '[^a-z0-9 ]', ' ', 'g')), " +
-          "trim(regexp_replace(lower(p_name), '[^a-z0-9 ]', ' ', 'g'))) AS relation_text FROM part"),
+        (s"SELECT p_partkey, concat_ws(' ', ${normE("p_brand")}, ${normE("p_type")}, " +
+          s"${normE("p_name")}) AS relation_text FROM part"),
       "t5_title" ->
         "SELECT doc_id, trim(split_part(text, chr(10), 1)) AS title FROM documents",
       "g1_explode" ->
@@ -245,6 +475,187 @@ object SparkEntry {
            |  SELECT query_id, neighbor_id,
            |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
            |  FROM ($knnBase AND c.label = 3) s) r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "p2_hop" ->
+        """SELECT DISTINCT l2.l_partkey AS hop_partkey
+          |FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+          |WHERE l1.l_partkey % 211 = 0 AND l2.l_partkey % 211 <> 0""".stripMargin.replace("\n", " "),
+      "p4_degree2" ->
+        """WITH er AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) e, CAST(l_orderkey AS VARCHAR) r FROM lineitem),
+          |seeds AS (SELECT DISTINCT e FROM er WHERE CAST(e AS BIGINT) % 211 = 0),
+          |r0 AS (SELECT DISTINCT r FROM er WHERE e IN (SELECT e FROM seeds)),
+          |e1 AS (SELECT DISTINCT e FROM er WHERE r IN (SELECT r FROM r0) AND e NOT IN (SELECT e FROM seeds)),
+          |r1 AS (SELECT DISTINCT r FROM er WHERE e IN (SELECT e FROM e1) AND r NOT IN (SELECT r FROM r0)),
+          |ents1 AS (SELECT e FROM seeds UNION SELECT e FROM e1),
+          |rels1 AS (SELECT r FROM r0 UNION SELECT r FROM r1),
+          |e2 AS (SELECT DISTINCT e FROM er WHERE r IN (SELECT r FROM rels1) AND e NOT IN (SELECT e FROM ents1))
+          |SELECT e AS entity_id FROM ents1 UNION SELECT e AS entity_id FROM e2""".stripMargin.replace("\n", " "),
+      "v1_eviction" ->
+        """SELECT o_custkey,
+          |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,
+          |  o_orderkey, (cnt > 20) AS evicted
+          |FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    count(*) OVER (PARTITION BY o_custkey) AS cnt,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_score,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS rank_id
+          |  FROM orders) t
+          |WHERE (cnt > 20 AND rank_score <= 20) OR cnt <= 20""".stripMargin.replace("\n", " "),
+      "v4_first_seen" ->
+        """WITH top AS (
+          |  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+          |  FROM lineitem GROUP BY l_orderkey ORDER BY rev DESC, l_orderkey ASC LIMIT 10),
+          |ranked AS (SELECT l_orderkey, row_number() OVER (ORDER BY rev DESC, l_orderkey ASC) AS rel_rank FROM top),
+          |exploded AS (
+          |  SELECT r.rel_rank, li.l_linenumber AS pos, li.l_partkey
+          |  FROM lineitem li JOIN ranked r ON li.l_orderkey = r.l_orderkey),
+          |first_seen AS (
+          |  SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY rel_rank ASC, pos ASC) AS rn
+          |  FROM exploded)
+          |SELECT rank, l_partkey FROM (
+          |  SELECT l_partkey, row_number() OVER (ORDER BY rel_rank ASC, pos ASC, l_partkey ASC) AS rank
+          |  FROM first_seen WHERE rn = 1) t WHERE rank <= 20""".stripMargin.replace("\n", " "),
+      "m1_recall" ->
+        """WITH q AS (SELECT CAST(vec_id AS VARCHAR) query_id, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT CAST(vec_id AS VARCHAR) neighbor_id, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20),
+          |hits AS (
+          |  SELECT query_id, neighbor_id, ql, cl,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY list_dot_product(qv, cv) DESC, neighbor_id ASC) AS rank
+          |  FROM q, c)
+          |SELECT query_id, sum(CASE WHEN ql = cl THEN 1 ELSE 0 END) / 5.0 AS recall_at_5
+          |FROM hits WHERE rank <= 5 GROUP BY query_id""".stripMargin.replace("\n", " "),
+      "d1_exact_dedup" ->
+        s"""SELECT $normDoc AS key, min(doc_id) AS keep_id, count(*) AS n_dups
+           |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
+      "d2_minhash_sig" -> minhashSigs,
+      "d2_lsh_pairs" ->
+        s"""WITH sigs AS ($minhashSigs),
+           |banded AS (
+           |  SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
+           |  UNION ALL SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+           |  UNION ALL SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+           |SELECT p.id_a, p.id_b,
+           |  (${(0 until 6).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / 6.0 AS est_jaccard
+           |FROM pairs p JOIN sigs sa ON p.id_a = sa.id JOIN sigs sb ON p.id_b = sb.id""".stripMargin.replace("\n", " "),
+      "d3_simhash" ->
+        """WITH tok AS (
+          |  SELECT doc_id AS id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' '), x -> x <> '')) AS word FROM documents) w),
+          |bits AS (
+          |  SELECT id, j, CASE WHEN CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+          |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS j) js),
+          |sums AS (SELECT id, j, sum(contrib) AS s FROM bits GROUP BY id, j)
+          |SELECT id, sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+          |FROM sums GROUP BY id""".stripMargin.replace("\n", " "),
+      "d4_ngram_jaccard" ->
+        s"""WITH dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
+           |sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM (
+           |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+           |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
+           |WHERE j >= 0.5""".stripMargin.replace("\n", " "),
+      "d5_embedding_neardup" ->
+        """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  round(list_dot_product(a.e, b.e) /
+          |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_r
+          |FROM v a JOIN v b ON a.id < b.id
+          |WHERE list_dot_product(a.e, b.e) /
+          |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35""".stripMargin.replace("\n", " "),
+      "a1_ivf_search" ->
+        """WITH cents AS (
+          |  SELECT CAST(vec_id AS VARCHAR) cid, embedding::DOUBLE[] cv FROM embeddings
+          |  ORDER BY CAST(vec_id AS VARCHAR) LIMIT 8),
+          |corpus AS (SELECT CAST(vec_id AS VARCHAR) id, embedding::DOUBLE[] v FROM embeddings),
+          |assign AS (
+          |  SELECT id, cid FROM (
+          |    SELECT c.id, cents.cid,
+          |      row_number() OVER (PARTITION BY c.id ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.cid DESC) rn
+          |    FROM corpus c, cents) t WHERE rn = 1),
+          |qs AS (SELECT CAST(vec_id AS VARCHAR) qid, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+          |probes AS (
+          |  SELECT qid, cid FROM (
+          |    SELECT qs.qid, cents.cid,
+          |      row_number() OVER (PARTITION BY qs.qid ORDER BY list_dot_product(qs.qv, cents.cv) DESC, cents.cid ASC) rn
+          |    FROM qs, cents) t WHERE rn <= 3),
+          |cand AS (SELECT DISTINCT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid),
+          |scored AS (
+          |  SELECT cand.qid, cand.id, list_dot_product(qs.qv, corpus.v) s
+          |  FROM cand JOIN qs ON cand.qid = qs.qid JOIN corpus ON cand.id = corpus.id)
+          |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id, round(s, 6) AS score_r
+          |FROM (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id ASC) rank FROM scored) t
+          |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "x1_langid" ->
+        s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und'
+           |  WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id,
+           |    len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))) AS s_en,
+           |    len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))) AS s_es,
+           |    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr,
+           |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+           |    greatest(
+           |      len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))),
+           |      len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))),
+           |      len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))),
+           |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t)))) AS m
+           |  FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x2_quality" ->
+        s"""SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+           |  round(stopword_ratio, 6) AS stopword_ratio,
+           |  round(least(n_tokens / 50.0, 1.0) * (1.0 - least(punct_ratio * 4.0, 1.0)) *
+           |        (0.5 + least(stopword_ratio * 5.0, 1.0) / 2), 6) AS quality
+           |FROM (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS stopword_ratio
+           |  FROM (SELECT doc_id, text, $toksDoc AS toks FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x3_token_count" ->
+        s"""SELECT doc_id, len(toks) AS n_tokens,
+           |  CAST(coalesce(list_sum(list_transform(toks, t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INTEGER)))), 0) AS INTEGER) AS n_subwords
+           |FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t""".stripMargin.replace("\n", " "),
+      "x4_fingerprint" ->
+        s"""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct($toksDoc)), ' ')) AS fp,
+           |  CASE WHEN length($normDoc) < 8 THEN NULL
+           |       ELSE list_sort(list_transform(generate_series(1, length($normDoc) - 7),
+           |            i -> md5(substr($normDoc, i, 8))))[1] END AS min_kgram
+           |FROM documents""".stripMargin.replace("\n", " "),
+      "st1_window_agg" ->
+        """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+          |count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      "st2_sessionize" ->
+        """WITH marked AS (
+          |  SELECT user_id, epoch_ns(ts) AS tsn, value,
+          |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |sess AS (
+          |  SELECT user_id, tsn, value,
+          |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING) + 1 AS INTEGER) AS session_seq
+          |  FROM marked)
+          |SELECT user_id, session_seq, min(tsn) // 1000 AS session_start_us,
+          |  max(tsn) // 1000 AS session_end_us,
+          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+          |FROM sess GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+      "aj1_asof_join" ->
+        """WITH o AS (
+          |  SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS t,
+          |         round(max(o_totalprice), 2) AS v
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT e.event_id, o.v AS asof_ord_price
+          |FROM events e ASOF LEFT JOIN o ON e.user_id = o.k AND o.t <= epoch_ns(e.ts)""".stripMargin.replace("\n", " "),
+      "mm2_features" ->
+        """SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS modality,
+          |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin.replace("\n", " "),
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
           |round(sum(l_quantity), 2) AS sum_qty,
@@ -257,7 +668,14 @@ object SparkEntry {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |WHERE c_mktsegment = 'BUILDING'
-          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " ")
+          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " "),
+      "q5_nation_volume" ->
+        """SELECT r_name, n_name,
+          |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name""".stripMargin.replace("\n", " ")
     )
   }
 }

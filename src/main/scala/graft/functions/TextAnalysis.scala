@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-corpus curation (scale-pipeline family):
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * Catalyst expressions — they run inside whole-stage codegen over any corpus
+  * size, no UDFs, no dictionaries shipped per-row. */
+object TextAnalysis {
+
+  /** Whitespace token count of normalized text (0 for empty/blank). */
+  def tokenCount(text: Column): Column = size(Norm.normTokens(text))
+
+  /** Approximate BPE-ish subword count: word count + one extra per 4 chars of
+    * long words (a cheap, deterministic proxy for tokenizer budget). */
+  def subwordCount(text: Column): Column =
+    coalesce(aggregate(Norm.normTokens(text), lit(0),
+      (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int"))), lit(0))
+
+  /** Ratio of non-[a-z0-9 ] characters in the lowercased text (punctuation /
+    * symbol density); 0 for empty text. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))).cast("double")
+        / length(text))
+
+  /** Mean token length (0 for empty). */
+  def avgWordLen(text: Column): Column = {
+    val toks = Norm.normTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  private val stopwordsEn = Seq("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+
+  /** Fraction of tokens that are (English) stopwords — a standard fluency signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
+    val toks = Norm.normTokens(text)
+    val sw = typedLit(stopwords)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length signal × (1 − punct density) ×
+    * stopword-fluency signal. Deterministic, monotone in each component —
+    * the shape of a C4/Gopher-style quality rule, not a learned model. */
+  def qualityScore(text: Column): Column = {
+    val lenSignal = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val punctSignal = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val fluency = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenSignal * punctSignal * (lit(0.5) + fluency / 2), 6)
+  }
+
+  /** Heuristic n-gram language ID over a fixed marker table: scores each language
+    * by marker-token hits, returns the argmax (ties broken alphabetically), or
+    * "und" when nothing matches. Marker lists are tiny and inlined into the plan. */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "was", "with"),
+      "es" -> Seq("el", "la", "de", "que", "los", "las"),
+      "fr" -> Seq("le", "la", "les", "des", "est", "une"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"))
+    val toks = Norm.normTokens(text)
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(filter(toks, t => array_contains(typedLit(ms), t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score desc, lang asc): sort ascending on (-score, lang), take head
+    val best = array_sort(array(scored.map(s =>
+      struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))): _*))(0)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct normalized token set —
+    * collapses word-order and repetition variants (fingerprint dedup). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(Norm.normTokens(text)))))
+
+  /** Winnowing-style rolling-hash fingerprint: minimum md5 over character
+    * k-grams of the normalized text (null if shorter than k). */
+  def minKgramHash(text: Column, k: Int = 8): Column = {
+    val norm = Norm.normPhrase(text)
+    when(length(norm) < k, lit(null).cast("string")).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(norm) - k + 1),
+        i => md5(norm.substr(i, lit(k))))))
+  }
+}

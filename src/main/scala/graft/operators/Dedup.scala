@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.functions.{Norm, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Large-corpus deduplication operators — the scale-pipeline family the reference
+  * lacks but a 100 TB training-data build needs. All are single-DAG, shuffle-minimal:
+  * exact dedup is one hash aggregate; MinHash is one explode + k min-aggregates;
+  * LSH banding turns O(n²) pair search into an equi-join on band keys.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: one row per distinct key with the surviving
+    * (minimum) id and duplicate count. Map-side combine; one shuffle on the key. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Norm.normPhrase(col(textCol)).as("key"))
+      .groupBy("key")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: k independent hash functions h_i(s) = md5(seed_i ‖ s),
+    * minimum over the document's word-shingle set. One explode + k min() aggregates
+    * in a single pass (map-side partial min, one shuffle on doc id).
+    *
+    * Output: (id, sig_0..sig_{k-1}) — columns, not an array, so each is a plain
+    * min() aggregate that Catalyst fuses. Docs with no shingles get null sigs. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 12, shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(Norm.shingles(Norm.normTokens(col(textCol)), shingleSize)).as("sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"mh$i-"), col("sh")))).as(s"sig_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: group the signature into `bands` bands of `rowsPerBand` hashes,
+    * key = md5 of the band's concatenated sig; near-duplicate candidates are pairs
+    * sharing any band key. Pair search becomes a self-equi-join on (band, key) —
+    * the standard way to keep near-dup detection linear in corpus size. */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      signatures.select(col("id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }.reduce(_ unionByName _)
+      .filter(col("band_key").isNotNull)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard similarity of candidate pairs = fraction of agreeing
+    * minhash components. */
+  def minhashSimilarity(pairs: DataFrame, signatures: DataFrame, numHashes: Int): DataFrame = {
+    val a = signatures.toDF(signatures.columns.map(c => if (c == "id") "id_a" else s"a_$c"): _*)
+    val b = signatures.toDF(signatures.columns.map(c => if (c == "id") "id_b" else s"b_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** SimHash (nBits ≤ 32): per token take bits of int(md5[0:8],16); each bit
+    * contributes ±1 (term frequency = weight, via one row per occurrence); the
+    * document hash sets bit j where the weighted sum is positive. Shape: explode
+    * tokens × bits → two hash aggregates (both with map-side combine).
+    * Hamming-close simhashes ⇒ near-duplicate documents. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
+    require(nBits <= 32)
+    val tokHash = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    // bit j of h via exact double arithmetic (h < 2^32): floor(h / 2^j) % 2
+    val bit = (col("h") / pow(lit(2.0), col("j"))).cast("long") % 2
+    df.select(col(idCol).as("id"), explode(Norm.normTokens(col(textCol))).as("tok"))
+      .select(col("id"), tokHash.as("h"))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(nBits - 1))).as("j"))
+      .select(col("id"), col("j"), when(bit === 1, 1).otherwise(-1).as("contrib"))
+      .groupBy("id", "j")
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (for pairing Hamming-close docs). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard over word shingles, exact: distinct (doc, shingle) pairs,
+    * self-join on shingle for intersection counts, per-doc set sizes for the union.
+    * `maxShingleFreq` drops ubiquitous shingles (stop-shingles) — at corpus scale
+    * they are pure join-skew with no discriminative value. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.0,
+      maxShingleFreq: Long = 1000000L): DataFrame = {
+    val docSh = df.select(col(idCol).as("id"),
+        explode(Norm.shingles(Norm.normTokens(col(textCol)), shingleSize)).as("sh"))
+      .distinct()
+    val rare = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq).select("sh")
+    val filtered = docSh.join(rare, Seq("sh"), "left_semi")
+    val sizes = docSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ τ. Blocked by sign-bit LSH of
+    * the embedding (hyperplanes = deterministic hash directions): pairs must agree
+    * on the `blockBits`-bit sketch, turning the n² scan into an equi-join per
+    * bucket. Exact cosine recheck inside each bucket. blockBits=0 ⇒ exact n². */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, blockBits: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBlock =
+      if (blockBits == 0) base.withColumn("blk", lit(0))
+      else {
+        // sign sketch: bit j = sign(v · h_j), h_j a deterministic ±1 hyperplane
+        // derived from md5(j ‖ dim-index) — computed per row, no data exchange.
+        val dim = df.select(size(col(vecCol))).head().getInt(0)
+        val sketch = (0 until blockBits).map { j =>
+          val hj = typedLit((0 until dim).map(d =>
+            if (Integer.parseInt(
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d").substring(0, 2), 16) < 128) 1.0 else -1.0))
+          when(VectorFunctions.dot(col("v"), hj) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a + b)
+        base.withColumn("blk", sketch)
+      }
+    withBlock.as("a").join(withBlock.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

