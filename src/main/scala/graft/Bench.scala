@@ -13,11 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up: JIT/codegen paths and file-system metadata so the first timed
+    // query doesn't absorb session start-up cost.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.operators.VectorSearch.knnJoin(
+        emb.limit(2), emb, "vec_id", "embedding", "vec_id", "embedding", 3).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -23,6 +23,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Repartition a small single-file table across the cluster before a row-
+    * exploding operator: the explode multiplies rows ~100×, and AQE can only
+    * split shuffle output, not a scan, so parallelism must be forced up front. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("r1_knn_topk")(spark, "/root/testdata/sf0.001")
@@ -243,25 +249,30 @@ object SparkEntry {
     "d1_exact_dedup" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     }),
-    // D2a MinHash signatures (6 hashes over word 3-shingles).
+    // D2a MinHash signatures (6 hashes over word 3-shingles). The documents table
+    // is a single parquet file — repartition BEFORE the shingle explode so the
+    // expensive per-row expansion parallelizes (AQE cannot split an explode).
     "d2_minhash_sig" -> ((s, dir) => {
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text",
         numHashes = 6, shingleSize = 3)
     }),
     // D2b MinHash-LSH candidate pairs (3 bands × 2 rows) + estimated Jaccard.
+    // Signatures feed three consumers (two self-join sides + similarity join):
+    // persist them once.
     "d2_lsh_pairs" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+      val sigs = Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text",
         numHashes = 6, shingleSize = 3)
+        .localCheckpoint(true)
       val pairs = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
       Dedup.minhashSimilarity(pairs, sigs, numHashes = 6)
     }),
     // D3 SimHash (16-bit) document sketches.
     "d3_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", nBits = 16)
+      Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text", nBits = 16)
     }),
     // D4 exact n-gram Jaccard pairs ≥ 0.5.
     "d4_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(spread(t(s, dir, "documents")), "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
     }),
@@ -285,29 +296,38 @@ object SparkEntry {
     }),
 
     // --------------------------------------------- scale pipeline: text analysis
-    // X1 heuristic language ID.
+    // X1 heuristic language ID (tokens projected once — see TextAnalysis scaladoc).
     "x1_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"), TA.langId(col("text")).as("lang_pred"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.langIdT(col("toks")).as("lang_pred"))
     }),
     // X2 quality scoring.
     "x2_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TA.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        TA.qualityScore(col("text")).as("quality"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.tokenCountT(col("toks")).as("n_tokens"),
+          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TA.stopwordRatioT(col("toks")), 6).as("stopword_ratio"),
+          TA.qualityScoreT(col("text"), col("toks")).as("quality"))
     }),
     // X3 token counting (whitespace + subword proxy).
     "x3_token_count" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        TA.subwordCount(col("text")).as("n_subwords"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.tokenCountT(col("toks")).as("n_tokens"),
+          TA.subwordCountT(col("toks")).as("n_subwords"))
     }),
     // X4 fingerprints: token-set md5 + min k-gram rolling hash.
     "x4_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TA.fingerprint(col("text")).as("fp"),
-        TA.minKgramHash(col("text"), 8).as("min_kgram"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          Norm.normPhrase(col("text")).as("norm"))
+        .select(col("doc_id"),
+          TA.fingerprintT(col("toks")).as("fp"),
+          TA.minKgramHashNorm(col("norm"), 8).as("min_kgram"))
     }),
 
     // --------------------------------------------------- events: windows/sessions

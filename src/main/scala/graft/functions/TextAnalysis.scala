@@ -6,16 +6,24 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-corpus curation (scale-pipeline family):
   * language ID, quality scoring, token counting, fingerprinting. All pure
   * Catalyst expressions — they run inside whole-stage codegen over any corpus
-  * size, no UDFs, no dictionaries shipped per-row. */
+  * size, no UDFs, no dictionaries shipped per-row.
+  *
+  * Every function has a `*T` variant taking a pre-projected token-array column.
+  * Use those when combining several analyses: passing `Norm.normTokens(text)`
+  * inline would re-evaluate the regexp+split once per reference (Catalyst inlines
+  * lambda-captured expressions), while a projected column is a per-row read.
+  */
 object TextAnalysis {
 
   /** Whitespace token count of normalized text (0 for empty/blank). */
-  def tokenCount(text: Column): Column = size(Norm.normTokens(text))
+  def tokenCount(text: Column): Column = tokenCountT(Norm.normTokens(text))
+  def tokenCountT(toks: Column): Column = size(toks)
 
-  /** Approximate BPE-ish subword count: word count + one extra per 4 chars of
-    * long words (a cheap, deterministic proxy for tokenizer budget). */
-  def subwordCount(text: Column): Column =
-    coalesce(aggregate(Norm.normTokens(text), lit(0),
+  /** Approximate BPE-ish subword count: one token per word + one extra per 4
+    * chars of long words (a cheap, deterministic proxy for tokenizer budget). */
+  def subwordCount(text: Column): Column = subwordCountT(Norm.normTokens(text))
+  def subwordCountT(toks: Column): Column =
+    coalesce(aggregate(toks, lit(0),
       (acc, t) => acc + greatest(lit(1), ceil(length(t) / 4.0).cast("int"))), lit(0))
 
   /** Ratio of non-[a-z0-9 ] characters in the lowercased text (punctuation /
@@ -26,17 +34,17 @@ object TextAnalysis {
         / length(text))
 
   /** Mean token length (0 for empty). */
-  def avgWordLen(text: Column): Column = {
-    val toks = Norm.normTokens(text)
+  def avgWordLen(text: Column): Column = avgWordLenT(Norm.normTokens(text))
+  def avgWordLenT(toks: Column): Column =
     when(size(toks) === 0, 0.0)
       .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
 
   private val stopwordsEn = Seq("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
 
   /** Fraction of tokens that are (English) stopwords — a standard fluency signal. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
-    val toks = Norm.normTokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column =
+    stopwordRatioT(Norm.normTokens(text), stopwords)
+  def stopwordRatioT(toks: Column, stopwords: Seq[String] = stopwordsEn): Column = {
     val sw = typedLit(stopwords)
     when(size(toks) === 0, 0.0)
       .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
@@ -45,23 +53,24 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length signal × (1 − punct density) ×
     * stopword-fluency signal. Deterministic, monotone in each component —
     * the shape of a C4/Gopher-style quality rule, not a learned model. */
-  def qualityScore(text: Column): Column = {
-    val lenSignal = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+  def qualityScore(text: Column): Column = qualityScoreT(text, Norm.normTokens(text))
+  def qualityScoreT(text: Column, toks: Column): Column = {
+    val lenSignal = least(tokenCountT(toks).cast("double") / 50.0, lit(1.0))
     val punctSignal = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val fluency = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val fluency = least(stopwordRatioT(toks) * 5.0, lit(1.0))
     round(lenSignal * punctSignal * (lit(0.5) + fluency / 2), 6)
   }
 
   /** Heuristic n-gram language ID over a fixed marker table: scores each language
     * by marker-token hits, returns the argmax (ties broken alphabetically), or
     * "und" when nothing matches. Marker lists are tiny and inlined into the plan. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdT(Norm.normTokens(text))
+  def langIdT(toks: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "is", "was", "with"),
       "es" -> Seq("el", "la", "de", "que", "los", "las"),
       "fr" -> Seq("le", "la", "les", "des", "est", "une"),
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht"))
-    val toks = Norm.normTokens(text)
     val scored = markers.map { case (lang, ms) =>
       struct(size(filter(toks, t => array_contains(typedLit(ms), t))).as("score"),
         lit(lang).as("lang"))
@@ -74,16 +83,17 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the sorted distinct normalized token set —
     * collapses word-order and repetition variants (fingerprint dedup). */
-  def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(Norm.normTokens(text)))))
+  def fingerprint(text: Column): Column = fingerprintT(Norm.normTokens(text))
+  def fingerprintT(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
   /** Winnowing-style rolling-hash fingerprint: minimum md5 over character
-    * k-grams of the normalized text (null if shorter than k). */
-  def minKgramHash(text: Column, k: Int = 8): Column = {
-    val norm = Norm.normPhrase(text)
+    * k-grams of the normalized text (null if shorter than k). Pass a
+    * pre-projected normalized-text column for the same inlining reason. */
+  def minKgramHash(text: Column, k: Int = 8): Column = minKgramHashNorm(Norm.normPhrase(text), k)
+  def minKgramHashNorm(norm: Column, k: Int): Column =
     when(length(norm) < k, lit(null).cast("string")).otherwise(
       array_min(transform(
         sequence(lit(1), length(norm) - k + 1),
         i => md5(norm.substr(i, lit(k))))))
-  }
 }

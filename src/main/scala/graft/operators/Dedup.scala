@@ -26,23 +26,34 @@ object Dedup {
     * min() aggregate that Catalyst fuses. Docs with no shingles get null sigs. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 12, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(Norm.shingles(Norm.normTokens(col(textCol)), shingleSize)).as("sh"))
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"mh$i-"), col("sh")))).as(s"sig_$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** (id, shingle) rows. Tokenization is projected into its own column FIRST:
+    * `shingles(normTokens(text))` inlined would re-evaluate the regexp+split per
+    * lambda reference (≈ once per shingle index) — projecting the array keeps it
+    * a per-row attribute read. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"), Norm.normTokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(Norm.shingles(col("toks"), shingleSize)).as("sh"))
 
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand` hashes,
     * key = md5 of the band's concatenated sig; near-duplicate candidates are pairs
     * sharing any band key. Pair search becomes a self-equi-join on (band, key) —
     * the standard way to keep near-dup detection linear in corpus size. */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
+    // Single pass: band keys as one array + posexplode (NOT a union of `bands`
+    // selects, which would recompute the signature DAG once per band).
+    val bandKeys = array((0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
-      signatures.select(col("id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("band_key"))
-    }.reduce(_ unionByName _)
+      md5(concat_ws("|", cols: _*))
+    }: _*)
+    val banded = signatures.select(col("id"), posexplode(bandKeys))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
       .filter(col("band_key").isNotNull)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -96,9 +107,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.0,
       maxShingleFreq: Long = 1000000L): DataFrame = {
-    val docSh = df.select(col(idCol).as("id"),
-        explode(Norm.shingles(Norm.normTokens(col(textCol)), shingleSize)).as("sh"))
+    // The distinct (doc, shingle) set feeds FOUR consumers (freq filter, both
+    // self-join sides, set sizes). An EAGER localCheckpoint materializes it once;
+    // a lazy persist would let the branches race and recompute the explode
+    // concurrently within the first action.
+    val docSh = shingleRows(df, idCol, textCol, shingleSize)
       .distinct()
+      .localCheckpoint(true)
     val rare = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq).select("sh")
     val filtered = docSh.join(rare, Seq("sh"), "left_semi")
