@@ -61,6 +61,41 @@ final class GraphRag(
     store.stats(graph)
   }
 
+  /** G8 incremental single-passage graft (graph/graph.py:479-554): creates missing
+    * entities/relations, set-merges adjacency (`array_distinct(array_union(...))`)
+    * into existing rows, and appends the passage + edges. The reference's CRUD
+    * path, kept separate from the full-replace indexing path (SURVEY §7.5). */
+  def createPassage(doc: Doc): Unit = {
+    val docsDf = spark.createDataset(Seq(doc)).toDF()
+      .select(col("id"), col("text"), col("triplets"))
+    val delta = GraphBuilder.build(docsDf, embedder)
+
+    def mergeAdjacency(tableName: String, delta: DataFrame, arrayCols: Seq[String]): Unit = {
+      val old = store.table(graph, tableName)
+      val merged = old.as("o")
+        .join(delta.as("n"), Seq("id"), "full_outer")
+        .select(
+          col("id") +:
+            old.columns.filterNot(c => c == "id" || arrayCols.contains(c)).map(c =>
+              coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++:
+            arrayCols.map(c => array_distinct(concat(
+              coalesce(col(s"o.$c"), array().cast("array<string>")),
+              coalesce(col(s"n.$c"), array().cast("array<string>")))).as(c)): _*)
+      store.replaceTable(graph, tableName, merged)
+    }
+    mergeAdjacency("entities", delta.entities, Seq("relation_ids", "passage_ids"))
+    mergeAdjacency("relations", delta.relations, Seq("passage_ids"))
+    store.replaceTable(graph, "passages",
+      store.table(graph, "passages")
+        .join(delta.passages.select("id"), Seq("id"), "left_anti")
+        .unionByName(delta.passages))
+    Seq("entity_relation" -> delta.entityRelation,
+      "entity_passage" -> delta.entityPassage,
+      "relation_passage" -> delta.relationPassage).foreach { case (n, d) =>
+      store.replaceTable(graph, n, store.table(graph, n).unionByName(d).distinct())
+    }
+  }
+
   // ------------------------------------------------------------------- queries
 
   /** §3.2 full pipeline: retrieve + answer generation. */

@@ -124,6 +124,11 @@ final class GraphStore(spark: SparkSession, base: String) {
       table(graph, "relation_passage").filter(!col("relation_id").isin(dr: _*)))
   }
 
+  /** Replace a table's contents with an arbitrary derived DataFrame (may read
+    * from the current contents — goes through materialize-then-swap). */
+  def replaceTable(graph: String, tableName: String, df: DataFrame): Unit =
+    rewrite(graph, tableName, df)
+
   /** Materialize-then-swap: parquet can't be rewritten in place from itself. */
   private def rewrite(graph: String, tableName: String, df: DataFrame): Unit = {
     val tmp = path(graph, s"__tmp_$tableName")

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The QUICK brown fox jumps over the lazy dog!"), // exact dup modulo case/punct
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup collapses case/punctuation variants") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    val row = d.filter(col("key").contains("lazy dog")).collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[Long]("keep_id") == 1L)
+    assert(row.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash: identical normalized docs get identical signatures; near-dups mostly agree") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8, shingleSize = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree >= 2, s"near-dup agreement $agree/8")
+    assert(sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b } <= agree)
+    assert(!sigs.contains(5L)) // no shingles -> no signature
+  }
+
+  test("LSH banding surfaces the duplicate pair; similarity estimates ordered") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8, shingleSize = 3)
+    val pairs = Dedup.lshCandidatePairs(sigs, bands = 4, rowsPerBand = 2)
+    val sims = Dedup.minhashSimilarity(pairs, sigs, numHashes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims.get((1L, 2L)).contains(1.0))
+  }
+
+  test("simhash: dup docs identical, near-dups Hamming-close, distinct docs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text", nBits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= ham(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: dup pair = 1.0; near-dup in (0,1); thresholds filter") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) < pairs((1L, 3L)))
+  }
+
+  test("embedding near-dup with sign-bit blocking is a subset of exact pairs") {
+    val emb = spark.read.parquet(sf("embeddings")).limit(200)
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3, blockBits = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3, blockBits = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
+
+  test("hammingDistance column helper") {
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(Dedup.hammingDistance(col("a"), col("b"))).as[Int].head()
+    assert(got == 2)
+  }
+}

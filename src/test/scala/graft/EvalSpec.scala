@@ -1,0 +1,82 @@
+package graft
+
+import graft.eval.Recall
+import graft.model.{Doc, Triplet}
+import graft.rag.{CachedNerExtractor, GraphRag, RagConfig}
+import graft.sources.{GraphStore, Loaders}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** E2E port of the reference's offline evaluation path (SURVEY §5, FIXTURES §9):
+  * corpus JSON + pre-extracted OpenIE triplets + NER TSV cache → index →
+  * per-question retrieve → Recall@k vs gold supporting-fact titles. Zero network.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def res(n: String) = getClass.getResource(s"/eval/$n").getPath
+
+  private lazy val nerCache = Loaders.readNerCache(spark, res("ner_cache.tsv"))
+  private lazy val questions = Loaders.readJsonCorpus(spark, res("test_questions.json"))
+  private lazy val openie = Loaders.readExtractedTriplets(spark, res("openie_results.json"))
+
+  private lazy val rag: GraphRag = {
+    val store = new GraphStore(spark, Files.createTempDirectory("evalstore").toString)
+    val docs = openie.collect().map { r =>
+      val title = r.getString(0)
+      val passage = r.getString(1)
+      val triples = r.getSeq[scala.collection.Seq[String]](2)
+        .map(t => Triplet(t(0), t(1), t(2))).toSeq
+      Doc(title, passage, triples)
+    }.toSeq
+    val g = new GraphRag(spark, store, "eval",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 5),
+      ner = CachedNerExtractor(nerCache))
+    g.addDocumentsWithTriplets(docs)
+    g
+  }
+
+  test("loaders parse corpus, questions, OpenIE docs and NER TSV (S4/S5)") {
+    assert(Loaders.readJsonCorpus(spark, res("test_corpus.json")).count() == 8)
+    assert(questions.count() == 6)
+    assert(openie.count() == 8)
+    assert(nerCache("When did Albert Einstein publish his theory of relativity?") ==
+      Seq("albert einstein", "theory of relativity"))
+    // triples are arity-filtered arrays
+    val t0 = openie.select(size(col("triples"))).as[Int].collect()
+    assert(t0.forall(_ >= 2))
+  }
+
+  test("graph-RAG recall@k on the offline fixture (M1-M3)") {
+    val qRows = questions.select(col("_id"), col("question")).as[(String, String)].collect()
+    val retrieved = qRows.flatMap { case (qid, q) =>
+      rag.retrieve(q).passages.map(h => (qid, h.rank, h.id))
+    }.toSeq.toDF("question_id", "rank", "item")
+    val gold = Recall.goldTitles(
+      questions.select(col("_id").as("question_id"),
+        col("supporting_facts").cast("array<array<string>>")))
+    val perQ = Recall.recallAtK(retrieved, gold, Seq(1, 2, 5))
+    val avgRow = Recall.macroAverage(perQ, Seq(1, 2, 5)).collect().head
+    val r5 = avgRow.getAs[Double]("avg_recall_at_5")
+    assert(r5 >= 0.8, s"recall@5 = $r5")
+    assert(avgRow.getAs[Double]("avg_recall_at_1") > 0.0)
+  }
+
+  test("naive RAG recall is computable and graph RAG is at least as good at k=5") {
+    val qRows = questions.select(col("_id"), col("question")).as[(String, String)].collect()
+    val naive = qRows.flatMap { case (qid, q) =>
+      rag.retrieveNaive(q).map(h => (qid, h.rank, h.id))
+    }.toSeq.toDF("question_id", "rank", "item")
+    val gold = Recall.goldTitles(
+      questions.select(col("_id").as("question_id"),
+        col("supporting_facts").cast("array<array<string>>")))
+    val naiveR5 = Recall.macroAverage(Recall.recallAtK(naive, gold, Seq(5)), Seq(5))
+      .collect().head.getAs[Double]("avg_recall_at_5")
+    val graphRetrieved = qRows.flatMap { case (qid, q) =>
+      rag.retrieve(q).passages.map(h => (qid, h.rank, h.id))
+    }.toSeq.toDF("question_id", "rank", "item")
+    val graphR5 = Recall.macroAverage(Recall.recallAtK(graphRetrieved, gold, Seq(5)), Seq(5))
+      .collect().head.getAs[Double]("avg_recall_at_5")
+    assert(graphR5 >= naiveR5 - 1e-9, s"graph $graphR5 < naive $naiveR5")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.{TextAnalysis => TA}
+import graft.operators.{AsOfJoin, Assembly, IvfIndex, Multimodal, Sessionize, VectorSearch}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- text analysis
+  test("langId picks marker language; und when nothing matches") {
+    val got = Seq(
+      ("a", "the cat and the dog is in the house with food"),
+      ("b", "el perro de la casa que los gatos las aman"),
+      ("c", "zzz qqq xxx")).toDF("id", "t")
+      .select(col("id"), TA.langId(col("t")).as("l")).as[(String, String)].collect().toMap
+    assert(got("a") == "en"); assert(got("b") == "es"); assert(got("c") == "und")
+  }
+
+  test("quality score ordering: fluent > word soup > empty") {
+    val got = Seq(
+      ("fluent", "the history of science is full of careful observation and theory " * 3),
+      ("soup", "xqj zz kpd wfm qqtr lmnop zzz aa"),
+      ("empty", "")).toDF("id", "t")
+      .select(col("id"), TA.qualityScore(col("t")).as("q")).as[(String, Double)].collect().toMap
+    assert(got("fluent") > got("soup"))
+    assert(got("soup") >= got("empty"))
+    assert(got("empty") == 0.0)
+  }
+
+  test("token/subword counts and fingerprints") {
+    val df = Seq(("x", "Hello extraordinary world")).toDF("id", "t")
+    assert(df.select(TA.tokenCount(col("t"))).as[Int].head() == 3)
+    assert(df.select(TA.subwordCount(col("t"))).as[Int].head() ==
+      2 + 4 + 2) // hello=2, extraordinary=ceil(13/4)=4, world=2
+    // fingerprint invariant under word order + repetition
+    val f1 = Seq("b a c a").toDF("t").select(TA.fingerprint(col("t"))).as[String].head()
+    val f2 = Seq("a b c").toDF("t").select(TA.fingerprint(col("t"))).as[String].head()
+    assert(f1 == f2)
+    val mk = Seq("short").toDF("t").select(TA.minKgramHash(col("t"), 8)).as[String].head()
+    assert(mk == null)
+  }
+
+  // ---------------------------------------------------------------- as-of join
+  test("backward as-of join picks most recent right row, <= semantics, null before") {
+    val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (3L, 1L, 99.0))
+      .toDF("k", "rt", "price")
+    val got = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("price"))
+      .select(col("name"), col("asof_price")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("e1").contains(10.0)) // equal timestamps match (<=)
+    assert(got("e2").contains(20.0))
+    assert(got("e3").isEmpty)       // no earlier right row for key 2
+  }
+
+  // -------------------------------------------------------------- sessionize
+  test("gap sessionization splits on gap and rolls up stats") {
+    val ev = Seq(
+      (7L, 1000L, 1.0), (7L, 2000L, 2.0), (7L, 100000L, 3.0),
+      (8L, 500L, 4.0)).toDF("user_id", "ts", "value")
+    val sess = Sessionize.byGap(ev, "user_id", "ts", gapNanos = 10000L)
+    val seqs = sess.select("user_id", "ts", "session_seq")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(seqs == Set((7L, 1000L, 1), (7L, 2000L, 1), (7L, 100000L, 2), (8L, 500L, 1)))
+    val stats = Sessionize.sessionStats(sess, "user_id", "ts", "value")
+      .filter(col("user_id") === 7 && col("session_seq") === 1).collect().head
+    assert(stats.getAs[Long]("n_events") == 2)
+    assert(stats.getAs[Double]("sum_value") == 3.0)
+  }
+
+  // ---------------------------------------------------------------- eviction
+  test("evictionTopK: above threshold scores win; below threshold id-sorted (V1 quirk)") {
+    val mk = (n: Int) => (0 until n).map(i =>
+      (f"id_$i%03d", Seq.fill(4)(i.toDouble / n))).toDF("id", "embedding")
+    val qv = Seq(1.0, 1.0, 1.0, 1.0)
+    // no eviction: 5 candidates < threshold 10 => sorted by id, NOT by score
+    val (keptSmall, evictedSmall) = Assembly.evictionTopK(mk(5), qv, 10)
+    assert(!evictedSmall)
+    assert(keptSmall.orderBy("rank").select("id").as[String].collect().toSeq ==
+      (0 until 5).map(i => f"id_$i%03d"))
+    // eviction: 30 candidates > threshold 10 => top-10 by score desc
+    val (keptBig, evictedBig) = Assembly.evictionTopK(mk(30), qv, 10)
+    assert(evictedBig)
+    val ids = keptBig.orderBy("rank").select("id").as[String].collect()
+    assert(ids.length == 10)
+    assert(ids.head == "id_029") // highest score
+  }
+
+  test("passagesForRelations keeps first-seen order and cuts at k (V4)") {
+    val ranked = Seq(("r1", 1), ("r2", 2)).toDF("relation_id", "rel_rank")
+    val relations = Seq(
+      ("r1", Seq("pA", "pB")), ("r2", Seq("pB", "pC", "pD"))).toDF("id", "passage_ids")
+    val got = Assembly.passagesForRelations(ranked, relations, topK = 3)
+      .orderBy("rank").select("passage_id").as[String].collect().toSeq
+    assert(got == Seq("pA", "pB", "pC")) // pB deduped at first-seen position
+  }
+
+  // --------------------------------------------------------------------- IVF
+  test("IVF search returns valid ranks and high overlap with exact KNN") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    assert(index.assignments.count() == emb.count())
+    val approx = IvfIndex.search(index, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", nProbe = 8, k = 5)
+    val exact = VectorSearch.knnJoin(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+    // nProbe == nList probes everything => must equal exact KNN
+    val a = approx.select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val e = exact.select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(a == e)
+  }
+
+  // -------------------------------------------------------------- multimodal
+  test("multimodal: asset schema, stubbed feature extraction, frame sampling") {
+    val docs = Seq(("d1", "x" * 1000), ("d2", "short")).toDF("doc_id", "text")
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "video")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "modality", "payload", "mime", "meta"))
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(feats("d1").getAs[Long]("n_bytes") == 1000L)
+    assert(feats("d1").getSeq[Float](3).length == 8)
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 100, stride = 2)
+    val d1Frames = frames.filter(col("asset_id") === "d1").collect()
+    assert(d1Frames.length == 5) // 1000 bytes / (100*2) = 5 windows
+    assert(d1Frames.map(_.getAs[Int]("frame_index")).toSeq == (0 until 5))
+  }
+}

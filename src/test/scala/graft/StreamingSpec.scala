@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts over a parquet stream match the batch aggregation") {
+    val dir = Files.createTempDirectory("stream_in").toString + "/data"
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 10:55:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 11:05:00")
+    val batch = Seq(
+      (ts0, "click", 1.0), (ts1, "click", 2.0), (ts2, "click", 4.0),
+      (ts0, "view", 8.0)).toDF("ts", "event_type", "value")
+    batch.write.parquet(dir)
+    val schema = batch.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.windowedCounts(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "click", 1L, 4.0),
+      ("2024-01-01 10:00:00", "view", 1L, 8.0)))
+  }
+
+  test("stateful gap sessionization emits closed sessions") {
+    import StreamingOps.Ev
+    val dir = Files.createTempDirectory("stream_sess").toString + "/data"
+    Seq(Ev(7L, 1000L, 1.0), Ev(7L, 2000L, 2.0), Ev(7L, 100000L, 3.0))
+      .toDF().write.parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("value", DoubleType))))
+      .parquet(dir).as[Ev]
+    val q = StreamingOps.sessionizeStream(stream, gapNanos = 10000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    // first session (2 events) closed by the 98000ns gap; the open one stays in state
+    val got = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((7L, 1000L, 2000L, 2L, 3.0)))
+  }
+
+  test("foreachBatch upsert sink merges micro-batches by id") {
+    val in1 = Files.createTempDirectory("stream_upsert_in1").toString + "/data"
+    val in2 = Files.createTempDirectory("stream_upsert_in2").toString + "/data"
+    val target = Files.createTempDirectory("stream_upsert_out").toString + "/table"
+    val schema = StructType(Seq(StructField("id", StringType), StructField("v", IntegerType)))
+    Seq(("a", 1), ("b", 2)).toDF("id", "v").write.parquet(in1)
+    val q1 = StreamingOps.foreachBatchUpsert(
+      spark.readStream.schema(schema).parquet(in1), target)
+    q1.awaitTermination(30000); q1.stop()
+    // second wave updates b and adds c
+    Seq(("b", 20), ("c", 3)).toDF("id", "v").write.parquet(in2)
+    val q2 = StreamingOps.foreachBatchUpsert(
+      spark.readStream.schema(schema).parquet(in2), target)
+    q2.awaitTermination(30000); q2.stop()
+    val got = spark.read.parquet(target).as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 1, "b" -> 20, "c" -> 3))
+  }
+}
