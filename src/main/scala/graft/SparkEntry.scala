@@ -334,7 +334,8 @@ object SparkEntry {
     // ST1 tumbling hourly aggregation (batch twin of StreamingOps.windowedCounts).
     "st1_window_agg" -> ((s, dir) => {
       t(s, dir, "events")
-        .select((col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket"),
+        // integer `div`, not `/`: double division of epoch-nanos loses ulps
+        .select(expr("ts div 3600000000000").as("hour_bucket"),
           col("event_type"), col("value"))
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
