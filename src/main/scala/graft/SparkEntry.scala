@@ -382,6 +382,58 @@ object SparkEntry {
         .select(col("asset_id"), col("modality"), col("n_bytes"))
     }),
 
+    // ------------------------------------------------- flagship: full RAG DAG
+    // The whole engine in one DataFrame program over the documents table:
+    // G1-G7 graph build (triplets = consecutive token triples), E1 embedding,
+    // R1-R3 seed KNN, P1-P4 expansion, V1 eviction, V4 passage assembly.
+    // Rows-only check (the composite is exercised piecewise by the oracle
+    // queries above and e2e by ScalaTest).
+    "rag_pipeline" -> ((s, dir) => {
+      import graft.functions.HashEmbedder
+      val toksC = Norm.normTokens(col("text"))
+      val docs = spread(t(s, dir, "documents")).filter(col("n_chars") > 0)
+        .select(col("doc_id").cast("string").as("id"), col("text"), toksC.as("toks"))
+        .select(col("id"), col("text"),
+          when(size(col("toks")) < 3, array().cast("array<struct<subject:string,predicate:string,obj:string>>"))
+            .otherwise(transform(
+              sequence(lit(1), size(col("toks")) - 2, lit(3)),
+              i => struct(
+                element_at(col("toks"), i).as("subject"),
+                element_at(col("toks"), i + 1).as("predicate"),
+                element_at(col("toks"), i + 2).as("obj"))))
+            .as("triplets"))
+      val gt0 = graft.operators.GraphBuilder.build(docs, HashEmbedder(dim = 32))
+      // Materialize the built tables once: the retrieval stages below fire several
+      // actions (expansion audit counts, two KNNs), and without a barrier each
+      // would recompute the whole build DAG. GraphRag gets this barrier for free
+      // from its parquet write; the in-memory pipeline needs it explicitly.
+      val gt = gt0.copy(
+        entities = gt0.entities.localCheckpoint(true),
+        relations = gt0.relations.localCheckpoint(true),
+        entityRelation = gt0.entityRelation.localCheckpoint(true))
+      val question = "the spark join order for big table scan"
+      val seedNames = s.createDataFrame(
+        question.split(" ").map(Tuple1(_)).toSeq).toDF("qtext")
+        .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
+      val entityHits = VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
+        VectorSearch.knnJoin(seedNames, gt.entities, "qtext", "qvec", "id", "embedding", 5),
+        0.5))
+        .select(col("neighbor_id").as("entity_id"))
+      val sub = SubgraphExpansion.expand(
+        entityHits,
+        s.emptyDataFrame.withColumn("relation_id", lit("")).filter(lit(false)),
+        gt.entityRelation, degree = 1)
+      val qvecDf = s.createDataFrame(Seq(Tuple1(question))).toDF("qtext")
+        .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
+      val relHits = VectorSearch.knnJoin(
+        qvecDf,
+        gt.relations.join(sub.relationIds.withColumnRenamed("relation_id", "id"),
+          Seq("id"), "left_semi"),
+        "qtext", "qvec", "id", "embedding", 5)
+        .select(col("neighbor_id").as("relation_id"), col("rank").as("rel_rank"))
+      graft.operators.Assembly.passagesForRelations(relHits, gt.relations, topK = 10)
+    }),
+
     // ------------------------------------------------------------ classic bench
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")

@@ -1,30 +1,36 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** E1/E3/E4 embedding operators (SURVEY §2.5).
   *
   * The reference calls OpenAI/HuggingFace (storage/embeddings.py:289-323) and its own
   * tests mock the model with deterministic vectors (tests/conftest.py:36-43). We keep
-  * the same boundary: an [[Embedder]] produces a vector Column from a text Column, and
-  * the default implementation is a pure, seeded feature-hash — fully distributed,
-  * expression-only (no UDF), reproducible across runs and engines (FIXTURES.md §6).
+  * the same boundary: an [[Embedder]] produces vectors from text, and the default
+  * implementation is a pure, seeded feature-hash — fully distributed, reproducible
+  * across runs and engines (FIXTURES.md §6).
   */
 trait Embedder extends Serializable {
   def dim: Int
 
   /** Array[Double] column of length `dim`, L2-normalized; empty/whitespace text ⇒
-    * zero vector (embeddings.py:180-203). */
+    * zero vector (embeddings.py:180-203). Fine for small (query-side) frames. */
   def embed(text: Column): Column
+
+  /** Attach an embedding column to a corpus-sized frame. Default delegates to
+    * [[embed]]; implementations override when the scalar expression would not
+    * scale (see [[HashEmbedder.embedInto]]). */
+  def embedInto(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, embed(col(textCol)))
 }
 
 /** Deterministic hash embedder: tokens → signed feature-hash buckets → L2 normalize.
   *
   * bucket(t) = int(md5(seed‖t)[0:8], 16) % dim ; sign(t) = ±1 from the next md5 hex
-  * digit. Composed entirely of codegen'd built-ins so it runs inside whole-stage
-  * codegen at any scale. Cost O(dim × n_tokens) per row — fine for the spec/test
-  * path; a real model plugs in behind the same trait.
+  * digit; vec[j] = Σ over token occurrences with bucket j of sign(t), then v/‖v‖₂.
+  * Sums of ±1.0 are exact in double, so the batch and scalar paths agree
+  * bit-for-bit regardless of aggregation order.
   */
 final case class HashEmbedder(dim: Int = 64, seed: String = "graft42") extends Embedder {
 
@@ -35,6 +41,9 @@ final case class HashEmbedder(dim: Int = 64, seed: String = "graft42") extends E
     when(conv(substring(md5(concat(lit(seed), t)), 9, 1), 16, 10).cast("int") >= 8, -1.0d)
       .otherwise(1.0d)
 
+  /** Scalar-expression form: O(dim × tokens) with the tokenization re-evaluated per
+    * dimension (Catalyst inlines lambda-captured expressions) — use ONLY on
+    * query-sized inputs; corpus embedding goes through [[embedInto]]. */
   override def embed(text: Column): Column = {
     val toks = Norm.normTokens(text)
     val raw = transform(
@@ -42,6 +51,27 @@ final case class HashEmbedder(dim: Int = 64, seed: String = "graft42") extends E
       j => aggregate(toks, lit(0.0d),
         (acc, t) => acc + when(bucket(t) === j.cast("long"), sign(t)).otherwise(0.0d)))
     VectorFunctions.l2Normalize(raw)
+  }
+
+  /** Relational form for corpus-scale embedding: explode tokens once (ONE md5 per
+    * token occurrence), aggregate (row, bucket) partial sums, assemble the dense
+    * vector via map lookup. Two keyed shuffles, linear in token count — no
+    * per-dimension re-evaluation. Produces bit-identical vectors to [[embed]]. */
+  override def embedInto(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val toks = withId
+      .select(col("__rid"), explode(Norm.normTokens(col(textCol))).as("tok"))
+    val sums = toks
+      .select(col("__rid"), bucket(col("tok")).cast("int").as("b"), sign(col("tok")).as("s"))
+      .groupBy("__rid", "b").agg(sum(col("s")).as("v"))
+      .groupBy("__rid")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("__m"))
+    val dense = transform(sequence(lit(0), lit(dim - 1)),
+      j => coalesce(element_at(col("__m"), j.cast("int")), lit(0.0d)))
+    withId.join(sums, Seq("__rid"), "left")
+      .withColumn(outCol, VectorFunctions.l2Normalize(
+        when(col("__m").isNull, array_repeat(lit(0.0d), dim)).otherwise(dense)))
+      .drop("__rid", "__m")
   }
 }
 

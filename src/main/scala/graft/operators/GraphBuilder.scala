@@ -54,6 +54,10 @@ object GraphBuilder {
       .withColumn("relation_id", Norm.idOf(col("relation_text")))
       .withColumn("subject_id", Norm.idOf(col("subject")))
       .withColumn("object_id", Norm.idOf(col("object")))
+      // This frame fans out to 5+ consumers (node tables, edge tables, adjacency
+      // aggregates) and the result tables are written/acted-on separately —
+      // materialize once instead of re-running extraction per branch.
+      .localCheckpoint(true)
 
     // G2: entity dedup + id assignment — distinct normalized name.
     val entities0 = tripletRows
@@ -100,34 +104,38 @@ object GraphBuilder {
 
     val emptyArr = array().cast("array<string>")
 
-    // E1 after dedup: embed each unique entity/relation/passage once.
-    val entities = entities0
-      .join(entityRelIds, Seq("entity_id"), "left")
-      .join(entityPassIds, Seq("entity_id"), "left")
-      .select(
-        col("entity_id").as("id"), col("name"),
-        coalesce(col("relation_ids"), emptyArr).as("relation_ids"),
-        coalesce(col("passage_ids"), emptyArr).as("passage_ids"),
-        embedder.embed(col("name")).as("embedding"))
+    // E1 after dedup: embed each unique entity/relation/passage once, through the
+    // embedder's corpus-scale path (embedInto), not the scalar expression.
+    val entities = embedder.embedInto(
+      entities0
+        .join(entityRelIds, Seq("entity_id"), "left")
+        .join(entityPassIds, Seq("entity_id"), "left")
+        .select(
+          col("entity_id").as("id"), col("name"),
+          coalesce(col("relation_ids"), emptyArr).as("relation_ids"),
+          coalesce(col("passage_ids"), emptyArr).as("passage_ids")),
+      "name", "embedding")
 
-    val relations = relations0
-      .join(relationPassIds, Seq("relation_id"), "left")
-      .select(
-        col("relation_id").as("id"), col("relation_text").as("text"),
-        col("subject"), col("predicate"), col("object"),
-        // POSITIONAL [subject_id, object_id] (knowledge_graph.py:76-84)
-        array(col("subject_id"), col("object_id")).as("entity_ids"),
-        coalesce(col("passage_ids"), emptyArr).as("passage_ids"),
-        embedder.embed(col("relation_text")).as("embedding"))
+    val relations = embedder.embedInto(
+      relations0
+        .join(relationPassIds, Seq("relation_id"), "left")
+        .select(
+          col("relation_id").as("id"), col("relation_text").as("text"),
+          col("subject"), col("predicate"), col("object"),
+          // POSITIONAL [subject_id, object_id] (knowledge_graph.py:76-84)
+          array(col("subject_id"), col("object_id")).as("entity_ids"),
+          coalesce(col("passage_ids"), emptyArr).as("passage_ids")),
+      "text", "embedding")
 
-    val passages = passages0
-      .join(passageEntIds, Seq("passage_id"), "left")
-      .join(passageRelIds, Seq("passage_id"), "left")
-      .select(
-        col("passage_id").as("id"), col("text"),
-        coalesce(col("entity_ids"), emptyArr).as("entity_ids"),
-        coalesce(col("relation_ids"), emptyArr).as("relation_ids"),
-        embedder.embed(col("text")).as("embedding"))
+    val passages = embedder.embedInto(
+      passages0
+        .join(passageEntIds, Seq("passage_id"), "left")
+        .join(passageRelIds, Seq("passage_id"), "left")
+        .select(
+          col("passage_id").as("id"), col("text"),
+          coalesce(col("entity_ids"), emptyArr).as("entity_ids"),
+          coalesce(col("relation_ids"), emptyArr).as("relation_ids")),
+      "text", "embedding")
 
     GraphTables(entities, relations, passages, entityRelation, entityPassage, relationPassage)
   }
