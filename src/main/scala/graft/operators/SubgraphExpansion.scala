@@ -39,10 +39,15 @@ object SubgraphExpansion {
       .select("relation_id").distinct()
     var relations = incident.union(seedRels).distinct().localCheckpoint(true)
 
+    // The audit log doubles as the count source: id lists are collected anyway
+    // (they are bounded by top-k × degree), so set sizes are pure arithmetic —
+    // no extra count() jobs.
     val history = Seq.newBuilder[ExpansionStep]
-    history += ExpansionStep(0,
-      sortedIds(entities, "entity_id"), sortedIds(relations, "relation_id"),
-      entities.count(), relations.count())
+    val seedEntityList = sortedIds(entities, "entity_id")
+    val initRelationList = sortedIds(relations, "relation_id")
+    var entityTotal = seedEntityList.size.toLong
+    var relationTotal = initRelationList.size.toLong
+    history += ExpansionStep(0, seedEntityList, initRelationList, entityTotal, relationTotal)
 
     // P2/P3/P4 degree loop (knowledge_graph.py:305-346).
     for (d <- 1 to degree) {
@@ -58,9 +63,11 @@ object SubgraphExpansion {
         .localCheckpoint(true)
       entities = entities.union(newEntities).localCheckpoint(true)
       relations = relations.union(newRelations).localCheckpoint(true)
-      history += ExpansionStep(d,
-        sortedIds(newEntities, "entity_id"), sortedIds(newRelations, "relation_id"),
-        entities.count(), relations.count())
+      val addedE = sortedIds(newEntities, "entity_id")
+      val addedR = sortedIds(newRelations, "relation_id")
+      entityTotal += addedE.size
+      relationTotal += addedR.size
+      history += ExpansionStep(d, addedE, addedR, entityTotal, relationTotal)
     }
 
     Subgraph(entities, relations, history.result())

@@ -98,18 +98,22 @@ final class GraphRag(
 
   // ------------------------------------------------------------------- queries
 
-  /** §3.2 full pipeline: retrieve + answer generation. */
+  /** §3.2 full pipeline: retrieve + answer generation (retrieval hits already
+    * carry passage texts). */
   def query(question: String): QueryResult = {
     val r = retrieve(question)
-    val texts = passageTexts(r.passages.map(_.id))
-    r.copy(answer = answerer.answer(question, r.passages.map(h => texts.getOrElse(h.id, ""))))
+    r.copy(answer = answerer.answer(question, r.passages.map(_.text)))
   }
 
-  /** §3.2 stages 1–8 (no answer LLM call), with V5 naive backfill (rag.py:629-638). */
+  /** §3.2 stages 1–8 (no answer LLM call), with V5 naive backfill (rag.py:629-638).
+    * The three node tables are `.cache()`d — Spark's cache registry is keyed by
+    * logical plan, so repeated queries against the same graph share one cached
+    * copy instead of re-scanning parquet per call. */
   def retrieve(question: String): QueryResult = {
     val t = store.load(graph)
     val entitiesT = t.entities.cache()
     val relationsT = t.relations.cache()
+    val passagesT = t.passages.cache()
 
     // Stage 1: NER (X2) + T2 normalization.
     val queryEntities = ner.entities(question)
@@ -162,11 +166,11 @@ final class GraphRag(
     val ranked = selected.zipWithIndex
       .map { case (id, i) => (id, i + 1) }.toDF("relation_id", "rel_rank")
     val graphPassages = Assembly.passagesForRelations(ranked, relationsT, config.finalTopK)
-    val naive = naivePassageHits(qvecDf)
+    val naive = naivePassageHits(qvecDf, passagesT)
     val finalPassages = Assembly.backfill(graphPassages, naive, config.finalTopK)
       .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
 
-    val texts = passageTexts(finalPassages.map(_._1))
+    val texts = passageTexts(finalPassages.map(_._1), passagesT)
     val scoreById = candRows.map(c => c._1 -> c._3).toMap
     QueryResult(
       question = question,
@@ -185,22 +189,24 @@ final class GraphRag(
   def retrieveNaive(question: String): Seq[RetrievalHit] = {
     val qvecDf = Seq(question).toDF("qtext")
       .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
-    naivePassageHits(qvecDf)
+    val passagesT = store.table(graph, "passages").cache()
+    val hits = naivePassageHits(qvecDf, passagesT)
       .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-      .map { case (id, rk) => RetrievalHit(id, passageTexts(Seq(id)).getOrElse(id, ""), 0.0, rk) }
+    val texts = passageTexts(hits.map(_._1), passagesT)
+    hits.map { case (id, rk) => RetrievalHit(id, texts.getOrElse(id, ""), 0.0, rk) }
   }
 
   def stats(): Map[String, Long] = store.stats(graph)
 
-  private def naivePassageHits(qvecDf: DataFrame): DataFrame =
+  private def naivePassageHits(qvecDf: DataFrame, passagesT: DataFrame): DataFrame =
     VectorSearch.knnJoin(
-      qvecDf, store.table(graph, "passages"),
+      qvecDf, passagesT,
       "qtext", "qvec", "id", "embedding", config.finalTopK)
       .select(col("neighbor_id").as("passage_id"), col("rank"))
 
-  private def passageTexts(ids: Seq[String]): Map[String, String] = {
+  private def passageTexts(ids: Seq[String], passagesT: DataFrame): Map[String, String] = {
     if (ids.isEmpty) Map.empty
-    else store.table(graph, "passages")
+    else passagesT
       .filter(col("id").isin(ids: _*))
       .select("id", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
