@@ -455,6 +455,17 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    // Q6-shaped: selective scan with timestamp + numeric predicates, all pushed
+    // to the parquet reader (PushedFilters on l_shipdate/l_discount/l_quantity).
+    "q6_date_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
     // Q5-shaped: revenue by supplier nation (broadcast dimension chain).
     "q5_nation_volume" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -742,6 +753,11 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " "),
+      "q6_date_filter" ->
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          |AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin.replace("\n", " "),
       "q5_nation_volume" ->
         """SELECT r_name, n_name,
           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
