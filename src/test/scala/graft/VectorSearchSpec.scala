@@ -49,6 +49,26 @@ class VectorSearchSpec extends SparkSpec {
     assert(ids.subsetOf(allowedIds))
   }
 
+  test("property: knnJoin matches a driver-side reference on random vectors") {
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val corpus = (0 until 120).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5)))
+    val queries = (1000 until 1006).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5)))
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val qDf = queries.toDF("vec_id", "embedding")
+    val got = VectorSearch.knnJoin(qDf, cDf, "vec_id", "embedding", "vec_id", "embedding", 7)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val want = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) =>
+        (qid.toString, cid.toString, qv.zip(cv).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (_, cid, s) => (-s, cid) }
+        .take(7).zipWithIndex
+        .map { case ((q, c, _), i) => (q, i + 1, c) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("thresholdFilter + dedupUnion keep best score per id (R2/R3)") {
     val hits = Seq(
       ("q1", 1, "a", 0.9), ("q1", 2, "b", 0.5),
