@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{GraphXExpansion, SubgraphExpansion}
+import org.apache.spark.sql.functions._
+
+/** GraphX/Pregel expansion must produce the same id sets as the semi-join loop. */
+class GraphXExpansionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sets(sub: graft.operators.Subgraph): (Set[String], Set[String]) = (
+    sub.entityIds.select("entity_id").as[String].collect().toSet,
+    sub.relationIds.select("relation_id").as[String].collect().toSet)
+
+  test("GraphX expansion equals semi-join expansion on the lineitem graph, degrees 0-2") {
+    val er = spark.read.parquet(sf("lineitem"))
+      .select(col("l_partkey").cast("string").as("entity_id"),
+        col("l_orderkey").cast("string").as("relation_id"))
+      .distinct().localCheckpoint(true)
+    val seeds = er.filter(col("entity_id").cast("long") % 101 === 0)
+      .select("entity_id").distinct()
+    val noRels = Seq.empty[String].toDF("relation_id")
+    for (degree <- 0 to 2) {
+      val loop = sets(SubgraphExpansion.expand(seeds, noRels, er, degree))
+      val pregel = sets(GraphXExpansion.expand(seeds, noRels, er, degree))
+      assert(pregel._1 == loop._1, s"entity sets differ at degree $degree")
+      assert(pregel._2 == loop._2, s"relation sets differ at degree $degree")
+    }
+  }
+
+  test("seed relations participate in the init-merge identically") {
+    val er = Seq(
+      ("e1", "r1"), ("e2", "r1"), ("e2", "r2"), ("e3", "r2"),
+      ("e4", "r3"), ("e5", "r3"), ("e5", "r4"), ("e6", "r4"))
+      .toDF("entity_id", "relation_id")
+    val seeds = Seq("e1").toDF("entity_id")
+    val seedRels = Seq("r3").toDF("relation_id")
+    val loop = sets(SubgraphExpansion.expand(seeds, seedRels, er, 1))
+    val pregel = sets(GraphXExpansion.expand(seeds, seedRels, er, 1))
+    assert(pregel == loop)
+    // sanity: degree-1 from e1 + seed r3 reaches both components' first rings
+    assert(loop._1 == Set("e1", "e2", "e4", "e5"))
+    assert(loop._2 == Set("r1", "r2", "r3", "r4"))
+  }
+}
