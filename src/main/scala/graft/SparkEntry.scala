@@ -283,6 +283,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
     }),
 
+    // D6 blocked near-dup: same semantics as d5 restricted to pairs agreeing on
+    // a 4-bit hyperplane-sign sketch — the equi-join form that replaces the n²
+    // scan at corpus scale. Oracle re-derives the identical hyperplanes.
+    "d6_neardup_blocked" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.35, blockBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }),
+    // G5-salted: skew-safe adjacency aggregation (two-phase salted collect_set)
+    // must equal the direct aggregate.
+    "g5_salted_adjacency" -> ((s, dir) => {
+      Salting.saltedCollectSet(
+        t(s, dir, "events").select(col("user_id"), col("event_type")),
+        "user_id", "event_type", buckets = 8)
+    }),
+
     // ------------------------------------------------ scale pipeline: ANN (IVF)
     // A1 IVF search: 8 seed centroids, 3 probes, top-5 (vs r1's exact spec).
     "a1_ivf_search" -> ((s, dir) => {
@@ -651,6 +667,31 @@ object SparkEntry {
           |FROM v a JOIN v b ON a.id < b.id
           |WHERE list_dot_product(a.e, b.e) /
           |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35""".stripMargin.replace("\n", " "),
+      "d6_neardup_blocked" -> {
+        // Re-derive the exact hyperplanes used by Dedup.embeddingNearDupPairs
+        // (dim 64, blockBits 4) and inline them as SQL literals.
+        val dim = 64
+        val planes = (0 until 4).map { j =>
+          (0 until dim).map { d =>
+            if (Integer.parseInt(
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d").substring(0, 2), 16) < 128) "1.0" else "-1.0"
+          }.mkString("[", ",", "]::DOUBLE[]")
+        }
+        val blkExpr = planes.zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(e, $p) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+           |b AS (SELECT id, e, $blkExpr AS blk FROM v)
+           |SELECT id_a, id_b, round(c, 6) AS cosine_r FROM (
+           |  SELECT a.id AS id_a, b2.id AS id_b,
+           |    list_dot_product(a.e, b2.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))) AS c
+           |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id) t
+           |WHERE c >= 0.35""".stripMargin.replace("\n", " ")
+      },
+      "g5_salted_adjacency" ->
+        """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+          |FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
       "a1_ivf_search" ->
         """WITH cents AS (
           |  SELECT CAST(vec_id AS VARCHAR) cid, embedding::DOUBLE[] cv FROM embeddings
