@@ -346,6 +346,15 @@ object SparkEntry {
           TA.minKgramHashNorm(col("norm"), 8).as("min_kgram"))
     }),
 
+    // X5 deterministic train/val/test split: pure function of md5(id), so
+    // assignment is stable under repartitioning and incremental corpus growth.
+    "x5_train_split" -> ((s, dir) => {
+      DatasetSplit.assignSplit(t(s, dir, "documents"),
+        "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // --------------------------------------------------- events: windows/sessions
     // ST1 tumbling hourly aggregation (batch twin of StreamingOps.windowedCounts).
     "st1_window_agg" -> ((s, dir) => {
@@ -753,6 +762,12 @@ object SparkEntry {
            |       ELSE list_sort(list_transform(generate_series(1, length($normDoc) - 7),
            |            i -> md5(substr($normDoc, i, 8))))[1] END AS min_kgram
            |FROM documents""".stripMargin.replace("\n", " "),
+      "x5_train_split" ->
+        """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          |count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |FROM (SELECT n_chars, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          |      FROM documents) t
+          |GROUP BY 1""".stripMargin.replace("\n", " "),
       "st1_window_agg" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |count(*) AS n, round(sum(value), 4) AS sum_value

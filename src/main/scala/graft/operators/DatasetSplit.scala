@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * Assignment is a pure function of the row id (`md5` bucket), so splits are
+  * reproducible across runs, clusters, and engines — no `rand()`, no seed
+  * plumbing, and a row keeps its split when the corpus is re-partitioned or
+  * incrementally extended. Contamination checks reduce to an equi-join on id.
+  */
+object DatasetSplit {
+
+  /** Bucket in [0, 100) from the id's md5 (same arithmetic as a SQL oracle:
+    * `CAST(('0x' || substr(md5(id),1,8)) AS BIGINT) % 100`). */
+  def bucketOf(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Adds a `split` column. `weights` are integer percentages summing to ≤ 100;
+    * remainder falls into the last split. E.g. Seq("train"->80,"val"->10,"test"->10). */
+  def assignSplit(df: DataFrame, idCol: String, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 100)
+    val b = bucketOf(col(idCol))
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(bounds).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), bound), acc) => when(b < bound, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -113,6 +113,32 @@ class OperatorsSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("IVF Lloyd refinement (iters=1) keeps complete assignments and valid search") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val refined = IvfIndex.build(emb, "vec_id", "embedding", nList = 8, iters = 1)
+    assert(refined.assignments.count() == emb.count())
+    assert(refined.centroids.count() == 8)
+    val got = IvfIndex.search(refined, emb, emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", "vec_id", "embedding", nProbe = 2, k = 3)
+    assert(got.count() == 12)
+    assert(got.groupBy("query_id").count().select("count").collect().forall(_.getLong(0) == 3))
+  }
+
+  test("deterministic split: stable proportions, stable under repartition") {
+    import graft.operators.DatasetSplit
+    val df = (0 until 2000).map(i => (i.toLong, s"row $i")).toDF("id", "text")
+    val s1 = DatasetSplit.assignSplit(df, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    assert(counts.values.sum == 2000)
+    val s2 = DatasetSplit.assignSplit(df.repartition(13), "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val a = s1.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = s2.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   // -------------------------------------------------------------- multimodal
   test("multimodal: asset schema, stubbed feature extraction, frame sampling") {
     val docs = Seq(("d1", "x" * 1000), ("d2", "short")).toDF("doc_id", "text")
