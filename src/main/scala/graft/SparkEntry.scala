@@ -377,6 +377,17 @@ object SparkEntry {
           expr("session_end div 1000").as("session_end_us"),
           col("n_events"), col("sum_value"))
     }),
+    // X6 JSON property extraction (the schemaless "dynamic fields" surface,
+    // milvus.py:97): parse events.props, aggregate an extracted field.
+    "x6_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // AJ1 backward as-of join: each event picks the user's most recent order
     // (oracle = DuckDB's native ASOF JOIN — an independent implementation).
     "aj1_asof_join" -> ((s, dir) => {
@@ -786,6 +797,12 @@ object SparkEntry {
           |  max(tsn) // 1000 AS session_end_us,
           |  count(*) AS n_events, round(sum(value), 4) AS sum_value
           |FROM sess GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+      "x6_json_props" ->
+        """SELECT event_type, count(*) AS n,
+          |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
       "aj1_asof_join" ->
         """WITH o AS (
           |  SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS t,

@@ -64,7 +64,16 @@ final case class ParsingReranker(
 }
 
 object ParsingReranker {
-  /** Deterministic stand-in response: echo candidates (they arrive pre-scored in
-    * eviction order upstream; the validate step enforces the cap). */
-  val scoreResponder: (String, String) => String = (_, formatted) => formatted
+  /** Deterministic stand-in for the LLM: re-emit candidate lines ordered by
+    * normalized token overlap with the question (stable on ties) — the same
+    * information a reranking model sees, judged lexically. */
+  val scoreResponder: (String, String) => String = (question, formatted) => {
+    val qToks = TextNorm.normalize(question).split(" ").filter(_.nonEmpty).toSet
+    RerankFormat.parseSelection(formatted)
+      .sortBy { case (_, text) =>
+        -TextNorm.normalize(text).split(" ").count(qToks.contains)
+      }
+      .map { case (id, text) => s"[$id] $text" }
+      .mkString("\n")
+  }
 }
