@@ -1,0 +1,147 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model.{Doc, Triplet}
+import graft.rag.{GraphRag, RagConfig}
+import graft.sources.GraphStore
+import org.apache.spark.sql.SparkSession
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** REST façade over the engine — the reference's FastAPI surface (api/app.py:
+  * /query :550-667, /add_documents :379-421, graph listing/deletion :847-978)
+  * on the JDK's built-in HTTP server; Jackson (already on Spark's classpath)
+  * for JSON. Zero additional dependencies.
+  *
+  * Routes:
+  *   GET    /graphs                      → ["name", ...]
+  *   GET    /graphs/{g}/stats            → {entities, relations, passages}
+  *   POST   /graphs/{g}/documents        ← [{id, text, triplets: [[s,p,o],...]}, ...]
+  *   POST   /graphs/{g}/query            ← {question} → QueryResult JSON
+  *   POST   /graphs/{g}/retrieve         ← {question} → retrieval-only JSON
+  *   DELETE /graphs/{g}
+  *
+  * One Spark driver hosts the server; requests run the same DataFrame jobs as
+  * the programmatic API. Not a high-QPS serving tier — the reference's
+  * interactive latency comes from a dedicated vector store, which is explicitly
+  * out of scope (SURVEY §1.4); this is API-surface parity.
+  */
+final class RestServer(spark: SparkSession, storeBase: String,
+    config: RagConfig = RagConfig(), port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val store = new GraphStore(spark, storeBase)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def rag(graph: String) = new GraphRag(spark, store, graph, config)
+
+  private def respond(ex: HttpExchange, code: Int, body: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def error(ex: HttpExchange, code: Int, msg: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("error", msg)
+    respond(ex, code, n)
+  }
+
+  private def readBody(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  private def parseDocs(node: JsonNode): Seq[Doc] = {
+    val it = node.elements()
+    val out = Seq.newBuilder[Doc]
+    while (it.hasNext) {
+      val d = it.next()
+      val triplets =
+        if (d.has("triplets")) {
+          val ts = Seq.newBuilder[Triplet]
+          val tIt = d.get("triplets").elements()
+          while (tIt.hasNext) {
+            val t = tIt.next()
+            if (t.size() >= 3)
+              ts += Triplet(t.get(0).asText(), t.get(1).asText(), t.get(2).asText())
+          }
+          ts.result()
+        } else Seq.empty
+      out += Doc(d.get("id").asText(), d.get("text").asText(), triplets)
+    }
+    out.result()
+  }
+
+  private def hitsJson(hits: Seq[graft.model.RetrievalHit]): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    hits.foreach { h =>
+      val n = arr.addObject()
+      n.put("id", h.id); n.put("text", h.text)
+      n.put("score", h.score); n.put("rank", h.rank)
+    }
+    arr
+  }
+
+  private def resultJson(r: graft.model.QueryResult, withAnswer: Boolean): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("question", r.question)
+    if (withAnswer) n.put("answer", r.answer)
+    n.set[ObjectNode]("passages", hitsJson(r.passages))
+    n.set[ObjectNode]("relations", hitsJson(r.relations))
+    val ents = n.putArray("named_entities")
+    r.namedEntities.foreach(ents.add)
+    val hist = n.putArray("expansion_history")
+    r.expansionHistory.foreach { s =>
+      val e = hist.addObject()
+      e.put("degree", s.degree)
+      e.put("entity_count", s.entityCount)
+      e.put("relation_count", s.relationCount)
+    }
+    n.put("eviction_applied", r.evictionApplied)
+    n
+  }
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+      (ex.getRequestMethod, path.toSeq) match {
+        case ("GET", Seq("graphs")) =>
+          val arr = mapper.createArrayNode()
+          store.listGraphs().foreach(arr.add)
+          respond(ex, 200, arr)
+        case ("GET", Seq("graphs", g, "stats")) =>
+          val n = mapper.createObjectNode()
+          store.stats(g).foreach { case (k, v) => n.put(k, v) }
+          respond(ex, 200, n)
+        case ("POST", Seq("graphs", g, "documents")) =>
+          val stats = rag(g).addDocumentsWithTriplets(parseDocs(readBody(ex)))
+          val n = mapper.createObjectNode()
+          stats.foreach { case (k, v) => n.put(k, v) }
+          respond(ex, 200, n)
+        case ("POST", Seq("graphs", g, "query")) =>
+          val q = readBody(ex).get("question").asText()
+          respond(ex, 200, resultJson(rag(g).query(q), withAnswer = true))
+        case ("POST", Seq("graphs", g, "retrieve")) =>
+          val q = readBody(ex).get("question").asText()
+          respond(ex, 200, resultJson(rag(g).retrieve(q), withAnswer = false))
+        case ("DELETE", Seq("graphs", g)) =>
+          store.dropGraph(g)
+          val n = mapper.createObjectNode()
+          n.put("deleted", g)
+          respond(ex, 200, n)
+        case _ => error(ex, 404, s"no route ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: Throwable => error(ex, 500, String.valueOf(e.getMessage))
+    }
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}
