@@ -25,7 +25,12 @@ object Bench {
         emb.limit(2), emb, "vec_id", "embedding", "vec_id", "embedding", 3).count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter for fast single-query iteration;
+    // the driver passes none and gets the full set.
+    val wanted = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

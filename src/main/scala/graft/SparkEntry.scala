@@ -99,30 +99,41 @@ object SparkEntry {
         .distinct()
         .select(Norm.idOf(col("name")).as("id"), col("name"))
     }),
-    // G4/G5 adjacency build (graph/builder.py:86-122)
+    // G4/G5 adjacency build (graph/builder.py:86-122). The adjacency array is
+    // serialized to a comma-joined string in the final projection: the driver's
+    // comparator cannot sort rows containing array cells.
     "g4_adjacency" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), explode(Norm.normTokens(col("text"))).as("word"))
         .groupBy("word")
-        .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"),
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"),
           countDistinct(col("doc_id")).as("n_docs"))
+        .select(col("word"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("doc_ids"),
+          col("n_docs"))
     }),
-    // G9 cascade delete: strip a victim id out of adjacency arrays
+    // G9 cascade delete: strip a victim id out of adjacency arrays (serialized
+    // to string for the driver comparator, as in g4).
     "g9_cascade" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), explode(Norm.normTokens(col("text"))).as("word"))
         .groupBy("word")
         .agg(sort_array(collect_set(col("doc_id"))).as("doc_ids"))
         .select(col("word"),
-          filter(col("doc_ids"), d => d =!= 0L).as("doc_ids_after"))
+          array_join(
+            transform(filter(col("doc_ids"), d => d =!= 0L), _.cast("string")),
+            ",").as("doc_ids_after"))
     }),
 
     // ----------------------------------------------------------- §2.5 embeddings
-    // E3 L2 normalization (embeddings.py:142-143)
+    // E3 L2 normalization (embeddings.py:142-143). Exploded to one row per
+    // vector component: scalar doubles survive the driver comparator (array
+    // cells do not), and rounding stays in the well-tested double path.
     "e3_l2_normalize" -> ((s, dir) => {
       t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(VF.l2Normalize(col("embedding")), x => round(x, 6)).as("unit_vec"))
+        .select(col("vec_id"), posexplode(VF.l2Normalize(col("embedding"))))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          round(col("col"), 6).as("component"))
     }),
 
     // ------------------------------------------------------------ §2.6 retrieval
@@ -211,20 +222,26 @@ object SparkEntry {
     // (the "reranked relations"), explode their parts positionally, dedup each part
     // keeping its first (order_rank, linenumber) occurrence, cut to 20.
     "v4_first_seen" -> ((s, dir) => {
+      // Global ranks on the two bounded tails come from sorted collected arrays
+      // (posexplode position = rank), not unpartitioned windows: top-10 via
+      // TakeOrderedAndProject, first-seen dedup via a PARTITIONED window.
       val li = t(s, dir, "lineitem")
       val top = li.groupBy("l_orderkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
         .orderBy(col("rev").desc, col("l_orderkey").asc).limit(10)
-        .withColumn("rel_rank", row_number().over(
-          Window.orderBy(col("rev").desc, col("l_orderkey").asc)))
+        .agg(array_sort(collect_list(struct((-col("rev")).as("nrev"), col("l_orderkey")))).as("a"))
+        .select(posexplode(col("a")))
+        .select(col("col.l_orderkey").as("l_orderkey"),
+          (col("pos") + 1).cast("int").as("rel_rank"))
       val exploded = li.join(top, Seq("l_orderkey"))
         .select(col("rel_rank"), col("l_linenumber").as("pos"), col("l_partkey"))
       val firstSeen = Window.partitionBy(col("l_partkey"))
         .orderBy(col("rel_rank").asc, col("pos").asc)
-      val ordered = Window.orderBy(col("rel_rank").asc, col("pos").asc, col("l_partkey").asc)
       exploded.withColumn("rn", row_number().over(firstSeen)).filter(col("rn") === 1)
-        .withColumn("rank", row_number().over(ordered)).filter(col("rank") <= 20)
-        .select(col("rank"), col("l_partkey"))
+        .agg(slice(array_sort(collect_list(
+          struct(col("rel_rank"), col("pos"), col("l_partkey")))), 1, 20).as("a"))
+        .select(posexplode(col("a")))
+        .select((col("pos") + 1).cast("int").as("rank"), col("col.l_partkey").as("l_partkey"))
     }),
 
     // ------------------------------------------------------------ §2.9 eval (M1)
@@ -292,11 +309,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
     }),
     // G5-salted: skew-safe adjacency aggregation (two-phase salted collect_set)
-    // must equal the direct aggregate.
+    // must equal the direct aggregate. Array serialized to string for the
+    // driver comparator.
     "g5_salted_adjacency" -> ((s, dir) => {
       Salting.saltedCollectSet(
         t(s, dir, "events").select(col("user_id"), col("event_type")),
         "user_id", "event_type", buckets = 8)
+        .select(col("user_id"), array_join(col("event_types"), ",").as("event_types"))
     }),
 
     // ------------------------------------------------ scale pipeline: ANN (IVF)
@@ -309,6 +328,18 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", nProbe = 3, k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score_r"))
+    }),
+
+    // A2 one Lloyd refinement step: the per-dimension centroid means after one
+    // assign+recompute round are deterministic SQL — exploded to scalar rows
+    // (centroid, dim, mean) for the driver comparator.
+    "a2_ivf_lloyd" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8, iters = 1)
+      index.centroids
+        .select(col("centroid_id"), posexplode(col("cvec")))
+        .select(col("centroid_id"), (col("pos") + 1).cast("int").as("pos"),
+          round(col("col"), 6).as("c"))
     }),
 
     // --------------------------------------------- scale pipeline: text analysis
@@ -438,6 +469,11 @@ object SparkEntry {
                 element_at(col("toks"), i + 1).as("predicate"),
                 element_at(col("toks"), i + 2).as("obj"))))
             .as("triplets"))
+        // Materialize the triplet arrays ONCE: CollapseProject would otherwise
+        // inline normTokens(text) into every element_at inside the transform
+        // lambda (~150 regexp+split evaluations per document — measured 24.5 s
+        // vs 6 s for this whole stage at sf0.1).
+        .localCheckpoint(true)
       val gt0 = graft.operators.GraphBuilder.build(docs, HashEmbedder(dim = 32))
       // Materialize the built tables once: the retrieval stages below fire several
       // actions (expansion audit counts, two KNNs), and without a barrier each
@@ -566,18 +602,17 @@ object SparkEntry {
       "g2_entity_dedup" ->
         s"SELECT md5(name) AS id, name FROM (SELECT DISTINCT word AS name FROM ($docWords) t) d",
       "g4_adjacency" ->
-        s"""SELECT word, list_sort(list(DISTINCT doc_id)) AS doc_ids,
+        s"""SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
            |count(DISTINCT doc_id) AS n_docs FROM ($docWords) t GROUP BY word""".stripMargin.replace("\n", " "),
       "g9_cascade" ->
-        s"""SELECT word, list_filter(list_sort(list(DISTINCT doc_id)), d -> d <> 0) AS doc_ids_after
+        s"""SELECT word, array_to_string(list_filter(list_sort(list(DISTINCT doc_id)), d -> d <> 0), ',') AS doc_ids_after
            |FROM ($docWords) t GROUP BY word""".stripMargin.replace("\n", " "),
       "e3_l2_normalize" ->
-        """SELECT vec_id,
-          |CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
-          |     THEN list_transform(embedding::DOUBLE[], x -> round(x, 6))
-          |     ELSE list_transform(embedding::DOUBLE[],
-          |          x -> round(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6))
-          |END AS unit_vec FROM embeddings""".stripMargin.replace("\n", " "),
+        """SELECT vec_id, CAST(generate_subscripts(e, 1) AS INTEGER) AS pos,
+          |CASE WHEN n = 0 THEN round(unnest(e), 6) ELSE round(unnest(e) / n, 6) END AS component
+          |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+          |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+          |      FROM embeddings) v""".stripMargin.replace("\n", " "),
       "r1_knn_topk" ->
         s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score_r FROM (
            |  SELECT query_id, neighbor_id, score,
@@ -667,7 +702,7 @@ object SparkEntry {
           |  SELECT id, j, CASE WHEN CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS contrib
           |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS j) js),
           |sums AS (SELECT id, j, sum(contrib) AS s FROM bits GROUP BY id, j)
-          |SELECT id, sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+          |SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           |FROM sums GROUP BY id""".stripMargin.replace("\n", " "),
       "d4_ngram_jaccard" ->
         s"""WITH dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
@@ -710,7 +745,7 @@ object SparkEntry {
            |WHERE c >= 0.35""".stripMargin.replace("\n", " ")
       },
       "g5_salted_adjacency" ->
-        """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+        """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
           |FROM events GROUP BY user_id""".stripMargin.replace("\n", " "),
       "a1_ivf_search" ->
         """WITH cents AS (
@@ -735,6 +770,18 @@ object SparkEntry {
           |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id, round(s, 6) AS score_r
           |FROM (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id ASC) rank FROM scored) t
           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "a2_ivf_lloyd" ->
+        """WITH corpus AS (SELECT CAST(vec_id AS VARCHAR) id, embedding::DOUBLE[] v FROM embeddings),
+          |cents AS (SELECT id AS centroid_id, v AS cv FROM corpus ORDER BY id LIMIT 8),
+          |assign AS (
+          |  SELECT id, centroid_id FROM (
+          |    SELECT c.id, cents.centroid_id,
+          |      row_number() OVER (PARTITION BY c.id ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.centroid_id DESC) rn
+          |    FROM corpus c, cents) t WHERE rn = 1)
+          |SELECT centroid_id, CAST(pos AS INTEGER) AS pos, round(avg(val), 6) AS c FROM (
+          |  SELECT a.centroid_id, generate_subscripts(c.v, 1) AS pos, unnest(c.v) AS val
+          |  FROM assign a JOIN corpus c ON a.id = c.id) t
+          |GROUP BY centroid_id, pos""".stripMargin.replace("\n", " "),
       "x1_langid" ->
         s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und'
            |  WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END AS lang_pred
@@ -775,7 +822,7 @@ object SparkEntry {
            |FROM documents""".stripMargin.replace("\n", " "),
       "x5_train_split" ->
         """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-          |count(*) AS n_docs, sum(n_chars) AS sum_chars
+          |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM (SELECT n_chars, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
           |      FROM documents) t
           |GROUP BY 1""".stripMargin.replace("\n", " "),
@@ -799,7 +846,7 @@ object SparkEntry {
           |FROM sess GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
       "x6_json_props" ->
         """SELECT event_type, count(*) AS n,
-          |sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
           |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
           |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),

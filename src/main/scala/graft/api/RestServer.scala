@@ -20,6 +20,11 @@ import java.nio.charset.StandardCharsets
   *   GET    /graphs                      → ["name", ...]
   *   GET    /graphs/{g}/stats            → {entities, relations, passages}
   *   POST   /graphs/{g}/documents        ← [{id, text, triplets: [[s,p,o],...]}, ...]
+  *   POST   /graphs/{g}/import           ← {path, chunk_size?, overlap?} (app.py:423-474)
+  *   GET    /graphs/{g}/neighbors/{id}?limit=n (app.py:697-761)
+  *   PUT    /graphs/{g}/documents/{id}   ← {text} — re-embeds on text change (app.py:765-820)
+  *   DELETE /graphs/{g}/documents/{id}   — cascade (app.py:822-874)
+  *   DELETE /graphs/{g}/relations/{id}   — cascade (graph/graph.py:430-475)
   *   POST   /graphs/{g}/query            ← {question} → QueryResult JSON
   *   POST   /graphs/{g}/retrieve         ← {question} → retrieval-only JSON
   *   DELETE /graphs/{g}
@@ -123,6 +128,50 @@ final class RestServer(spark: SparkSession, storeBase: String,
           val stats = rag(g).addDocumentsWithTriplets(parseDocs(readBody(ex)))
           val n = mapper.createObjectNode()
           stats.foreach { case (k, v) => n.put(k, v) }
+          respond(ex, 200, n)
+        case ("POST", Seq("graphs", g, "import")) =>
+          val body = readBody(ex)
+          val chunkSize = if (body.has("chunk_size")) body.get("chunk_size").asInt() else 1000
+          val overlap = if (body.has("overlap")) body.get("overlap").asInt() else 200
+          // Fully distributed: file scan → chunker → extractor → build, one DAG.
+          val docsDf = graft.sources.Ingest.importTextDf(
+            spark, body.get("path").asText(), chunkSize, overlap)
+          val stats = rag(g).addDocumentsDf(docsDf)
+          val n = mapper.createObjectNode()
+          stats.foreach { case (k, v) => n.put(k, v) }
+          respond(ex, 200, n)
+        case ("GET", Seq("graphs", g, "neighbors", id)) =>
+          val limit = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split("&").collectFirst {
+              case q if q.startsWith("limit=") => q.drop(6).toInt })
+            .getOrElse(50)
+          val r = rag(g).neighbors(id, limit)
+          if (r.entity.isEmpty) error(ex, 404, s"entity $id not found")
+          else {
+            val n = mapper.createObjectNode()
+            val e = n.putObject("entity")
+            e.put("id", r.entity.get.id); e.put("name", r.entity.get.name)
+            n.set[ObjectNode]("relations", hitsJson(r.relations))
+            val nb = n.putArray("neighbors")
+            r.neighbors.foreach { v =>
+              val o = nb.addObject(); o.put("id", v.id); o.put("name", v.name)
+            }
+            respond(ex, 200, n)
+          }
+        case ("PUT", Seq("graphs", g, "documents", id)) =>
+          rag(g).updatePassage(id, readBody(ex).get("text").asText())
+          val n = mapper.createObjectNode()
+          n.put("updated", id)
+          respond(ex, 200, n)
+        case ("DELETE", Seq("graphs", g, "documents", id)) =>
+          rag(g).deletePassage(id)
+          val n = mapper.createObjectNode()
+          n.put("deleted", id)
+          respond(ex, 200, n)
+        case ("DELETE", Seq("graphs", g, "relations", id)) =>
+          rag(g).deleteRelation(id)
+          val n = mapper.createObjectNode()
+          n.put("deleted", id)
           respond(ex, 200, n)
         case ("POST", Seq("graphs", g, "query")) =>
           val q = readBody(ex).get("question").asText()

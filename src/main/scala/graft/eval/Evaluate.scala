@@ -1,0 +1,109 @@
+package graft.eval
+
+import graft.rag.{CachedNerExtractor, GraphRag, RagConfig}
+import graft.sources.{GraphStore, Loaders}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Standalone evaluation harness — the reference's `evaluation/evaluate.py
+  * main()` (:546-786) as a Spark `runMain`:
+  *
+  *   sbt "runMain graft.eval.Evaluate <corpus.json> <questions.json> \
+  *        <openie.json> <nerCache.tsv> [outJson] [storeDir]"
+  *
+  * Pipeline: load corpus + questions + pre-extracted OpenIE triplets + NER TSV
+  * cache (S4/S5) → index with pre-extracted triplets (§3.1, DataFrame-native,
+  * with the reference's skip-reindex probe, evaluate.py:343-371) → retrieve per
+  * question (§3.2 stages 1–8, graph and naive paths) → Recall@k grid (M1) vs
+  * gold supporting-fact titles (M2) → macro-average (M3) + JSON dump
+  * (evaluate.py:527-543, :776-783). Zero network; every nondeterministic
+  * boundary uses the offline default (cached NER, deterministic embedder) —
+  * the same offline path the reference's own eval takes.
+  */
+object Evaluate {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: Evaluate <corpus.json> <questions.json> <openie.json> <nerCache.tsv> [outJson] [storeDir]")
+    val Array(corpusPath, questionsPath, openiePath, nerPath) = args.take(4)
+    val outJson = if (args.length > 4) args(4) else "/tmp/graft_eval.json"
+    val storeDir = if (args.length > 5) args(5)
+      else Files.createTempDirectory("graft_eval_store").toString
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpusN = Loaders.readJsonCorpus(spark, corpusPath).count()
+    val questions = Loaders.readJsonCorpus(spark, questionsPath)
+      .select(col("_id"), col("question"),
+        col("supporting_facts").cast("array<array<string>>"))
+      .localCheckpoint(true)
+    val nerCache = Loaders.readNerCache(spark, nerPath)
+
+    val store = new GraphStore(spark, storeDir)
+    val graphName = "eval"
+    val rag = new GraphRag(spark, store, graphName,
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 5),
+      ner = CachedNerExtractor(nerCache))
+
+    // Skip-reindex probe (evaluate.py:343-371): existence check on the store.
+    val indexed =
+      if (store.listGraphs().contains(graphName)) {
+        println(s"[evaluate] graph '$graphName' exists in $storeDir — skipping index build")
+        false
+      } else {
+        val docsDf = Loaders.readExtractedTriplets(spark, openiePath)
+          .select(col("title").as("id"), col("passage").as("text"),
+            transform(col("triples"), t => struct(
+              element_at(t, 1).as("subject"),
+              element_at(t, 2).as("predicate"),
+              element_at(t, 3).as("obj"))).as("triplets"))
+        val stats = rag.addDocumentsDf(docsDf)
+        println(s"[evaluate] indexed: $stats")
+        true
+      }
+
+    // §3.2 retrieval per question — graph path and naive baseline.
+    val qRows = questions.select("_id", "question").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val graphHits = qRows.flatMap { case (qid, q) =>
+      rag.retrieve(q).passages.map(h => (qid, h.rank, h.id))
+    }.toSeq
+    val naiveHits = qRows.flatMap { case (qid, q) =>
+      rag.retrieveNaive(q).map(h => (qid, h.rank, h.id))
+    }.toSeq
+
+    import spark.implicits._
+    val gold = Recall.goldTitles(
+      questions.select(col("_id").as("question_id"), col("supporting_facts")))
+    val ks = Recall.kGrid
+
+    def macroOf(hits: Seq[(String, Int, String)]): Map[Int, Double] = {
+      val row = Recall.macroAverage(
+        Recall.recallAtK(hits.toDF("question_id", "rank", "item"), gold, ks), ks)
+        .collect().head
+      ks.map(k => k -> row.getAs[Double](s"avg_recall_at_$k")).toMap
+    }
+    val graphRecall = macroOf(graphHits)
+    val naiveRecall = macroOf(naiveHits)
+
+    def fmt(m: Map[Int, Double]): String =
+      ks.map(k => s""""recall_at_$k": ${m(k)}""").mkString("{", ", ", "}")
+    val json =
+      s"""{"n_questions": ${qRows.length}, "n_corpus": $corpusN, "indexed": $indexed,
+         | "graph_rag": ${fmt(graphRecall)},
+         | "naive_rag": ${fmt(naiveRecall)}}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(outJson), json)
+    println(s"[evaluate] $json")
+    println(s"[evaluate] wrote $outJson")
+    spark.stop()
+  }
+}

@@ -59,6 +59,16 @@ final case class ExpansionStep(
     entityCount: Long,
     relationCount: Long)
 
+/** One vertex in a neighborhood listing (api/app.py:697-761). */
+final case class NeighborEntity(id: String, name: String)
+
+/** Result of `GraphRag.neighbors`: the entity, its incident relations, and the
+  * entities one hop away (api/app.py:697-761; limit quirk graph/graph.py:717). */
+final case class NeighborResult(
+    entity: Option[NeighborEntity],
+    relations: Seq[RetrievalHit],
+    neighbors: Seq[NeighborEntity])
+
 /** Result of `GraphRag.query` (models.py:190-229). */
 final case class QueryResult(
     question: String,

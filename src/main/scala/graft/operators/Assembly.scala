@@ -5,8 +5,32 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
-/** V1 eviction + V3–V5 final assembly (SURVEY §2.8). */
+/** V1 eviction + V3–V5 final assembly (SURVEY §2.8).
+  *
+  * All three ops here end in a GLOBAL ordering of a bounded set (≤ threshold or
+  * ≤ topK rows by construction). None of them uses an unpartitioned window:
+  * a `Window.orderBy` with no partition funnels every input row through a single
+  * sort task, which on the eviction path (whose whole reason to exist is "the
+  * expanded relation set got big") is the one place the pipeline would stop
+  * scaling. Instead:
+  *   - eviction = one [[TopKAggregator]] pass — map-side partial top-k, shuffle
+  *     volume O(k × partitions), rank = position in the final sorted array;
+  *   - the bounded tails (no-eviction id-sort, passage cut, backfill) =
+  *     `collect_list` into a single sorted array + `posexplode` — legal only
+  *     because their inputs are ≤ threshold/topK rows by construction.
+  */
 object Assembly {
+
+  /** Rank a bounded candidate set by sorting ONE collected array: rank = array
+    * position. Input must be bounded (≤ ~thousands of rows) by construction. */
+  private def rankBounded(df: DataFrame, sortCols: Seq[String], outCols: Seq[String],
+      limit: Int = Int.MaxValue): DataFrame = {
+    val packed = struct(sortCols.map(col): _*)
+    df.agg(slice(array_sort(collect_list(packed)), 1, limit).as("__sorted"))
+      .select(posexplode(col("__sorted")))
+      .select(outCols.map(c => col(s"col.$c").as(c)) :+
+        (col("pos") + 1).cast("int").as("rank"): _*)
+  }
 
   /** V1 eviction top-k (retriever.py:232-285): if the candidate count exceeds
     * `threshold`, keep top-`threshold` by similarity to the query vector; ELSE
@@ -15,25 +39,36 @@ object Assembly {
     *
     * Input `candidates`: (id, embedding); output: (id, rank) in the final order,
     * plus `evicted` flag for the caller.
+    *
+    * ONE job: `agg(count, topK)` — the [[TopKAggregator]] does partial top-k on
+    * every map partition (no global sort, no shuffle of the full candidate set),
+    * and because its buffer retains everything when n ≤ threshold, the same
+    * aggregate row serves BOTH branches: count decides, the array is either the
+    * score-ranked survivors or (id-resorted, driver-side, ≤ threshold rows) the
+    * full set. The result is a local frame — downstream joins broadcast it.
     */
   def evictionTopK(
       candidates: DataFrame,
       queryVec: Seq[Double],
       threshold: Int): (DataFrame, Boolean) = {
-    val n = candidates.count()
     val spark = candidates.sparkSession
-    if (n > threshold) {
-      val qv = typedLit(queryVec)
-      val scored = candidates.select(col("id"),
-        VectorFunctions.dot(col("embedding"), qv).as("score"))
-      val w = Window.orderBy(col("score").desc, col("id").asc)
-      (scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= threshold)
-        .select("id", "rank"), true)
-    } else {
-      val w = Window.orderBy(col("id").asc)
-      (candidates.select(col("id")).withColumn("rank", row_number().over(w)), false)
-    }
+    val qv = typedLit(queryVec)
+    val topk = udaf(new TopKAggregator(threshold))
+    val row = candidates
+      .select(col("id"), VectorFunctions.dot(col("embedding"), qv).as("score"))
+      .agg(count(lit(1)).as("n"), topk(col("id"), col("score")).as("top"))
+      .head()
+    val n = row.getLong(0)
+    val topIds = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    val evicted = n > threshold
+    val ranked = if (evicted) topIds else topIds.sorted
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ranked.zipWithIndex.map { case (id, i) => org.apache.spark.sql.Row(id, i + 1) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false))))
+    (out, evicted)
   }
 
   /** V4 relation→passage join (rag.py:161-194): relations in rerank order →
@@ -42,6 +77,10 @@ object Assembly {
     *
     * `rankedRelations`: (relation_id, rel_rank); `relations`: full table with
     * `passage_ids` array. Output: (passage_id, rank).
+    *
+    * The first-seen dedup window is PARTITIONED (by passage_id) — scales; the
+    * final global cut runs on the deduped passages of ≤ k reranked relations,
+    * bounded, so it is a single sorted-array rank.
     */
   def passagesForRelations(
       rankedRelations: DataFrame,
@@ -54,13 +93,9 @@ object Assembly {
       .select(col("rel_rank"), col("pos"), col("col").as("passage_id"))
     val firstSeen = Window.partitionBy(col("passage_id"))
       .orderBy(col("rel_rank").asc, col("pos").asc)
-    val ordered = Window.orderBy(col("rel_rank").asc, col("pos").asc, col("passage_id").asc)
-    exploded
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1)
-      .withColumn("rank", row_number().over(ordered))
-      .filter(col("rank") <= topK)
-      .select("passage_id", "rank")
+    rankBounded(
+      exploded.withColumn("rn", row_number().over(firstSeen)).filter(col("rn") === 1),
+      Seq("rel_rank", "pos", "passage_id"), Seq("passage_id"), topK)
   }
 
   /** V5 naive-RAG backfill (rag.py:629-638): append KNN passages not already
@@ -69,9 +104,7 @@ object Assembly {
     val extra = naiveHits
       .join(graphHits.select("passage_id"), Seq("passage_id"), "left_anti")
       .withColumn("rank", col("rank") + lit(1000000))
-    val w = Window.orderBy(col("rank").asc, col("passage_id").asc)
-    graphHits.unionByName(extra)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    rankBounded(graphHits.unionByName(extra),
+      Seq("rank", "passage_id"), Seq("passage_id"), topK)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.model.ExpansionStep
 import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, VertexId}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -18,8 +19,14 @@ import org.apache.spark.sql.DataFrame
   * unreached); messages = min layer proposal; the graph is partitioned once and
   * messages flow along edges — no per-hop shuffling of the edge table.
   *
-  * Returns the same [[Subgraph]] shape (entity/relation id frames + audit log
-  * with per-layer additions).
+  * The per-degree audit log (knowledge_graph.py:293-346 parity) is DERIVED from
+  * the final vertex layers — degree d adds entities with layer ∈ (2d−2, 2d] and
+  * relations with layer ∈ (2d−1, 2d+1] (layer ≤ 1 for the init relation set) —
+  * so one Pregel run yields the full step-by-step history. Because this variant
+  * exists for traversals whose reached set is NOT bounded by top-k × degree,
+  * the history carries exact counts but only id samples capped at
+  * `historySampleCap`; the full id sets stay distributed in the returned
+  * [[Subgraph]] frames.
   */
 object GraphXExpansion {
 
@@ -27,16 +34,21 @@ object GraphXExpansion {
       seedEntityIds: DataFrame,
       seedRelationIds: DataFrame,
       entityRelation: DataFrame,
-      degree: Int): Subgraph = {
+      degree: Int,
+      historySampleCap: Int = 100): Subgraph = {
     val spark = entityRelation.sparkSession
     import spark.implicits._
 
     val er = entityRelation.select("entity_id", "relation_id").distinct()
 
-    // Stable string->long vertex ids (entities even, relations odd).
-    val entVerts = er.select($"entity_id".as("name")).distinct()
+    // Stable string->long vertex ids (entities even, relations odd). Seed ids
+    // are unioned in so isolated seeds (no incident edges) keep their vertex —
+    // the loop implementation retains them in the entity set.
+    val entVerts = er.select($"entity_id".as("name"))
+      .union(seedEntityIds.select($"entity_id".as("name"))).distinct()
       .rdd.map(_.getString(0)).zipWithUniqueId().map { case (n, i) => (n, i * 2) }
-    val relVerts = er.select($"relation_id".as("name")).distinct()
+    val relVerts = er.select($"relation_id".as("name"))
+      .union(seedRelationIds.select($"relation_id".as("name"))).distinct()
       .rdd.map(_.getString(0)).zipWithUniqueId().map { case (n, i) => (n, i * 2 + 1) }
     val entIdMap = spark.createDataFrame(entVerts).toDF("entity_id", "vid")
     val relIdMap = spark.createDataFrame(relVerts).toDF("relation_id", "vid")
@@ -47,12 +59,13 @@ object GraphXExpansion {
       .select($"evid".as[Long], $"rvid".as[Long])
       .rdd.map { case (e, r) => Edge(e, r, ()) }
 
-    val seedEntVids = seedEntityIds.select("entity_id").distinct()
-      .join(entIdMap, "entity_id").select($"vid".as[Long]).rdd
-    val seedRelVids = seedRelationIds.select("relation_id").distinct()
-      .join(relIdMap, "relation_id").select($"vid".as[Long]).rdd
-    val seedSet = spark.sparkContext.broadcast(seedEntVids.collect().toSet)
-    val seedRelSet = spark.sparkContext.broadcast(seedRelVids.collect().toSet)
+    // Seed sets are query-sized (top-k hits) — broadcasting them is the point.
+    val seedSet = spark.sparkContext.broadcast(
+      seedEntityIds.select("entity_id").distinct()
+        .join(entIdMap, "entity_id").select($"vid".as[Long]).rdd.collect().toSet)
+    val seedRelSet = spark.sparkContext.broadcast(
+      seedRelationIds.select("relation_id").distinct()
+        .join(relIdMap, "relation_id").select($"vid".as[Long]).rdd.collect().toSet)
 
     val allVerts = entVerts.map(_._2).union(relVerts.map(_._2)).map(v => (v: VertexId, ()))
     // layer 0 = seed entities AND the init relation set (relations incident to
@@ -80,6 +93,7 @@ object GraphXExpansion {
     val layers = spark.createDataFrame(
       result.vertices.map { case (vid, layer) => (vid, layer) }).toDF("vid", "layer")
       .filter($"layer" =!= Int.MaxValue)
+      .localCheckpoint(true) // feeds the result frames AND the history aggregate
 
     // Reference semantics: after d rounds the entity set is E0 ∪ ents(R_{d-1})
     // (BFS layer ≤ 2d) and the relation set additionally includes rels of the
@@ -91,10 +105,37 @@ object GraphXExpansion {
       .filter($"layer" <= 2 * degree + 1)
       .select("relation_id")
 
-    val entList = entities.as[String].collect().sorted.toSeq
-    val relList = relations.as[String].collect().sorted.toSeq
-    val history = Seq(ExpansionStep(degree, entList, relList,
-      entList.size.toLong, relList.size.toLong))
+    // Per-degree audit from the layer histogram: exact counts + capped samples,
+    // all in ONE aggregation job (no full-result collect).
+    val entSteps = layers.join(entIdMap, "vid")
+      .filter($"layer" <= 2 * degree)
+      .select($"entity_id".as("id"), lit("e").as("kind"),
+        ceil($"layer" / 2.0).cast("int").as("step"))
+    val relSteps = layers.join(relIdMap, "vid")
+      .filter($"layer" <= 2 * degree + 1)
+      .select($"relation_id".as("id"), lit("r").as("kind"),
+        when($"layer" <= 1, 0)
+          .otherwise(ceil(($"layer" - 1) / 2.0).cast("int")).as("step"))
+    val w = Window.partitionBy($"kind", $"step").orderBy($"id")
+    val perStep = entSteps.unionByName(relSteps)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("kind", "step")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(when($"rn" <= historySampleCap, $"id"))).as("sample"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getSeq[String](3)))
+      .toMap
+
+    var entTotal = 0L
+    var relTotal = 0L
+    val history = (0 to degree).map { d =>
+      val (ne, se) = perStep.getOrElse(("e", d), (0L, Seq.empty[String]))
+      val (nr, sr) = perStep.getOrElse(("r", d), (0L, Seq.empty[String]))
+      entTotal += ne
+      relTotal += nr
+      ExpansionStep(d, se, sr, entTotal, relTotal)
+    }
     Subgraph(entities, relations, history)
   }
 }

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.model.ExpansionStep
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Result of an expansion: the id sets plus the audit log the API exposes
   * (knowledge_graph.py:149-192 SubGraph + expansion_history). */
@@ -15,11 +16,19 @@ final case class Subgraph(
   *
   * Semantics (SURVEY §2.7): init-merge relations(seed entities) ∪ seed relations;
   * then per degree: frontier relations → unseen entities → those entities' unseen
-  * relations. Driver loops over DataFrames; each hop is a semi-join against the
-  * distributed edge table with an `except`(seen) — the frontier is small (bounded by
-  * top-k × degree), the edge table is the big side, so each hop is one broadcast
-  * semi-join + set difference, never a full-graph materialization. `localCheckpoint`
-  * per hop truncates lineage (SURVEY §7.5).
+  * relations.
+  *
+  * Physical shape: the edge table is the big side and NEVER shuffles — each hop
+  * is one broadcast semi-join + broadcast anti-join against the (bounded,
+  * top-k × degree) working set, ONE Spark job per hop side. The hop result is
+  * collected — it is the audit log the API returns anyway (knowledge_graph.py:
+  * 293-346), the same boundedness contract as the reference's driver-side id
+  * sets — and re-injected as a LOCAL frame, so downstream consumers (eviction
+  * semi-join, passage collection) broadcast it without recomputing any hop.
+  * Degree-1 retrieval: 4 jobs total (seeds, init, E-hop, R-hop); the previous
+  * checkpoint-per-frontier design spent ~10. For traversals whose reached set
+  * is NOT bounded (deep degrees on hub-heavy graphs) use [[GraphXExpansion]],
+  * which keeps the sets distributed and caps the audit samples.
   */
 object SubgraphExpansion {
 
@@ -29,51 +38,60 @@ object SubgraphExpansion {
       entityRelation: DataFrame,  // entity_id, relation_id, [role]
       degree: Int): Subgraph = {
 
+    val spark = entityRelation.sparkSession
     val er = entityRelation.select("entity_id", "relation_id")
-    // Checkpoint every frontier frame: it truncates the iterative lineage AND
-    // keeps downstream consumers (passage collection, eviction semi-joins, the
-    // audit collects) from re-deriving hop joins. Measured: skipping these for
-    // degree-1 made the end-to-end pipeline ~20% slower.
-    val cp = (df: DataFrame) => df.localCheckpoint(true)
 
-    // P1 + init-merge (knowledge_graph.py:280-302): relations incident to seed
-    // entities, unioned with seed relations.
-    var entities = cp(seedEntityIds.select("entity_id").distinct())
-    val seedRels = seedRelationIds.select("relation_id").distinct()
-    val incident = er.join(broadcast(entities), Seq("entity_id"), "left_semi")
-      .select("relation_id").distinct()
-    var relations = cp(incident.union(seedRels).distinct())
+    def local(ids: Seq[String], name: String): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_)), 1),
+        StructType(Seq(StructField(name, StringType, nullable = false))))
 
-    // The audit log doubles as the count source: id lists are collected anyway
-    // (they are bounded by top-k × degree), so set sizes are pure arithmetic —
-    // no extra count() jobs.
+    // P1: seed entities (job 1 — the seeds arrive as a distributed KNN result).
+    val seedEntityList = seedEntityIds.select("entity_id").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    var entityList = seedEntityList
+    var entitySeen = entityList.toSet
+    var entDf = local(entityList, "entity_id")
+
+    // Init-merge (knowledge_graph.py:280-302): relations incident to seed
+    // entities ∪ seed relations — one fused job.
+    val initRelationList = er.join(broadcast(entDf), Seq("entity_id"), "left_semi")
+      .select("relation_id")
+      .unionByName(seedRelationIds.select("relation_id"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    var relationList = initRelationList
+    var relationSeen = relationList.toSet
+    var relDf = local(relationList, "relation_id")
+    var frontierRels = relDf
+
     val history = Seq.newBuilder[ExpansionStep]
-    val seedEntityList = sortedIds(entities, "entity_id")
-    val initRelationList = sortedIds(relations, "relation_id")
-    var entityTotal = seedEntityList.size.toLong
-    var relationTotal = initRelationList.size.toLong
-    history += ExpansionStep(0, seedEntityList, initRelationList, entityTotal, relationTotal)
+    history += ExpansionStep(0, seedEntityList, initRelationList,
+      entityList.size.toLong, relationList.size.toLong)
 
-    // P2/P3/P4 degree loop (knowledge_graph.py:305-346).
+    // P2/P3/P4 degree loop (knowledge_graph.py:305-346) — two jobs per degree.
     for (d <- 1 to degree) {
-      // relations → their endpoint entities not yet seen
-      val newEntities = cp(er.join(broadcast(relations), Seq("relation_id"), "left_semi")
+      val addedE = er.join(broadcast(frontierRels), Seq("relation_id"), "left_semi")
         .select("entity_id").distinct()
-        .except(entities))
-      // new entities → their incident relations not yet seen
-      val newRelations = cp(er.join(broadcast(newEntities), Seq("entity_id"), "left_semi")
+        .join(broadcast(entDf), Seq("entity_id"), "left_anti")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val newEntDf = local(addedE, "entity_id")
+      val addedR = er.join(broadcast(newEntDf), Seq("entity_id"), "left_semi")
         .select("relation_id").distinct()
-        .except(relations))
-      entities = cp(entities.union(newEntities))
-      relations = cp(relations.union(newRelations))
-      val addedE = sortedIds(newEntities, "entity_id")
-      val addedR = sortedIds(newRelations, "relation_id")
-      entityTotal += addedE.size
-      relationTotal += addedR.size
-      history += ExpansionStep(d, addedE, addedR, entityTotal, relationTotal)
+        .join(broadcast(relDf), Seq("relation_id"), "left_anti")
+        .collect().map(_.getString(0)).sorted.toSeq
+      entityList = entityList ++ addedE.filterNot(entitySeen)
+      relationList = relationList ++ addedR.filterNot(relationSeen)
+      entitySeen ++= addedE
+      relationSeen ++= addedR
+      entDf = local(entityList, "entity_id")
+      relDf = local(relationList, "relation_id")
+      frontierRels = local(addedR, "relation_id")
+      history += ExpansionStep(d, addedE, addedR,
+        entityList.size.toLong, relationList.size.toLong)
     }
 
-    Subgraph(entities, relations, history.result())
+    Subgraph(entDf, relDf, history.result())
   }
 
   /** P5 passage collection: distinct passages of all subgraph relations
@@ -82,7 +100,4 @@ object SubgraphExpansion {
     relationPassage.join(broadcast(relationIds.select("relation_id")),
         Seq("relation_id"), "left_semi")
       .select("passage_id").distinct()
-
-  private def sortedIds(df: DataFrame, col0: String): Seq[String] =
-    df.select(col0).collect().map(_.getString(0)).sorted.toSeq
 }

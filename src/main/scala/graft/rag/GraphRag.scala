@@ -61,6 +61,27 @@ final class GraphRag(
     store.stats(graph)
   }
 
+  /** DataFrame-native bulk indexing: `docsDf` (id, text[, triplets]) → graph
+    * tables, with NO driver-side materialization of the corpus. When the
+    * `triplets` column is absent, extraction (X1) runs distributed as a typed
+    * map over the document partitions — the scan→extract→build DAG is one plan.
+    * This is the 100 TB ingestion path; the `Seq[Doc]` overloads above are the
+    * reference-shaped API facade. */
+  def addDocumentsDf(docsDf: DataFrame): Map[String, Long] = {
+    val withTriplets =
+      if (docsDf.columns.contains("triplets"))
+        docsDf.select(col("id"), col("text"), col("triplets"))
+      else {
+        val ex = extractor
+        docsDf.select(col("id"), col("text")).as[(String, String)]
+          .map { case (id, text) => Doc(id, text, ex.extract(text)) }
+          .toDF().select(col("id"), col("text"), col("triplets"))
+      }
+    val tables = GraphBuilder.build(withTriplets, embedder)
+    store.save(graph, tables)
+    store.stats(graph)
+  }
+
   /** G8 incremental single-passage graft (graph/graph.py:479-554): creates missing
     * entities/relations, set-merges adjacency (`array_distinct(array_union(...))`)
     * into existing rows, and appends the passage + edges. The reference's CRUD
@@ -197,6 +218,44 @@ final class GraphRag(
   }
 
   def stats(): Map[String, Long] = store.stats(graph)
+
+  // -------------------------------------------------------------- CRUD surface
+
+  /** Document update (api/app.py:765-820 → milvus.py:511-574): merge new text
+    * into the passage row, re-embedding iff the text actually changed. */
+  def updatePassage(id: String, text: String): Unit =
+    store.upsertReembed(graph, "passages", Seq((id, text)).toDF("id", "text"), embedder)
+
+  /** Document delete with cascade (api/app.py:822-874 → graph/graph.py:634-672). */
+  def deletePassage(id: String): Unit = store.deletePassageCascade(graph, id)
+
+  /** Relation delete with cascade (graph/graph.py:430-475). */
+  def deleteRelation(id: String): Unit = store.deleteRelationCascade(graph, id)
+
+  /** R7 + one-hop neighborhood (api/app.py:697-761): the entity, its incident
+    * relations (id-ordered, capped at `limit` — graph/graph.py:717), and the
+    * entities at the far end of those relations. Semi-joins against the edge
+    * table; only the bounded result is collected. */
+  def neighbors(entityId: String, limit: Int = 50): NeighborResult = {
+    val er = store.table(graph, "entity_relation")
+    val entities = store.table(graph, "entities")
+    val entity = entities.filter(col("id") === entityId)
+      .select("id", "name").collect().headOption
+      .map(r => NeighborEntity(r.getString(0), r.getString(1)))
+    val relIds = er.filter(col("entity_id") === entityId)
+      .select("relation_id").distinct().orderBy("relation_id").limit(limit)
+    val relations = store.table(graph, "relations")
+      .join(relIds.withColumnRenamed("relation_id", "id"), Seq("id"), "left_semi")
+      .select("id", "text").orderBy("id").collect()
+      .zipWithIndex.map { case (r, i) => RetrievalHit(r.getString(0), r.getString(1), 0.0, i + 1) }
+    val nbrIds = er.join(relIds, Seq("relation_id"), "left_semi")
+      .filter(col("entity_id") =!= entityId)
+      .select(col("entity_id").as("id")).distinct()
+    val nbrs = entities.join(nbrIds, Seq("id"), "left_semi")
+      .select("id", "name").orderBy("id").collect()
+      .map(r => NeighborEntity(r.getString(0), r.getString(1)))
+    NeighborResult(entity, relations.toSeq, nbrs.toSeq)
+  }
 
   private def naivePassageHits(qvecDf: DataFrame, passagesT: DataFrame): DataFrame =
     VectorSearch.knnJoin(

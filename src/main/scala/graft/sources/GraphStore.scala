@@ -33,7 +33,12 @@ final class GraphStore(spark: SparkSession, base: String) {
       "entities" -> t.entities, "relations" -> t.relations, "passages" -> t.passages,
       "entity_relation" -> t.entityRelation, "entity_passage" -> t.entityPassage,
       "relation_passage" -> t.relationPassage
-    ).foreach { case (n, df) => df.write.mode(SaveMode.Overwrite).parquet(path(graph, n)) }
+    ).foreach { case (n, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(path(graph, n))
+      // Drop any cached/cached-metadata copies of the replaced table: long-lived
+      // sessions (REST server) would otherwise serve stale rows after re-index.
+      spark.catalog.refreshByPath(path(graph, n))
+    }
   }
 
   def load(graph: String): GraphTables = GraphTables(
@@ -124,6 +129,46 @@ final class GraphStore(spark: SparkSession, base: String) {
       table(graph, "relation_passage").filter(!col("relation_id").isin(dr: _*)))
   }
 
+  /** G9 cascade delete of a relation (graph/graph.py:430-475): drop the relation
+    * row, scrub its id from entities' and passages' `relation_ids`, and drop its
+    * edge rows — no dangling adjacency survives. */
+  def deleteRelationCascade(graph: String, relationId: String): Unit = {
+    delete(graph, "relations", Seq(relationId))
+    rewrite(graph, "entities",
+      table(graph, "entities").withColumn("relation_ids",
+        array_remove(col("relation_ids"), relationId)))
+    rewrite(graph, "passages",
+      table(graph, "passages").withColumn("relation_ids",
+        array_remove(col("relation_ids"), relationId)))
+    rewrite(graph, "entity_relation",
+      table(graph, "entity_relation").filter(col("relation_id") =!= relationId))
+    rewrite(graph, "relation_passage",
+      table(graph, "relation_passage").filter(col("relation_id") =!= relationId))
+  }
+
+  /** S7 upsert with re-embedding on text change (milvus.py:511-574): fields the
+    * update doesn't mention keep their stored values, and the embedding is
+    * recomputed exactly when the row is new or its `text` changed — an updated
+    * passage never keeps a stale vector. `updates` needs only (id, text, ...);
+    * any `embedding` column in it is ignored in favor of the recompute rule. */
+  def upsertReembed(graph: String, tableName: String, updates: DataFrame,
+      embedder: graft.functions.Embedder): Unit = {
+    val old = table(graph, tableName)
+    val upd = updates.drop("embedding")
+    val updCols = upd.columns.toSet
+    val merged = old.as("o").join(upd.as("n"), Seq("id"), "full_outer")
+      .select(old.columns.map {
+        case "id" => col("id")
+        case "embedding" =>
+          when(col("n.text").isNull || col("o.text") === col("n.text"),
+            col("o.embedding"))
+            .otherwise(embedder.embed(col("n.text"))).as("embedding")
+        case c if updCols.contains(c) => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)
+        case c => col(s"o.$c").as(c)
+      }: _*)
+    rewrite(graph, tableName, merged)
+  }
+
   /** Replace a table's contents with an arbitrary derived DataFrame (may read
     * from the current contents — goes through materialize-then-swap). */
   def replaceTable(graph: String, tableName: String, df: DataFrame): Unit =
@@ -136,6 +181,8 @@ final class GraphStore(spark: SparkSession, base: String) {
     val dst = path(graph, tableName)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dst)
     dropPath(tmp)
+    // Invalidate caches over the replaced files (see save()).
+    spark.catalog.refreshByPath(dst)
   }
 
   private def dropPath(s: String): Unit = {

@@ -14,17 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** Read text files matching `pathGlob`, chunk each, return indexable docs.
-    * Distributed end-to-end (wholetext scan → flatMap chunker); collected to the
-    * driver only because `addDocuments` takes the reference's `Seq[Doc]` shape. */
-  def importText(spark: SparkSession, pathGlob: String,
-      chunkSize: Int = 1000, overlap: Int = 200): Seq[Doc] = {
+  /** DataFrame-native /import: files → chunk rows (id, text), distributed
+    * end-to-end (wholetext scan → flatMap chunker, one plan). Feed straight into
+    * `GraphRag.addDocumentsDf` — this is the bulk-ingestion path; nothing is
+    * materialized on the driver. */
+  def importTextDf(spark: SparkSession, pathGlob: String,
+      chunkSize: Int = 1000, overlap: Int = 200): org.apache.spark.sql.DataFrame = {
     val files = Loaders.readTextDocuments(spark, pathGlob)
     Chunker.chunkDocuments(files.withColumnRenamed("file_name", "id"),
         "id", "text", chunkSize, overlap)
-      .select(concat_ws("#", col("id"), col("chunk_index")).as("id"), col("chunk"))
+      .select(concat_ws("#", col("id"), col("chunk_index")).as("id"),
+        col("chunk").as("text"))
+  }
+
+  /** `Seq[Doc]` facade over [[importTextDf]] for reference API-shape parity
+    * (`addDocuments` takes the reference's `Seq[Doc]`). Collects — use
+    * [[importTextDf]] for real corpora. */
+  def importText(spark: SparkSession, pathGlob: String,
+      chunkSize: Int = 1000, overlap: Int = 200): Seq[Doc] =
+    importTextDf(spark, pathGlob, chunkSize, overlap)
       .collect()
       .map(r => Doc(r.getString(0), r.getString(1)))
       .toSeq
-  }
 }

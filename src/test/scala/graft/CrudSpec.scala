@@ -38,6 +38,63 @@ class CrudSpec extends SparkSpec {
     assert(store.stats("crud")("passages") == 2)
   }
 
+  test("G9 relation cascade delete scrubs adjacency everywhere (graph.py:430-475)") {
+    val store = new GraphStore(spark, Files.createTempDirectory("relcasc").toString)
+    val rag = new GraphRag(spark, store, "rc")
+    rag.addDocumentsWithTriplets(Seq(
+      Doc("p1", "Einstein developed relativity and won the prize.",
+        Seq(Triplet("Einstein", "developed", "relativity"),
+          Triplet("Einstein", "won", "prize")))))
+    val victim = store.table("rc", "relations")
+      .filter(col("text") === "einstein developed relativity")
+      .select("id").head().getString(0)
+
+    store.deleteRelationCascade("rc", victim)
+
+    assert(store.stats("rc")("relations") == 1)
+    // the shared entity keeps its row but loses the deleted relation id
+    val einsteinRels = store.table("rc", "entities").filter(col("name") === "einstein")
+      .select("relation_ids").head().getSeq[String](0)
+    assert(!einsteinRels.contains(victim) && einsteinRels.nonEmpty)
+    // passages no longer reference it
+    val passRels = store.table("rc", "passages").filter(col("id") === "p1")
+      .select("relation_ids").head().getSeq[String](0)
+    assert(!passRels.contains(victim) && passRels.nonEmpty)
+    // edge tables carry no dangling rows
+    assert(store.table("rc", "entity_relation")
+      .filter(col("relation_id") === victim).count() == 0)
+    assert(store.table("rc", "relation_passage")
+      .filter(col("relation_id") === victim).count() == 0)
+  }
+
+  test("S7 upsert re-embeds exactly when text changes; retrieval finds the new text") {
+    val store = new GraphStore(spark, Files.createTempDirectory("reembed").toString)
+    val rag = new GraphRag(spark, store, "re", config = RagConfig(finalTopK = 1))
+    rag.addDocumentsWithTriplets(Seq(
+      Doc("pA", "alpha beta gamma", Seq(Triplet("alpha", "beta", "gamma"))),
+      Doc("pB", "delta epsilon zeta", Seq(Triplet("delta", "epsilon", "zeta")))))
+    def vec(id: String): Seq[Double] = store.table("re", "passages")
+      .filter(col("id") === id).select("embedding").head().getSeq[Double](0)
+    val before = vec("pA")
+
+    // no-op update: identical text keeps the exact stored vector
+    rag.updatePassage("pA", "alpha beta gamma")
+    assert(vec("pA") == before)
+
+    // real update: vector recomputed, unspecified fields preserved
+    rag.updatePassage("pA", "quantum mechanics lecture notes")
+    val after = vec("pA")
+    assert(after != before)
+    val row = store.table("re", "passages").filter(col("id") === "pA")
+      .select("text", "entity_ids").head()
+    assert(row.getString(0) == "quantum mechanics lecture notes")
+    assert(row.getSeq[String](1).nonEmpty, "adjacency lost by text-only update")
+
+    // naive retrieval now finds the passage under its NEW text
+    val hits = rag.retrieveNaive("quantum mechanics lecture notes")
+    assert(hits.nonEmpty && hits.head.id == "pA", s"got $hits")
+  }
+
   test("X3 LLM cache memoizes by md5(prompt+params); spill round-trips") {
     val dir = Files.createTempDirectory("llmcache")
     val calls = new AtomicInteger(0)

@@ -27,6 +27,46 @@ class GraphXExpansionSpec extends SparkSpec {
     }
   }
 
+  test("per-degree history matches the semi-join loop step-by-step") {
+    val er = spark.read.parquet(sf("lineitem"))
+      .select(col("l_partkey").cast("string").as("entity_id"),
+        col("l_orderkey").cast("string").as("relation_id"))
+      .distinct().localCheckpoint(true)
+    val seeds = er.filter(col("entity_id").cast("long") % 101 === 0)
+      .select("entity_id").distinct()
+    val noRels = Seq.empty[String].toDF("relation_id")
+    for (degree <- 0 to 2) {
+      val loop = SubgraphExpansion.expand(seeds, noRels, er, degree).history
+      val pregel = GraphXExpansion.expand(seeds, noRels, er, degree,
+        historySampleCap = Int.MaxValue).history
+      assert(pregel.size == loop.size, s"step count differs at degree $degree")
+      pregel.zip(loop).foreach { case (p, l) =>
+        assert(p.degree == l.degree)
+        assert(p.entityCount == l.entityCount, s"entity total at step ${l.degree}, degree $degree")
+        assert(p.relationCount == l.relationCount, s"relation total at step ${l.degree}, degree $degree")
+        assert(p.addedEntityIds == l.addedEntityIds, s"added entities at step ${l.degree}, degree $degree")
+        assert(p.addedRelationIds == l.addedRelationIds, s"added relations at step ${l.degree}, degree $degree")
+      }
+    }
+  }
+
+  test("history id lists are capped at historySampleCap but counts stay exact") {
+    val er = spark.read.parquet(sf("lineitem"))
+      .select(col("l_partkey").cast("string").as("entity_id"),
+        col("l_orderkey").cast("string").as("relation_id"))
+      .distinct().localCheckpoint(true)
+    val seeds = er.filter(col("entity_id").cast("long") % 101 === 0)
+      .select("entity_id").distinct()
+    val noRels = Seq.empty[String].toDF("relation_id")
+    val full = GraphXExpansion.expand(seeds, noRels, er, 1, historySampleCap = Int.MaxValue)
+    val capped = GraphXExpansion.expand(seeds, noRels, er, 1, historySampleCap = 5)
+    full.history.zip(capped.history).foreach { case (f, c) =>
+      assert(c.entityCount == f.entityCount && c.relationCount == f.relationCount)
+      assert(c.addedEntityIds.size <= 5 && c.addedRelationIds.size <= 5)
+      assert(c.addedEntityIds == f.addedEntityIds.take(c.addedEntityIds.size))
+    }
+  }
+
   test("seed relations participate in the init-merge identically") {
     val er = Seq(
       ("e1", "r1"), ("e2", "r1"), ("e2", "r2"), ("e3", "r2"),

@@ -61,6 +61,48 @@ class RestServerSpec extends SparkSpec {
     assert(!get("/graphs").body().contains("resttest"))
   }
 
+  private def put(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("import, neighbors, and document/relation CRUD routes") {
+    val dir = Files.createTempDirectory("restimport")
+    Files.writeString(dir.resolve("curie.txt"),
+      "Marie Curie discovered radium and polonium in Paris.")
+    Files.writeString(dir.resolve("einstein.txt"),
+      "Albert Einstein published the theory of relativity in Bern.")
+    val imp = post("/graphs/rest2/import",
+      s"""{"path": "${dir.toString}/*.txt", "chunk_size": 300, "overlap": 50}""")
+    assert(imp.statusCode() == 200, imp.body())
+    assert(imp.body().contains("\"passages\":2"), imp.body())
+
+    // neighbors: entity ids are md5(normalized name) (SURVEY §7.1)
+    val marieId = org.apache.commons.codec.digest.DigestUtils.md5Hex("marie")
+    val nb = get(s"/graphs/rest2/neighbors/$marieId")
+    assert(nb.statusCode() == 200, nb.body())
+    assert(nb.body().contains("\"name\":\"marie\""), nb.body())
+    assert(nb.body().contains("marie curie discovered"), nb.body())
+    assert(get("/graphs/rest2/neighbors/doesnotexist").statusCode() == 404)
+
+    // document update ('#' in chunk ids is %23 on the wire)
+    val upd = put("/graphs/rest2/documents/curie.txt%230",
+      """{"text": "radioactivity pioneer"}""")
+    assert(upd.statusCode() == 200, upd.body())
+    assert(get("/graphs/rest2/stats").body().contains("\"passages\":2"))
+
+    // relation cascade via REST: grab a relation id from the neighbors payload
+    val relId = "\"relations\":\\[\\{\"id\":\"([0-9a-f]{32})\"".r
+      .findFirstMatchIn(nb.body()).get.group(1)
+    assert(delete(s"/graphs/rest2/relations/$relId").statusCode() == 200)
+    val nb2 = get(s"/graphs/rest2/neighbors/$marieId")
+    assert(!nb2.body().contains(relId), nb2.body())
+
+    // document delete with cascade
+    assert(delete("/graphs/rest2/documents/curie.txt%230").statusCode() == 200)
+    assert(get("/graphs/rest2/stats").body().contains("\"passages\":1"))
+  }
+
   test("unknown route gives a JSON 404; malformed body gives JSON 500") {
     assert(get("/nope").statusCode() == 404)
     val bad = post("/graphs/g/query", "{not json")
