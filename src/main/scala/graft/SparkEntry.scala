@@ -377,6 +377,32 @@ object SparkEntry {
           TA.minKgramHashNorm(col("norm"), 8).as("min_kgram"))
     }),
 
+    // X7 PII redaction: deterministic synthetic PII is appended per document
+    // (the corpus itself has none), then masked — verifies real substitutions
+    // and per-kind match counts against the oracle's RE2 engine.
+    "x7_pii_mask" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 or call +1 (415) 555-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string")).as("txt"))
+        .select(col("doc_id"),
+          TA.maskPii(col("txt")).as("masked"),
+          TA.piiEmailCount(col("txt")).as("n_email"),
+          TA.piiIpCount(col("txt")).as("n_ip"),
+          TA.piiPhoneCount(col("txt")).as("n_phone"))
+    }),
+    // X8 repetition signals (Gopher-style): duplicate-bigram fraction and
+    // top-token share over the projected token array.
+    "x8_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          round(TA.bigramDupRatioT(col("toks")), 6).as("dup_bigram_ratio"),
+          round(TA.maxTokenFreqRatioT(col("toks")), 6).as("top_token_ratio"))
+    }),
+
     // X5 deterministic train/val/test split: pure function of md5(id), so
     // assignment is stable under repartitioning and incremental corpus growth.
     "x5_train_split" -> ((s, dir) => {
@@ -499,7 +525,8 @@ object SparkEntry {
         .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
       val relHits = VectorSearch.knnJoin(
         qvecDf,
-        gt.relations.join(sub.relationIds.withColumnRenamed("relation_id", "id"),
+        gt.relations.join(
+          broadcast(sub.relationIds.withColumnRenamed("relation_id", "id")),
           Seq("id"), "left_semi"),
         "qtext", "qvec", "id", "embedding", 5)
         .select(col("neighbor_id").as("relation_id"), col("rank").as("rel_rank"))
@@ -820,6 +847,32 @@ object SparkEntry {
            |       ELSE list_sort(list_transform(generate_series(1, length($normDoc) - 7),
            |            i -> md5(substr($normDoc, i, 8))))[1] END AS min_kgram
            |FROM documents""".stripMargin.replace("\n", " "),
+      "x7_pii_mask" -> {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\+\\d[\\d .()-]{6,}\\d"
+        s"""SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+           |    '$ipRe', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g') AS masked,
+           |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS INTEGER) AS n_email,
+           |  CAST(len(regexp_extract_all(txt, '$ipRe')) AS INTEGER) AS n_ip,
+           |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS INTEGER) AS n_phone
+           |FROM (SELECT doc_id,
+           |  text || ' reach user' || doc_id || '@example.com via 10.0.' || (doc_id % 256)
+           |       || '.7 or call +1 (415) 555-' || (1000 + doc_id % 9000) AS txt
+           |  FROM documents) t""".stripMargin.replace("\n", " ")
+      },
+      "x8_repetition" ->
+        s"""SELECT doc_id,
+           |  round(CASE WHEN len(toks) < 2 THEN 0.0
+           |        ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 6) AS dup_bigram_ratio,
+           |  round(CASE WHEN len(toks) = 0 THEN 0.0
+           |        ELSE CAST(list_max(list_transform(list_distinct(toks),
+           |             d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE) / len(toks) END, 6) AS top_token_ratio
+           |FROM (SELECT doc_id, toks,
+           |        list_transform(generate_series(1, len(toks) - 1),
+           |          i -> toks[i] || ' ' || toks[i+1]) AS bg
+           |      FROM (SELECT doc_id, $toksDoc AS toks FROM documents) s) t""".stripMargin.replace("\n", " "),
       "x5_train_split" ->
         """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
           |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

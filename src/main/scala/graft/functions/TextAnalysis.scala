@@ -81,6 +81,47 @@ object TextAnalysis {
     when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  // RE2-safe patterns (no backrefs/lookaround) so the DuckDB oracle's regex
+  // engine and Java's agree on every match.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+\\d[\\d .()-]{6,}\\d"
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * international-format phone numbers → typed placeholder tokens. A chain of
+    * codegen'd regexp_replace — one streaming pass per pattern, no UDF. Order
+    * matters: emails first (they contain dots/digits), then IPs, then phones. */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of PII matches per kind (regexp_count is codegen'd). */
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(emailRe))
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(ipRe))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(phoneRe))
+
+  /** Gopher-style repetition signal: fraction of duplicate word bigrams
+    * (0 when fewer than 2 tokens). Pure array expressions over a pre-projected
+    * token column — linear in document length. */
+  def bigramDupRatioT(toks: Column): Column =
+    when(size(toks) < 2, 0.0).otherwise {
+      val bigrams = transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      (size(bigrams) - size(array_distinct(bigrams))).cast("double") / size(bigrams)
+    }
+
+  /** Most-frequent-token share of the document (0 for empty). Quadratic in
+    * distinct×total tokens per ROW — right for chunk-sized passages; for giant
+    * documents use the relational twin (explode → groupBy → max/count). */
+  def maxTokenFreqRatioT(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      array_max(transform(array_distinct(toks), d => size(filter(toks, t => t === d))))
+        .cast("double") / size(toks))
+
   /** Document fingerprint: md5 of the sorted distinct normalized token set —
     * collapses word-order and repetition variants (fingerprint dedup). */
   def fingerprint(text: Column): Column = fingerprintT(Norm.normTokens(text))

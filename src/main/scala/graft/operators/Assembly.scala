@@ -86,7 +86,7 @@ object Assembly {
       rankedRelations: DataFrame,
       relations: DataFrame,
       topK: Int): DataFrame = {
-    val exploded = rankedRelations
+    val exploded = broadcast(rankedRelations)
       .join(relations.select(col("id").as("relation_id"), col("passage_ids")),
         Seq("relation_id"))
       .select(col("rel_rank"), posexplode(col("passage_ids")))

@@ -22,12 +22,15 @@ import org.apache.spark.sql.DataFrame
   */
 object IvfIndex {
 
+  /** `assignments` is the inverted file and carries the vector alongside the
+    * cell id, so search never re-joins the corpus (that join was a corpus-sized
+    * sort-merge: two exchanges + sorts; carrying the vector costs one). */
   final case class Index(centroids: DataFrame /* centroid_id, cvec */ ,
-      assignments: DataFrame /* id, centroid_id */)
+      assignments: DataFrame /* id, centroid_id, v */)
 
   /** Deterministic build: seeds = `nList` lowest-id vectors; `iters` Lloyd steps
     * (each: assign + per-dimension mean). iters=0 gives the fully oracle-checkable
-    * variant. */
+    * variant; one Lloyd step is oracle-checked too (a2_ivf_lloyd). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nList: Int, iters: Int = 0): Index = {
     val base = corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
@@ -35,8 +38,8 @@ object IvfIndex {
       .select(col("id").as("centroid_id"), col("v").cast("array<double>").as("cvec"))
 
     for (_ <- 1 to iters) {
-      val assigned = assign(base, centroids)
-      centroids = base.join(assigned, Seq("id"))
+      // assignments carry v, so the per-dimension means need no corpus join.
+      centroids = assign(base, centroids)
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -51,26 +54,29 @@ object IvfIndex {
   /** Nearest-centroid assignment: broadcast the tiny centroid set over the corpus
     * scan, then per-row argmax via a struct-max aggregate — map-side combine
     * collapses each partition to one candidate per id before the shuffle (no
-    * window sort). Ties broken by greatest centroid_id (pinned, deterministic). */
+    * window sort). The vector rides along via `first` (constant per id). Ties
+    * broken by greatest centroid_id (pinned, deterministic). */
   private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
     base.join(broadcast(centroids))
-      .select(col("id"), col("centroid_id"),
+      .select(col("id"), col("v"), col("centroid_id"),
         VectorFunctions.dot(col("v"), col("cvec")).as("score"))
       .groupBy(col("id"))
-      .agg(max(struct(col("score"), col("centroid_id"))).as("m"))
-      .select(col("id"), col("m.centroid_id").as("centroid_id"))
+      .agg(max(struct(col("score"), col("centroid_id"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("m.centroid_id").as("centroid_id"), col("v"))
 
-  /** Probe-limited search. */
+  /** Probe-limited search: probes (queries × nProbe — tiny) are broadcast over
+    * the inverted file, so the only corpus-sized work is one scan of the probed
+    * cells' rows. */
   def search(index: Index, corpus: DataFrame, queries: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       nProbe: Int, k: Int): DataFrame = {
     val probes = VectorSearch.knnJoin(
       queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)
       .select(col("query_id"), col("neighbor_id").as("centroid_id"))
-    val cands = corpus.select(col(cId).cast("string").as("__cid2"), col(cVec).as("__cvec2"))
-      .join(index.assignments.withColumnRenamed("id", "__cid2"), Seq("__cid2"))
-      .join(probes, Seq("centroid_id"))
-      .select(col("query_id").as("__pq"), col("__cid2"), col("__cvec2"))
+    val cands = index.assignments
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id").as("__pq"), col("id").as("__cid2"), col("v").as("__cvec2"))
     val q = queries.select(col(qId).cast("string").as("__pq"), col(qVec).as("__qv"))
     val topk = VectorSearch.topKUdaf(k)
     cands.join(broadcast(q), Seq("__pq"))

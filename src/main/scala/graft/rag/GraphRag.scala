@@ -165,16 +165,18 @@ final class GraphRag(
     val sub = SubgraphExpansion.expand(
       entitySeeds, relationSeeds, t.entityRelation, config.expansionDegree)
 
-    // Stage 6: eviction (V1) against the question embedding.
+    // Stage 6: eviction (V1) against the question embedding. The subgraph id
+    // set is bounded and local — broadcast it over the relations scan.
     val qvec = qvecDf.select("qvec").as[Seq[Double]].head()
     val candidates = relationsT
-      .join(sub.relationIds.withColumnRenamed("relation_id", "id"), Seq("id"), "left_semi")
+      .join(broadcast(sub.relationIds.withColumnRenamed("relation_id", "id")),
+        Seq("id"), "left_semi")
       .select(col("id"), col("embedding"))
     val (kept, evicted) = Assembly.evictionTopK(candidates, qvec, config.relationNumberThreshold)
 
     // Stage 7: rerank (V2) or head-k (V3). Candidates carry text + question score.
-    val candRows = kept
-      .join(relationsT.select(col("id"), col("text"), col("embedding")), Seq("id"))
+    val candRows = relationsT.select(col("id"), col("text"), col("embedding"))
+      .join(broadcast(kept), Seq("id"))
       .select(col("id"), col("text"), col("rank"),
         VectorFunctions.dot(col("embedding"), typedLit(qvec)).as("score"))
       .orderBy(col("rank"))

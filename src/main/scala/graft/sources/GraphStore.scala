@@ -27,6 +27,25 @@ final class GraphStore(spark: SparkSession, base: String) {
 
   private def path(graph: String, table: String) = s"$base/$graph/$table.parquet"
 
+  /** Primary access key per table: node tables are point-looked-up by id
+    * (R7, neighbors, passage-text fetch); edge tables are hop-scanned by their
+    * left key (P2/P3 semi-joins, cascade scrubs). */
+  private val clusterKey = Map(
+    "entities" -> "id", "relations" -> "id", "passages" -> "id",
+    "entity_relation" -> "entity_id", "entity_passage" -> "entity_id",
+    "relation_passage" -> "relation_id")
+
+  /** Cluster a table by its access key before writing: parquet row-group
+    * min/max stats then prune `id = x` / `id IN (...)` reads to a few row
+    * groups instead of the full table, and sorted runs compress better. AQE
+    * coalesces the clustering shuffle on small data; at 100 TB this is the
+    * write-once layout the read path wants. */
+  private def clustered(tableName: String, df: DataFrame): DataFrame =
+    clusterKey.get(tableName)
+      .filter(df.columns.contains(_))
+      .map(k => df.repartition(col(k)).sortWithinPartitions(k))
+      .getOrElse(df)
+
   // ----------------------------------------------------------------- S6 / S9
   def save(graph: String, t: GraphTables): Unit = {
     Seq(
@@ -34,7 +53,7 @@ final class GraphStore(spark: SparkSession, base: String) {
       "entity_relation" -> t.entityRelation, "entity_passage" -> t.entityPassage,
       "relation_passage" -> t.relationPassage
     ).foreach { case (n, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(path(graph, n))
+      clustered(n, df).write.mode(SaveMode.Overwrite).parquet(path(graph, n))
       // Drop any cached/cached-metadata copies of the replaced table: long-lived
       // sessions (REST server) would otherwise serve stale rows after re-index.
       spark.catalog.refreshByPath(path(graph, n))
@@ -179,7 +198,8 @@ final class GraphStore(spark: SparkSession, base: String) {
     val tmp = path(graph, s"__tmp_$tableName")
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = path(graph, tableName)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dst)
+    clustered(tableName, spark.read.parquet(tmp))
+      .write.mode(SaveMode.Overwrite).parquet(dst)
     dropPath(tmp)
     // Invalidate caches over the replaced files (see save()).
     spark.catalog.refreshByPath(dst)
