@@ -136,6 +136,37 @@ object SparkEntry {
           round(col("col"), 6).as("component"))
     }),
 
+    // E6 int8 quantization: per-vector scale + codes, exploded to scalar rows.
+    // The scale is projected BEFORE quantize so the aggregate isn't re-evaluated
+    // per element (lambda inlining).
+    "e6_quantize" -> ((s, dir) => {
+      import graft.functions.Quantize
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Quantize.scaleOf(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          Quantize.quantize(col("embedding"), col("scale")).as("q"))
+        .select(col("vec_id"), col("scale"), posexplode(col("q")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("qv"), col("scale"))
+    }),
+    // A3 KNN over dequantized int8 vectors — quantized storage, exact scoring
+    // of the approximate codes; deterministic, so fully oracle-checkable.
+    "a3_quantized_knn" -> ((s, dir) => {
+      import graft.functions.Quantize
+      val pre = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Quantize.scaleOf(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          Quantize.quantize(col("embedding"), col("scale")).as("q"))
+        .select(col("vec_id"), Quantize.dequantize(col("q"), col("scale")).as("dq"))
+      VectorSearch.knnJoin(
+        pre.filter(col("vec_id") < 8), pre.filter(col("vec_id") >= 8),
+        "vec_id", "dq", "vec_id", "dq", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score_r"))
+    }),
+
     // ------------------------------------------------------------ §2.6 retrieval
     // R1 KNN top-k (retriever.py:101-132): queries = vec_id<8, corpus = rest.
     "r1_knn_topk" -> ((s, dir) => {
@@ -191,6 +222,8 @@ object SparkEntry {
         .select(col("l_partkey").cast("string").as("entity_id"),
           col("l_orderkey").cast("string").as("relation_id"))
         .distinct()
+        // NOT checkpointed: re-running scan+distinct per hop job measured
+        // cheaper at sf0.1 than materializing the 600k-row pair table once.
       val seeds = er.filter(col("entity_id").cast("long") % 211 === 0)
         .select("entity_id").distinct()
       val emptyRel = seeds.sparkSession.createDataFrame(
@@ -640,6 +673,29 @@ object SparkEntry {
           |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
           |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
           |      FROM embeddings) v""".stripMargin.replace("\n", " "),
+      "e6_quantize" ->
+        """SELECT vec_id, CAST(generate_subscripts(q, 1) AS INTEGER) AS pos,
+          |unnest(q) AS qv, scale
+          |FROM (SELECT vec_id, scale,
+          |  CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS INTEGER))
+          |       ELSE list_transform(e, x -> CAST(greatest(-127, least(127, floor(x/scale + 0.5))) AS INTEGER)) END AS q
+          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+          |        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+          |        FROM embeddings) s) t""".stripMargin.replace("\n", " "),
+      "a3_quantized_knn" ->
+        """WITH pre AS (
+          |  SELECT vec_id,
+          |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+          |         ELSE list_transform(e, x -> CAST(greatest(-127, least(127, floor(x/scale + 0.5))) AS DOUBLE) * scale) END AS dq
+          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+          |        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+          |        FROM embeddings) s)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score_r FROM (
+          |  SELECT CAST(q.vec_id AS VARCHAR) AS query_id, CAST(c.vec_id AS VARCHAR) AS neighbor_id,
+          |         list_dot_product(q.dq, c.dq) AS score,
+          |         row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.dq, c.dq) DESC, CAST(c.vec_id AS VARCHAR) ASC) AS rank
+          |  FROM pre q, pre c WHERE q.vec_id < 8 AND c.vec_id >= 8) r
+          |WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "r1_knn_topk" ->
         s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score_r FROM (
            |  SELECT query_id, neighbor_id, score,

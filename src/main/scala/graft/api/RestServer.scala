@@ -17,7 +17,9 @@ import java.nio.charset.StandardCharsets
   * for JSON. Zero additional dependencies.
   *
   * Routes:
+  *   GET    /health
   *   GET    /graphs                      → ["name", ...]
+  *   GET    /graphs/{g}/documents/{id}   → passage row with adjacency
   *   GET    /graphs/{g}/stats            → {entities, relations, passages}
   *   POST   /graphs/{g}/documents        ← [{id, text, triplets: [[s,p,o],...]}, ...]
   *   POST   /graphs/{g}/import           ← {path, chunk_size?, overlap?} (app.py:423-474)
@@ -116,6 +118,23 @@ final class RestServer(spark: SparkSession, storeBase: String,
     try {
       val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
       (ex.getRequestMethod, path.toSeq) match {
+        case ("GET", Seq("health")) =>
+          val n = mapper.createObjectNode()
+          n.put("status", "ok")
+          respond(ex, 200, n)
+        case ("GET", Seq("graphs", g, "documents", id)) =>
+          val rows = store.table(g, "passages")
+            .filter(org.apache.spark.sql.functions.col("id") === id)
+            .select("id", "text", "entity_ids", "relation_ids").collect()
+          if (rows.isEmpty) error(ex, 404, s"document $id not found")
+          else {
+            val r = rows.head
+            val n = mapper.createObjectNode()
+            n.put("id", r.getString(0)); n.put("text", r.getString(1))
+            val es = n.putArray("entity_ids"); r.getSeq[String](2).foreach(es.add)
+            val rs = n.putArray("relation_ids"); r.getSeq[String](3).foreach(rs.add)
+            respond(ex, 200, n)
+          }
         case ("GET", Seq("graphs")) =>
           val arr = mapper.createArrayNode()
           store.listGraphs().foreach(arr.add)

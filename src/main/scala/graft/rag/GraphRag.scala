@@ -86,11 +86,21 @@ final class GraphRag(
     * entities/relations, set-merges adjacency (`array_distinct(array_union(...))`)
     * into existing rows, and appends the passage + edges. The reference's CRUD
     * path, kept separate from the full-replace indexing path (SURVEY §7.5). */
-  def createPassage(doc: Doc): Unit = {
-    val docsDf = spark.createDataset(Seq(doc)).toDF()
-      .select(col("id"), col("text"), col("triplets"))
-    val delta = GraphBuilder.build(docsDf, embedder)
+  def createPassage(doc: Doc): Unit =
+    graftDelta(GraphBuilder.build(
+      spark.createDataset(Seq(doc)).toDF().select(col("id"), col("text"), col("triplets")),
+      embedder))
 
+  /** Batch-level incremental graft: the same set-merge semantics as
+    * [[createPassage]] for a whole DataFrame of documents (id, text, triplets)
+    * at once — one delta build + one merge per table per batch, which is the
+    * shape a streaming micro-batch sink needs
+    * ([[graft.streaming.StreamingOps.foreachBatchGraft]]). */
+  def graftDocumentsDf(docsDf: DataFrame): Unit =
+    graftDelta(GraphBuilder.build(
+      docsDf.select(col("id"), col("text"), col("triplets")), embedder))
+
+  private def graftDelta(delta: GraphTables): Unit = {
     def mergeAdjacency(tableName: String, delta: DataFrame, arrayCols: Seq[String]): Unit = {
       val old = store.table(graph, tableName)
       val merged = old.as("o")

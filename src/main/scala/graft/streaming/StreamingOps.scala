@@ -55,6 +55,21 @@ object StreamingOps {
       }
   }
 
+  /** Streaming graph ingestion: every micro-batch of documents (id, text,
+    * triplets) is handed to `graft` — typically
+    * `GraphRag.graftDocumentsDf`, i.e. one delta graph build + set-merge into
+    * the stored graph per batch. The reference's incremental CRUD surface
+    * (graph/graph.py:479-554) as a continuous pipeline: files land, the graph
+    * grows, no full re-index. */
+  def foreachBatchGraft(docs: DataFrame, graft: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft(batch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming upsert sink: every micro-batch merges into a parquet table by id
     * (the reference's incremental CRUD path, graph/graph.py:479-554, as a stream). */
   def foreachBatchUpsert(stream: DataFrame, targetPath: String, idCol: String = "id")

@@ -21,6 +21,47 @@ class EmbedderSpec extends SparkSpec {
     assert(scalar("c").forall(_ == 0.0))
   }
 
+  test("int8 quantization round-trips within scale/2 per component") {
+    import graft.functions.Quantize
+    val emb = spark.read.parquet(sf("embeddings")).limit(200)
+    val rows = emb
+      .select(col("vec_id"), col("embedding"), Quantize.scaleOf(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("scale"),
+        Quantize.dequantize(
+          Quantize.quantize(col("embedding"), col("scale")), col("scale")).as("dq"))
+      .as[(Long, Seq[Double], Double, Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, scale, dq) =>
+      assert(v.length == dq.length)
+      v.zip(dq).foreach { case (x, xq) =>
+        assert(math.abs(x - xq) <= scale / 2 + 1e-12, s"vec $id: $x vs $xq (scale $scale)")
+      }
+      // codes stay in int8 range
+      if (scale > 0) dq.foreach(xq => assert(math.abs(xq / scale) <= 127.0 + 1e-9))
+    }
+  }
+
+  test("quantized KNN ranks overlap heavily with exact KNN") {
+    import graft.functions.Quantize
+    import graft.operators.VectorSearch
+    val emb = spark.read.parquet(sf("embeddings"))
+    val pre = emb
+      .select(col("vec_id"), col("embedding"), Quantize.scaleOf(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        Quantize.quantize(col("embedding"), col("scale")).as("q"))
+      .select(col("vec_id"), Quantize.dequantize(col("q"), col("scale")).as("dq"))
+    val approx = VectorSearch.knnJoin(
+      pre.filter(col("vec_id") < 8), pre.filter(col("vec_id") >= 8),
+      "vec_id", "dq", "vec_id", "dq", 10)
+      .select("query_id", "neighbor_id").as[(String, String)].collect().toSet
+    val exact = VectorSearch.knnJoin(
+      emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+      "vec_id", "embedding", "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(String, String)].collect().toSet
+    val overlap = (approx intersect exact).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized/exact top-10 overlap $overlap")
+  }
+
   test("embeddings are unit-norm and deterministic across calls") {
     val docs = Seq(("x", "alpha beta gamma")).toDF("id", "text")
     val e = HashEmbedder(dim = 32)

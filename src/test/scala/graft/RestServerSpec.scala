@@ -85,6 +85,12 @@ class RestServerSpec extends SparkSpec {
     assert(nb.body().contains("marie curie discovered"), nb.body())
     assert(get("/graphs/rest2/neighbors/doesnotexist").statusCode() == 404)
 
+    assert(get("/health").body().contains("ok"))
+    val doc = get("/graphs/rest2/documents/curie.txt%230")
+    assert(doc.statusCode() == 200, doc.body())
+    assert(doc.body().contains("\"entity_ids\""), doc.body())
+    assert(get("/graphs/rest2/documents/nope").statusCode() == 404)
+
     // document update ('#' in chunk ids is %23 on the wire)
     val upd = put("/graphs/rest2/documents/curie.txt%230",
       """{"text": "radioactivity pioneer"}""")

@@ -51,6 +51,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((7L, 1000L, 2000L, 2L, 3.0)))
   }
 
+  test("streaming graph ingestion grafts micro-batches into the stored graph") {
+    import graft.model.{Doc, Triplet}
+    import graft.rag.GraphRag
+    import graft.sources.GraphStore
+
+    val store = new GraphStore(spark, Files.createTempDirectory("streamgraft").toString)
+    val rag = new GraphRag(spark, store, "sg")
+    // seed graph from wave 0 so the stream merges into existing rows
+    rag.addDocumentsWithTriplets(Seq(
+      Doc("p0", "Einstein developed relativity.",
+        Seq(Triplet("Einstein", "developed", "relativity")))))
+
+    val in = Files.createTempDirectory("streamgraft_in").toString + "/docs"
+    val wave = Seq(
+      Doc("p1", "Einstein won the Nobel prize.",
+        Seq(Triplet("Einstein", "won", "Nobel prize"))),
+      Doc("p2", "Curie discovered radium.",
+        Seq(Triplet("Curie", "discovered", "radium"))))
+    spark.createDataset(wave).toDF().select("id", "text", "triplets").write.parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val q = StreamingOps.foreachBatchGraft(
+      spark.readStream.schema(schema).parquet(in), rag.graftDocumentsDf)
+    q.awaitTermination(60000); q.stop()
+
+    val stats = store.stats("sg")
+    assert(stats("passages") == 3, stats)
+    assert(stats("relations") == 3)
+    // einstein, relativity, nobel prize, curie, radium
+    assert(stats("entities") == 5)
+    // adjacency set-merged across the batch boundary
+    val einstein = store.table("sg", "entities").filter(col("name") === "einstein")
+    assert(einstein.select("passage_ids").head().getSeq[String](0).toSet == Set("p0", "p1"))
+    // the streamed content is retrievable
+    val r = rag.retrieveNaive("curie discovered radium")
+    assert(r.nonEmpty && r.head.id == "p2", r)
+  }
+
   test("foreachBatch upsert sink merges micro-batches by id") {
     val in1 = Files.createTempDirectory("stream_upsert_in1").toString + "/data"
     val in2 = Files.createTempDirectory("stream_upsert_in2").toString + "/data"
