@@ -326,6 +326,16 @@ object SparkEntry {
         shingleSize = 3, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
     }),
+    // D7 C4-style corpus-level line dedup: a shared boilerplate footer is
+    // appended to every document so the drop path is deterministically
+    // exercised; original lines survive and reassemble in order.
+    "d7_line_dedup" -> ((s, dir) => {
+      Dedup.dedupLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\nshared boilerplate footer all rights reserved"))
+            .as("text2")),
+        "doc_id", "text2", maxOccurrences = 1)
+    }),
     // D5 embedding near-duplicates: cosine ≥ 0.35 (exact pair scan).
     "d5_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -797,6 +807,18 @@ object SparkEntry {
            |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
            |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
            |WHERE j >= 0.5""".stripMargin.replace("\n", " "),
+      "d7_line_dedup" ->
+        s"""WITH lines AS (
+           |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
+           |  FROM (SELECT doc_id, string_split(text || chr(10) || 'shared boilerplate footer all rights reserved', chr(10)) AS ls
+           |        FROM documents) s),
+           |keyed AS (SELECT doc_id, pos, line,
+           |  ${normE("line")} AS key FROM lines),
+           |hot AS (SELECT key FROM keyed WHERE key <> '' GROUP BY key HAVING count(*) > 1),
+           |kept AS (SELECT * FROM keyed WHERE key NOT IN (SELECT key FROM hot))
+           |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           |  count(*) AS n_lines_kept
+           |FROM kept GROUP BY doc_id""".stripMargin.replace("\n", " "),
       "d5_embedding_neardup" ->
         """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
           |SELECT a.id AS id_a, b.id AS id_b,

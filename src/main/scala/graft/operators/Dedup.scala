@@ -158,4 +158,37 @@ object Dedup {
         VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** C4-style corpus-level line deduplication: any line whose NORMALIZED form
+    * occurs more than `maxOccurrences` times across the whole corpus
+    * (boilerplate: headers, footers, nav chrome) is dropped from every
+    * document; documents are reassembled in original line order. Blank lines
+    * are never counted as boilerplate.
+    *
+    * Shape at scale: one count aggregate on the line key (map-side combine),
+    * an anti-join against the — small by construction — hot-line table, and
+    * one reassembly aggregate on the document id. No document ever holds more
+    * than its own lines in memory. Documents whose every line is boilerplate
+    * disappear from the output (they carry no content).
+    *
+    * Output: (<idCol>, clean_text, n_lines_kept). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Int = 1): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")))
+      .select(col("id"), col("pos"), col("col").as("line"),
+        Norm.normPhrase(col("col")).as("key"))
+    val hot = lines.filter(col("key") =!= "")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+      .select("key")
+    lines.join(hot, Seq("key"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            _.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -65,6 +65,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("corpus-level line dedup drops boilerplate, keeps order, ignores blanks") {
+    val docs = Seq(
+      ("d1", "Unique title one\nCopyright Footer\n\nBody text alpha"),
+      ("d2", "Unique title two\nCopyright Footer\nBody text beta"),
+      ("d3", "Copyright Footer")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 1)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the footer (3 occurrences) is gone everywhere; blank line survives
+    assert(out("d1") == (("Unique title one\n\nBody text alpha", 3L)))
+    assert(out("d2") == (("Unique title two\nBody text beta", 2L)))
+    // a document that was pure boilerplate disappears
+    assert(!out.contains("d3"))
+    // raising the threshold keeps everything
+    val lax = Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lax("d3") == "Copyright Footer")
+  }
+
   test("hammingDistance column helper") {
     val got = Seq((5L, 3L)).toDF("a", "b")
       .select(Dedup.hammingDistance(col("a"), col("b"))).as[Int].head()
