@@ -518,6 +518,27 @@ object SparkEntry {
         .select(col("asset_id"), col("modality"), col("n_bytes"))
     }),
 
+    // ----------------------------------------- flagship: corpus curation DAG
+    // The training-data pipeline end to end as ONE declarative DAG: exact-dedup
+    // survivors → quality + language filter → deterministic split assignment →
+    // per-split document/token budget. Every stage is an already-oracle-checked
+    // operator; this row checks their composition.
+    "pipe1_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val survivors = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val scored = docs.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.tokenCountT(col("toks")).as("n_tokens"),
+          TA.qualityScoreT(col("text"), col("toks")).as("q"),
+          TA.langIdT(col("toks")).as("lang"))
+        .filter(col("q") >= 0.2 && col("lang") === "en")
+      DatasetSplit.assignSplit(scored, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // ------------------------------------------------- flagship: full RAG DAG
     // The whole engine in one DataFrame program over the documents table:
     // G1-G7 graph build (triplets = consecutive token triples), E1 embedding,
@@ -991,6 +1012,34 @@ object SparkEntry {
       "mm2_features" ->
         """SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS modality,
           |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin.replace("\n", " "),
+      "pipe1_corpus" ->
+        s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY $normDoc),
+           |base AS (SELECT doc_id, text, $toksDoc AS toks FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+           |feat AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+           |    len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))) AS s_en,
+           |    len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))) AS s_es,
+           |    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr,
+           |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de
+           |  FROM base),
+           |scored AS (
+           |  SELECT doc_id, n_tokens,
+           |    round(least(n_tokens / 50.0, 1.0) * (1.0 - least(punct_ratio * 4.0, 1.0)) * (0.5 + least(stopword_ratio * 5.0, 1.0) / 2), 6) AS q,
+           |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+           |         WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+           |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+           |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es' ELSE 'fr' END AS lang
+           |  FROM feat),
+           |kept AS (SELECT doc_id, n_tokens FROM scored WHERE q >= 0.2 AND lang = 'en'),
+           |assigned AS (SELECT n_tokens,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM kept) t)
+           |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+           |FROM assigned GROUP BY split""".stripMargin.replace("\n", " "),
       "q1_pricing" ->
         """SELECT l_returnflag, l_linestatus,
           |round(sum(l_quantity), 2) AS sum_qty,

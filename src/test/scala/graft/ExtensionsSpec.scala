@@ -20,6 +20,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(self.forall(v => math.abs(v - 1.0) < 1e-5)) // unit vectors
   }
 
+  test("cosine_sim is callable from SQL and matches the Column-level cosine") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c").as[Double].head()
+    assert(got == 0.0)
+    val same = spark.sql(
+      "SELECT cosine_sim(array(2.0D, 3.0D), array(4.0D, 6.0D)) AS c").as[Double].head()
+    assert(math.abs(same - 1.0) < 1e-12)
+    spark.read.parquet(sf("embeddings")).limit(5).createOrReplaceTempView("e2")
+    val sqlSide = spark.sql("SELECT cosine_sim(embedding, embedding) FROM e2")
+      .as[Double].collect()
+    assert(sqlSide.forall(v => math.abs(v - 1.0) < 1e-6))
+  }
+
   test("salted collect_set / count-distinct match the direct aggregates") {
     val df = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i % 97))
       .toDF("key", "v")
