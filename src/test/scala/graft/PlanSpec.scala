@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, IvfIndex, VectorSearch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the scale claims in the README (broadcast
+  * the small side, map-side bounded top-k, no unpartitioned windows, pushed
+  * parquet filters) asserted against the actual planned operators, so a
+  * refactor that silently reintroduces a scan-sized sort or a cartesian
+  * product fails CI, not a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private lazy val emb = spark.read.parquet(sf("embeddings"))
+
+  test("KNN plan: broadcast queries + partial top-k aggregate, no window, no cartesian") {
+    val plan = planOf(VectorSearch.knnJoin(
+      emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+      "vec_id", "embedding", "vec_id", "embedding", 5))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("ObjectHashAggregate"), "map-side partial top-k missing\n" + plan)
+    assert(!plan.contains("Window"), "unexpected window in KNN plan\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("IVF search plan: broadcast probes, no sort-merge join of the corpus") {
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    val plan = planOf(IvfIndex.search(index, emb,
+      emb.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+      "vec_id", "embedding", "vec_id", "embedding", nProbe = 3, k = 5))
+    assert(!plan.contains("SortMergeJoin"), "corpus-sized SMJ in IVF search\n" + plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("selective parquet scan pushes its filters to the reader") {
+    val plan = planOf(spark.read.parquet(sf("lineitem"))
+      .filter(col("l_quantity") < 24 && col("l_discount") >= 0.02)
+      .select("l_quantity", "l_discount"))
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    // column pruning: only the two projected columns reach the scan
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_discount:double>"), plan)
+  }
+
+  test("blocked near-dup joins on the sketch key — never a cartesian product") {
+    val plan = planOf(Dedup.embeddingNearDupPairs(
+      emb.limit(100), "vec_id", "embedding", minCosine = 0.35, blockBits = 4))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("no unpartitioned window anywhere in the assembly paths") {
+    import graft.operators.Assembly
+    val ranked = {
+      import spark.implicits._
+      Seq(("r1", 1), ("r2", 2)).toDF("relation_id", "rel_rank")
+    }
+    val relations = {
+      import spark.implicits._
+      Seq(("r1", Seq("pA", "pB")), ("r2", Seq("pC"))).toDF("id", "passage_ids")
+    }
+    val plan = planOf(Assembly.passagesForRelations(ranked, relations, topK = 3))
+    // the only window is the first-seen dedup, partitioned by passage_id
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("passage_id")),
+      "window without passage_id partitioning:\n" + windows.mkString("\n"))
+  }
+}
