@@ -22,7 +22,7 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTimeCol: String, rightTimeCol: String,
       valueCols: Seq[String]): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val l = left.select(
       col(keyCol).as("__k"), col(leftTimeCol).cast("long").as("__t"),
       lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))

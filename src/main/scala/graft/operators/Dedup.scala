@@ -65,8 +65,8 @@ object Dedup {
   /** Estimated Jaccard similarity of candidate pairs = fraction of agreeing
     * minhash components. */
   def minhashSimilarity(pairs: DataFrame, signatures: DataFrame, numHashes: Int): DataFrame = {
-    val a = signatures.toDF(signatures.columns.map(c => if (c == "id") "id_a" else s"a_$c"): _*)
-    val b = signatures.toDF(signatures.columns.map(c => if (c == "id") "id_b" else s"b_$c"): _*)
+    val a = signatures.toDF(signatures.columns.toIndexedSeq.map(c => if (c == "id") "id_a" else s"a_$c"): _*)
+    val b = signatures.toDF(signatures.columns.toIndexedSeq.map(c => if (c == "id") "id_b" else s"b_$c"): _*)
     val matches = (0 until numHashes)
       .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
       .reduce(_ + _)

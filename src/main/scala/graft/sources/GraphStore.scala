@@ -176,7 +176,7 @@ final class GraphStore(spark: SparkSession, base: String) {
     val upd = updates.drop("embedding")
     val updCols = upd.columns.toSet
     val merged = old.as("o").join(upd.as("n"), Seq("id"), "full_outer")
-      .select(old.columns.map {
+      .select(old.columns.toIndexedSeq.map {
         case "id" => col("id")
         case "embedding" =>
           when(col("n.text").isNull || col("o.text") === col("n.text"),
