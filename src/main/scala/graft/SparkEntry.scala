@@ -455,6 +455,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // X9 train/test contamination check: eval-split documents whose content
+    // fingerprint also appears in the train split. A shifted duplicate of every
+    // 7th document is injected so leakage deterministically exists.
+    "x9_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val fp = docs.unionByName(dups)
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.fingerprintT(col("toks")).as("fp"))
+      val sp = DatasetSplit.assignSplit(fp, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val trainFps = sp.filter(col("split") === "train").select("fp").distinct()
+      sp.filter(col("split") =!= "train")
+        .join(trainFps, Seq("fp"), "left_semi")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_contaminated"))
+    }),
+
     // --------------------------------------------------- events: windows/sessions
     // ST1 tumbling hourly aggregation (batch twin of StreamingOps.windowedCounts).
     "st1_window_agg" -> ((s, dir) => {
@@ -978,6 +997,18 @@ object SparkEntry {
           |FROM (SELECT n_chars, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
           |      FROM documents) t
           |GROUP BY 1""".stripMargin.replace("\n", " "),
+      "x9_contamination" ->
+        s"""WITH un AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+           |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksDoc)), ' ')) AS fp FROM un),
+           |sp AS (SELECT doc_id, fp,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, fp, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM fp) t),
+           |train AS (SELECT DISTINCT fp FROM sp WHERE split = 'train')
+           |SELECT split, count(*) AS n_contaminated
+           |FROM sp WHERE split <> 'train' AND fp IN (SELECT fp FROM train)
+           |GROUP BY split""".stripMargin.replace("\n", " "),
       "st1_window_agg" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |count(*) AS n, round(sum(value), 4) AS sum_value
