@@ -1,6 +1,8 @@
 package graft
 
-// Temporary stage-level profiler for the rag_pipeline bench query.
+// Stage-level profiler for the rag_pipeline bench query. MIRRORS the stage
+// wiring of SparkEntry's "rag_pipeline" — keep the two in sync when editing
+// either (the bench query is the source of truth).
 import graft.functions.HashEmbedder
 import graft.functions.Norm
 import graft.operators._
@@ -74,7 +76,8 @@ object ProfileRag {
       .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
     val relHits = VectorSearch.knnJoin(
       qvecDf,
-      gt.relations.join(sub.relationIds.withColumnRenamed("relation_id", "id"),
+      gt.relations.join(
+        broadcast(sub.relationIds.withColumnRenamed("relation_id", "id")),
         Seq("id"), "left_semi"),
       "qtext", "qvec", "id", "embedding", 5)
       .select(col("neighbor_id").as("relation_id"), col("rank").as("rel_rank"))

@@ -366,9 +366,9 @@ object SparkEntry {
     "a1_ivf_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
-      IvfIndex.search(index, emb,
+      IvfIndex.search(index,
         emb.filter(col("vec_id") >= 8 && col("vec_id") < 16),
-        "vec_id", "embedding", "vec_id", "embedding", nProbe = 3, k = 5)
+        "vec_id", "embedding", nProbe = 3, k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score_r"))
     }),

@@ -160,10 +160,14 @@ final class RestServer(spark: SparkSession, storeBase: String,
           stats.foreach { case (k, v) => n.put(k, v) }
           respond(ex, 200, n)
         case ("GET", Seq("graphs", g, "neighbors", id)) =>
-          val limit = Option(ex.getRequestURI.getQuery)
+          val limitParam = Option(ex.getRequestURI.getQuery)
             .flatMap(_.split("&").collectFirst {
-              case q if q.startsWith("limit=") => q.drop(6).toInt })
-            .getOrElse(50)
+              case q if q.startsWith("limit=") => q.drop(6) })
+          val parsed = limitParam.map(s => scala.util.Try(s.toInt).toOption)
+          if (parsed.exists(p => p.isEmpty || p.exists(_ <= 0))) {
+            error(ex, 400, s"limit must be a positive integer, got '${limitParam.get}'")
+          } else {
+          val limit = parsed.flatten.getOrElse(50)
           val r = rag(g).neighbors(id, limit)
           if (r.entity.isEmpty) error(ex, 404, s"entity $id not found")
           else {
@@ -177,11 +181,13 @@ final class RestServer(spark: SparkSession, storeBase: String,
             }
             respond(ex, 200, n)
           }
+          }
         case ("PUT", Seq("graphs", g, "documents", id)) =>
-          rag(g).updatePassage(id, readBody(ex).get("text").asText())
-          val n = mapper.createObjectNode()
-          n.put("updated", id)
-          respond(ex, 200, n)
+          if (rag(g).updatePassage(id, readBody(ex).get("text").asText())) {
+            val n = mapper.createObjectNode()
+            n.put("updated", id)
+            respond(ex, 200, n)
+          } else error(ex, 404, s"document $id not found")
         case ("DELETE", Seq("graphs", g, "documents", id)) =>
           rag(g).deletePassage(id)
           val n = mapper.createObjectNode()

@@ -50,8 +50,10 @@ object Evaluate {
 
     val store = new GraphStore(spark, storeDir)
     val graphName = "eval"
+    // Retrieval depth must cover the whole recall grid: recall_at_k for
+    // k > finalTopK would otherwise silently clamp to recall_at_finalTopK.
     val rag = new GraphRag(spark, store, graphName,
-      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 5),
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = Recall.kGrid.max),
       ner = CachedNerExtractor(nerCache))
 
     // Skip-reindex probe (evaluate.py:343-371): existence check on the store.

@@ -14,11 +14,15 @@ object Recall {
   val kGrid: Seq[Int] = Seq(1, 2, 5, 10, 15, 20)
 
   /** retrieved: (question_id, rank, item); gold: (question_id, item).
-    * → (question_id, recall_at_<k>...) one row per question (M1). */
+    * → (question_id, recall_at_<k>...) one row per question (M1).
+    *
+    * Driven from the GOLD side (left join): a question that retrieved nothing
+    * contributes recall 0 instead of vanishing from the macro average —
+    * evaluate.py averages over all questions. */
   def recallAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
     val goldSized = gold.groupBy("question_id")
       .agg(collect_set(col("item")).as("gold_set"), countDistinct(col("item")).as("gold_n"))
-    val joined = retrieved.join(goldSized, Seq("question_id"))
+    val joined = goldSized.join(retrieved, Seq("question_id"), "left")
       .withColumn("hit", array_contains(col("gold_set"), col("item")))
     val aggs = ks.map(k =>
       (sum(when(col("hit") && col("rank") <= k, 1).otherwise(0)) /

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.model.ExpansionStep
 import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, VertexId}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -36,6 +35,9 @@ object GraphXExpansion {
       entityRelation: DataFrame,
       degree: Int,
       historySampleCap: Int = 100): Subgraph = {
+    // Bounded-aggregate cap: the sample buffer is O(cap) per task, so an
+    // effectively-unbounded request is clamped to a driver-safe ceiling.
+    val sampleCap = math.min(historySampleCap, 1 << 24)
     val spark = entityRelation.sparkSession
     import spark.implicits._
 
@@ -106,7 +108,10 @@ object GraphXExpansion {
       .select("relation_id")
 
     // Per-degree audit from the layer histogram: exact counts + capped samples,
-    // all in ONE aggregation job (no full-result collect).
+    // all in ONE aggregation job (no full-result collect). The sample is a
+    // bounded min-k aggregate ([[TopKAggregator]] with a constant score ranks
+    // by id ascending): map-side partials keep every task's contribution ≤ cap,
+    // instead of funneling the whole reached set through a per-step window sort.
     val entSteps = layers.join(entIdMap, "vid")
       .filter($"layer" <= 2 * degree)
       .select($"entity_id".as("id"), lit("e").as("kind"),
@@ -116,15 +121,13 @@ object GraphXExpansion {
       .select($"relation_id".as("id"), lit("r").as("kind"),
         when($"layer" <= 1, 0)
           .otherwise(ceil(($"layer" - 1) / 2.0).cast("int")).as("step"))
-    val w = Window.partitionBy($"kind", $"step").orderBy($"id")
+    val minK = udaf(new TopKAggregator(sampleCap))
     val perStep = entSteps.unionByName(relSteps)
-      .withColumn("rn", row_number().over(w))
       .groupBy("kind", "step")
-      .agg(count(lit(1)).as("n"),
-        sort_array(collect_list(when($"rn" <= historySampleCap, $"id"))).as("sample"))
+      .agg(count(lit(1)).as("n"), minK($"id", lit(0.0)).as("sample"))
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
-        (r.getLong(2), r.getSeq[String](3)))
+        (r.getLong(2), r.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).toSeq))
       .toMap
 
     var entTotal = 0L

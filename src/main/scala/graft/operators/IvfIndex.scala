@@ -65,11 +65,13 @@ object IvfIndex {
         first(col("v")).as("v"))
       .select(col("id"), col("m.centroid_id").as("centroid_id"), col("v"))
 
-  /** Probe-limited search: probes (queries × nProbe — tiny) are broadcast over
-    * the inverted file, so the only corpus-sized work is one scan of the probed
-    * cells' rows. */
-  def search(index: Index, corpus: DataFrame, queries: DataFrame,
-      qId: String, qVec: String, cId: String, cVec: String,
+  /** Probe-limited search over the index's build-time snapshot: probes
+    * (queries × nProbe — tiny) are broadcast over the inverted file, so the
+    * only corpus-sized work is one scan of the probed cells' rows. The corpus
+    * is NOT a parameter — candidates come solely from `index.assignments`;
+    * rebuild the index to search refreshed or re-filtered data. */
+  def search(index: Index, queries: DataFrame,
+      qId: String, qVec: String,
       nProbe: Int, k: Int): DataFrame = {
     val probes = VectorSearch.knnJoin(
       queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)

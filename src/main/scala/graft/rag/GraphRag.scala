@@ -234,9 +234,16 @@ final class GraphRag(
   // -------------------------------------------------------------- CRUD surface
 
   /** Document update (api/app.py:765-820 → milvus.py:511-574): merge new text
-    * into the passage row, re-embedding iff the text actually changed. */
-  def updatePassage(id: String, text: String): Unit =
-    store.upsertReembed(graph, "passages", Seq((id, text)).toDF("id", "text"), embedder)
+    * into the passage row, re-embedding iff the text actually changed. Returns
+    * false (and changes nothing) when the document does not exist — the
+    * reference's update route only updates existing documents. */
+  def updatePassage(id: String, text: String): Boolean = {
+    val exists = !store.table(graph, "passages")
+      .filter(col("id") === id).limit(1).isEmpty
+    if (exists)
+      store.upsertReembed(graph, "passages", Seq((id, text)).toDF("id", "text"), embedder)
+    exists
+  }
 
   /** Document delete with cascade (api/app.py:822-874 → graph/graph.py:634-672). */
   def deletePassage(id: String): Unit = store.deletePassageCascade(graph, id)

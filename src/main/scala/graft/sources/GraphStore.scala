@@ -183,7 +183,13 @@ final class GraphStore(spark: SparkSession, base: String) {
             col("o.embedding"))
             .otherwise(embedder.embed(col("n.text"))).as("embedding")
         case c if updCols.contains(c) => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)
-        case c => col(s"o.$c").as(c)
+        case c => old.schema(c).dataType match {
+          // a genuinely-new row must not carry null adjacency arrays —
+          // downstream array ops and the REST document view expect [] not null
+          case at: org.apache.spark.sql.types.ArrayType =>
+            coalesce(col(s"o.$c"), array().cast(at)).as(c)
+          case _ => col(s"o.$c").as(c)
+        }
       }: _*)
     rewrite(graph, tableName, merged)
   }

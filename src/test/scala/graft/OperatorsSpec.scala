@@ -103,8 +103,8 @@ class OperatorsSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
     val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
     assert(index.assignments.count() == emb.count())
-    val approx = IvfIndex.search(index, emb, queries,
-      "vec_id", "embedding", "vec_id", "embedding", nProbe = 8, k = 5)
+    val approx = IvfIndex.search(index, queries,
+      "vec_id", "embedding", nProbe = 8, k = 5)
     val exact = VectorSearch.knnJoin(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", 5)
     // nProbe == nList probes everything => must equal exact KNN
@@ -118,8 +118,8 @@ class OperatorsSpec extends SparkSpec {
     val refined = IvfIndex.build(emb, "vec_id", "embedding", nList = 8, iters = 1)
     assert(refined.assignments.count() == emb.count())
     assert(refined.centroids.count() == 8)
-    val got = IvfIndex.search(refined, emb, emb.filter(col("vec_id") < 4),
-      "vec_id", "embedding", "vec_id", "embedding", nProbe = 2, k = 3)
+    val got = IvfIndex.search(refined, emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", nProbe = 2, k = 3)
     assert(got.count() == 12)
     assert(got.groupBy("query_id").count().select("count").collect().forall(_.getLong(0) == 3))
   }

@@ -27,9 +27,9 @@ class PlanSpec extends SparkSpec {
 
   test("IVF search plan: broadcast probes, no sort-merge join of the corpus") {
     val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
-    val plan = planOf(IvfIndex.search(index, emb,
+    val plan = planOf(IvfIndex.search(index,
       emb.filter(col("vec_id") >= 8 && col("vec_id") < 16),
-      "vec_id", "embedding", "vec_id", "embedding", nProbe = 3, k = 5))
+      "vec_id", "embedding", nProbe = 3, k = 5))
     assert(!plan.contains("SortMergeJoin"), "corpus-sized SMJ in IVF search\n" + plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }

@@ -91,10 +91,17 @@ class RestServerSpec extends SparkSpec {
     assert(doc.body().contains("\"entity_ids\""), doc.body())
     assert(get("/graphs/rest2/documents/nope").statusCode() == 404)
 
+    // malformed limit is a 400, not a 500
+    assert(get(s"/graphs/rest2/neighbors/$marieId?limit=abc").statusCode() == 400)
+    assert(get(s"/graphs/rest2/neighbors/$marieId?limit=-1").statusCode() == 400)
+
     // document update ('#' in chunk ids is %23 on the wire)
     val upd = put("/graphs/rest2/documents/curie.txt%230",
       """{"text": "radioactivity pioneer"}""")
     assert(upd.statusCode() == 200, upd.body())
+    assert(get("/graphs/rest2/stats").body().contains("\"passages\":2"))
+    // updating an unknown document is a 404 and inserts nothing
+    assert(put("/graphs/rest2/documents/ghost", """{"text": "x"}""").statusCode() == 404)
     assert(get("/graphs/rest2/stats").body().contains("\"passages\":2"))
 
     // relation cascade via REST: grab a relation id from the neighbors payload
