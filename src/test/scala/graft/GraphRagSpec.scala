@@ -87,6 +87,24 @@ class GraphRagSpec extends SparkSpec {
     assert(entRef == 0)
   }
 
+  test("retrieval on an empty graph returns an empty result, no crash") {
+    val estore = new GraphStore(spark, Files.createTempDirectory("emptyg").toString)
+    val erag = new GraphRag(spark, estore, "empty")
+    erag.addDocumentsWithTriplets(Seq.empty)
+    val r = erag.retrieve("anything at all")
+    assert(r.passages.isEmpty && r.relations.isEmpty)
+    assert(!r.evictionApplied)
+    assert(erag.retrieveNaive("still nothing").isEmpty)
+  }
+
+  test("a question matching nothing still returns a well-formed (backfilled) result") {
+    val r = rag.retrieve("zzz qqq xxyzzy unmatched gibberish")
+    // entity threshold filters all seeds; naive backfill may still fill topK
+    assert(r.relations.isEmpty || r.relations.size <= 5)
+    assert(r.passages.size <= 3)
+    assert(!r.evictionApplied)
+  }
+
   test("upsert replaces rows, preserves others (S7)") {
     rag.addDocumentsWithTriplets(docs)
     import org.apache.spark.sql.functions._
