@@ -51,9 +51,15 @@ object ProfileRag {
     val gt0 = t("GraphBuilder.build (triplet cp)") {
       GraphBuilder.build(docsCp, HashEmbedder(dim = 32))
     }
-    val ents = t("cp entities") { gt0.entities.localCheckpoint(true) }
-    val rels = t("cp relations") { gt0.relations.localCheckpoint(true) }
-    val er = t("cp entityRelation") { gt0.entityRelation.localCheckpoint(true) }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val Seq(ents, rels, er) = t("cp 3 tables (parallel)") {
+      Await.result(Future.sequence(Seq(
+        Future(gt0.entities.localCheckpoint(true)),
+        Future(gt0.relations.localCheckpoint(true)),
+        Future(gt0.entityRelation.localCheckpoint(true)))), Duration.Inf)
+    }
     val gt = gt0.copy(entities = ents, relations = rels, entityRelation = er)
 
     val question = "the spark join order for big table scan"

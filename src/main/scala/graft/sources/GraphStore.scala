@@ -47,17 +47,25 @@ final class GraphStore(spark: SparkSession, base: String) {
       .getOrElse(df)
 
   // ----------------------------------------------------------------- S6 / S9
+  /** Full-replace write of all six tables. The writes are submitted
+    * CONCURRENTLY — they share the build's checkpointed upstream, so parallel
+    * submission overlaps their shuffle/write waits instead of paying six
+    * sequential job latencies. */
   def save(graph: String, t: GraphTables): Unit = {
-    Seq(
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
       "entities" -> t.entities, "relations" -> t.relations, "passages" -> t.passages,
       "entity_relation" -> t.entityRelation, "entity_passage" -> t.entityPassage,
       "relation_passage" -> t.relationPassage
-    ).foreach { case (n, df) =>
+    ).map { case (n, df) => Future {
       clustered(n, df).write.mode(SaveMode.Overwrite).parquet(path(graph, n))
-      // Drop any cached/cached-metadata copies of the replaced table: long-lived
-      // sessions (REST server) would otherwise serve stale rows after re-index.
-      spark.catalog.refreshByPath(path(graph, n))
-    }
+    } }
+    Await.result(Future.sequence(writes), Duration.Inf)
+    // Drop any cached/cached-metadata copies of the replaced tables: long-lived
+    // sessions (REST server) would otherwise serve stale rows after re-index.
+    tableNames.foreach(n => spark.catalog.refreshByPath(path(graph, n)))
   }
 
   def load(graph: String): GraphTables = GraphTables(
