@@ -65,6 +65,22 @@ object IvfIndex {
         first(col("v")).as("v"))
       .select(col("id"), col("m.centroid_id").as("centroid_id"), col("v"))
 
+  /** Persist the index: centroids + the vector-carrying inverted file, the
+    * latter clustered by cell so a probe-limited search reads only the probed
+    * cells' row groups. A 100 TB index is built once and reused across
+    * sessions, not rebuilt per query run. */
+  def save(index: Index, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.assignments
+      .repartition(col("centroid_id")).sortWithinPartitions("centroid_id")
+      .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
+    Index(
+      centroids = spark.read.parquet(s"$dir/centroids.parquet"),
+      assignments = spark.read.parquet(s"$dir/assignments.parquet"))
+
   /** Probe-limited search over the index's build-time snapshot: probes
     * (queries × nProbe — tiny) are broadcast over the inverted file, so the
     * only corpus-sized work is one scan of the probed cells' rows. The corpus

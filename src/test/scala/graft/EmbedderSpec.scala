@@ -41,6 +41,29 @@ class EmbedderSpec extends SparkSpec {
     }
   }
 
+  test("quantization properties hold on random vectors (codes bounded, error <= scale/2)") {
+    import graft.functions.Quantize
+    import org.scalacheck.Gen
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    val vecs = (0 until 40).flatMap(i => genVec.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong))).map(_.toSeq) :+ Seq.fill(16)(0.0)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rows = df
+      .select(col("id"), col("v"), Quantize.scaleOf(col("v")).as("scale"))
+      .select(col("id"), col("v"), col("scale"),
+        Quantize.quantize(col("v"), col("scale")).as("q"))
+      .as[(Long, Seq[Double], Double, Seq[Int])].collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { case (id, v, scale, q) =>
+      assert(scale >= 0.0)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      if (scale == 0.0) assert(q.forall(_ == 0))
+      else v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-9, s"vec $id: $x vs ${c * scale}")
+      }
+    }
+  }
+
   test("quantized KNN ranks overlap heavily with exact KNN") {
     import graft.functions.Quantize
     import graft.operators.VectorSearch

@@ -113,6 +113,20 @@ class OperatorsSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("IVF index round-trips through parquet: loaded search equals direct search") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    IvfIndex.save(index, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val direct = IvfIndex.search(index, queries, "vec_id", "embedding", nProbe = 3, k = 5)
+      .collect().map(_.toSeq).toSet
+    val fromDisk = IvfIndex.search(loaded, queries, "vec_id", "embedding", nProbe = 3, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(fromDisk == direct && direct.nonEmpty)
+  }
+
   test("IVF Lloyd refinement (iters=1) keeps complete assignments and valid search") {
     val emb = spark.read.parquet(sf("embeddings"))
     val refined = IvfIndex.build(emb, "vec_id", "embedding", nList = 8, iters = 1)
