@@ -222,8 +222,12 @@ object SparkEntry {
         .select(col("l_partkey").cast("string").as("entity_id"),
           col("l_orderkey").cast("string").as("relation_id"))
         .distinct()
-        // NOT checkpointed: re-running scan+distinct per hop job measured
-        // cheaper at sf0.1 than materializing the 600k-row pair table once.
+        // Materialized ONCE: expand() fires one action per hop side (~6 for
+        // degree 2), each of which would otherwise re-run this scan+distinct
+        // shuffle from scratch. expand()'s contract is an edge table that is
+        // cheap to rescan (parquet) or materialized — at 100× this distinct is
+        // a TB-scale shuffle, so paying it once is strictly better.
+        .localCheckpoint(true)
       val seeds = er.filter(col("entity_id").cast("long") % 211 === 0)
         .select("entity_id").distinct()
       val emptyRel = seeds.sparkSession.createDataFrame(

@@ -189,15 +189,19 @@ final class RestServer(spark: SparkSession, storeBase: String,
             respond(ex, 200, n)
           } else error(ex, 404, s"document $id not found")
         case ("DELETE", Seq("graphs", g, "documents", id)) =>
-          rag(g).deletePassage(id)
-          val n = mapper.createObjectNode()
-          n.put("deleted", id)
-          respond(ex, 200, n)
+          // 404 on unknown ids (api/app.py:822-874 — delete_passage returns
+          // False); the existence probe also skips the cascade rewrites.
+          if (rag(g).deletePassage(id)) {
+            val n = mapper.createObjectNode()
+            n.put("deleted", id)
+            respond(ex, 200, n)
+          } else error(ex, 404, s"document $id not found")
         case ("DELETE", Seq("graphs", g, "relations", id)) =>
-          rag(g).deleteRelation(id)
-          val n = mapper.createObjectNode()
-          n.put("deleted", id)
-          respond(ex, 200, n)
+          if (rag(g).deleteRelation(id)) {
+            val n = mapper.createObjectNode()
+            n.put("deleted", id)
+            respond(ex, 200, n)
+          } else error(ex, 404, s"relation $id not found")
         case ("POST", Seq("graphs", g, "query")) =>
           val q = readBody(ex).get("question").asText()
           respond(ex, 200, resultJson(rag(g).query(q), withAnswer = true))

@@ -18,11 +18,18 @@ object Recall {
     *
     * Driven from the GOLD side (left join): a question that retrieved nothing
     * contributes recall 0 instead of vanishing from the macro average —
-    * evaluate.py averages over all questions. */
+    * evaluate.py averages over all questions.
+    *
+    * Retrieved items are deduplicated per question keeping their best (min)
+    * rank before the hit aggregation — the reference computes
+    * |set(retrieved[:k]) ∩ gold| / |gold| (evaluate.py:177-197), so a gold item
+    * retrieved at two ranks ≤ k must count once, never twice. */
   def recallAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
     val goldSized = gold.groupBy("question_id")
       .agg(collect_set(col("item")).as("gold_set"), countDistinct(col("item")).as("gold_n"))
-    val joined = goldSized.join(retrieved, Seq("question_id"), "left")
+    val dedupedRetrieved = retrieved.groupBy("question_id", "item")
+      .agg(min(col("rank")).as("rank"))
+    val joined = goldSized.join(dedupedRetrieved, Seq("question_id"), "left")
       .withColumn("hit", array_contains(col("gold_set"), col("item")))
     val aggs = ks.map(k =>
       (sum(when(col("hit") && col("rank") <= k, 1).otherwise(0)) /

@@ -35,9 +35,13 @@ object GraphXExpansion {
       entityRelation: DataFrame,
       degree: Int,
       historySampleCap: Int = 100): Subgraph = {
-    // Bounded-aggregate cap: the sample buffer is O(cap) per task, so an
-    // effectively-unbounded request is clamped to a driver-safe ceiling.
-    val sampleCap = math.min(historySampleCap, 1 << 24)
+    // Bounded-aggregate cap: TopKAggregator preallocates O(cap) buffer slots
+    // per aggregation task AND the per-step samples are collected to the
+    // driver, so the ceiling must be genuinely small — these are audit
+    // SAMPLES, not result sets (the full id sets stay distributed in the
+    // returned frames). 10k ids ≈ a few hundred KB per step, task- and
+    // driver-safe even with many steps.
+    val sampleCap = math.min(math.max(historySampleCap, 0), 10000)
     val spark = entityRelation.sparkSession
     import spark.implicits._
 

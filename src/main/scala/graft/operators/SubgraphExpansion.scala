@@ -32,11 +32,19 @@ final case class Subgraph(
   */
 object SubgraphExpansion {
 
+  /** Default ceiling on the driver-collected working set: the "bounded by
+    * top-k × degree" contract really means top-k × degree × fan-out, so a hub
+    * entity/relation can make a hop arbitrarily large. Rather than silently
+    * OOMing the driver, expansion fails fast past this many ids per collect
+    * and points at [[GraphXExpansion]], which keeps the sets distributed. */
+  val DefaultMaxWorkingSet: Int = 1 << 20
+
   def expand(
       seedEntityIds: DataFrame,  // column: entity_id
       seedRelationIds: DataFrame, // column: relation_id
       entityRelation: DataFrame,  // entity_id, relation_id, [role]
-      degree: Int): Subgraph = {
+      degree: Int,
+      maxWorkingSet: Int = DefaultMaxWorkingSet): Subgraph = {
 
     val spark = entityRelation.sparkSession
     val er = entityRelation.select("entity_id", "relation_id")
@@ -46,20 +54,33 @@ object SubgraphExpansion {
         spark.sparkContext.parallelize(ids.map(Row(_)), 1),
         StructType(Seq(StructField(name, StringType, nullable = false))))
 
+    // Every driver collect in the loop goes through this guard: fetch at most
+    // cap+1 rows (the limit bounds the transfer, not just the check) and fail
+    // fast on overflow instead of materializing an unbounded hop.
+    def collectBounded(ids: DataFrame, what: String): Seq[String] = {
+      val rows = ids.limit(maxWorkingSet + 1).collect()
+      if (rows.length > maxWorkingSet)
+        throw new IllegalStateException(
+          s"subgraph expansion: $what exceeded maxWorkingSet=$maxWorkingSet ids; " +
+            "the reached set is not driver-bounded — use GraphXExpansion.expand " +
+            "(distributed id sets) or raise maxWorkingSet")
+      rows.map(_.getString(0)).sorted.toSeq
+    }
+
     // P1: seed entities (job 1 — the seeds arrive as a distributed KNN result).
-    val seedEntityList = seedEntityIds.select("entity_id").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val seedEntityList = collectBounded(
+      seedEntityIds.select("entity_id").distinct(), "seed entities")
     var entityList = seedEntityList
     var entitySeen = entityList.toSet
     var entDf = local(entityList, "entity_id")
 
     // Init-merge (knowledge_graph.py:280-302): relations incident to seed
     // entities ∪ seed relations — one fused job.
-    val initRelationList = er.join(broadcast(entDf), Seq("entity_id"), "left_semi")
-      .select("relation_id")
-      .unionByName(seedRelationIds.select("relation_id"))
-      .distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val initRelationList = collectBounded(
+      er.join(broadcast(entDf), Seq("entity_id"), "left_semi")
+        .select("relation_id")
+        .unionByName(seedRelationIds.select("relation_id"))
+        .distinct(), "init relations")
     var relationList = initRelationList
     var relationSeen = relationList.toSet
     var relDf = local(relationList, "relation_id")
@@ -71,15 +92,17 @@ object SubgraphExpansion {
 
     // P2/P3/P4 degree loop (knowledge_graph.py:305-346) — two jobs per degree.
     for (d <- 1 to degree) {
-      val addedE = er.join(broadcast(frontierRels), Seq("relation_id"), "left_semi")
-        .select("entity_id").distinct()
-        .join(broadcast(entDf), Seq("entity_id"), "left_anti")
-        .collect().map(_.getString(0)).sorted.toSeq
+      val addedE = collectBounded(
+        er.join(broadcast(frontierRels), Seq("relation_id"), "left_semi")
+          .select("entity_id").distinct()
+          .join(broadcast(entDf), Seq("entity_id"), "left_anti"),
+        s"degree-$d entity hop")
       val newEntDf = local(addedE, "entity_id")
-      val addedR = er.join(broadcast(newEntDf), Seq("entity_id"), "left_semi")
-        .select("relation_id").distinct()
-        .join(broadcast(relDf), Seq("relation_id"), "left_anti")
-        .collect().map(_.getString(0)).sorted.toSeq
+      val addedR = collectBounded(
+        er.join(broadcast(newEntDf), Seq("entity_id"), "left_semi")
+          .select("relation_id").distinct()
+          .join(broadcast(relDf), Seq("relation_id"), "left_anti"),
+        s"degree-$d relation hop")
       entityList = entityList ++ addedE.filterNot(entitySeen)
       relationList = relationList ++ addedR.filterNot(relationSeen)
       entitySeen ++= addedE

@@ -245,11 +245,24 @@ final class GraphRag(
     exists
   }
 
-  /** Document delete with cascade (api/app.py:822-874 → graph/graph.py:634-672). */
-  def deletePassage(id: String): Unit = store.deletePassageCascade(graph, id)
+  /** Document delete with cascade (api/app.py:822-874 → graph/graph.py:634-672).
+    * Existence is probed FIRST: deleting an unknown id returns false and runs
+    * zero rewrites — the reference's delete_passage returns False, and the
+    * cascade is several table rewrites that a missing id must not pay for. */
+  def deletePassage(id: String): Boolean = {
+    val exists = !store.table(graph, "passages")
+      .filter(col("id") === id).limit(1).isEmpty
+    if (exists) store.deletePassageCascade(graph, id)
+    exists
+  }
 
-  /** Relation delete with cascade (graph/graph.py:430-475). */
-  def deleteRelation(id: String): Unit = store.deleteRelationCascade(graph, id)
+  /** Relation delete with cascade (graph/graph.py:430-475); false when absent. */
+  def deleteRelation(id: String): Boolean = {
+    val exists = !store.table(graph, "relations")
+      .filter(col("id") === id).limit(1).isEmpty
+    if (exists) store.deleteRelationCascade(graph, id)
+    exists
+  }
 
   /** R7 + one-hop neighborhood (api/app.py:697-761): the entity, its incident
     * relations (id-ordered, capped at `limit` — graph/graph.py:717), and the

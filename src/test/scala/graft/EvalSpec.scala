@@ -62,6 +62,20 @@ class EvalSpec extends SparkSpec {
     assert(avgRow.getAs[Double]("avg_recall_at_1") > 0.0)
   }
 
+  test("recall counts a gold item retrieved at two ranks <= k exactly once (M1)") {
+    // evaluate.py:177-197 computes |set(retrieved[:k]) ∩ gold| / |gold| — a
+    // duplicate hit must not push recall past 1.0.
+    val retrieved = Seq(
+      ("q1", 1, "a"), ("q1", 2, "a"), ("q1", 3, "b"), // "a" retrieved twice
+      ("q2", 1, "x")).toDF("question_id", "rank", "item")
+    val gold = Seq(("q1", "a"), ("q1", "b"), ("q2", "x"), ("q2", "y"))
+      .toDF("question_id", "item")
+    val perQ = Recall.recallAtK(retrieved, gold, Seq(2, 5)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(perQ("q1") == (0.5, 1.0)) // at k=2 only "a" (once); at k=5 both
+    assert(perQ("q2") == (0.5, 0.5))
+  }
+
   test("naive RAG recall is computable and graph RAG is at least as good at k=5") {
     val qRows = questions.select(col("_id"), col("question")).as[(String, String)].collect()
     val naive = qRows.flatMap { case (qid, q) =>

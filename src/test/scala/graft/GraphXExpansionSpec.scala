@@ -67,6 +67,24 @@ class GraphXExpansionSpec extends SparkSpec {
     }
   }
 
+  test("expansion fails fast when the working set exceeds maxWorkingSet") {
+    val er = spark.read.parquet(sf("lineitem"))
+      .select(col("l_partkey").cast("string").as("entity_id"),
+        col("l_orderkey").cast("string").as("relation_id"))
+      .distinct().localCheckpoint(true)
+    val seeds = er.filter(col("entity_id").cast("long") % 101 === 0)
+      .select("entity_id").distinct()
+    val noRels = Seq.empty[String].toDF("relation_id")
+    val e = intercept[IllegalStateException] {
+      SubgraphExpansion.expand(seeds, noRels, er, degree = 2, maxWorkingSet = 10)
+    }
+    assert(e.getMessage.contains("GraphXExpansion"))
+    // a generous cap changes nothing
+    val normal = sets(SubgraphExpansion.expand(seeds, noRels, er, 2))
+    val capped = sets(SubgraphExpansion.expand(seeds, noRels, er, 2, maxWorkingSet = 1 << 20))
+    assert(normal == capped)
+  }
+
   test("seed relations participate in the init-merge identically") {
     val er = Seq(
       ("e1", "r1"), ("e2", "r1"), ("e2", "r2"), ("e3", "r2"),

@@ -111,6 +111,12 @@ class RestServerSpec extends SparkSpec {
     val nb2 = get(s"/graphs/rest2/neighbors/$marieId")
     assert(!nb2.body().contains(relId), nb2.body())
 
+    // deleting unknown ids is a 404 (api/app.py:822-874) and runs no cascade
+    assert(delete("/graphs/rest2/documents/ghost").statusCode() == 404)
+    assert(delete("/graphs/rest2/relations/ffffffffffffffffffffffffffffffff")
+      .statusCode() == 404)
+    assert(get("/graphs/rest2/stats").body().contains("\"passages\":2"))
+
     // document delete with cascade
     assert(delete("/graphs/rest2/documents/curie.txt%230").statusCode() == 200)
     assert(get("/graphs/rest2/stats").body().contains("\"passages\":1"))
