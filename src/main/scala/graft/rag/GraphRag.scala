@@ -100,30 +100,34 @@ final class GraphRag(
     graftDelta(GraphBuilder.build(
       docsDf.select(col("id"), col("text"), col("triplets")), embedder))
 
+  /** Every merge is bucket-pruned ([[GraphStore.rewriteForKeys]]): only the
+    * buckets containing the delta's ids are read and rewritten, so grafting one
+    * document into a 100 TB graph rewrites a handful of partition directories,
+    * not six full tables. */
   private def graftDelta(delta: GraphTables): Unit = {
-    def mergeAdjacency(tableName: String, delta: DataFrame, arrayCols: Seq[String]): Unit = {
-      val old = store.table(graph, tableName)
-      val merged = old.as("o")
-        .join(delta.as("n"), Seq("id"), "full_outer")
-        .select(
-          col("id") +:
-            old.columns.filterNot(c => c == "id" || arrayCols.contains(c)).map(c =>
-              coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++:
-            arrayCols.map(c => array_distinct(concat(
-              coalesce(col(s"o.$c"), array().cast("array<string>")),
-              coalesce(col(s"n.$c"), array().cast("array<string>")))).as(c)): _*)
-      store.replaceTable(graph, tableName, merged)
-    }
+    def mergeAdjacency(tableName: String, d: DataFrame, arrayCols: Seq[String]): Unit =
+      store.rewriteForKeys(graph, tableName, d, "id") { old =>
+        old.as("o")
+          .join(d.as("n"), Seq("id"), "full_outer")
+          .select(
+            col("id") +:
+              old.columns.filterNot(c => c == "id" || arrayCols.contains(c)).map(c =>
+                coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++:
+              arrayCols.map(c => array_distinct(concat(
+                coalesce(col(s"o.$c"), array().cast("array<string>")),
+                coalesce(col(s"n.$c"), array().cast("array<string>")))).as(c)): _*)
+      }
     mergeAdjacency("entities", delta.entities, Seq("relation_ids", "passage_ids"))
     mergeAdjacency("relations", delta.relations, Seq("passage_ids"))
-    store.replaceTable(graph, "passages",
-      store.table(graph, "passages")
-        .join(delta.passages.select("id"), Seq("id"), "left_anti")
-        .unionByName(delta.passages))
-    Seq("entity_relation" -> delta.entityRelation,
-      "entity_passage" -> delta.entityPassage,
-      "relation_passage" -> delta.relationPassage).foreach { case (n, d) =>
-      store.replaceTable(graph, n, store.table(graph, n).unionByName(d).distinct())
+    store.rewriteForKeys(graph, "passages", delta.passages, "id") { old =>
+      old.join(delta.passages.select("id"), Seq("id"), "left_anti")
+        .unionByName(delta.passages)
+    }
+    Seq(("entity_relation", delta.entityRelation, "entity_id"),
+      ("entity_passage", delta.entityPassage, "entity_id"),
+      ("relation_passage", delta.relationPassage, "relation_id")).foreach {
+      case (n, d, k) =>
+        store.rewriteForKeys(graph, n, d, k)(old => old.unionByName(d).distinct())
     }
   }
 

@@ -12,14 +12,18 @@ import scala.jdk.CollectionConverters._
   * Layout: `{base}/{graph}/{entities|relations|passages|entity_relation|
   * entity_passage|relation_passage}.parquet` — one directory per graph, mirroring
   * the reference's prefix-namespaced Milvus collections (milvus.py:121-152).
+  * Every table is hash-bucketed by its primary access key ([[BucketedTable]]):
+  * node tables by `id`, edge tables by their hop key. Single-row CRUD (upsert,
+  * delete, the G9 cascades, incremental graft) rewrites ONLY the buckets
+  * containing the touched ids — at 100 TB a passage delete is a handful of
+  * bucket rewrites plus narrow edge-table scans, not six full-table rewrites.
   *
-  * Writes are plain Parquet with Spark handling file batching (the reference's
-  * hand-rolled batch_size=32 insert loop, milvus.py:154-202, is subsumed by the
-  * writer). `save` is full-replace like the reference's drop-and-recreate indexing
-  * path (rag.py:354-356); incremental CRUD is a separate path (upsert/delete below),
-  * exactly as in the reference (SURVEY §7.5).
+  * `save` is full-replace like the reference's drop-and-recreate indexing
+  * path (rag.py:354-356); incremental CRUD is a separate path (upsert/delete
+  * below), exactly as in the reference (SURVEY §7.5).
   */
-final class GraphStore(spark: SparkSession, base: String) {
+final class GraphStore(spark: SparkSession, base: String,
+    nBuckets: Int = BucketedTable.DefaultBuckets) {
 
   private val tableNames = Seq(
     "entities", "relations", "passages",
@@ -29,22 +33,15 @@ final class GraphStore(spark: SparkSession, base: String) {
 
   /** Primary access key per table: node tables are point-looked-up by id
     * (R7, neighbors, passage-text fetch); edge tables are hop-scanned by their
-    * left key (P2/P3 semi-joins, cascade scrubs). */
+    * left key (P2/P3 semi-joins, cascade scrubs). The key is also the bucket
+    * key, so point CRUD prunes to one partition directory and, within it,
+    * sorted row groups. */
   private val clusterKey = Map(
     "entities" -> "id", "relations" -> "id", "passages" -> "id",
     "entity_relation" -> "entity_id", "entity_passage" -> "entity_id",
     "relation_passage" -> "relation_id")
 
-  /** Cluster a table by its access key before writing: parquet row-group
-    * min/max stats then prune `id = x` / `id IN (...)` reads to a few row
-    * groups instead of the full table, and sorted runs compress better. AQE
-    * coalesces the clustering shuffle on small data; at 100 TB this is the
-    * write-once layout the read path wants. */
-  private def clustered(tableName: String, df: DataFrame): DataFrame =
-    clusterKey.get(tableName)
-      .filter(df.columns.contains(_))
-      .map(k => df.repartition(col(k)).sortWithinPartitions(k))
-      .getOrElse(df)
+  private def bucketOf(id: String): Int = BucketedTable.bucketOf(id, nBuckets)
 
   // ----------------------------------------------------------------- S6 / S9
   /** Full-replace write of all six tables. The writes are submitted
@@ -60,7 +57,7 @@ final class GraphStore(spark: SparkSession, base: String) {
       "entity_relation" -> t.entityRelation, "entity_passage" -> t.entityPassage,
       "relation_passage" -> t.relationPassage
     ).map { case (n, df) => Future {
-      clustered(n, df).write.mode(SaveMode.Overwrite).parquet(path(graph, n))
+      BucketedTable.write(df, path(graph, n), clusterKey(n), nBuckets)
     } }
     Await.result(Future.sequence(writes), Duration.Inf)
     // Drop any cached/cached-metadata copies of the replaced tables: long-lived
@@ -76,8 +73,17 @@ final class GraphStore(spark: SparkSession, base: String) {
     entityPassage = table(graph, "entity_passage"),
     relationPassage = table(graph, "relation_passage"))
 
+  /** Public reads never expose the `_bucket` layout column. */
   def table(graph: String, name: String): DataFrame =
-    spark.read.parquet(path(graph, name))
+    BucketedTable.read(spark, path(graph, name)).drop("_bucket")
+
+  /** Bucket-pruned point read: only the partition directories holding `keys`'
+    * buckets are scanned (the caller still applies its exact key predicate). */
+  private def pruned(graph: String, name: String, keys: Seq[String]): DataFrame = {
+    val buckets = keys.map(bucketOf).distinct
+    BucketedTable.read(spark, path(graph, name))
+      .filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
+  }
 
   /** S9 graph discovery = directory listing (milvus.py:847-978). */
   def listGraphs(): Seq[String] = {
@@ -89,13 +95,8 @@ final class GraphStore(spark: SparkSession, base: String) {
   }
 
   /** S9 drop. */
-  def dropGraph(graph: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(s"$base/$graph"))
-  }
+  def dropGraph(graph: String): Unit =
+    BucketedTable.deleteDir(spark, s"$base/$graph")
 
   /** S10 per-collection row counts (milvus.py:980-1014). */
   def stats(graph: String): Map[String, Long] =
@@ -104,73 +105,115 @@ final class GraphStore(spark: SparkSession, base: String) {
 
   // ----------------------------------------------------------------- S7 upsert
   /** Read-modify-write merge: rows in `updates` replace same-id rows, others kept
-    * (milvus.py:511-713). Delta-style `left_anti ∪ updates` then atomic swap. */
-  def upsert(graph: String, tableName: String, updates: DataFrame): Unit = {
-    val old = table(graph, tableName)
-    val merged = old.join(updates.select("id"), Seq("id"), "left_anti")
-      .unionByName(updates, allowMissingColumns = true)
-    rewrite(graph, tableName, merged)
-  }
+    * (milvus.py:511-713). Only the buckets containing update ids are rewritten. */
+  def upsert(graph: String, tableName: String, updates: DataFrame): Unit =
+    rewriteForKeys(graph, tableName, updates, "id") { old =>
+      old.join(updates.select("id"), Seq("id"), "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    }
 
   // ----------------------------------------------------------------- S8 delete
-  /** Delete by id batch = anti-join (milvus.py:717-843). */
+  /** Delete by id batch = anti-join (milvus.py:717-843), pruned to the victims'
+    * buckets. */
   def delete(graph: String, tableName: String, ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
     val victims = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
-    rewrite(graph, tableName, table(graph, tableName).join(victims, Seq("id"), "left_anti"))
+    rewriteBuckets(graph, tableName, ids.map(bucketOf).distinct)(
+      _.join(victims, Seq("id"), "left_anti"))
   }
 
   /** G9 cascade delete of a passage: remove the row AND scrub its id from every
-    * neighbor's adjacency arrays + edge tables (graph/graph.py:634-672). */
+    * neighbor's adjacency arrays + edge tables (graph/graph.py:634-672).
+    * The referencing entities/relations come from the edge tables (narrow
+    * read-only scans); every rewrite below is pruned to their buckets. */
   def deletePassageCascade(graph: String, passageId: String): Unit = {
-    delete(graph, "passages", Seq(passageId))
-    val scrub = (df: DataFrame) => df.withColumn(
-      "passage_ids", array_remove(col("passage_ids"), passageId))
-    rewrite(graph, "entities", scrub(table(graph, "entities")))
-    rewrite(graph, "relations", scrub(table(graph, "relations")))
-    rewrite(graph, "entity_passage",
-      table(graph, "entity_passage").filter(col("passage_id") =!= passageId))
-    rewrite(graph, "relation_passage",
-      table(graph, "relation_passage").filter(col("passage_id") =!= passageId))
+    val entBuckets = BucketedTable.distinctBuckets(
+      table(graph, "entity_passage").filter(col("passage_id") === passageId),
+      "entity_id", nBuckets)
+    val relBuckets = BucketedTable.distinctBuckets(
+      table(graph, "relation_passage").filter(col("passage_id") === passageId),
+      "relation_id", nBuckets)
+    rewriteBuckets(graph, "passages", Seq(bucketOf(passageId)))(
+      _.filter(col("id") =!= passageId))
+    rewriteBuckets(graph, "entities", entBuckets)(
+      _.withColumn("passage_ids", array_remove(col("passage_ids"), passageId)))
+    rewriteBuckets(graph, "relations", relBuckets)(
+      _.withColumn("passage_ids", array_remove(col("passage_ids"), passageId)))
+    rewriteBuckets(graph, "entity_passage", entBuckets)(
+      _.filter(col("passage_id") =!= passageId))
+    rewriteBuckets(graph, "relation_passage", relBuckets)(
+      _.filter(col("passage_id") =!= passageId))
   }
 
   /** G9 cascade delete of an entity (graph/graph.py:237-282): drop the entity, its
     * incident relations, and scrub both from passages' adjacency. */
   def deleteEntityCascade(graph: String, entityId: String): Unit = {
-    val doomedRels = table(graph, "entity_relation")
+    val eb = bucketOf(entityId)
+    // incident relations: bucket-pruned lookup (entity_relation is keyed by entity)
+    val dr = pruned(graph, "entity_relation", Seq(entityId))
       .filter(col("entity_id") === entityId)
       .select("relation_id").distinct().collect().map(_.getString(0)).toSeq
-    delete(graph, "entities", Seq(entityId))
-    delete(graph, "relations", doomedRels)
-    val dr = doomedRels
-    rewrite(graph, "passages",
-      table(graph, "passages")
-        .withColumn("entity_ids", array_remove(col("entity_ids"), entityId))
-        .withColumn("relation_ids",
-          filter(col("relation_ids"), r => !r.isin(dr: _*))))
-    rewrite(graph, "entities",
-      table(graph, "entities").withColumn("relation_ids",
-        filter(col("relation_ids"), r => !r.isin(dr: _*))))
-    rewrite(graph, "entity_relation",
-      table(graph, "entity_relation").filter(!col("relation_id").isin(dr: _*)))
-    rewrite(graph, "relation_passage",
-      table(graph, "relation_passage").filter(!col("relation_id").isin(dr: _*)))
+    val drBuckets = dr.map(bucketOf).distinct
+    // entities sharing a doomed relation (their relation_ids need scrubbing)
+    val refEntBuckets =
+      if (dr.isEmpty) Seq.empty[Int]
+      else BucketedTable.distinctBuckets(
+        table(graph, "entity_relation").filter(col("relation_id").isin(dr: _*)),
+        "entity_id", nBuckets)
+    // passages referencing the entity or a doomed relation
+    val passRefsE = pruned(graph, "entity_passage", Seq(entityId))
+      .filter(col("entity_id") === entityId).select("passage_id")
+    val passRefs =
+      if (dr.isEmpty) passRefsE
+      else passRefsE.unionByName(
+        pruned(graph, "relation_passage", dr)
+          .filter(col("relation_id").isin(dr: _*)).select("passage_id"))
+    val passBuckets = BucketedTable.distinctBuckets(passRefs, "passage_id", nBuckets)
+
+    rewriteBuckets(graph, "entities", (eb +: refEntBuckets).distinct) { df =>
+      val kept = df.filter(col("id") =!= entityId)
+      if (dr.isEmpty) kept
+      else kept.withColumn("relation_ids",
+        filter(col("relation_ids"), r => !r.isin(dr: _*)))
+    }
+    if (dr.nonEmpty)
+      rewriteBuckets(graph, "relations", drBuckets)(_.filter(!col("id").isin(dr: _*)))
+    rewriteBuckets(graph, "passages", passBuckets) { df =>
+      val scrubbed = df.withColumn("entity_ids", array_remove(col("entity_ids"), entityId))
+      if (dr.isEmpty) scrubbed
+      else scrubbed.withColumn("relation_ids",
+        filter(col("relation_ids"), r => !r.isin(dr: _*)))
+    }
+    rewriteBuckets(graph, "entity_relation", (eb +: refEntBuckets).distinct) { df =>
+      val noEnt = df.filter(col("entity_id") =!= entityId)
+      if (dr.isEmpty) noEnt else noEnt.filter(!col("relation_id").isin(dr: _*))
+    }
+    if (dr.nonEmpty)
+      rewriteBuckets(graph, "relation_passage", drBuckets)(
+        _.filter(!col("relation_id").isin(dr: _*)))
   }
 
   /** G9 cascade delete of a relation (graph/graph.py:430-475): drop the relation
     * row, scrub its id from entities' and passages' `relation_ids`, and drop its
     * edge rows — no dangling adjacency survives. */
   def deleteRelationCascade(graph: String, relationId: String): Unit = {
-    delete(graph, "relations", Seq(relationId))
-    rewrite(graph, "entities",
-      table(graph, "entities").withColumn("relation_ids",
-        array_remove(col("relation_ids"), relationId)))
-    rewrite(graph, "passages",
-      table(graph, "passages").withColumn("relation_ids",
-        array_remove(col("relation_ids"), relationId)))
-    rewrite(graph, "entity_relation",
-      table(graph, "entity_relation").filter(col("relation_id") =!= relationId))
-    rewrite(graph, "relation_passage",
-      table(graph, "relation_passage").filter(col("relation_id") =!= relationId))
+    val rb = Seq(bucketOf(relationId))
+    val entBuckets = BucketedTable.distinctBuckets(
+      table(graph, "entity_relation").filter(col("relation_id") === relationId),
+      "entity_id", nBuckets)
+    val passBuckets = BucketedTable.distinctBuckets(
+      pruned(graph, "relation_passage", Seq(relationId))
+        .filter(col("relation_id") === relationId),
+      "passage_id", nBuckets)
+    rewriteBuckets(graph, "relations", rb)(_.filter(col("id") =!= relationId))
+    rewriteBuckets(graph, "entities", entBuckets)(
+      _.withColumn("relation_ids", array_remove(col("relation_ids"), relationId)))
+    rewriteBuckets(graph, "passages", passBuckets)(
+      _.withColumn("relation_ids", array_remove(col("relation_ids"), relationId)))
+    rewriteBuckets(graph, "entity_relation", entBuckets)(
+      _.filter(col("relation_id") =!= relationId))
+    rewriteBuckets(graph, "relation_passage", rb)(
+      _.filter(col("relation_id") =!= relationId))
   }
 
   /** S7 upsert with re-embedding on text change (milvus.py:511-574): fields the
@@ -180,26 +223,26 @@ final class GraphStore(spark: SparkSession, base: String) {
     * any `embedding` column in it is ignored in favor of the recompute rule. */
   def upsertReembed(graph: String, tableName: String, updates: DataFrame,
       embedder: graft.functions.Embedder): Unit = {
-    val old = table(graph, tableName)
     val upd = updates.drop("embedding")
     val updCols = upd.columns.toSet
-    val merged = old.as("o").join(upd.as("n"), Seq("id"), "full_outer")
-      .select(old.columns.toIndexedSeq.map {
-        case "id" => col("id")
-        case "embedding" =>
-          when(col("n.text").isNull || col("o.text") === col("n.text"),
-            col("o.embedding"))
-            .otherwise(embedder.embed(col("n.text"))).as("embedding")
-        case c if updCols.contains(c) => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)
-        case c => old.schema(c).dataType match {
-          // a genuinely-new row must not carry null adjacency arrays —
-          // downstream array ops and the REST document view expect [] not null
-          case at: org.apache.spark.sql.types.ArrayType =>
-            coalesce(col(s"o.$c"), array().cast(at)).as(c)
-          case _ => col(s"o.$c").as(c)
-        }
-      }: _*)
-    rewrite(graph, tableName, merged)
+    rewriteForKeys(graph, tableName, upd, "id") { old =>
+      old.as("o").join(upd.as("n"), Seq("id"), "full_outer")
+        .select(old.columns.toIndexedSeq.map {
+          case "id" => col("id")
+          case "embedding" =>
+            when(col("n.text").isNull || col("o.text") === col("n.text"),
+              col("o.embedding"))
+              .otherwise(embedder.embed(col("n.text"))).as("embedding")
+          case c if updCols.contains(c) => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)
+          case c => old.schema(c).dataType match {
+            // a genuinely-new row must not carry null adjacency arrays —
+            // downstream array ops and the REST document view expect [] not null
+            case at: org.apache.spark.sql.types.ArrayType =>
+              coalesce(col(s"o.$c"), array().cast(at)).as(c)
+            case _ => col(s"o.$c").as(c)
+          }
+        }: _*)
+    }
   }
 
   /** Replace a table's contents with an arbitrary derived DataFrame (may read
@@ -207,23 +250,34 @@ final class GraphStore(spark: SparkSession, base: String) {
   def replaceTable(graph: String, tableName: String, df: DataFrame): Unit =
     rewrite(graph, tableName, df)
 
-  /** Materialize-then-swap: parquet can't be rewritten in place from itself. */
+  /** Bucket-pruned read-modify-write for incremental merges (G8 graft, the
+    * streaming sink): `f` sees ONLY the buckets containing `keys[keyCol]`'s
+    * values and its output replaces exactly those buckets. `f` must emit rows
+    * whose keys stay inside those buckets — true for any merge that only
+    * touches/inserts the given keys. */
+  def rewriteForKeys(graph: String, tableName: String, keys: DataFrame,
+      keyCol: String)(f: DataFrame => DataFrame): Unit =
+    rewriteBuckets(graph, tableName,
+      BucketedTable.distinctBuckets(keys, keyCol, nBuckets))(f)
+
+  private def rewriteBuckets(graph: String, tableName: String, buckets: Seq[Int])(
+      f: DataFrame => DataFrame): Unit = {
+    BucketedTable.rewriteBuckets(
+      spark, path(graph, tableName), clusterKey(tableName), nBuckets, buckets)(f)
+    // Invalidate caches over the replaced files (see save()).
+    spark.catalog.refreshByPath(path(graph, tableName))
+  }
+
+  /** Materialize-then-swap full rewrite: parquet can't be rewritten in place
+    * from itself, and the derived frame may be table-sized (unlike the bucket
+    * path, which bounds what it materializes). */
   private def rewrite(graph: String, tableName: String, df: DataFrame): Unit = {
     val tmp = path(graph, s"__tmp_$tableName")
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = path(graph, tableName)
-    clustered(tableName, spark.read.parquet(tmp))
-      .write.mode(SaveMode.Overwrite).parquet(dst)
-    dropPath(tmp)
+    BucketedTable.write(spark.read.parquet(tmp), dst, clusterKey(tableName), nBuckets)
+    BucketedTable.deleteDir(spark, tmp)
     // Invalidate caches over the replaced files (see save()).
     spark.catalog.refreshByPath(dst)
-  }
-
-  private def dropPath(s: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(s))
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Structured-Streaming twins of the batch operators (SURVEY §2.10 notes the
   * reference is batch-only; incremental CRUD is its only streaming surface —
@@ -70,25 +70,20 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Streaming upsert sink: every micro-batch merges into a parquet table by id
-    * (the reference's incremental CRUD path, graph/graph.py:479-554, as a stream). */
-  def foreachBatchUpsert(stream: DataFrame, targetPath: String, idCol: String = "id")
-      : StreamingQuery =
+  /** Streaming upsert sink: every micro-batch merges into a hash-bucketed
+    * parquet table by id (the reference's incremental CRUD path,
+    * graph/graph.py:479-554, as a stream). The merge is bucket-pruned
+    * ([[graft.sources.BucketedTable.upsert]]): a micro-batch rewrites only the
+    * partition directories containing its ids, so write amplification is
+    * bounded by batch spread, not table size — the shape a high-rate stream
+    * needs. The target reads back with a `_bucket` layout column. */
+  def foreachBatchUpsert(stream: DataFrame, targetPath: String, idCol: String = "id",
+      nBuckets: Int = graft.sources.BucketedTable.DefaultBuckets): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val existing =
-          try Some(spark.read.parquet(targetPath)) catch { case _: Exception => None }
-        val merged = existing match {
-          case Some(old) =>
-            old.join(batch.select(idCol).distinct(), Seq(idCol), "left_anti")
-              .unionByName(batch)
-          case None => batch
-        }
-        val tmp = targetPath + "__tmp"
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+        graft.sources.BucketedTable.upsert(
+          batch.sparkSession, targetPath, batch, idCol, nBuckets)
       }
       .trigger(Trigger.AvailableNow())
       .start()

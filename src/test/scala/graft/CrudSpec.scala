@@ -95,6 +95,60 @@ class CrudSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.head.id == "pA", s"got $hits")
   }
 
+  test("bucket-pruned CRUD: a single-passage cascade delete rewrites only affected buckets") {
+    import graft.sources.BucketedTable
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("bucketed").toString
+    val store = new GraphStore(spark, base)
+    val rag = new GraphRag(spark, store, "bk")
+    // 40 unconnected passages spread entities/relations/passages over buckets
+    rag.addDocumentsWithTriplets((0 until 40).map(i =>
+      Doc(s"p$i", s"subject$i predicate$i object$i.",
+        Seq(Triplet(s"subject$i", s"predicate$i", s"object$i")))))
+
+    def files(): Set[String] =
+      Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(_.toString).toSet
+    val before = files()
+    assert(before.count(_.contains("/passages.parquet/")) > 8,
+      "precondition: passages spread over many buckets")
+
+    store.deletePassageCascade("bk", "p7")
+
+    val after = files()
+    val untouched = before.intersect(after) // Spark writes fresh file names, so
+    // surviving paths are exactly the buckets that were never rewritten
+    assert(untouched.size > before.size / 2,
+      s"expected most bucket files untouched, kept ${untouched.size}/${before.size}")
+    // the passages table specifically: only p7's bucket dir changed
+    val pBucket = s"_bucket=${BucketedTable.bucketOf("p7", BucketedTable.DefaultBuckets)}/"
+    val passagesChanged = before.diff(after)
+      .filter(_.contains("/passages.parquet/"))
+    assert(passagesChanged.nonEmpty && passagesChanged.forall(_.contains(pBucket)),
+      s"passages rewrite not pruned to $pBucket: $passagesChanged")
+    // semantics unchanged: row gone, neighbors scrubbed, count right
+    assert(store.table("bk", "passages").filter(col("id") === "p7").count() == 0)
+    assert(store.stats("bk")("passages") == 39)
+    assert(store.table("bk", "entities")
+      .filter(array_contains(col("passage_ids"), "p7")).count() == 0)
+    assert(store.table("bk", "relations")
+      .filter(array_contains(col("passage_ids"), "p7")).count() == 0)
+
+    // upsert of one id is pruned the same way
+    val before2 = files()
+    store.upsert("bk", "passages",
+      spark.createDataFrame(Seq(("p9", "updated text"))).toDF("id", "text"))
+    val after2 = files()
+    val changed2 = before2.diff(after2).filter(_.contains("/passages.parquet/"))
+    val p9Bucket = s"_bucket=${BucketedTable.bucketOf("p9", BucketedTable.DefaultBuckets)}/"
+    assert(changed2.nonEmpty && changed2.forall(_.contains(p9Bucket)), changed2)
+    assert(before2.diff(after2).forall(_.contains("/passages.parquet/")),
+      "upsert must not rewrite other tables")
+    assert(store.table("bk", "passages").filter(col("id") === "p9")
+      .select("text").head().getString(0) == "updated text")
+  }
+
   test("X3 LLM cache memoizes by md5(prompt+params); spill round-trips") {
     val dir = Files.createTempDirectory("llmcache")
     val calls = new AtomicInteger(0)

@@ -4,6 +4,7 @@ import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -89,7 +90,8 @@ class StreamingSpec extends SparkSpec {
     assert(r.nonEmpty && r.head.id == "p2", r)
   }
 
-  test("foreachBatch upsert sink merges micro-batches by id") {
+  test("foreachBatch upsert sink merges micro-batches by id, rewriting only affected buckets") {
+    import graft.sources.BucketedTable
     val in1 = Files.createTempDirectory("stream_upsert_in1").toString + "/data"
     val in2 = Files.createTempDirectory("stream_upsert_in2").toString + "/data"
     val target = Files.createTempDirectory("stream_upsert_out").toString + "/table"
@@ -98,12 +100,35 @@ class StreamingSpec extends SparkSpec {
     val q1 = StreamingOps.foreachBatchUpsert(
       spark.readStream.schema(schema).parquet(in1), target)
     q1.awaitTermination(30000); q1.stop()
+
+    def bucketFiles(): Map[String, Set[String]] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(target)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p) && p.toString.contains("_bucket="))
+        .map(_.toString).toSet
+        .groupBy(f => f.substring(f.indexOf("_bucket="), f.indexOf("/", f.indexOf("_bucket="))))
+    val before = bucketFiles()
+    val n = BucketedTable.DefaultBuckets
+    // a=1 lands in a different bucket from b and c in the default layout —
+    // precondition for the pruning assertion below
+    assert(BucketedTable.bucketOf("a", n) != BucketedTable.bucketOf("b", n))
+    assert(BucketedTable.bucketOf("a", n) != BucketedTable.bucketOf("c", n))
+
     // second wave updates b and adds c
     Seq(("b", 20), ("c", 3)).toDF("id", "v").write.parquet(in2)
     val q2 = StreamingOps.foreachBatchUpsert(
       spark.readStream.schema(schema).parquet(in2), target)
     q2.awaitTermination(30000); q2.stop()
-    val got = spark.read.parquet(target).as[(String, Int)].collect().toMap
+    val got = spark.read.parquet(target).drop("_bucket")
+      .as[(String, Int)].collect().toMap
     assert(got == Map("a" -> 1, "b" -> 20, "c" -> 3))
+    // the micro-batch must NOT have touched a's bucket: its files are identical
+    val after = bucketFiles()
+    val aBucket = s"_bucket=${BucketedTable.bucketOf("a", n)}"
+    assert(after(aBucket) == before(aBucket),
+      s"bucket of 'a' was rewritten by a batch that only touched b and c")
+    val touched = Set("b", "c").map(id => s"_bucket=${BucketedTable.bucketOf(id, n)}")
+    assert(after.keySet.filterNot(before.keySet) ==
+      touched.filterNot(before.keySet), "unexpected new bucket dirs")
   }
 }
