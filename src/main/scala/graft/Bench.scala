@@ -39,6 +39,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Recall-vs-nProbe curve for the IVF index (the dial AUTOINDEX hides):
+    // stderr only, so the driver's metric-line grep is unaffected.
+    if (wanted.isEmpty) try {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 8)
+      val idx = graft.operators.IvfIndex.build(emb, "vec_id", "embedding", nList = 32)
+      val curve = graft.operators.IvfIndex.recallCurve(idx, emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbes = Seq(1, 2, 4, 8, 32))
+      System.err.println("[ivf-recall] nList=32 k=10 " + curve.map {
+        case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

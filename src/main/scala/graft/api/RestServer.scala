@@ -27,9 +27,15 @@ import java.nio.charset.StandardCharsets
   *   PUT    /graphs/{g}/documents/{id}   ← {text} — re-embeds on text change (app.py:765-820)
   *   DELETE /graphs/{g}/documents/{id}   — cascade (app.py:822-874)
   *   DELETE /graphs/{g}/relations/{id}   — cascade (graph/graph.py:430-475)
-  *   POST   /graphs/{g}/query            ← {question} → QueryResult JSON
-  *   POST   /graphs/{g}/retrieve         ← {question} → retrieval-only JSON
+  *   POST   /graphs/{g}/query            ← {question, ...knobs} → QueryResult JSON
+  *   POST   /graphs/{g}/retrieve         ← {question, ...knobs} → retrieval-only JSON
+  *   POST   /graphs/{g}/retrieve_naive   ← {question, top_k?} → passage KNN only (R6)
   *   DELETE /graphs/{g}
+  *
+  * Query/retrieve bodies accept per-request overrides of the retrieval config
+  * (entity_top_k, relation_top_k, entity_similarity_threshold,
+  * relation_similarity_threshold, expansion_degree, relation_number_threshold,
+  * rerank_select, top_k) — the knobs api/app.py:550-667 exposes per request.
   *
   * One Spark driver hosts the server; requests run the same DataFrame jobs as
   * the programmatic API. Not a high-QPS serving tier — the reference's
@@ -45,7 +51,27 @@ final class RestServer(spark: SparkSession, storeBase: String,
 
   def boundPort: Int = server.getAddress.getPort
 
-  private def rag(graph: String) = new GraphRag(spark, store, graph, config)
+  private def rag(graph: String, cfg: RagConfig = config) =
+    new GraphRag(spark, store, graph, cfg)
+
+  /** Per-request retrieval knobs (api/app.py:550-667 exposes the same dials on
+    * /query): any of these fields in a query/retrieve body overrides the
+    * server-level config for that request only. */
+  private def configFor(body: JsonNode): RagConfig = {
+    var c = config
+    if (body.has("entity_top_k")) c = c.copy(entityTopK = body.get("entity_top_k").asInt())
+    if (body.has("relation_top_k")) c = c.copy(relationTopK = body.get("relation_top_k").asInt())
+    if (body.has("entity_similarity_threshold"))
+      c = c.copy(entitySimilarityThreshold = body.get("entity_similarity_threshold").asDouble())
+    if (body.has("relation_similarity_threshold"))
+      c = c.copy(relationSimilarityThreshold = body.get("relation_similarity_threshold").asDouble())
+    if (body.has("expansion_degree")) c = c.copy(expansionDegree = body.get("expansion_degree").asInt())
+    if (body.has("relation_number_threshold"))
+      c = c.copy(relationNumberThreshold = body.get("relation_number_threshold").asInt())
+    if (body.has("rerank_select")) c = c.copy(rerankSelect = body.get("rerank_select").asInt())
+    if (body.has("top_k")) c = c.copy(finalTopK = body.get("top_k").asInt())
+    c
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: JsonNode): Unit = {
     val bytes = mapper.writeValueAsBytes(body)
@@ -203,11 +229,22 @@ final class RestServer(spark: SparkSession, storeBase: String,
             respond(ex, 200, n)
           } else error(ex, 404, s"relation $id not found")
         case ("POST", Seq("graphs", g, "query")) =>
-          val q = readBody(ex).get("question").asText()
-          respond(ex, 200, resultJson(rag(g).query(q), withAnswer = true))
+          val body = readBody(ex)
+          val q = body.get("question").asText()
+          respond(ex, 200, resultJson(rag(g, configFor(body)).query(q), withAnswer = true))
         case ("POST", Seq("graphs", g, "retrieve")) =>
-          val q = readBody(ex).get("question").asText()
-          respond(ex, 200, resultJson(rag(g).retrieve(q), withAnswer = false))
+          val body = readBody(ex)
+          val q = body.get("question").asText()
+          respond(ex, 200, resultJson(rag(g, configFor(body)).retrieve(q), withAnswer = false))
+        case ("POST", Seq("graphs", g, "retrieve_naive")) =>
+          // R6 naive RAG (retriever.py:367-385; api/app.py's mode="naive" path)
+          val body = readBody(ex)
+          val q = body.get("question").asText()
+          val hits = rag(g, configFor(body)).retrieveNaive(q)
+          val n = mapper.createObjectNode()
+          n.put("question", q)
+          n.set[ObjectNode]("passages", hitsJson(hits))
+          respond(ex, 200, n)
         case ("DELETE", Seq("graphs", g)) =>
           store.dropGraph(g)
           val n = mapper.createObjectNode()

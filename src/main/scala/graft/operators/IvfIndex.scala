@@ -81,6 +81,28 @@ object IvfIndex {
       centroids = spark.read.parquet(s"$dir/centroids.parquet"),
       assignments = spark.read.parquet(s"$dir/assignments.parquet"))
 
+  /** Measured recall@k of probe-limited search vs exact KNN, per nProbe — the
+    * accuracy dial the reference's AUTOINDEX hides (config.py:43-50). Recall is
+    * macro-averaged |ivf_top_k ∩ exact_top_k| / k over the queries; with the
+    * shared id tie-break order it is monotone in nProbe and exactly 1.0 at
+    * nProbe = nList (probing every cell IS the exact scan). Driver-side work is
+    * bounded by queries × k ids. */
+  def recallCurve(index: Index, corpus: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nProbes: Seq[Int]): Seq[(Int, Double)] = {
+    def byQuery(df: DataFrame): Map[String, Set[String]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val exact = byQuery(VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
+    nProbes.map { p =>
+      val got = byQuery(search(index, queries, qId, qVec, p, k))
+      val recall = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+      (p, recall)
+    }
+  }
+
   /** Probe-limited search over the index's build-time snapshot: probes
     * (queries × nProbe — tiny) are broadcast over the inverted file, so the
     * only corpus-sized work is one scan of the probed cells' rows. The corpus

@@ -141,14 +141,16 @@ final class GraphRag(
   }
 
   /** §3.2 stages 1–8 (no answer LLM call), with V5 naive backfill (rag.py:629-638).
-    * The three node tables are `.cache()`d — Spark's cache registry is keyed by
-    * logical plan, so repeated queries against the same graph share one cached
-    * copy instead of re-scanning parquet per call. */
+    * The three node tables come from the store's cache registry
+    * ([[graft.sources.GraphStore.cachedTable]]): one persisted copy per
+    * (graph, table) shared across calls, unpersisted by the store on any
+    * write — repeated queries never re-scan parquet and a long-lived server
+    * never accumulates stale entries. */
   def retrieve(question: String): QueryResult = {
-    val t = store.load(graph)
-    val entitiesT = t.entities.cache()
-    val relationsT = t.relations.cache()
-    val passagesT = t.passages.cache()
+    val entitiesT = store.cachedTable(graph, "entities")
+    val relationsT = store.cachedTable(graph, "relations")
+    val passagesT = store.cachedTable(graph, "passages")
+    val entityRelationT = store.cachedTable(graph, "entity_relation")
 
     // Stage 1: NER (X2) + T2 normalization.
     val queryEntities = ner.entities(question)
@@ -177,7 +179,7 @@ final class GraphRag(
 
     // Stage 5: subgraph expansion (P1–P6).
     val sub = SubgraphExpansion.expand(
-      entitySeeds, relationSeeds, t.entityRelation, config.expansionDegree)
+      entitySeeds, relationSeeds, entityRelationT, config.expansionDegree)
 
     // Stage 6: eviction (V1) against the question embedding. The subgraph id
     // set is bounded and local — broadcast it over the relations scan.
@@ -226,7 +228,7 @@ final class GraphRag(
   def retrieveNaive(question: String): Seq[RetrievalHit] = {
     val qvecDf = Seq(question).toDF("qtext")
       .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
-    val passagesT = store.table(graph, "passages").cache()
+    val passagesT = store.cachedTable(graph, "passages")
     val hits = naivePassageHits(qvecDf, passagesT)
       .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     val texts = passageTexts(hits.map(_._1), passagesT)

@@ -62,7 +62,10 @@ final class GraphStore(spark: SparkSession, base: String,
     Await.result(Future.sequence(writes), Duration.Inf)
     // Drop any cached/cached-metadata copies of the replaced tables: long-lived
     // sessions (REST server) would otherwise serve stale rows after re-index.
-    tableNames.foreach(n => spark.catalog.refreshByPath(path(graph, n)))
+    tableNames.foreach { n =>
+      invalidateCache(graph, n)
+      spark.catalog.refreshByPath(path(graph, n))
+    }
   }
 
   def load(graph: String): GraphTables = GraphTables(
@@ -76,6 +79,24 @@ final class GraphStore(spark: SparkSession, base: String,
   /** Public reads never expose the `_bucket` layout column. */
   def table(graph: String, name: String): DataFrame =
     BucketedTable.read(spark, path(graph, name)).drop("_bucket")
+
+  // ------------------------------------------------------------ cache registry
+  /** One persisted copy per (graph, table), shared by every query against the
+    * graph and unpersisted on any write to that table — a long-lived server
+    * neither re-scans parquet per request nor accumulates stale cache entries
+    * across re-indexes (the reference leans on Milvus' resident index for the
+    * same reason). */
+  private val cacheRegistry =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def cachedTable(graph: String, name: String): DataFrame =
+    cacheRegistry.getOrElseUpdate((graph, name), table(graph, name).cache())
+
+  /** Number of live registry entries (test/observability hook). */
+  def cachedTableCount: Int = cacheRegistry.size
+
+  private def invalidateCache(graph: String, name: String): Unit =
+    cacheRegistry.remove((graph, name)).foreach(_.unpersist(blocking = false))
 
   /** Bucket-pruned point read: only the partition directories holding `keys`'
     * buckets are scanned (the caller still applies its exact key predicate). */
@@ -95,8 +116,10 @@ final class GraphStore(spark: SparkSession, base: String,
   }
 
   /** S9 drop. */
-  def dropGraph(graph: String): Unit =
+  def dropGraph(graph: String): Unit = {
+    tableNames.foreach(invalidateCache(graph, _))
     BucketedTable.deleteDir(spark, s"$base/$graph")
+  }
 
   /** S10 per-collection row counts (milvus.py:980-1014). */
   def stats(graph: String): Map[String, Long] =
@@ -265,6 +288,7 @@ final class GraphStore(spark: SparkSession, base: String,
     BucketedTable.rewriteBuckets(
       spark, path(graph, tableName), clusterKey(tableName), nBuckets, buckets)(f)
     // Invalidate caches over the replaced files (see save()).
+    invalidateCache(graph, tableName)
     spark.catalog.refreshByPath(path(graph, tableName))
   }
 
@@ -278,6 +302,7 @@ final class GraphStore(spark: SparkSession, base: String,
     BucketedTable.write(spark.read.parquet(tmp), dst, clusterKey(tableName), nBuckets)
     BucketedTable.deleteDir(spark, tmp)
     // Invalidate caches over the replaced files (see save()).
+    invalidateCache(graph, tableName)
     spark.catalog.refreshByPath(dst)
   }
 }

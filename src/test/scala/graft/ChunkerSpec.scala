@@ -35,6 +35,26 @@ class ChunkerSpec extends SparkSpec {
     }
   }
 
+  test("T1 golden-file oracle: chunk hashes match the committed fixture") {
+    val expected = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/chunker_golden.csv"), "UTF-8").getLines().toSeq
+    assert(expected.nonEmpty)
+    assert(ChunkerGoldenFixture.goldenRows == expected,
+      "chunker output drifted from the golden file; if the change is intended, " +
+        "regenerate with: sbt \"Test/runMain graft.ChunkerGoldenFixture\"")
+  }
+
+  test("distributed chunkDocuments agrees with the golden hashes row for row") {
+    import org.apache.spark.sql.functions.{col, length, md5}
+    val df = ChunkerGoldenFixture.docs.toDF("id", "text")
+    val got = Chunker.chunkDocuments(df, chunkSize = 200, overlap = 50)
+      .select(col("id"), col("chunk_index"), md5(col("chunk")), length(col("chunk")))
+      .collect()
+      .map(r => s"${r.getString(0)},${r.getInt(1)},${r.getString(2)},${r.getInt(3)}")
+      .toSet
+    assert(got == ChunkerGoldenFixture.goldenRows.toSet)
+  }
+
   test("distributed chunking emits chunk_index/total_chunks (chunker.py:38-45)") {
     val df = Seq(("d1", "a " * 800), ("d2", "short")).toDF("id", "text")
     val out = Chunker.chunkDocuments(df, chunkSize = 300, overlap = 50)

@@ -149,6 +149,37 @@ class CrudSpec extends SparkSpec {
       .select("text").head().getString(0) == "updated text")
   }
 
+  test("store cache registry: one live entry per table, unpersisted on write") {
+    import org.apache.spark.storage.StorageLevel
+    val store = new GraphStore(spark, Files.createTempDirectory("cachereg").toString)
+    val rag = new GraphRag(spark, store, "cl")
+    rag.addDocumentsWithTriplets(Seq(
+      Doc("p1", "alpha beta gamma", Seq(Triplet("alpha", "beta", "gamma")))))
+
+    val c1 = store.cachedTable("cl", "passages")
+    c1.count() // materialize the cache
+    assert(c1.storageLevel != StorageLevel.NONE)
+    assert(store.cachedTable("cl", "passages") eq c1, "repeat reads share one entry")
+    assert(store.cachedTableCount == 1)
+
+    // any write to the table unpersists and evicts its entry
+    rag.updatePassage("p1", "delta epsilon")
+    assert(c1.storageLevel == StorageLevel.NONE, "stale cache not unpersisted")
+    assert(store.cachedTableCount == 0)
+    // the next read caches the FRESH contents
+    val c2 = store.cachedTable("cl", "passages")
+    assert(c2.filter(col("text") === "delta epsilon").count() == 1)
+    assert(store.cachedTableCount == 1)
+
+    // retrieval goes through the registry: repeated queries add no entries
+    rag.retrieveNaive("delta epsilon")
+    rag.retrieveNaive("delta epsilon")
+    assert(store.cachedTableCount <= 6, s"got ${store.cachedTableCount}")
+
+    store.dropGraph("cl")
+    assert(store.cachedTableCount == 0, "dropGraph must clear the registry")
+  }
+
   test("X3 LLM cache memoizes by md5(prompt+params); spill round-trips") {
     val dir = Files.createTempDirectory("llmcache")
     val calls = new AtomicInteger(0)

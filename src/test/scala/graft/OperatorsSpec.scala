@@ -113,6 +113,18 @@ class OperatorsSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("IVF recall@k is monotone in nProbe and reaches 1.0 at nProbe=nList") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nList = 8)
+    val curve = IvfIndex.recallCurve(index, emb, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbes = Seq(1, 2, 4, 8))
+    assert(curve.map(_._1) == Seq(1, 2, 4, 8))
+    assert(curve.map(_._2) == curve.map(_._2).sorted, s"recall not monotone: $curve")
+    assert(curve.last._2 == 1.0, s"nProbe=nList must equal exact KNN: $curve")
+    assert(curve.head._2 > 0.0, s"nProbe=1 should still find some neighbors: $curve")
+  }
+
   test("IVF index round-trips through parquet: loaded search equals direct search") {
     val emb = spark.read.parquet(sf("embeddings"))
     val queries = emb.filter(col("vec_id") >= 8 && col("vec_id") < 12)

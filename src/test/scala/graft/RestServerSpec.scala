@@ -122,6 +122,59 @@ class RestServerSpec extends SparkSpec {
     assert(get("/graphs/rest2/stats").body().contains("\"passages\":1"))
   }
 
+  test("naive retrieval route and per-request config overrides") {
+    val docs =
+      """[
+        |{"id": "d1", "text": "Isaac Newton\nNewton formulated gravity.",
+        | "triplets": [["Isaac Newton", "formulated", "gravity"]]},
+        |{"id": "d2", "text": "Ada Lovelace\nLovelace wrote the first program.",
+        | "triplets": [["Ada Lovelace", "wrote", "first program"]]},
+        |{"id": "d3", "text": "Alan Turing\nTuring broke Enigma.",
+        | "triplets": [["Alan Turing", "broke", "Enigma"]]}
+        |]""".stripMargin
+    assert(post("/graphs/rest4/documents", docs).statusCode() == 200)
+
+    // naive mode: passage KNN only (R6)
+    val naive = post("/graphs/rest4/retrieve_naive",
+      """{"question": "Who formulated gravity?"}""")
+    assert(naive.statusCode() == 200, naive.body())
+    assert(naive.body().contains("d1"), naive.body())
+    assert(!naive.body().contains("expansion_history"), "naive must skip the graph path")
+
+    // top_k override bounds the result set per request
+    val one = post("/graphs/rest4/retrieve_naive",
+      """{"question": "Who formulated gravity?", "top_k": 1}""")
+    val passages = "\"id\"".r.findAllIn(one.body()).size
+    assert(passages == 1, one.body())
+
+    // graph retrieve honors overrides too: top_k=1 yields one passage
+    val r1 = post("/graphs/rest4/retrieve",
+      """{"question": "Who broke Enigma?", "top_k": 1, "expansion_degree": 2}""")
+    assert(r1.statusCode() == 200, r1.body())
+    val r1Passages = "\\{\"id\":\"d\\d\"".r.findAllIn(r1.body()).size
+    assert(r1Passages == 1 && r1.body().contains("d3"), r1.body())
+  }
+
+  test("re-indexing a graph serves fresh rows to later queries (cache lifecycle)") {
+    val docs1 =
+      """[{"id": "pasteur", "text": "Louis Pasteur\nPasteur proved germ theory.",
+        | "triplets": [["Louis Pasteur", "proved", "germ theory"]]}]""".stripMargin
+    assert(post("/graphs/rest3/documents", docs1).statusCode() == 200)
+    val q1 = post("/graphs/rest3/retrieve", """{"question": "Who proved germ theory?"}""")
+    assert(q1.body().contains("pasteur"), q1.body())
+
+    // full re-index with unrelated content: the cached copies must not leak
+    // the old graph into new answers
+    val docs2 =
+      """[{"id": "darwin", "text": "Charles Darwin\nDarwin proposed evolution.",
+        | "triplets": [["Charles Darwin", "proposed", "evolution"]]}]""".stripMargin
+    assert(post("/graphs/rest3/documents", docs2).statusCode() == 200)
+    assert(get("/graphs/rest3/stats").body().contains("\"passages\":1"))
+    val q2 = post("/graphs/rest3/retrieve", """{"question": "Who proposed evolution?"}""")
+    assert(q2.body().contains("darwin"), q2.body())
+    assert(!q2.body().contains("pasteur"), q2.body())
+  }
+
   test("unknown route gives a JSON 404; malformed body gives JSON 500") {
     assert(get("/nope").statusCode() == 404)
     val bad = post("/graphs/g/query", "{not json")
