@@ -91,6 +91,68 @@ object ProfileRag {
       Assembly.passagesForRelations(relHits, gt.relations, topK = 10).count()
     }
     println(s"[prof] rows=$out")
+
+    // ---- store-backed single-question retrieve (the serving path) ----------
+    import graft.rag.{GraphRag, RagConfig}
+    import graft.sources.GraphStore
+    val store = new GraphStore(spark,
+      java.nio.file.Files.createTempDirectory("profragstore").toString)
+    val rag = new GraphRag(spark, store, "prof",
+      config = RagConfig(entityTopK = 5, relationTopK = 5,
+        entitySimilarityThreshold = 0.5, finalTopK = 10),
+      embedder = HashEmbedder(dim = 32))
+    t("store.save (parquet barrier)") {
+      store.save("prof", gt0.copy(entities = ents, relations = rels, entityRelation = er))
+    }
+    for (i <- 1 to 3)
+      t(s"retrieve (run $i)") { rag.retrieve(question).passages.size }
+
+    // Stage split of one warm retrieve (mirrors GraphRag.retrieve wiring).
+    {
+      val entitiesT = store.cachedTable("prof", "entities")
+      val relationsT = store.cachedTable("prof", "relations")
+      val passagesT = store.cachedTable("prof", "passages")
+      val erT = store.cachedTable("prof", "entity_relation")
+      val emb = HashEmbedder(dim = 32)
+      import spark.implicits._
+      val qents = question.split(" ").toSeq
+      val qdf = qents.toDF("qtext")
+        .select(col("qtext"), emb.embed(col("qtext")).as("qvec"))
+      val entitySeeds = t("r: entity KNN (lazy)") {
+        VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
+          VectorSearch.knnJoin(qdf, entitiesT, "qtext", "qvec", "id", "embedding", 5), 0.5))
+          .select(col("neighbor_id").as("entity_id"))
+      }
+      val qvecDf = Seq(question).toDF("qtext")
+        .select(col("qtext"), emb.embed(col("qtext")).as("qvec"))
+      val relationSeeds = VectorSearch.thresholdFilter(
+        VectorSearch.knnJoin(qvecDf, relationsT, "qtext", "qvec", "id", "embedding", 5), -1.0)
+        .select(col("neighbor_id").as("relation_id"))
+      val sub = t("r: expansion (fused)") {
+        SubgraphExpansion.expand(entitySeeds, relationSeeds, erT, 1, fuseSeedInit = true)
+      }
+      println(s"[prof] r: subgraph relations=" +
+        sub.history.map(h => s"${h.degree}:${h.relationCount}").mkString(" "))
+      val qvec = emb.embedOne(question).get
+      val cands = relationsT
+        .join(broadcast(sub.relationIds.withColumnRenamed("relation_id", "id")),
+          Seq("id"), "left_semi")
+        .select(col("id"), col("text"), col("embedding"))
+      val (candRows, _) = t("r: eviction fused") {
+        Assembly.evictionTopKRows(cands, qvec, 1000)
+      }
+      val ranked = candRows.take(5).zipWithIndex
+        .map { case (r, i) => (r._1, i + 1) }.toDF("relation_id", "rel_rank")
+      t("r: final assembly collect") {
+        val graphPassages = Assembly.passagesForRelations(ranked, relationsT, 10)
+        val naive = VectorSearch.knnJoin(
+          qvecDf, passagesT, "qtext", "qvec", "id", "embedding", 10)
+          .select(col("neighbor_id").as("passage_id"), col("rank"))
+        passagesT.select(col("id").as("passage_id"), col("text"))
+          .join(broadcast(Assembly.backfill(graphPassages, naive, 10)), Seq("passage_id"))
+          .orderBy("rank").collect().length
+      }
+    }
     spark.stop()
   }
 }

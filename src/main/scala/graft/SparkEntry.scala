@@ -221,12 +221,13 @@ object SparkEntry {
       val er = t(s, dir, "lineitem")
         .select(col("l_partkey").cast("string").as("entity_id"),
           col("l_orderkey").cast("string").as("relation_id"))
-        .distinct()
-        // Materialized ONCE: expand() fires one action per hop side (~6 for
-        // degree 2), each of which would otherwise re-run this scan+distinct
-        // shuffle from scratch. expand()'s contract is an edge table that is
-        // cheap to rescan (parquet) or materialized — at 100× this distinct is
-        // a TB-scale shuffle, so paying it once is strictly better.
+        // Materialized ONCE, shuffle-free: expand() fires one action per hop
+        // side (~6 for degree 2), each of which would otherwise re-run this
+        // scan from scratch — at 100× that rescan is a TB of repeated IO.
+        // Deliberately NOT pre-distinct'd: every hop semi-join re-distincts
+        // its own (bounded) output anyway, so the global dedup shuffle would
+        // buy nothing (measured: distinct+checkpoint 2.4 s vs 0.4 s, and the
+        // hops themselves run faster on the raw pairs).
         .localCheckpoint(true)
       val seeds = er.filter(col("entity_id").cast("long") % 211 === 0)
         .select("entity_id").distinct()
@@ -615,7 +616,8 @@ object SparkEntry {
       val sub = SubgraphExpansion.expand(
         entityHits,
         s.emptyDataFrame.withColumn("relation_id", lit("")).filter(lit(false)),
-        gt.entityRelation, degree = 1)
+        gt.entityRelation, degree = 1,
+        fuseSeedInit = true) // seeds = top-5 KNN hits, query-sized
       val qvecDf = s.createDataFrame(Seq(Tuple1(question))).toDF("qtext")
         .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
       val relHits = VectorSearch.knnJoin(

@@ -23,6 +23,12 @@ trait Embedder extends Serializable {
     * scale (see [[HashEmbedder.embedInto]]). */
   def embedInto(df: DataFrame, textCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, embed(col(textCol)))
+
+  /** Driver-side single-text embedding, when the implementation can compute the
+    * EXACT same vector without a Spark job (query-time latency: embedding one
+    * question must not cost a cluster round-trip). None ⇒ callers fall back to
+    * the Column path. */
+  def embedOne(text: String): Option[Seq[Double]] = None
 }
 
 /** Deterministic hash embedder: tokens → signed feature-hash buckets → L2 normalize.
@@ -53,13 +59,43 @@ final case class HashEmbedder(dim: Int = 64, seed: String = "graft42") extends E
     VectorFunctions.l2Normalize(raw)
   }
 
+  /** Pure-Scala twin of [[embed]], bit-for-bit: same tokenization (lowercase,
+    * non-[a-z0-9 ] → space, trim, split), same md5 bucket/sign, bucket sums of
+    * ±1.0 are exact in double, and the L2 norm accumulates in the same index
+    * order as [[VectorFunctions.l2Normalize]]'s sequential dot product. */
+  override def embedOne(text: String): Option[Seq[Double]] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", " ").trim
+      .split(" ").filter(_.nonEmpty)
+    val v = Array.fill(dim)(0.0d)
+    toks.foreach { t =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(seed + t)
+      val b = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim).toInt
+      val s = if (Integer.parseInt(hex.substring(8, 9), 16) >= 8) -1.0d else 1.0d
+      v(b) += s
+    }
+    var acc = 0.0d
+    var i = 0
+    while (i < dim) { acc += v(i) * v(i); i += 1 }
+    val norm = math.sqrt(acc)
+    Some(if (norm == 0.0d) v.toSeq else v.map(_ / norm).toSeq)
+  }
+
   /** Relational form for corpus-scale embedding: explode tokens once (ONE md5 per
-    * token occurrence), aggregate (row, bucket) partial sums, assemble the dense
-    * vector via map lookup. Two keyed shuffles, linear in token count — no
-    * per-dimension re-evaluation. Produces bit-identical vectors to [[embed]]. */
+    * token occurrence), aggregate (text, bucket) partial sums, assemble the dense
+    * vector via map lookup. Keyed shuffles linear in token count — no
+    * per-dimension re-evaluation. Produces bit-identical vectors to [[embed]].
+    *
+    * The self-join key is `md5(text)` — DETERMINISTIC across the two
+    * evaluations of `df` inside this plan. (A `monotonically_increasing_id`
+    * key is not: the row→id assignment depends on partition order, and the two
+    * subplan instances can evaluate in different orders, silently attaching
+    * vectors to the wrong rows.) Keying by content also embeds each DISTINCT
+    * text once, however many rows share it. */
   override def embedInto(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val withId = df.withColumn("__rid", monotonically_increasing_id())
-    val toks = withId
+    val keyed = df.withColumn("__rid", md5(col(textCol)))
+    val toks = keyed
+      .select(col("__rid"), col(textCol)).dropDuplicates("__rid")
       .select(col("__rid"), explode(Norm.normTokens(col(textCol))).as("tok"))
     val sums = toks
       .select(col("__rid"), bucket(col("tok")).cast("int").as("b"), sign(col("tok")).as("s"))
@@ -68,7 +104,7 @@ final case class HashEmbedder(dim: Int = 64, seed: String = "graft42") extends E
       .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("__m"))
     val dense = transform(sequence(lit(0), lit(dim - 1)),
       j => coalesce(element_at(col("__m"), j.cast("int")), lit(0.0d)))
-    withId.join(sums, Seq("__rid"), "left")
+    keyed.join(sums, Seq("__rid"), "left")
       .withColumn(outCol, VectorFunctions.l2Normalize(
         when(col("__m").isNull, array_repeat(lit(0.0d), dim)).otherwise(dense)))
       .drop("__rid", "__m")

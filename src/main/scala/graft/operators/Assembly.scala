@@ -62,13 +62,41 @@ object Assembly {
     val topIds = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
     val evicted = n > threshold
     val ranked = if (evicted) topIds else topIds.sorted
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        ranked.zipWithIndex.map { case (id, i) => org.apache.spark.sql.Row(id, i + 1) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType, nullable = false))))
+    // LocalRelation: downstream consumers broadcast-join this bounded frame,
+    // so the rows ship once via the broadcast instead of riding in every
+    // task binary (see SubgraphExpansion.local).
+    import spark.implicits._
+    val out = ranked.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      .toDF("id", "rank")
     (out, evicted)
+  }
+
+  /** V1 eviction FUSED with candidate-row fetch: one aggregation job returns
+    * the surviving rows with id, text, AND score in final rank order (score
+    * order under eviction, id order otherwise — the same quirk as
+    * [[evictionTopK]]). Saves the second broadcast-join+collect the rerank
+    * stage would otherwise pay to fetch candidate texts; buffer growth is
+    * bounded by threshold × text size.
+    *
+    * Input `candidates`: (id, text, embedding). */
+  def evictionTopKRows(
+      candidates: DataFrame,
+      queryVec: Seq[Double],
+      threshold: Int): (Seq[(String, String, Double)], Boolean) = {
+    val qv = typedLit(queryVec)
+    val topk = udaf(new TopKRowAggregator(threshold))
+    val row = candidates
+      .select(col("id"), col("text"),
+        VectorFunctions.dot(col("embedding"), qv).as("score"))
+      .agg(count(lit(1)).as("n"),
+        topk(col("id"), col("text"), col("score")).as("top"))
+      .head()
+    val n = row.getLong(0)
+    val rows = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val evicted = n > threshold
+    val ranked = if (evicted) rows.toSeq else rows.sortBy(_._1).toSeq
+    (ranked, evicted)
   }
 
   /** V4 relation→passage join (rag.py:161-194): relations in rerank order →

@@ -24,10 +24,10 @@ final case class GraphTables(
   * normalized text; ids are md5(key) so the build is deterministic (SURVEY §7.1).
   *
   * Scale notes: every aggregation here is a hash-aggregate on a string key with
-  * map-side combine; the two entity-resolution joins (G4) are joins against the
-  * *deduped* entity table, which is orders of magnitude smaller than the triplet
-  * stream — Catalyst broadcast-hashes it when small, shuffles on the id key when
-  * not. Embedding (the expensive step) happens strictly AFTER dedup
+  * map-side combine, and each node table is built by ONE such aggregation that
+  * produces the deduped row and its adjacency arrays together (content-hash ids
+  * make every duplicate row's attributes identical, so grouping IS the dedup).
+  * Embedding (the expensive step) happens strictly AFTER dedup
   * (graph/builder.py:79-112 → rag.py:292-316 ordering, §4 "dedup-before-embed").
   */
 object GraphBuilder {
@@ -59,19 +59,6 @@ object GraphBuilder {
       // materialize once instead of re-running extraction per branch.
       .localCheckpoint(true)
 
-    // G2: entity dedup + id assignment — distinct normalized name.
-    val entities0 = tripletRows
-      .select(explode(array(col("subject"), col("object"))).as("name"))
-      .distinct()
-      .select(Norm.idOf(col("name")).as("entity_id"), col("name"))
-
-    // G3: relation dedup on full normalized text.
-    val relations0 = tripletRows
-      .select(col("relation_id"), col("relation_text"),
-        col("subject"), col("predicate"), col("object"),
-        col("subject_id"), col("object_id"))
-      .dropDuplicates("relation_id")
-
     // Edge tables (normalized adjacency).
     val entityRelation = tripletRows
       .select(col("relation_id"),
@@ -90,47 +77,59 @@ object GraphBuilder {
       .select(col("relation_id"), col("passage_id"))
       .distinct()
 
-    // G4–G6: adjacency arrays (collect_set + sort for determinism).
-    val entityRelIds = entityRelation.groupBy("entity_id")
-      .agg(sort_array(collect_set(col("relation_id"))).as("relation_ids"))
-    val entityPassIds = entityPassage.groupBy("entity_id")
-      .agg(sort_array(collect_set(col("passage_id"))).as("passage_ids"))
-    val relationPassIds = relationPassage.groupBy("relation_id")
-      .agg(sort_array(collect_set(col("passage_id"))).as("passage_ids"))
-    val passageEntIds = entityPassage.groupBy("passage_id")
-      .agg(sort_array(collect_set(col("entity_id"))).as("entity_ids"))
-    val passageRelIds = relationPassage.groupBy("passage_id")
-      .agg(sort_array(collect_set(col("relation_id"))).as("relation_ids"))
-
     val emptyArr = array().cast("array<string>")
 
-    // E1 after dedup: embed each unique entity/relation/passage once, through the
-    // embedder's corpus-scale path (embedInto), not the scalar expression.
+    // G2/G4/G5 fused: ONE keyed aggregation per node table builds the dedup'd
+    // rows AND their adjacency arrays together (the old shape — dedup, two
+    // separate collect_set aggregates, then re-join — paid three shuffles per
+    // table for the same result; every dup row carries identical attribute
+    // values because ids are content hashes, so first()/group-keys are exact).
+    // Embedding (E1) stays strictly AFTER dedup, via the embedder's
+    // corpus-scale path (embedInto), not the scalar expression.
     val entities = embedder.embedInto(
-      entities0
-        .join(entityRelIds, Seq("entity_id"), "left")
-        .join(entityPassIds, Seq("entity_id"), "left")
-        .select(
-          col("entity_id").as("id"), col("name"),
-          coalesce(col("relation_ids"), emptyArr).as("relation_ids"),
-          coalesce(col("passage_ids"), emptyArr).as("passage_ids")),
+      tripletRows
+        .select(explode(array(
+          struct(col("subject").as("name"), col("subject_id").as("entity_id"),
+            col("relation_id"), col("passage_id")),
+          struct(col("object").as("name"), col("object_id").as("entity_id"),
+            col("relation_id"), col("passage_id")))).as("e"))
+        .groupBy(col("e.entity_id").as("id"), col("e.name").as("name"))
+        .agg(
+          sort_array(collect_set(col("e.relation_id"))).as("relation_ids"),
+          sort_array(collect_set(col("e.passage_id"))).as("passage_ids")),
       "name", "embedding")
 
     val relations = embedder.embedInto(
-      relations0
-        .join(relationPassIds, Seq("relation_id"), "left")
+      tripletRows
+        .groupBy(col("relation_id").as("id"))
+        .agg(
+          first(col("relation_text")).as("text"),
+          first(col("subject")).as("subject"),
+          first(col("predicate")).as("predicate"),
+          first(col("object")).as("object"),
+          first(col("subject_id")).as("subject_id"),
+          first(col("object_id")).as("object_id"),
+          sort_array(collect_set(col("passage_id"))).as("passage_ids"))
         .select(
-          col("relation_id").as("id"), col("relation_text").as("text"),
-          col("subject"), col("predicate"), col("object"),
+          col("id"), col("text"), col("subject"), col("predicate"), col("object"),
           // POSITIONAL [subject_id, object_id] (knowledge_graph.py:76-84)
           array(col("subject_id"), col("object_id")).as("entity_ids"),
-          coalesce(col("passage_ids"), emptyArr).as("passage_ids")),
+          col("passage_ids")),
       "text", "embedding")
 
+    // Passages keep the left join: a document with zero valid triplets still
+    // becomes a passage row, with empty adjacency.
+    val passageAdj = tripletRows
+      .select(col("passage_id"),
+        explode(array(col("subject_id"), col("object_id"))).as("entity_id"),
+        col("relation_id"))
+      .groupBy("passage_id")
+      .agg(
+        sort_array(collect_set(col("entity_id"))).as("entity_ids"),
+        sort_array(collect_set(col("relation_id"))).as("relation_ids"))
     val passages = embedder.embedInto(
       passages0
-        .join(passageEntIds, Seq("passage_id"), "left")
-        .join(passageRelIds, Seq("passage_id"), "left")
+        .join(passageAdj, Seq("passage_id"), "left")
         .select(
           col("passage_id").as("id"), col("text"),
           coalesce(col("entity_ids"), emptyArr).as("entity_ids"),

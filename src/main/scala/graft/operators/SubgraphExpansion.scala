@@ -2,8 +2,7 @@ package graft.operators
 
 import graft.model.ExpansionStep
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Result of an expansion: the id sets plus the audit log the API exposes
   * (knowledge_graph.py:149-192 SubGraph + expansion_history). */
@@ -39,20 +38,39 @@ object SubgraphExpansion {
     * and points at [[GraphXExpansion]], which keeps the sets distributed. */
   val DefaultMaxWorkingSet: Int = 1 << 20
 
+  /** Frontier size up to which both hop sides of a degree run as ONE fused
+    * action: re-evaluating the entity-hop subplan inside the relation hop's
+    * broadcast (one extra broadcast-semi scan, fully parallel) beats a second
+    * sequential driver round-trip. Above it, the duplicated hop is real work
+    * and the frontier broadcast itself gets heavy — the two-action path wins
+    * (measured at sf0.1: fused wins through ~30k ids, loses at ~120k). */
+  val FuseFrontierLimit: Int = 1 << 15
+
+  /** @param fuseSeedInit collect the seed entities and the init-merge relations
+    *   in ONE action (the seed subplan — typically a query-time KNN — is
+    *   evaluated in both union branches of the same job, which beats two
+    *   sequential driver round-trips when seeds are query-sized; leave false
+    *   for analytical traversals with large seed sets). */
   def expand(
       seedEntityIds: DataFrame,  // column: entity_id
       seedRelationIds: DataFrame, // column: relation_id
       entityRelation: DataFrame,  // entity_id, relation_id, [role]
       degree: Int,
-      maxWorkingSet: Int = DefaultMaxWorkingSet): Subgraph = {
+      maxWorkingSet: Int = DefaultMaxWorkingSet,
+      fuseSeedInit: Boolean = false): Subgraph = {
 
     val spark = entityRelation.sparkSession
     val er = entityRelation.select("entity_id", "relation_id")
 
-    def local(ids: Seq[String], name: String): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(ids.map(Row(_)), 1),
-        StructType(Seq(StructField(name, StringType, nullable = false))))
+    // LocalRelation, NOT parallelize: every downstream use is a broadcast
+    // join, and a LocalRelation ships to executors ONCE via the broadcast
+    // (torrent) while parallelize embeds the rows in every task binary —
+    // a large hop list was producing multi-MB tasks ("TaskSetManager: task
+    // of very large size") on each subsequent job.
+    def local(ids: Seq[String], name: String): DataFrame = {
+      import spark.implicits._
+      ids.toDF(name)
+    }
 
     // Every driver collect in the loop goes through this guard: fetch at most
     // cap+1 rows (the limit bounds the transfer, not just the check) and fail
@@ -67,48 +85,97 @@ object SubgraphExpansion {
       rows.map(_.getString(0)).sorted.toSeq
     }
 
-    // P1: seed entities (job 1 — the seeds arrive as a distributed KNN result).
-    val seedEntityList = collectBounded(
-      seedEntityIds.select("entity_id").distinct(), "seed entities")
+    // (id, kind) twin of collectBounded for the fused hop.
+    def collectBoundedRows(df: DataFrame, what: String): Seq[(String, String)] = {
+      val rows = df.limit(maxWorkingSet + 1).collect()
+      if (rows.length > maxWorkingSet)
+        throw new IllegalStateException(
+          s"subgraph expansion: $what exceeded maxWorkingSet=$maxWorkingSet ids; " +
+            "the reached set is not driver-bounded — use GraphXExpansion.expand " +
+            "(distributed id sets) or raise maxWorkingSet")
+      rows.map(r => (r.getString(0), r.getString(1)))
+    }
+
+    // P1 seed entities + init-merge (knowledge_graph.py:280-302): relations
+    // incident to seed entities ∪ seed relations. Two actions, or one fused
+    // (see the parameter doc).
+    val (seedEntityList, initRelationList) =
+      if (fuseSeedInit) {
+        val seeds = seedEntityIds.select("entity_id").distinct()
+        val rows = collectBoundedRows(
+          seeds.select(col("entity_id").as("id"), lit("e").as("kind"))
+            .unionByName(
+              er.join(broadcast(seeds), Seq("entity_id"), "left_semi")
+                .select("relation_id")
+                .unionByName(seedRelationIds.select("relation_id"))
+                .distinct()
+                .select(col("relation_id").as("id"), lit("r").as("kind"))),
+          "seed entities + init relations")
+        (rows.collect { case (id, "e") => id }.sorted,
+          rows.collect { case (id, "r") => id }.sorted)
+      } else {
+        val se = collectBounded(
+          seedEntityIds.select("entity_id").distinct(), "seed entities")
+        val ir = collectBounded(
+          er.join(broadcast(local(se, "entity_id")), Seq("entity_id"), "left_semi")
+            .select("relation_id")
+            .unionByName(seedRelationIds.select("relation_id"))
+            .distinct(), "init relations")
+        (se, ir)
+      }
     var entityList = seedEntityList
     var entitySeen = entityList.toSet
     var entDf = local(entityList, "entity_id")
-
-    // Init-merge (knowledge_graph.py:280-302): relations incident to seed
-    // entities ∪ seed relations — one fused job.
-    val initRelationList = collectBounded(
-      er.join(broadcast(entDf), Seq("entity_id"), "left_semi")
-        .select("relation_id")
-        .unionByName(seedRelationIds.select("relation_id"))
-        .distinct(), "init relations")
     var relationList = initRelationList
     var relationSeen = relationList.toSet
     var relDf = local(relationList, "relation_id")
+    var frontierList = initRelationList
     var frontierRels = relDf
 
     val history = Seq.newBuilder[ExpansionStep]
     history += ExpansionStep(0, seedEntityList, initRelationList,
       entityList.size.toLong, relationList.size.toLong)
 
-    // P2/P3/P4 degree loop (knowledge_graph.py:305-346) — two jobs per degree.
+    // P2/P3/P4 degree loop (knowledge_graph.py:305-346). Small frontiers
+    // (query-time retrieval: top-k seeds, degree 1) fuse both hop sides into
+    // ONE action: the entity-hop subplan is re-evaluated inside the relation
+    // hop's broadcast, which is cheaper than a second driver round-trip when
+    // the sets are tiny. Large frontiers (analytical traversals like
+    // p4_degree2, where the duplicate entity-hop evaluation is real work)
+    // keep the two-action path. The frontier size is known driver-side, so
+    // the choice costs nothing and the results are identical.
     for (d <- 1 to degree) {
-      val addedE = collectBounded(
-        er.join(broadcast(frontierRels), Seq("relation_id"), "left_semi")
-          .select("entity_id").distinct()
-          .join(broadcast(entDf), Seq("entity_id"), "left_anti"),
-        s"degree-$d entity hop")
-      val newEntDf = local(addedE, "entity_id")
-      val addedR = collectBounded(
-        er.join(broadcast(newEntDf), Seq("entity_id"), "left_semi")
-          .select("relation_id").distinct()
-          .join(broadcast(relDf), Seq("relation_id"), "left_anti"),
-        s"degree-$d relation hop")
+      val newEntities = er.join(broadcast(frontierRels), Seq("relation_id"), "left_semi")
+        .select("entity_id").distinct()
+        .join(broadcast(entDf), Seq("entity_id"), "left_anti")
+      val (addedE, addedR) =
+        if (frontierList.size <= FuseFrontierLimit) {
+          val newRelations = er.join(broadcast(newEntities), Seq("entity_id"), "left_semi")
+            .select("relation_id").distinct()
+            .join(broadcast(relDf), Seq("relation_id"), "left_anti")
+          val rows = collectBoundedRows(
+            newEntities.select(col("entity_id").as("id"), lit("e").as("kind"))
+              .unionByName(newRelations.select(col("relation_id").as("id"), lit("r").as("kind"))),
+            s"degree-$d fused hop")
+          (rows.collect { case (id, "e") => id }.sorted,
+            rows.collect { case (id, "r") => id }.sorted)
+        } else {
+          val aE = collectBounded(newEntities, s"degree-$d entity hop")
+          val newEntDf = local(aE, "entity_id")
+          val aR = collectBounded(
+            er.join(broadcast(newEntDf), Seq("entity_id"), "left_semi")
+              .select("relation_id").distinct()
+              .join(broadcast(relDf), Seq("relation_id"), "left_anti"),
+            s"degree-$d relation hop")
+          (aE, aR)
+        }
       entityList = entityList ++ addedE.filterNot(entitySeen)
       relationList = relationList ++ addedR.filterNot(relationSeen)
       entitySeen ++= addedE
       relationSeen ++= addedR
       entDf = local(entityList, "entity_id")
       relDf = local(relationList, "relation_id")
+      frontierList = addedR
       frontierRels = local(addedR, "relation_id")
       history += ExpansionStep(d, addedE, addedR,
         entityList.size.toLong, relationList.size.toLong)

@@ -45,6 +45,35 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, ArrayBuffer[ScoredId],
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
 }
 
+/** A scored candidate carrying its text payload (for single-pass eviction+fetch). */
+final case class ScoredRow(id: String, text: String, score: Double)
+
+/** [[TopKAggregator]] with a text payload per row: lets V1 eviction return the
+  * surviving rows WITH their texts in the same single aggregation job, instead
+  * of a second broadcast-join+collect to fetch them. Buffer cost grows by the
+  * text size — callers bound it (relation texts, threshold ≤ ~1000 rows). */
+class TopKRowAggregator(k: Int) extends Aggregator[ScoredRow, ArrayBuffer[ScoredRow], Seq[ScoredRow]] {
+  private val ord: Ordering[ScoredRow] =
+    Ordering.by((s: ScoredRow) => (-s.score, s.id))
+
+  private def compact(b: ArrayBuffer[ScoredRow]): ArrayBuffer[ScoredRow] = {
+    val kept = b.sorted(ord).take(k)
+    b.clear(); b ++= kept; b
+  }
+
+  override def zero: ArrayBuffer[ScoredRow] = new ArrayBuffer[ScoredRow](k + 1)
+  override def reduce(b: ArrayBuffer[ScoredRow], a: ScoredRow): ArrayBuffer[ScoredRow] = {
+    b += a
+    if (b.length >= 4 * k + 4) compact(b) else b
+  }
+  override def merge(a: ArrayBuffer[ScoredRow], b: ArrayBuffer[ScoredRow]): ArrayBuffer[ScoredRow] =
+    compact(a ++= b)
+  override def finish(b: ArrayBuffer[ScoredRow]): Seq[ScoredRow] = b.sorted(ord).take(k).toSeq
+  override def bufferEncoder: Encoder[ArrayBuffer[ScoredRow]] = Encoders.kryo[ArrayBuffer[ScoredRow]]
+  override def outputEncoder: Encoder[Seq[ScoredRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredRow]]()
+}
+
 /** Brute-force exact KNN (SURVEY §2.6) — the semantic spec of the reference's Milvus
   * `search` (IP metric on L2-normalized vectors ⇒ cosine; storage/milvus.py:346-427).
   *

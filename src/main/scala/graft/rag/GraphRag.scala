@@ -179,43 +179,42 @@ final class GraphRag(
 
     // Stage 5: subgraph expansion (P1–P6).
     val sub = SubgraphExpansion.expand(
-      entitySeeds, relationSeeds, entityRelationT, config.expansionDegree)
+      entitySeeds, relationSeeds, entityRelationT, config.expansionDegree,
+      fuseSeedInit = true) // seeds are query-sized (top-k KNN hits)
 
-    // Stage 6: eviction (V1) against the question embedding. The subgraph id
-    // set is bounded and local — broadcast it over the relations scan.
-    val qvec = qvecDf.select("qvec").as[Seq[Double]].head()
+    // Stage 6+7: eviction (V1) fused with candidate-text fetch — ONE aggregation
+    // job returns the kept rows with id, text, and question score in rank order.
+    // The question embedding comes from the embedder's driver-side twin when
+    // available (no Spark job for one vector); the subgraph id set is bounded
+    // and local — broadcast it over the relations scan.
+    val qvec = embedder.embedOne(question).getOrElse(
+      qvecDf.select("qvec").as[Seq[Double]].head())
     val candidates = relationsT
       .join(broadcast(sub.relationIds.withColumnRenamed("relation_id", "id")),
         Seq("id"), "left_semi")
-      .select(col("id"), col("embedding"))
-    val (kept, evicted) = Assembly.evictionTopK(candidates, qvec, config.relationNumberThreshold)
-
-    // Stage 7: rerank (V2) or head-k (V3). Candidates carry text + question score.
-    val candRows = relationsT.select(col("id"), col("text"), col("embedding"))
-      .join(broadcast(kept), Seq("id"))
-      .select(col("id"), col("text"), col("rank"),
-        VectorFunctions.dot(col("embedding"), typedLit(qvec)).as("score"))
-      .orderBy(col("rank"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
-      .toSeq
+      .select(col("id"), col("text"), col("embedding"))
+    val (candRows, evicted) =
+      Assembly.evictionTopKRows(candidates, qvec, config.relationNumberThreshold)
     val selected = reranker.rerank(candRows, question, config.rerankSelect)
 
-    // Stage 8: relation→passage join (V4) + V5 naive backfill.
+    // Stage 8: relation→passage join (V4) + V5 naive backfill + text fetch,
+    // all lazily composed into ONE collected job (the naive KNN, the first-seen
+    // window, the backfill union, and the broadcast text join share it).
     val ranked = selected.zipWithIndex
       .map { case (id, i) => (id, i + 1) }.toDF("relation_id", "rel_rank")
     val graphPassages = Assembly.passagesForRelations(ranked, relationsT, config.finalTopK)
     val naive = naivePassageHits(qvecDf, passagesT)
-    val finalPassages = Assembly.backfill(graphPassages, naive, config.finalTopK)
-      .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val finalRows = passagesT.select(col("id").as("passage_id"), col("text"))
+      .join(broadcast(Assembly.backfill(graphPassages, naive, config.finalTopK)),
+        Seq("passage_id"))
+      .orderBy("rank").collect()
 
-    val texts = passageTexts(finalPassages.map(_._1), passagesT)
     val scoreById = candRows.map(c => c._1 -> c._3).toMap
     QueryResult(
       question = question,
       answer = "",
-      passages = finalPassages.map { case (id, rk) =>
-        RetrievalHit(id, texts.getOrElse(id, ""), 0.0, rk) },
+      passages = finalRows.map(r =>
+        RetrievalHit(r.getString(0), r.getString(1), 0.0, r.getInt(2))).toSeq,
       relations = selected.zipWithIndex.map { case (id, i) =>
         val text = candRows.find(_._1 == id).map(_._2).getOrElse("")
         RetrievalHit(id, text, scoreById.getOrElse(id, 0.0), i + 1) },
@@ -224,15 +223,17 @@ final class GraphRag(
       evictionApplied = evicted)
   }
 
-  /** R6 naive RAG: passage KNN only (retriever.py:367-385). */
+  /** R6 naive RAG: passage KNN only (retriever.py:367-385). The KNN and the
+    * text fetch compose lazily into one collected job. */
   def retrieveNaive(question: String): Seq[RetrievalHit] = {
     val qvecDf = Seq(question).toDF("qtext")
       .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
     val passagesT = store.cachedTable(graph, "passages")
-    val hits = naivePassageHits(qvecDf, passagesT)
-      .orderBy("rank").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
-    val texts = passageTexts(hits.map(_._1), passagesT)
-    hits.map { case (id, rk) => RetrievalHit(id, texts.getOrElse(id, ""), 0.0, rk) }
+    passagesT.select(col("id").as("passage_id"), col("text"))
+      .join(broadcast(naivePassageHits(qvecDf, passagesT)), Seq("passage_id"))
+      .orderBy("rank").collect()
+      .map(r => RetrievalHit(r.getString(0), r.getString(1), 0.0, r.getInt(2)))
+      .toSeq
   }
 
   def stats(): Map[String, Long] = store.stats(graph)
@@ -301,11 +302,4 @@ final class GraphRag(
       "qtext", "qvec", "id", "embedding", config.finalTopK)
       .select(col("neighbor_id").as("passage_id"), col("rank"))
 
-  private def passageTexts(ids: Seq[String], passagesT: DataFrame): Map[String, String] = {
-    if (ids.isEmpty) Map.empty
-    else passagesT
-      .filter(col("id").isin(ids: _*))
-      .select("id", "text").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-  }
 }

@@ -21,6 +21,17 @@ class EmbedderSpec extends SparkSpec {
     assert(scalar("c").forall(_ == 0.0))
   }
 
+  test("embedOne (driver-side) is bit-identical to the Column path") {
+    val e = HashEmbedder(dim = 16)
+    val texts = Seq("the quick brown fox", "spark native graph engine spark",
+      "", "unicode 爱因斯坦 stripped", "single", "Who discovered radium?")
+    val sql = texts.toDF("text").select(e.embed(col("text")).as("v"))
+      .as[Seq[Double]].collect()
+    texts.zip(sql).foreach { case (t, expected) =>
+      assert(e.embedOne(t).contains(expected), s"mismatch for <$t>")
+    }
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     import graft.functions.Quantize
     val emb = spark.read.parquet(sf("embeddings")).limit(200)

@@ -85,6 +85,24 @@ class GraphXExpansionSpec extends SparkSpec {
     assert(normal == capped)
   }
 
+  test("fused seed+init and fused hops return identical sets and history") {
+    val er = spark.read.parquet(sf("lineitem"))
+      .select(col("l_partkey").cast("string").as("entity_id"),
+        col("l_orderkey").cast("string").as("relation_id"))
+      .distinct().localCheckpoint(true)
+    val seeds = er.filter(col("entity_id").cast("long") % 101 === 0)
+      .select("entity_id").distinct()
+    val seedRels = er.filter(col("relation_id").cast("long") % 1009 === 0)
+      .select("relation_id").distinct()
+    for (degree <- 0 to 2) {
+      val plain = SubgraphExpansion.expand(seeds, seedRels, er, degree)
+      val fused = SubgraphExpansion.expand(seeds, seedRels, er, degree,
+        fuseSeedInit = true)
+      assert(sets(fused) == sets(plain), s"sets differ at degree $degree")
+      assert(fused.history == plain.history, s"history differs at degree $degree")
+    }
+  }
+
   test("seed relations participate in the init-merge identically") {
     val er = Seq(
       ("e1", "r1"), ("e2", "r1"), ("e2", "r2"), ("e3", "r2"),

@@ -88,6 +88,22 @@ class OperatorsSpec extends SparkSpec {
     assert(ids.head == "id_029") // highest score
   }
 
+  test("evictionTopKRows (fused fetch) agrees with evictionTopK and carries texts") {
+    val mk = (n: Int) => (0 until n).map(i =>
+      (f"id_$i%03d", s"text $i", Seq.fill(4)(i.toDouble / n))).toDF("id", "text", "embedding")
+    val qv = Seq(1.0, 1.0, 1.0, 1.0)
+    val (small, evS) = Assembly.evictionTopKRows(mk(5), qv, 10)
+    assert(!evS)
+    assert(small.map(_._1) == (0 until 5).map(i => f"id_$i%03d"))
+    assert(small.map(_._2) == (0 until 5).map(i => s"text $i"))
+    val (big, evB) = Assembly.evictionTopKRows(mk(30), qv, 10)
+    assert(evB && big.length == 10 && big.head._1 == "id_029")
+    // same ids and order as the id-only variant
+    val (keptBig, _) = Assembly.evictionTopK(mk(30), qv, 10)
+    assert(big.map(_._1) ==
+      keptBig.orderBy("rank").select("id").as[String].collect().toSeq)
+  }
+
   test("passagesForRelations keeps first-seen order and cuts at k (V4)") {
     val ranked = Seq(("r1", 1), ("r2", 2)).toDF("relation_id", "rel_rank")
     val relations = Seq(
