@@ -8,7 +8,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Engine configuration — defaults mirror the reference's
-  * (src/vector_graph_rag/config.py:83-106). */
+  * (src/vector_graph_rag/config.py:83-106).
+  *
+  * `annNProbe`: when set, entity/relation retrieval (R1/R4) goes through a
+  * persisted IVF index ([[graft.operators.IvfIndex]]) probing that many cells
+  * instead of brute-force scoring the whole table — the reference's
+  * AUTOINDEX-backed search (config.py:43-50) with the accuracy dial exposed
+  * (see IvfIndex.recallCurve for choosing it; nProbe = annNList ⇒ exact).
+  * Indexes are built at indexing time and dropped by any write that could
+  * stale them — retrieval silently falls back to exact KNN until re-indexed. */
 final case class RagConfig(
     entityTopK: Int = 20,
     relationTopK: Int = 20,
@@ -17,7 +25,9 @@ final case class RagConfig(
     expansionDegree: Int = 1,
     relationNumberThreshold: Int = 1000,
     rerankSelect: Int = 5,
-    finalTopK: Int = 3)
+    finalTopK: Int = 3,
+    annNProbe: Option[Int] = None,
+    annNList: Int = 64)
 
 /** The engine façade — the reference's `VectorGraphRAG` (rag.py) re-expressed as
   * Spark DataFrame jobs orchestrated from the driver.
@@ -58,7 +68,17 @@ final class GraphRag(
       .select(col("id"), col("text"), col("triplets"))
     val tables = GraphBuilder.build(docsDf, embedder)
     store.save(graph, tables)
+    buildAnnIndexes()
     store.stats(graph)
+  }
+
+  /** Build-and-persist the IVF retrieval indexes (reference: vector index built
+    * at insert time, milvus.py:103-111) — only when ANN retrieval is enabled. */
+  private def buildAnnIndexes(): Unit = config.annNProbe.foreach { _ =>
+    Seq("entities", "relations").foreach { t =>
+      store.saveAnnIndex(graph, t,
+        IvfIndex.build(store.table(graph, t), "id", "embedding", config.annNList))
+    }
   }
 
   /** DataFrame-native bulk indexing: `docsDf` (id, text[, triplets]) → graph
@@ -79,6 +99,7 @@ final class GraphRag(
       }
     val tables = GraphBuilder.build(withTriplets, embedder)
     store.save(graph, tables)
+    buildAnnIndexes()
     store.stats(graph)
   }
 
@@ -155,14 +176,24 @@ final class GraphRag(
     // Stage 1: NER (X2) + T2 normalization.
     val queryEntities = ner.entities(question)
 
+    // Node-table KNN: through the persisted IVF index when ANN retrieval is
+    // enabled AND the index exists (any write drops it — exact fallback), else
+    // brute-force. Both produce (query_id, rank, neighbor_id, score).
+    def nodeKnn(queries: DataFrame, tbl: DataFrame, tableName: String, k: Int): DataFrame =
+      (for {
+        nProbe <- config.annNProbe
+        idx <- store.loadAnnIndex(graph, tableName)
+      } yield IvfIndex.search(idx, queries, "qtext", "qvec", nProbe, k))
+        .getOrElse(VectorSearch.knnJoin(
+          queries, tbl, "qtext", "qvec", "id", "embedding", k))
+
     // Stage 2+3: embed query entities, entity KNN + threshold + dedup-union (R1–R3).
     val entitySeeds: DataFrame =
       if (queryEntities.isEmpty) spark.emptyDataset[String].toDF("entity_id")
       else {
         val qdf = queryEntities.toDF("qtext")
           .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
-        val hits = VectorSearch.knnJoin(
-          qdf, entitiesT, "qtext", "qvec", "id", "embedding", config.entityTopK)
+        val hits = nodeKnn(qdf, entitiesT, "entities", config.entityTopK)
         VectorSearch.dedupUnion(
             VectorSearch.thresholdFilter(hits, config.entitySimilarityThreshold))
           .select(col("neighbor_id").as("entity_id"))
@@ -172,8 +203,7 @@ final class GraphRag(
     val qvecDf = Seq(question).toDF("qtext")
       .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
     val relationHits = VectorSearch.thresholdFilter(
-      VectorSearch.knnJoin(
-        qvecDf, relationsT, "qtext", "qvec", "id", "embedding", config.relationTopK),
+      nodeKnn(qvecDf, relationsT, "relations", config.relationTopK),
       config.relationSimilarityThreshold)
     val relationSeeds = relationHits.select(col("neighbor_id").as("relation_id"))
 

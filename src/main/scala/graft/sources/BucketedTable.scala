@@ -62,6 +62,24 @@ object BucketedTable {
   def deleteDir(spark: SparkSession, path: String): Unit =
     fileSystem(spark, path).delete(new Path(path), true)
 
+  /** Tiny metadata marker (e.g. the bucket count a layout was written with). */
+  def writeMarker(spark: SparkSession, path: String, value: String): Unit = {
+    val out = fileSystem(spark, path).create(new Path(path), true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readMarker(spark: SparkSession, path: String): Option[String] = {
+    val fs = fileSystem(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   /** Full bucketed write (empty-safe). `df` must not already carry `_bucket`. */
   def write(df: DataFrame, path: String, key: String, n: Int): Unit = {
     val spark = df.sparkSession

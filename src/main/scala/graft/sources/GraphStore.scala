@@ -41,7 +41,22 @@ final class GraphStore(spark: SparkSession, base: String,
     "entity_relation" -> "entity_id", "entity_passage" -> "entity_id",
     "relation_passage" -> "relation_id")
 
-  private def bucketOf(id: String): Int = BucketedTable.bucketOf(id, nBuckets)
+  /** The bucket count is a LAYOUT property of each stored graph, persisted in
+    * a marker file at write time: a store handle opened with a different
+    * default must keep pruning with the count the data was actually bucketed
+    * with, or every point lookup would read (and every CRUD op rewrite) the
+    * wrong partition directories. */
+  private val graphBuckets = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def markerPath(graph: String) = s"$base/$graph/_nbuckets"
+
+  private def bucketsFor(graph: String): Int =
+    graphBuckets.getOrElseUpdate(graph,
+      BucketedTable.readMarker(spark, markerPath(graph))
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .getOrElse(nBuckets))
+
+  private def bucketOf(graph: String, id: String): Int =
+    BucketedTable.bucketOf(id, bucketsFor(graph))
 
   // ----------------------------------------------------------------- S6 / S9
   /** Full-replace write of all six tables. The writes are submitted
@@ -52,6 +67,9 @@ final class GraphStore(spark: SparkSession, base: String,
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // save is full-replace, so the graph adopts THIS handle's bucket count.
+    graphBuckets.put(graph, nBuckets)
+    BucketedTable.writeMarker(spark, markerPath(graph), nBuckets.toString)
     val writes = Seq(
       "entities" -> t.entities, "relations" -> t.relations, "passages" -> t.passages,
       "entity_relation" -> t.entityRelation, "entity_passage" -> t.entityPassage,
@@ -64,6 +82,7 @@ final class GraphStore(spark: SparkSession, base: String,
     // sessions (REST server) would otherwise serve stale rows after re-index.
     tableNames.foreach { n =>
       invalidateCache(graph, n)
+      dropAnnIndex(graph, n)
       spark.catalog.refreshByPath(path(graph, n))
     }
   }
@@ -101,7 +120,7 @@ final class GraphStore(spark: SparkSession, base: String,
   /** Bucket-pruned point read: only the partition directories holding `keys`'
     * buckets are scanned (the caller still applies its exact key predicate). */
   private def pruned(graph: String, name: String, keys: Seq[String]): DataFrame = {
-    val buckets = keys.map(bucketOf).distinct
+    val buckets = keys.map(bucketOf(graph, _)).distinct
     BucketedTable.read(spark, path(graph, name))
       .filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
   }
@@ -118,6 +137,7 @@ final class GraphStore(spark: SparkSession, base: String,
   /** S9 drop. */
   def dropGraph(graph: String): Unit = {
     tableNames.foreach(invalidateCache(graph, _))
+    graphBuckets.remove(graph)
     BucketedTable.deleteDir(spark, s"$base/$graph")
   }
 
@@ -125,6 +145,29 @@ final class GraphStore(spark: SparkSession, base: String,
   def stats(graph: String): Map[String, Long] =
     Seq("entities", "relations", "passages")
       .map(n => n -> table(graph, n).count()).toMap
+
+  // -------------------------------------------------------------- ANN indexes
+  /** Persisted IVF index over a node table's embeddings — the reference's
+    * resident vector index (AUTOINDEX, config.py:43-50) as a DERIVED artifact:
+    * built at indexing time, dropped by ANY write to its base table (save,
+    * upsert, cascade, graft), so a stale index can never serve a query —
+    * readers fall back to exact KNN until it is rebuilt. */
+  private def annPath(graph: String, tableName: String) =
+    s"$base/$graph/ivf_$tableName"
+
+  def saveAnnIndex(graph: String, tableName: String,
+      index: graft.operators.IvfIndex.Index): Unit =
+    graft.operators.IvfIndex.save(index, annPath(graph, tableName))
+
+  def loadAnnIndex(graph: String, tableName: String)
+      : Option[graft.operators.IvfIndex.Index] =
+    if (BucketedTable.exists(spark, annPath(graph, tableName)))
+      Some(graft.operators.IvfIndex.load(spark, annPath(graph, tableName)))
+    else None
+
+  private def dropAnnIndex(graph: String, tableName: String): Unit =
+    if (BucketedTable.exists(spark, annPath(graph, tableName)))
+      BucketedTable.deleteDir(spark, annPath(graph, tableName))
 
   // ----------------------------------------------------------------- S7 upsert
   /** Read-modify-write merge: rows in `updates` replace same-id rows, others kept
@@ -141,7 +184,7 @@ final class GraphStore(spark: SparkSession, base: String,
   def delete(graph: String, tableName: String, ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
     val victims = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
-    rewriteBuckets(graph, tableName, ids.map(bucketOf).distinct)(
+    rewriteBuckets(graph, tableName, ids.map(bucketOf(graph, _)).distinct)(
       _.join(victims, Seq("id"), "left_anti"))
   }
 
@@ -152,11 +195,11 @@ final class GraphStore(spark: SparkSession, base: String,
   def deletePassageCascade(graph: String, passageId: String): Unit = {
     val entBuckets = BucketedTable.distinctBuckets(
       table(graph, "entity_passage").filter(col("passage_id") === passageId),
-      "entity_id", nBuckets)
+      "entity_id", bucketsFor(graph))
     val relBuckets = BucketedTable.distinctBuckets(
       table(graph, "relation_passage").filter(col("passage_id") === passageId),
-      "relation_id", nBuckets)
-    rewriteBuckets(graph, "passages", Seq(bucketOf(passageId)))(
+      "relation_id", bucketsFor(graph))
+    rewriteBuckets(graph, "passages", Seq(bucketOf(graph, passageId)))(
       _.filter(col("id") =!= passageId))
     rewriteBuckets(graph, "entities", entBuckets)(
       _.withColumn("passage_ids", array_remove(col("passage_ids"), passageId)))
@@ -171,18 +214,18 @@ final class GraphStore(spark: SparkSession, base: String,
   /** G9 cascade delete of an entity (graph/graph.py:237-282): drop the entity, its
     * incident relations, and scrub both from passages' adjacency. */
   def deleteEntityCascade(graph: String, entityId: String): Unit = {
-    val eb = bucketOf(entityId)
+    val eb = bucketOf(graph, entityId)
     // incident relations: bucket-pruned lookup (entity_relation is keyed by entity)
     val dr = pruned(graph, "entity_relation", Seq(entityId))
       .filter(col("entity_id") === entityId)
       .select("relation_id").distinct().collect().map(_.getString(0)).toSeq
-    val drBuckets = dr.map(bucketOf).distinct
+    val drBuckets = dr.map(bucketOf(graph, _)).distinct
     // entities sharing a doomed relation (their relation_ids need scrubbing)
     val refEntBuckets =
       if (dr.isEmpty) Seq.empty[Int]
       else BucketedTable.distinctBuckets(
         table(graph, "entity_relation").filter(col("relation_id").isin(dr: _*)),
-        "entity_id", nBuckets)
+        "entity_id", bucketsFor(graph))
     // passages referencing the entity or a doomed relation
     val passRefsE = pruned(graph, "entity_passage", Seq(entityId))
       .filter(col("entity_id") === entityId).select("passage_id")
@@ -191,7 +234,7 @@ final class GraphStore(spark: SparkSession, base: String,
       else passRefsE.unionByName(
         pruned(graph, "relation_passage", dr)
           .filter(col("relation_id").isin(dr: _*)).select("passage_id"))
-    val passBuckets = BucketedTable.distinctBuckets(passRefs, "passage_id", nBuckets)
+    val passBuckets = BucketedTable.distinctBuckets(passRefs, "passage_id", bucketsFor(graph))
 
     rewriteBuckets(graph, "entities", (eb +: refEntBuckets).distinct) { df =>
       val kept = df.filter(col("id") =!= entityId)
@@ -220,14 +263,14 @@ final class GraphStore(spark: SparkSession, base: String,
     * row, scrub its id from entities' and passages' `relation_ids`, and drop its
     * edge rows — no dangling adjacency survives. */
   def deleteRelationCascade(graph: String, relationId: String): Unit = {
-    val rb = Seq(bucketOf(relationId))
+    val rb = Seq(bucketOf(graph, relationId))
     val entBuckets = BucketedTable.distinctBuckets(
       table(graph, "entity_relation").filter(col("relation_id") === relationId),
-      "entity_id", nBuckets)
+      "entity_id", bucketsFor(graph))
     val passBuckets = BucketedTable.distinctBuckets(
       pruned(graph, "relation_passage", Seq(relationId))
         .filter(col("relation_id") === relationId),
-      "passage_id", nBuckets)
+      "passage_id", bucketsFor(graph))
     rewriteBuckets(graph, "relations", rb)(_.filter(col("id") =!= relationId))
     rewriteBuckets(graph, "entities", entBuckets)(
       _.withColumn("relation_ids", array_remove(col("relation_ids"), relationId)))
@@ -281,14 +324,15 @@ final class GraphStore(spark: SparkSession, base: String,
   def rewriteForKeys(graph: String, tableName: String, keys: DataFrame,
       keyCol: String)(f: DataFrame => DataFrame): Unit =
     rewriteBuckets(graph, tableName,
-      BucketedTable.distinctBuckets(keys, keyCol, nBuckets))(f)
+      BucketedTable.distinctBuckets(keys, keyCol, bucketsFor(graph)))(f)
 
   private def rewriteBuckets(graph: String, tableName: String, buckets: Seq[Int])(
       f: DataFrame => DataFrame): Unit = {
     BucketedTable.rewriteBuckets(
-      spark, path(graph, tableName), clusterKey(tableName), nBuckets, buckets)(f)
-    // Invalidate caches over the replaced files (see save()).
+      spark, path(graph, tableName), clusterKey(tableName), bucketsFor(graph), buckets)(f)
+    // Invalidate caches and derived indexes over the replaced files (see save()).
     invalidateCache(graph, tableName)
+    dropAnnIndex(graph, tableName)
     spark.catalog.refreshByPath(path(graph, tableName))
   }
 
@@ -299,10 +343,11 @@ final class GraphStore(spark: SparkSession, base: String,
     val tmp = path(graph, s"__tmp_$tableName")
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = path(graph, tableName)
-    BucketedTable.write(spark.read.parquet(tmp), dst, clusterKey(tableName), nBuckets)
+    BucketedTable.write(spark.read.parquet(tmp), dst, clusterKey(tableName), bucketsFor(graph))
     BucketedTable.deleteDir(spark, tmp)
-    // Invalidate caches over the replaced files (see save()).
+    // Invalidate caches and derived indexes over the replaced files (see save()).
     invalidateCache(graph, tableName)
+    dropAnnIndex(graph, tableName)
     spark.catalog.refreshByPath(dst)
   }
 }

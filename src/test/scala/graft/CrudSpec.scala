@@ -149,6 +149,31 @@ class CrudSpec extends SparkSpec {
       .select("text").head().getString(0) == "updated text")
   }
 
+  test("bucket count is a persisted layout property: reopened handles adopt it") {
+    val base = Files.createTempDirectory("bmarker").toString
+    val writer = new GraphStore(spark, base, nBuckets = 4)
+    new GraphRag(spark, writer, "bm").addDocumentsWithTriplets((0 until 12).map(i =>
+      Doc(s"p$i", s"s$i v$i o$i.", Seq(Triplet(s"s$i", s"v$i", s"o$i")))))
+
+    // a DIFFERENT handle with the default bucket count must keep working
+    // against the 4-bucket layout (marker file wins over the constructor)
+    val reader = new GraphStore(spark, base) // default 16
+    assert(reader.stats("bm")("passages") == 12)
+    reader.deletePassageCascade("bm", "p3")
+    assert(reader.stats("bm")("passages") == 11)
+    assert(reader.table("bm", "passages").filter(col("id") === "p3").count() == 0)
+    reader.upsert("bm", "passages",
+      spark.createDataFrame(Seq(("p5", "updated"))).toDF("id", "text"))
+    assert(reader.table("bm", "passages").filter(col("id") === "p5")
+      .select("text").head().getString(0) == "updated")
+    // and the layout stayed 4-bucket: no _bucket dir beyond 0..3 was created
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.walk(java.nio.file.Paths.get(s"$base/bm/passages.parquet"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_bucket=")).toSet
+    assert(dirs.nonEmpty && dirs.forall(d => d.drop(8).toInt < 4), dirs)
+  }
+
   test("store cache registry: one live entry per table, unpersisted on write") {
     import org.apache.spark.storage.StorageLevel
     val store = new GraphStore(spark, Files.createTempDirectory("cachereg").toString)

@@ -51,6 +51,36 @@ class GraphRagSpec extends SparkSpec {
     assert(!r.evictionApplied) // 6 relations < threshold 1000
   }
 
+  test("ANN retrieval: full-probe IVF equals exact retrieve; writes drop the index") {
+    val astore = new GraphStore(spark, Files.createTempDirectory("annstore").toString)
+    val ner = CachedNerExtractor(
+      Map(question -> Seq("Albert Einstein", "theory of relativity")))
+    val exactRag = new GraphRag(spark, astore, "ann",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3), ner = ner)
+    val annRag = new GraphRag(spark, astore, "ann",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3,
+        annNProbe = Some(4), annNList = 4), // probe every cell => exact
+      ner = ner)
+    annRag.addDocumentsWithTriplets(docs) // builds + persists the IVF indexes
+    assert(astore.loadAnnIndex("ann", "entities").isDefined)
+    assert(astore.loadAnnIndex("ann", "relations").isDefined)
+
+    val exact = exactRag.retrieve(question)
+    val ann = annRag.retrieve(question)
+    assert(ann.passages.map(_.id) == exact.passages.map(_.id))
+    assert(ann.relations.map(_.id) == exact.relations.map(_.id))
+
+    // any write to the base table drops the derived index: stale ANN never serves
+    annRag.updatePassage("curie", "Marie Curie\nradioactivity pioneer.")
+    assert(astore.loadAnnIndex("ann", "entities").isDefined, "entities untouched")
+    // passages have no index, but relation/entity rewrites do drop theirs:
+    astore.upsert("ann", "relations",
+      spark.createDataFrame(Seq(("deadbeef", "x y z"))).toDF("id", "text"))
+    assert(astore.loadAnnIndex("ann", "relations").isEmpty, "stale index survived")
+    // retrieval still works via the exact fallback
+    assert(annRag.retrieve(question).passages.nonEmpty)
+  }
+
   test("expansion history logs per-degree additions (P6)") {
     rag.addDocumentsWithTriplets(docs)
     val r = rag.retrieve(question)
