@@ -341,6 +341,15 @@ object SparkEntry {
             .as("text2")),
         "doc_id", "text2", maxOccurrences = 1)
     }),
+    // D8 transitive dedup clusters: connected components over the LSH candidate
+    // pairs — a~b, b~c collapse to one keeper (min id in the component).
+    "d8_dedup_clusters" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 6, shingleSize = 3)
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
+      Dedup.connectedComponents(pairs)
+    }),
     // D5 embedding near-duplicates: cosine ≥ 0.35 (exact pair scan).
     "d5_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -477,6 +486,37 @@ object SparkEntry {
         .join(trainFps, Seq("fp"), "left_semi")
         .groupBy("split")
         .agg(count(lit(1)).as("n_contaminated"))
+    }),
+
+    // PK1 sequence packing: global token offsets (corpus ordered by doc_id) and
+    // the 512-token context windows each document overlaps — computed with the
+    // two-phase prefix sum, never a global single-partition sort.
+    "pk1_sequence_pack" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.tokenCountT(col("toks")).as("n"))
+      CorpusOps.packSequences(toks, "doc_id", "n", seqLen = 512)
+    }),
+
+    // X10 stratified downsampling: every language stratum capped at the size of
+    // the smallest via deterministic id-hash buckets; output = per-stratum
+    // before/after counts (the auditable summary of the sampling decision).
+    "x10_stratified_sample" -> ((s, dir) => {
+      val langs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.langIdT(col("toks")).as("lang"))
+      val kept = CorpusOps.equalizeStrata(langs, "doc_id", "lang")
+      langs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
+    // X11 vocabulary building: top-100 tokens by corpus frequency (min count 5),
+    // ties pinned by token.
+    "x11_vocab" -> ((s, dir) => {
+      CorpusOps.vocabulary(
+        t(s, dir, "documents").select(Norm.normTokens(col("text")).as("toks")),
+        "toks", minCount = 5, topK = 100)
     }),
 
     // --------------------------------------------------- events: windows/sessions
@@ -706,6 +746,22 @@ object SparkEntry {
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 8 AND c.vec_id >= 8""".stripMargin.replace("\n", " ")
     val stopList = "['the','a','an','of','to','in','and','is','on','for']"
+    // (doc_id, lang) via the x1 n-gram heuristic — shared by x1 and x10.
+    val langSelect =
+      s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und'
+         |  WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END AS lang
+         |FROM (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))) AS s_es,
+         |    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr,
+         |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+         |    greatest(
+         |      len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))),
+         |      len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))),
+         |      len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))),
+         |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t)))) AS m
+         |  FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t) s""".stripMargin.replace("\n", " ")
     Map(
       "s10_stats" -> statsUnion,
       "s7_upsert" ->
@@ -841,6 +897,21 @@ object SparkEntry {
            |SELECT p.id_a, p.id_b,
            |  (${(0 until 6).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / 6.0 AS est_jaccard
            |FROM pairs p JOIN sigs sa ON p.id_a = sa.id JOIN sigs sb ON p.id_b = sb.id""".stripMargin.replace("\n", " "),
+      "d8_dedup_clusters" ->
+        s"""WITH RECURSIVE sigs AS ($minhashSigs),
+           |banded AS (
+           |  SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
+           |  UNION ALL SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+           |  UNION ALL SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+           |SELECT id, min(r) AS rep_id FROM reach GROUP BY id""".stripMargin.replace("\n", " "),
       "d3_simhash" ->
         """WITH tok AS (
           |  SELECT doc_id AS id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h
@@ -942,20 +1013,7 @@ object SparkEntry {
           |  FROM assign a JOIN corpus c ON a.id = c.id) t
           |GROUP BY centroid_id, pos""".stripMargin.replace("\n", " "),
       "x1_langid" ->
-        s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und'
-           |  WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' ELSE 'fr' END AS lang_pred
-           |FROM (
-           |  SELECT doc_id,
-           |    len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))) AS s_en,
-           |    len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))) AS s_es,
-           |    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr,
-           |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
-           |    greatest(
-           |      len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))),
-           |      len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))),
-           |      len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))),
-           |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t)))) AS m
-           |  FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t) s""".stripMargin.replace("\n", " "),
+        s"SELECT doc_id, lang AS lang_pred FROM ($langSelect) q",
       "x2_quality" ->
         s"""SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
            |  round(stopword_ratio, 6) AS stopword_ratio,
@@ -1011,6 +1069,30 @@ object SparkEntry {
           |FROM (SELECT n_chars, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
           |      FROM documents) t
           |GROUP BY 1""".stripMargin.replace("\n", " "),
+      "pk1_sequence_pack" ->
+        s"""SELECT doc_id, n AS n_tokens, start_offset,
+           |  start_offset // 512 AS seq_first,
+           |  greatest(start_offset // 512, (start_offset + n - 1) // 512) AS seq_last
+           |FROM (
+           |  SELECT doc_id, n,
+           |    coalesce(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
+           |  FROM (SELECT doc_id, len($toksDoc) AS n FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x10_stratified_sample" ->
+        s"""WITH langs AS ($langSelect),
+           |counts AS (SELECT lang, count(*) AS n_docs FROM langs GROUP BY lang),
+           |rates AS (SELECT lang, n_docs,
+           |    ((SELECT min(n_docs) FROM counts) * 10000) // n_docs AS bps FROM counts),
+           |kept AS (
+           |  SELECT l.lang, count(*) AS n_kept
+           |  FROM langs l JOIN rates r ON l.lang = r.lang
+           |  WHERE CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.bps
+           |  GROUP BY l.lang)
+           |SELECT c.lang, c.n_docs, coalesce(k.n_kept, 0) AS n_kept
+           |FROM counts c LEFT JOIN kept k ON c.lang = k.lang""".stripMargin.replace("\n", " "),
+      "x11_vocab" ->
+        s"""SELECT token, cnt FROM (
+           |  SELECT word AS token, count(*) AS cnt FROM ($docWords) dw GROUP BY word) t
+           |WHERE cnt >= 5 ORDER BY cnt DESC, token LIMIT 100""".stripMargin.replace("\n", " "),
       "x9_contamination" ->
         s"""WITH un AS (
            |  SELECT doc_id, text FROM documents

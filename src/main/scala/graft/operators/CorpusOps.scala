@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-assembly operators for training-data pipelines: global sequence
+  * packing, deterministic stratified sampling, and vocabulary building.
+  * Everything here is a pure function of row content (no rand(), no
+  * nondeterministic ids), so results are reproducible across runs, engines,
+  * and repartitionings — the property that makes a 100 TB data build auditable.
+  */
+object CorpusOps {
+
+  /** Hash bucket in [0, 10000) from the id's md5 — same arithmetic as the SQL
+    * oracle `CAST(('0x' || substr(md5(id),1,8)) AS BIGINT) % 10000`. */
+  def bucket10k(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Assign every document a global token offset (corpus ordered by id) and
+    * the fixed-length context windows it lands in — the "concat and split at
+    * seqLen boundaries" step of LLM pre-training corpus assembly.
+    *
+    * A naive cumulative sum is a WINDOW OVER (ORDER BY id) — one partition,
+    * one executor sorting the whole corpus. This is the scale-correct
+    * two-phase prefix sum instead: range-repartition by id, per-partition
+    * token totals (tiny: one row per partition) prefix-scanned on the driver,
+    * broadcast back as per-partition base offsets, then a window partitioned
+    * BY partition — every partition sorts and scans only itself, in parallel.
+    * Output is invariant to the partition count; only the global id order
+    * matters.
+    *
+    * Output: (<idCol>, n_tokens, start_offset, seq_first, seq_last), where
+    * seq_first/seq_last are the first/last seqLen-sized window the document's
+    * tokens overlap (empty docs land on seq_first = seq_last at their offset). */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0)
+    val spark = df.sparkSession
+    // Materialized eagerly: _pid must be identical for the per-partition sums
+    // and the main pass (two actions over the same frame).
+    val ranged = df
+      .select(col(idCol), col(nTokensCol).cast("long").as("_n"))
+      .repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    // One row per non-empty partition — bounded by the partition count, never
+    // by the data.
+    val partSums = ranged.groupBy("_pid").agg(sum("_n").as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = partSums.map { case (pid, s) => val b = (pid, acc); acc += s; b }
+    val baseDf = spark.createDataFrame(bases.toIndexedSeq).toDF("_pid", "_base")
+    val w = Window.partitionBy("_pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(baseDf), Seq("_pid"))
+      .withColumn("start_offset", col("_base") + coalesce(sum("_n").over(w), lit(0L)))
+      .select(col(idCol), col("_n").as("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $seqLen").as("seq_first"),
+        greatest(expr(s"start_offset div $seqLen"),
+          expr(s"(start_offset + n_tokens - 1) div $seqLen")).as("seq_last"))
+  }
+
+  /** Deterministic stratified downsampling that equalizes strata: every
+    * stratum is sampled down to (about) the size of the smallest one, the
+    * standard move for capping a dominant language/domain in a training mix.
+    * The keep decision is `md5-bucket(id) < rate_bps` with
+    * rate_bps = min_count * 10000 div count — integer arithmetic on a hash of
+    * the id, so membership is a pure row property: stable under repartition,
+    * re-runs, and incremental corpus growth, and expressible 1:1 in SQL.
+    *
+    * Strata counts are one aggregate (tiny output: one row per stratum),
+    * broadcast back; the filter itself is per-row, shuffle-free. */
+  def equalizeStrata(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_cnt"))
+    // scalar min via a 1-row broadcast cross join — no unpartitioned window
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min("_cnt").as("_min"))))
+      .select(col(stratumCol), col("_cnt"),
+        expr("(_min * 10000L) div _cnt").as("_bps"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket10k(col(idCol)) < col("_bps"))
+      .drop("_cnt", "_bps")
+  }
+
+  /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
+    * `minCount`, ranked by (count desc, token) — the tie order pins the cut
+    * boundary deterministically. One explode + one hash aggregate with
+    * map-side combine; the top-k cut is a bounded sort. */
+  def vocabulary(df: DataFrame, toksCol: String, minCount: Long, topK: Int): DataFrame =
+    df.select(explode(col(toksCol)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+}

@@ -75,6 +75,54 @@ object Dedup {
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Connected components over an undirected candidate-pair list (id_a, id_b),
+    * by min-label propagation: every node's label converges to the smallest id
+    * reachable in its component, which then serves as the surviving
+    * representative of the near-duplicate cluster. Pair lists alone don't
+    * dedup a corpus — `a~b, b~c` must collapse to ONE keeper — this closes
+    * that transitive gap.
+    *
+    * Shape at scale: one shuffle per iteration (neighbor-min aggregate over
+    * the edge list), iterations = component diameter. Near-dup clusters are
+    * shallow by construction (a cluster is a clique-ish blob around one
+    * document), so this converges in a handful of passes; `maxIter` bounds
+    * pathological chains, and labels are re-materialized each pass so lineage
+    * stays flat. Convergence is detected with one count of changed labels.
+    *
+    * Output: (id, rep_id) for every node appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      // min over own label and every neighbor's label, one aggregate
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("rep")), "dst")
+        .select(col("src").as("id"), col("rep"))
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("rep").as("prev")), "id")
+        .filter(col("rep") =!= col("prev"))
+        .count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("rep").as("rep_id"))
+  }
+
   /** SimHash (nBits ≤ 32): per token take bits of int(md5[0:8],16); each bit
     * contributes ±1 (term frequency = weight, via one row per occurrence); the
     * document hash sets bit j where the weighted sum is positive. Shape: explode

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{CorpusOps, Dedup}
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- packSequences
+
+  test("packSequences matches a single-partition cumulative reference") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(i => (f"doc$i%04d", rnd.nextInt(300).toLong))
+    val df = rows.toDF("id", "n").repartition(7) // deliberately scrambled
+    val got = CorpusOps.packSequences(df, "id", "n", seqLen = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+
+    var off = 0L
+    val want = rows.sortBy(_._1).map { case (id, n) =>
+      val start = off; off += n
+      val first = start / 128
+      val last = math.max(first, (start + n - 1) / 128)
+      (id, n, start, first, last)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("packSequences is invariant to input partitioning and handles empty/zero docs") {
+    val rows = Seq(("a", 0L), ("b", 100L), ("c", 0L), ("d", 200L), ("e", 50L))
+    val a = CorpusOps.packSequences(rows.toDF("id", "n"), "id", "n", 64)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = CorpusOps.packSequences(rows.toDF("id", "n").repartition(5), "id", "n", 64)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+    // zero-token doc sits at its offset with seq_first == seq_last
+    val aRow = a.find(_.head == "a").get
+    assert(aRow(2) == 0L && aRow(3) == aRow(4))
+    // empty input yields empty output, no crash
+    assert(CorpusOps.packSequences(
+      Seq.empty[(String, Long)].toDF("id", "n"), "id", "n", 64).count() == 0)
+  }
+
+  // ---------------------------------------------------------- connectedComponents
+
+  test("connectedComponents equals brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val pairs = (0 until 50).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (f"v${math.min(a, b)}%02d", f"v${math.max(a, b) + (if (a == b) 1 else 0)}%02d")
+      }.distinct
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+      // reference union-find
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents collapses a transitive chain to one representative") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")).toDF("id_a", "id_b")
+    val reps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d").forall(reps(_) == "a"))
+    assert(reps("x") == "x" && reps("y") == "x")
+  }
+
+  // --------------------------------------------------------------- equalizeStrata
+
+  test("equalizeStrata caps large strata near the smallest, keeps smallest whole") {
+    val rows = (0 until 900).map(i => (s"d$i", "en")) ++
+      (900 until 1000).map(i => (s"d$i", "fr"))
+    val kept = CorpusOps.equalizeStrata(rows.toDF("id", "lang"), "id", "lang")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr: bps = 10000 => all 100 kept; en: bps = 100*10000 div 900 = 1111
+    assert(kept("fr") == 100L)
+    assert(kept("en") > 50L && kept("en") < 200L, kept("en")) // ~111 expected
+    // deterministic: a second run keeps the exact same ids
+    val ids1 = CorpusOps.equalizeStrata(rows.toDF("id", "lang"), "id", "lang")
+      .select("id").collect().map(_.getString(0)).toSet
+    val ids2 = CorpusOps.equalizeStrata(rows.toDF("id", "lang").repartition(9), "id", "lang")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  // ------------------------------------------------------------------- vocabulary
+
+  test("vocabulary: frequency floor, deterministic tie order at the cut") {
+    val docs = Seq(
+      Seq("a", "b", "b", "c"), Seq("b", "c", "d"), Seq("c", "d", "e"))
+      .toDF("toks")
+    val v = CorpusOps.vocabulary(docs, "toks", minCount = 2, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // counts: b=3, c=3, d=2, a=1, e=1 → floor 2 keeps b,c,d; ties b<c
+    assert(v.toSeq == Seq(("b", 3L), ("c", 3L), ("d", 2L)))
+    val v2 = CorpusOps.vocabulary(docs, "toks", minCount = 2, topK = 2)
+      .collect().map(_.getString(0))
+    assert(v2.toSeq == Seq("b", "c")) // cut at k pinned by token order
+  }
+}
