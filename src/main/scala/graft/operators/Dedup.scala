@@ -104,20 +104,19 @@ object Dedup {
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
-      // min over own label and every neighbor's label, one aggregate
+      // One aggregate computes the new label AND carries the old one (the
+      // `own`-tagged branch), so convergence needs no second join — just a
+      // count over the checkpointed result.
       val next = edges
         .join(labels.select(col("id").as("dst"), col("rep")), "dst")
-        .select(col("src").as("id"), col("rep"))
-        .unionByName(labels)
+        .select(col("src").as("id"), col("rep"), lit(0).as("own"))
+        .unionByName(labels.withColumn("own", lit(1)))
         .groupBy("id")
-        .agg(min("rep").as("rep"))
+        .agg(min("rep").as("rep"),
+          min(when(col("own") === 1, col("rep"))).as("prev"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("rep").as("prev")), "id")
-        .filter(col("rep") =!= col("prev"))
-        .count()
-      labels = next
-      done = changed == 0
+      done = next.filter(col("rep") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("rep"))
       iter += 1
     }
     labels.select(col("id"), col("rep").as("rep_id"))

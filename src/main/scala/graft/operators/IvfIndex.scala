@@ -65,21 +65,73 @@ object IvfIndex {
         first(col("v")).as("v"))
       .select(col("id"), col("m.centroid_id").as("centroid_id"), col("v"))
 
+  /** Partition column of the saved inverted file: one directory per cell
+    * (bounded by nList, not by corpus size), prefixed so all-digit centroid
+    * ids survive partition-type inference as strings. */
+  private val CellCol = "_cell"
+  private def cellOf(c: Column): Column = concat(lit("c"), c)
+
   /** Persist the index: centroids + the vector-carrying inverted file, the
-    * latter clustered by cell so a probe-limited search reads only the probed
-    * cells' row groups. A 100 TB index is built once and reused across
-    * sessions, not rebuilt per query run. */
+    * latter written as one partition DIRECTORY per cell. Probe-limited search
+    * then reads only the probed cells' directories (true partition pruning),
+    * and incremental adds ([[addSaved]]) overwrite only the touched cells.
+    * A 100 TB index is built once and maintained, not rebuilt per write. */
   def save(index: Index, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    index.assignments
-      .repartition(col("centroid_id")).sortWithinPartitions("centroid_id")
-      .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+    val a = index.assignments
+    if (a.isEmpty)
+      // zero-row partitioned writes leave no readable footer — keep the schema
+      // (incl. the cell as a data column) in one empty plain file
+      a.withColumn(CellCol, lit("c"))
+        .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+    else
+      a.withColumn(CellCol, cellOf(col("centroid_id")))
+        .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+        .write.mode("overwrite").partitionBy(CellCol)
+        .parquet(s"$dir/assignments.parquet")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index =
     Index(
       centroids = spark.read.parquet(s"$dir/centroids.parquet"),
       assignments = spark.read.parquet(s"$dir/assignments.parquet"))
+
+  /** Incremental maintenance of a SAVED index: assign `rows` (which must be
+    * ids not yet indexed — the caller anti-joins against the pre-write table)
+    * to the existing centroids and merge them into their cells, overwriting
+    * ONLY the touched cell directories. Centroids are not moved: recall
+    * degrades gracefully as the corpus drifts from the build-time clustering,
+    * and a periodic full [[build]]+[[save]] restores it — the standard IVF
+    * compaction contract. Write amplification is bounded by the cells the new
+    * vectors land in, never the index size. */
+  def addSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, dir)
+    val base = rows.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+    // delta-sized: eager materialization so nothing below re-runs the assign
+    val fresh = assign(base, idx.centroids).localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val apath = s"$dir/assignments.parquet"
+    if (idx.assignments.isEmpty) {
+      // empty plain layout → first real rows: full (tiny) swap into cell dirs
+      save(Index(idx.centroids, fresh), dir)
+      return
+    }
+    val cells = fresh.select("centroid_id").distinct()
+      .collect().map(_.getString(0))
+    val existing = idx.assignments
+      .filter(col(CellCol).isin(cells.map("c" + _): _*)).drop(CellCol)
+    val merged = existing
+      .join(fresh.select("id"), Seq("id"), "left_anti") // replace-not-duplicate safety
+      .unionByName(fresh)
+      .withColumn(CellCol, cellOf(col("centroid_id")))
+      .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+      // lineage break: the write below overwrites the very files this reads
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CellCol).parquet(apath)
+  }
 
   /** Measured recall@k of probe-limited search vs exact KNN, per nProbe — the
     * accuracy dial the reference's AUTOINDEX hides (config.py:43-50). Recall is
@@ -111,10 +163,24 @@ object IvfIndex {
   def search(index: Index, queries: DataFrame,
       qId: String, qVec: String,
       nProbe: Int, k: Int): DataFrame = {
+    // Probes are queries × nProbe — tiny. Materialized once (the collect below
+    // and the join would otherwise each re-run the centroid KNN), and the
+    // probed cell set is collected so the inverted-file scan can be pruned
+    // with a LITERAL predicate: on a saved index that is directory-level
+    // partition pruning — the scan reads ~nProbe/nList of the index, which is
+    // the entire point of IVF at 100 TB.
     val probes = VectorSearch.knnJoin(
       queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)
       .select(col("query_id"), col("neighbor_id").as("centroid_id"))
-    val cands = index.assignments
+      .localCheckpoint(true)
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.getString(0))
+    val prunedAssignments =
+      if (index.assignments.columns.contains(CellCol))
+        index.assignments.filter(col(CellCol).isin(probedCells.map("c" + _): _*))
+      else
+        index.assignments.filter(col("centroid_id").isin(probedCells: _*))
+    val cands = prunedAssignments
       .join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id").as("__pq"), col("id").as("__cid2"), col("v").as("__cvec2"))
     val q = queries.select(col(qId).cast("string").as("__pq"), col(qVec).as("__qv"))
