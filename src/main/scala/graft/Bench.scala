@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,7 +25,7 @@ object Bench {
       graft.operators.VectorSearch.knnJoin(
         emb.limit(2), emb, "vec_id", "embedding", "vec_id", "embedding", 3).count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
     // Optional args = query-name filter for fast single-query iteration;
     // the driver passes none and gets the full set.
     val wanted = args.toSet
@@ -32,7 +33,7 @@ object Bench {
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -50,7 +51,7 @@ object Bench {
         "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbes = Seq(1, 2, 4, 8, 32))
       System.err.println("[ivf-recall] nList=32 k=10 " + curve.map {
         case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(e) => System.err.println(s"[ivf-recall] failed: $e") }
     spark.stop()
   }
 }

@@ -119,6 +119,14 @@ object Dedup {
       labels = next.select(col("id"), col("rep"))
       iter += 1
     }
+    // Truncated convergence must not masquerade as a correct clustering:
+    // a component whose diameter exceeds maxIter would come back split into
+    // several "clusters", silently keeping extra near-duplicates. Fail fast
+    // (mirrors SubgraphExpansion's guard style); callers with genuinely deep
+    // chains raise maxIter.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter passes; " +
+        "a component's diameter exceeds the bound — raise maxIter")
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** IVF (inverted-file) ANN index — the scale path for similarity search over an
   * embedding column, standing in for the reference's Milvus AUTOINDEX
@@ -96,34 +96,45 @@ object IvfIndex {
       centroids = spark.read.parquet(s"$dir/centroids.parquet"),
       assignments = spark.read.parquet(s"$dir/assignments.parquet"))
 
-  /** Incremental maintenance of a SAVED index: assign `rows` (which must be
-    * ids not yet indexed — the caller anti-joins against the pre-write table)
-    * to the existing centroids and merge them into their cells, overwriting
-    * ONLY the touched cell directories. Centroids are not moved: recall
-    * degrades gracefully as the corpus drifts from the build-time clustering,
-    * and a periodic full [[build]]+[[save]] restores it — the standard IVF
-    * compaction contract. Write amplification is bounded by the cells the new
-    * vectors land in, never the index size. */
+  /** Incremental maintenance of a SAVED index — ADD-ONLY: `rows` are assigned
+    * to the existing centroids and merged into their cells, overwriting ONLY
+    * the touched cell directories. Ids already present ANYWHERE in the index
+    * are skipped (enforced here with a probe against the full inverted file,
+    * not just the touched cells): an id whose vector drifted to a different
+    * cell would otherwise end up duplicated across two cells and be served
+    * twice by [[search]]. A row whose VECTOR changed therefore keeps its
+    * build-time assignment — rebuild to re-place it. Centroids are not moved:
+    * recall degrades gracefully as the corpus drifts from the build-time
+    * clustering, and a periodic full [[build]]+[[save]] restores it — the
+    * standard IVF compaction contract. Write amplification is bounded by the
+    * cells the new vectors land in, never the index size; the existing-id
+    * probe is one column-pruned scan with the delta-sized id list pushed down. */
   def addSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
       rows: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = load(spark, dir)
     val base = rows.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
     // delta-sized: eager materialization so nothing below re-runs the assign
-    val fresh = assign(base, idx.centroids).localCheckpoint(true)
-    if (fresh.isEmpty) return
+    val assigned = assign(base, idx.centroids).localCheckpoint(true)
+    if (assigned.isEmpty) return
     val apath = s"$dir/assignments.parquet"
     if (idx.assignments.isEmpty) {
       // empty plain layout → first real rows: full (tiny) swap into cell dirs
-      save(Index(idx.centroids, fresh), dir)
+      save(Index(idx.centroids, assigned), dir)
       return
     }
+    // Add-only safety probe (delta-sized driver set, same bound as the cell
+    // collect below — the graft path feeds micro-batch-sized deltas).
+    val deltaIds = assigned.select("id").collect().map(_.getString(0)).toSeq
+    val already = idx.assignments.filter(col("id").isin(deltaIds: _*))
+      .select("id").collect().map(_.getString(0)).toSet
+    val fresh = assigned.filter(not(col("id").isin(already.toSeq: _*)))
+    if (already.size == deltaIds.size) return // nothing genuinely new
     val cells = fresh.select("centroid_id").distinct()
       .collect().map(_.getString(0))
     val existing = idx.assignments
       .filter(col(CellCol).isin(cells.map("c" + _): _*)).drop(CellCol)
     val merged = existing
-      .join(fresh.select("id"), Seq("id"), "left_anti") // replace-not-duplicate safety
-      .unionByName(fresh)
+      .unionByName(fresh) // disjoint ids by the probe above
       .withColumn(CellCol, cellOf(col("centroid_id")))
       .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
       // lineage break: the write below overwrites the very files this reads

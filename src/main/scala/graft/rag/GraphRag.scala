@@ -15,8 +15,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * instead of brute-force scoring the whole table — the reference's
   * AUTOINDEX-backed search (config.py:43-50) with the accuracy dial exposed
   * (see IvfIndex.recallCurve for choosing it; nProbe = annNList ⇒ exact).
-  * Indexes are built at indexing time and dropped by any write that could
-  * stale them — retrieval silently falls back to exact KNN until re-indexed. */
+  * Indexes are built at indexing time; incremental grafts EXTEND them in
+  * place (add-only cell merges — the graft never re-embeds existing rows),
+  * while any write that could stale them (upsert, cascade, re-index) drops
+  * them and retrieval silently falls back to exact KNN until re-indexed. */
 final case class RagConfig(
     entityTopK: Int = 20,
     relationTopK: Int = 20,
@@ -124,10 +126,16 @@ final class GraphRag(
   /** Every merge is bucket-pruned ([[GraphStore.rewriteForKeys]]): only the
     * buckets containing the delta's ids are read and rewritten, so grafting one
     * document into a 100 TB graph rewrites a handful of partition directories,
-    * not six full tables. */
+    * not six full tables.
+    *
+    * The node merges never change an EXISTING row's embedding (old-wins
+    * coalesce below), so the persisted ANN indexes stay valid through a
+    * graft: they are preserved and the delta's genuinely-new rows appended
+    * incrementally ([[GraphStore.addToAnnIndex]] — add-only, cell-bounded
+    * write) instead of dropping to exact-KNN fallback until a full re-index. */
   private def graftDelta(delta: GraphTables): Unit = {
     def mergeAdjacency(tableName: String, d: DataFrame, arrayCols: Seq[String]): Unit =
-      store.rewriteForKeys(graph, tableName, d, "id") { old =>
+      store.rewriteForKeys(graph, tableName, d, "id", preserveAnnIndex = true) { old =>
         old.as("o")
           .join(d.as("n"), Seq("id"), "full_outer")
           .select(
@@ -140,6 +148,8 @@ final class GraphRag(
       }
     mergeAdjacency("entities", delta.entities, Seq("relation_ids", "passage_ids"))
     mergeAdjacency("relations", delta.relations, Seq("passage_ids"))
+    store.addToAnnIndex(graph, "entities", delta.entities.select("id", "embedding"))
+    store.addToAnnIndex(graph, "relations", delta.relations.select("id", "embedding"))
     store.rewriteForKeys(graph, "passages", delta.passages, "id") { old =>
       old.join(delta.passages.select("id"), Seq("id"), "left_anti")
         .unionByName(delta.passages)

@@ -80,20 +80,29 @@ object BucketedTable {
     }
   }
 
-  /** Full bucketed write (empty-safe). `df` must not already carry `_bucket`. */
+  /** Full bucketed write (empty-safe). `df` must not already carry `_bucket`.
+    *
+    * The partitioned write runs unconditionally — probing emptiness first
+    * (`df.isEmpty`) would execute the whole upstream pipeline once for the
+    * probe and again for the write, doubling every indexing save. A zero-row
+    * partitioned write produces no partition directories (and no readable
+    * footer), which is detected AFTER the fact and repaired with one empty
+    * plain file carrying the schema (`_bucket` as an int data column). */
   def write(df: DataFrame, path: String, key: String, n: Int): Unit = {
     val spark = df.sparkSession
     if (!df.columns.contains(key))
       df.write.mode(SaveMode.Overwrite).parquet(path)
-    else if (df.isEmpty)
-      // zero-row partitioned writes produce no readable footer; keep the
-      // schema (incl. _bucket as an int data column) in one empty file
-      df.withColumn("_bucket", lit(0)).write.mode(SaveMode.Overwrite).parquet(path)
-    else
+    else {
       df.withColumn("_bucket", bucketCol(col(key), n))
         .repartition(col("_bucket"))
         .sortWithinPartitions(col("_bucket"), col(key))
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(path)
+      if (!isPartitioned(spark, path))
+        // limit(0) collapses to an empty LocalRelation (OptimizeLimitZero) —
+        // no upstream re-execution, just the schema in one empty file
+        df.limit(0).withColumn("_bucket", lit(0))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 
   /** Read with the `_bucket` column present (as partition column or, for

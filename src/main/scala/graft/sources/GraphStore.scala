@@ -169,6 +169,19 @@ final class GraphStore(spark: SparkSession, base: String,
     if (BucketedTable.exists(spark, annPath(graph, tableName)))
       BucketedTable.deleteDir(spark, annPath(graph, tableName))
 
+  /** Incrementally add rows (id, embedding, ...) to a persisted ANN index —
+    * no-op when none exists. Add-only ([[graft.operators.IvfIndex.addSaved]]):
+    * ids already indexed keep their cells, so this is only correct after
+    * writes that never change an existing row's embedding (the graft merge's
+    * old-wins coalesce). Writes without that guarantee must drop the index
+    * (the default) instead. At 100 TB this rewrites a handful of cell
+    * directories per grafted batch; the alternative — rebuild per write —
+    * would re-cluster the full table. */
+  def addToAnnIndex(graph: String, tableName: String, rows: DataFrame): Unit =
+    if (BucketedTable.exists(spark, annPath(graph, tableName)))
+      graft.operators.IvfIndex.addSaved(
+        spark, annPath(graph, tableName), rows, "id", "embedding")
+
   // ----------------------------------------------------------------- S7 upsert
   /** Read-modify-write merge: rows in `updates` replace same-id rows, others kept
     * (milvus.py:511-713). Only the buckets containing update ids are rewritten. */
@@ -320,19 +333,26 @@ final class GraphStore(spark: SparkSession, base: String,
     * streaming sink): `f` sees ONLY the buckets containing `keys[keyCol]`'s
     * values and its output replaces exactly those buckets. `f` must emit rows
     * whose keys stay inside those buckets — true for any merge that only
-    * touches/inserts the given keys. */
+    * touches/inserts the given keys.
+    *
+    * `preserveAnnIndex` keeps the table's persisted ANN index alive through
+    * the rewrite — ONLY valid when `f` never changes an existing row's
+    * embedding (insert-new + adjacency-merge shapes); the caller then appends
+    * the genuinely-new rows via [[addToAnnIndex]]. */
   def rewriteForKeys(graph: String, tableName: String, keys: DataFrame,
-      keyCol: String)(f: DataFrame => DataFrame): Unit =
+      keyCol: String, preserveAnnIndex: Boolean = false)(
+      f: DataFrame => DataFrame): Unit =
     rewriteBuckets(graph, tableName,
-      BucketedTable.distinctBuckets(keys, keyCol, bucketsFor(graph)))(f)
+      BucketedTable.distinctBuckets(keys, keyCol, bucketsFor(graph)),
+      preserveAnnIndex)(f)
 
-  private def rewriteBuckets(graph: String, tableName: String, buckets: Seq[Int])(
-      f: DataFrame => DataFrame): Unit = {
+  private def rewriteBuckets(graph: String, tableName: String, buckets: Seq[Int],
+      preserveAnnIndex: Boolean = false)(f: DataFrame => DataFrame): Unit = {
     BucketedTable.rewriteBuckets(
       spark, path(graph, tableName), clusterKey(tableName), bucketsFor(graph), buckets)(f)
     // Invalidate caches and derived indexes over the replaced files (see save()).
     invalidateCache(graph, tableName)
-    dropAnnIndex(graph, tableName)
+    if (!preserveAnnIndex) dropAnnIndex(graph, tableName)
     spark.catalog.refreshByPath(path(graph, tableName))
   }
 

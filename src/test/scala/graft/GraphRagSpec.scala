@@ -81,6 +81,42 @@ class GraphRagSpec extends SparkSpec {
     assert(annRag.retrieve(question).passages.nonEmpty)
   }
 
+  test("graft extends the persisted ANN index in place instead of dropping it") {
+    val gstore = new GraphStore(spark, Files.createTempDirectory("anngraft").toString)
+    val q2 = "What did Ada Lovelace write?"
+    val gner = CachedNerExtractor(Map(
+      question -> Seq("Albert Einstein", "theory of relativity"),
+      q2 -> Seq("Ada Lovelace")))
+    val grag = new GraphRag(spark, gstore, "anng",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3,
+        annNProbe = Some(4), annNList = 4), // probe every cell => exact
+      ner = gner)
+    grag.addDocumentsWithTriplets(docs)
+    val before = gstore.loadAnnIndex("anng", "entities").get.assignments.count()
+
+    grag.createPassage(Doc("lovelace",
+      "Ada Lovelace\nAda Lovelace wrote the first computer program.",
+      Seq(graft.model.Triplet("Ada Lovelace", "wrote", "first computer program"))))
+
+    // index survived the graft and grew by the genuinely-new entity ids
+    val idxAfter = gstore.loadAnnIndex("anng", "entities")
+    assert(idxAfter.isDefined, "graft must preserve the ANN index")
+    val ids = idxAfter.get.assignments.select("id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids.length == ids.distinct.length, "graft duplicated index rows")
+    assert(ids.length > before)
+    // the grafted entity is served THROUGH the index (full probe = exact)
+    val r = grag.retrieve(q2)
+    assert(r.passages.map(_.id).contains("lovelace"), s"got ${r.passages.map(_.id)}")
+    // re-grafting the same doc neither duplicates nor drops the index
+    grag.createPassage(Doc("lovelace",
+      "Ada Lovelace\nAda Lovelace wrote the first computer program.",
+      Seq(graft.model.Triplet("Ada Lovelace", "wrote", "first computer program"))))
+    val ids2 = gstore.loadAnnIndex("anng", "entities").get.assignments
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids2.sorted == ids.sorted)
+  }
+
   test("expansion history logs per-degree additions (P6)") {
     rag.addDocumentsWithTriplets(docs)
     val r = rag.retrieve(question)

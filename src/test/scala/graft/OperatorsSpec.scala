@@ -155,6 +155,36 @@ class OperatorsSpec extends SparkSpec {
     assert(fromDisk == direct && direct.nonEmpty)
   }
 
+  test("IVF addSaved is add-only: new ids merge into cells, existing ids never duplicate") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val first = emb.filter(col("vec_id") < 40)
+    val index = IvfIndex.build(first, "vec_id", "embedding", nList = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadd").toString
+    IvfIndex.save(index, dir)
+    // delta overlaps the indexed set (30-39) AND brings new ids (40-49)
+    val delta = emb.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+    IvfIndex.addSaved(spark, dir, delta, "vec_id", "embedding")
+    val after = IvfIndex.load(spark, dir)
+    val ids = after.assignments.select("id").as[String].collect().toSeq
+    assert(ids.length == ids.distinct.length, "duplicated ids in the inverted file")
+    assert(ids.toSet == (0 until 50).map(_.toString).toSet)
+    // overlapping ids kept their ORIGINAL cell assignment (add-only contract)
+    val before = index.assignments
+      .select("id", "centroid_id").as[(String, String)].collect().toMap
+    val now = after.assignments
+      .select("id", "centroid_id").as[(String, String)].collect().toMap
+    assert(before.forall { case (id, cell) => now(id) == cell })
+    // full-probe search over the grown index still equals exact KNN on its rows
+    val grown = emb.filter(col("vec_id") < 50)
+    val queries = emb.filter(col("vec_id") >= 45 && col("vec_id") < 48)
+    val a = IvfIndex.search(after, queries, "vec_id", "embedding", nProbe = 4, k = 5)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val e = graft.operators.VectorSearch.knnJoin(queries, grown,
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(a == e)
+  }
+
   test("IVF Lloyd refinement (iters=1) keeps complete assignments and valid search") {
     val emb = spark.read.parquet(sf("embeddings"))
     val refined = IvfIndex.build(emb, "vec_id", "embedding", nList = 8, iters = 1)
