@@ -399,6 +399,39 @@ object SparkEntry {
           round(col("col"), 6).as("c"))
     }),
 
+    // ---------------------------------------- scale pipeline: lexical retrieval
+    // B1 BM25 top-k over the documents corpus: inverted-index build (explode +
+    // three hash aggs) + broadcast query-term join + bounded top-k aggregate.
+    "b1_bm25_topk" -> ((s, dir) => {
+      val idx = Bm25.build(t(s, dir, "documents"), "doc_id", "text")
+      val queries = s.createDataFrame(Seq(
+        ("q0", "fast vector scan"),
+        ("q1", "spark window agg"),
+        ("q2", "customer order join"))).toDF("qid", "qtext")
+      Bm25.score(idx, queries, "qid", "qtext", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score_r"))
+    }),
+    // B2 hybrid retrieval: dense KNN run + sparse BM25 run fused with
+    // reciprocal-rank fusion (rank-only, so the fused scores are exact).
+    // Queries = the first 4 docs (their text for the lexical run, their
+    // embedding row for the dense run); corpus = the rest.
+    "b2_rrf_hybrid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val dense = VectorSearch.knnJoin(
+        emb.filter(col("vec_id") < 4), emb.filter(col("vec_id") >= 4),
+        "vec_id", "embedding", "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      val idx = Bm25.build(docs.filter(col("doc_id") >= 4), "doc_id", "text")
+      val sparse = Bm25.score(idx, docs.filter(col("doc_id") < 4),
+        "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      HybridFusion.rrf(Seq(dense, sparse), k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score_r"))
+    }),
+
     // --------------------------------------------- scale pipeline: text analysis
     // X1 heuristic language ID (tokens projected once — see TextAnalysis scaladoc).
     "x1_langid" -> ((s, dir) => {
@@ -745,6 +778,24 @@ object SparkEntry {
         |       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
         |FROM embeddings q, embeddings c
         |WHERE q.vec_id < 8 AND c.vec_id >= 8""".stripMargin.replace("\n", " ")
+    val toksOf = (c: String) =>
+      s"list_filter(string_split(${normE(c)}, ' '), x -> x <> '')"
+    // BM25 CTE chain: tokenize corpus → tf/dl/df/corpus stats → per-(query,
+    // doc) score `sc`. Arithmetic parenthesized to MATCH Bm25.scoreTerms'
+    // evaluation order exactly (floats are order-sensitive; only the final
+    // sum's order differs, absorbed by round 6).
+    val bm25Cte = (corpusWhere: String, queriesSql: String) =>
+      s"""tok AS (SELECT CAST(doc_id AS VARCHAR) AS id, unnest($toksDoc) AS term FROM documents $corpusWhere),
+         |tf AS (SELECT term, id, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |q AS ($queriesSql),
+         |qt AS (SELECT DISTINCT query_id, unnest(${toksOf("qtext")}) AS term FROM q),
+         |sc AS (SELECT qt.query_id, tf.id,
+         |  sum(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)))) AS score
+         |  FROM qt JOIN tf ON qt.term = tf.term JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.id = dl.id CROSS JOIN st
+         |  GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
     val stopList = "['the','a','an','of','to','in','and','is','on','for']"
     // (doc_id, lang) via the x1 n-gram heuristic — shared by x1 and x10.
     val langSelect =
@@ -816,6 +867,36 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(q.dq, c.dq) DESC, CAST(c.vec_id AS VARCHAR) ASC) AS rank
           |  FROM pre q, pre c WHERE q.vec_id < 8 AND c.vec_id >= 8) r
           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "b1_bm25_topk" ->
+        s"""WITH ${bm25Cte("",
+             "SELECT 'q0' AS query_id, 'fast vector scan' AS qtext " +
+               "UNION ALL SELECT 'q1', 'spark window agg' " +
+               "UNION ALL SELECT 'q2', 'customer order join'")}
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |FROM (SELECT query_id, id AS doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+           |      FROM sc) r
+           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "b2_rrf_hybrid" ->
+        s"""WITH ${bm25Cte("WHERE doc_id >= 4",
+             "SELECT CAST(doc_id AS VARCHAR) AS query_id, text AS qtext FROM documents WHERE doc_id < 4")},
+           |sparse AS (SELECT query_id, id AS doc_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank FROM sc),
+           |dense AS (SELECT query_id, neighbor_id AS doc_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           |  FROM (SELECT CAST(q.vec_id AS VARCHAR) AS query_id, CAST(c.vec_id AS VARCHAR) AS neighbor_id,
+           |               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
+           |        FROM embeddings q, embeddings c WHERE q.vec_id < 4 AND c.vec_id >= 4) s),
+           |contrib AS (
+           |  SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM dense WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sparse WHERE rank <= 10),
+           |fused AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |FROM (SELECT query_id, doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           |      FROM fused) z
+           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "r1_knn_topk" ->
         s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score_r FROM (
            |  SELECT query_id, neighbor_id, score,

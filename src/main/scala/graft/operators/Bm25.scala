@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.Norm
+import graft.sources.BucketedTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** BM25 sparse (lexical) retrieval — the keyword-side complement of the dense
+  * KNN path ([[VectorSearch]]). The reference retrieves by embeddings only
+  * (retriever.py:101-132); production RAG pairs that with a lexical run and
+  * fuses them ([[HybridFusion.rrf]]), so this is a first-class operator of the
+  * engine, not an extra.
+  *
+  * Tokenization is the engine-wide T2 normalization ([[Norm.normTokens]]) so
+  * lexical and graph text keys agree.
+  *
+  * Shape at scale:
+  *  - build: one explode over the corpus + three hash aggregates (tf, dl, df),
+  *    all with map-side combine — no window, no driver data.
+  *  - postings DENORMALIZE df and dl per row, so query-time scoring is ONE
+  *    broadcast join (query terms are tiny) + one (query, doc) sum + the
+  *    bounded [[TopKAggregator]]: shuffle volume is O(matched postings), never
+  *    O(corpus).
+  *  - a SAVED index is hash-bucketed BY TERM ([[BucketedTable]]): scoring
+  *    reads only the partition directories holding the query's terms —
+  *    at 100 TB the scan is bounded by the query's posting lists, not the
+  *    index size.
+  */
+object Bm25 {
+
+  /** Okapi BM25 constants (the standard defaults). */
+  final case class Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** `postings`: (term, id, tf, df, dl) — one row per distinct (term, doc).
+    * `nDocs`/`avgdl` are corpus scalars fixed at build time. */
+  final case class Index(postings: DataFrame, nDocs: Long, avgdl: Double)
+
+  /** Build the inverted index over `docs(idCol, textCol)`. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    val exploded = docs
+      .select(col(idCol).cast("string").as("id"),
+        explode(Norm.normTokens(col(textCol))).as("term"))
+    val tf = exploded.groupBy("term", "id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = exploded.groupBy("id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), coalesce(avg("dl"), lit(0.0)).as("avgdl"))
+      .collect()(0)
+    Index(tf.join(df, "term").join(dl, "id"), stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** Robertson/Sparck-Jones idf with the +1 floor (never negative):
+    * ln(1 + (N - df + 0.5) / (df + 0.5)). */
+  private def idf(nDocs: Long)(df: org.apache.spark.sql.Column) =
+    log(lit(1.0) + (lit(nDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** Top-k docs per query by BM25. `queries(qId, qText)` must be
+    * broadcast-small (the [[VectorSearch.knnJoin]] contract). Query term
+    * frequency is ignored (distinct terms), the common Okapi practice.
+    * Output: (query_id, rank, doc_id, score); ties pinned by doc id ASC. */
+  def score(index: Index, queries: DataFrame, qId: String, qText: String,
+      k: Int, params: Params = Params()): DataFrame = {
+    val qterms = queries.select(col(qId).cast("string").as("query_id"),
+      explode(array_distinct(Norm.normTokens(col(qText)))).as("term"))
+    scoreTerms(index, qterms, k, params)
+  }
+
+  private def scoreTerms(index: Index, qterms: DataFrame, k: Int,
+      params: Params): DataFrame = {
+    val tfNorm = col("tf") * lit(params.k1 + 1.0) /
+      (col("tf") + lit(params.k1) *
+        (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(index.avgdl)))
+    val topk = VectorSearch.topKUdaf(k)
+    index.postings.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("id"),
+        (idf(index.nDocs)(col("df")) * tfNorm).as("contrib"))
+      .groupBy("query_id", "id")
+      .agg(sum("contrib").as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+  }
+
+  // ------------------------------------------------------------- persistence
+
+  private val StatsMarker = "_bm25_stats"
+
+  /** Persist the index, postings hash-bucketed by term (the query-time access
+    * key): scoring a query against the saved index reads only the buckets its
+    * terms hash into. */
+  def save(index: Index, dir: String,
+      nBuckets: Int = BucketedTable.DefaultBuckets): Unit = {
+    val spark = index.postings.sparkSession
+    BucketedTable.write(index.postings, s"$dir/postings.parquet", "term", nBuckets)
+    BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
+      s"${index.nDocs} ${index.avgdl} $nBuckets")
+  }
+
+  def load(spark: SparkSession, dir: String): Index = {
+    val Array(n, avgdl, _) =
+      BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
+    Index(BucketedTable.read(spark, s"$dir/postings.parquet").drop("_bucket"),
+      n.toLong, avgdl.toDouble)
+  }
+
+  /** Score against a SAVED index with term-bucket pruning: the query's terms
+    * (tiny — one driver-side set per call, same bound as the broadcast-query
+    * contract) select the partition directories to read; everything else of
+    * the index is never scanned. */
+  def scoreSaved(spark: SparkSession, dir: String, queries: DataFrame,
+      qId: String, qText: String, k: Int, params: Params = Params()): DataFrame = {
+    val Array(n, avgdl, nb) =
+      BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
+    val qterms = queries.select(col(qId).cast("string").as("query_id"),
+      explode(array_distinct(Norm.normTokens(col(qText)))).as("term"))
+      .localCheckpoint(true) // tiny; reused for bucket probe + scoring join
+    val buckets = qterms.select("term").distinct().collect()
+      .map(r => BucketedTable.bucketOf(r.getString(0), nb.toInt)).distinct.toSeq
+    val pruned = BucketedTable.read(spark, s"$dir/postings.parquet")
+      .filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
+    scoreTerms(Index(pruned, n.toLong, avgdl.toDouble), qterms, k, params)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Bm25, HybridFusion, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval + RRF fusion semantics. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    ("d1", "spark shuffles data across the cluster"),
+    ("d2", "spark spark spark tuning spark"),
+    ("d3", "a quiet unrelated document about gardening"),
+    ("d4", "cluster scheduling and shuffles"),
+    ("d5", "the rarestword appears here once")
+  ).toDF("id", "text")
+
+  test("bm25: a document retrieves itself top-1 for its own text") {
+    val idx = Bm25.build(docsDf, "id", "text")
+    val queries = docsDf.select(col("id").as("qid"), col("text").as("qtext"))
+    val got = Bm25.score(idx, queries, "qid", "qtext", k = 1)
+      .select("query_id", "doc_id").as[(String, String)].collect().toMap
+    docsDf.select("id").as[String].collect().foreach { id =>
+      assert(got(id) == id, s"doc $id did not self-retrieve: got ${got(id)}")
+    }
+  }
+
+  test("bm25: rare terms outscore common ones (idf) and tf saturates (k1)") {
+    val idx = Bm25.build(docsDf, "id", "text")
+    val q = Seq(("q", "rarestword spark")).toDF("qid", "qtext")
+    val hits = Bm25.score(idx, q, "qid", "qtext", k = 5)
+      .select("doc_id", "score").as[(String, Double)].collect().toMap
+    // idf at equal tf: d5's single rarestword (df=1) beats d1's single spark (df=2)
+    assert(hits("d5") > hits("d1"))
+    // tf saturation: d2 has spark×4 but scores < 4× d1's single spark
+    assert(hits("d2") < 4 * hits("d1") && hits("d2") > hits("d1"))
+  }
+
+  test("bm25: index build counts (postings, df, dl, corpus stats)") {
+    val idx = Bm25.build(docsDf, "id", "text")
+    assert(idx.nDocs == 5)
+    val sparkRows = idx.postings.filter(col("term") === "spark")
+      .select("id", "tf", "df").collect()
+    assert(sparkRows.map(_.getString(0)).toSet == Set("d1", "d2"))
+    assert(sparkRows.forall(_.getDouble(2) == 2.0))
+    assert(sparkRows.find(_.getString(0) == "d2").get.getDouble(1) == 4.0)
+    val expectAvg = docsDf.select(Norm0.tokLen(col("text"))).as[Int].collect().sum / 5.0
+    assert(math.abs(idx.avgdl - expectAvg) < 1e-12)
+  }
+
+  test("bm25: saved index scores identically through term-bucket pruning") {
+    val idx = Bm25.build(docsDf, "id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25.save(idx, dir)
+    val q = Seq(("q1", "spark cluster"), ("q2", "gardening")).toDF("qid", "qtext")
+    val direct = Bm25.score(idx, q, "qid", "qtext", k = 4)
+      .collect().map(_.toSeq).toSet
+    val pruned = Bm25.scoreSaved(spark, dir, q, "qid", "qtext", k = 4)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == direct && direct.nonEmpty)
+  }
+
+  test("rrf: fuses two runs rank-only, doc in both runs wins") {
+    val runA = Seq(("q", 1, "x"), ("q", 2, "y")).toDF("query_id", "rank", "doc_id")
+    val runB = Seq(("q", 1, "z"), ("q", 2, "x")).toDF("query_id", "rank", "doc_id")
+    val fused = HybridFusion.rrf(Seq(runA, runB), k = 3)
+      .orderBy("rank").select("doc_id", "score").as[(String, Double)].collect()
+    assert(fused.head._1 == "x") // 1/61 + 1/62 beats any single-run 1/61
+    assert(math.abs(fused.head._2 - (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    // z = 1/61 (runB rank 1) beats y = 1/62 (runA rank 2)
+    assert(fused.map(_._1).toSeq == Seq("x", "z", "y"))
+  }
+
+  test("rrf: single-doc tie pinned by id; matches dense+sparse end-to-end shape") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val docs = spark.read.parquet(sf("documents"))
+    val dense = VectorSearch.knnJoin(
+      emb.filter(col("vec_id") < 2), emb.filter(col("vec_id") >= 2),
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    val idx = Bm25.build(docs.filter(col("doc_id") >= 2), "doc_id", "text")
+    val sparse = Bm25.score(idx, docs.filter(col("doc_id") < 2), "doc_id", "text", 5)
+      .select("query_id", "rank", "doc_id")
+    val fused = HybridFusion.rrf(Seq(dense, sparse), k = 3)
+    val perQ = fused.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(perQ.nonEmpty && perQ.forall(_ <= 3))
+    // every fused rank sequence is 1..n
+    val ranks = fused.orderBy("query_id", "rank")
+      .select("query_id", "rank").as[(String, Int)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).toSeq)
+    ranks.foreach(r => assert(r == (1 to r.length)))
+  }
+}
+
+/** tiny local helper: token count with the engine tokenizer */
+private object Norm0 {
+  import org.apache.spark.sql.Column
+  def tokLen(c: Column): Column = size(graft.functions.Norm.normTokens(c))
+}
