@@ -30,6 +30,7 @@ import java.nio.charset.StandardCharsets
   *   POST   /graphs/{g}/query            ← {question, ...knobs} → QueryResult JSON
   *   POST   /graphs/{g}/retrieve         ← {question, ...knobs} → retrieval-only JSON
   *   POST   /graphs/{g}/retrieve_naive   ← {question, top_k?} → passage KNN only (R6)
+  *   POST   /graphs/{g}/retrieve_hybrid  ← {question, top_k?} → dense+BM25 RRF fusion
   *   DELETE /graphs/{g}
   *
   * Query/retrieve bodies accept per-request overrides of the retrieval config
@@ -241,6 +242,15 @@ final class RestServer(spark: SparkSession, storeBase: String,
           val body = readBody(ex)
           val q = body.get("question").asText()
           val hits = rag(g, configFor(body)).retrieveNaive(q)
+          val n = mapper.createObjectNode()
+          n.put("question", q)
+          n.set[ObjectNode]("passages", hitsJson(hits))
+          respond(ex, 200, n)
+        case ("POST", Seq("graphs", g, "retrieve_hybrid")) =>
+          // dense KNN + BM25 fused by RRF (the engine's hybrid extension)
+          val body = readBody(ex)
+          val q = body.get("question").asText()
+          val hits = rag(g, configFor(body)).retrieveHybrid(q)
           val n = mapper.createObjectNode()
           n.put("question", q)
           n.set[ObjectNode]("passages", hitsJson(hits))

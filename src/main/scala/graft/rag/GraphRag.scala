@@ -29,7 +29,11 @@ final case class RagConfig(
     rerankSelect: Int = 5,
     finalTopK: Int = 3,
     annNProbe: Option[Int] = None,
-    annNList: Int = 64)
+    annNList: Int = 64,
+    /** Build-and-persist a BM25 index over passages at indexing time, for
+      * [[GraphRag.retrieveHybrid]] (dense+sparse RRF). Off by default — the
+      * reference retrieves dense-only; hybrid is the engine's extension. */
+    lexicalIndex: Boolean = false)
 
 /** The engine façade — the reference's `VectorGraphRAG` (rag.py) re-expressed as
   * Spark DataFrame jobs orchestrated from the driver.
@@ -74,13 +78,19 @@ final class GraphRag(
     store.stats(graph)
   }
 
-  /** Build-and-persist the IVF retrieval indexes (reference: vector index built
-    * at insert time, milvus.py:103-111) — only when ANN retrieval is enabled. */
-  private def buildAnnIndexes(): Unit = config.annNProbe.foreach { _ =>
-    Seq("entities", "relations").foreach { t =>
-      store.saveAnnIndex(graph, t,
-        IvfIndex.build(store.table(graph, t), "id", "embedding", config.annNList))
+  /** Build-and-persist the derived retrieval indexes (reference: vector index
+    * built at insert time, milvus.py:103-111): IVF over entities/relations
+    * when ANN retrieval is enabled, BM25 over passages when hybrid is. */
+  private def buildAnnIndexes(): Unit = {
+    config.annNProbe.foreach { _ =>
+      Seq("entities", "relations").foreach { t =>
+        store.saveAnnIndex(graph, t,
+          IvfIndex.build(store.table(graph, t), "id", "embedding", config.annNList))
+      }
     }
+    if (config.lexicalIndex)
+      store.saveLexIndex(graph,
+        Bm25.build(store.table(graph, "passages"), "id", "text"))
   }
 
   /** DataFrame-native bulk indexing: `docsDf` (id, text[, triplets]) → graph
@@ -273,6 +283,35 @@ final class GraphRag(
       .join(broadcast(naivePassageHits(qvecDf, passagesT)), Seq("passage_id"))
       .orderBy("rank").collect()
       .map(r => RetrievalHit(r.getString(0), r.getString(1), 0.0, r.getInt(2)))
+      .toSeq
+  }
+
+  /** Hybrid retrieval: dense passage KNN + BM25 lexical run, fused with
+    * reciprocal-rank fusion ([[HybridFusion.rrf]]) — the standard production
+    * upgrade over either run alone. Both runs go `runDepth` deep (RRF fuses
+    * better from deeper runs than the final cut), the fused list is cut at
+    * `finalTopK`. Uses the persisted lexical index when present (term-bucket-
+    * pruned scan); falls back to an on-the-fly index build otherwise. */
+  def retrieveHybrid(question: String): Seq[RetrievalHit] = {
+    val k = config.finalTopK
+    val runDepth = math.max(2 * k, 10)
+    val passagesT = store.cachedTable(graph, "passages")
+    val qvecDf = Seq(question).toDF("qtext")
+      .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
+    val dense = VectorSearch.knnJoin(
+      qvecDf, passagesT, "qtext", "qvec", "id", "embedding", runDepth)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    val qDf = Seq(question).toDF("qtext")
+    val sparse = store.scoreLexIndex(graph, qDf, "qtext", "qtext", runDepth)
+      .getOrElse(Bm25.score(
+        Bm25.build(passagesT, "id", "text"), qDf, "qtext", "qtext", runDepth))
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val fused = HybridFusion.rrf(Seq(dense, sparse), k)
+    passagesT.select(col("id").as("doc_id"), col("text"))
+      .join(broadcast(fused), Seq("doc_id"))
+      .orderBy("rank")
+      .select("doc_id", "text", "score", "rank").collect()
+      .map(r => RetrievalHit(r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
       .toSeq
   }
 

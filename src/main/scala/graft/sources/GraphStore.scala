@@ -85,6 +85,7 @@ final class GraphStore(spark: SparkSession, base: String,
       dropAnnIndex(graph, n)
       spark.catalog.refreshByPath(path(graph, n))
     }
+    dropLexIndex(graph)
   }
 
   def load(graph: String): GraphTables = GraphTables(
@@ -168,6 +169,34 @@ final class GraphStore(spark: SparkSession, base: String,
   private def dropAnnIndex(graph: String, tableName: String): Unit =
     if (BucketedTable.exists(spark, annPath(graph, tableName)))
       BucketedTable.deleteDir(spark, annPath(graph, tableName))
+
+  // ------------------------------------------------------------ lexical index
+  /** Persisted BM25 index over the passages table — the lexical twin of the
+    * ANN index ([[graft.operators.Bm25]]), for hybrid dense+sparse retrieval.
+    * Built at indexing time, dropped by ANY write touching passages: even the
+    * embedding-preserving graft merge shifts df/avgdl corpus-wide, so a
+    * lexical index is rebuilt, never extended in place. */
+  private def lexPath(graph: String) = s"$base/$graph/bm25_passages"
+
+  def saveLexIndex(graph: String, index: graft.operators.Bm25.Index): Unit =
+    graft.operators.Bm25.save(index, lexPath(graph))
+
+  def loadLexIndex(graph: String): Option[graft.operators.Bm25.Index] =
+    if (BucketedTable.exists(spark, lexPath(graph)))
+      Some(graft.operators.Bm25.load(spark, lexPath(graph)))
+    else None
+
+  /** Term-bucket-pruned scoring against the saved lexical index (reads only
+    * the query terms' buckets — [[graft.operators.Bm25.scoreSaved]]). */
+  def scoreLexIndex(graph: String, queries: DataFrame, qId: String,
+      qText: String, k: Int): Option[DataFrame] =
+    if (BucketedTable.exists(spark, lexPath(graph)))
+      Some(graft.operators.Bm25.scoreSaved(spark, lexPath(graph), queries, qId, qText, k))
+    else None
+
+  private def dropLexIndex(graph: String): Unit =
+    if (BucketedTable.exists(spark, lexPath(graph)))
+      BucketedTable.deleteDir(spark, lexPath(graph))
 
   /** Incrementally add rows (id, embedding, ...) to a persisted ANN index —
     * no-op when none exists. Add-only ([[graft.operators.IvfIndex.addSaved]]):
@@ -353,6 +382,7 @@ final class GraphStore(spark: SparkSession, base: String,
     // Invalidate caches and derived indexes over the replaced files (see save()).
     invalidateCache(graph, tableName)
     if (!preserveAnnIndex) dropAnnIndex(graph, tableName)
+    if (tableName == "passages") dropLexIndex(graph)
     spark.catalog.refreshByPath(path(graph, tableName))
   }
 
@@ -368,6 +398,7 @@ final class GraphStore(spark: SparkSession, base: String,
     // Invalidate caches and derived indexes over the replaced files (see save()).
     invalidateCache(graph, tableName)
     dropAnnIndex(graph, tableName)
+    if (tableName == "passages") dropLexIndex(graph)
     spark.catalog.refreshByPath(dst)
   }
 }

@@ -117,6 +117,37 @@ class GraphRagSpec extends SparkSpec {
     assert(ids2.sorted == ids.sorted)
   }
 
+  test("hybrid retrieval fuses dense and lexical runs; lexical index lifecycle") {
+    val hstore = new GraphStore(spark, Files.createTempDirectory("hybridstore").toString)
+    val hrag = new GraphRag(spark, hstore, "hyb",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3,
+        lexicalIndex = true))
+    hrag.addDocumentsWithTriplets(docs)
+    assert(hstore.loadLexIndex("hyb").isDefined, "indexing must persist the BM25 index")
+
+    // lexical anchor: "polonium" appears only in the curie doc
+    val hits = hrag.retrieveHybrid("who discovered polonium")
+    assert(hits.nonEmpty && hits.size <= 3)
+    assert(hits.map(_.id).contains("curie"), s"got ${hits.map(_.id)}")
+    assert(hits.map(_.rank) == (1 to hits.size))
+
+    // identical result through the no-index fallback path
+    val nstore = new GraphStore(spark, Files.createTempDirectory("hybridnone").toString)
+    val nrag = new GraphRag(spark, nstore, "hyb2",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3))
+    nrag.addDocumentsWithTriplets(docs)
+    assert(nstore.loadLexIndex("hyb2").isEmpty)
+    val nhits = nrag.retrieveHybrid("who discovered polonium")
+    assert(nhits.map(h => (h.id, h.rank, h.score)) ==
+      hits.map(h => (h.id, h.rank, h.score)))
+
+    // any write touching passages drops the persisted lexical index
+    hrag.updatePassage("newton", "Isaac Newton\nRewritten.")
+    assert(hstore.loadLexIndex("hyb").isEmpty, "stale lexical index survived a write")
+    // retrieval still works via the on-the-fly fallback
+    assert(hrag.retrieveHybrid("who discovered polonium").nonEmpty)
+  }
+
   test("expansion history logs per-degree additions (P6)") {
     rag.addDocumentsWithTriplets(docs)
     val r = rag.retrieve(question)

@@ -153,6 +153,14 @@ class RestServerSpec extends SparkSpec {
     assert(r1.statusCode() == 200, r1.body())
     val r1Passages = "\\{\"id\":\"d\\d\"".r.findAllIn(r1.body()).size
     assert(r1Passages == 1 && r1.body().contains("d3"), r1.body())
+
+    // hybrid mode: dense + BM25 fused by RRF; lexical term "enigma" pins d3
+    val hybrid = post("/graphs/rest4/retrieve_hybrid",
+      """{"question": "who broke the enigma machine", "top_k": 2}""")
+    assert(hybrid.statusCode() == 200, hybrid.body())
+    assert(hybrid.body().contains("d3"), hybrid.body())
+    val hybridPassages = "\"rank\"".r.findAllIn(hybrid.body()).size
+    assert(hybridPassages == 2, hybrid.body())
   }
 
   test("re-indexing a graph serves fresh rows to later queries (cache lifecycle)") {
