@@ -552,6 +552,30 @@ object SparkEntry {
         "toks", minCount = 5, topK = 100)
     }),
 
+    // X12 unigram log-perplexity: per-doc mean −ln p(token) under the corpus's
+    // own unigram distribution — the cheap perplexity proxy for quality cuts.
+    "x12_unigram_logppl" -> ((s, dir) => {
+      CorpusOps.unigramLogPerplexity(
+        t(s, dir, "documents").select(col("doc_id"),
+          Norm.normTokens(col("text")).as("toks")),
+        "doc_id", "toks")
+        .select(col("doc_id"), round(col("logppl"), 6).as("logppl_r"))
+    }),
+
+    // X13 token-budget corpus selection: greedy by (quality desc, id), keep
+    // docs whose exclusive token prefix-sum + own size fits a global budget —
+    // the "best N tokens" cut of a training-mix build, via the two-phase
+    // prefix sum (no single-partition global window).
+    "x13_token_budget" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.tokenCountT(col("toks")).as("n_tokens"),
+          TA.qualityScoreT(col("text"), col("toks")).as("quality"))
+      CorpusOps.selectByTokenBudget(scored, "doc_id", "quality", "n_tokens", budget = 2000L)
+        .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality_r"))
+    }),
+
     // --------------------------------------------------- events: windows/sessions
     // ST1 tumbling hourly aggregation (batch twin of StreamingOps.windowedCounts).
     "st1_window_agg" -> ((s, dir) => {
@@ -1107,6 +1131,31 @@ object SparkEntry {
            |    CASE WHEN len(toks) = 0 THEN 0.0
            |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS stopword_ratio
            |  FROM (SELECT doc_id, text, $toksDoc AS toks FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x12_unigram_logppl" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksDoc) AS term FROM documents),
+           |freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(c) AS t FROM freq)
+           |SELECT doc_id, round(avg(-ln(freq.c / tot.t)), 6) AS logppl_r
+           |FROM tok JOIN freq USING (term) CROSS JOIN tot
+           |GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      "x13_token_budget" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    least(len(toks) / 50.0, 1.0) * (1.0 - least(punct_ratio * 4.0, 1.0)) *
+           |    (0.5 + least(stopword_ratio * 5.0, 1.0) / 2) AS quality
+           |  FROM (
+           |    SELECT doc_id, len(toks) AS ntk, toks,
+           |      CASE WHEN length(text) = 0 THEN 0.0
+           |           ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+           |      CASE WHEN len(toks) = 0 THEN 0.0
+           |           ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS stopword_ratio
+           |    FROM (SELECT doc_id, text, $toksDoc AS toks FROM documents) t) s),
+           |cum AS (SELECT doc_id, n_tokens, quality,
+           |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b
+           |  FROM scored)
+           |SELECT doc_id, n_tokens, round(quality, 6) AS quality_r
+           |FROM cum WHERE coalesce(b, 0) + n_tokens <= 2000""".stripMargin.replace("\n", " "),
       "x3_token_count" ->
         s"""SELECT doc_id, len(toks) AS n_tokens,
            |  CAST(coalesce(list_sum(list_transform(toks, t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INTEGER)))), 0) AS INTEGER) AS n_subwords

@@ -17,31 +17,26 @@ object CorpusOps {
   def bucket10k(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
 
-  /** Assign every document a global token offset (corpus ordered by id) and
-    * the fixed-length context windows it lands in — the "concat and split at
-    * seqLen boundaries" step of LLM pre-training corpus assembly.
+  /** Scale-correct global running sum of `_n` in `sortExprs` order.
     *
-    * A naive cumulative sum is a WINDOW OVER (ORDER BY id) — one partition,
-    * one executor sorting the whole corpus. This is the scale-correct
-    * two-phase prefix sum instead: range-repartition by id, per-partition
-    * token totals (tiny: one row per partition) prefix-scanned on the driver,
-    * broadcast back as per-partition base offsets, then a window partitioned
-    * BY partition — every partition sorts and scans only itself, in parallel.
-    * Output is invariant to the partition count; only the global id order
-    * matters.
+    * A naive cumulative sum is a WINDOW OVER (ORDER BY ...) — one partition,
+    * one executor sorting the whole corpus. This is the two-phase prefix sum
+    * instead: range-repartition by the sort keys, per-partition totals (tiny:
+    * one row per partition) prefix-scanned on the driver, broadcast back as
+    * per-partition base offsets, then a window partitioned BY partition —
+    * every partition sorts and scans only itself, in parallel. Output is
+    * invariant to the partition count; only the global sort order matters
+    * (sort keys must be unique — callers append the id as a tie-break).
     *
-    * Output: (<idCol>, n_tokens, start_offset, seq_first, seq_last), where
-    * seq_first/seq_last are the first/last seqLen-sized window the document's
-    * tokens overlap (empty docs land on seq_first = seq_last at their offset). */
-  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
-      seqLen: Long): DataFrame = {
-    require(seqLen > 0)
+    * `df` must carry a long `_n` column; adds `<outCol>` = sum of `_n` over
+    * all STRICTLY PRECEDING rows (exclusive prefix sum). */
+  private def withPrefixSum(df: DataFrame, sortExprs: Seq[Column],
+      outCol: String): DataFrame = {
     val spark = df.sparkSession
     // Materialized eagerly: _pid must be identical for the per-partition sums
     // and the main pass (two actions over the same frame).
     val ranged = df
-      .select(col(idCol), col(nTokensCol).cast("long").as("_n"))
-      .repartitionByRange(col(idCol))
+      .repartitionByRange(sortExprs: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     // One row per non-empty partition — bounded by the partition count, never
@@ -51,15 +46,68 @@ object CorpusOps {
     var acc = 0L
     val bases = partSums.map { case (pid, s) => val b = (pid, acc); acc += s; b }
     val baseDf = spark.createDataFrame(bases.toIndexedSeq).toDF("_pid", "_base")
-    val w = Window.partitionBy("_pid").orderBy(idCol)
+    val w = Window.partitionBy("_pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .join(broadcast(baseDf), Seq("_pid"))
-      .withColumn("start_offset", col("_base") + coalesce(sum("_n").over(w), lit(0L)))
+      .withColumn(outCol, col("_base") + coalesce(sum("_n").over(w), lit(0L)))
+      .drop("_pid", "_base")
+  }
+
+  /** Assign every document a global token offset (corpus ordered by id) and
+    * the fixed-length context windows it lands in — the "concat and split at
+    * seqLen boundaries" step of LLM pre-training corpus assembly. Built on
+    * [[withPrefixSum]] (never a single-partition global window).
+    *
+    * Output: (<idCol>, n_tokens, start_offset, seq_first, seq_last), where
+    * seq_first/seq_last are the first/last seqLen-sized window the document's
+    * tokens overlap (empty docs land on seq_first = seq_last at their offset). */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0)
+    withPrefixSum(
+      df.select(col(idCol), col(nTokensCol).cast("long").as("_n")),
+      Seq(col(idCol)), "start_offset")
       .select(col(idCol), col("_n").as("n_tokens"), col("start_offset"),
         expr(s"start_offset div $seqLen").as("seq_first"),
         greatest(expr(s"start_offset div $seqLen"),
           expr(s"(start_offset + n_tokens - 1) div $seqLen")).as("seq_last"))
+  }
+
+  /** Greedy quality-per-token corpus selection under a global token budget:
+    * documents are taken in (score DESC, id ASC) order and a document is kept
+    * iff ALL tokens of the docs sorted before it plus its own fit the budget —
+    * i.e. keep where exclusive-prefix-sum + n ≤ budget. (A too-big document
+    * mid-stream is skipped; later smaller docs whose prefix window still fits
+    * remain — the deterministic, repartition-stable cut, expressible 1:1 as a
+    * SQL window cumsum.) The prefix sum is the two-phase [[withPrefixSum]],
+    * so the selection runs at corpus scale without a global sort bottleneck. */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      nTokensCol: String, budget: Long): DataFrame =
+    withPrefixSum(
+      df.withColumn("_n", col(nTokensCol).cast("long")),
+      Seq(col(scoreCol).desc, col(idCol).asc), "_before")
+      .filter(col("_before") + col("_n") <= budget)
+      .drop("_n", "_before")
+
+  /** Per-document mean unigram negative log-likelihood under the corpus's own
+    * unigram distribution — the classic cheap perplexity proxy for quality
+    * filtering (high logppl ⇒ the document's tokens are rare corpus-wide).
+    *
+    * logppl(d) = -(1/|d|) Σ_t ln( count(t) / total_tokens ).
+    *
+    * Shape: one explode + one token-frequency hash aggregate, the corpus
+    * total folded in as a 1-row broadcast (no driver action), one join on
+    * token, one per-doc aggregate — all map-side combinable. Zero-token
+    * documents are absent from the output (no distribution to score under). */
+  def unigramLogPerplexity(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(col(toksCol)).as("term"))
+    val freq = tok.groupBy("term").agg(count(lit(1)).cast("double").as("_c"))
+    val total = freq.agg(sum("_c").as("_t"))
+    tok.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(-log(col("_c") / col("_t"))).as("logppl"))
   }
 
   /** Deterministic stratified downsampling that equalizes strata: every

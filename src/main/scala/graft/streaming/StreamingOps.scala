@@ -70,6 +70,19 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact-dedup twin of [[graft.operators.Dedup.exactDedup]]: drop
+    * rows whose key columns were already seen. State is bounded by the event-
+    * time watermark (`dropDuplicatesWithinWatermark`): a duplicate arriving
+    * within the delay is dropped, state for expired keys is evicted — the
+    * shape an unbounded ingest stream needs (plain dropDuplicates would grow
+    * state forever). Keys are usually a content hash (e.g.
+    * [[graft.functions.TextAnalysis.fingerprintT]] of the text), which the
+    * caller projects first. */
+  def dedupStream(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    rows.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming upsert sink: every micro-batch merges into a hash-bucketed
     * parquet table by id (the reference's incremental CRUD path,
     * graph/graph.py:479-554, as a stream). The merge is bucket-pruned

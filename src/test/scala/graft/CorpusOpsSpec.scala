@@ -109,4 +109,46 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(v2.toSeq == Seq("b", "c")) // cut at k pinned by token order
   }
+
+  // ---------------------------------------------------------- selectByTokenBudget
+
+  test("selectByTokenBudget: greedy by score, prefix-window cut, repartition-stable") {
+    val rows = Seq(
+      // (id, score, n): sorted by (score desc, id) => d3(0.9,50) d1(0.8,100)
+      //                  d4(0.8,400) d2(0.5,60) d5(0.1,10)
+      ("d1", 0.8, 100L), ("d2", 0.5, 60L), ("d3", 0.9, 50L),
+      ("d4", 0.8, 400L), ("d5", 0.1, 10L)).toDF("id", "score", "n")
+    val kept = CorpusOps.selectByTokenBudget(rows, "id", "score", "n", budget = 250L)
+      .select("id").as[String].collect().toSet
+    // prefix: d3@0+50 ok; d1@50+100 ok; d4@150+400 > 250 skipped;
+    // d2@550... prefix counts ALL sorted-before rows: d2's prefix = 550 > 250
+    assert(kept == Set("d3", "d1"))
+    // tight budget admits only the best doc; zero budget admits none
+    assert(CorpusOps.selectByTokenBudget(rows, "id", "score", "n", 50L)
+      .select("id").as[String].collect().toSet == Set("d3"))
+    assert(CorpusOps.selectByTokenBudget(rows, "id", "score", "n", 10L).isEmpty)
+    // invariant under input partitioning
+    val kept2 = CorpusOps.selectByTokenBudget(
+      rows.repartition(5), "id", "score", "n", 250L)
+      .select("id").as[String].collect().toSet
+    assert(kept2 == kept)
+  }
+
+  // --------------------------------------------------------- unigramLogPerplexity
+
+  test("unigramLogPerplexity: rare-token docs score higher; matches hand calc") {
+    val docs = Seq(
+      ("common", Seq("a", "a", "b")),
+      ("rare", Seq("z", "q", "b")),
+      ("empty", Seq.empty[String])).toDF("id", "toks")
+    val got = CorpusOps.unigramLogPerplexity(docs, "id", "toks")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // corpus: a=2, b=2, z=1, q=1, total=6
+    val expCommon = -(math.log(2 / 6.0) + math.log(2 / 6.0) + math.log(2 / 6.0)) / 3
+    val expRare = -(math.log(1 / 6.0) + math.log(1 / 6.0) + math.log(2 / 6.0)) / 3
+    assert(math.abs(got("common") - expCommon) < 1e-12)
+    assert(math.abs(got("rare") - expRare) < 1e-12)
+    assert(got("rare") > got("common"))
+    assert(!got.contains("empty")) // no tokens => no score
+  }
 }

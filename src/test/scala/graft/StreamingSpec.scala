@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "view", 1L, 8.0)))
   }
 
+  test("streaming dedup drops duplicate content keys within the watermark") {
+    val dir = Files.createTempDirectory("stream_dd").toString + "/data"
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val batch = Seq(
+      (ts(0), "fpA", "doc1"), (ts(1), "fpA", "doc1-dup"),
+      (ts(2), "fpB", "doc2"), (ts(3), "fpB", "doc2-dup"), (ts(4), "fpC", "doc3")
+    ).toDF("ts", "fp", "id")
+    batch.write.parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamingOps.dedupStream(stream, Seq("fp"), "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dd_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dd_out").select("fp").as[String].collect().toSeq.sorted
+    assert(got == Seq("fpA", "fpB", "fpC"), s"got $got")
+  }
+
   test("stateful gap sessionization emits closed sessions") {
     import StreamingOps.Ev
     val dir = Files.createTempDirectory("stream_sess").toString + "/data"
