@@ -236,7 +236,10 @@ object SparkEntry {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("relation_id",
             org.apache.spark.sql.types.StringType))))
-      SubgraphExpansion.expand(seeds, emptyRel, er, degree = 2)
+      // expandFrames, not expand: this traversal reaches ~150k ids — the
+      // ANALYTICAL contract (id sets stay distributed), vs the driver-bounded
+      // query-time loop rag retrieval uses.
+      SubgraphExpansion.expandFrames(seeds, emptyRel, er, degree = 2)
         .entityIds.select(col("entity_id"))
     }),
 
@@ -403,7 +406,7 @@ object SparkEntry {
     // B1 BM25 top-k over the documents corpus: inverted-index build (explode +
     // three hash aggs) + broadcast query-term join + bounded top-k aggregate.
     "b1_bm25_topk" -> ((s, dir) => {
-      val idx = Bm25.build(t(s, dir, "documents"), "doc_id", "text")
+      val idx = Bm25.build(spread(t(s, dir, "documents")), "doc_id", "text")
       val queries = s.createDataFrame(Seq(
         ("q0", "fast vector scan"),
         ("q1", "spark window agg"),
@@ -423,7 +426,7 @@ object SparkEntry {
         emb.filter(col("vec_id") < 4), emb.filter(col("vec_id") >= 4),
         "vec_id", "embedding", "vec_id", "embedding", 10)
         .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
-      val idx = Bm25.build(docs.filter(col("doc_id") >= 4), "doc_id", "text")
+      val idx = Bm25.build(spread(docs.filter(col("doc_id") >= 4)), "doc_id", "text")
       val sparse = Bm25.score(idx, docs.filter(col("doc_id") < 4),
         "doc_id", "text", k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"))

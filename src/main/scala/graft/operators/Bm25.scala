@@ -32,10 +32,18 @@ object Bm25 {
   final case class Params(k1: Double = 1.2, b: Double = 0.75)
 
   /** `postings`: (term, id, tf, df, dl) — one row per distinct (term, doc).
-    * `nDocs`/`avgdl` are corpus scalars fixed at build time. */
-  final case class Index(postings: DataFrame, nDocs: Long, avgdl: Double)
+    * `stats` is ONE row (n, avgdl) of corpus scalars, kept as a DataFrame so
+    * building an index is fully lazy (no action): scoring folds the stats in
+    * as a 1-row broadcast, and build+score compose into a single DAG. */
+  final case class Index(postings: DataFrame, stats: DataFrame) {
+    private lazy val statsRow = stats.collect()(0)
+    /** Collected corpus scalars — one tiny job, used by tests/persistence. */
+    def nDocs: Long = statsRow.getDouble(0).toLong
+    def avgdl: Double = statsRow.getDouble(1)
+  }
 
-  /** Build the inverted index over `docs(idCol, textCol)`. */
+  /** Build the inverted index over `docs(idCol, textCol)` — one declarative
+    * DAG, no eager action. */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val exploded = docs
       .select(col(idCol).cast("string").as("id"),
@@ -45,15 +53,15 @@ object Bm25 {
     val dl = exploded.groupBy("id")
       .agg(count(lit(1)).cast("double").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), coalesce(avg("dl"), lit(0.0)).as("avgdl"))
-      .collect()(0)
-    Index(tf.join(df, "term").join(dl, "id"), stats.getLong(0), stats.getDouble(1))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      coalesce(avg("dl"), lit(0.0)).as("avgdl"))
+    Index(tf.join(df, "term").join(dl, "id"), stats)
   }
 
   /** Robertson/Sparck-Jones idf with the +1 floor (never negative):
-    * ln(1 + (N - df + 0.5) / (df + 0.5)). */
-  private def idf(nDocs: Long)(df: org.apache.spark.sql.Column) =
-    log(lit(1.0) + (lit(nDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
+    * ln(1 + (n - df + 0.5) / (df + 0.5)); `n` from the folded-in stats row. */
+  private def idf(df: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
 
   /** Top-k docs per query by BM25. `queries(qId, qText)` must be
     * broadcast-small (the [[VectorSearch.knnJoin]] contract). Query term
@@ -70,11 +78,12 @@ object Bm25 {
       params: Params): DataFrame = {
     val tfNorm = col("tf") * lit(params.k1 + 1.0) /
       (col("tf") + lit(params.k1) *
-        (lit(1.0 - params.b) + lit(params.b) * col("dl") / lit(index.avgdl)))
+        (lit(1.0 - params.b) + lit(params.b) * col("dl") / col("avgdl")))
     val topk = VectorSearch.topKUdaf(k)
     index.postings.join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(index.stats))
       .select(col("query_id"), col("id"),
-        (idf(index.nDocs)(col("df")) * tfNorm).as("contrib"))
+        (idf(col("df"), col("n")) * tfNorm).as("contrib"))
       .groupBy("query_id", "id")
       .agg(sum("contrib").as("score"))
       .groupBy("query_id")
@@ -99,11 +108,14 @@ object Bm25 {
       s"${index.nDocs} ${index.avgdl} $nBuckets")
   }
 
+  private def statsDf(spark: SparkSession, n: Double, avgdl: Double): DataFrame =
+    spark.range(1).select(lit(n).as("n"), lit(avgdl).as("avgdl"))
+
   def load(spark: SparkSession, dir: String): Index = {
     val Array(n, avgdl, _) =
       BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
     Index(BucketedTable.read(spark, s"$dir/postings.parquet").drop("_bucket"),
-      n.toLong, avgdl.toDouble)
+      statsDf(spark, n.toDouble, avgdl.toDouble))
   }
 
   /** Score against a SAVED index with term-bucket pruning: the query's terms
@@ -121,6 +133,7 @@ object Bm25 {
       .map(r => BucketedTable.bucketOf(r.getString(0), nb.toInt)).distinct.toSeq
     val pruned = BucketedTable.read(spark, s"$dir/postings.parquet")
       .filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
-    scoreTerms(Index(pruned, n.toLong, avgdl.toDouble), qterms, k, params)
+    scoreTerms(Index(pruned, statsDf(spark, n.toDouble, avgdl.toDouble)),
+      qterms, k, params)
   }
 }

@@ -184,6 +184,74 @@ object SubgraphExpansion {
     Subgraph(entDf, relDf, history.result())
   }
 
+  /** Distributed-frames variant of [[expand]] for ANALYTICAL traversals whose
+    * reached set is corpus-sized rather than top-k-bounded: the id sets stay
+    * in checkpointed DataFrames end to end — nothing is collected, nothing is
+    * re-broadcast from the driver. Each hop is a semi-join + distinct +
+    * anti-join over the edge table; the frontier/seen frames are small
+    * relative to the edges, so AQE broadcasts them from their materialized
+    * (checkpointed) form without a driver round-trip. Sits between [[expand]]
+    * (driver-bounded working sets — query-time retrieval) and
+    * [[GraphXExpansion]] (Pregel — deep traversals where per-hop scheduling
+    * dominates): same semantics, different working-set contracts.
+    *
+    * History carries exact cumulative counts; id samples only when
+    * `historySampleCap` > 0 (they cost one bounded sort-limit job per frame). */
+  def expandFrames(
+      seedEntityIds: DataFrame,
+      seedRelationIds: DataFrame,
+      entityRelation: DataFrame,
+      degree: Int,
+      historySampleCap: Int = 0): Subgraph = {
+    val er = entityRelation.select("entity_id", "relation_id")
+    val seedE = seedEntityIds.select("entity_id").distinct().localCheckpoint(true)
+    val initR = er.join(seedE, Seq("entity_id"), "left_semi")
+      .select("relation_id")
+      .unionByName(seedRelationIds.select("relation_id"))
+      .distinct().localCheckpoint(true)
+
+    def sample(df: DataFrame, c: String): Seq[String] =
+      if (historySampleCap <= 0) Seq.empty
+      else df.orderBy(col(c)).limit(historySampleCap)
+        .collect().map(_.getString(0)).toSeq
+
+    val history = Seq.newBuilder[ExpansionStep]
+    // Seen sets as unions of the per-hop checkpointed frames: the union is
+    // re-evaluated lazily from materialized pieces (cheap), never re-derived.
+    var entFrames = List(seedE)
+    var relFrames = List(initR)
+    var entCount = seedE.count() // counts on checkpointed frames are ~free
+    var relCount = initR.count()
+    history += ExpansionStep(0,
+      sample(seedE, "entity_id"), sample(initR, "relation_id"), entCount, relCount)
+    var frontier = initR
+    // Hop sides deliberately NOT fused into one job here: unlike expand()'s
+    // driver path (where re-evaluating the entity hop is a cheap extra
+    // broadcast-semi scan), in frames mode the duplicated subplan is a real
+    // distinct shuffle — measured slower than the second job's round-trip.
+    for (d <- 1 to degree) {
+      val entities = entFrames.reduce(_ unionByName _)
+      val relations = relFrames.reduce(_ unionByName _)
+      val newE = er.join(frontier, Seq("relation_id"), "left_semi")
+        .select("entity_id").distinct()
+        .join(entities, Seq("entity_id"), "left_anti")
+        .localCheckpoint(true)
+      val newR = er.join(newE, Seq("entity_id"), "left_semi")
+        .select("relation_id").distinct()
+        .join(relations, Seq("relation_id"), "left_anti")
+        .localCheckpoint(true)
+      entFrames ::= newE
+      relFrames ::= newR
+      entCount += newE.count()
+      relCount += newR.count()
+      history += ExpansionStep(d,
+        sample(newE, "entity_id"), sample(newR, "relation_id"), entCount, relCount)
+      frontier = newR
+    }
+    Subgraph(entFrames.reduce(_ unionByName _), relFrames.reduce(_ unionByName _),
+      history.result())
+  }
+
   /** P5 passage collection: distinct passages of all subgraph relations
     * (knowledge_graph.py:348-356) via the edge table. */
   def collectPassages(relationIds: DataFrame, relationPassage: DataFrame): DataFrame =

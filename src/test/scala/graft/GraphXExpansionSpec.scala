@@ -27,6 +27,37 @@ class GraphXExpansionSpec extends SparkSpec {
     }
   }
 
+  test("expandFrames equals the driver loop: id sets, per-degree counts, samples") {
+    val er = spark.read.parquet(sf("lineitem"))
+      .select(col("l_partkey").cast("string").as("entity_id"),
+        col("l_orderkey").cast("string").as("relation_id"))
+      .distinct().localCheckpoint(true)
+    val seeds = er.filter(col("entity_id").cast("long") % 101 === 0)
+      .select("entity_id").distinct()
+    val noRels = Seq.empty[String].toDF("relation_id")
+    for (degree <- 0 to 2) {
+      val loop = SubgraphExpansion.expand(seeds, noRels, er, degree)
+      val frames = SubgraphExpansion.expandFrames(seeds, noRels, er, degree,
+        historySampleCap = 1 << 20)
+      assert(sets(frames) == sets(loop), s"id sets differ at degree $degree")
+      assert(frames.history.map(h => (h.degree, h.entityCount, h.relationCount)) ==
+        loop.history.map(h => (h.degree, h.entityCount, h.relationCount)))
+      // with an uncapped sample the per-step id lists match the loop's exactly
+      assert(frames.history.map(_.addedEntityIds) == loop.history.map(_.addedEntityIds))
+      assert(frames.history.map(_.addedRelationIds) == loop.history.map(_.addedRelationIds))
+    }
+    // seed relations participate in the init-merge identically
+    val someRels = er.select("relation_id").distinct().limit(3)
+    val l2 = sets(SubgraphExpansion.expand(seeds, someRels, er, 1))
+    val f2 = sets(SubgraphExpansion.expandFrames(seeds, someRels, er, 1))
+    assert(f2 == l2)
+    // default cap 0 => empty samples, counts still exact
+    val bare = SubgraphExpansion.expandFrames(seeds, noRels, er, 1)
+    assert(bare.history.forall(h => h.addedEntityIds.isEmpty && h.addedRelationIds.isEmpty))
+    assert(bare.history.map(_.entityCount) ==
+      SubgraphExpansion.expand(seeds, noRels, er, 1).history.map(_.entityCount))
+  }
+
   test("per-degree history matches the semi-join loop step-by-step") {
     val er = spark.read.parquet(sf("lineitem"))
       .select(col("l_partkey").cast("string").as("entity_id"),
