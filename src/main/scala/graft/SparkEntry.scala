@@ -524,6 +524,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_contaminated"))
     }),
 
+    // X14 n-gram contamination (the GPT-3-style check, stricter than x9's
+    // whole-document fingerprints): eval-split documents sharing any 8-token
+    // shingle with the train split, with the count of distinct shared
+    // shingles. Shifted duplicates of every 7th document are injected so
+    // leakage deterministically exists. Shape: one explode + split assignment
+    // (pure md5 arithmetic) + semi-join on the shingle key + hash aggregate.
+    "x14_ngram_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sh = spread(docs.unionByName(dups))
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(Norm.shingles(col("toks"), 8)).as("sh"))
+      val sp = DatasetSplit.assignSplit(sh, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val trainSh = sp.filter(col("split") === "train").select("sh").distinct()
+      sp.filter(col("split") =!= "train")
+        .join(trainSh, Seq("sh"), "left_semi")
+        .groupBy("doc_id", "split")
+        .agg(countDistinct(col("sh")).as("n_shared"))
+    }),
+
     // PK1 sequence packing: global token offsets (corpus ordered by doc_id) and
     // the 512-token context windows each document overlaps — computed with the
     // two-phase prefix sum, never a global single-partition sort.
@@ -1238,6 +1260,20 @@ object SparkEntry {
            |SELECT split, count(*) AS n_contaminated
            |FROM sp WHERE split <> 'train' AND fp IN (SELECT fp FROM train)
            |GROUP BY split""".stripMargin.replace("\n", " "),
+      "x14_ngram_contamination" ->
+        s"""WITH un AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+           |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+           |    i -> array_to_string(list_slice(w, i, i+7), ' '))) AS sh
+           |  FROM (SELECT doc_id, $toksDoc AS w FROM un) t),
+           |sp AS (SELECT doc_id, sh,
+           |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, sh, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM sh) t),
+           |train AS (SELECT DISTINCT sh FROM sp WHERE split = 'train')
+           |SELECT doc_id, split, count(DISTINCT sh) AS n_shared
+           |FROM sp WHERE split <> 'train' AND sh IN (SELECT sh FROM train)
+           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "st1_window_agg" ->
         """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
           |count(*) AS n, round(sum(value), 4) AS sum_value
