@@ -242,6 +242,19 @@ object SparkEntry {
       SubgraphExpansion.expandFrames(seeds, emptyRel, er, degree = 2)
         .entityIds.select(col("entity_id"))
     }),
+    // PR1 entity-importance PageRank over the part co-occurrence graph
+    // (parts sharing an order are mutual neighbors), 3 damped iterations,
+    // top-50 by rounded rank with id tie-break. Scale shape: one edge
+    // materialization + (join + hash agg) per iteration; see PageRank.scala.
+    "pr1_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = PageRank.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      PageRank.run(edges, iterations = 3)
+        .select(col("id").as("part_id"), round(col("pr"), 8).as("pr_r"))
+        .orderBy(col("pr_r").desc, col("part_id").asc)
+        .limit(50)
+    }),
 
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
@@ -647,6 +660,22 @@ object SparkEntry {
       AsOfJoin.backward(ev, ord, "user_id", "ts", "ots", Seq("ord_price"))
         .select(col("event_id"), col("asof_ord_price"))
     }),
+    // RJ1 binned range join: events attributed to OVERLAPPING 90-min windows
+    // on a 1-h stride (so a point can land in two windows — a genuine range
+    // predicate, not a bucketing). Spark plan = bin-key equi-join
+    // (RangeJoin.scala), never BroadcastNestedLoopJoin; oracle = DuckDB's
+    // native IEJoin range join, an independent implementation.
+    "rj1_range_join" -> ((s, dir) => {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val ev = t(s, dir, "events").select(col("ts").as("pt"), col("value"))
+      val t0 = ev.agg(min("pt")).head.getLong(0) // one scalar, bounded
+      val wins = s.range(48).select(col("id").as("window_id"),
+          (lit(t0) + col("id") * hourNs).as("lo"))
+        .withColumn("hi", col("lo") + lit(hourNs / 2 * 3))
+      RangeJoin.pointInInterval(ev, wins, "pt", "lo", "hi", hourNs)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads (rows-only check).
@@ -977,6 +1006,27 @@ object SparkEntry {
           |rels1 AS (SELECT r FROM r0 UNION SELECT r FROM r1),
           |e2 AS (SELECT DISTINCT e FROM er WHERE r IN (SELECT r FROM rels1) AND e NOT IN (SELECT e FROM ents1))
           |SELECT e AS entity_id FROM ents1 UNION SELECT e AS entity_id FROM e2""".stripMargin.replace("\n", " "),
+      "pr1_pagerank" ->
+        """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+          |nn AS (SELECT count(*) AS cnt FROM deg),
+          |r0 AS (SELECT src AS id, 1.0::DOUBLE / (SELECT cnt FROM nn) AS pr FROM deg),
+          |c1 AS (SELECT e.dst AS id, sum(r.pr / g.d) AS c FROM e0 e
+          |  JOIN r0 r ON e.src = r.id JOIN deg g ON g.src = e.src GROUP BY e.dst),
+          |r1 AS (SELECT g.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM deg g LEFT JOIN c1 c ON c.id = g.src),
+          |c2 AS (SELECT e.dst AS id, sum(r.pr / g.d) AS c FROM e0 e
+          |  JOIN r1 r ON e.src = r.id JOIN deg g ON g.src = e.src GROUP BY e.dst),
+          |r2 AS (SELECT g.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM deg g LEFT JOIN c2 c ON c.id = g.src),
+          |c3 AS (SELECT e.dst AS id, sum(r.pr / g.d) AS c FROM e0 e
+          |  JOIN r2 r ON e.src = r.id JOIN deg g ON g.src = e.src GROUP BY e.dst),
+          |r3 AS (SELECT g.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM deg g LEFT JOIN c3 c ON c.id = g.src)
+          |SELECT id AS part_id, round(pr, 8) AS pr_r FROM r3
+          |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
       "v1_eviction" ->
         """SELECT o_custkey,
           |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,
@@ -1305,6 +1355,15 @@ object SparkEntry {
           |  FROM orders GROUP BY 1, 2)
           |SELECT e.event_id, o.v AS asof_ord_price
           |FROM events e ASOF LEFT JOIN o ON e.user_id = o.k AND o.t <= epoch_ns(e.ts)""".stripMargin.replace("\n", " "),
+      "rj1_range_join" ->
+        """WITH t0 AS (SELECT min(epoch_ns(ts)) AS v FROM events),
+          |w AS (SELECT i AS window_id,
+          |        (SELECT v FROM t0) + i * 3600000000000 AS lo,
+          |        (SELECT v FROM t0) + i * 3600000000000 + 5400000000000 AS hi
+          |      FROM generate_series(0, 47) AS g(i))
+          |SELECT w.window_id, count(*) AS n, round(sum(e.value), 4) AS sum_value
+          |FROM events e JOIN w ON epoch_ns(e.ts) >= w.lo AND epoch_ns(e.ts) < w.hi
+          |GROUP BY 1""".stripMargin.replace("\n", " "),
       "mm2_features" ->
         """SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS modality,
           |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin.replace("\n", " "),

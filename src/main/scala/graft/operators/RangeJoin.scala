@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned range join — the scale-safe physical plan for `point BETWEEN lo AND
+  * hi` predicates (event-to-window attribution, time-range enrichment,
+  * numeric-interval lookups). The reference has no range predicate anywhere
+  * (SURVEY §2.10 "no sort-merge/range/as-of/theta joins"); this and
+  * [[AsOfJoin]] round out the join family a training-data pipeline needs.
+  *
+  * Spark's built-in answer to a non-equi range predicate is
+  * BroadcastNestedLoopJoin — O(|points| × |intervals|) compares, a
+  * scale-killer the moment the interval side outgrows a broadcast. The
+  * standard fix (DuckDB reaches the same plan internally via its IEJoin;
+  * Flink/KafkaSQL interval joins bin the time axis the same way) is to
+  * discretize: chop the domain into fixed-width bins, explode each interval
+  * into the bins it covers, tag each point with its single bin, equi-join on
+  * the bin id, and re-check the exact predicate. The join becomes a plain
+  * shuffled/broadcast HASH join on the bin key — partitioned, codegen'd,
+  * AQE-planned like any other equi-join.
+  *
+  * Each output pair is emitted exactly once (a point has ONE bin; an interval
+  * appears in that bin at most once), so no post-dedup is needed. Bin width
+  * tunes fan-out: intervals explode into `len/width + 1` rows, so pick width
+  * on the order of the typical interval length — fan-out stays a small
+  * constant and the explode is linear in the interval count.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval with `lo <= pt < hi` (half-open).
+    * `ptCol`/`loCol`/`hiCol` are long-typed (epoch-nanos, offsets, any
+    * monotone numeric domain). Output: all point columns + all interval
+    * columns. Column name collisions are the caller's contract (rename
+    * first); `_bin` is reserved. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // Bin ids via integral `div`, never float division: epoch-nanos exceed
+    // 2^53, where double arithmetic mis-rounds a value sitting exactly on a
+    // bin boundary and silently mis-bins it. `div` truncates toward zero
+    // rather than flooring, but it is monotone, and monotone is all the cover
+    // proof needs: lo <= pt < hi implies bin(lo) <= bin(pt) <= bin(hi-1), so
+    // the point's bin is always in the interval's exploded range.
+    def binOf(c: Column): Column =
+      call_function("div", c.cast("long"), lit(binWidth))
+    val binned = intervals
+      .filter(col(hiCol) > col(loCol)) // empty intervals match nothing
+      .withColumn("_bin",
+        explode(sequence(binOf(col(loCol)), binOf(col(hiCol) - 1))))
+    points
+      .withColumn("_bin", binOf(col(ptCol)))
+      .join(binned, Seq("_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("_bin")
+  }
+}

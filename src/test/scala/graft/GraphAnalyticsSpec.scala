@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{PageRank, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** PageRank + binned range join semantics. */
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ PageRank
+  test("pagerank: zero iterations is uniform; ranks sum to ~1 on symmetric graphs") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val r0 = PageRank.run(edges, 0).as[(String, Double)].collect().toMap
+    assert(r0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    val r5 = PageRank.run(edges, 5).as[(String, Double)].collect().toMap
+    // symmetric connected graph: no dangling mass lost, total stays 1
+    assert(math.abs(r5.values.sum - 1.0) < 1e-9)
+    // b has degree 2, a and c degree 1: b must rank highest, a == c by symmetry
+    assert(r5("b") > r5("a"))
+    assert(math.abs(r5("a") - r5("c")) < 1e-12)
+  }
+
+  test("pagerank: star center dominates; dangling mass is dropped not redistributed") {
+    val star = Seq("a", "b", "c", "d").flatMap(x => Seq((x, "hub"), ("hub", x)))
+      .toDF("src", "dst")
+    val r = PageRank.run(star, 10).as[(String, Double)].collect().toMap
+    assert(r("hub") > r("a") * 2)
+    // directed chain a->b: b never ranks (no out-edge => not a node), and a's
+    // contribution leaves the node set — documented dangling contract
+    val chain = Seq(("a", "b")).toDF("src", "dst")
+    val rc = PageRank.run(chain, 2).as[(String, Double)].collect().toMap
+    assert(rc.keySet == Set("a"))
+    assert(math.abs(rc("a") - 0.15) < 1e-12) // n=1: (1-d)/1 + d*0 (b gives nothing back)
+  }
+
+  test("pagerank: cooccurrence edges are symmetric, distinct, reflexive-free") {
+    val df = Seq((1, "x"), (1, "y"), (1, "y"), (2, "y"), (2, "z")).toDF("g", "item")
+    val e = PageRank.cooccurrenceEdges(df, "g", "item")
+      .as[(String, String)].collect().toSet
+    assert(e == Set(("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")))
+  }
+
+  // ---------------------------------------------------------- binned range join
+  private def rj(points: Seq[Long], intervals: Seq[(Int, Long, Long)], w: Long) = {
+    val p = points.toDF("pt")
+    val i = intervals.toDF("iid", "lo", "hi")
+    RangeJoin.pointInInterval(p, i, "pt", "lo", "hi", w)
+      .select("pt", "iid").as[(Long, Int)].collect().toSet
+  }
+
+  test("range join: half-open bounds, overlap, and multi-bin intervals") {
+    val intervals = Seq((1, 0L, 10L), (2, 5L, 25L), (3, 30L, 31L))
+    // pt=0 in [0,10); pt=10 excluded from 1 but not yet in anything; pt=5 in both 1 and 2
+    assert(rj(Seq(0L, 5L, 9L, 10L, 24L, 25L, 30L), intervals, 4L) == Set(
+      (0L, 1), (5L, 1), (5L, 2), (9L, 1), (9L, 2), (10L, 2), (24L, 2), (30L, 3)))
+    // result must be bin-width invariant (the exact filter owns correctness)
+    for (w <- Seq(1L, 3L, 7L, 100L))
+      assert(rj(Seq(0L, 5L, 9L, 10L, 24L, 25L, 30L), intervals, w) ==
+        rj(Seq(0L, 5L, 9L, 10L, 24L, 25L, 30L), intervals, 4L), s"binWidth=$w")
+  }
+
+  test("range join: negative domains and empty intervals") {
+    val intervals = Seq((1, -10L, -2L), (2, -3L, 3L), (3, 5L, 5L))
+    assert(rj(Seq(-10L, -3L, -2L, 0L, 2L, 3L, 5L), intervals, 4L) == Set(
+      (-10L, 1), (-3L, 1), (-3L, 2), (-2L, 2), (0L, 2), (2L, 2)))
+  }
+
+  test("range join: epoch-nano magnitudes bin exactly (no float mis-binning)") {
+    val base = 1770000000000000000L // ~2026 epoch nanos, > 2^53
+    val w = 3600L * 1000 * 1000 * 1000
+    // a point EXACTLY on an interval's lower bound, which is also a bin edge
+    val lo = (base / w) * w
+    assert(rj(Seq(lo, lo + w - 1, lo + w), Seq((1, lo, lo + w)), w) ==
+      Set((lo, 1), (lo + w - 1, 1)))
+  }
+}
