@@ -447,6 +447,30 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
+    // TF1 tf-idf vector-space retrieval (SMART ntc.nnn): doc weights raw-tf·idf
+    // cosine-normalized, query raw tf; rank on the ROUNDED score so the
+    // corpus's exact-duplicate docs (mathematically tied) order by id on both
+    // engines. Same bounded scale shape as BM25 — see TfIdf.scala.
+    "tf1_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = TfIdf.weights(spread(docs), "doc_id", "text")
+      TfIdf.topK(w, docs.filter(col("doc_id") < 5), "doc_id", "text", k = 10)
+    }),
+    // MV1 late-interaction MaxSim (ColBERT-style): multi-vector "docs" are
+    // embedding rows grouped by vec_id%100, queries two 5-token bags. Plan:
+    // broadcast query tokens, codegen'd dot, two map-side-combined hash aggs
+    // (max per query-token, sum per doc) + bounded top-k — see MultiVector.scala.
+    "mv1_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qToks = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") % 2).as("qid"), col("vec_id").as("tok"), col("embedding"))
+      val dToks = emb.filter(col("vec_id") >= 10)
+        .select((col("vec_id") % 100).as("did"), col("embedding"))
+      MultiVector.maxSimTopK(qToks, dToks,
+          "qid", "tok", "embedding", "did", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score").as("maxsim_r"))
+    }),
 
     // --------------------------------------------- scale pipeline: text analysis
     // X1 heuristic language ID (tokens projected once — see TextAnalysis scaladoc).
@@ -612,6 +636,41 @@ object SparkEntry {
           TA.qualityScoreT(col("text"), col("toks")).as("quality"))
       CorpusOps.selectByTokenBudget(scored, "doc_id", "quality", "n_tokens", budget = 2000L)
         .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality_r"))
+    }),
+    // X15 deterministic weighted sampling (Efraimidis–Spirakis): 25 docs,
+    // inclusion odds ∝ token count — the reproducible "sample big docs more"
+    // primitive of a training-mix build. Key is pure md5 arithmetic; the cut
+    // is a bounded TakeOrderedAndProject (no global sort).
+    "x15_weighted_sample" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), (TA.tokenCountT(col("toks")) + 1).as("w"))
+      CorpusOps.weightedSample(scored, "doc_id", "w", k = 25)
+        .select(col("doc_id"), col("w").as("weight"))
+    }),
+    // CS1 exact per-language token-length quantiles (p50/p90/p99, linear
+    // interpolation — Spark percentile ≡ DuckDB quantile_cont). One hash agg;
+    // the per-group sort inside percentile is bounded by group size.
+    "cs1_length_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(Norm.normTokens(col("text")).as("toks"))
+        .select(TA.langIdT(col("toks")).as("lang"),
+          TA.tokenCountT(col("toks")).cast("double").as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n, 0.99)"), 4).as("p99"))
+    }),
+    // CS2 heavy-hitter bigrams: corpus top-20 by count (count desc, bigram asc)
+    // — one explode + one map-side-combined hash agg + bounded top-k.
+    "cs2_heavy_hitters" -> ((s, dir) => {
+      spread(t(s, dir, "documents"))
+        .select(Norm.normTokens(col("text")).as("toks"))
+        .select(explode(Norm.shingles(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(20)
     }),
 
     // --------------------------------------------------- events: windows/sessions
@@ -975,6 +1034,40 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
            |      FROM fused) z
            |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "tf1_tfidf_topk" ->
+        s"""WITH tf AS (SELECT CAST(doc_id AS VARCHAR) AS id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, unnest($toksDoc) AS t FROM documents) u GROUP BY 1, 2),
+           |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+           |nx AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |w AS (SELECT id, term, tf * ln((SELECT n FROM nx) / df) AS w
+           |  FROM tf JOIN dfx USING (term)),
+           |nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+           |wn AS (SELECT w.id, w.term, w.w / nrm.nrm AS w
+           |  FROM w JOIN nrm ON w.id = nrm.id WHERE nrm.nrm > 0),
+           |q AS (SELECT CAST(doc_id AS VARCHAR) AS query_id, t AS term, CAST(count(*) AS DOUBLE) AS qtf
+           |  FROM (SELECT doc_id, unnest($toksDoc) AS t FROM documents WHERE doc_id < 5) u GROUP BY 1, 2),
+           |sc AS (SELECT query_id, wn.id, round(sum(wn.w * q.qtf), 6) AS score
+           |  FROM wn JOIN q USING (term) GROUP BY 1, 2)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, id AS doc_id, score AS sim_r
+           |FROM (SELECT query_id, id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+           |      FROM sc) z
+           |WHERE rank <= 10""".stripMargin.replace("\n", " "),
+      "mv1_maxsim" ->
+        """WITH q AS (SELECT CAST(vec_id % 2 AS VARCHAR) AS qid, vec_id AS tok, embedding
+          |  FROM embeddings WHERE vec_id < 10),
+          |d AS (SELECT CAST(vec_id % 100 AS VARCHAR) AS did, embedding
+          |  FROM embeddings WHERE vec_id >= 10),
+          |mx AS (SELECT q.qid, q.tok, d.did,
+          |    max(list_dot_product(q.embedding::DOUBLE[], d.embedding::DOUBLE[])) AS m
+          |  FROM q, d GROUP BY 1, 2, 3),
+          |sc AS (SELECT qid AS query_id, did, round(sum(m), 6) AS score
+          |  FROM mx GROUP BY 1, 2)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, did AS doc_id, score AS maxsim_r
+          |FROM (SELECT query_id, did, score,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, did ASC) AS rank
+          |      FROM sc) z
+          |WHERE rank <= 10""".stripMargin.replace("\n", " "),
       "r1_knn_topk" ->
         s"""SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score_r FROM (
            |  SELECT query_id, neighbor_id, score,
@@ -1231,6 +1324,37 @@ object SparkEntry {
            |  FROM scored)
            |SELECT doc_id, n_tokens, round(quality, 6) AS quality_r
            |FROM cum WHERE coalesce(b, 0) + n_tokens <= 2000""".stripMargin.replace("\n", " "),
+      "x15_weighted_sample" ->
+        s"""SELECT doc_id, len(toks) + 1 AS weight
+           |FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t
+           |ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+           |           / 4294967296.0) / (len(toks) + 1) DESC, doc_id ASC
+           |LIMIT 25""".stripMargin.replace("\n", " "),
+      "cs1_length_quantiles" ->
+        s"""WITH feat AS (
+           |  SELECT CAST(len(toks) AS DOUBLE) AS n,
+           |    len(list_filter(toks, t -> list_contains(['the','and','of','is','was','with'], t))) AS s_en,
+           |    len(list_filter(toks, t -> list_contains(['el','la','de','que','los','las'], t))) AS s_es,
+           |    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))) AS s_fr,
+           |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de
+           |  FROM (SELECT $toksDoc AS toks FROM documents) t),
+           |lng AS (SELECT n,
+           |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+           |         WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+           |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+           |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es' ELSE 'fr' END AS lang
+           |  FROM feat)
+           |SELECT lang, count(*) AS n_docs,
+           |  round(quantile_cont(n, 0.5), 4) AS p50,
+           |  round(quantile_cont(n, 0.9), 4) AS p90,
+           |  round(quantile_cont(n, 0.99), 4) AS p99
+           |FROM lng GROUP BY lang""".stripMargin.replace("\n", " "),
+      "cs2_heavy_hitters" ->
+        s"""SELECT bigram, count(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+           |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bigram
+           |  FROM (SELECT $toksDoc AS w FROM documents) t) u
+           |GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin.replace("\n", " "),
       "x3_token_count" ->
         s"""SELECT doc_id, len(toks) AS n_tokens,
            |  CAST(coalesce(list_sum(list_transform(toks, t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INTEGER)))), 0) AS INTEGER) AS n_subwords

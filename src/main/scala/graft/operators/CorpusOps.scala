@@ -143,4 +143,25 @@ object CorpusOps {
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("token"))
       .limit(topK)
+
+  /** Efraimidis–Spirakis (A-ES) weighted-sample key: rows ranked by
+    * `ln(u)/w` DESC are a weighted sample without replacement, u a uniform
+    * in (0,1) derived from the id's md5 — fully deterministic, so the sample
+    * is reproducible and repartition-stable like everything else here. The
+    * +0.5 offset keeps u strictly inside (0,1): ln never sees 0. */
+  def weightedSampleKey(id: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double")
+      + 0.5) / 4294967296.0
+    log(u) / weight
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement of size `k`:
+    * inclusion probability proportional to `weightCol` (must be > 0). One
+    * per-row key + a bounded TakeOrderedAndProject — no global sort, no
+    * shuffle beyond the final top-k. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame =
+    df.withColumn("_wkey", weightedSampleKey(col(idCol), col(weightCol)))
+      .orderBy(col("_wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_wkey")
 }

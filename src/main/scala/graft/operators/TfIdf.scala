@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.Norm
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF vector-space retrieval — the third retrieval family beside dense
+  * KNN ([[VectorSearch]]) and BM25 ([[Bm25]]): classic cosine over
+  * L2-normalized `tf·ln(n/df)` sparse vectors. In a training-data pipeline
+  * the same weights double as features (keyword extraction, topic balance,
+  * similarity-based curation), so the weight table is exposed, not hidden
+  * inside scoring.
+  *
+  * Scale shape mirrors [[Bm25]]: build = one corpus explode + three hash
+  * aggregations (tf, df, per-doc norm), all map-side combined; scoring = one
+  * broadcast join of the query's terms against the postings + a (query, doc)
+  * hash aggregation + the bounded [[TopKAggregator]]. No windows, no
+  * all-pairs product, shuffle volume O(matched postings).
+  */
+object TfIdf {
+
+  /** L2-normalized TF-IDF weights: one row per (id, term) with `w` such that
+    * Σ_term w² = 1 per doc. `maxDfFraction` drops terms present in more than
+    * that fraction of docs BEFORE weighting — the stopword cut that bounds
+    * posting-list length (and therefore any downstream join fan-out) at
+    * corpus scale. Docs whose every term is cut simply emit no rows. */
+  def weights(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("string").as("id"),
+        explode(Norm.normTokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // one scalar row folded in lazily — build+score stay a single DAG
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val weighted = tf.join(df, "term").crossJoin(broadcast(n))
+      .filter(col("df") <= col("n") * maxDfFraction)
+      .select(col("id"), col("term"), (col("tf") * log(col("n") / col("df"))).as("w"))
+    val norms = weighted.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("_nrm"))
+    weighted.join(norms, "id")
+      .filter(col("_nrm") > 0.0)
+      .select(col("id"), col("term"), (col("w") / col("_nrm")).as("w"))
+  }
+
+  /** Top-k docs per query in the tf-idf space — SMART `ntc.nnn`: docs carry
+    * raw-tf·idf cosine-normalized weights, queries raw term frequency (idf on
+    * one side only is standard VSM practice; per-query ranking is invariant
+    * to any query-side constant). `queries` must be broadcast-small (the
+    * engine-wide query-side contract). Ranking uses the ROUNDED score (6 dp)
+    * with doc-id tie-break so exact-duplicate docs — mathematically tied,
+    * floating-point-ambiguous — order deterministically.
+    * Output: (query_id, rank, doc_id, sim_r). */
+  def topK(corpusWeights: DataFrame, queries: DataFrame,
+      qId: String, qText: String, k: Int): DataFrame = {
+    val qtf = queries
+      .select(col(qId).cast("string").as("query_id"),
+        explode(Norm.normTokens(col(qText))).as("term"))
+      .groupBy("query_id", "term")
+      .agg(count(lit(1)).cast("double").as("qtf"))
+    val topk = VectorSearch.topKUdaf(k)
+    corpusWeights.join(broadcast(qtf), Seq("term"))
+      .select(col("query_id"), col("id"), (col("w") * col("qtf")).as("contrib"))
+      .groupBy("query_id", "id")
+      .agg(round(sum("contrib"), 6).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("sim_r"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{CorpusOps, MultiVector, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** TF-IDF retrieval, MaxSim late interaction, weighted sampling. */
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------------- tf-idf
+  test("tfidf weights: L2-normalized per doc; ubiquitous terms carry zero weight") {
+    val docs = Seq(
+      ("a", "apple apple banana common"),
+      ("b", "banana cherry common"),
+      ("c", "cherry cherry cherry common")).toDF("id", "text")
+    val w = TfIdf.weights(docs, "id", "text")
+      .as[(String, String, Double)].collect()
+    val byDoc = w.groupBy(_._1)
+    // every doc's surviving weights sum to 1 in L2
+    byDoc.foreach { case (d, rows) =>
+      assert(math.abs(rows.map(r => r._3 * r._3).sum - 1.0) < 1e-9, s"doc $d")
+    }
+    // 'common' is in all docs: idf = ln(1) = 0 — present but weightless
+    assert(w.filter(_._2 == "common").forall(_._3 == 0.0))
+    // maxDf cut removes it entirely
+    val cut = TfIdf.weights(docs, "id", "text", maxDfFraction = 0.9)
+      .as[(String, String, Double)].collect()
+    assert(!cut.exists(_._2 == "common"))
+  }
+
+  test("tfidf topK: a doc is its own best match; disjoint docs score nothing") {
+    val docs = Seq(
+      ("1", "apple banana apple"),
+      ("2", "cherry date cherry"),
+      ("3", "apple banana apple")).toDF("id", "text")
+    val w = TfIdf.weights(docs, "id", "text")
+    val got = TfIdf.topK(w, docs.filter($"id" === "1"), "id", "text", 3)
+      .as[(String, Int, String, Double)].collect().sortBy(_._2)
+    // docs 1 and 3 are identical: tied rounded score, id ascending
+    assert(got.map(_._3).toSeq == Seq("1", "3"))
+    assert(got(0)._4 == got(1)._4)
+  }
+
+  // -------------------------------------------------------------------- maxsim
+  test("maxsim: picks per-query-token best doc token, sums over query tokens") {
+    val dToks = Seq(
+      ("d1", Seq(1f, 0f)), ("d1", Seq(0f, 1f)), // d1 covers both axes
+      ("d2", Seq(1f, 0f)), ("d2", Seq(1f, 0f))  // d2 only axis 0
+    ).toDF("did", "v")
+    val qToks = Seq(
+      ("q", 0, Seq(1f, 0f)), ("q", 1, Seq(0f, 1f))).toDF("qid", "tok", "v")
+    val got = MultiVector.maxSimTopK(qToks, dToks, "qid", "tok", "v", "did", "v", 2)
+      .as[(String, Int, String, Double)].collect().sortBy(_._2)
+    // d1: 1 + 1 = 2; d2: 1 + 0 = 1
+    assert(got.map(r => (r._3, r._4)).toSeq == Seq(("d1", 2.0), ("d2", 1.0)))
+  }
+
+  test("maxsim: k bounds output; rounded-score ties break by doc id") {
+    val dToks = Seq(("a", Seq(1f)), ("b", Seq(1f)), ("c", Seq(0.5f))).toDF("did", "v")
+    val qToks = Seq(("q", 0, Seq(1f))).toDF("qid", "tok", "v")
+    val got = MultiVector.maxSimTopK(qToks, dToks, "qid", "tok", "v", "did", "v", 2)
+      .as[(String, Int, String, Double)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq("a", "b"))
+  }
+
+  // ---------------------------------------------------------- weighted sampling
+  test("weighted sample: deterministic, k-bounded, weight-biased") {
+    val rows = (1 to 400).map(i => (i.toString, if (i <= 200) 1.0 else 100.0))
+    val df = rows.toDF("id", "w")
+    val s1 = CorpusOps.weightedSample(df, "id", "w", 50).as[(String, Double)].collect()
+    val s2 = CorpusOps.weightedSample(df.repartition(7), "id", "w", 50)
+      .as[(String, Double)].collect()
+    assert(s1.map(_._1).toSet == s2.map(_._1).toSet) // repartition-stable
+    assert(s1.length == 50)
+    // heavy rows (w=100, half the population) must dominate the sample
+    val heavy = s1.count(_._2 == 100.0)
+    assert(heavy > 40, s"expected heavy-weight dominance, got $heavy/50")
+  }
+}
