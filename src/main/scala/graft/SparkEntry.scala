@@ -414,6 +414,29 @@ object SparkEntry {
         .select(col("centroid_id"), (col("pos") + 1).cast("int").as("pos"),
           round(col("col"), 6).as("c"))
     }),
+    // PQ1 product-quantization codes (8 subspaces × 16 codewords over the
+    // 64-dim embeddings): every assignment step is deterministic double
+    // arithmetic (DotProduct ≡ list_dot_product), checked code-for-code.
+    "pq1_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, k = 16)
+      ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+    }),
+    // PQ2 asymmetric-distance KNN: queries score the PQ codes through the m×k
+    // lookup table — the IVF-PQ memory path (codes are ~32× smaller than the
+    // float vectors they stand in for). See ProductQuantizer.scala.
+    "pq2_adc_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val cb = ProductQuantizer.train(corpus, "vec_id", "embedding",
+        m = 8, dsub = 8, k = 16)
+      val codes = ProductQuantizer.encode(corpus, "vec_id", "embedding", cb)
+      ProductQuantizer.adcTopK(cb, codes,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("score").as("adc_r"))
+    }),
 
     // ---------------------------------------- scale pipeline: lexical retrieval
     // B1 BM25 top-k over the documents corpus: inverted-index build (explode +
@@ -917,6 +940,26 @@ object SparkEntry {
         |WHERE q.vec_id < 8 AND c.vec_id >= 8""".stripMargin.replace("\n", " ")
     val toksOf = (c: String) =>
       s"list_filter(string_split(${normE(c)}, ' '), x -> x <> '')"
+    // PQ CTE chain: deterministic codebooks (16 lowest string-ordered ids),
+    // per-subspace slices, argmin assignment scored `cc - 2*ip` — the same
+    // double arithmetic as ProductQuantizer (DotProduct ≡ list_dot_product),
+    // so codes match bit-for-bit. Yields `cwc` (codebook) and `codes`.
+    val pqCte = (corpusWhere: String) =>
+      s"""seeds AS (SELECT id, embedding, CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS code
+         |  FROM (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings $corpusWhere ORDER BY 1 LIMIT 16) s),
+         |cw AS (SELECT CAST(g.i AS INTEGER) AS sub, s.code,
+         |    list_slice(s.embedding, g.i * 8 + 1, g.i * 8 + 8) AS cvec
+         |  FROM seeds s, generate_series(0, 7) AS g(i)),
+         |cwc AS (SELECT sub, code, cvec, list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[]) AS cc FROM cw),
+         |xv AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(g.i AS INTEGER) AS sub,
+         |    list_slice(embedding, g.i * 8 + 1, g.i * 8 + 8) AS sv
+         |  FROM embeddings, generate_series(0, 7) AS g(i) $corpusWhere),
+         |asg AS (SELECT xv.id, xv.sub, cwc.code,
+         |    cwc.cc - 2.0 * list_dot_product(xv.sv::DOUBLE[], cwc.cvec::DOUBLE[]) AS d2
+         |  FROM xv JOIN cwc ON xv.sub = cwc.sub),
+         |codes AS (SELECT id, sub, code FROM (
+         |  SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn
+         |  FROM asg) t WHERE rn = 1)""".stripMargin.replace("\n", " ")
     // BM25 CTE chain: tokenize corpus → tf/dl/df/corpus stats → per-(query,
     // doc) score `sc`. Arithmetic parenthesized to MATCH Bm25.scoreTerms'
     // evaluation order exactly (floats are order-sensitive; only the final
@@ -1285,6 +1328,25 @@ object SparkEntry {
           |  SELECT a.centroid_id, generate_subscripts(c.v, 1) AS pos, unnest(c.v) AS val
           |  FROM assign a JOIN corpus c ON a.id = c.id) t
           |GROUP BY centroid_id, pos""".stripMargin.replace("\n", " "),
+      "pq1_pq_codes" ->
+        s"""WITH ${pqCte("")}
+           |SELECT id, sub, code FROM codes""".stripMargin.replace("\n", " "),
+      "pq2_adc_knn" ->
+        s"""WITH ${pqCte("WHERE vec_id >= 10")},
+           |qt AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, CAST(g.i AS INTEGER) AS sub,
+           |    list_slice(embedding, g.i * 8 + 1, g.i * 8 + 8) AS qv
+           |  FROM embeddings, generate_series(0, 7) AS g(i) WHERE vec_id < 5),
+           |tab AS (SELECT qt.query_id, qt.sub, cwc.code,
+           |    list_dot_product(qt.qv::DOUBLE[], cwc.cvec::DOUBLE[]) AS ip
+           |  FROM qt JOIN cwc ON qt.sub = cwc.sub),
+           |sc AS (SELECT t.query_id, c.id, round(sum(t.ip), 6) AS score
+           |  FROM codes c JOIN tab t ON c.sub = t.sub AND c.code = t.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, id AS neighbor_id, score AS adc_r
+           |FROM (SELECT query_id, id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+           |      FROM sc) z
+           |WHERE rank <= 10""".stripMargin.replace("\n", " "),
       "x1_langid" ->
         s"SELECT doc_id, lang AS lang_pred FROM ($langSelect) q",
       "x2_quality" ->

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Product quantization (PQ) — the memory side of large-scale ANN, composing
+  * with [[IvfIndex]] into the standard IVF-PQ design: vectors are split into
+  * `m` subspaces, each subvector replaced by the id of its nearest codeword
+  * from a small per-subspace codebook. A 64-dim float vector becomes m=8
+  * small integers — ~32× smaller at rest and in shuffle — and queries score
+  * against codes without ever touching the original vectors (asymmetric
+  * distance computation, ADC). [[graft.functions.Quantize]] (int8) is the 4×
+  * step; PQ is the order-of-magnitude one.
+  *
+  * Determinism contract (same as [[IvfIndex.build]]): codebooks are seeded
+  * from the `k` lexicographically-lowest ids' subvectors, no retraining
+  * randomness, assignment scored as `‖c‖² − 2⟨x,c⟩` (the ‖x‖² term drops —
+  * argmin unaffected) with ties to the lowest code — every step reproducible
+  * in SQL, so codes and ADC results are oracle-checkable bit-for-bit.
+  *
+  * Scale shape: codebooks are m×k rows — broadcast everywhere. Encoding is
+  * one subspace explode (m rows per vector) + broadcast join + one
+  * struct-min hash aggregation (map-side combined, no window over data).
+  * ADC search: the query's m×k lookup table is built from the broadcast
+  * codebook, joined to the exploded code table on (subspace, code) — a
+  * broadcast hash join — then one per-(query, doc) partial-aggregated sum
+  * and the bounded [[TopKAggregator]]. Shuffle is O(corpus × m) small ints,
+  * never O(corpus × dim) floats.
+  */
+object ProductQuantizer {
+
+  /** `codewords`: (sub, code, cvec, cc) — m×k rows, `cc = ⟨cvec,cvec⟩`. */
+  final case class Codebook(codewords: DataFrame, m: Int, dsub: Int)
+
+  private def subspaces(v: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      i => slice(v, i * dsub + 1, lit(dsub)))
+
+  /** Deterministic codebooks over `corpus(idCol, vecCol)`: the `k` lowest
+    * (string-ordered) ids seed every subspace. `dim` must equal `m * dsub`
+    * for all vectors (slices would silently truncate otherwise). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, k: Int): Codebook = {
+    val seeds = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id").asc).limit(k)
+      // k rows: the window is bounded by the seed count, not the corpus
+      .withColumn("code", row_number().over(Window.orderBy(col("id").asc)))
+    val cw = seeds
+      .select(col("code"), posexplode(subspaces(col("v"), m, dsub)))
+      .select(col("pos").as("sub"), col("code"), col("col").as("cvec"))
+      .withColumn("cc", VectorFunctions.dot(col("cvec"), col("cvec")))
+    Codebook(cw, m, dsub)
+  }
+
+  /** PQ codes in the exploded "posting" layout: (id, sub, code) — the layout
+    * ADC joins against directly; re-pack with `collect_list` if an array
+    * per id is wanted. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook): DataFrame =
+    corpus
+      .select(col(idCol).cast("string").as("id"),
+        posexplode(subspaces(col(vecCol), cb.m, cb.dsub)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("_sv"))
+      .join(broadcast(cb.codewords), Seq("sub"))
+      .select(col("id"), col("sub"), col("code"),
+        (col("cc") - lit(2.0) * VectorFunctions.dot(col("_sv"), col("cvec"))).as("_d2"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("_d2"), col("code"))).as("_m"))
+      .select(col("id"), col("sub"), col("_m.code").as("code"))
+
+  /** ADC top-k: approximate inner product of each query against every coded
+    * vector, `Σ_sub ⟨q_sub, cvec[code_sub]⟩`, scored entirely from `codes`.
+    * Scores rounded (6 dp) before ranking, doc-id tie-break. Output:
+    * (query_id, rank, neighbor_id, score). */
+  def adcTopK(cb: Codebook, codes: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, k: Int): DataFrame = {
+    val table = queries
+      .select(col(qId).cast("string").as("query_id"),
+        posexplode(subspaces(col(qVec), cb.m, cb.dsub)))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("_qv"))
+      .join(cb.codewords, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        VectorFunctions.dot(col("_qv"), col("cvec")).as("_ip"))
+    val topk = VectorSearch.topKUdaf(k)
+    codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum("_ip"), 6).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+}
