@@ -40,38 +40,61 @@ object PageRank {
     * dangling nodes. Group fan-out is the caller's contract: co-occurrence
     * is quadratic per group, so bound group sizes upstream (orders have ≤7
     * items; for unbounded groups cap with a per-group limit first). */
-  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val l = df.select(col(groupCol).as("_g"), col(itemCol).as("src"))
-    val r = df.select(col(groupCol).as("_g"), col(itemCol).as("dst"))
-    l.join(r, Seq("_g"))
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    // collect_set + double explode, NOT a self-join: the aggregate moves each
+    // input row once (map-side combined) where the join would shuffle the
+    // table twice and hash-probe it; pair fan-out happens after, narrowly.
+    df.groupBy(col(groupCol))
+      .agg(collect_set(col(itemCol)).as("_items"))
+      .select(explode(col("_items")).as("src"), col("_items"))
+      .select(col("src"), explode(col("_items")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .select("src", "dst")
       .distinct()
-  }
 
   /** Run `iterations` damped PageRank passes over `edges` (columns `src`,
     * `dst`; duplicates must already be removed — they would double-count).
-    * Returns (`id`, `pr`) for every node with at least one out-edge. */
+    * Returns (`id`, `pr`) for every node with at least one out-edge.
+    *
+    * The rank vector (one row per node) is BROADCAST each iteration — right
+    * up to graphs of a few tens of millions of nodes, where edge tables (the
+    * actually-large side, touched once per iteration with zero exchanges
+    * here) are in the billions. Beyond broadcastable node counts, use the
+    * co-partitioned shuffle design of the [[GraphXExpansion]] twin (GraphX
+    * Pregel partitions both sides); this DataFrame form optimizes the
+    * overwhelmingly common regime. */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    // Degree-weighted edges: (src, dst, invdeg). Built once, reused by every
-    // iteration — the single most re-read frame, so it is the one to pin.
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("_d"))
-    val weighted = edges.join(deg, Seq("src"))
+    // The edge list is materialized FIRST: everything below reads it at least
+    // twice (degree aggregate + weighting join), and an un-pinned edge frame
+    // would re-run the caller's whole pipeline (for [[cooccurrenceEdges]], a
+    // corpus-sized aggregate + distinct) once per branch — measured as the
+    // dominant cost of the whole operator. Standard lineage-truncation move
+    // for iterative algorithms.
+    val e = edges.localCheckpoint(true)
+    // Degrees are node-sized — checkpointed once, they double as the node
+    // set (free) and broadcast into the weighting join (no edge shuffle).
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_d")).localCheckpoint(true)
+    // Degree-weighted edges (src, dst, invdeg): built once, PRE-PARTITIONED
+    // on dst — the aggregation key of every iteration — then checkpointed.
+    // localCheckpoint preserves the partitioning, so each iteration's
+    // broadcast-join + groupBy(dst) plans with NO exchange at all: the only
+    // per-iteration data motion is the node-sized broadcast.
+    val weighted = e.join(broadcast(deg), Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("_d")).as("_invdeg"))
+      .repartition(col("dst"))
       .localCheckpoint(true)
-    val nodes = deg.select(col("src").as("id")).localCheckpoint(true)
+    val nodes = deg.select(col("src").as("id"))
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("pr", lit(0.0))
 
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val contribs = weighted
-        .join(ranks, col("src") === col("id"))
+        .join(broadcast(ranks), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("_invdeg")).as("_c"))
         .select(col("dst").as("id"), col("_c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = nodes.join(broadcast(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_c"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
