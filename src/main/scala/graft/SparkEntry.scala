@@ -742,6 +742,19 @@ object SparkEntry {
       AsOfJoin.backward(ev, ord, "user_id", "ts", "ots", Seq("ord_price"))
         .select(col("event_id"), col("asof_ord_price"))
     }),
+    // FZ1 typo-tolerant entity matching: probes are part names with the first
+    // char dropped and a char appended (edit distance ≤ 2 from their source);
+    // each finds its top-3 dictionary matches. One corpus scan, broadcast
+    // probes, length pre-filter + threshold Levenshtein — see FuzzyMatch.scala.
+    "fz1_fuzzy_match" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 397 === 0)
+        .select(col("p_partkey").as("probe_id"),
+          concat(substring(col("p_name"), 2, 1 << 20), lit("z")).as("probe"))
+      FuzzyMatch.topKByEditDistance(parts, "p_name", "p_name",
+          probes, "probe_id", "probe", maxDist = 3, k = 3)
+        .select(col("probe_id"), col("rank"), col("match").as("match_name"), col("dist"))
+    }),
     // RJ1 binned range join: events attributed to OVERLAPPING 90-min windows
     // on a 1-h stride (so a point can land in two windows — a genuine range
     // predicate, not a bucketing). Spark plan = bin-key equi-join
@@ -1541,6 +1554,20 @@ object SparkEntry {
           |  FROM orders GROUP BY 1, 2)
           |SELECT e.event_id, o.v AS asof_ord_price
           |FROM events e ASOF LEFT JOIN o ON e.user_id = o.k AND o.t <= epoch_ns(e.ts)""".stripMargin.replace("\n", " "),
+      "fz1_fuzzy_match" ->
+        """WITH probes AS (SELECT p_partkey AS probe_id, substr(p_name, 2) || 'z' AS probe
+          |  FROM part WHERE p_partkey % 397 = 0),
+          |cand AS (SELECT pr.probe_id, p.p_name AS match_name,
+          |    levenshtein(p.p_name, pr.probe) AS dist
+          |  FROM part p, probes pr
+          |  WHERE abs(length(p.p_name) - length(pr.probe)) <= 3
+          |    AND levenshtein(p.p_name, pr.probe) <= 3)
+          |SELECT CAST(probe_id AS VARCHAR) AS probe_id, CAST(rank AS INTEGER) AS rank,
+          |       match_name, CAST(dist AS INTEGER) AS dist
+          |FROM (SELECT probe_id, match_name, dist,
+          |        row_number() OVER (PARTITION BY probe_id ORDER BY dist ASC, match_name ASC) AS rank
+          |      FROM cand) z
+          |WHERE rank <= 3""".stripMargin.replace("\n", " "),
       "rj1_range_join" ->
         """WITH t0 AS (SELECT min(epoch_ns(ts)) AS v FROM events),
           |w AS (SELECT i AS window_id,

@@ -1,9 +1,10 @@
 package graft
 
-import graft.operators.{CorpusOps, MultiVector, TfIdf}
+import graft.operators.{CorpusOps, FuzzyMatch, MultiVector, TfIdf}
 import org.apache.spark.sql.functions._
 
-/** TF-IDF retrieval, MaxSim late interaction, weighted sampling. */
+/** TF-IDF retrieval, MaxSim late interaction, fuzzy matching, weighted
+  * sampling. */
 class RetrievalOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -61,6 +62,22 @@ class RetrievalOpsSpec extends SparkSpec {
     val got = MultiVector.maxSimTopK(qToks, dToks, "qid", "tok", "v", "did", "v", 2)
       .as[(String, Int, String, Double)].collect().sortBy(_._2)
     assert(got.map(_._3).toSeq == Seq("a", "b"))
+  }
+
+  // ------------------------------------------------------------ fuzzy matching
+  test("fuzzy match: exact hit ranks first, typos within maxDist, cutoffs apply") {
+    val dict = Seq("einstein", "einsteins", "newton", "curie")
+      .toDF("name").withColumn("id", col("name"))
+    val probes = Seq(("p1", "einstein"), ("p2", "einstien"), ("p3", "xxxxxxxx"))
+      .toDF("pid", "s")
+    val got = FuzzyMatch.topKByEditDistance(dict, "id", "name",
+        probes, "pid", "s", maxDist = 2, k = 2)
+      .as[(String, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    assert(got("p1") == Seq(("einstein", 0), ("einsteins", 1)))
+    // transposition = 2 edits under plain Levenshtein
+    assert(got("p2").head == ("einstein", 2))
+    assert(!got.contains("p3")) // nothing within range emits nothing
   }
 
   // ---------------------------------------------------------- weighted sampling
