@@ -31,6 +31,8 @@ import java.nio.charset.StandardCharsets
   *   POST   /graphs/{g}/retrieve         ← {question, ...knobs} → retrieval-only JSON
   *   POST   /graphs/{g}/retrieve_naive   ← {question, top_k?} → passage KNN only (R6)
   *   POST   /graphs/{g}/retrieve_hybrid  ← {question, top_k?} → dense+BM25 RRF fusion
+  *   GET    /graphs/{g}/importance?limit=n → PageRank entity centrality
+  *   POST   /graphs/{g}/match_entities   ← {names, max_dist?, top_k?} → fuzzy lookup
   *   DELETE /graphs/{g}
   *
   * Query/retrieve bodies accept per-request overrides of the retrieval config
@@ -254,6 +256,46 @@ final class RestServer(spark: SparkSession, storeBase: String,
           val n = mapper.createObjectNode()
           n.put("question", q)
           n.set[ObjectNode]("passages", hitsJson(hits))
+          respond(ex, 200, n)
+        case ("GET", Seq("graphs", g, "importance")) =>
+          // structural entity importance (PageRank over subject↔object edges)
+          val limit = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split("&").collectFirst {
+              case kv if kv.startsWith("limit=") => kv.drop(6).toInt })
+            .getOrElse(20)
+          val rows = rag(g).entityImportance().limit(limit).collect()
+          val arr = mapper.createArrayNode()
+          rows.foreach { r =>
+            val o = arr.addObject()
+            o.put("id", r.getString(0))
+            o.put("name", r.getString(1))
+            o.put("pr", r.getDouble(2))
+          }
+          val n = mapper.createObjectNode()
+          n.set[ObjectNode]("entities", arr)
+          respond(ex, 200, n)
+        case ("POST", Seq("graphs", g, "match_entities")) =>
+          // typo-tolerant entity lookup (FuzzyMatch over normalized names)
+          val body = readBody(ex)
+          val probes = {
+            val it = body.get("names").elements()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().asText()
+            b.result()
+          }
+          val maxDist = if (body.has("max_dist")) body.get("max_dist").asInt() else 2
+          val k = if (body.has("top_k")) body.get("top_k").asInt() else 3
+          val hits = rag(g).matchEntities(probes, maxDist, k)
+          val arr = mapper.createArrayNode()
+          hits.foreach { h =>
+            val o = arr.addObject()
+            o.put("id", h.id)
+            o.put("name", h.text)
+            o.put("dist", -h.score.toInt)
+            o.put("rank", h.rank)
+          }
+          val n = mapper.createObjectNode()
+          n.set[ObjectNode]("matches", arr)
           respond(ex, 200, n)
         case ("DELETE", Seq("graphs", g)) =>
           store.dropGraph(g)

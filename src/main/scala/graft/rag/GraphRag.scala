@@ -317,6 +317,50 @@ final class GraphRag(
 
   def stats(): Map[String, Long] = store.stats(graph)
 
+  /** Structural entity importance: damped [[PageRank]] over the
+    * subject↔object co-occurrence graph (entities linked by a relation are
+    * mutual neighbors). The ranking orders curation budgets, seeds, and
+    * eviction priorities by how central an entity is to the knowledge graph —
+    * a signal embeddings don't carry. Returns (id, name, pr) descending.
+    * The edge list derives from the relations table in one projection; the
+    * iteration plan is PageRank.run's zero-exchange shape. */
+  def entityImportance(iterations: Int = 5): DataFrame = {
+    val rel = store.cachedTable(graph, "relations")
+    val e = rel.select(col("entity_ids").getItem(0).as("src"),
+        col("entity_ids").getItem(1).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    PageRank.run(sym, iterations)
+      .join(store.cachedTable(graph, "entities").select(col("id"), col("name")),
+        Seq("id"), "left")
+      .select(col("id"), col("name"), col("pr"))
+      .orderBy(col("pr").desc, col("id").asc)
+  }
+
+  /** Typo-tolerant entity lookup ([[FuzzyMatch]]): each probe name finds its
+    * nearest entity names by edit distance over T2-normalized text — the
+    * robustness layer over G2's exact-name identity for noisy NER output.
+    * Probes are query-sized (broadcast). */
+  def matchEntities(probes: Seq[String], maxDist: Int = 2, k: Int = 3): Seq[RetrievalHit] = {
+    if (probes.isEmpty) return Seq.empty
+    val probeDf = probes.zipWithIndex.map { case (p, i) => (i.toString, p) }
+      .toDF("pid", "raw")
+      .select(col("pid"), Norm.normPhrase(col("raw")).as("probe"))
+    FuzzyMatch.topKByEditDistance(
+        store.cachedTable(graph, "entities"), "name", "name",
+        probeDf, "pid", "probe", maxDist, k)
+      .select("probe_id", "match", "dist", "rank").collect()
+      .map { r =>
+        val name = r.getString(1)
+        // entity identity IS md5(normalized name) (Norm.idOf / G2)
+        RetrievalHit(
+          id = org.apache.commons.codec.digest.DigestUtils.md5Hex(name),
+          text = name, score = -r.getInt(2).toDouble, rank = r.getInt(3))
+      }
+      .toSeq
+  }
+
   // -------------------------------------------------------------- CRUD surface
 
   /** Document update (api/app.py:765-820 → milvus.py:511-574): merge new text

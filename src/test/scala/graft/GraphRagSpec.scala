@@ -202,6 +202,28 @@ class GraphRagSpec extends SparkSpec {
     assert(!r.evictionApplied)
   }
 
+  test("entityImportance ranks the hub entity first; fuzzy lookup survives typos") {
+    rag.addDocumentsWithTriplets(docs)
+    val imp = rag.entityImportance(iterations = 5)
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    // marie curie links radium AND polonium — degree 2 vs everyone's 1 within
+    // its component; einstein likewise bridges relativity (which links 1905)
+    assert(imp.nonEmpty)
+    val byName = imp.toMap
+    assert(byName("marie curie") > byName("radium"))
+    // the hub of the einstein component is the relativity node (linked to
+    // BOTH einstein and 1905, which are leaves and tie)
+    assert(byName("theory of relativity") > byName("albert einstein"))
+    assert(byName("albert einstein") == byName("1905"))
+    // typo'd NER output still finds its node, exact hit ranks 0 edits
+    val hits = rag.matchEntities(Seq("Albret Einstein", "Marie Curie"), maxDist = 2, k = 2)
+    assert(hits.exists(h => h.text == "albert einstein" && h.score == -2.0))
+    assert(hits.exists(h => h.text == "marie curie" && h.score == 0.0))
+    // returned id is the graph identity (md5 of normalized name)
+    val ids = store.table("smoke", "entities").select("id").collect().map(_.getString(0)).toSet
+    assert(hits.forall(h => ids.contains(h.id)))
+  }
+
   test("upsert replaces rows, preserves others (S7)") {
     rag.addDocumentsWithTriplets(docs)
     import org.apache.spark.sql.functions._

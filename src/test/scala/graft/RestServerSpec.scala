@@ -183,6 +183,30 @@ class RestServerSpec extends SparkSpec {
     assert(!q2.body().contains("pasteur"), q2.body())
   }
 
+  test("importance and fuzzy entity-match routes") {
+    val docs =
+      """[
+        |{"id": "curie", "text": "Marie Curie\nCurie discovered radium and polonium.",
+        | "triplets": [["Marie Curie", "discovered", "radium"],
+        |              ["Marie Curie", "discovered", "polonium"]]}
+        |]""".stripMargin
+    assert(post("/graphs/rest5/documents", docs).statusCode() == 200)
+
+    val imp = get("/graphs/rest5/importance?limit=2")
+    assert(imp.statusCode() == 200, imp.body())
+    // the hub (curie, degree 2) must lead the centrality list
+    assert(imp.body().indexOf("marie curie") >= 0)
+    assert(imp.body().indexOf("marie curie") < math.max(
+      imp.body().indexOf("radium").max(imp.body().length),
+      imp.body().indexOf("polonium").max(imp.body().length)), imp.body())
+
+    val m = post("/graphs/rest5/match_entities",
+      """{"names": ["Marei Curie", "radium"], "max_dist": 2, "top_k": 1}""")
+    assert(m.statusCode() == 200, m.body())
+    assert(m.body().contains("marie curie"), m.body())
+    assert(m.body().contains("\"dist\":0"), m.body()) // exact radium hit
+  }
+
   test("unknown route gives a JSON 404; malformed body gives JSON 500") {
     assert(get("/nope").statusCode() == 404)
     val bad = post("/graphs/g/query", "{not json")
