@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * other query-side operator here.
   *
   * For corpus×corpus fuzzy DEDUP (both sides large) use the blocked
-  * similarity family instead ([[Dedup.lshCandidates]], n-gram Jaccard,
+  * similarity family instead ([[Dedup.lshCandidatePairs]], n-gram Jaccard,
   * SimHash): edit-distance all-pairs does not scale and is deliberately not
   * offered.
   */

@@ -94,4 +94,43 @@ object ProductQuantizer {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
+
+  /** IVF-PQ: the industry-standard composition — [[IvfIndex]] prunes the
+    * candidate set to `nProbe` cells, PQ codes stand in for the vectors
+    * inside them. The scan is bounded by the probed fraction of the corpus
+    * AND each candidate costs m small-int lookups instead of a dim-wide dot
+    * product; memory at rest is the coarse assignment + codes, not floats.
+    *
+    * Plan: centroid KNN (tiny) → probed (query, id) candidates from the
+    * inverted file → one equi-join against the code table → per-query ADC
+    * table join + two hash aggregations + bounded top-k. Everything after
+    * the probe is O(candidates × m). */
+  def ivfAdcTopK(index: IvfIndex.Index, cb: Codebook, codes: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val probes = VectorSearch.knnJoin(
+      queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)
+      .select(col("query_id"), col("neighbor_id").as("centroid_id"))
+      .localCheckpoint(true)
+    val candIds = index.assignments
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("id"))
+    val table = queries
+      .select(col(qId).cast("string").as("query_id"),
+        posexplode(subspaces(col(qVec), cb.m, cb.dsub)))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("_qv"))
+      .join(cb.codewords, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        VectorFunctions.dot(col("_qv"), col("cvec")).as("_ip"))
+    val topk = VectorSearch.topKUdaf(k)
+    codes.join(candIds, Seq("id"))
+      .join(broadcast(table), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum("_ip"), 6).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
 }

@@ -52,4 +52,26 @@ class ProductQuantizerSpec extends SparkSpec {
       .select("neighbor_id").as[String].head()
     assert(got.contains(exact))
   }
+
+  test("ivf-pq: full-probe equals plain ADC; low-probe stays within probed cells") {
+    val rows = (0 until 40).map { i =>
+      val base = if (i < 20) 1f else -1f
+      (i, (0 until 16).map(d => base + 0.01f * ((i * 13 + d) % 7)))
+    }
+    val corpus = rows.toDF("id", "v")
+    val ivf = graft.operators.IvfIndex.build(corpus, "id", "v", nList = 4)
+    val cb = PQ.train(corpus, "id", "v", m = 4, dsub = 4, k = 8)
+    val codes = PQ.encode(corpus, "id", "v", cb)
+    val q = Seq((999, (0 until 16).map(_ => 1f))).toDF("id", "v")
+    def rows2set(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "rank").as[(String, Int)].collect().toSet
+    // probing every cell IS plain ADC
+    val full = rows2set(PQ.ivfAdcTopK(ivf, cb, codes, q, "id", "v", nProbe = 4, k = 5))
+    val plain = rows2set(PQ.adcTopK(cb, codes, q, "id", "v", 5))
+    assert(full == plain)
+    // one probe: results restricted to one cell, still the right cluster
+    val one = PQ.ivfAdcTopK(ivf, cb, codes, q, "id", "v", nProbe = 1, k = 5)
+      .select("neighbor_id").as[String].collect()
+    assert(one.nonEmpty && one.forall(_.toInt < 20), one.toSeq.toString)
+  }
 }
