@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted IVF-PQ index — the at-rest form of the [[IvfIndex]] ×
+  * [[ProductQuantizer]] composition, and the shape a 100 TB vector corpus
+  * actually ships: coarse centroids + per-subspace codebooks (both tiny) and
+  * ONE table of PQ codes partitioned by coarse cell. Queries read the two
+  * tiny tables plus ONLY the probed cells' code directories; no float vector
+  * of the corpus is ever touched at search time, and the index at rest is
+  * ~32× smaller than the vectors it stands in for (m small ints vs dim
+  * floats per row).
+  *
+  * Layout (same partition conventions as [[IvfIndex.save]] — cell ids
+  * prefixed so all-digit values survive partition-type inference; zero-row
+  * partitioned writes repaired with one empty plain file):
+  *
+  *   dir/centroids.parquet                 (centroid_id, cvec)
+  *   dir/codebook.parquet                  (sub, code, cvec, cc)
+  *   dir/codes.parquet/_cell=cN/           (id, sub, code)
+  *
+  * Search: centroid KNN (queries × nList, tiny) → collect the probed cell
+  * set → literal `_cell IN (...)` predicate = directory-level partition
+  * pruning → per-query ADC table join + two map-side-combined hash
+  * aggregations + bounded top-k. The only corpus-sized work is one scan of
+  * ~nProbe/nList of the CODE table.
+  */
+object IvfPq {
+
+  private val CellCol = "_cell"
+
+  /** Build everything from one corpus pass-set and persist: IVF coarse
+    * quantizer (nList cells), PQ codebooks (m × k), and the cell-partitioned
+    * code table. Deterministic end to end (both trainers seed from lowest
+    * string-ordered ids). */
+  def buildAndSave(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nList: Int, m: Int, dsub: Int, k: Int): Unit = {
+    val ivf = IvfIndex.build(corpus, idCol, vecCol, nList)
+    val cb = ProductQuantizer.train(corpus, idCol, vecCol, m, dsub, k)
+    val codes = ProductQuantizer.encode(corpus, idCol, vecCol, cb)
+    ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    cb.codewords.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    // cell ← the coarse assignment; codes partitioned one directory per cell.
+    // Written unconditionally (an emptiness probe would run the whole encode
+    // pipeline twice — the BucketedTable.write lesson); a zero-row partitioned
+    // write leaves no readable footer and is repaired after the fact.
+    val celled = codes
+      .join(ivf.assignments.select(col("id"),
+        concat(lit("c"), col("centroid_id")).as(CellCol)), Seq("id"))
+    val codesPath = s"$dir/codes.parquet"
+    celled.repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+      .write.mode("overwrite").partitionBy(CellCol)
+      .parquet(codesPath)
+    val fs = new org.apache.hadoop.fs.Path(codesPath)
+      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf())
+    val hasCells = fs.exists(new org.apache.hadoop.fs.Path(codesPath)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(codesPath))
+        .exists(_.getPath.getName.startsWith(s"$CellCol="))
+    if (!hasCells)
+      // limit(0) collapses to an empty LocalRelation — schema only, no re-run
+      celled.limit(0).write.mode("overwrite").parquet(codesPath)
+  }
+
+  /** Probe-limited ADC search against a SAVED index. Metadata (centroids,
+    * codebook) is tiny and re-read per call; the code scan is pruned to the
+    * probed cells' directories by a literal predicate. `m`/`dsub` are
+    * recovered from the codebook itself. Output: (query_id, rank,
+    * neighbor_id, score) — scores rounded (6 dp) before ranking, id
+    * tie-break, like every retrieval operator here. */
+  def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
+      qId: String, qVec: String, nProbe: Int, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val codebook = spark.read.parquet(s"$dir/codebook.parquet")
+    val meta = codebook.agg(max("sub"), max(size(col("cvec")))).collect()(0)
+    if (meta.isNullAt(0)) // empty index (built over zero rows): nothing to serve
+      return spark.range(0).select(
+        lit("").as("query_id"), lit(0).cast("int").as("rank"),
+        lit("").as("neighbor_id"), lit(0.0).as("score"))
+    val m = meta.getInt(0) + 1
+    val dsub = meta.getInt(1)
+    val probes = VectorSearch.knnJoin(
+      queries, centroids, qId, qVec, "centroid_id", "cvec", nProbe)
+      .select(col("query_id"),
+        concat(lit("c"), col("neighbor_id")).as(CellCol))
+      .localCheckpoint(true)
+    val probedCells = probes.select(CellCol).distinct()
+      .collect().map(_.getString(0))
+    val codesAll = spark.read.parquet(s"$dir/codes.parquet")
+    val codes =
+      if (codesAll.columns.contains(CellCol))
+        codesAll.filter(col(CellCol).isin(probedCells.toSeq: _*))
+      else codesAll.withColumn(CellCol, lit(null: String)).limit(0) // empty layout
+    val cand = codes.join(broadcast(probes), Seq(CellCol))
+      .select(col("query_id"), col("id"), col("sub"), col("code"))
+    val table = queries
+      .select(col(qId).cast("string").as("query_id"),
+        posexplode(ProductQuantizer.subspaces(col(qVec), m, dsub)))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("_qv"))
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        VectorFunctions.dot(col("_qv"), col("cvec")).as("_ip"))
+    val topk = VectorSearch.topKUdaf(k)
+    cand.join(broadcast(table), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum("_ip"), 6).as("score"))
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+  }
+}

@@ -34,7 +34,7 @@ object ProductQuantizer {
   /** `codewords`: (sub, code, cvec, cc) — m×k rows, `cc = ⟨cvec,cvec⟩`. */
   final case class Codebook(codewords: DataFrame, m: Int, dsub: Int)
 
-  private def subspaces(v: Column, m: Int, dsub: Int): Column =
+  private[operators] def subspaces(v: Column, m: Int, dsub: Int): Column =
     transform(sequence(lit(0), lit(m - 1)),
       i => slice(v, i * dsub + 1, lit(dsub)))
 

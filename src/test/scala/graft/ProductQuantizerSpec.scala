@@ -74,4 +74,35 @@ class ProductQuantizerSpec extends SparkSpec {
       .select("neighbor_id").as[String].collect()
     assert(one.nonEmpty && one.forall(_.toInt < 20), one.toSeq.toString)
   }
+
+  test("saved ivf-pq index: searchSaved equals the in-memory composition; empty-safe") {
+    val rows = (0 until 40).map { i =>
+      val base = if (i < 20) 1f else -1f
+      (i, (0 until 16).map(d => base + 0.01f * ((i * 13 + d) % 7)))
+    }
+    val corpus = rows.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    graft.operators.IvfPq.buildAndSave(corpus, "id", "v", dir,
+      nList = 4, m = 4, dsub = 4, k = 8)
+    // the code table at rest is cell-partitioned (directory pruning works)
+    assert(new java.io.File(s"$dir/codes.parquet").listFiles()
+      .exists(_.getName.startsWith("_cell=")))
+    val q = Seq((999, (0 until 16).map(_ => 1f))).toDF("id", "v")
+    val ivf = graft.operators.IvfIndex.build(corpus, "id", "v", nList = 4)
+    val cb = PQ.train(corpus, "id", "v", m = 4, dsub = 4, k = 8)
+    val codes = PQ.encode(corpus, "id", "v", cb)
+    def rows2set(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "rank", "score").as[(String, Int, Double)].collect().toSet
+    for (p <- Seq(1, 2, 4)) {
+      val saved = rows2set(
+        graft.operators.IvfPq.searchSaved(spark, dir, q, "id", "v", p, 5))
+      val mem = rows2set(PQ.ivfAdcTopK(ivf, cb, codes, q, "id", "v", p, 5))
+      assert(saved == mem, s"nProbe=$p")
+    }
+    // empty corpus round-trips without a crash and serves empty results
+    val edir = java.nio.file.Files.createTempDirectory("ivfpq_e").toString
+    graft.operators.IvfPq.buildAndSave(corpus.limit(0), "id", "v", edir,
+      nList = 4, m = 4, dsub = 4, k = 8)
+    assert(graft.operators.IvfPq.searchSaved(spark, edir, q, "id", "v", 1, 5).isEmpty)
+  }
 }
