@@ -83,6 +83,24 @@ object StreamingOps {
     rows.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming heavy-hitter n-grams (the streaming twin of the batch
+    * `cs2_heavy_hitters` query): per tumbling window, every n-gram whose
+    * count reaches `minCount`. Heavy hitters are expressed as a THRESHOLD,
+    * not a top-k — rank is not incrementally maintainable in append mode,
+    * a count floor is, and it is the semantics a quality/contamination
+    * monitor actually wants ("alert on any 8-gram seen 100× this hour").
+    * Watermark bounds state; windows emit once finalized. */
+  def streamingHeavyHitters(docs: DataFrame, tsCol: String, textCol: String,
+      n: Int, minCount: Long, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(graft.functions.Norm.shingles(
+        graft.functions.Norm.normTokens(col(textCol)), n)).as("gram"))
+      .groupBy(window(col(tsCol), windowLen), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
   /** Streaming upsert sink: every micro-batch merges into a hash-bucketed
     * parquet table by id (the reference's incremental CRUD path,
     * graph/graph.py:479-554, as a stream). The merge is bucket-pruned

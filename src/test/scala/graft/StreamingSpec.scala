@@ -48,6 +48,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("fpA", "fpB", "fpC"), s"got $got")
   }
 
+  test("streaming heavy hitters: count floor per window, append mode") {
+    val dir = Files.createTempDirectory("stream_hh").toString + "/data"
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val batch = Seq(
+      (ts, "spark table scan"), (ts, "spark table join"),
+      (ts, "spark table scan"), (ts, "other words here")).toDF("ts", "text")
+    batch.write.parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamingOps.streamingHeavyHitters(stream, "ts", "text",
+        n = 2, minCount = 2)
+      .writeStream.outputMode("complete").format("memory").queryName("hh_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hh_out").select("gram", "cnt")
+      .as[(String, Long)].collect().toSet
+    // "spark table" ×3; "table scan" ×2; everything else below the floor
+    assert(got == Set(("spark table", 3L), ("table scan", 2L)), got.toString)
+  }
+
   test("stateful gap sessionization emits closed sessions") {
     import StreamingOps.Ev
     val dir = Files.createTempDirectory("stream_sess").toString + "/data"
