@@ -771,6 +771,23 @@ object SparkEntry {
         .groupBy("window_id")
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
     }),
+    // RJ2 interval×interval overlap join: per-(user, day) activity spans vs
+    // the same overlapping windows, exactly-once via the bin-of-overlap-start
+    // ownership rule (no distinct shuffle) — see RangeJoin.intervalOverlap.
+    "rj2_interval_overlap" -> ((s, dir) => {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val ev = t(s, dir, "events").select(col("ts"), col("user_id"))
+      val spans = ev
+        .groupBy(col("user_id"), expr(s"ts div ${24 * hourNs}L").as("day"))
+        .agg(min("ts").as("lo"), (max(col("ts")) + 1).as("hi"))
+      val t0 = ev.agg(min("ts")).head.getLong(0)
+      val wins = s.range(48).select(col("id").as("window_id"),
+          (lit(t0) + col("id") * hourNs).as("wlo"))
+        .withColumn("whi", col("wlo") + lit(hourNs / 2 * 3))
+      RangeJoin.intervalOverlap(spans, "lo", "hi", wins, "wlo", "whi", hourNs)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_spans"))
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads (rows-only check).
@@ -1576,6 +1593,18 @@ object SparkEntry {
           |      FROM generate_series(0, 47) AS g(i))
           |SELECT w.window_id, count(*) AS n, round(sum(e.value), 4) AS sum_value
           |FROM events e JOIN w ON epoch_ns(e.ts) >= w.lo AND epoch_ns(e.ts) < w.hi
+          |GROUP BY 1""".stripMargin.replace("\n", " "),
+      "rj2_interval_overlap" ->
+        """WITH t0 AS (SELECT min(epoch_ns(ts)) AS v FROM events),
+          |sp AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+          |        min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) + 1 AS hi
+          |      FROM events GROUP BY 1, 2),
+          |w AS (SELECT i AS window_id,
+          |        (SELECT v FROM t0) + i * 3600000000000 AS wlo,
+          |        (SELECT v FROM t0) + i * 3600000000000 + 5400000000000 AS whi
+          |      FROM generate_series(0, 47) AS g(i))
+          |SELECT w.window_id, count(*) AS n_spans
+          |FROM sp JOIN w ON sp.lo < w.whi AND w.wlo < sp.hi
           |GROUP BY 1""".stripMargin.replace("\n", " "),
       "mm2_features" ->
         """SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS modality,

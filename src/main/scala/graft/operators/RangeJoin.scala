@@ -54,4 +54,27 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval×interval overlap join: every `(left, right)` pair with
+    * `aLo < bHi AND bLo < aHi` (half-open overlap). Both sides explode into
+    * their covered bins and equi-join on the bin id; a pair sharing several
+    * bins would surface once per shared bin, so each is emitted ONLY from
+    * the bin containing `greatest(aLo, bLo)` — the canonical
+    * one-bin-owns-the-pair rule, giving exactly-once output with no
+    * distinct/dedup shuffle. Left columns must not collide with right
+    * columns (`_bin` reserved). */
+  def intervalOverlap(left: DataFrame, aLo: String, aHi: String,
+      right: DataFrame, bLo: String, bHi: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binOf(c: Column): Column =
+      call_function("div", c.cast("long"), lit(binWidth))
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) > col(lo))
+      .withColumn("_bin", explode(sequence(binOf(col(lo)), binOf(col(hi) - 1))))
+    binned(left, aLo, aHi)
+      .join(binned(right, bLo, bHi), Seq("_bin"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("_bin") === binOf(greatest(col(aLo), col(bLo))))
+      .drop("_bin")
+  }
 }

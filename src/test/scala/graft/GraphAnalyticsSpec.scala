@@ -65,6 +65,23 @@ class GraphAnalyticsSpec extends SparkSpec {
       (-10L, 1), (-3L, 1), (-3L, 2), (-2L, 2), (0L, 2), (2L, 2)))
   }
 
+  test("interval overlap join: exactly-once pairs across bin widths") {
+    val a = Seq((1, 0L, 10L), (2, 8L, 12L), (3, 20L, 21L)).toDF("aid", "alo", "ahi")
+    val b = Seq((10, 5L, 9L), (11, 11L, 30L), (12, 10L, 11L)).toDF("bid", "blo", "bhi")
+    // ground truth by brute force: overlap iff alo < bhi && blo < ahi
+    val want = (for {
+      (ai, al, ah) <- Seq((1, 0L, 10L), (2, 8L, 12L), (3, 20L, 21L))
+      (bi, bl, bh) <- Seq((10, 5L, 9L), (11, 11L, 30L), (12, 10L, 11L))
+      if al < bh && bl < ah
+    } yield (ai, bi)).toSet
+    for (w <- Seq(1L, 3L, 8L, 64L)) {
+      val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").as[(Int, Int)].collect()
+      assert(got.length == got.distinct.length, s"duplicates at binWidth=$w")
+      assert(got.toSet == want, s"binWidth=$w: got ${got.toSet}")
+    }
+  }
+
   test("range join: epoch-nano magnitudes bin exactly (no float mis-binning)") {
     val base = 1770000000000000000L // ~2026 epoch nanos, > 2^53
     val w = 3600L * 1000 * 1000 * 1000
