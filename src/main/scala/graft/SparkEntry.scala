@@ -671,6 +671,19 @@ object SparkEntry {
       CorpusOps.weightedSample(scored, "doc_id", "w", k = 25)
         .select(col("doc_id"), col("w").as("weight"))
     }),
+    // NG1 deterministic popularity-weighted negative sampling (the
+    // word2vec/contrastive shape): 30 anchors × 4 draws from the corpus
+    // vocabulary ∝ token frequency. Composition of the two-phase prefix sum
+    // (cumulative-weight intervals) and the binned range join (draw→item
+    // lookup) — see CorpusOps.negativeSample.
+    "ng1_negative_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs.select(explode(Norm.normTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("w"))
+      val anchors = docs.filter(col("doc_id") < 30)
+        .select(col("doc_id").cast("string").as("aid"))
+      CorpusOps.negativeSample(anchors, "aid", vocab, "token", "w", k = 4)
+    }),
     // CS1 exact per-language token-length quantiles (p50/p90/p99, linear
     // interpolation — Spark percentile ≡ DuckDB quantile_cont). One hash agg;
     // the per-group sort inside percentile is bounded by group size.
@@ -1422,6 +1435,21 @@ object SparkEntry {
            |ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
            |           / 4294967296.0) / (len(toks) + 1) DESC, doc_id ASC
            |LIMIT 25""".stripMargin.replace("\n", " "),
+      "ng1_negative_sample" ->
+        s"""WITH vocab AS (SELECT t AS negative, CAST(count(*) AS BIGINT) AS w
+           |  FROM (SELECT unnest($toksDoc) AS t FROM documents) u GROUP BY 1),
+           |r AS (SELECT negative, w,
+           |    coalesce(sum(w) OVER (ORDER BY negative
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+           |  FROM vocab),
+           |tot AS (SELECT sum(w) AS t FROM vocab),
+           |anchors AS (SELECT CAST(doc_id AS VARCHAR) AS anchor FROM documents WHERE doc_id < 30),
+           |draws AS (SELECT anchor, i AS draw,
+           |    CAST(('0x' || substr(md5(anchor || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+           |      % (SELECT t FROM tot) AS u
+           |  FROM anchors, generate_series(0, 3) AS g(i))
+           |SELECT d.anchor, CAST(d.draw AS INTEGER) AS draw, r.negative
+           |FROM draws d JOIN r ON d.u >= r.lo AND d.u < r.lo + r.w""".stripMargin.replace("\n", " "),
       "cs1_length_quantiles" ->
         s"""WITH feat AS (
            |  SELECT CAST(len(toks) AS DOUBLE) AS n,

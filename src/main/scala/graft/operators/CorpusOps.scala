@@ -144,6 +144,46 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(topK)
 
+  /** Deterministic popularity-weighted negative sampling — the word2vec /
+    * contrastive-training shape: for every anchor row, `k` negatives drawn
+    * from `items` with probability ∝ `weight` (callers pass count^0.75 for
+    * the classic distribution). Sampling WITH replacement, deterministic:
+    * draw i of anchor a lands at u = md5(a, i) mod totalWeight, and the
+    * negative is the item whose cumulative-weight interval contains u.
+    *
+    * Built by composing two scale-audited primitives: the item table gets
+    * cumulative-weight intervals from the two-phase prefix sum (never a
+    * single-partition window), and the draw→item lookup is the binned
+    * [[RangeJoin.pointInInterval]] — an equi-join on bins, not a
+    * BroadcastNestedLoopJoin, so the item table can be vocabulary-sized.
+    * Output: one row per (anchor, draw) with the item's columns attached.
+    * Anchors may collide with their own item — callers filter
+    * `negative <> anchor_item` when that matters (kept out of the operator:
+    * the rejection rule is task-specific). */
+  def negativeSample(anchors: DataFrame, anchorCol: String,
+      items: DataFrame, itemCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val ranges = withPrefixSum(
+      items.select(col(itemCol).as("negative"),
+        col(weightCol).cast("long").as("_n")),
+      Seq(col("negative")), "_lo")
+      .select(col("negative"), col("_lo"), (col("_lo") + col("_n")).as("_hi"))
+      .localCheckpoint(true) // reused: total lookup + the range join
+    val total = ranges.agg(max("_hi")).collect()(0).getLong(0)
+    val draws = anchors
+      .select(col(anchorCol).as("anchor"))
+      .withColumn("draw", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("_u", pmod(
+        conv(substring(md5(concat_ws("-", col("anchor"), col("draw"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(total)))
+    // bin width ~ mean item weight: explode fan-out stays ~2 bins per item
+    val binWidth = math.max(1L, total / math.max(1L, ranges.count()))
+    RangeJoin.pointInInterval(draws, ranges, "_u", "_lo", "_hi", binWidth)
+      .select(col("anchor"), col("draw"), col("negative"))
+  }
+
   /** Efraimidis–Spirakis (A-ES) weighted-sample key: rows ranked by
     * `ln(u)/w` DESC are a weighted sample without replacement, u a uniform
     * in (0,1) derived from the id's md5 — fully deterministic, so the sample

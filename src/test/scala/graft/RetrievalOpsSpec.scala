@@ -80,6 +80,23 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(!got.contains("p3")) // nothing within range emits nothing
   }
 
+  // ---------------------------------------------------------- negative sampling
+  test("negative sampling: exactly k draws per anchor, weight-biased, stable") {
+    val items = Seq(("common", 90L), ("rare", 5L), ("mid", 5L)).toDF("item", "w")
+    val anchors = (1 to 50).map(i => s"a$i").toDF("aid")
+    val got = CorpusOps.negativeSample(anchors, "aid", items, "item", "w", k = 4)
+      .as[(String, Int, String)].collect()
+    assert(got.length == 50 * 4)
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3)))
+    val freq = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(freq("common") > 140, freq.toString) // ~90% of 200 draws
+    // deterministic under repartition
+    val again = CorpusOps.negativeSample(anchors.repartition(7), "aid",
+        items.repartition(3), "item", "w", k = 4)
+      .as[(String, Int, String)].collect().toSet
+    assert(again == got.toSet)
+  }
+
   // ---------------------------------------------------------- weighted sampling
   test("weighted sample: deterministic, k-bounded, weight-biased") {
     val rows = (1 to 400).map(i => (i.toString, if (i <= 200) 1.0 else 100.0))
