@@ -33,24 +33,27 @@ object RangeJoin {
     * monotone numeric domain). Output: all point columns + all interval
     * columns. Column name collisions are the caller's contract (rename
     * first); `_bin` is reserved. */
+  // Bin ids via integral `div`, never float division: epoch-nanos exceed
+  // 2^53, where double arithmetic mis-rounds a value sitting exactly on a
+  // bin boundary and silently mis-bins it. `div` truncates toward zero
+  // rather than flooring, but it is monotone, and monotone is all the cover
+  // proof needs: lo <= pt < hi implies bin(lo) <= bin(pt) <= bin(hi-1), so
+  // a member's bin is always inside its interval's exploded range.
+  private def binOf(c: Column, binWidth: Long): Column =
+    call_function("div", c.cast("long"), lit(binWidth))
+
+  private def binnedIntervals(df: DataFrame, lo: String, hi: String,
+      binWidth: Long): DataFrame = df
+    .filter(col(hi) > col(lo)) // empty intervals match nothing
+    .withColumn("_bin", explode(sequence(
+      binOf(col(lo), binWidth), binOf(col(hi) - 1, binWidth))))
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // Bin ids via integral `div`, never float division: epoch-nanos exceed
-    // 2^53, where double arithmetic mis-rounds a value sitting exactly on a
-    // bin boundary and silently mis-bins it. `div` truncates toward zero
-    // rather than flooring, but it is monotone, and monotone is all the cover
-    // proof needs: lo <= pt < hi implies bin(lo) <= bin(pt) <= bin(hi-1), so
-    // the point's bin is always in the interval's exploded range.
-    def binOf(c: Column): Column =
-      call_function("div", c.cast("long"), lit(binWidth))
-    val binned = intervals
-      .filter(col(hiCol) > col(loCol)) // empty intervals match nothing
-      .withColumn("_bin",
-        explode(sequence(binOf(col(loCol)), binOf(col(hiCol) - 1))))
     points
-      .withColumn("_bin", binOf(col(ptCol)))
-      .join(binned, Seq("_bin"))
+      .withColumn("_bin", binOf(col(ptCol), binWidth))
+      .join(binnedIntervals(intervals, loCol, hiCol, binWidth), Seq("_bin"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("_bin")
   }
@@ -66,15 +69,10 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, aLo: String, aHi: String,
       right: DataFrame, bLo: String, bHi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def binOf(c: Column): Column =
-      call_function("div", c.cast("long"), lit(binWidth))
-    def binned(df: DataFrame, lo: String, hi: String) = df
-      .filter(col(hi) > col(lo))
-      .withColumn("_bin", explode(sequence(binOf(col(lo)), binOf(col(hi) - 1))))
-    binned(left, aLo, aHi)
-      .join(binned(right, bLo, bHi), Seq("_bin"))
+    binnedIntervals(left, aLo, aHi, binWidth)
+      .join(binnedIntervals(right, bLo, bHi, binWidth), Seq("_bin"))
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
-      .filter(col("_bin") === binOf(greatest(col(aLo), col(bLo))))
+      .filter(col("_bin") === binOf(greatest(col(aLo), col(bLo)), binWidth))
       .drop("_bin")
   }
 }

@@ -163,4 +163,23 @@ object BucketedTable {
         .unionByName(updates, allowMissingColumns = true)
     }
   }
+
+  /** Files per bucket directory. Stays at ONE by construction: every bucket
+    * rewrite ([[upsert]]/[[rewriteBuckets]]) replaces the whole partition
+    * directory with freshly hash-partitioned output — one shuffle partition,
+    * one sorted file per bucket — so the small-file degradation that
+    * append-based incremental layouts need a compactor for cannot occur
+    * here. (That IS the trade: writes pay a full-bucket rewrite, reads and
+    * long-term health never pay fragmentation.) Tested as an invariant. */
+  def fileCounts(spark: SparkSession, path: String): Map[Int, Int] = {
+    val fs = fileSystem(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .map { d =>
+        d.getPath.getName.stripPrefix("_bucket=").toInt ->
+          fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
 }

@@ -149,6 +149,24 @@ class CrudSpec extends SparkSpec {
       .select("text").head().getString(0) == "updated text")
   }
 
+  test("no-fragmentation invariant: buckets stay single-file through repeated upserts") {
+    import graft.sources.BucketedTable
+    val dir = Files.createTempDirectory("compact").toString + "/t.parquet"
+    val mk = (ids: Seq[Int]) =>
+      spark.createDataFrame(ids.map(i => (s"k$i", i))).toDF("id", "v")
+    BucketedTable.write(mk(0 until 40), dir, "id", 8)
+    // every rewrite replaces its whole partition directory with one sorted
+    // file, so incremental writes can NEVER accumulate small files — the
+    // property an append-based layout would need a compactor to restore
+    (40 until 52).foreach(i =>
+      BucketedTable.upsert(spark, dir, mk(Seq(i)), "id", 8))
+    val counts = BucketedTable.fileCounts(spark, dir)
+    assert(counts.nonEmpty && counts.values.forall(_ == 1), counts.toString)
+    val got = BucketedTable.read(spark, dir).drop("_bucket")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == (0 until 52).map(i => (s"k$i", i)).toSet)
+  }
+
   test("bucket count is a persisted layout property: reopened handles adopt it") {
     val base = Files.createTempDirectory("bmarker").toString
     val writer = new GraphStore(spark, base, nBuckets = 4)
