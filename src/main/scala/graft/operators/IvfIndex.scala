@@ -56,7 +56,7 @@ object IvfIndex {
     * collapses each partition to one candidate per id before the shuffle (no
     * window sort). The vector rides along via `first` (constant per id). Ties
     * broken by greatest centroid_id (pinned, deterministic). */
-  private def assign(base: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assign(base: DataFrame, centroids: DataFrame): DataFrame =
     base.join(broadcast(centroids))
       .select(col("id"), col("v"), col("centroid_id"),
         VectorFunctions.dot(col("v"), col("cvec")).as("score"))

@@ -37,8 +37,17 @@ object IvfPq {
     * string-ordered ids). */
   def buildAndSave(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nList: Int, m: Int, dsub: Int, k: Int): Unit = {
-    val ivf = IvfIndex.build(corpus, idCol, vecCol, nList)
-    val cb = ProductQuantizer.train(corpus, idCol, vecCol, m, dsub, k)
+    // centroids/codewords are tiny but their PLANS are corpus scans (seed
+    // TakeOrdered) — pinned once, or the encode/assign below and the three
+    // writes would each re-scan the corpus to rebuild them.
+    val centroids = IvfIndex.build(corpus, idCol, vecCol, nList)
+      .centroids.localCheckpoint(true)
+    val assignments = IvfIndex.assign(
+      corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("v")),
+      centroids)
+    val ivf = IvfIndex.Index(centroids, assignments)
+    val cb0 = ProductQuantizer.train(corpus, idCol, vecCol, m, dsub, k)
+    val cb = cb0.copy(codewords = cb0.codewords.localCheckpoint(true))
     val codes = ProductQuantizer.encode(corpus, idCol, vecCol, cb)
     ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     cb.codewords.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
@@ -87,28 +96,16 @@ object IvfPq {
       .localCheckpoint(true)
     val probedCells = probes.select(CellCol).distinct()
       .collect().map(_.getString(0))
-    val codesAll = spark.read.parquet(s"$dir/codes.parquet")
-    val codes =
-      if (codesAll.columns.contains(CellCol))
-        codesAll.filter(col(CellCol).isin(probedCells.toSeq: _*))
-      else codesAll.withColumn(CellCol, lit(null: String)).limit(0) // empty layout
+    // both layouts carry _cell (partition column, or data column in the
+    // zero-row repair file), so the filter is always a valid partition prune
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col(CellCol).isin(probedCells.toSeq: _*))
     val cand = codes.join(broadcast(probes), Seq(CellCol))
       .select(col("query_id"), col("id"), col("sub"), col("code"))
-    val table = queries
-      .select(col(qId).cast("string").as("query_id"),
-        posexplode(ProductQuantizer.subspaces(col(qVec), m, dsub)))
-      .select(col("query_id"), col("pos").as("sub"), col("col").as("_qv"))
-      .join(codebook, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        VectorFunctions.dot(col("_qv"), col("cvec")).as("_ip"))
-    val topk = VectorSearch.topKUdaf(k)
-    cand.join(broadcast(table), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(round(sum("_ip"), 6).as("score"))
-      .groupBy("query_id")
-      .agg(topk(col("id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    ProductQuantizer.rankAdc(
+      cand.join(
+        broadcast(ProductQuantizer.adcTable(codebook, queries, qId, qVec, m, dsub)),
+        Seq("query_id", "sub", "code")),
+      k)
   }
 }

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object MultiVector {
 
   /** Top-k docs per query by MaxSim. `queryToks(qId, qTok, qVec)`: one row
-    * per query token (`qTok` any per-token discriminator — position works);
+    * per query token. `qTok` must be UNIQUE per token instance within a
+    * query — use the token POSITION, not its text: repeated tokens sharing a
+    * qTok value would collapse in the per-token max and deflate the score
+    * below the Σ over instances the formula promises.
     * `docToks(dId, dVec)`: one row per document token. Scores are rounded
     * (6 dp) BEFORE ranking, doc-id tie-break, so mathematically tied docs
     * order deterministically. Output: (query_id, rank, doc_id, score). */

@@ -64,6 +64,8 @@ object PageRank {
     * overwhelmingly common regime. */
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0, 1], got $damping")
     // The edge list is materialized FIRST: everything below reads it at least
     // twice (degree aggregate + weighting join), and an un-pinned edge frame
     // would re-run the caller's whole pipeline (for [[cooccurrenceEdges]], a

@@ -71,21 +71,25 @@ object ProductQuantizer {
       .agg(min(struct(col("_d2"), col("code"))).as("_m"))
       .select(col("id"), col("sub"), col("_m.code").as("code"))
 
-  /** ADC top-k: approximate inner product of each query against every coded
-    * vector, `Σ_sub ⟨q_sub, cvec[code_sub]⟩`, scored entirely from `codes`.
-    * Scores rounded (6 dp) before ranking, doc-id tie-break. Output:
-    * (query_id, rank, neighbor_id, score). */
-  def adcTopK(cb: Codebook, codes: DataFrame, queries: DataFrame,
-      qId: String, qVec: String, k: Int): DataFrame = {
-    val table = queries
+  /** The per-query ADC lookup table: (query_id, sub, code, _ip) — queries ×
+    * m × k rows, always broadcast-small. Shared by every ADC scoring path
+    * (plain, IVF-pruned, and [[IvfPq.searchSaved]]). */
+  private[operators] def adcTable(codewords: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, m: Int, dsub: Int): DataFrame =
+    queries
       .select(col(qId).cast("string").as("query_id"),
-        posexplode(subspaces(col(qVec), cb.m, cb.dsub)))
+        posexplode(subspaces(col(qVec), m, dsub)))
       .select(col("query_id"), col("pos").as("sub"), col("col").as("_qv"))
-      .join(cb.codewords, Seq("sub"))
+      .join(broadcast(codewords), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         VectorFunctions.dot(col("_qv"), col("cvec")).as("_ip"))
+
+  /** Shared ADC ranking tail over (query_id, id, _ip) contribution rows:
+    * per-(query, doc) sum rounded (6 dp) BEFORE ranking, bounded top-k,
+    * doc-id tie-break. Output: (query_id, rank, neighbor_id, score). */
+  private[operators] def rankAdc(contribs: DataFrame, k: Int): DataFrame = {
     val topk = VectorSearch.topKUdaf(k)
-    codes.join(broadcast(table), Seq("sub", "code"))
+    contribs
       .groupBy(col("query_id"), col("id"))
       .agg(round(sum("_ip"), 6).as("score"))
       .groupBy("query_id")
@@ -94,6 +98,17 @@ object ProductQuantizer {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
+
+  /** ADC top-k: approximate inner product of each query against every coded
+    * vector, `Σ_sub ⟨q_sub, cvec[code_sub]⟩`, scored entirely from `codes`.
+    * Scores rounded (6 dp) before ranking, doc-id tie-break. Output:
+    * (query_id, rank, neighbor_id, score). */
+  def adcTopK(cb: Codebook, codes: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, k: Int): DataFrame =
+    rankAdc(
+      codes.join(broadcast(adcTable(cb.codewords, queries, qId, qVec, cb.m, cb.dsub)),
+        Seq("sub", "code")),
+      k)
 
   /** IVF-PQ: the industry-standard composition — [[IvfIndex]] prunes the
     * candidate set to `nProbe` cells, PQ codes stand in for the vectors
@@ -108,29 +123,17 @@ object ProductQuantizer {
   def ivfAdcTopK(index: IvfIndex.Index, cb: Codebook, codes: DataFrame,
       queries: DataFrame, qId: String, qVec: String,
       nProbe: Int, k: Int): DataFrame = {
+    // consumed once (no checkpoint): the probe KNN folds into the one plan
     val probes = VectorSearch.knnJoin(
       queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)
       .select(col("query_id"), col("neighbor_id").as("centroid_id"))
-      .localCheckpoint(true)
     val candIds = index.assignments
       .join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("id"))
-    val table = queries
-      .select(col(qId).cast("string").as("query_id"),
-        posexplode(subspaces(col(qVec), cb.m, cb.dsub)))
-      .select(col("query_id"), col("pos").as("sub"), col("col").as("_qv"))
-      .join(cb.codewords, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        VectorFunctions.dot(col("_qv"), col("cvec")).as("_ip"))
-    val topk = VectorSearch.topKUdaf(k)
-    codes.join(candIds, Seq("id"))
-      .join(broadcast(table), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(round(sum("_ip"), 6).as("score"))
-      .groupBy("query_id")
-      .agg(topk(col("id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    rankAdc(
+      codes.join(candIds, Seq("id"))
+        .join(broadcast(adcTable(cb.codewords, queries, qId, qVec, cb.m, cb.dsub)),
+          Seq("query_id", "sub", "code")),
+      k)
   }
 }

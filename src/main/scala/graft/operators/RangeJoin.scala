@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `points` to every interval with `lo <= pt < hi` (half-open).
-    * `ptCol`/`loCol`/`hiCol` are long-typed (epoch-nanos, offsets, any
-    * monotone numeric domain). Output: all point columns + all interval
-    * columns. Column name collisions are the caller's contract (rename
-    * first); `_bin` is reserved. */
+    * `ptCol`/`loCol`/`hiCol` must be INTEGRAL (long/int/short — enforced):
+    * fractional domains would be silently truncated by the binning cast and
+    * drop valid matches; scale them to integers first (ticks, cents, nanos).
+    * Empty intervals (`hi <= lo`) match nothing. Output: all point columns +
+    * all interval columns. Column name collisions are the caller's contract
+    * (rename first); `_bin` is reserved. */
   // Bin ids via integral `div`, never float division: epoch-nanos exceed
   // 2^53, where double arithmetic mis-rounds a value sitting exactly on a
   // bin boundary and silently mis-bins it. `div` truncates toward zero
@@ -41,6 +43,20 @@ object RangeJoin {
   // a member's bin is always inside its interval's exploded range.
   private def binOf(c: Column, binWidth: Long): Column =
     call_function("div", c.cast("long"), lit(binWidth))
+
+  /** The binning cast truncates fractional values, which would silently DROP
+    * matches (a point on a bin edge mis-bins away from its interval) — so
+    * non-integral domain columns are rejected outright. */
+  private def requireIntegral(df: DataFrame, cols: String*): Unit =
+    cols.foreach { c =>
+      val t = df.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType ||
+        t == org.apache.spark.sql.types.ByteType,
+        s"range-join column '$c' must be integral, got $t — scale fractional " +
+          "domains to integers (ticks/cents/nanos) first")
+    }
 
   private def binnedIntervals(df: DataFrame, lo: String, hi: String,
       binWidth: Long): DataFrame = df
@@ -51,6 +67,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireIntegral(points, ptCol)
+    requireIntegral(intervals, loCol, hiCol)
     points
       .withColumn("_bin", binOf(col(ptCol), binWidth))
       .join(binnedIntervals(intervals, loCol, hiCol, binWidth), Seq("_bin"))
@@ -58,9 +76,12 @@ object RangeJoin {
       .drop("_bin")
   }
 
-  /** Interval×interval overlap join: every `(left, right)` pair with
-    * `aLo < bHi AND bLo < aHi` (half-open overlap). Both sides explode into
-    * their covered bins and equi-join on the bin id; a pair sharing several
+  /** Interval×interval overlap join: every `(left, right)` pair of NON-EMPTY
+    * intervals with `aLo < bHi AND bLo < aHi` (half-open overlap; empty
+    * intervals — `hi <= lo` — contain no points and match nothing, on either
+    * side). Integral columns only, as in [[pointInInterval]]. Both sides
+    * explode into their covered bins and equi-join on the bin id; a pair
+    * sharing several
     * bins would surface once per shared bin, so each is emitted ONLY from
     * the bin containing `greatest(aLo, bLo)` — the canonical
     * one-bin-owns-the-pair rule, giving exactly-once output with no
@@ -69,6 +90,8 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, aLo: String, aHi: String,
       right: DataFrame, bLo: String, bHi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireIntegral(left, aLo, aHi)
+    requireIntegral(right, bLo, bHi)
     binnedIntervals(left, aLo, aHi, binWidth)
       .join(binnedIntervals(right, bLo, bHi, binWidth), Seq("_bin"))
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))

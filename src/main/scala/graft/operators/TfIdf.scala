@@ -37,6 +37,10 @@ object TfIdf {
     val weighted = tf.join(df, "term").crossJoin(broadcast(n))
       .filter(col("df") <= col("n") * maxDfFraction)
       .select(col("id"), col("term"), (col("tf") * log(col("n") / col("df"))).as("w"))
+      // df == n terms carry idf = ln(1) = 0: semantically inert (0 to every
+      // norm and score) but they are the LONGEST posting lists — drop them
+      // before they inflate the norm join and every downstream term join
+      .filter(col("w") =!= 0.0)
     val norms = weighted.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("_nrm"))
     weighted.join(norms, "id")
       .filter(col("_nrm") > 0.0)
