@@ -46,8 +46,12 @@ object ProductQuantizer {
     val seeds = corpus
       .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
       .orderBy(col("id").asc).limit(k)
-      // k rows: the window is bounded by the seed count, not the corpus
-      .withColumn("code", row_number().over(Window.orderBy(col("id").asc)))
+      // k rows: the window is bounded by the seed count, not the corpus. The
+      // constant partition key keeps the spec non-empty so WindowExec doesn't
+      // log its move-all-data warning — execution is identical (one bounded
+      // partition either way, k ≤ 16 rows).
+      .withColumn("code",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("id").asc)))
     val cw = seeds
       .select(col("code"), posexplode(subspaces(col("v"), m, dsub)))
       .select(col("pos").as("sub"), col("code"), col("col").as("cvec"))
