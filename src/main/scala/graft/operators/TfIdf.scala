@@ -25,22 +25,29 @@ object TfIdf {
     * posting-list length (and therefore any downstream join fan-out) at
     * corpus scale. Docs whose every term is cut simply emit no rows. */
   def weights(docs: DataFrame, idCol: String, textCol: String,
-      maxDfFraction: Double = 1.0): DataFrame = {
-    val tf = docs
+      maxDfFraction: Double = 1.0, materialize: Boolean = true): DataFrame = {
+    // tf feeds both df and the weighting join, and weighted feeds both the
+    // norm aggregate and the final join — Catalyst shares neither, so the lazy
+    // form tokenizes the corpus ~2× and re-runs the postings join ~2×. With
+    // `materialize` (default) each shared frame is checkpointed once; pass
+    // false for a pure single-DAG composition with no action at build time.
+    val share: DataFrame => DataFrame =
+      d => if (materialize) d.localCheckpoint(true) else d
+    val tf = share(docs
       .select(col(idCol).cast("string").as("id"),
         explode(Norm.normTokens(col(textCol))).as("term"))
       .groupBy("id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     // one scalar row folded in lazily — build+score stay a single DAG
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val weighted = tf.join(df, "term").crossJoin(broadcast(n))
+    val weighted = share(tf.join(df, "term").crossJoin(broadcast(n))
       .filter(col("df") <= col("n") * maxDfFraction)
       .select(col("id"), col("term"), (col("tf") * log(col("n") / col("df"))).as("w"))
       // df == n terms carry idf = ln(1) = 0: semantically inert (0 to every
       // norm and score) but they are the LONGEST posting lists — drop them
       // before they inflate the norm join and every downstream term join
-      .filter(col("w") =!= 0.0)
+      .filter(col("w") =!= 0.0))
     val norms = weighted.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("_nrm"))
     weighted.join(norms, "id")
       .filter(col("_nrm") > 0.0)
