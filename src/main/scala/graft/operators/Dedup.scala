@@ -119,15 +119,78 @@ object Dedup {
       labels = next.select(col("id"), col("rep"))
       iter += 1
     }
-    // Truncated convergence must not masquerade as a correct clustering:
-    // a component whose diameter exceeds maxIter would come back split into
-    // several "clusters", silently keeping extra near-duplicates. Fail fast
-    // (mirrors SubgraphExpansion's guard style); callers with genuinely deep
-    // chains raise maxIter.
-    if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge within maxIter=$maxIter passes; " +
-        "a component's diameter exceeds the bound — raise maxIter")
+    // Truncated convergence must not masquerade as a correct clustering: a
+    // component whose diameter exceeds maxIter would come back split into
+    // several "clusters", silently keeping extra near-duplicates. Deep dup
+    // CHAINS are exactly what web corpora produce, and raising maxIter
+    // linearly is no answer at scale — hand off to the diameter-independent
+    // O(log n)-round star algorithm instead.
+    if (!done) return connectedComponentsStars(pairs, aCol, bCol)
     labels.select(col("id"), col("rep").as("rep_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    * in O(log n) rounds REGARDLESS of component diameter, where plain label
+    * propagation needs O(diameter) passes. The per-round work is two grouped
+    * min-aggregates + joins over the (shrinking) edge list — heavier per pass
+    * than label propagation, which is why this is the fallback for deep
+    * chains rather than the default.
+    *
+    *  - large-star: every node u with m = min(Γ⁺(u)) re-points its LARGER
+    *    neighbors at m — long tails collapse exponentially.
+    *  - small-star: every node u re-points its smaller-or-equal neighborhood
+    *    (and itself) at m — the edge list canonicalizes into stars.
+    *
+    * Both operations preserve connectivity, so the fixed point is one star
+    * per component rooted at its minimum id. Same output contract as
+    * [[connectedComponents]]: (id, rep_id) for every node in `pairs`. */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxRounds: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical larger→smaller orientation; self-loops carry no connectivity
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var done = edges.isEmpty
+    while (round < maxRounds && !done) {
+      // large-star: group BOTH orientations by u, so Γ(u) is the full
+      // neighborhood; emitted (v, m) edges have v > u ≥ m — already canonical.
+      val both = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = both.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = both.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star: neighborhoods under the canonical orientation are exactly
+      // the smaller-or-equal neighbors; re-point them (and u) at the min.
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // exact fixed-point test: same cardinality + no new rows ⇒ equal sets
+      done = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStars did not reach a fixed point in $maxRounds " +
+        "rounds — O(log n) bound exceeded, which indicates a bug, not data")
+    nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep_id"))
   }
 
   /** SimHash (nBits ≤ 32): per token take bits of int(md5[0:8],16); each bit

@@ -77,6 +77,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(reps("x") == "x" && reps("y") == "x")
   }
 
+  test("connectedComponents handles a 100-node path deeper than maxIter (star fallback)") {
+    // Diameter 99 ≫ the default maxIter=20 label-propagation bound: the call
+    // must hand off to the O(log n)-round star algorithm, not throw and not
+    // return a split clustering.
+    val pairs = (0 until 99).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("id_a", "id_b")
+    val reps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reps.size == 100)
+    assert(reps.values.forall(_ == "n000"), reps.values.toSet.take(5))
+  }
+
+  test("connectedComponentsStars equals label propagation on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val pairs = (0 until 45).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (f"v${math.min(a, b)}%02d", f"v${math.max(a, b) + (if (a == b) 1 else 0)}%02d")
+      }.distinct.toDF("id_a", "id_b")
+      val viaStars = Dedup.connectedComponentsStars(pairs)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val viaProp = Dedup.connectedComponents(pairs, maxIter = 40)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(viaStars == viaProp, s"trial $trial")
+    }
+  }
+
   // --------------------------------------------------------------- equalizeStrata
 
   test("equalizeStrata caps large strata near the smallest, keeps smallest whole") {
