@@ -420,7 +420,7 @@ object SparkEntry {
     "pq1_pq_codes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = ProductQuantizer.train(emb, "vec_id", "embedding",
-        m = 8, dsub = 8, k = 16)
+        m = 8, dsub = 8, k = 16, iters = 1)
       ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
     }),
     // PQ2 asymmetric-distance KNN: queries score the PQ codes through the m×k
@@ -430,7 +430,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
       val cb = ProductQuantizer.train(corpus, "vec_id", "embedding",
-        m = 8, dsub = 8, k = 16)
+        m = 8, dsub = 8, k = 16, iters = 1)
       val codes = ProductQuantizer.encode(corpus, "vec_id", "embedding", cb)
       ProductQuantizer.adcTopK(cb, codes,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
@@ -987,26 +987,36 @@ object SparkEntry {
         |WHERE q.vec_id < 8 AND c.vec_id >= 8""".stripMargin.replace("\n", " ")
     val toksOf = (c: String) =>
       s"list_filter(string_split(${normE(c)}, ' '), x -> x <> '')"
-    // PQ CTE chain: deterministic codebooks (16 lowest string-ordered ids),
-    // per-subspace slices, argmin assignment scored `cc - 2*ip` — the same
-    // double arithmetic as ProductQuantizer (DotProduct ≡ list_dot_product),
-    // so codes match bit-for-bit. Yields `cwc` (codebook) and `codes`.
+    // PQ CTE chain: deterministic codebooks (16 lowest string-ordered ids)
+    // refined by ONE unrolled Lloyd step (argmin assignment → per-dimension
+    // mean per (sub, code) — mirrors ProductQuantizer.train iters=1), then
+    // argmin assignment scored `cc - 2*ip` — the same double arithmetic as
+    // ProductQuantizer (DotProduct ≡ list_dot_product), so codes match
+    // bit-for-bit. Yields `cwc` (refined codebook) and `codes`.
     val pqCte = (corpusWhere: String) =>
       s"""seeds AS (SELECT id, embedding, CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS code
          |  FROM (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings $corpusWhere ORDER BY 1 LIMIT 16) s),
-         |cw AS (SELECT CAST(g.i AS INTEGER) AS sub, s.code,
+         |cw0 AS (SELECT CAST(g.i AS INTEGER) AS sub, s.code,
          |    list_slice(s.embedding, g.i * 8 + 1, g.i * 8 + 8) AS cvec
          |  FROM seeds s, generate_series(0, 7) AS g(i)),
-         |cwc AS (SELECT sub, code, cvec, list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[]) AS cc FROM cw),
+         |cwc0 AS (SELECT sub, code, cvec, list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[]) AS cc FROM cw0),
          |xv AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(g.i AS INTEGER) AS sub,
          |    list_slice(embedding, g.i * 8 + 1, g.i * 8 + 8) AS sv
          |  FROM embeddings, generate_series(0, 7) AS g(i) $corpusWhere),
-         |asg AS (SELECT xv.id, xv.sub, cwc.code,
-         |    cwc.cc - 2.0 * list_dot_product(xv.sv::DOUBLE[], cwc.cvec::DOUBLE[]) AS d2
-         |  FROM xv JOIN cwc ON xv.sub = cwc.sub),
+         |asg0 AS (SELECT id, sub, code FROM (
+         |  SELECT xv.id, xv.sub, cwc0.code,
+         |    row_number() OVER (PARTITION BY xv.id, xv.sub ORDER BY cwc0.cc - 2.0 * list_dot_product(xv.sv::DOUBLE[], cwc0.cvec::DOUBLE[]) ASC, cwc0.code ASC) AS rn
+         |  FROM xv JOIN cwc0 ON xv.sub = cwc0.sub) t0 WHERE rn = 1),
+         |cw1 AS (SELECT sub, code, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT sub, code, pos, avg(val) AS m FROM (
+         |    SELECT a0.sub, a0.code, generate_subscripts(xv.sv, 1) AS pos, unnest(xv.sv) AS val
+         |    FROM asg0 a0 JOIN xv ON a0.id = xv.id AND a0.sub = xv.sub) d
+         |  GROUP BY 1, 2, 3) z GROUP BY 1, 2),
+         |cwc AS (SELECT sub, code, cvec, list_dot_product(cvec::DOUBLE[], cvec::DOUBLE[]) AS cc FROM cw1),
          |codes AS (SELECT id, sub, code FROM (
-         |  SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub ORDER BY d2 ASC, code ASC) AS rn
-         |  FROM asg) t WHERE rn = 1)""".stripMargin.replace("\n", " ")
+         |  SELECT xv.id, xv.sub, cwc.code,
+         |    row_number() OVER (PARTITION BY xv.id, xv.sub ORDER BY cwc.cc - 2.0 * list_dot_product(xv.sv::DOUBLE[], cwc.cvec::DOUBLE[]) ASC, cwc.code ASC) AS rn
+         |  FROM xv JOIN cwc ON xv.sub = cwc.sub) t1 WHERE rn = 1)""".stripMargin.replace("\n", " ")
     // BM25 CTE chain: tokenize corpus → tf/dl/df/corpus stats → per-(query,
     // doc) score `sc`. Arithmetic parenthesized to MATCH Bm25.scoreTerms'
     // evaluation order exactly (floats are order-sensitive; only the final

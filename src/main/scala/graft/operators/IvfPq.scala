@@ -36,7 +36,8 @@ object IvfPq {
     * code table. Deterministic end to end (both trainers seed from lowest
     * string-ordered ids). */
   def buildAndSave(corpus: DataFrame, idCol: String, vecCol: String,
-      dir: String, nList: Int, m: Int, dsub: Int, k: Int): Unit = {
+      dir: String, nList: Int, m: Int, dsub: Int, k: Int,
+      pqIters: Int = 0): Unit = {
     // centroids/codewords are tiny but their PLANS are corpus scans (seed
     // TakeOrdered) — pinned once, or the encode/assign below and the three
     // writes would each re-scan the corpus to rebuild them.
@@ -46,7 +47,7 @@ object IvfPq {
       corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("v")),
       centroids)
     val ivf = IvfIndex.Index(centroids, assignments)
-    val cb0 = ProductQuantizer.train(corpus, idCol, vecCol, m, dsub, k)
+    val cb0 = ProductQuantizer.train(corpus, idCol, vecCol, m, dsub, k, pqIters)
     val cb = cb0.copy(codewords = cb0.codewords.localCheckpoint(true))
     val codes = ProductQuantizer.encode(corpus, idCol, vecCol, cb)
     ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
@@ -78,6 +79,29 @@ object IvfPq {
     * recovered from the codebook itself. Output: (query_id, rank,
     * neighbor_id, score) — scores rounded (6 dp) before ranking, id
     * tie-break, like every retrieval operator here. */
+  /** Measured recall@k of saved-index ADC search vs exact KNN, per nProbe —
+    * the IVF-PQ twin of [[IvfIndex.recallCurve]]. Unlike plain IVF, recall at
+    * nProbe = nList stays below 1.0 by the PQ approximation error (codes
+    * stand in for vectors), so this curve is the accuracy number a user
+    * weighs against the ~32× memory cut when choosing IVF-PQ over IVF.
+    * Driver-side work is bounded by queries × k ids. */
+  def recallCurve(spark: SparkSession, dir: String, corpus: DataFrame,
+      queries: DataFrame, qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nProbes: Seq[Int]): Seq[(Int, Double)] = {
+    def byQuery(df: DataFrame): Map[String, Set[String]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val exact = byQuery(
+      VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
+    nProbes.map { p =>
+      val got = byQuery(searchSaved(spark, dir, queries, qId, qVec, p, k))
+      val recall = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+      (p, recall)
+    }
+  }
+
   def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
       qId: String, qVec: String, nProbe: Int, k: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")

@@ -39,41 +39,73 @@ object ProductQuantizer {
       i => slice(v, i * dsub + 1, lit(dsub)))
 
   /** Deterministic codebooks over `corpus(idCol, vecCol)`: the `k` lowest
-    * (string-ordered) ids seed every subspace. `dim` must equal `m * dsub`
-    * for all vectors (slices would silently truncate otherwise). */
+    * (string-ordered) ids seed every subspace, then `iters` Lloyd steps
+    * refine them (each: argmin assignment of every subvector + per-dimension
+    * mean per (sub, code) — the same deterministic assign-then-mean pattern
+    * as [[IvfIndex.build]], so an oracle can unroll it). A codeword that
+    * attracts no subvectors in a step drops out, exactly like an empty IVF
+    * cell. `dim` must equal `m * dsub` for all vectors (slices would
+    * silently truncate otherwise). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, dsub: Int, k: Int): Codebook = {
+      m: Int, dsub: Int, k: Int, iters: Int = 0): Codebook = {
     val seeds = corpus
       .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
       .orderBy(col("id").asc).limit(k)
       // k rows: the window is bounded by the seed count, not the corpus. The
       // constant partition key keeps the spec non-empty so WindowExec doesn't
       // log its move-all-data warning — execution is identical (one bounded
-      // partition either way, k ≤ 16 rows).
+      // partition either way, k rows — 16 at current call sites).
       .withColumn("code",
         row_number().over(Window.partitionBy(lit(0)).orderBy(col("id").asc)))
-    val cw = seeds
+    var cw = seeds
       .select(col("code"), posexplode(subspaces(col("v"), m, dsub)))
       .select(col("pos").as("sub"), col("code"), col("col").as("cvec"))
       .withColumn("cc", VectorFunctions.dot(col("cvec"), col("cvec")))
+    if (iters > 0) {
+      // one subspace explode, reused by every Lloyd pass
+      val sv = corpus
+        .select(col(idCol).cast("string").as("id"),
+          posexplode(subspaces(col(vecCol), m, dsub)))
+        .select(col("id"), col("pos").as("sub"), col("col").as("_sv"))
+      for (_ <- 1 to iters) {
+        cw = assignSubvectors(sv, cw)
+          .select(col("sub"), col("code"), posexplode(col("_sv")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("sub"), col("code"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("sub"), col("code"),
+            transform(col("pm"), x => x.getField("m")).as("cvec"))
+          .withColumn("cc", VectorFunctions.dot(col("cvec"), col("cvec")))
+      }
+    }
     Codebook(cw, m, dsub)
   }
+
+  /** Argmin codeword per (id, sub) subvector row, carrying the subvector:
+    * broadcast codebook join + one struct-min hash aggregate (map-side
+    * combined), ties to the lowest code. Shared by [[encode]] and the Lloyd
+    * refinement in [[train]]. */
+  private def assignSubvectors(sv: DataFrame, codewords: DataFrame): DataFrame =
+    sv.join(broadcast(codewords), Seq("sub"))
+      .select(col("id"), col("sub"), col("_sv"), col("code"),
+        (col("cc") - lit(2.0) * VectorFunctions.dot(col("_sv"), col("cvec"))).as("_d2"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("_d2"), col("code"))).as("_m"), first(col("_sv")).as("_sv"))
+      .select(col("id"), col("sub"), col("_m.code").as("code"), col("_sv"))
 
   /** PQ codes in the exploded "posting" layout: (id, sub, code) — the layout
     * ADC joins against directly; re-pack with `collect_list` if an array
     * per id is wanted. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): DataFrame =
-    corpus
-      .select(col(idCol).cast("string").as("id"),
-        posexplode(subspaces(col(vecCol), cb.m, cb.dsub)))
-      .select(col("id"), col("pos").as("sub"), col("col").as("_sv"))
-      .join(broadcast(cb.codewords), Seq("sub"))
-      .select(col("id"), col("sub"), col("code"),
-        (col("cc") - lit(2.0) * VectorFunctions.dot(col("_sv"), col("cvec"))).as("_d2"))
-      .groupBy("id", "sub")
-      .agg(min(struct(col("_d2"), col("code"))).as("_m"))
-      .select(col("id"), col("sub"), col("_m.code").as("code"))
+    assignSubvectors(
+      corpus
+        .select(col(idCol).cast("string").as("id"),
+          posexplode(subspaces(col(vecCol), cb.m, cb.dsub)))
+        .select(col("id"), col("pos").as("sub"), col("col").as("_sv")),
+      cb.codewords)
+      .select(col("id"), col("sub"), col("code"))
 
   /** The per-query ADC lookup table: (query_id, sub, code, _ip) — queries ×
     * m × k rows, always broadcast-small. Shared by every ADC scoring path

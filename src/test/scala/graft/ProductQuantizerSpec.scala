@@ -75,6 +75,68 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(one.nonEmpty && one.forall(_.toInt < 20), one.toSeq.toString)
   }
 
+  test("lloyd refinement lowers quantization error and stays deterministic") {
+    val corpus = vecs(60, 16)
+    def sqErr(cb: PQ.Codebook): Double = {
+      // mean ‖subvector − codeword‖² over the corpus under codebook cb
+      val codes = PQ.encode(corpus, "id", "v", cb)
+      val sv = corpus.select(col("id").cast("string").as("id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            i => slice(col("v"), i * 4 + 1, lit(4)))))
+        .select(col("id"), col("pos").as("sub"), col("col").cast("array<double>").as("sv"))
+      codes.join(sv, Seq("id", "sub")).join(cb.codewords, Seq("sub", "code"))
+        .select(aggregate(zip_with(col("sv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    }
+    val seeded = PQ.train(corpus, "id", "v", m = 4, dsub = 4, k = 8)
+    val refined = PQ.train(corpus, "id", "v", m = 4, dsub = 4, k = 8, iters = 1)
+    val refined2 = PQ.train(corpus, "id", "v", m = 4, dsub = 4, k = 8, iters = 2)
+    val (e0, e1, e2) = (sqErr(seeded), sqErr(refined), sqErr(refined2))
+    assert(e1 < e0, s"one Lloyd step must lower mean sq error: $e1 vs $e0")
+    assert(e2 <= e1 + 1e-12, s"second step must not increase error: $e2 vs $e1")
+    // deterministic: same input partitioned differently → identical codebook
+    val again = PQ.train(corpus.repartition(7), "id", "v", m = 4, dsub = 4, k = 8, iters = 1)
+    val a = refined.codewords.select("sub", "code", "cvec").as[(Int, Int, Seq[Double])]
+      .collect().map { case (s, c, v) => (s, c, v.map(x => math.round(x * 1e9))) }.toSet
+    val b = again.codewords.select("sub", "code", "cvec").as[(Int, Int, Seq[Double])]
+      .collect().map { case (s, c, v) => (s, c, v.map(x => math.round(x * 1e9))) }.toSet
+    assert(a == b)
+  }
+
+  test("ivf-pq recall curve: full-probe recall equals the pure-ADC ceiling") {
+    // NOTE: unlike plain IVF (exact scoring ⇒ recall monotone in nProbe),
+    // ADC recall need NOT be monotone — widening the probe set can admit
+    // imposters whose quantized scores overtake true neighbors. What IS
+    // guaranteed: at nProbe = nList the search equals plain ADC over the
+    // whole corpus, so the curve's last point is exactly the PQ-error
+    // ceiling a user trades memory against.
+    val corpus = vecs(120, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rc").toString
+    graft.operators.IvfPq.buildAndSave(corpus, "id", "v", dir,
+      nList = 8, m = 4, dsub = 4, k = 8, pqIters = 1)
+    val queries = corpus.filter(col("id") < 5)
+    val curve = graft.operators.IvfPq.recallCurve(spark, dir, corpus, queries,
+      "id", "v", "id", "v", k = 5, nProbes = Seq(1, 4, 8))
+    assert(curve.map(_._1) == Seq(1, 4, 8))
+    val rs = curve.map(_._2)
+    assert(rs.forall(r => r >= 0.0 && r <= 1.0), rs.toString)
+    assert(rs.last > 0.0)
+    // the full-probe point IS plain ADC: recompute its recall independently
+    val cb = PQ.train(corpus, "id", "v", m = 4, dsub = 4, k = 8, iters = 1)
+    val codes = PQ.encode(corpus, "id", "v", cb)
+    val exact = VectorSearch.knnJoin(queries, corpus, "id", "v", "id", "v", 5)
+      .select("query_id", "neighbor_id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = PQ.adcTopK(cb, codes, queries, "id", "v", 5)
+      .select("query_id", "neighbor_id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adcRecall = exact.map { case (q, ex) =>
+      adc.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(math.abs(rs.last - adcRecall) < 1e-9, s"${rs.last} vs $adcRecall")
+  }
+
   test("saved ivf-pq index: searchSaved equals the in-memory composition; empty-safe") {
     val rows = (0 until 40).map { i =>
       val base = if (i < 20) 1f else -1f
