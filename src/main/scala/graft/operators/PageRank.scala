@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -58,11 +59,12 @@ object PageRank {
     * The rank vector (one row per node) is BROADCAST each iteration — right
     * up to graphs of a few tens of millions of nodes, where edge tables (the
     * actually-large side, touched once per iteration with zero exchanges
-    * here) are in the billions. Beyond broadcastable node counts, use the
-    * co-partitioned shuffle design of the [[GraphXExpansion]] twin (GraphX
-    * Pregel partitions both sides); this DataFrame form optimizes the
-    * overwhelmingly common regime. */
-  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    * here) are in the billions. Past `maxBroadcastNodes` the call hands off
+    * to [[runBig]] (GraphX — both sides co-partitioned, nothing broadcast),
+    * so a billion-node entity graph runs the same API; this DataFrame form
+    * optimizes the overwhelmingly common regime. */
+  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      maxBroadcastNodes: Long = 20000000L): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0, 1], got $damping")
@@ -88,6 +90,7 @@ object PageRank {
     val nodes = deg.select(col("src").as("id"))
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("pr", lit(0.0))
+    if (n > maxBroadcastNodes) return runBig(e, iterations, damping)
 
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
@@ -102,5 +105,65 @@ object PageRank {
         .localCheckpoint(true)
     }
     ranks
+  }
+
+  /** GraphX backend for node counts past the broadcast regime: the same
+    * damped fixed-iteration semantics as [[run]], executed with
+    * `aggregateMessages` over a co-partitioned property graph — nothing
+    * node-sized is broadcast or collected, so a billion-node graph works.
+    *
+    * NOT delegated to `staticPageRank`: Spark's built-in normalizes final
+    * ranks to sum to the vertex count (verified empirically), silently
+    * rescaling the result; this loop runs the exact [[run]] recurrence
+    * (init 1/N, rank = (1−d)/N + d·Σ contrib) with the same per-edge
+    * 1/outdeg weights. Same output contract: (id, pr) for nodes with ≥1
+    * out-edge, dangling mass dropped. Ids are stringified for the
+    * long-vertex-id mapping (zipWithUniqueId), like [[GraphXExpansion]]. */
+  def runBig(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0, 1], got $damping")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val outNodes = e.select(col("src").as("name")).distinct().localCheckpoint(true)
+    val n = outNodes.count()
+    if (n == 0)
+      return outNodes.select(col("name").as("id"), lit(0.0).as("pr"))
+    val names = e.select(col("src").as("name"))
+      .union(e.select(col("dst").as("name"))).distinct()
+    val idMap = spark.createDataFrame(
+      names.rdd.map(_.getString(0)).zipWithUniqueId()).toDF("name", "vid")
+      .localCheckpoint(true) // feeds both edge-endpoint joins + the join-back
+    val edgeRdd = e
+      .join(idMap.toDF("src", "svid"), "src")
+      .join(idMap.toDF("dst", "dvid"), "dst")
+      .select($"svid".as[Long], $"dvid".as[Long])
+      .rdd.map { case (s, d) => Edge(s, d, ()) }
+    // edge weight 1/outdeg(src) once; vertex attr = rank, seeded 1/N (the
+    // value only matters for out-degree nodes — dangling vertices never send
+    // and are dropped from the output)
+    val base = Graph.fromEdges(edgeRdd, ())
+    var g: Graph[Double, Double] = base
+      .outerJoinVertices(base.outDegrees) { (_, _, d) => d.getOrElse(0) }
+      .mapTriplets(t => 1.0 / t.srcAttr)
+      .mapVertices((_, _) => 1.0 / n)
+    g.cache()
+    for (_ <- 1 to iterations) {
+      val prev = g
+      val contribs = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+      g = g.outerJoinVertices(contribs) { (_, _, c) =>
+        (1.0 - damping) / n + damping * c.getOrElse(0.0)
+      }
+      g.cache()
+      g.vertices.count() // materialize before dropping the previous step
+      prev.unpersist(blocking = false)
+    }
+    spark.createDataFrame(g.vertices).toDF("vid", "pr")
+      .join(idMap, "vid")
+      .join(outNodes, Seq("name"), "left_semi")
+      .select(col("name").as("id"), col("pr"))
   }
 }

@@ -33,6 +33,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(math.abs(rc("a") - 0.15) < 1e-12) // n=1: (1-d)/1 + d*0 (b gives nothing back)
   }
 
+  test("pagerank: GraphX backend (runBig) matches the DataFrame form") {
+    // random directed graph WITH dangling dst-only nodes — the case where the
+    // N-scaling argument has to hold exactly, not just for symmetric inputs
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 60).map { _ =>
+      (s"v${rnd.nextInt(12)}", s"v${rnd.nextInt(16)}")
+    }.distinct.filter { case (a, b) => a != b }.toDF("src", "dst")
+    for (iters <- Seq(0, 1, 7)) {
+      val df = PageRank.run(edges, iters).as[(String, Double)].collect().toMap
+      val gx = PageRank.runBig(edges, iters).as[(String, Double)].collect().toMap
+      assert(gx.keySet == df.keySet, s"iters=$iters")
+      df.foreach { case (id, pr) =>
+        assert(math.abs(gx(id) - pr) < 1e-9, s"iters=$iters id=$id: ${gx(id)} vs $pr")
+      }
+    }
+    // the threshold dial routes run() itself through the GraphX backend
+    val routed = PageRank.run(edges, 5, maxBroadcastNodes = 1L)
+      .as[(String, Double)].collect().toMap
+    val direct = PageRank.run(edges, 5).as[(String, Double)].collect().toMap
+    routed.foreach { case (id, pr) => assert(math.abs(direct(id) - pr) < 1e-9) }
+  }
+
   test("pagerank: cooccurrence edges are symmetric, distinct, reflexive-free") {
     val df = Seq((1, "x"), (1, "y"), (1, "y"), (2, "y"), (2, "z")).toDF("g", "item")
     val e = PageRank.cooccurrenceEdges(df, "g", "item")
