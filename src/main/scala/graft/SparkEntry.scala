@@ -79,6 +79,16 @@ object SparkEntry {
         .select(col("p_partkey"),
           Norm.relationText(col("p_brand"), col("p_type"), col("p_name")).as("relation_text"))
     }),
+    // T4 passage composition (evaluation/evaluate.py:397-401): title + "\n" +
+    // text. Output hashed — embedded newlines don't survive the driver's
+    // string canonicalizer, md5+length pin the exact bytes instead.
+    "t4_compose" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Norm.composePassage(Norm.titleOf(col("text")), col("text")).as("p"))
+        .select(col("doc_id"), length(col("p")).as("passage_len"),
+          md5(col("p").cast("binary")).as("passage_md5"))
+    }),
     // T5 title extraction (evaluation/evaluate.py:219-229)
     "t5_title" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -99,6 +109,16 @@ object SparkEntry {
         .distinct()
         .select(Norm.idOf(col("name")).as("id"), col("name"))
     }),
+    // G3 relation dedup + deterministic id (graph/builder.py:96-118):
+    // identical relation texts collapse to one row keyed md5(text), with the
+    // duplicate count — part attributes standing in for (s, p, o) like t3.
+    "g3_relation_dedup" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(Norm.relationText(col("p_brand"), col("p_type"), col("p_name")).as("text"))
+        .groupBy("text")
+        .agg(count(lit(1)).as("n_dups"))
+        .select(Norm.idOf(col("text")).as("id"), col("text"), col("n_dups"))
+    }),
     // G4/G5 adjacency build (graph/builder.py:86-122). The adjacency array is
     // serialized to a comma-joined string in the final projection: the driver's
     // comparator cannot sort rows containing array cells.
@@ -111,6 +131,18 @@ object SparkEntry {
         .select(col("word"),
           array_join(transform(col("ids"), _.cast("string")), ",").as("doc_ids"),
           col("n_docs"))
+    }),
+    // G6 relation↔passage adjacency (graph/builder.py:76-78): distinct edge
+    // pairs + per-relation serialized adjacency, orders↔parts standing in for
+    // relations↔passages (same shape as GraphTables.relationPassage).
+    "g6_rel_passage_adjacency" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("relation_id"),
+          col("l_partkey").cast("string").as("passage_id"))
+        .distinct()
+        .groupBy("relation_id")
+        .agg(array_join(sort_array(collect_set(col("passage_id"))), ",").as("passage_ids"),
+          countDistinct(col("passage_id")).as("n_passages"))
     }),
     // G9 cascade delete: strip a victim id out of adjacency arrays (serialized
     // to string for the driver comparator, as in g4).
@@ -298,6 +330,26 @@ object SparkEntry {
         .select((col("pos") + 1).cast("int").as("rank"), col("col.l_partkey").as("l_partkey"))
     }),
 
+    // V5 naive-RAG backfill (rag.py:629-638) through the REAL
+    // Assembly.backfill: graph hits = top-5 orders by totalprice, naive hits
+    // = first 10 orderkeys; naive extras append after the graph hits (rank +
+    // 1e6 bias) until topK = 8.
+    "v5_backfill" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val graphHits = o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(5)
+        .agg(array_sort(collect_list(
+          struct((-col("o_totalprice")).as("s"), col("o_orderkey")))).as("a"))
+        .select(posexplode(col("a")))
+        .select(col("col.o_orderkey").cast("string").as("passage_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      val naiveHits = o.orderBy(col("o_orderkey").asc).limit(10)
+        .agg(array_sort(collect_list(struct(col("o_orderkey")))).as("a"))
+        .select(posexplode(col("a")))
+        .select(col("col.o_orderkey").cast("string").as("passage_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      Assembly.backfill(graphHits, naiveHits, topK = 8)
+    }),
+
     // ------------------------------------------------------------ §2.9 eval (M1)
     // Recall@5 by label: queries vec_id<20 vs corpus >=20; hit = same label.
     "m1_recall" -> ((s, dir) => {
@@ -313,6 +365,23 @@ object SparkEntry {
         .groupBy("query_id")
         .agg((sum(when(col("q_label") === col("n_label"), 1).otherwise(0)) / 5.0)
           .as("recall_at_5"))
+    }),
+    // M3 macro-averaged recall grid (evaluate.py:435-534) through the REAL
+    // Recall.recallAtK + macroAverage: gold per question = same-label corpus
+    // vectors (bounded corpus slice keeps the gold join small).
+    "m3_macro_avg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20 && col("vec_id") < 220)
+      val hits = VectorSearch.knnJoin(
+          q, c, "vec_id", "embedding", "vec_id", "embedding", 5)
+        .select(col("query_id").as("question_id"), col("rank"),
+          col("neighbor_id").as("item"))
+      val gold = q.select(col("vec_id").cast("string").as("question_id"), col("label"))
+        .join(c.select(col("vec_id").cast("string").as("item"), col("label")), Seq("label"))
+        .select("question_id", "item")
+      graft.eval.Recall.macroAverage(
+        graft.eval.Recall.recallAtK(hits, gold, Seq(1, 2, 5)), Seq(1, 2, 5))
     }),
 
     // ------------------------------------------------- scale pipeline: dedup (D)
@@ -1063,15 +1132,26 @@ object SparkEntry {
       "t3_relation_text" ->
         (s"SELECT p_partkey, concat_ws(' ', ${normE("p_brand")}, ${normE("p_type")}, " +
           s"${normE("p_name")}) AS relation_text FROM part"),
+      "t4_compose" ->
+        """SELECT doc_id, length(p) AS passage_len, md5(p) AS passage_md5 FROM (
+          |  SELECT doc_id, concat_ws(chr(10), trim(split_part(text, chr(10), 1)), text) AS p
+          |  FROM documents) t""".stripMargin.replace("\n", " "),
       "t5_title" ->
         "SELECT doc_id, trim(split_part(text, chr(10), 1)) AS title FROM documents",
       "g1_explode" ->
         s"SELECT doc_id, CAST(pos AS INTEGER) AS pos, word FROM ($docWords) t",
       "g2_entity_dedup" ->
         s"SELECT md5(name) AS id, name FROM (SELECT DISTINCT word AS name FROM ($docWords) t) d",
+      "g3_relation_dedup" ->
+        (s"SELECT md5(text) AS id, text, n_dups FROM (SELECT concat_ws(' ', ${normE("p_brand")}, " +
+          s"${normE("p_type")}, ${normE("p_name")}) AS text, count(*) AS n_dups FROM part GROUP BY 1) t"),
       "g4_adjacency" ->
         s"""SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
            |count(DISTINCT doc_id) AS n_docs FROM ($docWords) t GROUP BY word""".stripMargin.replace("\n", " "),
+      "g6_rel_passage_adjacency" ->
+        """SELECT l_orderkey AS relation_id,
+          |array_to_string(list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))), ',') AS passage_ids,
+          |count(DISTINCT l_partkey) AS n_passages FROM lineitem GROUP BY 1""".stripMargin.replace("\n", " "),
       "g9_cascade" ->
         s"""SELECT word, array_to_string(list_filter(list_sort(list(DISTINCT doc_id)), d -> d <> 0), ',') AS doc_ids_after
            |FROM ($docWords) t GROUP BY word""".stripMargin.replace("\n", " "),
@@ -1245,6 +1325,41 @@ object SparkEntry {
           |SELECT rank, l_partkey FROM (
           |  SELECT l_partkey, row_number() OVER (ORDER BY rel_rank ASC, pos ASC, l_partkey ASC) AS rank
           |  FROM first_seen WHERE rn = 1) t WHERE rank <= 20""".stripMargin.replace("\n", " "),
+      "v5_backfill" ->
+        """WITH g AS (
+          |  SELECT passage_id, r FROM (
+          |    SELECT CAST(o_orderkey AS VARCHAR) AS passage_id,
+          |      CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS r
+          |    FROM orders) t WHERE r <= 5),
+          |nv AS (
+          |  SELECT passage_id, r FROM (
+          |    SELECT CAST(o_orderkey AS VARCHAR) AS passage_id,
+          |      CAST(row_number() OVER (ORDER BY o_orderkey ASC) AS INTEGER) AS r
+          |    FROM orders) t WHERE r <= 10),
+          |u AS (
+          |  SELECT passage_id, r FROM g
+          |  UNION ALL
+          |  SELECT nv.passage_id, nv.r + 1000000 FROM nv ANTI JOIN g USING (passage_id))
+          |SELECT passage_id, CAST(rk AS INTEGER) AS rank FROM (
+          |  SELECT passage_id, row_number() OVER (ORDER BY r ASC, passage_id ASC) AS rk FROM u) z
+          |WHERE rk <= 8""".stripMargin.replace("\n", " "),
+      "m3_macro_avg" ->
+        """WITH q AS (SELECT CAST(vec_id AS VARCHAR) qid, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT CAST(vec_id AS VARCHAR) cid, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20 AND vec_id < 220),
+          |hits AS (SELECT qid, cid, rank FROM (
+          |  SELECT q.qid, c.cid,
+          |    row_number() OVER (PARTITION BY q.qid ORDER BY list_dot_product(qv, cv) DESC, c.cid ASC) AS rank
+          |  FROM q, c) t WHERE rank <= 5),
+          |gold AS (SELECT q.qid, c.cid FROM q JOIN c ON q.ql = c.cl),
+          |gn AS (SELECT qid, count(*) AS g FROM gold GROUP BY 1),
+          |gh AS (SELECT h.qid, h.rank FROM hits h JOIN gold gd ON h.qid = gd.qid AND h.cid = gd.cid),
+          |perq AS (SELECT gn.qid,
+          |  CAST(count(CASE WHEN gh.rank <= 1 THEN 1 END) AS DOUBLE) / gn.g AS r1,
+          |  CAST(count(CASE WHEN gh.rank <= 2 THEN 1 END) AS DOUBLE) / gn.g AS r2,
+          |  CAST(count(CASE WHEN gh.rank <= 5 THEN 1 END) AS DOUBLE) / gn.g AS r5
+          |  FROM gn LEFT JOIN gh ON gn.qid = gh.qid GROUP BY gn.qid, gn.g)
+          |SELECT round(avg(r1), 6) AS avg_recall_at_1, round(avg(r2), 6) AS avg_recall_at_2,
+          |  round(avg(r5), 6) AS avg_recall_at_5 FROM perq""".stripMargin.replace("\n", " "),
       "m1_recall" ->
         """WITH q AS (SELECT CAST(vec_id AS VARCHAR) query_id, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
           |c AS (SELECT CAST(vec_id AS VARCHAR) neighbor_id, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20),
