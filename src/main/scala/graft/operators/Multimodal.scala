@@ -8,10 +8,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * typed metadata, processed per-partition in batches.
   *
   * The Spark-side contract is real and tested — schema, partition-level batch
-  * shape, deterministic output layout; the actual byte decoding is STUBBED
-  * (`fakeDecode`) because no media libraries exist in this container. A production
-  * deployment swaps `fakeDecode` for a real decoder (or `mapInPandas`+PIL on the
-  * Python side) without touching any of the plumbing.
+  * shape, deterministic output layout. IMAGE payloads get REAL pixel decoding
+  * via `javax.imageio` (PNG/BMP/JPEG/GIF — ships with the JDK, zero new
+  * dependencies): features are an L2-normalized luminance fold over the
+  * actual pixels, with width/height surfaced. Bytes imageio cannot parse —
+  * and the audio/video modalities, which have no JDK codec — fall back to
+  * the deterministic byte-fold stub (`fakeDecode`), flagged `decoded=false`;
+  * a production deployment swaps that fallback for a codec decoder (JNI/
+  * ffmpeg/PIL-on-mapInPandas) without touching any of the plumbing.
   */
 object Multimodal {
 
@@ -33,9 +37,44 @@ object Multimodal {
       lit(s"application/x-fake-$modality").as("mime"),
       map(lit("origin"), lit("synthetic")).as("meta"))
 
-  // ======================== STUB: deterministic fake decode =====================
-  // ??? in production: replace with a real decoder (JNI/ffmpeg/PIL-on-mapInPandas).
-  // The fake derives "features" purely from the bytes so tests are deterministic.
+  /** Real image decode (PNG/BMP/JPEG/GIF via the JDK's javax.imageio):
+    * payload bytes → BufferedImage, None when the bytes aren't a supported
+    * image. ImageIO instances are not thread-safe to share, but each call
+    * creates its own reader — safe under Spark's task parallelism. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic features from REAL pixels: per-pixel Rec.601 luminance in
+    * [0,1], folded row-major into `dim` buckets, L2-normalized — the same
+    * output contract as the byte-fold fallback, derived from decoded image
+    * content. Lossless formats (PNG/BMP) make this bit-reproducible. */
+  private[operators] def pixelFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 0.299 +
+          ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+        out((y * w + x) % dim) += luma.toFloat
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.sqrt(out.map(v => v.toDouble * v).sum)
+    if (n > 0) (0 until dim).foreach(j => out(j) = (out(j) / n).toFloat)
+    out
+  }
+
+  // =================== FALLBACK: deterministic byte-fold stub ===================
+  // Used for undecodable bytes and the audio/video modalities (no JDK codec);
+  // a production build replaces this with a real media decoder. The fold
+  // derives "features" purely from the bytes so tests are deterministic.
   private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload == null) return out
@@ -49,16 +88,22 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction over assets: per-partition batched "decode" → fixed-dim
-    * feature vector + byte stats. Partition-level batching mirrors how a real
-    * GPU/codec decoder would amortize setup cost; output schema is stable. */
+  /** Feature extraction over assets: per-partition batched decode → fixed-dim
+    * feature vector + byte stats. Image payloads are REALLY decoded
+    * ([[decodeImage]]) with pixel-luminance features, width/height and
+    * `decoded=true`; anything imageio can't parse (and other modalities)
+    * takes the byte-fold fallback with width/height −1. Partition-level
+    * batching mirrors how a real GPU/codec decoder would amortize setup cost;
+    * output schema is stable. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", StringType, nullable = false),
       StructField("modality", StringType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     assets.select("asset_id", "modality", "payload").mapPartitions { it =>
       // batch shape: the iterator is consumed in groups so a real decoder could
@@ -66,9 +111,16 @@ object Multimodal {
       it.grouped(64).flatMap { batch =>
         batch.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getString(0), r.getString(1),
-            if (payload == null) 0L else payload.length.toLong,
-            fakeDecode(payload, dim).toSeq)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          val img = if (r.getString(1) == "image") decodeImage(payload) else None
+          img match {
+            case Some(i) =>
+              Row(r.getString(0), r.getString(1), nBytes,
+                pixelFeatures(i, dim).toSeq, true, i.getWidth, i.getHeight)
+            case None =>
+              Row(r.getString(0), r.getString(1), nBytes,
+                fakeDecode(payload, dim).toSeq, false, -1, -1)
+          }
         }
       }
     }(enc)

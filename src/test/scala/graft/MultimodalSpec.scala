@@ -1,0 +1,112 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.operators.Multimodal
+import javax.imageio.ImageIO
+import org.apache.spark.sql.functions._
+
+/** Real-image decode path ([[Multimodal.extractFeatures]] via javax.imageio)
+  * plus the golden-hash oracle for the frame-sampling shape (mm1). Test
+  * images are generated programmatically — lossless formats (PNG/BMP) make
+  * the decoded pixels, and therefore the features, bit-reproducible, so the
+  * goldens below are pinned constants, not fixtures.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic w×h test image: pixel (x,y) = RGB from a fixed formula. */
+  private def testImage(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 37 + y * 11) % 256
+      val g = (x * 5 + y * 73) % 256
+      val b = (x * 97 + y * 3) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"JDK must ship a $format writer")
+    out.toByteArray
+  }
+
+  test("extractFeatures really decodes PNG and BMP payloads (pixels, not bytes)") {
+    val png = encode(testImage(8, 6), "png")
+    val bmp = encode(testImage(8, 6), "bmp")
+    val assets = Seq(("png8x6", png), ("bmp8x6", bmp)).toDF("id", "bytes")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.toAssets(assets, "id", "bytes", "image"), dim = 4)
+      .collect().map(r => r.getAs[String]("asset_id") -> r).toMap
+    // both decode, with true pixel dimensions
+    for ((id, r) <- feats) {
+      assert(r.getAs[Boolean]("decoded"), id)
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 6, id)
+    }
+    // PNG and BMP encodings of the SAME pixels give IDENTICAL features —
+    // impossible under the byte-fold stub (their encoded bytes differ), so
+    // this pins that features come from decoded pixels
+    assert(png.toSeq != bmp.toSeq)
+    val fPng = { val r = feats("png8x6"); r.getSeq[Float](r.fieldIndex("features")).toList }
+    val fBmp = { val r = feats("bmp8x6"); r.getSeq[Float](r.fieldIndex("features")).toList }
+    assert(fPng == fBmp)
+    // and they match an independent computation from the raw pixel formula
+    val dim = 4
+    val acc = new Array[Double](dim)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val (r, g, b) = ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x * 97 + y * 3) % 256)
+      acc((y * 8 + x) % dim) += (r * 0.299 + g * 0.587 + b * 0.114) / 255.0
+    }
+    val accF = acc.map(_.toFloat)
+    val n = math.sqrt(accF.map(v => v.toDouble * v).sum)
+    val want = accF.map(v => (v / n).toFloat)
+    fPng.zip(want).foreach { case (got, w) => assert(math.abs(got - w) < 1e-6f) }
+  }
+
+  test("extractFeatures golden hash over the committed pixel formula") {
+    // md5 over the 6-dp-rounded features of a 16×16 PNG — a change to the
+    // decode or the luminance fold shows up here as a one-line diff
+    val png = encode(testImage(16, 16), "png")
+    val assets = Seq(("g16", png)).toDF("id", "bytes")
+    val row = Multimodal.extractFeatures(
+      Multimodal.toAssets(assets, "id", "bytes", "image"), dim = 8)
+      .collect().head
+    val rendered = row.getSeq[Float](row.fieldIndex("features")).toList.map(f => f"$f%.6f").mkString(",")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 == "0d7d450a5095898fae75ce3f63d252c9", s"rendered=$rendered md5=$md5")
+  }
+
+  test("undecodable bytes and non-image modalities fall back to the byte-fold stub") {
+    val junk = Seq(("txt1", "definitely not an image")).toDF("id", "text")
+    val viaImage = Multimodal.extractFeatures(
+      Multimodal.toAssets(junk, "id", "text", "image"), dim = 4).collect().head
+    assert(!viaImage.getAs[Boolean]("decoded"))
+    assert(viaImage.getAs[Int]("width") == -1 && viaImage.getAs[Int]("height") == -1)
+    // audio modality never attempts image decode; same payload → same features
+    val viaAudio = Multimodal.extractFeatures(
+      Multimodal.toAssets(junk, "id", "text", "audio"), dim = 4).collect().head
+    assert(!viaAudio.getAs[Boolean]("decoded"))
+    assert(viaImage.getSeq[Float](viaImage.fieldIndex("features")).toList == viaAudio.getSeq[Float](viaAudio.fieldIndex("features")).toList)
+  }
+
+  test("mm1 frame sampling golden hash (deterministic payload set)") {
+    // the mm1 driver row is rows-only; this pins its exact output shape on a
+    // committed deterministic payload set instead
+    val docs = (0 until 20)
+      .map(i => (s"v$i", ("frame-" + i.toString * 40) * (i + 1))).toDF("id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.toAssets(docs, "id", "text", "video"), frameBytes = 64, stride = 2)
+      .select(col("asset_id"), col("frame_index"), col("byte_offset"),
+        length(col("frame_payload")).as("frame_len"))
+      .collect()
+      .map(r => s"${r.getString(0)}|${r.getInt(1)}|${r.getLong(2)}|${r.getInt(3)}")
+      .sorted.mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(frames.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 == "b4dd7e9feb27e6d88e23b55a6705c4c8", s"rows=${frames.linesIterator.size} md5=$md5")
+  }
+}
