@@ -50,6 +50,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("saved BM25 index scoring prunes the scan to the query terms' buckets") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val docs = Seq(("d1", "alpha beta gamma"), ("d2", "beta delta"),
+      ("d3", "epsilon zeta eta theta"), ("d4", "gamma gamma beta")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_plan").toString
+    Bm25.save(Bm25.build(docs, "id", "text"), dir, nBuckets = 16)
+    val q = Seq(("q1", "beta")).toDF("qid", "qtext")
+    val scored = Bm25.scoreSaved(spark, dir, q, "qid", "qtext", k = 3)
+    val plan = planOf(scored)
+    // the postings scan carries a _bucket partition filter — on a saved index
+    // that is directory-level pruning: only the query terms' buckets are read
+    assert(plan.contains("_bucket"), "no bucket pruning in saved-index scan\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the hybrid/REST path takes this scoreSaved branch whenever a lex
+    // index exists (GraphStore.scoreLexIndex) — same pruned shape, not an
+    // on-the-fly rebuild: a rebuild re-tokenizes the corpus at query time,
+    // which shows up as split()/lower() normalization in the plan (the only
+    // legitimate Generate here is the bounded top-k posexplode)
+    assert(!plan.contains("split("), "query-time corpus re-tokenization\n" + plan)
+    assert(scored.collect().map(_.getString(2)).toSet == Set("d1", "d2", "d4"))
+  }
+
   test("no unpartitioned window anywhere in the assembly paths") {
     import graft.operators.Assembly
     val ranked = {
