@@ -54,23 +54,23 @@ object ProfileRag {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val Seq(ents, rels, er) = t("cp 3 tables (parallel)") {
+    val Seq(rels, er) = t("cp 2 tables (parallel)") {
       Await.result(Future.sequence(Seq(
-        Future(gt0.entities.localCheckpoint(true)),
         Future(gt0.relations.localCheckpoint(true)),
         Future(gt0.entityRelation.localCheckpoint(true)))), Duration.Inf)
     }
-    val gt = gt0.copy(entities = ents, relations = rels, entityRelation = er)
+    val gt = gt0.copy(relations = rels, entityRelation = er)
 
     val question = "the spark join order for big table scan"
     val seedNames = s.createDataFrame(
       question.split(" ").map(Tuple1(_)).toSeq).toDF("qtext")
       .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
-    val entityHits = t("entity KNN (lazy)") {
+    val entityHits = t("entity KNN (cp hits, lazy entities)") {
       VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
         VectorSearch.knnJoin(seedNames, gt.entities, "qtext", "qvec", "id", "embedding", 5),
         0.5))
         .select(col("neighbor_id").as("entity_id"))
+        .localCheckpoint(true)
     }
     val sub = t("expansion (collects)") {
       SubgraphExpansion.expand(
@@ -102,7 +102,7 @@ object ProfileRag {
         entitySimilarityThreshold = 0.5, finalTopK = 10),
       embedder = HashEmbedder(dim = 32))
     t("store.save (parquet barrier)") {
-      store.save("prof", gt0.copy(entities = ents, relations = rels, entityRelation = er))
+      store.save("prof", gt)
     }
     for (i <- 1 to 3)
       t(s"retrieve (run $i)") { rag.retrieve(question).passages.size }

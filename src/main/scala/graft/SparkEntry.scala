@@ -938,30 +938,43 @@ object SparkEntry {
         // vs 6 s for this whole stage at sf0.1).
         .localCheckpoint(true)
       val gt0 = graft.operators.GraphBuilder.build(docs, HashEmbedder(dim = 32))
-      // Materialize the built tables once: the retrieval stages below fire several
-      // actions (expansion audit counts, two KNNs), and without a barrier each
-      // would recompute the whole build DAG. GraphRag gets this barrier for free
-      // from its parquet write; the in-memory pipeline needs it explicitly.
-      // The three chains share the checkpointed triplet rows and are submitted
-      // CONCURRENTLY — overlapping their shuffle waits (measured ~2 s at sf0.1).
+      // Materialize MULTI-consumer tables once: relations feeds two actions
+      // (relation KNN + assembly) and entityRelation feeds the expansion's
+      // hop loop — without a barrier each action recomputes the build DAG.
+      // GraphRag gets this barrier for free from its parquet write; the
+      // in-memory pipeline needs it explicitly. The chains share the
+      // checkpointed triplet rows and are submitted CONCURRENTLY —
+      // overlapping their shuffle waits (measured ~2 s at sf0.1). entities
+      // stays LAZY: its only consumer is the seed KNN, whose bounded result
+      // is checkpointed below — materializing the full table would be one
+      // whole extra pass (embeddings included) for nothing.
+      // Two concurrent materializations over the shared triplet checkpoint:
+      // relations (feeds relation KNN + assembly) and entityRelation (feeds
+      // the expansion hop loop). A third concurrent branch for the seed KNN
+      // was MEASURED SLOWER (12-16 s vs ~11 s total): three jobs contending
+      // for all cores lengthen the critical path more than the overlap saves.
       val gt = {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val Seq(e, r, er) = Await.result(Future.sequence(Seq(
-          Future(gt0.entities.localCheckpoint(true)),
+        val Seq(r, er) = Await.result(Future.sequence(Seq(
           Future(gt0.relations.localCheckpoint(true)),
           Future(gt0.entityRelation.localCheckpoint(true)))), Duration.Inf)
-        gt0.copy(entities = e, relations = r, entityRelation = er)
+        gt0.copy(relations = r, entityRelation = er)
       }
       val question = "the spark join order for big table scan"
       val seedNames = s.createDataFrame(
         question.split(" ").map(Tuple1(_)).toSeq).toDF("qtext")
         .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
+      // top-5, query-sized — checkpointed so the expansion's fused seed-init
+      // (which evaluates the seed subplan in BOTH union branches) reads a
+      // local frame instead of running the entity build + KNN twice; entities
+      // itself stays lazy (this is its only consumer).
       val entityHits = VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
         VectorSearch.knnJoin(seedNames, gt.entities, "qtext", "qvec", "id", "embedding", 5),
         0.5))
         .select(col("neighbor_id").as("entity_id"))
+        .localCheckpoint(true)
       val sub = SubgraphExpansion.expand(
         entityHits,
         s.emptyDataFrame.withColumn("relation_id", lit("")).filter(lit(false)),
