@@ -68,17 +68,21 @@ object Bench {
         case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
     } catch { case NonFatal(e) => System.err.println(s"[ivf-recall] failed: $e") }
     // IVF-PQ twin: same dial, but recall at nProbe=nList stays < 1.0 by the
-    // PQ approximation error — the accuracy number behind the ~32× memory cut.
+    // PQ approximation error — the accuracy number behind the memory cut.
+    // Config sweep on these (uniform-random — PQ's adversarial case)
+    // embeddings: m=8/dsub=8/k=16 ceilings at 0.19, m=16/dsub=4/k=128 at
+    // ~0.64; the finer subspaces double code size to 16 small ints — still
+    // 16× smaller than the 64 floats they stand in for.
     if (wanted.isEmpty) try {
       import org.apache.spark.sql.functions.col
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 8)
       val dir = java.nio.file.Files.createTempDirectory("ivfpq_bench").toString
       graft.operators.IvfPq.buildAndSave(emb, "vec_id", "embedding", dir,
-        nList = 32, m = 8, dsub = 8, k = 16, pqIters = 1)
+        nList = 32, m = 16, dsub = 4, k = 128, pqIters = 2)
       val curve = graft.operators.IvfPq.recallCurve(spark, dir, emb, queries,
         "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbes = Seq(1, 2, 4, 8, 32))
-      System.err.println("[ivfpq-recall] nList=32 m=8 pqIters=1 k=10 " + curve.map {
+      System.err.println("[ivfpq-recall] nList=32 m=16 k=128 pqIters=2 k@10 " + curve.map {
         case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
     } catch { case NonFatal(e) => System.err.println(s"[ivfpq-recall] failed: $e") }
     spark.stop()
