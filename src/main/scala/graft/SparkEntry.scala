@@ -757,6 +757,29 @@ object SparkEntry {
         .select(col("doc_id").cast("string").as("aid"))
       CorpusOps.negativeSample(anchors, "aid", vocab, "token", "w", k = 4)
     }),
+    // X16 hot-n-gram scrub (RefinedWeb/C4-style sub-document boilerplate
+    // removal): tokens covered by any 5-gram occurring >2× corpus-wide are
+    // dropped; docs reassembled in order. Output pinned by count + md5.
+    "x16_ngram_scrub" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+      CorpusOps.scrubHotNgrams(toks, "doc_id", "toks", n = 5, maxOccurrences = 2)
+        .select(col("doc_id"), col("n_tokens_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+    }),
+    // X17 temperature-weighted source mixing (α=0.5, budget 250): rare
+    // sources upsampled relative to share, deterministic id-hash membership;
+    // output = the per-source audit summary of the sampling decision.
+    "x17_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("s"), col("doc_id") % 4).as("source"))
+      val kept = CorpusOps.temperatureMix(docs, "doc_id", "source",
+        alpha = 0.5, budget = 250L)
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
     // CS1 exact per-language token-length quantiles (p50/p90/p99, linear
     // interpolation — Spark percentile ≡ DuckDB quantile_cont). One hash agg;
     // the per-group sort inside percentile is bounded by group size.
@@ -1668,6 +1691,34 @@ object SparkEntry {
            |  SELECT doc_id, n,
            |    coalesce(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
            |  FROM (SELECT doc_id, len($toksDoc) AS n FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x16_ngram_scrub" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),
+           |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok FROM d),
+           |grams AS (SELECT doc_id, u['start'] AS start, u['gram'] AS gram FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+           |    i -> {'start': i - 1, 'gram': array_to_string(list_slice(toks, i, i + 4), ' ')})) AS u
+           |  FROM d) ug),
+           |hot AS (SELECT gram FROM grams GROUP BY 1 HAVING count(*) > 2),
+           |cov AS (SELECT DISTINCT h.doc_id, h.start + g.i AS pos
+           |  FROM (SELECT gr.doc_id, gr.start FROM grams gr JOIN hot USING (gram)) h,
+           |       generate_series(0, 4) AS g(i)),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t ANTI JOIN cov USING (doc_id, pos))
+           |SELECT doc_id, count(*) AS n_tokens_kept, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+           |FROM kept GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      "x17_temperature_mix" ->
+        """WITH src AS (SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS source FROM documents),
+          |counts AS (SELECT source, count(*) AS n FROM src GROUP BY 1),
+          |z AS (SELECT sum(sqrt(n)) AS z FROM counts),
+          |rates AS (SELECT source, n,
+          |    least(10000, CAST(floor(250.0 * sqrt(n) / z.z / n * 10000.0) AS BIGINT)) AS bps
+          |  FROM counts, z),
+          |kept AS (
+          |  SELECT s.source, count(*) AS n_kept
+          |  FROM src s JOIN rates r USING (source)
+          |  WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.bps
+          |  GROUP BY 1)
+          |SELECT c.source, c.n AS n_docs, coalesce(k.n_kept, 0) AS n_kept
+          |FROM counts c LEFT JOIN kept k USING (source)""".stripMargin.replace("\n", " "),
       "x10_stratified_sample" ->
         s"""WITH langs AS ($langSelect),
            |counts AS (SELECT lang, count(*) AS n_docs FROM langs GROUP BY lang),

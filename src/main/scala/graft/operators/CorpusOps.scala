@@ -137,6 +137,76 @@ object CorpusOps {
       .drop("_cnt", "_bps")
   }
 
+  /** Temperature-weighted source mixing — the multilingual/multi-source
+    * training-mix move: source s keeps ~`budget · n_s^α / Σ_t n_t^α` docs, so
+    * α = 1 preserves natural proportions, α → 0 equalizes sources, and the
+    * usual α ∈ (0, 1) upsamples rare sources relative to their share. The
+    * keep decision is the same deterministic id-hash bucket as
+    * [[equalizeStrata]] — a pure row property, stable under repartition and
+    * corpus growth. α = 0.5 routes through sqrt (IEEE-correctly-rounded in
+    * every engine, unlike pow) so the rate arithmetic is reproducible
+    * bit-for-bit cross-engine and the operator stays oracle-checkable.
+    *
+    * One tiny per-source aggregate broadcast back; the filter is per-row,
+    * shuffle-free. Sources whose rate rounds to ≥ 1 keep everything. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    def w(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_cnt"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum(w(col("_cnt"))).as("_z"))))
+      .select(col(sourceCol), col("_cnt"),
+        least(lit(10000L),
+          floor(lit(budget.toDouble) * w(col("_cnt")) / col("_z") / col("_cnt")
+            * 10000.0).cast("long")).as("_bps"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(bucket10k(col(idCol)) < col("_bps"))
+      .drop("_cnt", "_bps")
+  }
+
+  /** RefinedWeb/C4-style hot n-gram scrub — sub-document boilerplate removal:
+    * any word n-gram occurring more than `maxOccurrences` times corpus-wide
+    * is boilerplate, and EVERY token covered by an occurrence of a hot n-gram
+    * is dropped; documents are reassembled from the surviving tokens in
+    * original order. The n-gram-level twin of [[Dedup.dedupLines]] for
+    * boilerplate that doesn't respect line breaks.
+    *
+    * Shape at scale: one shingle explode + one count aggregate on the gram
+    * key (map-side combine); the hot table is small by construction
+    * (count > threshold) and joins back by semi-join; coverage expansion is
+    * a bounded explode (n rows per hot occurrence) + distinct; the final
+    * reassembly aggregates per doc. No window, no self-join of the corpus.
+    * Documents whose every token is hot-covered vanish from the output.
+    *
+    * Output: (<idCol>, n_tokens_kept, clean_text). */
+  def scrubHotNgrams(df: DataFrame, idCol: String, toksCol: String,
+      n: Int, maxOccurrences: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    // (id, start, gram) — feeds the hot aggregate AND the hot-start semi-join
+    val grams = base
+      .select(col("id"), posexplode(graft.functions.Norm.shingles(col("toks"), n)))
+      .select(col("id"), col("pos").as("start"), col("col").as("gram"))
+      .localCheckpoint(true)
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxOccurrences).select("gram")
+    val covered = grams.join(hot, Seq("gram"), "left_semi")
+      .select(col("id"), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    base.select(col("id"), posexplode(col("toks")))
+      .select(col("id"), col("pos"), col("col").as("tok"))
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")), " ").as("clean_text"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -104,6 +104,64 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ scrubHotNgrams
+
+  test("scrubHotNgrams drops exactly the tokens covered by hot n-grams") {
+    // "a b c" appears 3× (> 2) — every token of every occurrence must go;
+    // the unique tails survive in original order
+    val docs = Seq(
+      ("d1", Seq("a", "b", "c", "x1")),
+      ("d2", Seq("y0", "a", "b", "c", "y1")),
+      ("d3", Seq("a", "b", "c")),
+      ("d4", Seq("z0", "z1"))).toDF("doc_id", "toks")
+    val out = CorpusOps.scrubHotNgrams(docs, "doc_id", "toks", n = 3, maxOccurrences = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("d1") == (1L, "x1"))
+    assert(out("d2") == (2L, "y0 y1"))
+    assert(!out.contains("d3"), "fully-covered doc must vanish")
+    assert(out("d4") == (2L, "z0 z1"), "short docs (< n tokens) untouched")
+  }
+
+  test("scrubHotNgrams with a high threshold is the identity (minus empty docs)") {
+    val docs = Seq(("d1", Seq("a", "b", "c", "d")), ("d2", Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    val out = CorpusOps.scrubHotNgrams(docs, "doc_id", "toks", n = 2, maxOccurrences = 100)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("d1" -> "a b c d"))
+  }
+
+  // ------------------------------------------------------------ temperatureMix
+
+  test("temperatureMix: alpha=1 keeps natural proportions, alpha=0.5 upsamples rare") {
+    val rows = (0 until 900).map(i => (s"d$i", "big")) ++
+      (900 until 1000).map(i => (s"d$i", "small"))
+    val df = rows.toDF("id", "source")
+    def keptBySource(alpha: Double, budget: Long): Map[String, Long] =
+      CorpusOps.temperatureMix(df, "id", "source", alpha, budget)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: p_s = n_s/N → every source keeps ~budget/N of its rows
+    val nat = keptBySource(1.0, 500L)
+    val natRatio = nat("big").toDouble / nat.getOrElse("small", 0L).max(1L)
+    assert(natRatio > 4.0, s"natural mix must stay big-heavy: $nat")
+    // alpha=0.5: sqrt weights → small's share triples (sqrt(900):sqrt(100)=3:1)
+    val flat = keptBySource(0.5, 500L)
+    val flatRatio = flat("big").toDouble / flat("small")
+    assert(flatRatio < natRatio, s"temperature must flatten: $flat vs $nat")
+    // rate cap: a huge budget keeps everything
+    val all = keptBySource(0.5, 1000000L)
+    assert(all == Map("big" -> 900L, "small" -> 100L))
+  }
+
+  test("temperatureMix membership is a pure row property (repartition-stable)") {
+    val df = (0 until 300).map(i => (s"d$i", s"s${i % 3}")).toDF("id", "source")
+    val a = CorpusOps.temperatureMix(df, "id", "source", 0.5, 150L)
+      .select("id").collect().map(_.getString(0)).toSet
+    val b = CorpusOps.temperatureMix(df.repartition(7), "id", "source", 0.5, 150L)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(a == b)
+  }
+
   // --------------------------------------------------------------- equalizeStrata
 
   test("equalizeStrata caps large strata near the smallest, keeps smallest whole") {
