@@ -97,10 +97,11 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
+    var labelsCp = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
+    var labels = labelsCp
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -116,16 +117,27 @@ object Dedup {
           min(when(col("own") === 1, col("rep"))).as("prev"))
         .localCheckpoint(true)
       done = next.filter(col("rep") =!= col("prev")).isEmpty
+      // `next` is materialized — the superseded round's blocks are dead; free
+      // them now or an N-round run pins N copies of the label table.
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(labelsCp)
+      labelsCp = next
       labels = next.select(col("id"), col("rep"))
       iter += 1
     }
+    // the returned frame derives from the LAST labels checkpoint only
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
     // Truncated convergence must not masquerade as a correct clustering: a
     // component whose diameter exceeds maxIter would come back split into
     // several "clusters", silently keeping extra near-duplicates. Deep dup
     // CHAINS are exactly what web corpora produce, and raising maxIter
     // linearly is no answer at scale — hand off to the diameter-independent
     // O(log n)-round star algorithm instead.
-    if (!done) return connectedComponentsStars(pairs, aCol, bCol)
+    if (!done) {
+      // the star path re-derives everything from `pairs`; this run's label
+      // table is dead weight
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(labelsCp)
+      return connectedComponentsStars(pairs, aCol, bCol)
+    }
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 
@@ -183,7 +195,13 @@ object Dedup {
         .localCheckpoint(true)
       // exact fixed-point test: same cardinality + no new rows ⇒ equal sets
       done = ss.count() == edges.count() && ss.except(edges).isEmpty
+      // ss is materialized and the fixed-point test is done: the round's
+      // intermediate (ls) and the superseded edge snapshot are dead blocks —
+      // free them, or a deep run pins 2 edge-list copies per round.
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(ls)
+      val prev = edges
       edges = ss
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prev)
       round += 1
     }
     if (!done) throw new IllegalStateException(

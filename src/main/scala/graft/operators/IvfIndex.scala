@@ -157,6 +157,8 @@ object IvfIndex {
       df.select(col("query_id"), col("neighbor_id")).collect()
         .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
     val exact = byQuery(VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
+    require(exact.nonEmpty,
+      "recallCurve: empty query set (or empty corpus) — recall is undefined")
     nProbes.map { p =>
       val got = byQuery(search(index, queries, qId, qVec, p, k))
       val recall = exact.map { case (q, ex) =>

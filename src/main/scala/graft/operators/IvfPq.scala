@@ -73,17 +73,11 @@ object IvfPq {
       celled.limit(0).write.mode("overwrite").parquet(codesPath)
   }
 
-  /** Probe-limited ADC search against a SAVED index. Metadata (centroids,
-    * codebook) is tiny and re-read per call; the code scan is pruned to the
-    * probed cells' directories by a literal predicate. `m`/`dsub` are
-    * recovered from the codebook itself. Output: (query_id, rank,
-    * neighbor_id, score) — scores rounded (6 dp) before ranking, id
-    * tie-break, like every retrieval operator here. */
   /** Measured recall@k of saved-index ADC search vs exact KNN, per nProbe —
     * the IVF-PQ twin of [[IvfIndex.recallCurve]]. Unlike plain IVF, recall at
     * nProbe = nList stays below 1.0 by the PQ approximation error (codes
     * stand in for vectors), so this curve is the accuracy number a user
-    * weighs against the ~32× memory cut when choosing IVF-PQ over IVF.
+    * weighs against the memory cut when choosing IVF-PQ over IVF.
     * Driver-side work is bounded by queries × k ids. */
   def recallCurve(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, qId: String, qVec: String, cId: String, cVec: String,
@@ -93,6 +87,8 @@ object IvfPq {
         .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
     val exact = byQuery(
       VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
+    require(exact.nonEmpty,
+      "recallCurve: empty query set (or empty corpus) — recall is undefined")
     nProbes.map { p =>
       val got = byQuery(searchSaved(spark, dir, queries, qId, qVec, p, k))
       val recall = exact.map { case (q, ex) =>
@@ -102,6 +98,12 @@ object IvfPq {
     }
   }
 
+  /** Probe-limited ADC search against a SAVED index. Metadata (centroids,
+    * codebook) is tiny and re-read per call; the code scan is pruned to the
+    * probed cells' directories by a literal predicate. `m`/`dsub` are
+    * recovered from the codebook itself. Output: (query_id, rank,
+    * neighbor_id, score) — scores rounded (6 dp) before ranking, id
+    * tie-break, like every retrieval operator here. */
   def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
       qId: String, qVec: String, nProbe: Int, k: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")

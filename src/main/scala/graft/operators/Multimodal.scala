@@ -44,7 +44,14 @@ object Multimodal {
   private[operators] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null) None
     else try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      // ImageIO's default disk cache would create a temp file PER PAYLOAD
+      // (including every non-image probe) — wrap the already-in-memory bytes
+      // in a memory-cache stream instead; no executor-side disk I/O.
+      // no explicit close: ImageIO.read(ImageInputStream) closes the stream
+      // itself (a second close throws), and the backing buffer is pure heap
+      Option(javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic features from REAL pixels: per-pixel Rec.601 luminance in

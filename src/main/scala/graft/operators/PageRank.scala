@@ -78,6 +78,13 @@ object PageRank {
     // Degrees are node-sized — checkpointed once, they double as the node
     // set (free) and broadcast into the weighting join (no edge shuffle).
     val deg = e.groupBy("src").agg(count(lit(1)).as("_d")).localCheckpoint(true)
+    val nodes = deg.select(col("src").as("id"))
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("pr", lit(0.0))
+    // Regime check BEFORE the weighted-edge build: past the broadcast bound
+    // that full-edge shuffle would be materialized only to be abandoned for
+    // the GraphX path (which derives degrees itself).
+    if (n > maxBroadcastNodes) return runBig(e, iterations, damping)
     // Degree-weighted edges (src, dst, invdeg): built once, PRE-PARTITIONED
     // on dst — the aggregation key of every iteration — then checkpointed.
     // localCheckpoint preserves the partitioning, so each iteration's
@@ -87,10 +94,6 @@ object PageRank {
       .select(col("src"), col("dst"), (lit(1.0) / col("_d")).as("_invdeg"))
       .repartition(col("dst"))
       .localCheckpoint(true)
-    val nodes = deg.select(col("src").as("id"))
-    val n = nodes.count()
-    if (n == 0) return nodes.withColumn("pr", lit(0.0))
-    if (n > maxBroadcastNodes) return runBig(e, iterations, damping)
 
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
@@ -117,16 +120,16 @@ object PageRank {
     * rescaling the result; this loop runs the exact [[run]] recurrence
     * (init 1/N, rank = (1−d)/N + d·Σ contrib) with the same per-edge
     * 1/outdeg weights. Same output contract: (id, pr) for nodes with ≥1
-    * out-edge, dangling mass dropped. Ids are stringified for the
-    * long-vertex-id mapping (zipWithUniqueId), like [[GraphXExpansion]]. */
+    * out-edge, dangling mass dropped — and the id column KEEPS the caller's
+    * type (the internal long-vertex-id mapping via zipWithUniqueId is joined
+    * back out), so run()'s handoff never changes the result schema. */
   def runBig(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0, 1], got $damping")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges
-      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val e = edges.select(col("src"), col("dst"))
     val outNodes = e.select(col("src").as("name")).distinct().localCheckpoint(true)
     val n = outNodes.count()
     if (n == 0)
@@ -134,7 +137,13 @@ object PageRank {
     val names = e.select(col("src").as("name"))
       .union(e.select(col("dst").as("name"))).distinct()
     val idMap = spark.createDataFrame(
-      names.rdd.map(_.getString(0)).zipWithUniqueId()).toDF("name", "vid")
+      names.rdd.zipWithUniqueId().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        names.schema.head.copy(name = "name"),
+        org.apache.spark.sql.types.StructField("vid",
+          org.apache.spark.sql.types.LongType, nullable = false))))
       .localCheckpoint(true) // feeds both edge-endpoint joins + the join-back
     val edgeRdd = e
       .join(idMap.toDF("src", "svid"), "src")

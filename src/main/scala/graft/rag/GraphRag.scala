@@ -303,8 +303,13 @@ final class GraphRag(
       .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
     val qDf = Seq(question).toDF("qtext")
     val sparse = store.scoreLexIndex(graph, qDf, "qtext", "qtext", runDepth)
+      // materialize=false: this is a one-shot query-time build in a possibly
+      // long-lived server — eager checkpoints here would leak block-manager
+      // blocks per query (nothing unpersists them); the lazy DAG runs once
+      // inside the single scoring action and leaves nothing behind
       .getOrElse(Bm25.score(
-        Bm25.build(passagesT, "id", "text"), qDf, "qtext", "qtext", runDepth))
+        Bm25.build(passagesT, "id", "text", materialize = false),
+        qDf, "qtext", "qtext", runDepth))
       .select(col("query_id"), col("rank"), col("doc_id"))
     val fused = HybridFusion.rrf(Seq(dense, sparse), k)
     passagesT.select(col("id").as("doc_id"), col("text"))

@@ -14,4 +14,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the cached blocks behind a `localCheckpoint(eager = true)` frame.
+    *
+    * `DataFrame.unpersist` only consults the CacheManager, which never hears
+    * about checkpoint blocks — the RDD caching happens inside
+    * `localCheckpoint` itself — so iterative operators that checkpoint per
+    * round would otherwise pin every superseded round's blocks until the
+    * session dies. The checkpointed plan is a `LogicalRDD` (`private[sql]`,
+    * hence this bridge); anything else is a no-op. Safe only once nothing
+    * will recompute FROM the frame (downstream checkpoints are themselves
+    * materialized). */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -53,6 +53,14 @@ class GraphAnalyticsSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     val direct = PageRank.run(edges, 5).as[(String, Double)].collect().toMap
     routed.foreach { case (id, pr) => assert(math.abs(direct(id) - pr) < 1e-9) }
+    // the handoff must not change the result schema: long ids stay long
+    val longEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val viaBig = PageRank.run(longEdges, 3, maxBroadcastNodes = 1L)
+    assert(viaBig.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val viaDf = PageRank.run(longEdges, 3).as[(Long, Double)].collect().toMap
+    viaBig.as[(Long, Double)].collect().foreach { case (id, pr) =>
+      assert(math.abs(viaDf(id) - pr) < 1e-9, s"long-id id=$id")
+    }
   }
 
   test("pagerank: cooccurrence edges are symmetric, distinct, reflexive-free") {
