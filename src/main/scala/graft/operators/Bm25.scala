@@ -67,6 +67,10 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("tf")))
     val dl = share(exploded.groupBy("id")
       .agg(count(lit(1)).cast("double").as("dl")))
+    // tf and dl are materialized — the exploded token frame (the corpus-sized
+    // one) is now dead; free its blocks instead of pinning them for the
+    // index's lifetime. tf/dl stay cached: they ARE the in-memory index.
+    if (materialize) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(exploded)
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       coalesce(avg("dl"), lit(0.0)).as("avgdl"))

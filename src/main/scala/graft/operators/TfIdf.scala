@@ -48,6 +48,9 @@ object TfIdf {
       // norm and score) but they are the LONGEST posting lists — drop them
       // before they inflate the norm join and every downstream term join
       .filter(col("w") =!= 0.0))
+    // weighted is materialized and the returned frame derives from it alone —
+    // the tf checkpoint's blocks are dead; free them.
+    if (materialize) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tf)
     val norms = weighted.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("_nrm"))
     weighted.join(norms, "id")
       .filter(col("_nrm") > 0.0)
