@@ -805,6 +805,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Z1 Z-order (Morton) layout key: bit-interleave (partkey, suppkey) so a
+    // zkey-sorted table keeps locality in BOTH dimensions — parquet min/max
+    // stats then prune filters on either column. Pure codegen'd bit
+    // arithmetic; the clusterBy range-repartition itself is plan-level
+    // (LayoutSpec pins the non-overlapping-range + sorted-within properties).
+    "z1_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          Layout.zorderKey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
+    }),
+
     // --------------------------------------------------- events: windows/sessions
     // ST1 tumbling hourly aggregation (batch twin of StreamingOps.windowedCounts).
     "st1_window_agg" -> ((s, dir) => {
@@ -1691,6 +1703,15 @@ object SparkEntry {
            |  SELECT doc_id, n,
            |    coalesce(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
            |  FROM (SELECT doc_id, len($toksDoc) AS n FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "z1_zorder" -> {
+        // unrolled from the same bit-position rule as Layout.zorderKey:
+        // bit i of column c lands at position i * nCols + c
+        val zterms = (0 until 16).flatMap(i => Seq(
+          s"(((l_partkey >> $i) & 1) << ${2 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $zterms AS zkey " +
+          "FROM lineitem WHERE l_orderkey % 7 = 0"
+      },
       "x16_ngram_scrub" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),
            |tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok FROM d),
