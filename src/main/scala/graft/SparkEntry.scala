@@ -805,6 +805,17 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // X18 bigram-LM log-perplexity (add-1 smoothing): the conditional upgrade
+    // of x12 — fluency under the corpus's own bigram model, the standard
+    // order-sensitive quality signal. See CorpusOps.bigramLogPerplexity.
+    "x18_bigram_logppl" -> ((s, dir) => {
+      CorpusOps.bigramLogPerplexity(
+        spread(t(s, dir, "documents"))
+          .select(col("doc_id"), Norm.normTokens(col("text")).as("toks")),
+        "doc_id", "toks")
+        .select(col("doc_id"), round(col("logppl2"), 6).as("logppl2_r"))
+    }),
+
     // Z1 Z-order (Morton) layout key: bit-interleave (partkey, suppkey) so a
     // zkey-sorted table keeps locality in BOTH dimensions — parquet min/max
     // stats then prune filters on either column. Pure codegen'd bit
@@ -1703,6 +1714,19 @@ object SparkEntry {
            |  SELECT doc_id, n,
            |    coalesce(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
            |  FROM (SELECT doc_id, len($toksDoc) AS n FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x18_bigram_logppl" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),
+           |tok AS (SELECT unnest(toks) AS lft FROM d),
+           |c1 AS (SELECT lft, CAST(count(*) AS DOUBLE) AS c1 FROM tok GROUP BY 1),
+           |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+           |bi AS (SELECT doc_id, u['lft'] AS lft, u['pair'] AS pair FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |    i -> {'lft': toks[i], 'pair': toks[i] || ' ' || toks[i + 1]})) AS u
+           |  FROM d) t),
+           |c2 AS (SELECT pair, CAST(count(*) AS DOUBLE) AS c2 FROM bi GROUP BY 1)
+           |SELECT bi.doc_id, round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 6) AS logppl2_r
+           |FROM bi JOIN c2 USING (pair) JOIN c1 USING (lft) CROSS JOIN v
+           |GROUP BY bi.doc_id""".stripMargin.replace("\n", " "),
       "z1_zorder" -> {
         // unrolled from the same bit-position rule as Layout.zorderKey:
         // bit i of column c lands at position i * nCols + c

@@ -115,6 +115,36 @@ object CorpusOps {
       .agg(avg(-log(col("_c") / col("_t"))).as("logppl"))
   }
 
+  /** Bigram-LM log-perplexity with add-k smoothing — the conditional
+    * upgrade of [[unigramLogPerplexity]] (fluency, not just rarity: a doc of
+    * common words in impossible ORDER scores high here and normal there):
+    *
+    *   logppl2(d) = -(1/|bigrams(d)|) Σ ln( (c(a,b)+k) / (c(a)+k·V) )
+    *
+    * with counts from the corpus itself and V = distinct-token count.
+    * Shape: one bigram explode (checkpointed — feeds the count aggregate and
+    * the scoring join) + token-count aggregate (checkpointed — feeds the
+    * unigram join and the 1-row V broadcast) + two joins + one per-doc
+    * aggregate, all map-side combinable. Docs with < 2 tokens are absent
+    * (nothing to condition on). */
+  def bigramLogPerplexity(df: DataFrame, idCol: String, toksCol: String,
+      addK: Double = 1.0): DataFrame = {
+    val bi = df.select(col(idCol),
+        explode(graft.functions.Norm.shingles(col(toksCol), 2)).as("pair"))
+      .withColumn("lft", substring_index(col("pair"), " ", 1))
+      .localCheckpoint(true)
+    val c1 = df.select(explode(col(toksCol)).as("lft"))
+      .groupBy("lft").agg(count(lit(1)).cast("double").as("_c1"))
+      .localCheckpoint(true)
+    val c2 = bi.groupBy("pair").agg(count(lit(1)).cast("double").as("_c2"))
+    bi.join(c2, "pair")
+      .join(c1, "lft")
+      .crossJoin(broadcast(c1.agg(count(lit(1)).cast("double").as("_v"))))
+      .groupBy(col(idCol))
+      .agg(avg(-log((col("_c2") + lit(addK)) / (col("_c1") + lit(addK) * col("_v"))))
+        .as("logppl2"))
+  }
+
   /** Deterministic stratified downsampling that equalizes strata: every
     * stratum is sampled down to (about) the size of the smallest one, the
     * standard move for capping a dominant language/domain in a training mix.

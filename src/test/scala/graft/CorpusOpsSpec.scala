@@ -130,6 +130,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map("d1" -> "a b c d"))
   }
 
+  // ------------------------------------------------------- bigramLogPerplexity
+
+  test("bigramLogPerplexity: scrambled word order scores worse than fluent order") {
+    // corpus dominated by "a b" bigrams; d_bad uses the same words reversed
+    val docs = (
+      (0 until 10).map(i => (s"f$i", Seq("a", "b", "a", "b", "a", "b"))) ++
+      Seq(("bad", Seq("b", "a", "b", "a", "b", "a")),
+          ("tiny", Seq("a")), ("empty", Seq.empty[String]))).toDF("id", "toks")
+    val out = CorpusOps.bigramLogPerplexity(docs, "id", "toks")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("bad") > out("f0"), s"scrambled must score worse: $out")
+    assert(!out.contains("tiny") && !out.contains("empty"),
+      "docs with < 2 tokens have no bigram to score")
+    // hand-check one value: corpus c("a b")=31, c("b a")=25... verify via the
+    // definition instead of magic numbers
+    val allPairs = (0 until 10).flatMap(_ => Seq("a b", "a b", "a b", "b a", "b a")) ++
+      Seq("b a", "b a", "b a", "a b", "a b")
+    val c2 = allPairs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c1 = Map("a" -> 34.0, "b" -> 33.0) // corpus token counts incl. "tiny"
+    val v = 2.0
+    def p(pair: String) = (c2(pair) + 1.0) / (c1(pair.split(" ").head) + v)
+    val want = -(math.log(p("a b")) * 3 + math.log(p("b a")) * 2) / 5
+    assert(math.abs(out("f0") - want) < 1e-9, s"${out("f0")} vs $want")
+  }
+
   // ------------------------------------------------------------ temperatureMix
 
   test("temperatureMix: alpha=1 keeps natural proportions, alpha=0.5 upsamples rare") {
