@@ -805,6 +805,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // BP1 BPE training's counting kernel: weighted adjacent character pairs
+    // over the corpus word-frequency table, top-20 by (count desc, pair) —
+    // the oracle-checkable core of Bpe.train (the iterative trainer itself is
+    // spec-tested merge-for-merge against a reference implementation).
+    "bp1_pair_counts" -> ((s, dir) => {
+      val wf = Bpe.wordFrequencies(
+        spread(t(s, dir, "documents")).select(Norm.normTokens(col("text")).as("toks")),
+        "toks")
+      wf.filter(length(col("word")) >= 2) // sequence(1,0) would DESCEND, not empty
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), length(col("word")) - 1),
+            i => struct(substring(col("word"), i, lit(1)).cast("string").as("a"),
+              substring(col("word"), i + 1, lit(1)).cast("string").as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
     // X18 bigram-LM log-perplexity (add-1 smoothing): the conditional upgrade
     // of x12 — fluency under the corpus's own bigram model, the standard
     // order-sensitive quality signal. See CorpusOps.bigramLogPerplexity.
@@ -1714,6 +1732,15 @@ object SparkEntry {
            |  SELECT doc_id, n,
            |    coalesce(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
            |  FROM (SELECT doc_id, len($toksDoc) AS n FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "bp1_pair_counts" ->
+        s"""WITH w AS (SELECT word, count(*) AS freq FROM (
+           |    SELECT unnest($toksDoc) AS word FROM documents) t GROUP BY 1),
+           |p AS (SELECT u['a'] AS a, u['b'] AS b, freq FROM (
+           |  SELECT freq, unnest(list_transform(range(1, length(word)),
+           |    i -> {'a': word[i], 'b': word[i + 1]})) AS u
+           |  FROM w) t)
+           |SELECT a, b, sum(freq) AS cnt FROM p GROUP BY 1, 2
+           |ORDER BY cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin.replace("\n", " "),
       "x18_bigram_logppl" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),
            |tok AS (SELECT unnest(toks) AS lft FROM d),
