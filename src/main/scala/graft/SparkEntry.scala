@@ -435,6 +435,17 @@ object SparkEntry {
       val pairs = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
       Dedup.connectedComponents(pairs)
     }),
+    // D9 the same clustering through the DIAMETER-INDEPENDENT star algorithm
+    // (large-star/small-star, O(log n) rounds): same oracle as d8 — the
+    // cluster assignment is algorithm-independent, which is exactly what
+    // makes checking both implementations against one SQL answer meaningful.
+    "d9_stars_clusters" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 6, shingleSize = 3)
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
+      Dedup.connectedComponentsStars(pairs)
+    }),
     // D5 embedding near-duplicates: cosine ≥ 0.35 (exact pair scan).
     "d5_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1125,6 +1136,24 @@ object SparkEntry {
       s"""SELECT doc_id AS id,
          |  ${(0 until 6).map(i => s"min(md5('mh$i-' || sh)) AS sig_$i").mkString(", ")}
          |FROM ($docShingles) s GROUP BY doc_id""".stripMargin.replace("\n", " ")
+    // Transitive dedup-cluster assignment (reachability min-id) — shared by
+    // d8 (label propagation) and d9 (large-star/small-star): the clustering
+    // is algorithm-independent, so one SQL answer checks both.
+    val ccClustersSql =
+      s"""WITH RECURSIVE sigs AS ($minhashSigs),
+         |banded AS (
+         |  SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
+         |  UNION ALL SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+         |  UNION ALL SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id, min(r) AS rep_id FROM reach GROUP BY id""".stripMargin.replace("\n", " ")
     val knnBase =
       """SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
         |       CAST(c.vec_id AS VARCHAR) AS neighbor_id,
@@ -1462,21 +1491,9 @@ object SparkEntry {
            |SELECT p.id_a, p.id_b,
            |  (${(0 until 6).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / 6.0 AS est_jaccard
            |FROM pairs p JOIN sigs sa ON p.id_a = sa.id JOIN sigs sb ON p.id_b = sb.id""".stripMargin.replace("\n", " "),
-      "d8_dedup_clusters" ->
-        s"""WITH RECURSIVE sigs AS ($minhashSigs),
-           |banded AS (
-           |  SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
-           |  UNION ALL SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
-           |  UNION ALL SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
-           |reach(id, r) AS (
-           |  SELECT DISTINCT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
-           |SELECT id, min(r) AS rep_id FROM reach GROUP BY id""".stripMargin.replace("\n", " "),
+      "d8_dedup_clusters" -> ccClustersSql,
+      // identical answer, different distributed algorithm under test
+      "d9_stars_clusters" -> ccClustersSql,
       "d3_simhash" ->
         """WITH tok AS (
           |  SELECT doc_id AS id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h
