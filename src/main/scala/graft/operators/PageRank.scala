@@ -41,16 +41,24 @@ object PageRank {
     * dangling nodes. Group fan-out is the caller's contract: co-occurrence
     * is quadratic per group, so bound group sizes upstream (orders have ≤7
     * items; for unbounded groups cap with a per-group limit first). */
-  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     // collect_set + double explode, NOT a self-join: the aggregate moves each
     // input row once (map-side combined) where the join would shuffle the
     // table twice and hash-probe it; pair fan-out happens after, narrowly.
-    df.groupBy(col(groupCol))
+    // Dedup runs on the CANONICAL (src < dst) half only — half the distinct's
+    // shuffle volume — then both directions fan out of each surviving row via
+    // one generator (NOT a self-union, which would re-evaluate the subplan).
+    val canon = df.groupBy(col(groupCol))
       .agg(collect_set(col(itemCol)).as("_items"))
       .select(explode(col("_items")).as("src"), col("_items"))
       .select(col("src"), explode(col("_items")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") < col("dst"))
       .distinct()
+    canon.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
 
   /** Run `iterations` damped PageRank passes over `edges` (columns `src`,
     * `dst`; duplicates must already be removed — they would double-count).
