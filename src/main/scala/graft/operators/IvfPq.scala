@@ -98,6 +98,29 @@ object IvfPq {
     }
   }
 
+  /** [[recallCurve]] for the refined two-stage search ([[searchSavedRefined]])
+    * — shows how much of the PQ accuracy ceiling the exact re-rank recovers
+    * at each nProbe. */
+  def recallCurveRefined(spark: SparkSession, dir: String, corpus: DataFrame,
+      queries: DataFrame, qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nProbes: Seq[Int], refine: Int): Seq[(Int, Double)] = {
+    def byQuery(df: DataFrame): Map[String, Set[String]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val exact = byQuery(
+      VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
+    require(exact.nonEmpty,
+      "recallCurveRefined: empty query set (or empty corpus) — recall is undefined")
+    nProbes.map { p =>
+      val got = byQuery(searchSavedRefined(
+        spark, dir, queries, qId, qVec, corpus, cId, cVec, p, k, refine))
+      val recall = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+      (p, recall)
+    }
+  }
+
   /** Probe-limited ADC search against a SAVED index. Metadata (centroids,
     * codebook) is tiny and re-read per call; the code scan is pruned to the
     * probed cells' directories by a literal predicate. `m`/`dsub` are
@@ -133,5 +156,46 @@ object IvfPq {
         broadcast(ProductQuantizer.adcTable(codebook, queries, qId, qVec, m, dsub)),
         Seq("query_id", "sub", "code")),
       k)
+  }
+
+  /** Two-stage retrieval — ADC shortlist + EXACT re-rank (the FAISS "refine"
+    * design, the standard answer to the PQ accuracy ceiling): [[searchSaved]]
+    * retrieves `k × refine` candidates from codes alone, then ONLY those
+    * rows' true vectors are fetched from `corpus` and re-scored with the
+    * exact dot product. The exact stage touches `queries × k × refine` ids —
+    * collected as a literal IN-list, so the corpus scan is predicate-pruned
+    * to the shortlist instead of reading any full cell. Accuracy approaches
+    * plain-IVF-at-same-nProbe while the heavy scan stays code-sized; memory
+    * cost is corpus floats AT REST only (never shuffled corpus-wide).
+    * Output: (query_id, rank, neighbor_id, score) — exact scores, rounded
+    * (6 dp) before ranking, id tie-break. */
+  def searchSavedRefined(spark: SparkSession, dir: String, queries: DataFrame,
+      qId: String, qVec: String, corpus: DataFrame, cId: String, cVec: String,
+      nProbe: Int, k: Int, refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlist = searchSaved(spark, dir, queries, qId, qVec, nProbe, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // feeds the id-list collect AND the re-rank join
+    val ids = shortlist.select("neighbor_id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (ids.isEmpty)
+      return spark.range(0).select(
+        lit("").as("query_id"), lit(0).cast("int").as("rank"),
+        lit("").as("neighbor_id"), lit(0.0).as("score"))
+    val vecs = corpus
+      .select(col(cId).cast("string").as("neighbor_id"), col(cVec).as("_cv"))
+      .filter(col("neighbor_id").isin(ids: _*)) // pushed to the scan
+    val q = queries.select(col(qId).cast("string").as("query_id"), col(qVec).as("_qv"))
+    val topk = VectorSearch.topKUdaf(k)
+    shortlist
+      .join(vecs, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.VectorFunctions.dot(col("_qv"), col("_cv")), 6).as("_s"))
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("_s")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 }

@@ -137,6 +137,30 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(math.abs(rs.last - adcRecall) < 1e-9, s"${rs.last} vs $adcRecall")
   }
 
+  test("refined search: exact re-rank recovers accuracy; full-corpus shortlist IS exact KNN") {
+    val corpus = vecs(120, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rf").toString
+    graft.operators.IvfPq.buildAndSave(corpus, "id", "v", dir,
+      nList = 8, m = 4, dsub = 4, k = 8, pqIters = 1)
+    val queries = corpus.filter(col("id") < 5)
+    // refined recall at least matches the unrefined ADC curve pointwise
+    val plain = graft.operators.IvfPq.recallCurve(spark, dir, corpus, queries,
+      "id", "v", "id", "v", k = 5, nProbes = Seq(4, 8)).toMap
+    val refined = graft.operators.IvfPq.recallCurveRefined(spark, dir, corpus, queries,
+      "id", "v", "id", "v", k = 5, nProbes = Seq(4, 8), refine = 4).toMap
+    for (p <- Seq(4, 8))
+      assert(refined(p) >= plain(p) - 1e-9, s"nProbe=$p: ${refined(p)} < ${plain(p)}")
+    // full probe + shortlist covering the whole corpus ⇒ the exact answer
+    val viaRefine = graft.operators.IvfPq.searchSavedRefined(spark, dir, queries,
+        "id", "v", corpus, "id", "v", nProbe = 8, k = 5, refine = 24)
+      .select("query_id", "neighbor_id", "rank").as[(String, String, Int)].collect().toSet
+    val viaExact = graft.operators.VectorSearch.knnJoin(
+        queries, corpus, "id", "v", "id", "v", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(String, String, Int)].collect().toSet
+    assert(viaRefine == viaExact)
+  }
+
   test("saved ivf-pq index: searchSaved equals the in-memory composition; empty-safe") {
     val rows = (0 until 40).map { i =>
       val base = if (i < 20) 1f else -1f
