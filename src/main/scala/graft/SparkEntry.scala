@@ -816,6 +816,13 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // X19 deterministic epoch shuffle: reproducible global training order by
+    // md5(seed‖id), ranked with the two-phase prefix sum (no global window).
+    "x19_epoch_shuffle" -> ((s, dir) => {
+      CorpusOps.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = "ep1")
+        .select(col("doc_id"), col("shuffle_pos"))
+    }),
     // BP1 BPE training's counting kernel: weighted adjacent character pairs
     // over the corpus word-frequency table, top-20 by (count desc, pair) —
     // the oracle-checkable core of Bpe.train (the iterative trainer itself is
@@ -1749,6 +1756,10 @@ object SparkEntry {
            |  SELECT doc_id, n,
            |    coalesce(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
            |  FROM (SELECT doc_id, len($toksDoc) AS n FROM documents) t) s""".stripMargin.replace("\n", " "),
+      "x19_epoch_shuffle" ->
+        """SELECT doc_id, CAST(row_number() OVER (
+          |  ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS BIGINT)
+          |  AS shuffle_pos FROM documents""".stripMargin.replace("\n", " "),
       "bp1_pair_counts" ->
         s"""WITH w AS (SELECT word, count(*) AS freq FROM (
            |    SELECT unnest($toksDoc) AS word FROM documents) t GROUP BY 1),

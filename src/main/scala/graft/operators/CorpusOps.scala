@@ -115,6 +115,22 @@ object CorpusOps {
       .agg(avg(-log(col("_c") / col("_t"))).as("logppl"))
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random GLOBAL
+    * training order — `shuffle_pos` = rank in `md5(seed ‖ id)` order (id
+    * tie-break for the uniqueness the prefix sum requires). Different seeds
+    * give independent epoch orders; the same seed reproduces bit-for-bit.
+    * Built on the two-phase prefix sum, so the global ranking never funnels
+    * the corpus through a single-partition window — the rank assignment
+    * scales like any range-partitioned sort. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val keyed = df
+      .withColumn("_n", lit(1L))
+      .withColumn("_h", md5(concat(lit(seed), col(idCol).cast("string"))))
+    withPrefixSum(keyed, Seq(col("_h"), col(idCol).cast("string")), "_p")
+      .withColumn("shuffle_pos", col("_p") + lit(1L))
+      .drop("_n", "_h", "_p", "_pid", "_base")
+  }
+
   /** Bigram-LM log-perplexity with add-k smoothing — the conditional
     * upgrade of [[unigramLogPerplexity]] (fluency, not just rarity: a doc of
     * common words in impossible ORDER scores high here and normal there):

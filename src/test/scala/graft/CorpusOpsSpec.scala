@@ -130,6 +130,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map("d1" -> "a b c d"))
   }
 
+  // ------------------------------------------------------ deterministicShuffle
+
+  test("deterministicShuffle: a permutation, seed-dependent, repartition-stable") {
+    val df = (0 until 300).map(i => Tuple1(s"d$i")).toDF("id")
+    def order(d: org.apache.spark.sql.DataFrame, seed: String) =
+      CorpusOps.deterministicShuffle(d, "id", seed)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = order(df, "ep1")
+    assert(a.values.toSeq.sorted == (1L to 300L), "positions must be a permutation")
+    assert(order(df.repartition(7), "ep1") == a, "same seed must reproduce")
+    val b = order(df, "ep2")
+    assert(a != b, "different seeds must give different epoch orders")
+    // and it is not the identity order
+    assert((1 to 10).exists(i => a(s"d$i") != i + 1L))
+  }
+
   // ------------------------------------------------------- bigramLogPerplexity
 
   test("bigramLogPerplexity: scrambled word order scores worse than fluent order") {
