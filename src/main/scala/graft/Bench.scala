@@ -85,12 +85,15 @@ object Bench {
       System.err.println("[ivfpq-recall] nList=32 m=16 k=128 pqIters=2 k@10 " + curve.map {
         case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
       // two-stage refine: exact re-rank of the ADC top-(k×4) shortlist — how
-      // much of the PQ ceiling the standard refine step recovers
-      val refined = graft.operators.IvfPq.recallCurveRefined(spark, dir, emb, queries,
-        "vec_id", "embedding", "vec_id", "embedding", k = 10,
-        nProbes = Seq(1, 2, 4, 8, 32), refine = 4)
-      System.err.println("[ivfpq-refine] refine=4 k@10 " + refined.map {
-        case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
+      // much of the PQ ceiling the standard refine step recovers. Own
+      // try/catch so a refine failure is not misattributed to the plain curve.
+      try {
+        val refined = graft.operators.IvfPq.recallCurveRefined(spark, dir, emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10,
+          nProbes = Seq(1, 2, 4, 8, 32), refine = 4)
+        System.err.println("[ivfpq-refine] refine=4 k@10 " + refined.map {
+          case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
+      } catch { case NonFatal(e) => System.err.println(s"[ivfpq-refine] failed: $e") }
     } catch { case NonFatal(e) => System.err.println(s"[ivfpq-recall] failed: $e") }
     spark.stop()
   }

@@ -1783,11 +1783,14 @@ object SparkEntry {
            |FROM bi JOIN c2 USING (pair) JOIN c1 USING (lft) CROSS JOIN v
            |GROUP BY bi.doc_id""".stripMargin.replace("\n", " "),
       "z1_zorder" -> {
-        // unrolled from the same bit-position rule as Layout.zorderKey:
-        // bit i of column c lands at position i * nCols + c
+        // unrolled from the same bit-position rule as Layout.zorderKey: bit i
+        // of column c lands at position i * nCols + c. BIGINT casts matter:
+        // DuckDB's INT32 left shift raises an overflow error at position 31
+        // (keys with bit 15 set in the second column), where Spark computes
+        // the key in a long.
         val zterms = (0 until 16).flatMap(i => Seq(
-          s"(((l_partkey >> $i) & 1) << ${2 * i})",
-          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+          s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i})",
+          s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
         s"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $zterms AS zkey " +
           "FROM lineitem WHERE l_orderkey % 7 = 0"
       },

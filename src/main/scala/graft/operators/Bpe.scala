@@ -96,13 +96,18 @@ object Bpe {
     * applicable merge with the LOWEST rank (training order), leftmost-greedy,
     * until none applies — the standard BPE encoder. Pure Scala; usable on the
     * driver or inside [[encode]]'s per-row kernel. */
-  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    val rank = merges.zipWithIndex.toMap
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    encodeWithRanks(word, merges.zipWithIndex.toMap)
+
+  /** [[encodeWord]] against a PREBUILT rank map — the form the corpus-scale
+    * kernel uses, so a 30k-merge model is hashed once per executor closure,
+    * not once per token. */
+  private def encodeWithRanks(word: String, rank: Map[(String, String), Int]): Seq[String] = {
     var syms = word.map(_.toString).toVector
     var done = syms.size < 2
     while (!done) {
       val best = syms.zip(syms.tail).flatMap(p => rank.get(p).map(r => (r, p)))
-        .sortBy(_._1).headOption
+        .minByOption(_._1)
       best match {
         case None => done = true
         case Some((_, (a, b))) =>
@@ -127,9 +132,9 @@ object Bpe {
     * expressions, which would blow up codegen for real merge counts. */
   def encode(df: DataFrame, toksCol: String, outCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val m = merges.toIndexedSeq
+    val rank = merges.zipWithIndex.toMap // built once, shipped in the closure
     val enc = udf((toks: Seq[String]) =>
-      if (toks == null) Seq.empty[String] else toks.flatMap(encodeWord(_, m)))
+      if (toks == null) Seq.empty[String] else toks.flatMap(encodeWithRanks(_, rank)))
     df.withColumn(outCol, enc(col(toksCol)))
   }
 }

@@ -145,13 +145,17 @@ object CorpusOps {
     * (nothing to condition on). */
   def bigramLogPerplexity(df: DataFrame, idCol: String, toksCol: String,
       addK: Double = 1.0): DataFrame = {
-    val bi = df.select(col(idCol),
+    // the caller's (id, toks) frame is often a lazy tokenization — pin it
+    // once so the bigram and unigram branches don't each re-scan the corpus
+    val base = df.select(col(idCol), col(toksCol)).localCheckpoint(true)
+    val bi = base.select(col(idCol),
         explode(graft.functions.Norm.shingles(col(toksCol), 2)).as("pair"))
       .withColumn("lft", substring_index(col("pair"), " ", 1))
       .localCheckpoint(true)
-    val c1 = df.select(explode(col(toksCol)).as("lft"))
+    val c1 = base.select(explode(col(toksCol)).as("lft"))
       .groupBy("lft").agg(count(lit(1)).cast("double").as("_c1"))
       .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base) // bi+c1 hold the data now
     val c2 = bi.groupBy("pair").agg(count(lit(1)).cast("double").as("_c2"))
     bi.join(c2, "pair")
       .join(c1, "lft")

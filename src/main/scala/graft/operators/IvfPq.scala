@@ -73,6 +73,28 @@ object IvfPq {
       celled.limit(0).write.mode("overwrite").parquet(codesPath)
   }
 
+  private def byQuery(df: DataFrame): Map[String, Set[String]] =
+    df.select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+
+  /** Shared recall-curve engine: exact KNN ground truth computed ONCE, then
+    * one recall point per nProbe from `search`. */
+  private def curveAgainstExact(corpus: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String, k: Int,
+      nProbes: Seq[Int])(search: Int => DataFrame): Seq[(Int, Double)] = {
+    val exact = byQuery(
+      VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
+    require(exact.nonEmpty,
+      "recall curve: empty query set (or empty corpus) — recall is undefined")
+    nProbes.map { p =>
+      val got = byQuery(search(p))
+      val recall = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+      (p, recall)
+    }
+  }
+
   /** Measured recall@k of saved-index ADC search vs exact KNN, per nProbe —
     * the IVF-PQ twin of [[IvfIndex.recallCurve]]. Unlike plain IVF, recall at
     * nProbe = nList stays below 1.0 by the PQ approximation error (codes
@@ -81,45 +103,18 @@ object IvfPq {
     * Driver-side work is bounded by queries × k ids. */
   def recallCurve(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nProbes: Seq[Int]): Seq[(Int, Double)] = {
-    def byQuery(df: DataFrame): Map[String, Set[String]] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
-    val exact = byQuery(
-      VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
-    require(exact.nonEmpty,
-      "recallCurve: empty query set (or empty corpus) — recall is undefined")
-    nProbes.map { p =>
-      val got = byQuery(searchSaved(spark, dir, queries, qId, qVec, p, k))
-      val recall = exact.map { case (q, ex) =>
-        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-      }.sum / exact.size
-      (p, recall)
-    }
-  }
+      k: Int, nProbes: Seq[Int]): Seq[(Int, Double)] =
+    curveAgainstExact(corpus, queries, qId, qVec, cId, cVec, k, nProbes)(
+      p => searchSaved(spark, dir, queries, qId, qVec, p, k))
 
   /** [[recallCurve]] for the refined two-stage search ([[searchSavedRefined]])
     * — shows how much of the PQ accuracy ceiling the exact re-rank recovers
     * at each nProbe. */
   def recallCurveRefined(spark: SparkSession, dir: String, corpus: DataFrame,
       queries: DataFrame, qId: String, qVec: String, cId: String, cVec: String,
-      k: Int, nProbes: Seq[Int], refine: Int): Seq[(Int, Double)] = {
-    def byQuery(df: DataFrame): Map[String, Set[String]] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
-    val exact = byQuery(
-      VectorSearch.knnJoin(queries, corpus, qId, qVec, cId, cVec, k))
-    require(exact.nonEmpty,
-      "recallCurveRefined: empty query set (or empty corpus) — recall is undefined")
-    nProbes.map { p =>
-      val got = byQuery(searchSavedRefined(
-        spark, dir, queries, qId, qVec, corpus, cId, cVec, p, k, refine))
-      val recall = exact.map { case (q, ex) =>
-        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-      }.sum / exact.size
-      (p, recall)
-    }
-  }
+      k: Int, nProbes: Seq[Int], refine: Int): Seq[(Int, Double)] =
+    curveAgainstExact(corpus, queries, qId, qVec, cId, cVec, k, nProbes)(
+      p => searchSavedRefined(spark, dir, queries, qId, qVec, corpus, cId, cVec, p, k, refine))
 
   /** Probe-limited ADC search against a SAVED index. Metadata (centroids,
     * codebook) is tiny and re-read per call; the code scan is pruned to the
