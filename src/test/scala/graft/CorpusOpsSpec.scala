@@ -130,6 +130,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map("d1" -> "a b c d"))
   }
 
+  // -------------------------------------------- scrubHotNgrams property check
+
+  test("scrubHotNgrams equals an independent reference on random corpora") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 3) {
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (0 until 30).map { i =>
+        (s"d$i", Vector.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val n = 2
+      val maxOcc = 3L
+      // reference: count overlapping n-grams, mark covered positions, rebuild
+      val gramCounts = scala.collection.mutable.Map[String, Long]()
+      docs.foreach { case (_, toks) =>
+        toks.sliding(n).filter(_.size == n)
+          .foreach(g => gramCounts(g.mkString(" ")) =
+            gramCounts.getOrElse(g.mkString(" "), 0L) + 1)
+      }
+      val hot = gramCounts.filter(_._2 > maxOcc).keySet
+      val want = docs.flatMap { case (id, toks) =>
+        val covered = Array.fill(toks.size)(false)
+        toks.sliding(n).zipWithIndex.foreach { case (g, s) =>
+          if (g.size == n && hot(g.mkString(" ")))
+            (s until s + n).foreach(covered(_) = true)
+        }
+        val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        if (kept.isEmpty) None else Some(id -> (kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = CorpusOps.scrubHotNgrams(
+          docs.toDF("id", "toks"), "id", "toks", n, maxOcc)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   // ------------------------------------------------------ deterministicShuffle
 
   test("deterministicShuffle: a permutation, seed-dependent, repartition-stable") {
@@ -192,6 +227,26 @@ class CorpusOpsSpec extends SparkSpec {
     // rate cap: a huge budget keeps everything
     val all = keptBySource(0.5, 1000000L)
     assert(all == Map("big" -> 900L, "small" -> 100L))
+  }
+
+  test("temperatureMix keep-set equals the reference rate computation") {
+    // independent recomputation of bps per source + the md5 bucket decision
+    val rows = (0 until 400).map(i => (s"d$i", s"s${i % 3}"))
+    val df = rows.toDF("id", "source")
+    val budget = 200L
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val z = counts.values.map(c => math.sqrt(c.toDouble)).sum
+    val bps = counts.map { case (s, c) =>
+      s -> math.min(10000L,
+        math.floor(budget.toDouble * math.sqrt(c.toDouble) / z / c * 10000.0).toLong)
+    }
+    def bucket(id: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id).substring(0, 8), 16) % 10000
+    val want = rows.collect { case (id, s) if bucket(id) < bps(s) => id }.toSet
+    val got = CorpusOps.temperatureMix(df, "id", "source", 0.5, budget)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(got == want)
   }
 
   test("temperatureMix membership is a pure row property (repartition-stable)") {
