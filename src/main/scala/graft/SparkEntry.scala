@@ -366,6 +366,18 @@ object SparkEntry {
         .agg((sum(when(col("q_label") === col("n_label"), 1).otherwise(0)) / 5.0)
           .as("recall_at_5"))
     }),
+    // M2 gold-title extraction (evaluate.py:200-216): supporting_facts[*][0],
+    // deduped — the nested-array input is built in-query from documents (both
+    // engines construct the identical array-of-arrays, then the REAL
+    // Recall.goldTitles extracts).
+    "m2_gold_titles" -> ((s, dir) => {
+      val q = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").cast("string").as("question_id"),
+          array(
+            array(Norm.titleOf(col("text")), lit("0")),
+            array(concat(lit("doc-"), col("doc_id")), lit("1"))).as("supporting_facts"))
+      graft.eval.Recall.goldTitles(q)
+    }),
     // M3 macro-averaged recall grid (evaluate.py:435-534) through the REAL
     // Recall.recallAtK + macroAverage: gold per question = same-label corpus
     // vectors (bounded corpus slice keeps the gold join small).
@@ -1456,6 +1468,12 @@ object SparkEntry {
           |SELECT passage_id, CAST(rk AS INTEGER) AS rank FROM (
           |  SELECT passage_id, row_number() OVER (ORDER BY r ASC, passage_id ASC) AS rk FROM u) z
           |WHERE rk <= 8""".stripMargin.replace("\n", " "),
+      "m2_gold_titles" ->
+        """SELECT DISTINCT question_id, sf[1] AS item FROM (
+          |  SELECT CAST(doc_id AS VARCHAR) AS question_id,
+          |    unnest([[trim(split_part(text, chr(10), 1)), '0'],
+          |            ['doc-' || CAST(doc_id AS VARCHAR), '1']]) AS sf
+          |  FROM documents WHERE doc_id < 50) t""".stripMargin.replace("\n", " "),
       "m3_macro_avg" ->
         """WITH q AS (SELECT CAST(vec_id AS VARCHAR) qid, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
           |c AS (SELECT CAST(vec_id AS VARCHAR) cid, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20 AND vec_id < 220),
