@@ -943,7 +943,7 @@ object SparkEntry {
     "rj1_range_join" -> ((s, dir) => {
       val hourNs = 3600L * 1000 * 1000 * 1000
       val ev = t(s, dir, "events").select(col("ts").as("pt"), col("value"))
-      val t0 = ev.agg(min("pt")).head.getLong(0) // one scalar, bounded
+      val t0 = ev.agg(min("pt")).head().getLong(0) // one scalar, bounded
       val wins = s.range(48).select(col("id").as("window_id"),
           (lit(t0) + col("id") * hourNs).as("lo"))
         .withColumn("hi", col("lo") + lit(hourNs / 2 * 3))
@@ -960,7 +960,7 @@ object SparkEntry {
       val spans = ev
         .groupBy(col("user_id"), expr(s"ts div ${24 * hourNs}L").as("day"))
         .agg(min("ts").as("lo"), (max(col("ts")) + 1).as("hi"))
-      val t0 = ev.agg(min("ts")).head.getLong(0)
+      val t0 = ev.agg(min("ts")).head().getLong(0)
       val wins = s.range(48).select(col("id").as("window_id"),
           (lit(t0) + col("id") * hourNs).as("wlo"))
         .withColumn("whi", col("wlo") + lit(hourNs / 2 * 3))

@@ -132,7 +132,7 @@ object IvfIndex {
     val cells = fresh.select("centroid_id").distinct()
       .collect().map(_.getString(0))
     val existing = idx.assignments
-      .filter(col(CellCol).isin(cells.map("c" + _): _*)).drop(CellCol)
+      .filter(col(CellCol).isin(cells.toIndexedSeq.map("c" + _): _*)).drop(CellCol)
     val merged = existing
       .unionByName(fresh) // disjoint ids by the probe above
       .withColumn(CellCol, cellOf(col("centroid_id")))
@@ -190,9 +190,9 @@ object IvfIndex {
       .collect().map(_.getString(0))
     val prunedAssignments =
       if (index.assignments.columns.contains(CellCol))
-        index.assignments.filter(col(CellCol).isin(probedCells.map("c" + _): _*))
+        index.assignments.filter(col(CellCol).isin(probedCells.toIndexedSeq.map("c" + _): _*))
       else
-        index.assignments.filter(col("centroid_id").isin(probedCells: _*))
+        index.assignments.filter(col("centroid_id").isin(probedCells.toIndexedSeq: _*))
     val cands = prunedAssignments
       .join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id").as("__pq"), col("id").as("__cid2"), col("v").as("__cvec2"))

@@ -93,7 +93,7 @@ object SubgraphExpansion {
           s"subgraph expansion: $what exceeded maxWorkingSet=$maxWorkingSet ids; " +
             "the reached set is not driver-bounded — use GraphXExpansion.expand " +
             "(distributed id sets) or raise maxWorkingSet")
-      rows.map(r => (r.getString(0), r.getString(1)))
+      rows.toIndexedSeq.map(r => (r.getString(0), r.getString(1)))
     }
 
     // P1 seed entities + init-merge (knowledge_graph.py:280-302): relations
