@@ -57,6 +57,40 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(tiny, 10).isEmpty)
   }
 
+  test("encodeWord equals a reference encoder on random words") {
+    /** Reference: repeatedly apply the lowest-rank applicable merge to all
+      * leftmost-first occurrences. */
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = word.map(_.toString).toVector
+      var changed = true
+      while (changed && syms.size >= 2) {
+        val applicable = syms.zip(syms.tail).filter(rank.contains)
+        if (applicable.isEmpty) changed = false
+        else {
+          val (a, b) = applicable.minBy(rank)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    val wf = corpus.toSeq.toDF("word", "freq")
+    val merges = Bpe.train(wf, 8)
+    val rnd = new scala.util.Random(53)
+    val alphabet = "lowernst widew"
+    for (_ <- 0 until 200) {
+      val w = (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Bpe.encodeWord(w, merges) == refEncode(w, merges), s"word '$w'")
+    }
+  }
+
   test("encodeWord applies merges by rank; encode round-trips concatenation") {
     val wf = corpus.toSeq.toDF("word", "freq")
     val merges = Bpe.train(wf, 8)

@@ -88,6 +88,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(reps.values.forall(_ == "n000"), reps.values.toSet.take(5))
   }
 
+  test("connectedComponentsStars matches union-find on a large chained graph") {
+    // 400 nodes: random edges PLUS several 60-node chains (deep diameter —
+    // the regime the star algorithm exists for), vs brute-force union-find
+    val rnd = new scala.util.Random(71)
+    val chainPairs = (0 until 5).flatMap { c =>
+      (0 until 59).map(i => (f"c$c%01d_${i}%03d", f"c$c%01d_${i + 1}%03d"))
+    }
+    val randPairs = (0 until 120).map { _ =>
+      val a = rnd.nextInt(200); val b = rnd.nextInt(200)
+      (f"r$a%03d", f"r${if (a == b) (b + 1) % 200 else b}%03d")
+    }
+    val pairs = (chainPairs ++ randPairs).distinct
+    val got = Dedup.connectedComponentsStars(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+  }
+
   test("connectedComponentsStars equals label propagation on random graphs") {
     val rnd = new scala.util.Random(29)
     for (trial <- 0 until 3) {

@@ -42,6 +42,19 @@ class LayoutSpec extends SparkSpec {
     assert(jumps.count(_ <= 2).toDouble / jumps.size > 0.85, jumps.max.toString)
   }
 
+  test("zorderKey is deterministic vs the reference even past the bit budget") {
+    // values ≥ 2^bits break locality by contract but must still produce the
+    // reference key (low bits only) — fuzz across the boundary
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 300).map(_ => (rnd.nextLong(1L << 24), rnd.nextLong(1L << 24)))
+    val got = vals.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(Seq(col("x"), col("y")), 12).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    vals.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(Seq(x, y), 12), s"($x,$y)")
+    }
+  }
+
   test("clusterBy: non-overlapping partition key ranges, sorted within partitions") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 2000).map(_ => (rnd.nextInt(1 << 10), rnd.nextInt(1 << 10)))
