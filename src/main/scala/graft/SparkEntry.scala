@@ -1134,6 +1134,16 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet dirs). */
+  /** DuckDB oracle SQL per query key.
+    *
+    * INVARIANT (pinned by OracleSqlSpec): any integer `sum(...)` that reaches a
+    * FINAL projection must be wrapped `CAST(... AS BIGINT)`. DuckDB's
+    * `sum(BIGINT)` returns HUGEINT, which the driver's `fetchdf()` materializes
+    * as float64, so the value hash sees `928.0` vs Spark's `928` even though
+    * rows and schema match (the round-5 `bp1_pair_counts` red row). `count(*)`
+    * is safe (BIGINT); sums confined to CTEs/windows that only feed WHERE or
+    * arithmetic are safe.
+    */
   def oracleSql: Map[String, String] = {
     val statsUnion = Tables.names
       .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
@@ -1785,7 +1795,7 @@ object SparkEntry {
            |  SELECT freq, unnest(list_transform(range(1, length(word)),
            |    i -> {'a': word[i], 'b': word[i + 1]})) AS u
            |  FROM w) t)
-           |SELECT a, b, sum(freq) AS cnt FROM p GROUP BY 1, 2
+           |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
            |ORDER BY cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin.replace("\n", " "),
       "x18_bigram_logppl" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),

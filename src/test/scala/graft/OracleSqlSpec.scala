@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lint over [[SparkEntry.oracleSql]] pinning the DuckDB HUGEINT trap:
+  * `sum(BIGINT)` returns HUGEINT, which the driver's `fetchdf()` materializes
+  * as float64, so an uncast integer sum in a FINAL projection value-hashes as
+  * `928.0` against Spark's `928` (rows and schema still match — the round-5
+  * `bp1_pair_counts` red row). Any naked `sum(` in a final projection must
+  * either be wrapped `CAST(... AS BIGINT)` / `round(...)` or appear in the
+  * reviewed allowlist below (sums whose operand is already DOUBLE-typed).
+  */
+class OracleSqlSpec extends AnyFunSuite {
+
+  /** Query names with a reviewed, double-typed naked sum in their final
+    * projection. Adding a new oracle with a naked final-projection sum fails
+    * this spec until the sum is either cast or reviewed onto this list.
+    */
+  private val reviewedDoubleSums = Set(
+    "b1_bm25_topk", // sum(ln(...) * ...) — DOUBLE operand
+    "m1_recall"     // sum(CASE...)/5.0 — float division yields DOUBLE
+  )
+
+  /** The final top-level SELECT's projection segment (up to its FROM), found
+    * by a paren-depth scan so CTE/subquery SELECTs are skipped.
+    */
+  private def finalProjection(sql: String): String = {
+    var depth = 0
+    var lastSelect = -1
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && sql.regionMatches(true, i, "SELECT", 0, 6)) lastSelect = i
+      }
+      i += 1
+    }
+    if (lastSelect < 0) return ""
+    val tail = sql.substring(lastSelect)
+    // cut at the first depth-0 FROM after the projection
+    depth = 0
+    i = 0
+    while (i < tail.length) {
+      tail.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && tail.regionMatches(true, i, " FROM ", 0, 6))
+            return tail.substring(0, i)
+      }
+      i += 1
+    }
+    tail
+  }
+
+  /** Positions of `sum(` in `seg` that are standalone (not `list_sum(` etc.)
+    * and not immediately wrapped by `CAST(` or `round(`.
+    */
+  private def nakedSums(seg: String): Seq[Int] = {
+    val lower = seg.toLowerCase
+    Iterator
+      .iterate(lower.indexOf("sum("))(p => lower.indexOf("sum(", p + 1))
+      .takeWhile(_ >= 0)
+      .filter { p =>
+        val standalone = p == 0 || { val c = lower.charAt(p - 1); !c.isLetterOrDigit && c != '_' }
+        val wrapped = lower.lastIndexOf("cast(", p) == p - 5 || lower.lastIndexOf("round(", p) == p - 6
+        standalone && !wrapped
+      }
+      .toSeq
+  }
+
+  test("no oracle has an uncast integer sum in its final projection") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val seg = finalProjection(sql)
+      val naked = nakedSums(seg)
+      if (naked.nonEmpty && !reviewedDoubleSums.contains(name))
+        Some(s"$name: naked sum( in final projection — cast to BIGINT or review onto the " +
+          s"allowlist. Segment: ${seg.take(200)}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("bp1's final sum is cast to BIGINT (the round-5 red row)") {
+    assert(SparkEntry.oracleSql("bp1_pair_counts").contains("CAST(sum(freq) AS BIGINT)"))
+  }
+}
