@@ -61,10 +61,35 @@ object Bpe {
           .otherwise(concat(acc, array(s))))
 
   /** Learn `numMerges` merges from a (word, freq) table. Returns the ordered
-    * merge list — the tokenizer model. Driver work per round is ONE row (the
-    * argmax pair); the word table stays distributed throughout. Stops early
-    * when no adjacent pair remains. */
-  def train(wordFreq: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    * merge list — the tokenizer model.
+    *
+    * Two regimes, dispatched on the table's size: the word-frequency table is
+    * VOCABULARY-sized by construction (a 100 TB crawl still yields maybe tens
+    * of millions of distinct words), so when it fits the driver
+    * (`maxLocalVocab`) we collect it once and run the merge loop locally —
+    * the distributed loop costs ~2 driver-scheduled Spark jobs per merge, and
+    * a real tokenizer is 30k–100k merges, a wall-clock killer at 60k–200k
+    * jobs even though each job is tiny. Above the bound,
+    * [[trainDistributed]] keeps every round distributed. The two paths are
+    * equivalence-tested merge-for-merge in BpeSpec (incl. supplementary-plane
+    * symbols and ties).
+    */
+  def train(wordFreq: DataFrame, numMerges: Int,
+      maxLocalVocab: Long = 4L << 20): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    if (wordFreq.count() <= maxLocalVocab) {
+      val rows = wordFreq
+        .select(col("word").cast("string"), col("freq").cast("long")).collect()
+      trainLocal(rows.iterator.map(r =>
+        (if (r.isNullAt(0)) "" else r.getString(0), r.getLong(1))).toSeq, numMerges)
+    } else trainDistributed(wordFreq, numMerges)
+  }
+
+  /** The fully-distributed merge loop: driver work per round is ONE row (the
+    * argmax pair); the word table stays distributed throughout. ~2 Spark jobs
+    * per merge — the giant-vocab escape hatch, not the default path. Stops
+    * early when no adjacent pair remains. */
+  def trainDistributed(wordFreq: DataFrame, numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0)
     var words = wordFreq
       .select(charsSafe(col("word")).as("syms"), col("freq").cast("long").as("freq"))
@@ -92,6 +117,132 @@ object Bpe {
     merges.result()
   }
 
+  /** Driver-local merge loop over a collected (word, freq) table — the
+    * default training path (see [[train]]). Semantics are identical to
+    * [[trainDistributed]]: overlapping pair counts, argmax by (count desc,
+    * a asc, b asc) with string order matching Spark's binary UTF-8 ordering,
+    * leftmost-greedy merge.
+    *
+    * Incremental algorithm so a 100k-merge train stays fast: pair counts are
+    * maintained by subtracting a rewritten word's old adjacencies and adding
+    * its new ones (only words actually containing the merged pair are
+    * touched, found via an occurrence index), and the argmax comes from a
+    * lazy-deletion heap — stale entries are dropped or re-pushed with their
+    * current count on pop. Per-round cost is proportional to the words the
+    * merge touches, not the vocabulary.
+    */
+  def trainLocal(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    import scala.collection.mutable
+    val entries = wordFreq.iterator
+      .map { case (w, f) => (codePointSyms(w), f) }
+      .filter(_._1.length >= 2)
+      .toArray
+    val wsyms = entries.map(_._1)
+    val freqs = entries.map(_._2)
+
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c <= 0L) counts.remove(p) else counts(p) = c
+    }
+    def pairsOf(v: Vector[String]): Iterator[(String, String)] =
+      (0 until v.length - 1).iterator.map(j => (v(j), v(j + 1)))
+    for (i <- wsyms.indices; p <- pairsOf(wsyms(i))) {
+      bump(p, freqs(i))
+      occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+    }
+
+    // Max-heap: higher count wins; ties prefer the UTF-8-byte-smaller (a, b),
+    // matching the distributed path's `orderBy(cnt desc, a asc, b asc)` on
+    // Spark's binary string ordering (String.compareTo would disagree on
+    // supplementary-plane symbols — surrogates sort below U+E000 in UTF-16).
+    def byteCmp(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ord: Ordering[(Long, String, String)] = (x, y) => {
+      if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+      else {
+        val ca = byteCmp(x._2, y._2)
+        if (ca != 0) -ca else -byteCmp(x._3, y._3)
+      }
+    }
+    val heap = mutable.PriorityQueue.empty(ord)
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      var chosen: (String, String) = null
+      while (chosen == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        val cur = counts.getOrElse((a, b), 0L)
+        if (cur == c) chosen = (a, b)
+        else if (cur > 0L) heap.enqueue((cur, a, b)) // stale: re-rank, keep draining
+      }
+      if (chosen == null) exhausted = true
+      else {
+        val (a, b) = chosen
+        merges += ((a, b))
+        val touched = mutable.HashSet.empty[(String, String)]
+        // occ is a may-contain superset (indices are never removed when a
+        // word stops containing a pair); mergeOnce leaves such words intact.
+        for (i <- occ.getOrElse((a, b), mutable.BitSet.empty)) {
+          val old = wsyms(i)
+          val nw = mergeOnce(old, a, b)
+          if (nw.length < old.length) {
+            pairsOf(old).foreach { p => bump(p, -freqs(i)); touched += p }
+            pairsOf(nw).foreach { p =>
+              bump(p, freqs(i))
+              occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+              touched += p
+            }
+            wsyms(i) = nw
+          }
+        }
+        counts.remove((a, b)) // fully rewritten: exact zero by construction
+        occ.remove((a, b))
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c > 0L) heap.enqueue((c, p._1, p._2))
+        }
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** Unicode-code-point split of a word — the JVM-side twin of [[chars]]
+    * (Spark `substring` counts code points, `String#charAt` counts UTF-16
+    * units; they disagree on supplementary-plane symbols). */
+  private[operators] def codePointSyms(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One leftmost-greedy non-overlapping rewrite of (a, b) → a+b — the JVM
+    * twin of [[mergePair]] (equal because a merged symbol `a+b` can only
+    * equal `a` if `b` is empty, and symbols are never empty). */
+  private[operators] def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.size) {
+      if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Encode one word with a learned merge list: repeatedly apply the
     * applicable merge with the LOWEST rank (training order), leftmost-greedy,
     * until none applies — the standard BPE encoder. Pure Scala; usable on the
@@ -103,7 +254,7 @@ object Bpe {
     * kernel uses, so a 30k-merge model is hashed once per executor closure,
     * not once per token. */
   private def encodeWithRanks(word: String, rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = codePointSyms(word) // code points, matching the training split
     var done = syms.size < 2
     while (!done) {
       val best = syms.zip(syms.tail).flatMap(p => rank.get(p).map(r => (r, p)))
@@ -111,14 +262,7 @@ object Bpe {
       best match {
         case None => done = true
         case Some((_, (a, b))) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.size) {
-            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          syms = out.result()
+          syms = mergeOnce(syms, a, b)
           done = syms.size < 2
       }
     }

@@ -108,4 +108,43 @@ class BpeSpec extends SparkSpec {
       .select("sub").as[Seq[String]].head()
     assert(got == Seq("lowest", "newest").flatMap(Bpe.encodeWord(_, merges)))
   }
+
+  test("trainLocal equals trainDistributed merge-for-merge on random corpora") {
+    val rnd = new scala.util.Random(1019)
+    // Alphabet deliberately includes supplementary-plane symbols (the emoji is
+    // two UTF-16 units) and U+FFFD (sorts above surrogates in UTF-16 but below
+    // the emoji in code-point/UTF-8 order) so both the code-point split and
+    // the binary tie-break are exercised, plus repeats to force "aaa" overlaps.
+    val alphabet = Vector("a", "b", "c", "a", "a", "😀", "�", "é")
+    for (trial <- 0 until 6) {
+      val corpus = (0 until 30 + rnd.nextInt(40)).map { _ =>
+        val w = (0 until 1 + rnd.nextInt(8))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val numMerges = 1 + rnd.nextInt(12)
+      val local = Bpe.trainLocal(corpus, numMerges)
+      val dist = Bpe.trainDistributed(corpus.toDF("word", "freq"), numMerges)
+      assert(local == dist, s"trial $trial merges=$numMerges\nlocal: $local\ndist:  $dist")
+    }
+  }
+
+  test("train dispatches to the local loop and agrees with the distributed path") {
+    val wf = corpus.toSeq.toDF("word", "freq")
+    assert(Bpe.train(wf, 8) == Bpe.trainDistributed(wf, 8))
+    // forcing the distributed regime through the public API gives the same model
+    assert(Bpe.train(wf, 8, maxLocalVocab = 0L) == Bpe.train(wf, 8))
+  }
+
+  test("encodeWord splits supplementary-plane words by code point") {
+    // no merges: the base split itself must be code points, not UTF-16 units
+    val w = "a😀b"
+    assert(Bpe.encodeWord(w, Nil) == Seq("a", "😀", "b"))
+    // a merge learned over an emoji pair applies at encode time
+    val wf = Seq(("😀😀", 5L)).toDF("word", "freq")
+    val merges = Bpe.train(wf, 1)
+    assert(merges == Seq(("😀", "😀")))
+    assert(Bpe.encodeWord("😀😀", merges) ==
+      Seq("😀😀"))
+  }
 }
