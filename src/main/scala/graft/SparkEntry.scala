@@ -853,6 +853,22 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(20)
     }),
+    // BP2 BPE ENCODER under the driver gate: apply a fixed rank-ordered merge
+    // list to every corpus token and count the resulting subwords. The oracle
+    // replays the same merges as chained delimiter-string replaces — one
+    // leftmost non-overlapping pass per rank, which equals the iterative
+    // min-rank encoder because a learned-order list's components can only be
+    // produced by strictly EARLIER merges (so no earlier rank ever becomes
+    // applicable again after a later one).
+    "bp2_bpe_encode" -> ((s, dir) => {
+      val toks = spread(t(s, dir, "documents"))
+        .select(Norm.normTokens(col("text")).as("toks"))
+      Bpe.encode(toks, "toks", "sub", bp2Merges)
+        .select(explode(col("sub")).as("subword"))
+        .groupBy("subword").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("subword").asc)
+        .limit(30)
+    }),
     // X18 bigram-LM log-perplexity (add-1 smoothing): the conditional upgrade
     // of x12 — fluency under the corpus's own bigram model, the standard
     // order-sensitive quality signal. See CorpusOps.bigramLogPerplexity.
@@ -1134,6 +1150,14 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracle per query (driver runs these on the same parquet dirs). */
+  /** Fixed rank-ordered merge list shared by the bp2 query and its oracle:
+    * corpus-frequent pairs plus two chained merges whose left components
+    * ("er", "th") are produced by earlier ranks, exercising rank precedence.
+    */
+  private val bp2Merges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "t" -> "h", "h" -> "e",
+    "o" -> "w", "s" -> "t", "er" -> "s", "th" -> "e")
+
   /** DuckDB oracle SQL per query key.
     *
     * INVARIANT (pinned by OracleSqlSpec): any integer `sum(...)` that reaches a
@@ -1797,6 +1821,19 @@ object SparkEntry {
            |  FROM w) t)
            |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
            |ORDER BY cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin.replace("\n", " "),
+      "bp2_bpe_encode" -> {
+        // symbol sequence as a '|'-delimited string; each merge is one plain
+        // (global, leftmost, non-overlapping) replace — see the query comment
+        // for why one pass per rank equals the iterative min-rank encoder
+        val encExpr = bp2Merges.foldLeft(raw"'|' || regexp_replace(w, '(.)', '\1|', 'g')") {
+          case (e, (a, b)) => s"replace($e, '|$a|$b|', '|$a$b|')"
+        }
+        s"""WITH tok AS (SELECT unnest($toksDoc) AS w FROM documents),
+           |enc AS (SELECT $encExpr AS s FROM tok),
+           |sub AS (SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS subword FROM enc)
+           |SELECT subword, count(*) AS cnt FROM sub GROUP BY 1
+           |ORDER BY cnt DESC, subword ASC LIMIT 30""".stripMargin.replace("\n", " ")
+      },
       "x18_bigram_logppl" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),
            |tok AS (SELECT unnest(toks) AS lft FROM d),
