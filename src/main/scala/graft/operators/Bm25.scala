@@ -43,6 +43,16 @@ object Bm25 {
     /** Collected corpus scalars — one tiny job, used by tests/persistence. */
     def nDocs: Long = statsRow.getDouble(0).toLong
     def avgdl: Double = statsRow.getDouble(1)
+    /** Free the corpus-scale blocks a `materialize = true` build checkpointed
+      * (tf and dl). Call once the index stops serving from memory — e.g.
+      * right after persisting it — or every ingest on a long-lived service
+      * pins two more block sets. No-op for loaded/pruned indexes and
+      * `materialize = false` builds (Bridge ignores non-checkpoint frames).
+      * The Index must not be scored after release. */
+    def release(): Unit = parts.foreach { case (tf, _, dl) =>
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tf)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dl)
+    }
   }
 
   /** Build the inverted index over `docs(idCol, textCol)`.

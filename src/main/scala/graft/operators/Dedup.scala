@@ -88,10 +88,13 @@ object Dedup {
     * document), so this converges in a handful of passes; `maxIter` bounds
     * pathological chains, and labels are re-materialized each pass so lineage
     * stays flat. Convergence is detected with one count of changed labels.
+    * Past `maxIter` the run hands off to [[connectedComponentsStars]] with
+    * `starsMaxRounds` as its round budget.
     *
     * Output: (id, rep_id) for every node appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 20,
+      starsMaxRounds: Int = 30): DataFrame = {
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -136,7 +139,7 @@ object Dedup {
       // the star path re-derives everything from `pairs`; this run's label
       // table is dead weight
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(labelsCp)
-      return connectedComponentsStars(pairs, aCol, bCol)
+      return connectedComponentsStars(pairs, aCol, bCol, starsMaxRounds)
     }
     labels.select(col("id"), col("rep").as("rep_id"))
   }
@@ -204,9 +207,15 @@ object Dedup {
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prev)
       round += 1
     }
+    // The proven worst case for alternating large-star/small-star is
+    // O(log^2 n) rounds (O(log n) in practice and on all tested graphs), so
+    // an adversarial very large graph can legitimately need more than the
+    // default budget — raise maxRounds (via connectedComponents'
+    // starsMaxRounds when called as the fallback) rather than assuming a bug.
     if (!done) throw new IllegalStateException(
       s"connectedComponentsStars did not reach a fixed point in $maxRounds " +
-        "rounds — O(log n) bound exceeded, which indicates a bug, not data")
+        "rounds; for very large or adversarial graphs raise maxRounds " +
+        "(~log^2 n worst case) — connectedComponents plumbs it as starsMaxRounds")
     nodes.join(edges.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep_id"))
   }

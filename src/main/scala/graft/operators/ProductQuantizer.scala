@@ -51,10 +51,11 @@ object ProductQuantizer {
     val seeds = corpus
       .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
       .orderBy(col("id").asc).limit(k)
-      // k rows: the window is bounded by the seed count, not the corpus. The
-      // constant partition key keeps the spec non-empty so WindowExec doesn't
-      // log its move-all-data warning — execution is identical (one bounded
-      // partition either way, k rows — 16 at current call sites).
+      // k rows: the window is bounded by the seed count (codebook size, at
+      // most a few hundred — e.g. 16 or 128 at current call sites), never the
+      // corpus. The constant partition key keeps the spec non-empty so
+      // WindowExec doesn't log its move-all-data warning — execution is
+      // identical either way: one partition of k rows.
       .withColumn("code",
         row_number().over(Window.partitionBy(lit(0)).orderBy(col("id").asc)))
     var cw = seeds

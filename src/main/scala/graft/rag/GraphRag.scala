@@ -88,9 +88,14 @@ final class GraphRag(
           IvfIndex.build(store.table(graph, t), "id", "embedding", config.annNList))
       }
     }
-    if (config.lexicalIndex)
-      store.saveLexIndex(graph,
-        Bm25.build(store.table(graph, "passages"), "id", "text"))
+    if (config.lexicalIndex) {
+      val idx = Bm25.build(store.table(graph, "passages"), "id", "text")
+      store.saveLexIndex(graph, idx)
+      // the saved parquet index is the serving copy; the build's checkpointed
+      // tf/dl blocks would otherwise accumulate per ingest for the lifetime
+      // of the session (the query path reloads from disk, not from these)
+      idx.release()
+    }
   }
 
   /** DataFrame-native bulk indexing: `docsDf` (id, text[, triplets]) → graph

@@ -91,6 +91,20 @@ class Bm25Spec extends SparkSpec {
       .groupBy(_._1).values.map(_.map(_._2).toSeq)
     ranks.foreach(r => assert(r == (1 to r.length)))
   }
+
+  test("Index.release frees the materialized build blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val docs = Seq(("d1", "alpha beta gamma"), ("d2", "beta beta delta"))
+      .toDF("id", "text")
+    val idx = Bm25.build(docs, "id", "text", materialize = true)
+    idx.postings.count() // materialize through the checkpointed tf/dl
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected the build to pin tf/dl checkpoints")
+    idx.release()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must unpersist every block the build pinned")
+  }
 }
 
 /** tiny local helper: token count with the engine tokenizer */

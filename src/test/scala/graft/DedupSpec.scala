@@ -88,4 +88,33 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hammingDistance(col("a"), col("b"))).as[Int].head()
     assert(got == 2)
   }
+
+  test("stars CC block hygiene: only the result-backing checkpoints survive") {
+    // A long chain forces many star rounds; each round checkpoints a new edge
+    // list and must free the superseded one. The returned frame legitimately
+    // derives from TWO pinned checkpoints (the node set and the final edge
+    // list) — anything beyond that is a per-round leak that surfaces at scale
+    // as block-manager pressure, not as a wrong answer, so pin it here.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStars(pairs)
+    assert(out.count() == 41)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"stars CC left ${leaked.size} pinned RDDs (expected <= 2: nodes + final edges)")
+  }
+
+  test("connectedComponents plumbs starsMaxRounds to the fallback") {
+    // maxIter=1 on a deep chain forces the stars fallback; an absurdly small
+    // stars budget must surface the plumbed parameter in the failure, and a
+    // normal budget must converge.
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1, starsMaxRounds = 1)
+    }
+    assert(e.getMessage.contains("maxRounds"))
+    val ok = Dedup.connectedComponents(pairs, maxIter = 1, starsMaxRounds = 30)
+    assert(ok.select("rep_id").distinct().count() == 1)
+  }
 }
