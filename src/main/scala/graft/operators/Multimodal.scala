@@ -11,11 +11,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * shape, deterministic output layout. IMAGE payloads get REAL pixel decoding
   * via `javax.imageio` (PNG/BMP/JPEG/GIF — ships with the JDK, zero new
   * dependencies): features are an L2-normalized luminance fold over the
-  * actual pixels, with width/height surfaced. Bytes imageio cannot parse —
-  * and the audio/video modalities, which have no JDK codec — fall back to
-  * the deterministic byte-fold stub (`fakeDecode`), flagged `decoded=false`;
-  * a production deployment swaps that fallback for a codec decoder (JNI/
-  * ffmpeg/PIL-on-mapInPandas) without touching any of the plumbing.
+  * actual pixels, with width/height surfaced. AUDIO payloads get REAL PCM
+  * decoding via `javax.sound.sampled` (WAV/AIFF/AU — also JDK-only):
+  * features are an amplitude fold over the decoded mono samples, with
+  * (sampleRate, channels) surfaced. Bytes neither codec can parse — and the
+  * VIDEO modality, the one with no JDK codec — fall back to the
+  * deterministic byte-fold stub (`fakeDecode`), flagged `decoded=false`; a
+  * production deployment swaps that fallback for a real codec (JNI/ffmpeg/
+  * PIL-on-mapInPandas) without touching any of the plumbing.
   */
 object Multimodal {
 
@@ -78,10 +81,62 @@ object Multimodal {
     out
   }
 
+  /** Real audio decode (WAV/AIFF/AU via the JDK's javax.sound.sampled — zero
+    * new dependencies): payload bytes → mono float samples in [-1, 1] plus
+    * (sampleRate, channels). Non-PCM encodings are converted to signed 16-bit
+    * PCM first; bytes that aren't a supported audio container return None.
+    * Each call builds its own streams — safe under task parallelism. */
+  private[operators] def decodeAudio(payload: Array[Byte]): Option[(Array[Float], Float, Int)] =
+    if (payload == null) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        // canonical little-endian signed 16-bit PCM at the source rate
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, ch, ch * 2, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val nFrames = bytes.length / (2 * ch)
+        val mono = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val i = (f * ch + c) * 2
+            acc += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          mono(f) = (acc / ch).toFloat
+          f += 1
+        }
+        Some((mono, fmt.getSampleRate, ch))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic features from REAL PCM frames: absolute sample amplitude
+    * folded into `dim` buckets, L2-normalized — the audio twin of
+    * [[pixelFeatures]], same output contract. */
+  private[operators] def audioFeatures(samples: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < samples.length) {
+      out(i % dim) += math.abs(samples(i))
+      i += 1
+    }
+    val n = math.sqrt(out.map(v => v.toDouble * v).sum)
+    if (n > 0) (0 until dim).foreach(j => out(j) = (out(j) / n).toFloat)
+    out
+  }
+
   // =================== FALLBACK: deterministic byte-fold stub ===================
-  // Used for undecodable bytes and the audio/video modalities (no JDK codec);
-  // a production build replaces this with a real media decoder. The fold
-  // derives "features" purely from the bytes so tests are deterministic.
+  // Used for undecodable bytes and the video modality (the one with no JDK
+  // codec); a production build replaces this with a real media decoder. The
+  // fold derives "features" purely from the bytes so tests are deterministic.
   private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload == null) return out
@@ -97,11 +152,13 @@ object Multimodal {
 
   /** Feature extraction over assets: per-partition batched decode → fixed-dim
     * feature vector + byte stats. Image payloads are REALLY decoded
-    * ([[decodeImage]]) with pixel-luminance features, width/height and
-    * `decoded=true`; anything imageio can't parse (and other modalities)
-    * takes the byte-fold fallback with width/height −1. Partition-level
-    * batching mirrors how a real GPU/codec decoder would amortize setup cost;
-    * output schema is stable. */
+    * ([[decodeImage]]) with pixel-luminance features and width/height; audio
+    * payloads are REALLY decoded ([[decodeAudio]]) with amplitude features
+    * and (sampleRate, channels) in the width/height slots; anything the JDK
+    * codecs can't parse (and the video modality) takes the byte-fold
+    * fallback with −1 metadata and `decoded=false`. Partition-level batching
+    * mirrors how a real GPU/codec decoder would amortize setup cost; output
+    * schema is stable across modalities. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", StringType, nullable = false),
@@ -119,15 +176,21 @@ object Multimodal {
         batch.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val nBytes = if (payload == null) 0L else payload.length.toLong
-          val img = if (r.getString(1) == "image") decodeImage(payload) else None
-          img match {
-            case Some(i) =>
+          // real decode per modality; for audio the (width, height) slots
+          // carry (sampleRate Hz, channels) — the stable schema's metadata
+          // pair, documented here rather than widened per modality
+          val decoded: Option[Row] = r.getString(1) match {
+            case "image" => decodeImage(payload).map(i =>
               Row(r.getString(0), r.getString(1), nBytes,
-                pixelFeatures(i, dim).toSeq, true, i.getWidth, i.getHeight)
-            case None =>
+                pixelFeatures(i, dim).toSeq, true, i.getWidth, i.getHeight))
+            case "audio" => decodeAudio(payload).map { case (samples, rate, ch) =>
               Row(r.getString(0), r.getString(1), nBytes,
-                fakeDecode(payload, dim).toSeq, false, -1, -1)
+                audioFeatures(samples, dim).toSeq, true, rate.toInt, ch) }
+            case _ => None
           }
+          decoded.getOrElse(
+            Row(r.getString(0), r.getString(1), nBytes,
+              fakeDecode(payload, dim).toSeq, false, -1, -1))
         }
       }
     }(enc)

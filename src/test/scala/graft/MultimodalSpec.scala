@@ -93,6 +93,69 @@ class MultimodalSpec extends SparkSpec {
     assert(viaImage.getSeq[Float](viaImage.fieldIndex("features")).toList == viaAudio.getSeq[Float](viaAudio.fieldIndex("features")).toList)
   }
 
+  /** Deterministic 16-bit PCM WAV container around interleaved samples. */
+  private def wavBytes(rate: Float, channels: Int, interleaved: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytes = new Array[Byte](interleaved.length * 2)
+    interleaved.indices.foreach { i =>
+      bytes(2 * i) = (interleaved(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((interleaved(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, channels, channels * 2, rate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, interleaved.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("extractFeatures really decodes WAV payloads (PCM frames, not bytes)") {
+    // stereo sine-ish signal; expected features computed from the SAMPLES
+    // independently of the operator — byte-folding the WAV (header included)
+    // could not reproduce them
+    val nFrames = 400
+    val interleaved = Array.tabulate[Short](nFrames * 2) { i =>
+      val f = i / 2
+      val base = math.sin(f * 0.1) * 12000
+      (if (i % 2 == 0) base else base * 0.5).toShort
+    }
+    val wav = wavBytes(8000f, 2, interleaved)
+    val assets = Seq(("a1", wav)).toDF("id", "bytes")
+    val row = Multimodal.extractFeatures(
+      Multimodal.toAssets(assets, "id", "bytes", "audio"), dim = 6)
+      .collect().head
+    assert(row.getAs[Boolean]("decoded"), "WAV payload must really decode")
+    assert(row.getAs[Int]("width") == 8000, "width slot carries the sample rate")
+    assert(row.getAs[Int]("height") == 2, "height slot carries the channel count")
+    val acc = new Array[Double](6)
+    (0 until nFrames).foreach { f =>
+      val mono = (interleaved(2 * f) / 32768.0 + interleaved(2 * f + 1) / 32768.0) / 2.0
+      acc(f % 6) += math.abs(mono.toFloat.toDouble)
+    }
+    val n = math.sqrt(acc.map(v => v * v).sum)
+    val want = acc.map(v => (v / n).toFloat)
+    row.getSeq[Float](row.fieldIndex("features")).zip(want).foreach {
+      case (got, w) => assert(math.abs(got - w) < 1e-6f, s"got=$got want=$w")
+    }
+  }
+
+  test("extractFeatures golden hash over the committed PCM formula") {
+    // md5 over the 6-dp-rounded features of a deterministic mono WAV — a
+    // change to the decode or the amplitude fold shows up as a one-line diff
+    val samples = Array.tabulate[Short](512)(i => ((i * 131 + 17) % 24001 - 12000).toShort)
+    val wav = wavBytes(16000f, 1, samples)
+    val assets = Seq(("gwav", wav)).toDF("id", "bytes")
+    val row = Multimodal.extractFeatures(
+      Multimodal.toAssets(assets, "id", "bytes", "audio"), dim = 8)
+      .collect().head
+    assert(row.getAs[Boolean]("decoded") && row.getAs[Int]("width") == 16000)
+    val rendered = row.getSeq[Float](row.fieldIndex("features")).toList.map(f => f"$f%.6f").mkString(",")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 == "bb9bee2710d075e9b17aca7c478609e3", s"rendered=$rendered md5=$md5")
+  }
+
   test("mm1 frame sampling golden hash (deterministic payload set)") {
     // the mm1 driver row is rows-only; this pins its exact output shape on a
     // committed deterministic payload set instead
