@@ -1058,18 +1058,22 @@ object SparkEntry {
       // stays LAZY: its only consumer is the seed KNN, whose bounded result
       // is checkpointed below — materializing the full table would be one
       // whole extra pass (embeddings included) for nothing.
-      // Two concurrent materializations over the shared triplet checkpoint:
-      // relations (feeds relation KNN + assembly) and entityRelation (feeds
-      // the expansion hop loop). A third concurrent branch for the seed KNN
-      // was MEASURED SLOWER (12-16 s vs ~11 s total): three jobs contending
-      // for all cores lengthen the critical path more than the overlap saves.
+      // ONE materialization over the shared triplet checkpoint: relations.
+      // entityRelation is then DERIVED from the relations checkpoint as a
+      // narrow projection (entity_ids is positionally [subject_id,
+      // object_id]), identical to the builder's explode+distinct over
+      // triplets — a relation repeated across passages collapses to the same
+      // (entity, relation) pairs either way, and every consumer is a
+      // semi-join that tolerates duplicates. This removes the second
+      // concurrent corpus-scale checkpoint the r5 profile charged ~4.8 s for,
+      // and each expansion hop now re-reads relation-count materialized rows
+      // with no shuffle instead of recomputing an explode+distinct.
       val gt = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val Seq(r, er) = Await.result(Future.sequence(Seq(
-          Future(gt0.relations.localCheckpoint(true)),
-          Future(gt0.entityRelation.localCheckpoint(true)))), Duration.Inf)
+        val r = gt0.relations.localCheckpoint(true)
+        val er = r.select(explode(array(
+            struct(col("entity_ids")(0).as("entity_id"), col("id").as("relation_id"), lit("subject").as("role")),
+            struct(col("entity_ids")(1).as("entity_id"), col("id").as("relation_id"), lit("object").as("role")))).as("e"))
+          .select(col("e.entity_id"), col("e.relation_id"), col("e.role"))
         gt0.copy(relations = r, entityRelation = er)
       }
       val question = "the spark join order for big table scan"
