@@ -71,16 +71,29 @@ object Bm25 {
     val exploded = share(docs
       .select(col(idCol).cast("string").as("id"),
         explode(Norm.normTokens(col(textCol))).as("term")))
-    // tf feeds df AND the postings join; dl feeds stats AND the postings
-    // join — share them too so one postings action runs each aggregate once.
-    val tf = share(exploded.groupBy("term", "id")
-      .agg(count(lit(1)).cast("double").as("tf")))
-    val dl = share(exploded.groupBy("id")
-      .agg(count(lit(1)).cast("double").as("dl")))
+    val idx = buildFromTokens(exploded, materialize)
     // tf and dl are materialized — the exploded token frame (the corpus-sized
     // one) is now dead; free its blocks instead of pinning them for the
     // index's lifetime. tf/dl stay cached: they ARE the in-memory index.
     if (materialize) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(exploded)
+    idx
+  }
+
+  /** [[build]] over an ALREADY-tokenized (id, term) frame — the shared-
+    * tokenization entry point: at corpus scale the raw-text scan + regex
+    * tokenize is the dominant index-build cost and is identical across the
+    * lexical retrieval family (BM25, TF-IDF, hybrid), so tokenize once and
+    * build each model from the same frame. The caller owns `tokens`'
+    * lifecycle (this function never unpersists it). */
+  def buildFromTokens(tokens: DataFrame, materialize: Boolean = true): Index = {
+    val share: DataFrame => DataFrame =
+      d => if (materialize) d.localCheckpoint(true) else d
+    // tf feeds df AND the postings join; dl feeds stats AND the postings
+    // join — share them so one postings action runs each aggregate once.
+    val tf = share(tokens.groupBy("term", "id")
+      .agg(count(lit(1)).cast("double").as("tf")))
+    val dl = share(tokens.groupBy("id")
+      .agg(count(lit(1)).cast("double").as("dl")))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       coalesce(avg("dl"), lit(0.0)).as("avgdl"))

@@ -25,6 +25,20 @@ object TfIdf {
     * posting-list length (and therefore any downstream join fan-out) at
     * corpus scale. Docs whose every term is cut simply emit no rows. */
   def weights(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double = 1.0, materialize: Boolean = true): DataFrame =
+    weightsFromTokens(
+      docs.select(col(idCol).cast("string").as("id"),
+        explode(Norm.normTokens(col(textCol))).as("term")),
+      // n counts ALL docs (zero-token ones included) — not derivable from
+      // the exploded frame, so it rides in as its own 1-row aggregate
+      docs.agg(count(lit(1)).cast("double").as("n")),
+      maxDfFraction, materialize)
+
+  /** [[weights]] over an ALREADY-tokenized (id, term) frame plus a 1-row
+    * `n` doc-count frame — the shared-tokenization entry point (see
+    * [[Bm25.buildFromTokens]]: one corpus tokenize serves the whole lexical
+    * family). The caller owns `tokens`' lifecycle. */
+  def weightsFromTokens(tokens: DataFrame, nDocs: DataFrame,
       maxDfFraction: Double = 1.0, materialize: Boolean = true): DataFrame = {
     // tf feeds both df and the weighting join, and weighted feeds both the
     // norm aggregate and the final join — Catalyst shares neither, so the lazy
@@ -33,14 +47,12 @@ object TfIdf {
     // false for a pure single-DAG composition with no action at build time.
     val share: DataFrame => DataFrame =
       d => if (materialize) d.localCheckpoint(true) else d
-    val tf = share(docs
-      .select(col(idCol).cast("string").as("id"),
-        explode(Norm.normTokens(col(textCol))).as("term"))
+    val tf = share(tokens
       .groupBy("id", "term")
       .agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     // one scalar row folded in lazily — build+score stay a single DAG
-    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val n = nDocs
     val weighted = share(tf.join(df, "term").crossJoin(broadcast(n))
       .filter(col("df") <= col("n") * maxDfFraction)
       .select(col("id"), col("term"), (col("tf") * log(col("n") / col("df"))).as("w"))

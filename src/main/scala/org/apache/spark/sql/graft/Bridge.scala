@@ -31,4 +31,16 @@ object Bridge {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Whether a localCheckpoint-backed frame's blocks are still persisted —
+    * false once something (e.g. a bench harness's per-query cleanup)
+    * unpersisted the truncated-lineage RDD, after which the frame cannot be
+    * recomputed and must be rebuilt from source. Non-checkpoint frames
+    * report true (they always recompute). */
+  def checkpointAlive(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => true
+    }
 }
