@@ -25,12 +25,15 @@ object Bench {
       graft.operators.VectorSearch.knnJoin(
         emb.limit(2), emb, "vec_id", "embedding", "vec_id", "embedding", 3).count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      // Shared lexical tokenization (index-once infrastructure for b1/b2/tf1):
-      // built here so it pre-exists the query loop — the per-query cleanup
-      // keeps pre-existing RDDs, so the lexical family shares one tokenize
-      // the way a real engine shares one index build across queries.
-      SparkEntry.lexTokens(spark, sfDir).count()
     } catch { case NonFatal(_) => () }
+    // Shared lexical tokenization (index-once infrastructure for b1/b2/tf1):
+    // built here so it pre-exists the query loop — the per-query cleanup
+    // keeps pre-existing RDDs, so the lexical family shares one tokenize the
+    // way a real engine shares one index build across queries. Own try block:
+    // an unrelated warm-up failure must not silently revert b1/b2/tf1 to
+    // per-query re-tokenization.
+    try SparkEntry.lexTokens(spark, sfDir).count()
+    catch { case NonFatal(e) => System.err.println(s"[bench] lexTokens warm-up failed: $e") }
     // Optional args = query-name filter for fast single-query iteration;
     // the driver passes none and gets the full set.
     val wanted = args.toSet

@@ -1169,6 +1169,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def lexTokens(s: SparkSession, dir: String): DataFrame = {
     val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
+    // evict entries of stopped sessions — a JVM cycling SparkSessions must
+    // not pin each dead session's object graph through this object-level map
+    lexTokenCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(lexTokenCache.remove)
     lexTokenCache.get((s, dir)).filter(alive).getOrElse {
       val fresh = spread(t(s, dir, "documents"))
         .select(col("doc_id"), col("doc_id").cast("string").as("id"),
@@ -1851,14 +1855,21 @@ object SparkEntry {
            |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
            |ORDER BY cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin.replace("\n", " "),
       "bp2_bpe_encode" -> {
-        // symbol sequence as a '|'-delimited string; each merge is one plain
-        // (global, leftmost, non-overlapping) replace — see the query comment
-        // for why one pass per rank equals the iterative min-rank encoder
-        val encExpr = bp2Merges.foldLeft(raw"'|' || regexp_replace(w, '(.)', '\1|', 'g')") {
-          case (e, (a, b)) => s"replace($e, '|$a|$b|', '|$a$b|')"
+        // Each symbol wrapped '|sym|' and concatenated (DOUBLE '||' between
+        // neighbors), so each merge is one plain (global, leftmost,
+        // non-overlapping) replace of '|a||b|' → '|ab|'. The double delimiter
+        // matters: with single '|' separators two ADJACENT occurrences of a
+        // pair share a delimiter char, the first match consumes it, and the
+        // replace skips the second ("mining" → [m,in,i,n,g]); with each
+        // symbol owning both its fences, one replace pass IS leftmost-greedy
+        // mergeOnce exactly (verified against the iterative encoder on
+        // mining/training/ininin/thethe/…). One pass per rank then equals
+        // the min-rank encoder — see the query comment.
+        val encExpr = bp2Merges.foldLeft(raw"regexp_replace(w, '(.)', '|\1|', 'g')") {
+          case (e, (a, b)) => s"replace($e, '|$a||$b|', '|$a$b|')"
         }
         s"""WITH tok AS (SELECT unnest($toksDoc) AS w FROM documents),
-           |enc AS (SELECT $encExpr AS s FROM tok),
+           |enc AS (SELECT replace($encExpr, '||', '|') AS s FROM tok),
            |sub AS (SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS subword FROM enc)
            |SELECT subword, count(*) AS cnt FROM sub GROUP BY 1
            |ORDER BY cnt DESC, subword ASC LIMIT 30""".stripMargin.replace("\n", " ")

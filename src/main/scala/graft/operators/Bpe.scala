@@ -75,14 +75,18 @@ object Bpe {
     * symbols and ties).
     */
   def train(wordFreq: DataFrame, numMerges: Int,
-      maxLocalVocab: Long = 4L << 20): Seq[(String, String)] = {
+      maxLocalVocab: Int = 4 << 20): Seq[(String, String)] = {
     require(numMerges >= 0)
-    if (wordFreq.count() <= maxLocalVocab) {
-      val rows = wordFreq
-        .select(col("word").cast("string"), col("freq").cast("long")).collect()
+    // ONE action decides the regime AND delivers the data: a bounded fetch of
+    // maxLocalVocab+1 rows (a separate count() would execute the word-freq
+    // lineage — the corpus-sized pass — twice for lazy inputs)
+    val rows = wordFreq
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .limit(maxLocalVocab + 1).collect()
+    if (rows.length <= maxLocalVocab)
       trainLocal(rows.iterator.map(r =>
         (if (r.isNullAt(0)) "" else r.getString(0), r.getLong(1))).toSeq, numMerges)
-    } else trainDistributed(wordFreq, numMerges)
+    else trainDistributed(wordFreq, numMerges)
   }
 
   /** The fully-distributed merge loop: driver work per round is ONE row (the

@@ -133,7 +133,7 @@ class BpeSpec extends SparkSpec {
     val wf = corpus.toSeq.toDF("word", "freq")
     assert(Bpe.train(wf, 8) == Bpe.trainDistributed(wf, 8))
     // forcing the distributed regime through the public API gives the same model
-    assert(Bpe.train(wf, 8, maxLocalVocab = 0L) == Bpe.train(wf, 8))
+    assert(Bpe.train(wf, 8, maxLocalVocab = 0) == Bpe.train(wf, 8))
   }
 
   test("encodeWord splits supplementary-plane words by code point") {
