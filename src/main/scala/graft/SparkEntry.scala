@@ -1187,7 +1187,7 @@ object SparkEntry {
     * corpus-frequent pairs plus two chained merges whose left components
     * ("er", "th") are produced by earlier ranks, exercising rank precedence.
     */
-  private val bp2Merges: Seq[(String, String)] = Seq(
+  private[graft] val bp2Merges: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "t" -> "h", "h" -> "e",
     "o" -> "w", "s" -> "t", "er" -> "s", "th" -> "e")
 

@@ -86,4 +86,30 @@ class OracleSqlSpec extends AnyFunSuite {
   test("bp1's final sum is cast to BIGINT (the round-5 red row)") {
     assert(SparkEntry.oracleSql("bp1_pair_counts").contains("CAST(sum(freq) AS BIGINT)"))
   }
+
+  test("bp2 oracle SQL uses double-delimiter symbol fences") {
+    // single '|' separators make ADJACENT occurrences of a merge pair share a
+    // delimiter char — the first replace match consumes it and the second
+    // occurrence is skipped ('mining' → [m,in,i,n,g]); each symbol must own
+    // both its fences
+    val sql = SparkEntry.oracleSql("bp2_bpe_encode")
+    assert(sql.contains("'|in|'") || sql.contains("||"), sql.take(200))
+    assert(sql.contains("'|i||n|'"), "expected double-fence replace patterns\n" + sql.take(300))
+  }
+
+  test("bp2 merge list satisfies the one-pass-per-rank precondition") {
+    // the oracle applies each rank ONCE in order; that equals the iterative
+    // min-rank encoder only if every merge component is a base symbol (one
+    // code point) or the output of a STRICTLY EARLIER merge — pin it so a
+    // future merge-list edit can't silently break the equivalence argument
+    val list = SparkEntry.bp2Merges
+    val produced = scala.collection.mutable.Set.empty[String]
+    list.foreach { case (a, b) =>
+      Seq(a, b).foreach { c =>
+        assert(c.codePointCount(0, c.length) == 1 || produced.contains(c),
+          s"component '$c' of merge ($a,$b) is neither a base symbol nor an earlier output")
+      }
+      produced += (a + b)
+    }
+  }
 }
