@@ -2035,6 +2035,18 @@ object SparkEntry {
           |SELECT w.window_id, count(*) AS n_spans
           |FROM sp JOIN w ON sp.lo < w.whi AND w.wlo < sp.hi
           |GROUP BY 1""".stripMargin.replace("\n", " "),
+      // Frame sampling arithmetic replayed on byte lengths: frames(n) =
+      // max(floor(n / (frameBytes·stride)), 1); every frame is full except a
+      // short payload's single frame. encode(text) = UTF-8 bytes, matching
+      // Spark's string→binary cast.
+      "mm1_frames" ->
+        """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+          |    octet_length(encode(text)) AS n FROM documents WHERE n_chars > 0),
+          |f AS (SELECT asset_id, n, unnest(range(0, greatest(n // 128, 1))) AS i FROM d)
+          |SELECT asset_id, CAST(i AS INTEGER) AS frame_index,
+          |  CAST(i * 128 AS BIGINT) AS byte_offset,
+          |  CAST(least(64, n - i * 128) AS INTEGER) AS frame_len
+          |FROM f""".stripMargin.replace("\n", " "),
       "mm2_features" ->
         """SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS modality,
           |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents""".stripMargin.replace("\n", " "),
