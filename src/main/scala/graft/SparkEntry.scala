@@ -701,6 +701,17 @@ object SparkEntry {
         .agg(countDistinct(col("sh")).as("n_shared"))
     }),
 
+    // D10 exact-substring duplicate spans (Lee et al. 2021 shape): every
+    // 8-token window verbatim-shared across ≥2 documents — the span-level
+    // dedup signal whole-document dedup (d1) misses. See
+    // CorpusOps.duplicateSpans for the suffix-array-surrogate rationale.
+    "d10_dup_spans" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+      CorpusOps.duplicateSpans(docs, "doc_id", "toks", 8)
+        .select(col("doc_id"), col("start"))
+    }),
+
     // PK1 sequence packing: global token offsets (corpus ordered by doc_id) and
     // the 512-token context windows each document overlaps — computed with the
     // two-phase prefix sum, never a global single-partition sort.
@@ -1955,6 +1966,15 @@ object SparkEntry {
            |SELECT split, count(*) AS n_contaminated
            |FROM sp WHERE split <> 'train' AND fp IN (SELECT fp FROM train)
            |GROUP BY split""".stripMargin.replace("\n", " "),
+      "d10_dup_spans" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
+           |g AS (SELECT doc_id, u['start'] AS start, u['gram'] AS gram FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+           |    i -> {'start': i - 1, 'gram': array_to_string(list_slice(w, i, i+7), ' ')})) AS u
+           |  FROM d) t),
+           |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+           |SELECT doc_id, CAST(start AS INTEGER) AS start FROM g
+           |WHERE gram IN (SELECT gram FROM dup)""".stripMargin.replace("\n", " "),
       "x14_ngram_contamination" ->
         s"""WITH un AS (
            |  SELECT doc_id, text FROM documents

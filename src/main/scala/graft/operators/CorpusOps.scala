@@ -257,6 +257,35 @@ object CorpusOps {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Exact-substring duplicate spans (after Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": verbatim repeated passages
+    * are what memorization-prone dedup targets, beyond whole-document dups):
+    * every n-token window whose exact token sequence also occurs in ANOTHER
+    * document. Cross-document only — a window repeated within one document
+    * is not marked unless some other document also contains it.
+    *
+    * Scale shape: one posexplode + one (gram → distinct-doc-count ≥ 2) hash
+    * aggregate + one equi-semi-join back on the gram key. The duplicated-gram
+    * set is corpus-scale, so it stays a shuffle equi-join — never broadcast
+    * or collected. The suffix-array construction of the paper is a
+    * single-machine algorithm; the windowed-fingerprint form is its standard
+    * distributed surrogate (fixed n instead of maximal-length matches).
+    *
+    * Output: (<idCol>, start, gram) per duplicated window, start 0-based. */
+  def duplicateSpans(df: DataFrame, idCol: String, toksCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // (id, start, gram) — feeds the dup aggregate AND the span join back
+    val grams = df
+      .select(col(idCol).as("id"), posexplode(graft.functions.Norm.shingles(col(toksCol), n)))
+      .select(col("id"), col("pos").as("start"), col("col").as("gram"))
+      .localCheckpoint(true)
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("_d"))
+      .filter(col("_d") >= 2).select("gram")
+    grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("id").as(idCol), col("start"), col("gram"))
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -89,6 +89,21 @@ class DedupSpec extends SparkSpec {
     assert(got == 2)
   }
 
+  test("duplicateSpans marks cross-document verbatim windows only") {
+    import graft.operators.CorpusOps
+    val rows = Seq(
+      // d1 and d2 share the 3-gram "b c d" (d1 at start 1, d2 at start 0)
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("b", "c", "d", "e")),
+      // d3 repeats "x y z" twice WITHIN itself but no other doc has it → unmarked
+      (3L, Seq("x", "y", "z", "x", "y", "z")),
+      (4L, Seq("q")) // too short for any window
+    ).toDF("doc_id", "toks")
+    val got = CorpusOps.duplicateSpans(rows, "doc_id", "toks", 3)
+      .select("doc_id", "start").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 1), (2L, 0)), got)
+  }
+
   test("stars CC block hygiene: only the result-backing checkpoints survive") {
     // A long chain forces many star rounds; each round checkpoints a new edge
     // list and must free the superseded one. The returned frame legitimately
