@@ -265,11 +265,13 @@ object CorpusOps {
     * is not marked unless some other document also contains it.
     *
     * Scale shape: one posexplode + one (gram → distinct-doc-count ≥ 2) hash
-    * aggregate + one equi-semi-join back on the gram key. The duplicated-gram
-    * set is corpus-scale, so it stays a shuffle equi-join — never broadcast
-    * or collected. The suffix-array construction of the paper is a
-    * single-machine algorithm; the windowed-fingerprint form is its standard
-    * distributed surrogate (fixed n instead of maximal-length matches).
+    * aggregate + one equi-semi-join back on the gram key. Nothing is
+    * collected and no broadcast is FORCED: the duplicated-gram set is
+    * corpus-scale in the worst case, so the semi-join is left to the planner
+    * (broadcast when it happens to be small, sort-merge otherwise). The
+    * suffix-array construction of the paper is a single-machine algorithm;
+    * the windowed-fingerprint form is its standard distributed surrogate
+    * (fixed n instead of maximal-length matches).
     *
     * Output: (<idCol>, start, gram) per duplicated window, start 0-based. */
   def duplicateSpans(df: DataFrame, idCol: String, toksCol: String, n: Int): DataFrame = {
