@@ -92,6 +92,21 @@ class Bm25Spec extends SparkSpec {
     ranks.foreach(r => assert(r == (1 to r.length)))
   }
 
+  test("lexTokens survives its blocks being freed (rebuild, not crash)") {
+    // Bench's per-query cleanup unpersists checkpoints created inside a
+    // query; a later query's access must transparently rebuild the shared
+    // frame from source — reading a freed truncated-lineage checkpoint would
+    // throw "checkpoint block not found" instead
+    val dir = "/root/testdata/sf0.001"
+    val first = SparkEntry.lexTokens(spark, dir)
+    val n1 = first.count()
+    assert(SparkEntry.lexTokens(spark, dir) eq first, "second access must hit the cache")
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(first)
+    val rebuilt = SparkEntry.lexTokens(spark, dir)
+    assert(!(rebuilt eq first), "freed blocks must trigger a rebuild")
+    assert(rebuilt.count() == n1)
+  }
+
   test("Index.release frees the materialized build blocks") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
