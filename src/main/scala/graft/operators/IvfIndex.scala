@@ -113,35 +113,40 @@ object IvfIndex {
       rows: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = load(spark, dir)
     val base = rows.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
-    // delta-sized: eager materialization so nothing below re-runs the assign
+    // delta-sized: eager materialization so nothing below re-runs the assign.
+    // Freed before every exit — a long-lived streaming-graft service calls this
+    // per micro-batch, and pinned delta blocks would otherwise accumulate.
     val assigned = assign(base, idx.centroids).localCheckpoint(true)
-    if (assigned.isEmpty) return
-    val apath = s"$dir/assignments.parquet"
-    if (idx.assignments.isEmpty) {
-      // empty plain layout → first real rows: full (tiny) swap into cell dirs
-      save(Index(idx.centroids, assigned), dir)
-      return
-    }
-    // Add-only safety probe (delta-sized driver set, same bound as the cell
-    // collect below — the graft path feeds micro-batch-sized deltas).
-    val deltaIds = assigned.select("id").collect().map(_.getString(0)).toSeq
-    val already = idx.assignments.filter(col("id").isin(deltaIds: _*))
-      .select("id").collect().map(_.getString(0)).toSet
-    val fresh = assigned.filter(not(col("id").isin(already.toSeq: _*)))
-    if (already.size == deltaIds.size) return // nothing genuinely new
-    val cells = fresh.select("centroid_id").distinct()
-      .collect().map(_.getString(0))
-    val existing = idx.assignments
-      .filter(col(CellCol).isin(cells.toIndexedSeq.map("c" + _): _*)).drop(CellCol)
-    val merged = existing
-      .unionByName(fresh) // disjoint ids by the probe above
-      .withColumn(CellCol, cellOf(col("centroid_id")))
-      .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
-      // lineage break: the write below overwrites the very files this reads
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(CellCol).parquet(apath)
+    try {
+      if (assigned.isEmpty) return
+      val apath = s"$dir/assignments.parquet"
+      if (idx.assignments.isEmpty) {
+        // empty plain layout → first real rows: full (tiny) swap into cell dirs
+        save(Index(idx.centroids, assigned), dir)
+        return
+      }
+      // Add-only safety probe (delta-sized driver set, same bound as the cell
+      // collect below — the graft path feeds micro-batch-sized deltas).
+      val deltaIds = assigned.select("id").collect().map(_.getString(0)).toSeq
+      val already = idx.assignments.filter(col("id").isin(deltaIds: _*))
+        .select("id").collect().map(_.getString(0)).toSet
+      val fresh = assigned.filter(not(col("id").isin(already.toSeq: _*)))
+      if (already.size == deltaIds.size) return // nothing genuinely new
+      val cells = fresh.select("centroid_id").distinct()
+        .collect().map(_.getString(0))
+      val existing = idx.assignments
+        .filter(col(CellCol).isin(cells.toIndexedSeq.map("c" + _): _*)).drop(CellCol)
+      val merged = existing
+        .unionByName(fresh) // disjoint ids by the probe above
+        .withColumn(CellCol, cellOf(col("centroid_id")))
+        .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+        // lineage break: the write below overwrites the very files this reads
+        .localCheckpoint(true)
+      try merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(CellCol).parquet(apath)
+      finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(assigned)
   }
 
   /** Measured recall@k of probe-limited search vs exact KNN, per nProbe — the
@@ -176,18 +181,21 @@ object IvfIndex {
   def search(index: Index, queries: DataFrame,
       qId: String, qVec: String,
       nProbe: Int, k: Int): DataFrame = {
-    // Probes are queries × nProbe — tiny. Materialized once (the collect below
-    // and the join would otherwise each re-run the centroid KNN), and the
-    // probed cell set is collected so the inverted-file scan can be pruned
-    // with a LITERAL predicate: on a saved index that is directory-level
-    // partition pruning — the scan reads ~nProbe/nList of the index, which is
-    // the entire point of IVF at 100 TB.
-    val probes = VectorSearch.knnJoin(
+    // Probes are queries × nProbe — tiny. Collected once (a checkpoint would
+    // pin blocks the lazily-returned plan can never safely free — a per-search
+    // leak in a long-lived service) and rebuilt as a LOCAL relation, so the
+    // returned plan owns no cached state. The probed cell set prunes the
+    // inverted-file scan with a LITERAL predicate: on a saved index that is
+    // directory-level partition pruning — the scan reads ~nProbe/nList of the
+    // index, which is the entire point of IVF at 100 TB.
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probeRows = VectorSearch.knnJoin(
       queries, index.centroids, qId, qVec, "centroid_id", "cvec", nProbe)
       .select(col("query_id"), col("neighbor_id").as("centroid_id"))
-      .localCheckpoint(true)
-    val probedCells = probes.select("centroid_id").distinct()
-      .collect().map(_.getString(0))
+      .as[(String, String)].collect()
+    val probes = probeRows.toIndexedSeq.toDF("query_id", "centroid_id")
+    val probedCells = probeRows.map(_._2).distinct
     val prunedAssignments =
       if (index.assignments.columns.contains(CellCol))
         index.assignments.filter(col(CellCol).isin(probedCells.toIndexedSeq.map("c" + _): _*))

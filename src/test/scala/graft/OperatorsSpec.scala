@@ -185,6 +185,30 @@ class OperatorsSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("IVF block hygiene: repeated addSaved + search pin no residual RDDs") {
+    // A streaming-graft service calls addSaved per micro-batch and search per
+    // query; either leaking a checkpoint per call surfaces at scale as
+    // block-manager pressure (the Bm25 ingest leak's sibling). Pin zero growth.
+    val emb = spark.read.parquet(sf("embeddings"))
+    val index = IvfIndex.build(emb.filter(col("vec_id") < 20), "vec_id", "embedding", nList = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfleak").toString
+    IvfIndex.save(index, dir)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    for (b <- 0 until 10) {
+      val delta = emb.filter(col("vec_id") >= 20 + b * 3 && col("vec_id") < 23 + b * 3)
+      IvfIndex.addSaved(spark, dir, delta, "vec_id", "embedding")
+    }
+    val after = IvfIndex.load(spark, dir)
+    IvfIndex.search(after, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", nProbe = 2, k = 3).count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"addSaved/search left ${leaked.size} pinned RDDs across 10 micro-batches + a search")
+    assert(after.assignments.select("id").as[String].collect().toSet ==
+      (0 until 50).map(_.toString).toSet)
+  }
+
   test("IVF Lloyd refinement (iters=1) keeps complete assignments and valid search") {
     val emb = spark.read.parquet(sf("embeddings"))
     val refined = IvfIndex.build(emb, "vec_id", "embedding", nList = 8, iters = 1)
