@@ -712,6 +712,15 @@ object SparkEntry {
         .select(col("doc_id"), col("start"))
     }),
 
+    // D11 the dedup ACTION on d10's signal: maximal cross-document duplicate
+    // spans cut from every document, survivors reassembled in order. One row
+    // per input doc (fully-duplicated docs come back empty, not dropped).
+    "d11_remove_dup_spans" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+      CorpusOps.removeDuplicateSpans(docs, "doc_id", "toks", 8)
+    }),
+
     // PK1 sequence packing: global token offsets (corpus ordered by doc_id) and
     // the 512-token context windows each document overlaps — computed with the
     // two-phase prefix sum, never a global single-partition sort.
@@ -1975,6 +1984,31 @@ object SparkEntry {
            |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
            |SELECT doc_id, CAST(start AS INTEGER) AS start FROM g
            |WHERE gram IN (SELECT gram FROM dup)""".stripMargin.replace("\n", " "),
+      "d11_remove_dup_spans" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
+           |g AS (SELECT doc_id, u['start'] AS start, u['gram'] AS gram FROM (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+           |    i -> {'start': i - 1, 'gram': array_to_string(list_slice(w, i, i+7), ' ')})) AS u
+           |  FROM d) t),
+           |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |win AS (SELECT doc_id, start, start + 7 AS e FROM g WHERE gram IN (SELECT gram FROM dup)),
+           |mk AS (SELECT doc_id, start, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |  FROM win),
+           |isl AS (SELECT doc_id, start, e,
+           |    sum(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM mk),
+           |spans AS (SELECT doc_id, min(start) AS a, max(e) AS b FROM isl GROUP BY doc_id, island),
+           |cov AS (SELECT doc_id, unnest(generate_series(a, b)) AS pos FROM spans),
+           |tok AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tok FROM d),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL)
+           |SELECT d.doc_id, CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
+           |  coalesce(k.txt, '') AS clean_text
+           |FROM d LEFT JOIN (SELECT doc_id, count(*) AS n,
+           |    string_agg(tok, ' ' ORDER BY pos) AS txt FROM kept GROUP BY doc_id) k
+           |  USING (doc_id)""".stripMargin.replace("\n", " "),
       "x14_ngram_contamination" ->
         s"""WITH un AS (
            |  SELECT doc_id, text FROM documents

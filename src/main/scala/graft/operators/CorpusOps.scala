@@ -288,6 +288,68 @@ object CorpusOps {
       .select(col("id").as(idCol), col("start"), col("gram"))
   }
 
+  /** Maximal duplicate spans: [[duplicateSpans]] windows merged per document
+    * into disjoint maximal token ranges — overlapping OR contiguous windows
+    * (next start ≤ previous end + 1) coalesce, the gaps-and-islands shape.
+    * The window functions are partitioned BY DOCUMENT, so the per-partition
+    * sort is bounded by document length — parallel and safe at corpus scale
+    * (contrast a global ORDER BY, which would serialize on one executor).
+    *
+    * Output: (<idCol>, span_start, span_end), inclusive 0-based positions. */
+  def duplicateSpanRanges(df: DataFrame, idCol: String, toksCol: String,
+      n: Int): DataFrame = {
+    val wins = duplicateSpans(df, idCol, toksCol, n)
+      .select(col(idCol).as("id"), col("start"),
+        (col("start") + lit(n - 1)).as("end"))
+    val byDoc = Window.partitionBy("id").orderBy("start")
+    wins
+      .withColumn("_pmax", max(col("end"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("start") > col("_pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+      .groupBy(col("id"), col("_island"))
+      .agg(min("start").as("span_start"), max("end").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The exact-substring dedup ACTION (Lee et al. 2021): cut every maximal
+    * cross-document duplicate span from every document and reassemble the
+    * survivors in order. Like the paper's public implementation, ALL
+    * occurrences of a duplicated passage are removed (not all-but-one) —
+    * within-document repeats survive untouched, because [[duplicateSpans]]
+    * is cross-document by construction.
+    *
+    * Scale shape: the span table is output-sized, covered positions are a
+    * bounded explode over disjoint spans (no distinct needed), the cut is a
+    * left-anti equi-join on (doc, position), and reassembly is one per-doc
+    * aggregate. Every document survives as a row — fully-duplicated ones
+    * come back with n_tokens_kept = 0 and empty text, so the caller decides
+    * whether to drop them (silent deletion is not an operator's call).
+    *
+    * Output: (<idCol>, n_tokens_kept, clean_text), one row per input doc. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, toksCol: String,
+      n: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    val covered = duplicateSpanRanges(df, idCol, toksCol, n)
+      .select(col(idCol).as("id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = base.select(col("id"), posexplode(col("toks")))
+      .select(col("id"), col("pos"), col("col").as("tok"))
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("_n"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")), " ").as("_txt"))
+    base.select("id").distinct()
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("_txt"), lit("")).as("clean_text"))
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -104,6 +104,50 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 1), (2L, 0)), got)
   }
 
+  test("duplicateSpanRanges merges overlapping AND contiguous windows") {
+    import graft.operators.CorpusOps
+    val rows = Seq(
+      // A's windows: "a b c" @0 (shared with B) and "d e f" @3 (shared with
+      // C) — overlapping? no; contiguous ([0,2] then [3,5]) → ONE span [0,5]
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("d", "e", "f")),
+      // D has the two shared grams separated by a private token → TWO spans
+      (4L, Seq("a", "b", "c", "zz", "d", "e", "f"))
+    ).toDF("doc_id", "toks")
+    val got = CorpusOps.duplicateSpanRanges(rows, "doc_id", "toks", 3)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 0, 5), (2L, 0, 2), (3L, 0, 2),
+      (4L, 0, 2), (4L, 4, 6)), got)
+  }
+
+  test("removeDuplicateSpans: clean text == original minus flagged spans; " +
+      "within-doc repeats survive; fully-covered docs come back empty") {
+    import graft.operators.CorpusOps
+    val rows = Seq(
+      // shares its whole prefix "a b c d e f" with doc 2 → keeps "p q r"
+      (1L, Seq("a", "b", "c", "d", "e", "f", "p", "q", "r")),
+      (2L, Seq("a", "b", "c", "d", "e", "f")), // fully covered → empty row
+      // repeats "x y z" only WITHIN itself → untouched
+      (3L, Seq("x", "y", "z", "x", "y", "z")),
+      (4L, Seq("q")), // too short for any window → untouched
+      // two disjoint shared spans around a private middle → middle survives
+      (5L, Seq("g", "h", "i", "u1", "u2", "u3", "j", "k", "l")),
+      (6L, Seq("g", "h", "i")),
+      (7L, Seq("j", "k", "l"))
+    ).toDF("doc_id", "toks")
+    val got = CorpusOps.removeDuplicateSpans(rows, "doc_id", "toks", 3)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 7, "every input doc must survive as a row")
+    assert(got(1L) == ((3L, "p q r")), got(1L))
+    assert(got(2L) == ((0L, "")), got(2L))
+    assert(got(3L) == ((6L, "x y z x y z")), got(3L))
+    assert(got(4L) == ((1L, "q")), got(4L))
+    assert(got(5L) == ((3L, "u1 u2 u3")), got(5L))
+    assert(got(6L) == ((0L, "")), got(6L))
+    assert(got(7L) == ((0L, "")), got(7L))
+  }
+
   test("stars CC block hygiene: only the result-backing checkpoints survive") {
     // A long chain forces many star rounds; each round checkpoints a new edge
     // list and must free the superseded one. The returned frame legitimately
