@@ -1339,6 +1339,71 @@ object SparkEntry {
           |SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal FROM customer WHERE c_custkey % 10 = 0""".stripMargin.replace("\n", " "),
       "s8_delete" ->
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 3",
+      // T1 twin of Chunker.chunkText(chunkSize=200, overlap=50): per-doc
+      // first-present-separator cascade, split keeping the separator, greedy
+      // repack as a recursive CTE (state = open-chunk number + buffer length,
+      // advanced one piece per iteration), char windows (stride 150) for
+      // separator-free texts and oversized pieces. Exact whenever an
+      // oversized piece contains no finer separator (always true here: max
+      // word length 8); the nested fall-through corner is pinned by the
+      // ChunkerSpec golden file instead.
+      "t1_chunker" ->
+        """WITH RECURSIVE
+          |sep AS (SELECT doc_id, text, len(text) AS tl,
+          |    CASE WHEN contains(text, chr(10)||chr(10)) THEN chr(10)||chr(10)
+          |         WHEN contains(text, chr(10)) THEN chr(10)
+          |         WHEN contains(text, '. ') THEN '. '
+          |         WHEN contains(text, ' ') THEN ' '
+          |         ELSE NULL END AS s
+          |  FROM documents),
+          |whole AS (SELECT doc_id, text AS piece, 0 AS ord1, 0 AS ord2 FROM sep WHERE tl <= 200),
+          |winfree AS (SELECT doc_id, u['piece'] AS piece, 0 AS ord1, u['k'] AS ord2 FROM (
+          |  SELECT doc_id, unnest(list_transform(
+          |      generate_series(0, CAST(ceil((tl - 200) / 150.0) AS BIGINT)),
+          |      k -> {'k': k, 'piece': substr(text, CAST(k*150 + 1 AS BIGINT), 200)})) AS u
+          |  FROM sep WHERE tl > 200 AND s IS NULL) t),
+          |pieces AS (SELECT doc_id, i - 1 AS i,
+          |    CASE WHEN i < nparts THEN part || s ELSE part END AS p,
+          |    CASE WHEN i < nparts THEN len(part || s) ELSE len(part) END AS pl
+          |  FROM (SELECT doc_id, s, generate_subscripts(ps, 1) AS i, unnest(ps) AS part,
+          |      len(ps) AS nparts
+          |    FROM (SELECT doc_id, s, string_split(text, s) AS ps
+          |      FROM sep WHERE tl > 200 AND s IS NOT NULL) t0) t1),
+          |pk AS (
+          |  SELECT doc_id, -1 AS i, 0 AS cur, 0 AS buf, 0 AS c, false AS over, '' AS p
+          |  FROM (SELECT DISTINCT doc_id FROM pieces) seeds
+          |  UNION ALL
+          |  SELECT q.doc_id, q.i,
+          |    CASE WHEN q.pl > 200 THEN st.cur + CASE WHEN st.buf > 0 THEN 2 ELSE 1 END
+          |         WHEN st.buf > 0 AND st.buf + q.pl > 200 THEN st.cur + 1
+          |         ELSE st.cur END,
+          |    CASE WHEN q.pl > 200 THEN 0
+          |         WHEN st.buf > 0 AND st.buf + q.pl > 200 THEN q.pl
+          |         ELSE st.buf + q.pl END,
+          |    CASE WHEN q.pl > 200 THEN st.cur + CASE WHEN st.buf > 0 THEN 1 ELSE 0 END
+          |         WHEN st.buf > 0 AND st.buf + q.pl > 200 THEN st.cur + 1
+          |         ELSE st.cur END,
+          |    q.pl > 200, q.p
+          |  FROM pk st JOIN pieces q ON q.doc_id = st.doc_id AND q.i = st.i + 1),
+          |packed AS (SELECT doc_id, c AS ord1, 0 AS ord2, string_agg(p, '' ORDER BY i) AS piece
+          |  FROM pk WHERE i >= 0 AND NOT over GROUP BY doc_id, c),
+          |overwin AS (SELECT doc_id, ord1, u['k'] AS ord2, u['piece'] AS piece FROM (
+          |  SELECT doc_id, c AS ord1, unnest(list_transform(
+          |      generate_series(0, CAST(ceil((len(p) - 200) / 150.0) AS BIGINT)),
+          |      k -> {'k': k, 'piece': substr(p, CAST(k*150 + 1 AS BIGINT), 200)})) AS u
+          |  FROM pk WHERE i >= 0 AND over) t),
+          |allp AS (
+          |  SELECT doc_id, piece, ord1, ord2 FROM whole
+          |  UNION ALL SELECT doc_id, piece, ord1, ord2 FROM winfree
+          |  UNION ALL SELECT doc_id, piece, ord1, ord2 FROM packed
+          |  UNION ALL SELECT doc_id, piece, ord1, ord2 FROM overwin),
+          |fin AS (SELECT doc_id, trim(piece, ' ' || chr(9) || chr(10) || chr(13)) AS chunk,
+          |    ord1, ord2 FROM allp)
+          |SELECT doc_id,
+          |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord1, ord2) - 1 AS INTEGER) AS chunk_index,
+          |  CAST(count(*) OVER (PARTITION BY doc_id) AS INTEGER) AS total_chunks,
+          |  CAST(len(chunk) AS INTEGER) AS chunk_len
+          |FROM fin WHERE len(chunk) > 0""".stripMargin.replace("\n", " "),
       "t2_normalize" ->
         s"SELECT doc_id, $normDoc AS norm_text FROM documents",
       "t3_relation_text" ->
