@@ -35,9 +35,15 @@ object Bench {
     try SparkEntry.lexTokens(spark, sfDir).count()
     catch { case NonFatal(e) => System.err.println(s"[bench] lexTokens warm-up failed: $e") }
     // Optional args = query-name filter for fast single-query iteration;
-    // the driver passes none and gets the full set.
+    // the driver passes none and gets the full set. SPARK_GRAFT_BENCH_FIRST
+    // hoists one query to the front of the sorted order (A/B accountability:
+    // same suite, different position) and SPARK_GRAFT_BENCH_DEBUG=1 prints a
+    // pre-query block-manager/heap snapshot per query on stderr.
     val wanted = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val first = sys.env.get("SPARK_GRAFT_BENCH_FIRST")
+    val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (if (first.contains(n)) 0 else 1, n) }
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .map { case (name, fn) =>
       // Snapshot so cleanup below touches only RDDs this query created: a
@@ -45,6 +51,8 @@ object Bench {
       // blocks (unpersisting a truncated-lineage localCheckpoint would fail
       // the reuse with "checkpoint block not found", not a recompute).
       val preExisting = spark.sparkContext.getPersistentRDDs.keySet
+      if (debug) System.err.println(
+        s"[bench-state] pre $name ${org.apache.spark.sql.graft.Bridge.benchState(spark.sparkContext)}")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

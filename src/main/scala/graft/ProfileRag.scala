@@ -33,7 +33,7 @@ object ProfileRag {
     }
 
     val s = spark
-    val toksC = Norm.normTokens(col("text"))
+    val toksC = Norm.evalOnce(Norm.normTokens(col("text")))
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
       .filter(col("n_chars") > 0)
@@ -47,36 +47,40 @@ object ProfileRag {
               element_at(col("toks"), i + 1).as("predicate"),
               element_at(col("toks"), i + 2).as("obj"))))
           .as("triplets"))
-    val docsCp = t("cp docs (triplet arrays)") { docs.localCheckpoint(true) }
+    // r7 wiring: docs is LAZY (EvalBarrier pins the tokenize, no checkpoint);
+    // the builder's triplet checkpoint is the one corpus-scale job.
     val gt0 = t("GraphBuilder.build (triplet cp)") {
-      GraphBuilder.build(docsCp, HashEmbedder(dim = 32))
+      GraphBuilder.build(docs, HashEmbedder(dim = 32))
     }
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val Seq(rels, er) = t("cp 2 tables (parallel)") {
-      Await.result(Future.sequence(Seq(
-        Future(gt0.relations.localCheckpoint(true)),
-        Future(gt0.entityRelation.localCheckpoint(true)))), Duration.Inf)
-    }
-    val gt = gt0.copy(relations = rels, entityRelation = er)
 
     val question = "the spark join order for big table scan"
     val seedNames = s.createDataFrame(
       question.split(" ").map(Tuple1(_)).toSeq).toDF("qtext")
       .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
-    val entityHits = t("entity KNN (cp hits, lazy entities)") {
-      VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
-        VectorSearch.knnJoin(seedNames, gt.entities, "qtext", "qvec", "id", "embedding", 5),
-        0.5))
-        .select(col("neighbor_id").as("entity_id"))
-        .localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val (gt, entityHits) = t("cp relations || seed KNN") {
+      val relF = Future(gt0.relations.localCheckpoint(true))
+      val hitsF = Future(
+        VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
+          VectorSearch.knnJoin(seedNames, gt0.entities, "qtext", "qvec", "id", "embedding", 5),
+          0.5))
+          .select(col("neighbor_id").as("entity_id"))
+          .localCheckpoint(true))
+      val rels = Await.result(relF, Duration.Inf)
+      val er = rels.select(explode(array(
+          struct(col("entity_ids")(0).as("entity_id"), col("id").as("relation_id"), lit("subject").as("role")),
+          struct(col("entity_ids")(1).as("entity_id"), col("id").as("relation_id"), lit("object").as("role")))).as("e"))
+        .select(col("e.entity_id"), col("e.relation_id"), col("e.role"))
+      (gt0.copy(relations = rels, entityRelation = er), Await.result(hitsF, Duration.Inf))
     }
-    val sub = t("expansion (collects)") {
+    val sub = t("expansion (1 fused collect)") {
       SubgraphExpansion.expand(
         entityHits,
         s.emptyDataFrame.withColumn("relation_id", lit("")).filter(lit(false)),
-        gt.entityRelation, degree = 1)
+        gt.entityRelation, degree = 1,
+        fuseSeedInit = true)
     }
     val qvecDf = s.createDataFrame(Seq(Tuple1(question))).toDF("qtext")
       .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))

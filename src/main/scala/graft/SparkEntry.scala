@@ -1053,7 +1053,20 @@ object SparkEntry {
     // queries above and e2e by ScalaTest).
     "rag_pipeline" -> ((s, dir) => {
       import graft.functions.HashEmbedder
-      val toksC = Norm.normTokens(col("text"))
+      // evalOnce = projection barrier: CollapseProject would otherwise inline
+      // normTokens(text) into every element_at inside the transform lambda
+      // (~150 regexp+split evaluations per document — measured 24.5 s vs 6 s
+      // for this stage at sf0.1). r6 used a localCheckpoint here — correct,
+      // but it paid a whole corpus-scale materialization JOB for what is
+      // really a per-row evaluation constraint; the barrier keeps the plan
+      // lazy (one materialization total: the builder's triplet rows) and
+      // whole-stage codegen still fuses the projections.
+      val toksC = Norm.evalOnce(Norm.normTokens(col("text")))
+      // spread() kept by measurement (r7: removing it read 9.2-11.2 s vs
+      // 7.8-8.7 — the 2 MB documents file scans as 1-2 splits and the whole
+      // tokenize+explode+md5 chain serializes). At real scale the scan's own
+      // splits make this repartition an AQE-skippable near-no-op; locally it
+      // is the only source of parallelism for the chain under the checkpoint.
       val docs = spread(t(s, dir, "documents")).filter(col("n_chars") > 0)
         .select(col("doc_id").cast("string").as("id"), col("text"), toksC.as("toks"))
         .select(col("id"), col("text"),
@@ -1065,11 +1078,11 @@ object SparkEntry {
                 element_at(col("toks"), i + 1).as("predicate"),
                 element_at(col("toks"), i + 2).as("obj"))))
             .as("triplets"))
-        // Materialize the triplet arrays ONCE: CollapseProject would otherwise
-        // inline normTokens(text) into every element_at inside the transform
-        // lambda (~150 regexp+split evaluations per document — measured 24.5 s
-        // vs 6 s for this whole stage at sf0.1).
-        .localCheckpoint(true)
+      // The builder's triplet-row checkpoint is now the pipeline's ONE
+      // corpus-scale materialization (docs above is a lazy, barrier-protected
+      // plan): scan → tokenize-once → triplets → explode → normalize/md5 all
+      // land in a single job, and both executing consumers (relations below,
+      // the lazy entities inside the seed KNN) read its materialized rows.
       val gt0 = graft.operators.GraphBuilder.build(docs, HashEmbedder(dim = 32))
       // Materialize MULTI-consumer tables once: relations feeds two actions
       // (relation KNN + assembly) and entityRelation feeds the expansion's
@@ -1091,27 +1104,47 @@ object SparkEntry {
       // concurrent corpus-scale checkpoint the r5 profile charged ~4.8 s for,
       // and each expansion hop now re-reads relation-count materialized rows
       // with no shuffle instead of recomputing an explode+distinct.
-      val gt = {
-        val r = gt0.relations.localCheckpoint(true)
-        val er = r.select(explode(array(
-            struct(col("entity_ids")(0).as("entity_id"), col("id").as("relation_id"), lit("subject").as("role")),
-            struct(col("entity_ids")(1).as("entity_id"), col("id").as("relation_id"), lit("object").as("role")))).as("e"))
-          .select(col("e.entity_id"), col("e.relation_id"), col("e.role"))
-        gt0.copy(relations = r, entityRelation = er)
-      }
+      // CAVEAT: relation identity is md5 of the SPACE-JOINED text (reference
+      // semantics — identical texts collapse), so two triplets whose
+      // different (subject, predicate, object) decompositions join to the
+      // same string share one relation_id; relations keeps first()'s
+      // decomposition and this derivation keeps only that winner's two
+      // adjacency rows, where GraphBuilder.entityRelation (built pre-collapse
+      // from tripletRows) would keep both. Word-boundary-ambiguous
+      // decompositions of the SAME text are the only divergence; acceptable
+      // in a bench pipeline whose consumers are duplicate-tolerant
+      // semi-joins, and the production table path is unaffected.
       val question = "the spark join order for big table scan"
       val seedNames = s.createDataFrame(
         question.split(" ").map(Tuple1(_)).toSeq).toDF("qtext")
         .select(col("qtext"), HashEmbedder(dim = 32).embed(col("qtext")).as("qvec"))
-      // top-5, query-sized — checkpointed so the expansion's fused seed-init
-      // (which evaluates the seed subplan in BOTH union branches) reads a
-      // local frame instead of running the entity build + KNN twice; entities
-      // itself stays lazy (this is its only consumer).
-      val entityHits = VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
-        VectorSearch.knnJoin(seedNames, gt.entities, "qtext", "qvec", "id", "embedding", 5),
-        0.5))
-        .select(col("neighbor_id").as("entity_id"))
-        .localCheckpoint(true)
+      // The two post-build checkpoints are INDEPENDENT given the triplet
+      // rows — relations aggregates them, the seed KNN reads only the (lazy)
+      // entities aggregate — so they are submitted CONCURRENTLY and their
+      // shuffle/scheduling waits overlap (local[32] has slots to spare at
+      // this width; measured ~1 s at sf0.1, same trick the r5 wiring used).
+      // entityHits stays checkpointed: the fused degree-1 traversal
+      // references the seed subplan in four union branches, and measured r7,
+      // making it lazy and trusting exchange reuse is WORSE (32 → 57 jobs,
+      // +1.5 s warm — under AQE each branch materializes its own stages).
+      val (gt, entityHits) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val relF = Future(gt0.relations.localCheckpoint(true))
+        val hitsF = Future(
+          VectorSearch.dedupUnion(VectorSearch.thresholdFilter(
+            VectorSearch.knnJoin(seedNames, gt0.entities, "qtext", "qvec", "id", "embedding", 5),
+            0.5))
+            .select(col("neighbor_id").as("entity_id"))
+            .localCheckpoint(true))
+        val r = Await.result(relF, Duration.Inf)
+        val er = r.select(explode(array(
+            struct(col("entity_ids")(0).as("entity_id"), col("id").as("relation_id"), lit("subject").as("role")),
+            struct(col("entity_ids")(1).as("entity_id"), col("id").as("relation_id"), lit("object").as("role")))).as("e"))
+          .select(col("e.entity_id"), col("e.relation_id"), col("e.role"))
+        (gt0.copy(relations = r, entityRelation = er), Await.result(hitsF, Duration.Inf))
+      }
       val sub = SubgraphExpansion.expand(
         entityHits,
         s.emptyDataFrame.withColumn("relation_id", lit("")).filter(lit(false)),
@@ -1193,13 +1226,21 @@ object SparkEntry {
     // not pin each dead session's object graph through this object-level map
     lexTokenCache.keys.filter(_._1.sparkContext.isStopped)
       .foreach(lexTokenCache.remove)
-    lexTokenCache.get((s, dir)).filter(alive).getOrElse {
-      val fresh = spread(t(s, dir, "documents"))
-        .select(col("doc_id"), col("doc_id").cast("string").as("id"),
-          explode(Norm.normTokens(col("text"))).as("term"))
-        .localCheckpoint(true)
-      lexTokenCache((s, dir)) = fresh
-      fresh
+    // The whole check-then-build is one synchronized compute: two threads
+    // first-accessing the same (session, dir) must not both run the
+    // corpus-scale tokenize — the loser's checkpoint blocks would be pinned
+    // with no owner. Holding the lock across the build serializes concurrent
+    // first-builders, which is the point (the second caller wants the first
+    // caller's frame, not a race). Single-threaded callers never contend.
+    lexTokenCache.synchronized {
+      lexTokenCache.get((s, dir)).filter(alive).getOrElse {
+        val fresh = spread(t(s, dir, "documents"))
+          .select(col("doc_id"), col("doc_id").cast("string").as("id"),
+            explode(Norm.normTokens(col("text"))).as("term"))
+          .localCheckpoint(true)
+        lexTokenCache((s, dir)) = fresh
+        fresh
+      }
     }
   }
 

@@ -36,6 +36,14 @@ object Norm {
     * content hash preserves semantics while making builds reproducible (SURVEY §7.1). */
   def idOf(c: Column): Column = md5(c)
 
+  /** Pin `c` to ONE evaluation per row (a projection barrier, not a storage
+    * barrier): wraps it in [[org.apache.spark.sql.graft.EvalBarrier]] so
+    * CollapseProject can't inline it into multi-referencing consumers. */
+  def evalOnce(c: Column): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(org.apache.spark.sql.graft.EvalBarrier(B.expression(c)))
+  }
+
   /** Whitespace tokenization of an (already normalized) phrase; empty tokens and
     * the empty-string singleton dropped. */
   def tokens(c: Column): Column =

@@ -75,15 +75,26 @@ object Bpe {
     * symbols and ties).
     */
   def train(wordFreq: DataFrame, numMerges: Int,
-      maxLocalVocab: Int = 4 << 20): Seq[(String, String)] = {
+      maxLocalVocab: Int = 1 << 20,
+      maxLocalBytes: Long = 256L << 20): Seq[(String, String)] = {
     require(numMerges >= 0)
-    // ONE action decides the regime AND delivers the data: a bounded fetch of
-    // maxLocalVocab+1 rows (a separate count() would execute the word-freq
-    // lineage — the corpus-sized pass — twice for lazy inputs)
+    // Driver-memory contract: the collect below brings at most
+    // maxLocalVocab+1 (word, freq) rows, and trainLocal's working set
+    // (symbol lists, pair-occurrence index, lazy-deletion heap) is a small
+    // multiple (~4-6×) of the raw string payload — so the defaults (1M words
+    // / 256 MB of characters) keep peak driver demand around 1-2 GB. Above
+    // EITHER bound the regime falls back to trainDistributed gracefully
+    // instead of dying in an allocation: row count is checked by the bounded
+    // fetch itself, and the byte budget is checked after the (cheap,
+    // row-capped) collect but BEFORE the multiplied structures are built —
+    // which is where a pathological long-word vocabulary would actually blow
+    // up.
     val rows = wordFreq
       .select(col("word").cast("string"), col("freq").cast("long"))
       .limit(maxLocalVocab + 1).collect()
-    if (rows.length <= maxLocalVocab)
+    lazy val charBytes = rows.iterator
+      .map(r => if (r.isNullAt(0)) 0L else 2L * r.getString(0).length).sum
+    if (rows.length <= maxLocalVocab && charBytes <= maxLocalBytes)
       trainLocal(rows.iterator.map(r =>
         (if (r.isNullAt(0)) "" else r.getString(0), r.getLong(1))).toSeq, numMerges)
     else trainDistributed(wordFreq, numMerges)

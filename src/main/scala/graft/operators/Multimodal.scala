@@ -22,6 +22,11 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Multimodal {
 
+  /** Per-asset cap on decoded PCM bytes (defensive bound against malformed
+    * headers that declare enormous frame counts; 64 MiB ≈ 6 min of 16-bit
+    * stereo at 44.1 kHz, far past any feature-extraction need). */
+  private val MaxDecodedAudioBytes: Int = 64 << 20
+
   /** Canonical asset schema: opaque payload + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", StringType, nullable = false),
@@ -99,7 +104,14 @@ object Multimodal {
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           fmt.getSampleRate, 16, ch, ch * 2, fmt.getSampleRate, false)
         val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-        val bytes = pcm.readAllBytes()
+        // closed explicitly: over a ByteArrayInputStream this is a formality,
+        // but a conversion chain may hold native/codec resources. The read is
+        // capped: decoded PCM is ~(bit-depth ratio)× the payload for real
+        // containers, so 64 MiB per asset bounds driver-side surprise from a
+        // malformed header claiming an enormous frame count.
+        val bytes =
+          try pcm.readNBytes(MaxDecodedAudioBytes)
+          finally pcm.close()
         val nFrames = bytes.length / (2 * ch)
         val mono = new Array[Float](nFrames)
         var f = 0

@@ -96,6 +96,43 @@ object SubgraphExpansion {
       rows.toIndexedSeq.map(r => (r.getString(0), r.getString(1)))
     }
 
+    // Query-time retrieval shape (top-k seeds, degree 1, fused): the WHOLE
+    // traversal — seed set, init-merge relations, and both degree-1 hop
+    // sides — is one tagged union collected in a SINGLE action. Each later
+    // stage appears as a broadcast subplan of the next (the planner
+    // broadcasts the tiny distinct sets; the edge table is scanned a few
+    // extra times, in parallel, from its materialized form), trading ~6
+    // bounded edge scans for two whole driver round-trips. Results are
+    // list-identical to the loop below (GraphXExpansionSpec pins it).
+    if (fuseSeedInit && degree == 1) {
+      val seeds = seedEntityIds.select("entity_id").distinct()
+      val initRels = er.join(broadcast(seeds), Seq("entity_id"), "left_semi")
+        .select("relation_id")
+        .unionByName(seedRelationIds.select("relation_id"))
+        .distinct()
+      val newEnts = er.join(broadcast(initRels), Seq("relation_id"), "left_semi")
+        .select("entity_id").distinct()
+        .join(broadcast(seeds), Seq("entity_id"), "left_anti")
+      val newRels = er.join(broadcast(newEnts), Seq("entity_id"), "left_semi")
+        .select("relation_id").distinct()
+        .join(broadcast(initRels), Seq("relation_id"), "left_anti")
+      val tagged = Seq(
+        seeds.select(col("entity_id").as("id"), lit("e0").as("kind")),
+        initRels.select(col("relation_id").as("id"), lit("r0").as("kind")),
+        newEnts.select(col("entity_id").as("id"), lit("e1").as("kind")),
+        newRels.select(col("relation_id").as("id"), lit("r1").as("kind")))
+        .reduce(_ unionByName _)
+      val rows = collectBoundedRows(tagged, "fused degree-1 traversal")
+      def of(k: String) = rows.collect { case (id, `k`) => id }.sorted
+      val (se, ir, ae, ar) = (of("e0"), of("r0"), of("e1"), of("r1"))
+      val allE = se ++ ae
+      val allR = ir ++ ar
+      return Subgraph(local(allE, "entity_id"), local(allR, "relation_id"),
+        Seq(
+          ExpansionStep(0, se, ir, se.size.toLong, ir.size.toLong),
+          ExpansionStep(1, ae, ar, allE.size.toLong, allR.size.toLong)))
+    }
+
     // P1 seed entities + init-merge (knowledge_graph.py:280-302): relations
     // incident to seed entities ∪ seed relations. Two actions, or one fused
     // (see the parameter doc).

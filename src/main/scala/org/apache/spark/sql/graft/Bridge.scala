@@ -43,4 +43,22 @@ object Bridge {
         l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
       case _ => true
     }
+
+  /** One-line driver/block-manager state snapshot for bench accountability:
+    * heap in use, storage memory in use, pinned RDD count, live broadcast
+    * block count. The broadcast count is the interesting one — RDD blocks
+    * are freed by the bench's per-query cleanup, but broadcast pieces only
+    * die when the ContextCleaner collects their weak refs after a GC. */
+  def benchState(sc: org.apache.spark.SparkContext): String = {
+    val master = org.apache.spark.SparkEnv.get.blockManager.master
+    val bcast = master
+      .getMatchingBlockIds(_.isBroadcast, askStorageEndpoints = true)
+      .map(_.toString.split("_piece")(0)).distinct
+    val storageUsed = master.getMemoryStatus.values
+      .map { case (max, rem) => max - rem }.sum
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory - rt.freeMemory) >> 20
+    s"heapMB=$heapMb storageMB=${storageUsed >> 20} " +
+      s"rdds=${sc.getPersistentRDDs.size} bcast=${bcast.size}"
+  }
 }

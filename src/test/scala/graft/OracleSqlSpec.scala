@@ -25,11 +25,19 @@ class OracleSqlSpec extends AnyFunSuite {
     * by a paren-depth scan so CTE/subquery SELECTs are skipped.
     */
   private def finalProjection(sql: String): String = {
+    // Quote-aware depth scan: a paren inside a SQL string literal (e.g. a
+    // regexp '\(') must not shift the depth, and SELECT/FROM keywords inside
+    // literals must not anchor the segmentation. Single quotes escape by
+    // doubling ('') in SQL, which this state machine handles for free: the
+    // second quote just reopens the literal for one character.
     var depth = 0
+    var inQuote = false
     var lastSelect = -1
     var i = 0
     while (i < sql.length) {
       sql.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case _ if inQuote => ()
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -41,9 +49,12 @@ class OracleSqlSpec extends AnyFunSuite {
     val tail = sql.substring(lastSelect)
     // cut at the first depth-0 FROM after the projection
     depth = 0
+    inQuote = false
     i = 0
     while (i < tail.length) {
       tail.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case _ if inQuote => ()
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -109,6 +120,11 @@ class OracleSqlSpec extends AnyFunSuite {
         assert(c.codePointCount(0, c.length) == 1 || produced.contains(c),
           s"component '$c' of merge ($a,$b) is neither a base symbol nor an earlier output")
       }
+      // outputs must be UNIQUE across ranks: if two ranks produced the same
+      // string, a component claiming "earlier output" could actually need the
+      // LATER rank at encode time, voiding the one-pass-per-rank argument
+      assert(!produced.contains(a + b),
+        s"merge output '${a + b}' is produced by two ranks — ambiguous precedence")
       produced += (a + b)
     }
   }
