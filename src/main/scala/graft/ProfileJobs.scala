@@ -44,8 +44,11 @@ object ProfileJobs {
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // drain BEFORE detaching: JobEnd events dispatch on the async bus
+      // thread, so removing the listener first would drop trailing jobs
+      // from the census — the exact number this tool exists to pin down
+      Thread.sleep(200)
       spark.sparkContext.removeSparkListener(listener)
-      Thread.sleep(200) // let the listener bus drain
       import scala.jdk.CollectionConverters._
       val sorted = lines.asScala.toSeq.sortBy(_._1)
       sorted.foreach(l => println(l._2))

@@ -33,17 +33,8 @@ final case class GraphTables(
 object GraphBuilder {
 
   /** docs: columns `id` (string), `text` (string),
-    * `triplets` array<struct<subject,predicate,obj>> (pre-extracted, G1 input).
-    *
-    * `materializeTriplets = false` skips the internal triplet-row checkpoint:
-    * right when `docs` is ALREADY materialized (its triplet arrays are
-    * checkpointed) and only a subset of the output tables will be acted on —
-    * each consumer then re-runs a narrow explode+md5 over materialized rows
-    * instead of paying an extra corpus-scale materialization job up front.
-    * Keep the default for the production path, where extraction is expensive
-    * and all five tables are written. */
-  def build(docs: DataFrame, embedder: Embedder,
-      materializeTriplets: Boolean = true): GraphTables = {
+    * `triplets` array<struct<subject,predicate,obj>> (pre-extracted, G1 input). */
+  def build(docs: DataFrame, embedder: Embedder): GraphTables = {
     val spark = docs.sparkSession
 
     // Passage id: user id as-is (reference keeps caller ids, rag.py:274-277).
@@ -65,9 +56,8 @@ object GraphBuilder {
       .withColumn("object_id", Norm.idOf(col("object")))
       // This frame fans out to 5+ consumers (node tables, edge tables, adjacency
       // aggregates) and the result tables are written/acted-on separately —
-      // materialize once instead of re-running extraction per branch (unless
-      // the caller declares docs already-materialized and consumers few).
-      .transform(df => if (materializeTriplets) df.localCheckpoint(true) else df)
+      // materialize once instead of re-running extraction per branch.
+      .localCheckpoint(true)
 
     // Edge tables (normalized adjacency).
     val entityRelation = tripletRows

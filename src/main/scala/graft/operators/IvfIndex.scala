@@ -121,8 +121,16 @@ object IvfIndex {
       if (assigned.isEmpty) return
       val apath = s"$dir/assignments.parquet"
       if (idx.assignments.isEmpty) {
-        // empty plain layout → first real rows: full (tiny) swap into cell dirs
-        save(Index(idx.centroids, assigned), dir)
+        // empty plain layout → first real rows: swap in the (tiny) cell-dir
+        // layout. ONLY the inverted file is written — the centroids on disk
+        // are already correct, and rewriting them via save() would overwrite
+        // the very path idx.centroids lazily reads (Spark rejects the
+        // self-overwrite, so the first delta into an empty index would
+        // always crash). assigned is checkpointed, so this write conflicts
+        // with nothing.
+        assigned.withColumn(CellCol, cellOf(col("centroid_id")))
+          .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+          .write.mode("overwrite").partitionBy(CellCol).parquet(apath)
         return
       }
       // Add-only safety probe (delta-sized driver set, same bound as the cell

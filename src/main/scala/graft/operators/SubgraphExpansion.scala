@@ -122,7 +122,23 @@ object SubgraphExpansion {
         newEnts.select(col("entity_id").as("id"), lit("e1").as("kind")),
         newRels.select(col("relation_id").as("id"), lit("r1").as("kind")))
         .reduce(_ unionByName _)
-      val rows = collectBoundedRows(tagged, "fused degree-1 traversal")
+      // The cap contract matches the two-action path: maxWorkingSet bounds
+      // each COLLECT there (seed-init pair, hop pair), so the fused fetch
+      // allows 2× and re-checks per pair below — fusing must not silently
+      // tighten the working-set contract to the four-set total.
+      val rows = {
+        val r = tagged.limit(2 * maxWorkingSet + 2).collect()
+          .map(x => (x.getString(0), x.getString(1))).toIndexedSeq
+        def pair(a: String, b: String, what: String): Unit =
+          if (r.count(t => t._2 == a || t._2 == b) > maxWorkingSet)
+            throw new IllegalStateException(
+              s"subgraph expansion: $what exceeded maxWorkingSet=$maxWorkingSet ids; " +
+                "the reached set is not driver-bounded — use GraphXExpansion.expand " +
+                "(distributed id sets) or raise maxWorkingSet")
+        pair("e0", "r0", "seed entities + init relations")
+        pair("e1", "r1", "degree-1 fused hop")
+        r
+      }
       def of(k: String) = rows.collect { case (id, `k`) => id }.sorted
       val (se, ir, ae, ar) = (of("e0"), of("r0"), of("e1"), of("r1"))
       val allE = se ++ ae

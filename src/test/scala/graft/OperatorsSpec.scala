@@ -185,6 +185,28 @@ class OperatorsSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("IVF addSaved into an EMPTY saved index works (no centroid self-overwrite)") {
+    // Regression (r7 review): the empty-layout branch used to call save(),
+    // which rewrote centroids.parquet while idx.centroids lazily read that
+    // same path — Spark rejects the self-overwrite, so the FIRST delta into
+    // an empty index always crashed. The branch must write only the
+    // inverted file.
+    val emb = spark.read.parquet(sf("embeddings"))
+    val centroids = IvfIndex.build(emb.filter(col("vec_id") < 20), "vec_id", "embedding", nList = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfempty").toString
+    IvfIndex.save(IvfIndex.Index(centroids.centroids,
+      centroids.assignments.filter(lit(false))), dir) // empty plain layout
+    val delta = emb.filter(col("vec_id") < 10)
+    IvfIndex.addSaved(spark, dir, delta, "vec_id", "embedding")
+    val after = IvfIndex.load(spark, dir)
+    assert(after.assignments.select("id").as[String].collect().toSet ==
+      (0 until 10).map(_.toString).toSet)
+    // second add over the same ids + new ones: dedup still holds on the
+    // now-celled layout
+    IvfIndex.addSaved(spark, dir, emb.filter(col("vec_id") < 15), "vec_id", "embedding")
+    assert(IvfIndex.load(spark, dir).assignments.count() == 15)
+  }
+
   test("IVF block hygiene: repeated addSaved + search pin no residual RDDs") {
     // A streaming-graft service calls addSaved per micro-batch and search per
     // query; either leaking a checkpoint per call surfaces at scale as
