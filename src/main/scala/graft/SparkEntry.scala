@@ -712,6 +712,19 @@ object SparkEntry {
         .select(col("doc_id"), col("start"))
     }),
 
+    // X20 Bloom-prefiltered decontamination: drop every document whose
+    // normalized-text key appears in the "eval" set (every 7th doc, the x9
+    // convention). The bloom prunes the corpus scan before any shuffle;
+    // the exact confirm join makes the result fpp-independent (hash-gated
+    // against a plain NOT IN oracle).
+    "x20_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.idOf(Norm.normPhrase(col("text"))).as("key"))
+      val evalSet = docs.filter(col("doc_id") % 7 === 0).select(col("key"))
+      CorpusOps.bloomDecontaminate(docs, "key", evalSet, "key", fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+
     // D11 the dedup ACTION on d10's signal: maximal cross-document duplicate
     // spans cut from every document, survivors reassembled in order. One row
     // per input doc (fully-duplicated docs come back empty, not dropped).
@@ -2090,6 +2103,10 @@ object SparkEntry {
            |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
            |SELECT doc_id, CAST(start AS INTEGER) AS start FROM g
            |WHERE gram IN (SELECT gram FROM dup)""".stripMargin.replace("\n", " "),
+      "x20_bloom_decontaminate" ->
+        s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
+           |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
+           |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
       "d11_remove_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
            |g AS (SELECT doc_id, u['start'] AS start, u['gram'] AS gram FROM (

@@ -377,6 +377,50 @@ object CorpusOps {
         coalesce(col("_txt"), lit("")).as("clean_text"))
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of "drop every
+    * corpus row whose key appears in the eval set": the eval side (small by
+    * contract — benchmark/test keys) is folded into a Bloom filter of
+    * `xxhash64(key)` longs, the corpus scan is pruned by the NATIVE
+    * `BloomFilterMightContain` probe (a broadcastable few-MB sketch instead
+    * of shuffling the corpus into a join), and only the bloom's candidate
+    * rows — true hits plus ~fpp false positives — reach the exact anti-join
+    * that confirms them. Because a Bloom filter has NO false negatives the
+    * result is EXACT for any fpp: rows the sketch clears are provably clean,
+    * rows it flags are re-checked. fpp only tunes how much of the corpus
+    * pays the join; correctness is fpp-independent (property-tested at
+    * fpp=0.5).
+    *
+    * Two corpus scans (clean-by-bloom ∪ confirmed-clean candidates) instead
+    * of one corpus-wide shuffle: columnar scans with a pushed-down sketch
+    * probe are the cheap side of that trade at scale. Driver holds one
+    * sketch (~1.2 MB per million keys at 1% fpp) — the same contract as any
+    * broadcast build side.
+    *
+    * Output: `corpus` rows whose `keyCol` is NOT in `evalKeys`. */
+  def bloomDecontaminate(corpus: DataFrame, keyCol: String,
+      evalKeys: DataFrame, evalKeyCol: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val hashes = evalKeys.select(xxhash64(col(evalKeyCol)).as("_h")).distinct()
+      .localCheckpoint(true) // counted AND folded into the sketch: one eval
+    val bytes =
+      try {
+        val n = math.max(1L, hashes.count())
+        val bloom = hashes.stat.bloomFilter("_h", n, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      } finally
+        // the sketch literal carries everything downstream needs — freeing
+        // the hash frame here keeps repeated calls pin-free (block hygiene)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(hashes)
+    val might = org.apache.spark.sql.graft.Bridge
+      .bloomMightContain(bytes, xxhash64(col(keyCol)))
+    val candidates = corpus.filter(might)
+      .join(evalKeys.select(col(evalKeyCol).as(keyCol)).distinct(),
+        Seq(keyCol), "left_anti") // exact confirm, candidate-sized input
+    corpus.filter(!might).unionByName(candidates.select(corpus.columns.map(col): _*))
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -44,6 +44,20 @@ object Bridge {
       case _ => true
     }
 
+  /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter` with the
+    * NATIVE `BloomFilterMightContain` expression (the one Spark's runtime
+    * join-pruning filters use) instead of a boxed UDF. The sketch must have
+    * been built over `xxhash64(key)` longs — the expression probes
+    * `mightContainLong(value)` directly, so build-side and probe-side must
+    * hash identically; [[graft.operators.CorpusOps.bloomDecontaminate]] owns
+    * that contract. Lives here because catalyst expression construction is
+    * this repo's one sanctioned internal-API touchpoint. */
+  def bloomMightContain(bloomBytes: Array[Byte], hashedValue: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expression(hashedValue)))
+
   /** One-line driver/block-manager state snapshot for bench accountability:
     * heap in use, storage memory in use, pinned RDD count, live broadcast
     * block count. The broadcast count is the interesting one — RDD blocks

@@ -359,4 +359,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("rare") > got("common"))
     assert(!got.contains("empty")) // no tokens => no score
   }
+
+  test("bloomDecontaminate is EXACT at any fpp (false positives re-checked)") {
+    // fpp=0.5 makes the sketch tiny and false positives near-certain, so the
+    // exact-confirm path is genuinely exercised: the result must still equal
+    // the plain anti-join. Corpus includes duplicate keys (both copies must
+    // go) and a key equal to none.
+    val corpus = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "ccc"), (4L, "ddd"), (5L, "aaa"),
+      (6L, "eee"), (7L, "fff"), (8L, "ggg"), (9L, "hhh"), (10L, "iii")
+    ).toDF("id", "key")
+    val evalSet = Seq("aaa", "ddd", "zzz").toDF("k")
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = CorpusOps.bloomDecontaminate(corpus, "key", evalSet, "k", fpp)
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(2L, 3L, 6L, 7L, 8L, 9L, 10L), s"fpp=$fpp: $got")
+    }
+  }
+
+  test("bloomDecontaminate block hygiene: repeated calls pin nothing") {
+    val sc = spark.sparkContext
+    val corpus = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "key")
+    val evalSet = Seq("k1", "k2").toDF("k")
+    val before = sc.getPersistentRDDs.keySet
+    for (_ <- 0 until 5)
+      CorpusOps.bloomDecontaminate(corpus, "key", evalSet, "k").count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"bloomDecontaminate left ${leaked.size} pinned RDDs")
+  }
 }
