@@ -712,6 +712,19 @@ object SparkEntry {
         .select(col("doc_id"), col("start"))
     }),
 
+    // QL1 model-based quality scoring (the C4/fastText classifier-filter
+    // step): a linear bag-of-tokens model whose weights are ln(corpus count)
+    // of the top-20 vocabulary, applied corpus-wide. Self-contained: the
+    // model derives from the same corpus, so the oracle can re-derive it.
+    "ql1_linear_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+      val model = CorpusOps.vocabulary(docs, "toks", minCount = 1, topK = 20)
+        .select(col("token"), log(col("cnt").cast("double")).as("w"))
+      CorpusOps.scoreLinear(docs, "doc_id", "toks", model, "token", "w", bias = 1.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // X20 Bloom-prefiltered decontamination: drop every document whose
     // normalized-text key appears in the "eval" set (every 7th doc, the x9
     // convention). The bloom prunes the corpus scan before any shuffle;
@@ -2103,6 +2116,17 @@ object SparkEntry {
            |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
            |SELECT doc_id, CAST(start AS INTEGER) AS start FROM g
            |WHERE gram IN (SELECT gram FROM dup)""".stripMargin.replace("\n", " "),
+      "ql1_linear_score" ->
+        s"""WITH toks AS (SELECT doc_id, unnest($toksDoc) AS token FROM documents),
+           |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token
+           |  ORDER BY cnt DESC, token LIMIT 20),
+           |model AS (SELECT token, ln(CAST(cnt AS DOUBLE)) AS w FROM vocab),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |s AS (SELECT tf.doc_id, sum(m.w * tf.tf) AS sc
+           |  FROM tf JOIN model m ON tf.token = m.token GROUP BY 1)
+           |SELECT d.doc_id, round(coalesce(s.sc, 0.0) + 1.0, 4) AS score
+           |FROM (SELECT DISTINCT doc_id FROM documents) d
+           |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin.replace("\n", " "),
       "x20_bloom_decontaminate" ->
         s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)

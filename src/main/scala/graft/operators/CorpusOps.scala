@@ -421,6 +421,30 @@ object CorpusOps {
     corpus.filter(!might).unionByName(candidates.select(corpus.columns.map(col): _*))
   }
 
+  /** Model-based quality scoring — the linear text-classifier filter of
+    * C4/fastText-style curation: score(doc) = bias + Σ_t w(t) · tf(t, doc)
+    * over a (token, weight) model table. The corpus side aggregates term
+    * frequencies per (doc, token) with map-side combine BEFORE the model
+    * join, so the shuffle carries distinct-tokens-per-doc rows, not raw
+    * tokens; the model side is vocabulary-sized and broadcasts when small
+    * (planner's call). Docs with no weighted token still score `bias` — a
+    * filter must see every document to reject it explicitly.
+    *
+    * Output: (<idCol>, score), one row per input doc. */
+  def scoreLinear(df: DataFrame, idCol: String, toksCol: String,
+      model: DataFrame, tokenCol: String, weightCol: String,
+      bias: Double = 0.0): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(col(toksCol)).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("_tf"))
+      .join(model.select(col(tokenCol).as("token"),
+        col(weightCol).cast("double").as("_w")), Seq("token"))
+      .groupBy("id").agg(sum(col("_w") * col("_tf")).as("_s"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(tf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (coalesce(col("_s"), lit(0.0)) + lit(bias)).as("score"))
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -360,6 +360,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got.contains("empty")) // no tokens => no score
   }
 
+  test("scoreLinear: tf-weighted sum + bias; unweighted and empty docs score bias") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "b")),   // 2*w(a) + 1*w(b)
+      (2L, Seq("zzz")),           // no weighted token -> bias only
+      (3L, Seq.empty[String])     // empty -> bias only
+    ).toDF("doc_id", "toks")
+    val model = Seq(("a", 2.0), ("b", -1.0)).toDF("token", "w")
+    val got = CorpusOps.scoreLinear(docs, "doc_id", "toks", model, "token", "w", bias = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 3.5, 2L -> 0.5, 3L -> 0.5), got)
+  }
+
   test("bloomDecontaminate is EXACT at any fpp (false positives re-checked)") {
     // fpp=0.5 makes the sketch tiny and false positives near-certain, so the
     // exact-confirm path is genuinely exercised: the result must still equal
