@@ -396,10 +396,26 @@ object CorpusOps {
     * sketch (~1.2 MB per million keys at 1% fpp) — the same contract as any
     * broadcast build side.
     *
+    * Preconditions (r7 review): the two key columns must share ONE data type
+    * — `xxhash64` hashes the same logical value differently per type, so a
+    * type mismatch would produce bloom false NEGATIVES and contaminated rows
+    * would skip the confirm join entirely (enforced below, since the
+    * failure is silent). And both inputs must be DETERMINISTIC plans: the
+    * corpus is scanned twice (clean-by-bloom ∪ confirmed candidates) and
+    * the eval side twice (sketch build + confirm join) — a
+    * nondeterministic input can duplicate or drop rows across the scans;
+    * checkpoint such inputs first.
+    *
     * Output: `corpus` rows whose `keyCol` is NOT in `evalKeys`. */
   def bloomDecontaminate(corpus: DataFrame, keyCol: String,
       evalKeys: DataFrame, evalKeyCol: String, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val kt = corpus.schema(keyCol).dataType
+    val et = evalKeys.schema(evalKeyCol).dataType
+    require(kt == et,
+      s"bloomDecontaminate: key types must match exactly (corpus.$keyCol: $kt " +
+        s"vs eval.$evalKeyCol: $et) — xxhash64 is type-sensitive, and a " +
+        "mismatch yields silent bloom false negatives")
     val hashes = evalKeys.select(xxhash64(col(evalKeyCol)).as("_h")).distinct()
       .localCheckpoint(true) // counted AND folded into the sketch: one eval
     val bytes =
@@ -436,8 +452,12 @@ object CorpusOps {
       bias: Double = 0.0): DataFrame = {
     val tf = df.select(col(idCol).as("id"), explode(col(toksCol)).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("_tf"))
+      // duplicate model rows for a token SUM (linear-model semantics:
+      // concatenated weight tables add) — folded BEFORE the join so a
+      // duplicated token can never silently fan out the tf rows (r7 review)
       .join(model.select(col(tokenCol).as("token"),
-        col(weightCol).cast("double").as("_w")), Seq("token"))
+          col(weightCol).cast("double").as("_w"))
+        .groupBy("token").agg(sum("_w").as("_w")), Seq("token"))
       .groupBy("id").agg(sum(col("_w") * col("_tf")).as("_s"))
     df.select(col(idCol).as("id")).distinct()
       .join(tf, Seq("id"), "left")

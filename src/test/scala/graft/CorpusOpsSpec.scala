@@ -372,6 +372,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3.5, 2L -> 0.5, 3L -> 0.5), got)
   }
 
+  test("scoreLinear sums duplicate model rows instead of fanning out the join") {
+    val docs = Seq((1L, Seq("a", "a"))).toDF("doc_id", "toks")
+    val model = Seq(("a", 2.0), ("a", 3.0)).toDF("token", "w") // concatenated tables
+    val got = CorpusOps.scoreLinear(docs, "doc_id", "toks", model, "token", "w")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0), got) // tf=2 × (2+3), NOT tf rows duplicated
+  }
+
+  test("bloomDecontaminate rejects mismatched key types (silent-false-negative trap)") {
+    val corpus = Seq((1L, 5L)).toDF("id", "key")       // BIGINT key
+    val evalSet = Seq("5").toDF("k")                   // STRING key
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.bloomDecontaminate(corpus, "key", evalSet, "k")
+    }
+    assert(e.getMessage.contains("key types must match"), e.getMessage)
+  }
+
   test("bloomDecontaminate is EXACT at any fpp (false positives re-checked)") {
     // fpp=0.5 makes the sketch tiny and false positives near-certain, so the
     // exact-confirm path is genuinely exercised: the result must still equal

@@ -36,8 +36,12 @@ class EvalBarrierSpec extends SparkSpec {
     val plain = tripled(Norm.normTokens(col("text")))
     val barred = tripled(Norm.evalOnce(Norm.normTokens(col("text"))))
 
-    // identical results
-    assert(barred.collect().toSeq == plain.collect().toSeq)
+    // identical VALUES — compared as sorted multisets: the two plans
+    // round-robin-repartition on different computed columns (the plain one
+    // pushes the projection below the exchange), so row ORDER across them
+    // is not part of the contract (r7 review)
+    assert(barred.collect().map(_.toString).sorted.toSeq
+      == plain.collect().map(_.toString).sorted.toSeq)
 
     // the barriered tokenize appears ONCE in the optimized plan...
     val barredPlan = barred.queryExecution.optimizedPlan.toString
