@@ -122,6 +122,72 @@ object IvfPq {
     * recovered from the codebook itself. Output: (query_id, rank,
     * neighbor_id, score) — scores rounded (6 dp) before ranking, id
     * tie-break, like every retrieval operator here. */
+  /** Incremental ADD-ONLY maintenance of a saved IVF-PQ index — the
+    * streaming-embedding twin of [[IvfIndex.addSaved]]: delta rows are
+    * coarse-assigned to the EXISTING centroids and PQ-encoded with the
+    * EXISTING codebooks, then merged into only the touched cell directories
+    * (write amplification bounded by the cells the delta lands in, never the
+    * index). Ids already present anywhere are skipped (full-file probe, same
+    * duplicate-serving rationale as the IVF variant). Centroids and
+    * codebooks never move — recall degrades gracefully as the corpus drifts
+    * from the build-time training and a periodic [[buildAndSave]] restores
+    * it, the standard compaction contract. Adding to an EMPTY index fails
+    * fast: there are no trained codebooks to encode with, so an add would
+    * be meaningless — rebuild instead. All delta-sized checkpoints are
+    * freed on every exit path (block hygiene, test-pinned). */
+  def addSaved(spark: SparkSession, dir: String,
+      rows: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val codebookDf = spark.read.parquet(s"$dir/codebook.parquet")
+    val meta = codebookDf.agg(max("sub"), max(size(col("cvec")))).collect()(0)
+    require(!meta.isNullAt(0),
+      "IvfPq.addSaved: the saved index has no trained codebooks (built over " +
+        "zero rows) — rebuild with buildAndSave instead of adding")
+    val m = meta.getInt(0) + 1
+    val dsub = meta.getInt(1)
+    val base = rows.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+    val assigned = IvfIndex.assign(base, centroids)
+    val cb = ProductQuantizer.Codebook(codebookDf, m, dsub)
+    // (id, sub, code, _cell): encode with the saved codebooks, tag with the
+    // coarse cell. Delta-sized, materialized once — everything below reads it.
+    val celled = ProductQuantizer.encode(
+        assigned.select(col("id"), col("v")), "id", "v", cb)
+      .join(assigned.select(col("id"),
+        concat(lit("c"), col("centroid_id")).as(CellCol)), Seq("id"))
+      .localCheckpoint(true)
+    try {
+      if (celled.isEmpty) return
+      val codesPath = s"$dir/codes.parquet"
+      val existing = spark.read.parquet(codesPath)
+      if (existing.isEmpty) {
+        // zero-row repair layout → first real rows: FULL overwrite into cell
+        // dirs (dynamic overwrite would leave the plain repair file beside
+        // the partition dirs — a mixed layout Spark can't read back).
+        // celled is checkpointed, so nothing in the write replans the read.
+        celled.repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+          .write.mode("overwrite").partitionBy(CellCol).parquet(codesPath)
+        return
+      }
+      // add-only probe against the FULL code table (delta-sized driver sets)
+      val deltaIds = celled.select("id").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val already = existing.filter(col("id").isin(deltaIds: _*))
+        .select("id").distinct().collect().map(_.getString(0)).toSet
+      if (already.size == deltaIds.size) return // nothing genuinely new
+      val fresh = celled.filter(not(col("id").isin(already.toSeq: _*)))
+      val cells = fresh.select(CellCol).distinct().collect().map(_.getString(0))
+      val merged = existing.filter(col(CellCol).isin(cells.toIndexedSeq: _*))
+        .unionByName(fresh) // disjoint ids by the probe above
+        .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+        // lineage break: the write below overwrites the very files this reads
+        .localCheckpoint(true)
+      try merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(CellCol).parquet(codesPath)
+      finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(celled)
+  }
+
   def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
       qId: String, qVec: String, nProbe: Int, k: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
@@ -133,13 +199,17 @@ object IvfPq {
         lit("").as("neighbor_id"), lit(0.0).as("score"))
     val m = meta.getInt(0) + 1
     val dsub = meta.getInt(1)
-    val probes = VectorSearch.knnJoin(
+    // queries × nProbe — tiny. Collected once and rebuilt as a LOCAL
+    // relation (a checkpoint here would pin blocks the lazily-returned plan
+    // could never free — the IvfIndex.search leak's sibling, fixed r7).
+    import spark.implicits._
+    val probeRows = VectorSearch.knnJoin(
       queries, centroids, qId, qVec, "centroid_id", "cvec", nProbe)
       .select(col("query_id"),
         concat(lit("c"), col("neighbor_id")).as(CellCol))
-      .localCheckpoint(true)
-    val probedCells = probes.select(CellCol).distinct()
-      .collect().map(_.getString(0))
+      .as[(String, String)].collect()
+    val probes = probeRows.toIndexedSeq.toDF("query_id", CellCol)
+    val probedCells = probeRows.map(_._2).distinct
     // both layouts carry _cell (partition column, or data column in the
     // zero-row repair file), so the filter is always a valid partition prune
     val codes = spark.read.parquet(s"$dir/codes.parquet")

@@ -191,4 +191,39 @@ class ProductQuantizerSpec extends SparkSpec {
       nList = 4, m = 4, dsub = 4, k = 8)
     assert(graft.operators.IvfPq.searchSaved(spark, edir, q, "id", "v", 1, 5).isEmpty)
   }
+
+  test("ivf-pq addSaved: delta merges into touched cells, dedups, stays pin-free") {
+    import graft.operators.IvfPq
+    val corpus = vecs(64, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_add").toString
+    // build over the first 40 ids only
+    IvfPq.buildAndSave(corpus.filter(col("id") < 40), "id", "v", dir,
+      nList = 4, m = 4, dsub = 4, k = 8)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // delta includes 8 already-present ids (32-39) and 24 new ones (40-63)
+    IvfPq.addSaved(spark, dir, corpus.filter(col("id") >= 32), "id", "v")
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    assert(codes.select("id").distinct().count() == 64)
+    assert(codes.groupBy("id", "sub").count().filter(col("count") > 1).isEmpty,
+      "duplicate (id, sub) code rows after re-adding present ids")
+    // re-adding the same delta is a no-op
+    IvfPq.addSaved(spark, dir, corpus.filter(col("id") >= 32), "id", "v")
+    assert(spark.read.parquet(s"$dir/codes.parquet")
+      .select("id").distinct().count() == 64)
+    // added ids are served by searchSaved at full probe
+    val q = corpus.filter(col("id") === 63).select(col("id").as("qid"), col("v").as("qv"))
+    val got = IvfPq.searchSaved(spark, dir, q, "qid", "qv", nProbe = 4, k = 64)
+      .select("neighbor_id").as[String].collect().toSet
+    assert(got.contains("63"), s"added id not served: $got")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"addSaved left ${leaked.size} pinned RDDs")
+    // empty saved index refuses the add with a rebuild pointer
+    val edir2 = java.nio.file.Files.createTempDirectory("ivfpq_add_e").toString
+    IvfPq.buildAndSave(corpus.limit(0), "id", "v", edir2, nList = 4, m = 4, dsub = 4, k = 8)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.addSaved(spark, edir2, corpus.limit(4), "id", "v")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
 }
