@@ -396,6 +396,23 @@ object SparkEntry {
         graft.eval.Recall.recallAtK(hits, gold, Seq(1, 2, 5)), Seq(1, 2, 5))
     }),
 
+    // M4 nDCG@5 (binary relevance), the rank-position-aware companion to the
+    // recall grid — same gold construction as m3, through the REAL
+    // Recall.ndcgAtK. One row per gold question.
+    "m4_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20 && col("vec_id") < 220)
+      val hits = VectorSearch.knnJoin(
+          q, c, "vec_id", "embedding", "vec_id", "embedding", 5)
+        .select(col("query_id").as("question_id"), col("rank"),
+          col("neighbor_id").as("item"))
+      val gold = q.select(col("vec_id").cast("string").as("question_id"), col("label"))
+        .join(c.select(col("vec_id").cast("string").as("item"), col("label")), Seq("label"))
+        .select("question_id", "item")
+      graft.eval.Recall.ndcgAtK(hits, gold, Seq(5))
+    }),
+
     // ------------------------------------------------- scale pipeline: dedup (D)
     // D1 exact dedup on normalized text (hash-groupBy).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -1719,6 +1736,23 @@ object SparkEntry {
           |  FROM q, c)
           |SELECT query_id, sum(CASE WHEN ql = cl THEN 1 ELSE 0 END) / 5.0 AS recall_at_5
           |FROM hits WHERE rank <= 5 GROUP BY query_id""".stripMargin.replace("\n", " "),
+      "m4_ndcg" ->
+        """WITH q AS (SELECT CAST(vec_id AS VARCHAR) qid, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT CAST(vec_id AS VARCHAR) cid, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20 AND vec_id < 220),
+          |hits AS (SELECT qid, cid, rank FROM (
+          |  SELECT q.qid, c.cid,
+          |    row_number() OVER (PARTITION BY q.qid ORDER BY list_dot_product(qv, cv) DESC, c.cid ASC) AS rank
+          |  FROM q, c) t WHERE rank <= 5),
+          |gold AS (SELECT q.qid, c.cid FROM q JOIN c ON q.ql = c.cl),
+          |gn AS (SELECT qid, count(*) AS g FROM gold GROUP BY 1),
+          |dcg AS (SELECT h.qid, sum(1.0 / log2(h.rank + 1)) AS d
+          |  FROM hits h JOIN gold gd ON h.qid = gd.qid AND h.cid = gd.cid GROUP BY 1),
+          |idcg AS (SELECT qid, sum(1.0 / log2(r + 1)) AS i FROM (
+          |  SELECT qid, unnest(generate_series(1, least(g, 5))) AS r FROM gn) t GROUP BY 1)
+          |SELECT gn.qid AS question_id,
+          |  round(coalesce(dcg.d, 0.0) / idcg.i, 6) AS ndcg_at_5
+          |FROM gn JOIN idcg ON gn.qid = idcg.qid
+          |LEFT JOIN dcg ON gn.qid = dcg.qid""".stripMargin.replace("\n", " "),
       "d1_exact_dedup" ->
         s"""SELECT $normDoc AS key, min(doc_id) AS keep_id, count(*) AS n_dups
            |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),

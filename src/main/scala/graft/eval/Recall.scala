@@ -49,4 +49,33 @@ object Recall {
     val aggs = ks.map(k => round(avg(col(s"recall_at_$k")), 6).as(s"avg_recall_at_$k"))
     perQuestion.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** nDCG@k with binary relevance (gold membership), the rank-position-aware
+    * companion to Recall@k: DCG = Σ over gold hits at rank r ≤ k of
+    * 1/log₂(r+1); IDCG = the same sum over the ideal ranking's first
+    * min(|gold|, k) positions (closed form of |gold| — computed per question
+    * with an `aggregate` over a bounded `sequence`, no extra join). Same
+    * contracts as [[recallAtK]]: gold-driven left join (zero-retrieval
+    * questions score 0, not vanish), retrieved deduped to best rank first.
+    * Rounded to 6 dp — the comparison precision the oracle uses.
+    *
+    * Output: (question_id, ndcg_at_<k>...), one row per gold question. */
+  def ndcgAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
+    val goldSized = gold.groupBy("question_id")
+      .agg(collect_set(col("item")).as("gold_set"), countDistinct(col("item")).as("gold_n"))
+    val dedupedRetrieved = retrieved.groupBy("question_id", "item")
+      .agg(min(col("rank")).as("rank"))
+    val joined = goldSized.join(dedupedRetrieved, Seq("question_id"), "left")
+      .withColumn("hit", array_contains(col("gold_set"), col("item")))
+    def idcg(k: Int) = aggregate(
+      sequence(lit(1), least(first(col("gold_n")), lit(k))),
+      lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
+    val aggs = ks.map { k =>
+      round(
+        sum(when(col("hit") && col("rank") <= k, lit(1.0) / log2(col("rank") + 1))
+          .otherwise(0.0)) / idcg(k),
+        6).as(s"ndcg_at_$k")
+    }
+    joined.groupBy("question_id").agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -93,4 +93,29 @@ class EvalSpec extends SparkSpec {
       .collect().head.getAs[Double]("avg_recall_at_5")
     assert(graphR5 >= naiveR5 - 1e-9, s"graph $graphR5 < naive $naiveR5")
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, perfect ranking = 1, zero retrieval = 0") {
+    val gold = Seq(("q1", "a"), ("q1", "b"), ("q2", "x"), ("q3", "y")).toDF("question_id", "item")
+    val retrieved = Seq(
+      ("q1", 1, "a"), ("q1", 2, "zz"), ("q1", 3, "b"), // hits at ranks 1 and 3
+      ("q2", 1, "x")                                   // perfect single-gold ranking
+      // q3 retrieves nothing
+    ).toDF("question_id", "rank", "item")
+    val got = Recall.ndcgAtK(retrieved, gold, Seq(5))
+      .as[(String, Double)].collect().toMap
+    // q1: DCG = 1/log2(2) + 1/log2(4) = 1.5; IDCG(|gold|=2) = 1 + 1/log2(3)
+    val q1 = BigDecimal(1.5 / (1.0 + 1.0 / (math.log(3) / math.log(2))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map("q1" -> q1, "q2" -> 1.0, "q3" -> 0.0), got)
+  }
+
+  test("ndcgAtK counts a multiply-retrieved gold item once, at its best rank") {
+    val gold = Seq(("q1", "a")).toDF("question_id", "item")
+    val retrieved = Seq(("q1", 2, "a"), ("q1", 4, "a")).toDF("question_id", "rank", "item")
+    val got = Recall.ndcgAtK(retrieved, gold, Seq(5)).as[(String, Double)].collect().toMap
+    // DCG = 1/log2(3) once (best rank 2), IDCG = 1
+    val exp = BigDecimal(1.0 / (math.log(3) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map("q1" -> exp), got)
+  }
 }
