@@ -24,17 +24,25 @@ object Recall {
     * rank before the hit aggregation — the reference computes
     * |set(retrieved[:k]) ∩ gold| / |gold| (evaluate.py:177-197), so a gold item
     * retrieved at two ranks ≤ k must count once, never twice. */
-  def recallAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
+  /** Shared preamble of every rank metric: gold sets sized per question,
+    * retrieved deduped to best (min) rank, GOLD-DRIVEN left join (questions
+    * that retrieved nothing survive with null ranks), hit = gold membership.
+    * One definition so recall and nDCG can never silently diverge on the
+    * join contract. */
+  private def joinedHits(retrieved: DataFrame, gold: DataFrame): DataFrame = {
     val goldSized = gold.groupBy("question_id")
       .agg(collect_set(col("item")).as("gold_set"), countDistinct(col("item")).as("gold_n"))
     val dedupedRetrieved = retrieved.groupBy("question_id", "item")
       .agg(min(col("rank")).as("rank"))
-    val joined = goldSized.join(dedupedRetrieved, Seq("question_id"), "left")
+    goldSized.join(dedupedRetrieved, Seq("question_id"), "left")
       .withColumn("hit", array_contains(col("gold_set"), col("item")))
+  }
+
+  def recallAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
     val aggs = ks.map(k =>
       (sum(when(col("hit") && col("rank") <= k, 1).otherwise(0)) /
         first(col("gold_n"))).as(s"recall_at_$k"))
-    joined.groupBy("question_id").agg(aggs.head, aggs.tail: _*)
+    joinedHits(retrieved, gold).groupBy("question_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** M2 gold titles from supporting facts: `supporting_facts[*][0]`
@@ -61,12 +69,6 @@ object Recall {
     *
     * Output: (question_id, ndcg_at_<k>...), one row per gold question. */
   def ndcgAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
-    val goldSized = gold.groupBy("question_id")
-      .agg(collect_set(col("item")).as("gold_set"), countDistinct(col("item")).as("gold_n"))
-    val dedupedRetrieved = retrieved.groupBy("question_id", "item")
-      .agg(min(col("rank")).as("rank"))
-    val joined = goldSized.join(dedupedRetrieved, Seq("question_id"), "left")
-      .withColumn("hit", array_contains(col("gold_set"), col("item")))
     def idcg(k: Int) = aggregate(
       sequence(lit(1), least(first(col("gold_n")), lit(k))),
       lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + 1))
@@ -76,6 +78,6 @@ object Recall {
           .otherwise(0.0)) / idcg(k),
         6).as(s"ndcg_at_$k")
     }
-    joined.groupBy("question_id").agg(aggs.head, aggs.tail: _*)
+    joinedHits(retrieved, gold).groupBy("question_id").agg(aggs.head, aggs.tail: _*)
   }
 }

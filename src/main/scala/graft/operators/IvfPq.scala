@@ -146,28 +146,50 @@ object IvfPq {
     val m = meta.getInt(0) + 1
     val dsub = meta.getInt(1)
     val base = rows.select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
-    val assigned = IvfIndex.assign(base, centroids)
-    val cb = ProductQuantizer.Codebook(codebookDf, m, dsub)
-    // (id, sub, code, _cell): encode with the saved codebooks, tag with the
-    // coarse cell. Delta-sized, materialized once — everything below reads it.
-    val celled = ProductQuantizer.encode(
-        assigned.select(col("id"), col("v")), "id", "v", cb)
-      .join(assigned.select(col("id"),
-        concat(lit("c"), col("centroid_id")).as(CellCol)), Seq("id"))
-      .localCheckpoint(true)
+    // delta-sized, materialized once: the encode branch AND the cell-tag
+    // branch below both read it — un-checkpointed, the caller's whole delta
+    // pipeline plus the coarse assign would run twice (the IvfIndex.addSaved
+    // lesson); freed on every exit path
+    val assigned = IvfIndex.assign(base, centroids).localCheckpoint(true)
     try {
+      // wrong-dim rows would be SILENTLY truncated by both the coarse assign
+      // (DotProduct stops at min length) and the PQ subspace slices, merging
+      // garbage codes into the index forever — fail fast instead
+      val badDim = assigned
+        .filter(size(col("v")) =!= lit(m * dsub)).select("id").limit(1).collect()
+      require(badDim.isEmpty,
+        s"IvfPq.addSaved: delta vector dimension != index dimension ${m * dsub} " +
+          s"(first offending id: ${badDim.headOption.map(_.getString(0)).getOrElse("")}) — " +
+          "wrong-dim vectors would be silently truncated into garbage codes")
+      val cb = ProductQuantizer.Codebook(codebookDf, m, dsub)
+      // (id, sub, code, _cell): encode with the saved codebooks, tag with the
+      // coarse cell. Delta-sized, materialized once — everything below reads it.
+      val celled = ProductQuantizer.encode(
+          assigned.select(col("id"), col("v")), "id", "v", cb)
+        .join(assigned.select(col("id"),
+          concat(lit("c"), col("centroid_id")).as(CellCol)), Seq("id"))
+        .localCheckpoint(true)
+      try addToCodes(spark, dir, celled)
+      finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(celled)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(assigned)
+  }
+
+  /** Merge a checkpointed (id, sub, code, _cell) delta into the saved code
+    * table, add-only. Split out of [[addSaved]] for readability only. */
+  private def addToCodes(spark: SparkSession, dir: String,
+      celled: DataFrame): Unit = {
       if (celled.isEmpty) return
       val codesPath = s"$dir/codes.parquet"
       val existing = spark.read.parquet(codesPath)
-      if (existing.isEmpty) {
-        // zero-row repair layout → first real rows: FULL overwrite into cell
-        // dirs (dynamic overwrite would leave the plain repair file beside
-        // the partition dirs — a mixed layout Spark can't read back).
-        // celled is checkpointed, so nothing in the write replans the read.
-        celled.repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
-          .write.mode("overwrite").partitionBy(CellCol).parquet(codesPath)
-        return
-      }
+      // A TRAINED codebook with an EMPTY code table is not a state buildAndSave
+      // can leave behind (zero codes ⇔ untrained codebook, rejected by the
+      // caller's require) — it means a crashed half-written build. Refuse
+      // rather than dynamic-overwrite beside the zero-row repair file (mixed
+      // plain/partitioned layout Spark can't read back).
+      if (existing.isEmpty)
+        throw new IllegalStateException(
+          s"IvfPq.addSaved: $codesPath is empty but the codebook is trained — " +
+            "half-written index; rebuild with buildAndSave")
       // add-only probe against the FULL code table (delta-sized driver sets)
       val deltaIds = celled.select("id").distinct()
         .collect().map(_.getString(0)).toSeq
@@ -185,7 +207,6 @@ object IvfPq {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(CellCol).parquet(codesPath)
       finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
-    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(celled)
   }
 
   def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
