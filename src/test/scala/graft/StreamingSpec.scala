@@ -124,6 +124,42 @@ class StreamingSpec extends SparkSpec {
     assert(r.nonEmpty && r.head.id == "p2", r)
   }
 
+  test("streaming micro-batches maintain a saved IVF-PQ index via addSaved") {
+    // The maintenance path IvfPq.addSaved exists for: embeddings arrive as a
+    // stream, each micro-batch merges into the persisted index, and the
+    // final index serves every id exactly once — across batch boundaries,
+    // with re-delivered ids (at-least-once sources) deduplicated.
+    import graft.operators.IvfPq
+    val vecs = (0 until 48).map { i =>
+      (i.toString, (0 until 16).map(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    val dir = Files.createTempDirectory("ivfpq_stream").toString
+    IvfPq.buildAndSave(vecs.take(16).toDF("id", "v"), "id", "v", dir,
+      nList = 4, m = 4, dsub = 4, k = 8)
+    val in = Files.createTempDirectory("ivfpq_stream_in").toString + "/emb"
+    // wave files: overlapping ranges simulate at-least-once re-delivery
+    vecs.slice(8, 32).toDF("id", "v").write.parquet(in)
+    vecs.slice(24, 48).toDF("id", "v").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema).parquet(in)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfPq.addSaved(spark, dir, batch, "id", "v")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000); q.stop()
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    assert(codes.select("id").distinct().count() == 48)
+    assert(codes.groupBy("id", "sub").count().filter(col("count") > 1).isEmpty,
+      "re-delivered ids produced duplicate code rows")
+    val qdf = vecs.slice(40, 42).toDF("id", "v")
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val served = IvfPq.searchSaved(spark, dir, qdf, "qid", "qv", nProbe = 4, k = 48)
+      .select("neighbor_id").as[String].collect().toSet
+    assert(Set("40", "41").subsetOf(served), s"streamed ids not served: $served")
+  }
+
   test("foreachBatch upsert sink merges micro-batches by id, rewriting only affected buckets") {
     import graft.sources.BucketedTable
     val in1 = Files.createTempDirectory("stream_upsert_in1").toString + "/data"
