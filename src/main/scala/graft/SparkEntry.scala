@@ -755,6 +755,15 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // SIM1 sparse TF-IDF cosine via inverted-index join — the sparse twin of
+    // d5/d6's dense cosine: pair scores come from joining posting lists on
+    // the token key, stop tokens (df > 350) pruned BEFORE the self-join.
+    "sim1_sparse_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+      Dedup.sparseCosinePairs(docs, "doc_id", "toks", minSim = 0.9, maxDf = 350)
+    }),
+
     // D11 the dedup ACTION on d10's signal: maximal cross-document duplicate
     // spans cut from every document, survivors reassembled in order. One row
     // per input doc (fully-duplicated docs come back empty, not dropped).
@@ -2165,6 +2174,19 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
            |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
+      "sim1_sparse_cosine" ->
+        s"""WITH tf AS (SELECT doc_id AS id, t AS token, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest($toksDoc) AS t FROM documents) x GROUP BY 1, 2),
+           |n AS (SELECT count(DISTINCT id) AS n FROM tf),
+           |kept AS (SELECT token, ln(CAST((SELECT n FROM n) AS DOUBLE) / count(DISTINCT id)) AS idf
+           |  FROM tf GROUP BY token HAVING count(DISTINCT id) <= 350),
+           |w AS (SELECT tf.id, tf.token, tf.tf * kept.idf AS w FROM tf JOIN kept USING (token)),
+           |nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+           |p AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+           |  FROM w a JOIN w b ON a.token = b.token AND a.id < b.id GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b, round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+           |FROM p JOIN nrm na ON p.id_a = na.id JOIN nrm nb ON p.id_b = nb.id
+           |WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= 0.9""".stripMargin.replace("\n", " "),
       "d11_remove_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
            |g AS (SELECT doc_id, u['start'] AS start, u['gram'] AS gram FROM (

@@ -276,6 +276,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Sparse TF-IDF cosine similarity via INVERTED-INDEX join — the sparse
+    * twin of [[embeddingNearDupPairs]]: documents are tf-idf vectors over
+    * their (kept) tokens, and pair scores come from joining the posting
+    * lists on the token key — sum(w_a·w_b) per pair — instead of any dense
+    * n² scan. `maxDf` prunes stop tokens BEFORE the self-join (a token in
+    * df documents contributes df² join rows and ~zero discrimination — the
+    * same skew economics as Jaccard's stop-shingles); pruned tokens leave
+    * the vector space entirely, norms included, so the score is the exact
+    * cosine of the KEPT-token vectors. idf = ln(N/df) with N = corpus size
+    * (one bounded count), weight = tf · idf.
+    *
+    * Output: (id_a, id_b, cosine) for pairs with cosine ≥ `minSim`, id_a <
+    * id_b, cosine rounded to 6 dp (the oracle's comparison precision). */
+  def sparseCosinePairs(df: DataFrame, idCol: String, toksCol: String,
+      minSim: Double, maxDf: Long): DataFrame = {
+    // (id, token, tf) feeds four consumers (df filter, both join sides,
+    // norms) — one eager materialization, same rationale as Jaccard's docSh
+    val tf = df.select(col(idCol).as("id"), explode(col(toksCol)).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val n = tf.select("id").distinct().count()
+    val kept = tf.groupBy("token").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+      .select("token", "idf")
+    val w = tf.join(kept, Seq("token"))
+      .select(col("id"), col("token"), (col("tf") * col("idf")).as("w"))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.as("a").join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minSim)
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ τ. Blocked by sign-bit LSH of
     * the embedding (hyperplanes = deterministic hash directions): pairs must agree
     * on the `blockBits`-bit sketch, turning the n² scan into an equi-join per

@@ -104,6 +104,33 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 1), (2L, 0)), got)
   }
 
+  test("sparseCosinePairs: identical kept-token vectors score 1; pruned tokens leave the space") {
+    // 4 docs; token "the" appears in all 4 → pruned at maxDf=3 and must not
+    // contribute to norms either. d1 and d2 share identical KEPT vectors
+    // ("cat cat dog") → cosine exactly 1.0 even though their "the" counts
+    // differ; d3 is orthogonal on kept tokens; d4 shares only "dog" with d1/d2.
+    val rows = Seq(
+      (1L, Seq("the", "cat", "cat", "dog")),
+      (2L, Seq("the", "the", "cat", "cat", "dog")),
+      (3L, Seq("the", "fish")),
+      (4L, Seq("the", "dog", "bird"))
+    ).toDF("doc_id", "toks")
+    val got = Dedup.sparseCosinePairs(rows, "doc_id", "toks", minSim = 0.0, maxDf = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0, got)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      "docs sharing only a pruned token must produce NO pair row")
+    // d1·d4 share "dog": idf(dog)=ln(4/3); cos = w²/ (|w_cat²·2+w²|^.5 · |w²+w_bird²|^.5)
+    val wd = math.log(4.0 / 3)
+    val wCat = math.log(4.0 / 2)
+    val wBird = math.log(4.0 / 1)
+    val exp = BigDecimal(wd * wd /
+      (math.sqrt(4 * wCat * wCat + wd * wd) * math.sqrt(wd * wd + wBird * wBird)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 4L)) == exp, s"got ${got((1L, 4L))} expected $exp")
+  }
+
   test("duplicateSpanRanges merges overlapping AND contiguous windows") {
     import graft.operators.CorpusOps
     val rows = Seq(
