@@ -757,11 +757,18 @@ object SparkEntry {
 
     // SIM1 sparse TF-IDF cosine via inverted-index join — the sparse twin of
     // d5/d6's dense cosine: pair scores come from joining posting lists on
-    // the token key, stop tokens (df > 350) pruned BEFORE the self-join.
+    // the term key, stop terms (df > 30) pruned BEFORE the self-join.
+    // Terms are BIGRAMS, not unigrams: the synthetic corpus has only 31
+    // distinct words clustered at high df, so a unigram vector space
+    // degenerates to one dimension and every oracle cosine is exactly 1.0 —
+    // the bigram space (916 terms, df 1..46 at sf0.01) gives 30 pairs with
+    // 30 DISTINCT cosines, so the tf/idf/dot/norm arithmetic is genuinely
+    // hash-checked (r7 review: a degenerate oracle verifies nothing).
     "sim1_sparse_cosine" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
-      Dedup.sparseCosinePairs(docs, "doc_id", "toks", minSim = 0.9, maxDf = 350)
+        .select(col("doc_id"),
+          Norm.shingles(Norm.normTokens(col("text")), 2).as("toks"))
+      Dedup.sparseCosinePairs(docs, "doc_id", "toks", minSim = 0.3, maxDf = 30)
     }),
 
     // D11 the dedup ACTION on d10's signal: maximal cross-document duplicate
@@ -2175,18 +2182,21 @@ object SparkEntry {
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
            |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
-        s"""WITH tf AS (SELECT doc_id AS id, t AS token, count(*) AS tf FROM (
-           |    SELECT doc_id, unnest($toksDoc) AS t FROM documents) x GROUP BY 1, 2),
+        s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+           |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t
+           |  FROM (SELECT doc_id, $toksDoc AS w FROM documents) d),
+           |tf AS (SELECT doc_id AS id, t AS token, count(*) AS tf FROM bg GROUP BY 1, 2),
            |n AS (SELECT count(DISTINCT id) AS n FROM tf),
-           |kept AS (SELECT token, ln(CAST((SELECT n FROM n) AS DOUBLE) / count(DISTINCT id)) AS idf
-           |  FROM tf GROUP BY token HAVING count(DISTINCT id) <= 350),
+           |kept AS (SELECT token, ln(CAST((SELECT n FROM n) AS DOUBLE) / count(*)) AS idf
+           |  FROM tf GROUP BY token HAVING count(*) <= 30),
            |w AS (SELECT tf.id, tf.token, tf.tf * kept.idf AS w FROM tf JOIN kept USING (token)),
            |nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
            |p AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
            |  FROM w a JOIN w b ON a.token = b.token AND a.id < b.id GROUP BY 1, 2)
            |SELECT p.id_a, p.id_b, round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
            |FROM p JOIN nrm na ON p.id_a = na.id JOIN nrm nb ON p.id_b = nb.id
-           |WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= 0.9""".stripMargin.replace("\n", " "),
+           |WHERE na.nrm * nb.nrm > 0
+           |  AND round(p.dot / (na.nrm * nb.nrm), 6) >= 0.3""".stripMargin.replace("\n", " "),
       "d11_remove_dup_spans" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
            |g AS (SELECT doc_id, u['start'] AS start, u['gram'] AS gram FROM (

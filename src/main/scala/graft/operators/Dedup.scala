@@ -284,11 +284,15 @@ object Dedup {
     * df documents contributes df² join rows and ~zero discrimination — the
     * same skew economics as Jaccard's stop-shingles); pruned tokens leave
     * the vector space entirely, norms included, so the score is the exact
-    * cosine of the KEPT-token vectors. idf = ln(N/df) with N = corpus size
-    * (one bounded count), weight = tf · idf.
+    * cosine of the KEPT-token vectors. idf = ln(N/df) with N = the number
+    * of documents with at least one token (empty-token docs have no vector
+    * and can never pair; one bounded count), weight = tf · idf.
     *
     * Output: (id_a, id_b, cosine) for pairs with cosine ≥ `minSim`, id_a <
-    * id_b, cosine rounded to 6 dp (the oracle's comparison precision). */
+    * id_b, cosine rounded to 6 dp (the oracle's comparison precision).
+    * Zero-norm documents (every kept token at df = N ⇒ idf 0) are excluded
+    * BEFORE the threshold — 0/0 is NaN, and Spark's NaN-is-largest ordering
+    * would otherwise let garbage pairs pass any minSim. */
   def sparseCosinePairs(df: DataFrame, idCol: String, toksCol: String,
       minSim: Double, maxDf: Long): DataFrame = {
     // (id, token, tf) feeds four consumers (df filter, both join sides,
@@ -297,7 +301,9 @@ object Dedup {
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val n = tf.select("id").distinct().count()
-    val kept = tf.groupBy("token").agg(countDistinct(col("id")).as("df"))
+    // tf is unique per (id, token) by construction — plain count IS the df
+    // (a countDistinct here would pay the distinct-aggregate expansion)
+    val kept = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .withColumn("idf", log(lit(n.toDouble) / col("df")))
       .select("token", "idf")
@@ -310,6 +316,7 @@ object Dedup {
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
       .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
       .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .filter(col("nrm_a") * col("nrm_b") > 0) // NaN guard, see scaladoc
       .select(col("id_a"), col("id_b"),
         round(col("dot") / (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") >= minSim)

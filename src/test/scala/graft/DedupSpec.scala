@@ -131,6 +131,18 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 4L)) == exp, s"got ${got((1L, 4L))} expected $exp")
   }
 
+  test("sparseCosinePairs excludes zero-norm docs instead of emitting NaN pairs") {
+    // every kept token at df = N ⇒ idf 0 ⇒ all-zero vectors; 0/0 is NaN and
+    // Spark orders NaN LARGEST, so without the guard these pairs would pass
+    // any minSim threshold
+    val rows = Seq(
+      (1L, Seq("a")), (2L, Seq("a")), (3L, Seq("a"))
+    ).toDF("doc_id", "toks")
+    val got = Dedup.sparseCosinePairs(rows, "doc_id", "toks", minSim = 0.9, maxDf = 3)
+      .collect()
+    assert(got.isEmpty, got.mkString(","))
+  }
+
   test("duplicateSpanRanges merges overlapping AND contiguous windows") {
     import graft.operators.CorpusOps
     val rows = Seq(

@@ -141,7 +141,12 @@ class StreamingSpec extends SparkSpec {
     vecs.slice(8, 32).toDF("id", "v").write.parquet(in)
     vecs.slice(24, 48).toDF("id", "v").write.mode("append").parquet(in)
     val schema = spark.read.parquet(in).schema
-    val q = spark.readStream.schema(schema).parquet(in)
+    // maxFilesPerTrigger=1 forces REAL multi-batch processing — without it
+    // AvailableNow drains every file in one batch and the cross-batch
+    // dedup (addSaved's probe against codes written by an EARLIER stream
+    // batch) would never run (r7 review)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         IvfPq.addSaved(spark, dir, batch, "id", "v")
