@@ -765,9 +765,16 @@ object SparkEntry {
     // 30 DISTINCT cosines, so the tf/idf/dot/norm arithmetic is genuinely
     // hash-checked (r7 review: a degenerate oracle verifies nothing).
     "sim1_sparse_cosine" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          Norm.shingles(Norm.normTokens(col("text")), 2).as("toks"))
+      // evalOnce in its OWN aliased projection: the barrier stops
+      // CollapseProject from inlining the tokenize into shingles' per-index
+      // lambda (~80 regex evaluations per doc — 28 s of a 30 s single-task
+      // job at sf0.1 without it). NOTE it must be a separate column — a
+      // barrier nested INSIDE shingles(...) is one expression and still
+      // evaluates per index (measured: 11.6 s); the barrier guards across
+      // projections, not within an expression tree.
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.evalOnce(Norm.normTokens(col("text"))).as("_t"))
+        .select(col("doc_id"), Norm.shingles(col("_t"), 2).as("toks"))
       Dedup.sparseCosinePairs(docs, "doc_id", "toks", minSim = 0.3, maxDf = 30)
     }),
 
