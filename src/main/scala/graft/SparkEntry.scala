@@ -1249,6 +1249,24 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    // Q4-shaped: order-priority counts over orders having ≥1 LATE lineitem
+    // (shipped > 60 days after the order date — the synthetic schema has no
+    // commit/receipt dates). The EXISTS correlation becomes a LEFT SEMI join
+    // — the one classic-bench join shape q1/q3/q5/q6 don't exercise — with
+    // the order-date range pushed to the orders scan and the correlated
+    // ship-date predicate evaluated inside the semi join.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-10-01 00:00:00'"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
     // Q6-shaped: selective scan with timestamp + numeric predicates, all pushed
     // to the parquet reader (PushedFilters on l_shipdate/l_discount/l_quantity).
     "q6_date_filter" -> ((s, dir) => {
@@ -2365,6 +2383,12 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " "),
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+          |AND EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority""".stripMargin.replace("\n", " "),
       "q6_date_filter" ->
         """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
           |FROM lineitem
