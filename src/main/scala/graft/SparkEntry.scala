@@ -157,6 +157,17 @@ object SparkEntry {
             ",").as("doc_ids_after"))
     }),
 
+    // G10 degree distribution of the entity↔passage adjacency — the skew
+    // summary that drives partitioning decisions on a real graph (hub
+    // entities are broadcast-anti-join poison; this is the query that finds
+    // them). Two hash aggregates, both map-side combinable.
+    "g10_degree_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Norm.normTokens(col("text"))).as("word"))
+        .groupBy("word").agg(countDistinct(col("doc_id")).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_entities"))
+    }),
+
     // ----------------------------------------------------------- §2.5 embeddings
     // E3 L2 normalization (embeddings.py:142-143). Exploded to one row per
     // vector component: scalar doubles survive the driver comparator (array
@@ -1544,6 +1555,10 @@ object SparkEntry {
         s"SELECT doc_id, CAST(pos AS INTEGER) AS pos, word FROM ($docWords) t",
       "g2_entity_dedup" ->
         s"SELECT md5(name) AS id, name FROM (SELECT DISTINCT word AS name FROM ($docWords) t) d",
+      "g10_degree_hist" ->
+        s"""SELECT degree, count(*) AS n_entities FROM (
+           |  SELECT word, count(DISTINCT doc_id) AS degree FROM ($docWords) t GROUP BY word) g
+           |GROUP BY degree""".stripMargin.replace("\n", " "),
       "g3_relation_dedup" ->
         (s"SELECT md5(text) AS id, text, n_dups FROM (SELECT concat_ws(' ', ${normE("p_brand")}, " +
           s"${normE("p_type")}, ${normE("p_name")}) AS text, count(*) AS n_dups FROM part GROUP BY 1) t"),
