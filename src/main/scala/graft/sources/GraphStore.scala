@@ -160,10 +160,34 @@ final class GraphStore(spark: SparkSession, base: String,
       index: graft.operators.IvfIndex.Index): Unit =
     graft.operators.IvfIndex.save(index, annPath(graph, tableName))
 
+  /** Persist an IVF-PQ index at the same derived-artifact path (mutually
+    * exclusive with the plain IVF layout — the PQ codebook file is the
+    * discriminator every reader/maintainer dispatches on). Same lifecycle:
+    * dropped by any base-table write, extended add-only through grafts. */
+  def saveAnnIndexPq(graph: String, tableName: String, rows: DataFrame,
+      nList: Int, m: Int, dsub: Int, k: Int, pqIters: Int = 0): Unit =
+    graft.operators.IvfPq.buildAndSave(rows, "id", "embedding",
+      annPath(graph, tableName), nList, m, dsub, k, pqIters)
+
+  /** Whether the saved ANN artifact is the IVF-PQ layout (codebook present)
+    * rather than the plain IVF inverted file. */
+  def annIndexIsPq(graph: String, tableName: String): Boolean =
+    BucketedTable.exists(spark, s"${annPath(graph, tableName)}/codebook.parquet")
+
   def loadAnnIndex(graph: String, tableName: String)
       : Option[graft.operators.IvfIndex.Index] =
-    if (BucketedTable.exists(spark, annPath(graph, tableName)))
+    if (BucketedTable.exists(spark, annPath(graph, tableName)) &&
+        !annIndexIsPq(graph, tableName))
       Some(graft.operators.IvfIndex.load(spark, annPath(graph, tableName)))
+    else None
+
+  /** Probe-limited search over the persisted IVF-PQ artifact; None when the
+    * saved layout is not PQ (callers fall back to [[loadAnnIndex]]/exact). */
+  def searchAnnIndexPq(graph: String, tableName: String, queries: DataFrame,
+      qId: String, qVec: String, nProbe: Int, k: Int): Option[DataFrame] =
+    if (annIndexIsPq(graph, tableName))
+      Some(graft.operators.IvfPq.searchSaved(
+        spark, annPath(graph, tableName), queries, qId, qVec, nProbe, k))
     else None
 
   private def dropAnnIndex(graph: String, tableName: String): Unit =
@@ -207,9 +231,16 @@ final class GraphStore(spark: SparkSession, base: String,
     * directories per grafted batch; the alternative — rebuild per write —
     * would re-cluster the full table. */
   def addToAnnIndex(graph: String, tableName: String, rows: DataFrame): Unit =
-    if (BucketedTable.exists(spark, annPath(graph, tableName)))
-      graft.operators.IvfIndex.addSaved(
-        spark, annPath(graph, tableName), rows, "id", "embedding")
+    if (BucketedTable.exists(spark, annPath(graph, tableName))) {
+      // layout dispatch: a PQ codebook means the artifact is IVF-PQ and the
+      // delta must be encoded with the SAVED codebooks; otherwise plain IVF
+      if (annIndexIsPq(graph, tableName))
+        graft.operators.IvfPq.addSaved(
+          spark, annPath(graph, tableName), rows, "id", "embedding")
+      else
+        graft.operators.IvfIndex.addSaved(
+          spark, annPath(graph, tableName), rows, "id", "embedding")
+    }
 
   // ----------------------------------------------------------------- S7 upsert
   /** Read-modify-write merge: rows in `updates` replace same-id rows, others kept
