@@ -47,7 +47,7 @@ object ProfileJobs {
       // drain BEFORE detaching: JobEnd events dispatch on the async bus
       // thread, so removing the listener first would drop trailing jobs
       // from the census — the exact number this tool exists to pin down
-      Thread.sleep(200)
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       val sorted = lines.asScala.toSeq.sortBy(_._1)

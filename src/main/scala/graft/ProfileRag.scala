@@ -69,9 +69,10 @@ object ProfileRag {
           .select(col("neighbor_id").as("entity_id"))
           .localCheckpoint(true))
       val rels = Await.result(relF, Duration.Inf)
-      val er = rels.select(explode(array(
-          struct(col("entity_ids")(0).as("entity_id"), col("id").as("relation_id"), lit("subject").as("role")),
-          struct(col("entity_ids")(1).as("entity_id"), col("id").as("relation_id"), lit("object").as("role")))).as("e"))
+      val er = rels.select(col("id").as("relation_id"), explode(col("decomp_pairs")).as("p"))
+        .select(explode(array(
+          struct(col("p.subject_id").as("entity_id"), col("relation_id"), lit("subject").as("role")),
+          struct(col("p.object_id").as("entity_id"), col("relation_id"), lit("object").as("role")))).as("e"))
         .select(col("e.entity_id"), col("e.relation_id"), col("e.role"))
       (gt0.copy(relations = rels, entityRelation = er), Await.result(hitsF, Duration.Inf))
     }

@@ -65,8 +65,10 @@ object SparkEntry {
     "t1_chunker" -> ((s, dir) => {
       Chunker.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         chunkSize = 200, overlap = 50)
-        .select(col("id").as("doc_id"), col("chunk_index"), col("total_chunks"),
-          length(col("chunk")).as("chunk_len"))
+        // chunkDocuments types the id as string to stay generic; restore the
+        // source BIGINT so the projection matches the oracle's type exactly.
+        .select(col("id").cast("long").as("doc_id"), col("chunk_index"),
+          col("total_chunks"), length(col("chunk")).as("chunk_len"))
     }),
     // T2 processing_phrases (llm/extractor.py:17-28)
     "t2_normalize" -> ((s, dir) => {
@@ -1172,25 +1174,14 @@ object SparkEntry {
       // is checkpointed below — materializing the full table would be one
       // whole extra pass (embeddings included) for nothing.
       // ONE materialization over the shared triplet checkpoint: relations.
-      // entityRelation is then DERIVED from the relations checkpoint as a
-      // narrow projection (entity_ids is positionally [subject_id,
-      // object_id]), identical to the builder's explode+distinct over
-      // triplets — a relation repeated across passages collapses to the same
-      // (entity, relation) pairs either way, and every consumer is a
-      // semi-join that tolerates duplicates. This removes the second
-      // concurrent corpus-scale checkpoint the r5 profile charged ~4.8 s for,
-      // and each expansion hop now re-reads relation-count materialized rows
-      // with no shuffle instead of recomputing an explode+distinct.
-      // CAVEAT: relation identity is md5 of the SPACE-JOINED text (reference
-      // semantics — identical texts collapse), so two triplets whose
-      // different (subject, predicate, object) decompositions join to the
-      // same string share one relation_id; relations keeps first()'s
-      // decomposition and this derivation keeps only that winner's two
-      // adjacency rows, where GraphBuilder.entityRelation (built pre-collapse
-      // from tripletRows) would keep both. Word-boundary-ambiguous
-      // decompositions of the SAME text are the only divergence; acceptable
-      // in a bench pipeline whose consumers are duplicate-tolerant
-      // semi-joins, and the production table path is unaffected.
+      // entityRelation is then DERIVED from the relations checkpoint by
+      // exploding decomp_pairs — the builder's complete distinct set of
+      // (subject_id, object_id) decompositions per text-keyed relation — so
+      // the derivation is exactly the builder's entityRelation row-set
+      // (modulo duplicates, which every consumer here is a semi-join against).
+      // This removes the second concurrent corpus-scale checkpoint the r5
+      // profile charged ~4.8 s for, and each expansion hop re-reads
+      // relation-count materialized rows with no shuffle.
       val question = "the spark join order for big table scan"
       val seedNames = s.createDataFrame(
         question.split(" ").map(Tuple1(_)).toSeq).toDF("qtext")
@@ -1216,9 +1207,10 @@ object SparkEntry {
             .select(col("neighbor_id").as("entity_id"))
             .localCheckpoint(true))
         val r = Await.result(relF, Duration.Inf)
-        val er = r.select(explode(array(
-            struct(col("entity_ids")(0).as("entity_id"), col("id").as("relation_id"), lit("subject").as("role")),
-            struct(col("entity_ids")(1).as("entity_id"), col("id").as("relation_id"), lit("object").as("role")))).as("e"))
+        val er = r.select(col("id").as("relation_id"), explode(col("decomp_pairs")).as("p"))
+          .select(explode(array(
+            struct(col("p.subject_id").as("entity_id"), col("relation_id"), lit("subject").as("role")),
+            struct(col("p.object_id").as("entity_id"), col("relation_id"), lit("object").as("role")))).as("e"))
           .select(col("e.entity_id"), col("e.relation_id"), col("e.role"))
         (gt0.copy(relations = r, entityRelation = er), Await.result(hitsF, Duration.Inf))
       }

@@ -38,7 +38,19 @@ object Norm {
 
   /** Pin `c` to ONE evaluation per row (a projection barrier, not a storage
     * barrier): wraps it in [[org.apache.spark.sql.graft.EvalBarrier]] so
-    * CollapseProject can't inline it into multi-referencing consumers. */
+    * CollapseProject can't inline it into multi-referencing consumers.
+    *
+    * PROJECTION-ONLY. The barrier works by declaring itself nondeterministic,
+    * so an evalOnce-wrapped column used directly in a join condition fails
+    * CheckAnalysis (AnalysisException, INVALID_NON_DETERMINISTIC_EXPRESSIONS)
+    * and as a groupBy key trips Spark's internal nondeterministic-grouping
+    * guard (SparkException) — and PullOutNondeterministic can rewrite other
+    * uses behind your back.
+    * Correct usage: alias the wrapped expression as its OWN projected column
+    * first (`.select(evalOnce(e).as("x"))`), then join/group/sort on the
+    * plain column downstream — the barrier guards the projection boundary,
+    * the downstream reference is an ordinary deterministic attribute.
+    * Pinned by EvalBarrierSpec's negative tests. */
   def evalOnce(c: Column): Column = {
     val B = org.apache.spark.sql.graft.Bridge
     B.column(org.apache.spark.sql.graft.EvalBarrier(B.expression(c)))

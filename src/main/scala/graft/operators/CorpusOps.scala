@@ -273,7 +273,13 @@ object CorpusOps {
     * the windowed-fingerprint form is its standard distributed surrogate
     * (fixed n instead of maximal-length matches).
     *
-    * Output: (<idCol>, start, gram) per duplicated window, start 0-based. */
+    * Output: (<idCol>, start, gram) per duplicated window, start 0-based.
+    *
+    * Resource contract (this and the other [[tokBase]]-backed span methods):
+    * the result derives from an eager localCheckpoint of (id, toks) that
+    * stays pinned for the life of the result. Bench/driver harnesses sweep it
+    * per query; a long-lived service should call
+    * `Bridge.unpersistPlanCheckpoints(result)` after its last action on it. */
   def duplicateSpans(df: DataFrame, idCol: String, toksCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     duplicateWindows(tokBase(df, idCol, toksCol), n)
@@ -314,7 +320,8 @@ object CorpusOps {
     * sort is bounded by document length — parallel and safe at corpus scale
     * (contrast a global ORDER BY, which would serialize on one executor).
     *
-    * Output: (<idCol>, span_start, span_end), inclusive 0-based positions. */
+    * Output: (<idCol>, span_start, span_end), inclusive 0-based positions.
+    * Resource contract: pins a (id, toks) checkpoint — see [[duplicateSpans]]. */
   def duplicateSpanRanges(df: DataFrame, idCol: String, toksCol: String,
       n: Int): DataFrame =
     rangesFromWindows(duplicateWindows(tokBase(df, idCol, toksCol), n), n)
@@ -353,7 +360,8 @@ object CorpusOps {
     * come back with n_tokens_kept = 0 and empty text, so the caller decides
     * whether to drop them (silent deletion is not an operator's call).
     *
-    * Output: (<idCol>, n_tokens_kept, clean_text), one row per input doc. */
+    * Output: (<idCol>, n_tokens_kept, clean_text), one row per input doc.
+    * Resource contract: pins a (id, toks) checkpoint — see [[duplicateSpans]]. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, toksCol: String,
       n: Int): DataFrame = {
     // ONE checkpoint for the whole action: windows, span merge and the

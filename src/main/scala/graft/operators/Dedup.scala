@@ -292,7 +292,13 @@ object Dedup {
     * id_b, cosine rounded to 6 dp (the oracle's comparison precision).
     * Zero-norm documents (every kept token at df = N ⇒ idf 0) are excluded
     * BEFORE the threshold — 0/0 is NaN, and Spark's NaN-is-largest ordering
-    * would otherwise let garbage pairs pass any minSim. */
+    * would otherwise let garbage pairs pass any minSim.
+    *
+    * Resource contract: the result derives from an eager localCheckpoint of
+    * the (id, token, tf) frame (it feeds four consumers) that stays pinned
+    * for the life of the result. Bench/driver harnesses sweep it per query;
+    * a long-lived service should call
+    * `Bridge.unpersistPlanCheckpoints(result)` after its last action. */
   def sparseCosinePairs(df: DataFrame, idCol: String, toksCol: String,
       minSim: Double, maxDf: Long): DataFrame = {
     // (id, token, tf) feeds four consumers (df filter, both join sides,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class GraphTables(
     entities: DataFrame,        // id, name, relation_ids, passage_ids, embedding
-    relations: DataFrame,       // id, text, subject, predicate, object, entity_ids, passage_ids, embedding
+    relations: DataFrame,       // id, text, subject, predicate, object, entity_ids, decomp_pairs, passage_ids, embedding
     passages: DataFrame,        // id, text, entity_ids, relation_ids, embedding
     entityRelation: DataFrame,  // entity_id, relation_id, role (subject|object)
     entityPassage: DataFrame,   // entity_id, passage_id
@@ -59,15 +59,6 @@ object GraphBuilder {
       // materialize once instead of re-running extraction per branch.
       .localCheckpoint(true)
 
-    // Edge tables (normalized adjacency).
-    val entityRelation = tripletRows
-      .select(col("relation_id"),
-        explode(array(
-          struct(col("subject_id").as("entity_id"), lit("subject").as("role")),
-          struct(col("object_id").as("entity_id"), lit("object").as("role")))).as("e"))
-      .select(col("e.entity_id"), col("relation_id"), col("e.role"))
-      .distinct()
-
     val entityPassage = tripletRows
       .select(col("passage_id"),
         explode(array(col("subject_id"), col("object_id"))).as("entity_id"))
@@ -99,22 +90,47 @@ object GraphBuilder {
           sort_array(collect_set(col("e.passage_id"))).as("passage_ids")),
       "name", "embedding")
 
+    val relationsAgg = tripletRows
+      .groupBy(col("relation_id").as("id"))
+      .agg(
+        first(col("relation_text")).as("text"),
+        first(col("subject")).as("subject"),
+        first(col("predicate")).as("predicate"),
+        first(col("object")).as("object"),
+        first(col("subject_id")).as("subject_id"),
+        first(col("object_id")).as("object_id"),
+        // EVERY distinct (subject_id, object_id) decomposition of this text.
+        // Relation IDENTITY stays keyed by the normalized text (reference
+        // semantics, graph/builder.py:105-112): identical texts collapse and
+        // first() picks the display decomposition — but word-boundary-
+        // ambiguous decompositions ("a b"+"c" vs "a"+"b c" of one text) must
+        // not lose adjacency rows. Struct equality is the unit-separator-safe
+        // identity here: unlike the space-joined text, it cannot be fooled by
+        // a space that moved across a field boundary.
+        sort_array(collect_set(struct(col("subject_id"), col("object_id"))))
+          .as("decomp_pairs"),
+        sort_array(collect_set(col("passage_id"))).as("passage_ids"))
+
+    // Derived from the relations aggregate rather than a second pass over
+    // tripletRows: decomp_pairs already carries every distinct decomposition
+    // (Catalyst prunes the unused first() columns out of this branch), so the
+    // final distinct shuffles near relation-count rows, not triplet-count.
+    val entityRelation = relationsAgg
+      .select(col("id").as("relation_id"), explode(col("decomp_pairs")).as("p"))
+      .select(col("relation_id"),
+        explode(array(
+          struct(col("p.subject_id").as("entity_id"), lit("subject").as("role")),
+          struct(col("p.object_id").as("entity_id"), lit("object").as("role")))).as("e"))
+      .select(col("e.entity_id"), col("relation_id"), col("e.role"))
+      .distinct()
+
     val relations = embedder.embedInto(
-      tripletRows
-        .groupBy(col("relation_id").as("id"))
-        .agg(
-          first(col("relation_text")).as("text"),
-          first(col("subject")).as("subject"),
-          first(col("predicate")).as("predicate"),
-          first(col("object")).as("object"),
-          first(col("subject_id")).as("subject_id"),
-          first(col("object_id")).as("object_id"),
-          sort_array(collect_set(col("passage_id"))).as("passage_ids"))
+      relationsAgg
         .select(
           col("id"), col("text"), col("subject"), col("predicate"), col("object"),
           // POSITIONAL [subject_id, object_id] (knowledge_graph.py:76-84)
           array(col("subject_id"), col("object_id")).as("entity_ids"),
-          col("passage_ids")),
+          col("decomp_pairs"), col("passage_ids")),
       "text", "embedding")
 
     // Passages keep the left join: a document with zero valid triplets still

@@ -58,6 +58,32 @@ object Bridge {
         .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
       expression(hashedValue)))
 
+  /** Free EVERY localCheckpoint block pinned anywhere in `df`'s plan: walks
+    * the analyzed tree and unpersists each `LogicalRDD`. The scoped sibling
+    * of a bench harness's global `getPersistentRDDs` sweep — for long-lived
+    * library callers whose operator pinned INTERNAL checkpoints the returned
+    * frame derives from (e.g. CorpusOps' dup-span token base,
+    * Dedup.sparseCosinePairs' tf frame), where [[unpersistCheckpoint]] only
+    * reaches a checkpoint at the plan ROOT. After this the frame (and
+    * anything else sharing those checkpoints) can no longer be recomputed —
+    * call once, after the last action on the result. */
+  def unpersistPlanCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Block until the async listener bus has dispatched every queued event (or
+    * `timeoutMs` passes on a pathologically loaded box). Job-census tools must
+    * call this BEFORE detaching their listener: `JobEnd` events arrive on the
+    * bus thread, and a fixed sleep can undercount trailing jobs — the exact
+    * number those tools exist to pin down. `listenerBus` is `private[spark]`,
+    * hence this bridge. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** One-line driver/block-manager state snapshot for bench accountability:
     * heap in use, storage memory in use, pinned RDD count, live broadcast
     * block count. The broadcast count is the interesting one — RDD blocks

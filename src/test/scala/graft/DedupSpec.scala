@@ -203,6 +203,24 @@ class DedupSpec extends SparkSpec {
       s"stars CC left ${leaked.size} pinned RDDs (expected <= 2: nodes + final edges)")
   }
 
+  test("unpersistPlanCheckpoints frees the span family's internal token base") {
+    // The documented caller-must-free contract for library consumers: the
+    // result derives from an INTERNAL (id, toks) checkpoint that a root-only
+    // unpersist can't reach; the plan-walking free must release it.
+    import graft.operators.CorpusOps
+    import org.apache.spark.sql.graft.Bridge
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")), (2L, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+    val out = CorpusOps.removeDuplicateSpans(rows, "doc_id", "toks", 3)
+    assert(out.count() == 2)
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty, "expected a pinned base")
+    Bridge.unpersistPlanCheckpoints(out)
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"span token base still pinned: $after")
+  }
+
   test("connectedComponents plumbs starsMaxRounds to the fallback") {
     // maxIter=1 on a deep chain forces the stars fallback; an absurdly small
     // stars budget must surface the plumbed parameter in the failure, and a

@@ -60,6 +60,30 @@ class EvalBarrierSpec extends SparkSpec {
         s"re-evaluate whether EvalBarrier is still needed:\n$plainPlan")
   }
 
+  test("evalOnce is projection-only: analyzer rejects it as a join key / group key") {
+    // The barrier is nondeterministic by design; CheckAnalysis must refuse it
+    // OUTSIDE Project/Filter/Aggregate rather than silently rewriting the
+    // query. Pinning the rejection documents the public-API restriction
+    // (Norm.evalOnce scaladoc) — if a Spark upgrade ever starts accepting
+    // these, the restriction text needs a fresh audit, not silent trust.
+    val other = docs.select(col("text").as("t2"))
+    val je = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.join(other, Norm.evalOnce(col("text")) === col("t2")).collect()
+    }
+    assert(je.getMessage.contains("INVALID_NON_DETERMINISTIC_EXPRESSIONS"), je.getMessage)
+    // a grouping key doesn't even reach CheckAnalysis cleanly — it trips
+    // Spark's internal nondeterministic-grouping guard (SparkException,
+    // INTERNAL_ERROR) after PullOutNondeterministic declines to rewrite it
+    val ge = intercept[org.apache.spark.SparkException] {
+      docs.groupBy(Norm.evalOnce(col("text"))).count().collect()
+    }
+    assert(ge.getMessage.contains("Non-deterministic"), ge.getMessage)
+    // the sanctioned shape: alias in a projection, THEN group on the column
+    val ok = docs.select(Norm.evalOnce(Norm.normPhrase(col("text"))).as("x"))
+      .groupBy("x").count()
+    assert(ok.count() > 0)
+  }
+
   /** regexp_replace occurrences in ONE normTokens expansion. */
   private lazy val plainTokenizeRegexCount: Int = {
     val single = docs.select(Norm.normTokens(col("text")).as("toks"))

@@ -61,6 +61,24 @@ class GraphBuilderSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ambiguous decompositions of one relation text both keep adjacency rows") {
+    // "a b"+"c"+"d" and "a"+"b c"+"d" join to the SAME text "a b c d": one
+    // text-keyed relation (reference identity, graph/builder.py:105-112), but
+    // the adjacency must keep BOTH decompositions' entity links — struct-keyed
+    // decomp_pairs can't be fooled by a space moving across a field boundary.
+    val ambig = Seq(
+      Doc("pa", "a b c d", Seq(Triplet("a b", "c", "d"))),
+      Doc("pb", "a b c d twice", Seq(Triplet("a", "b c", "d"))))
+    val tt = GraphBuilder.build(spark.createDataset(ambig).toDF(), HashEmbedder(dim = 16))
+    assert(tt.relations.count() == 1) // identity by normalized text: collapsed
+    assert(tt.relations.select(size($"decomp_pairs")).as[Int].head() == 2)
+    val idOf = tt.entities.select("name", "id").as[(String, String)].collect().toMap
+    val adj = tt.entityRelation.select("entity_id", "role").as[(String, String)]
+      .collect().toSet
+    assert(adj == Set( // both subjects survive; shared object dedups to one row
+      (idOf("a b"), "subject"), (idOf("a"), "subject"), (idOf("d"), "object")))
+  }
+
   test("embeddings are unit vectors (dedup-before-embed, E1+E3)") {
     import graft.functions.VectorFunctions
     val err = tables.entities
