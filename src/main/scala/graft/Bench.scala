@@ -75,7 +75,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Artifact accountability: the flagship's in-suite number lands wherever
+    // the alphabetical loop puts it, historically 2-3x inflated when the
+    // round's stamping run happens last on an exhausted box (r6: 16.3 s vs
+    // 6.7 warm; r7: 23.8 vs 6.7). Re-measure it warm + isolated on this same
+    // JVM right after the suite and publish BOTH numbers, so the artifact
+    // carries its own cross-check instead of needing a separate private
+    // profiling run. min of 2: the first re-run can still absorb stragglers
+    // of the suite's final GC.
+    val warm = if (wanted.isEmpty && results.contains("rag_pipeline")) {
+      val fn = SparkEntry.queries("rag_pipeline")
+      val secs = (1 to 2).map { _ =>
+        val pre = spark.sparkContext.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => pre.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        System.gc()
+        s
+      }
+      s""","warm":{"rag_pipeline":${secs.min}}"""
+    } else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout through a bounded tail window; one long line
     // can be truncated mid-JSON. Persist the same object so the per-query map
