@@ -170,6 +170,21 @@ object SparkEntry {
         .groupBy("degree").agg(count(lit(1)).as("n_entities"))
     }),
 
+    // G11 per-node triangle counts of the word co-occurrence graph, via
+    // degree-ordered orientation (Schank–Wagner): oriented out-degrees are
+    // O(√m), so wedge enumeration survives hub skew that makes the naive
+    // edge³ join quadratic. The oracle is the naive triple join — same
+    // answer, different algorithm (the d8/d9 pattern).
+    "g11_triangles" -> ((s, dir) => {
+      val wordDoc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(Norm.normTokens(col("text")))).as("w"))
+      val edges = wordDoc.as("a")
+        .join(wordDoc.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("wa"), col("b.w").as("wb"))
+      Triangles.perNodeCounts(edges, "wa", "wb")
+    }),
+
     // ----------------------------------------------------------- §2.5 embeddings
     // E3 L2 normalization (embeddings.py:142-143). Exploded to one row per
     // vector component: scalar doubles survive the driver comparator (array
@@ -194,6 +209,25 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), posexplode(col("q")))
         .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
           col("col").as("qv"), col("scale"))
+    }),
+    // E7 random projection (Johnson–Lindenstrauss) to 8 dims with a
+    // deterministic Rademacher (±1) matrix derived from md5(seed, i, j) — no
+    // stored matrix, both engines regenerate it cell by cell. The dot product
+    // is the native codegen'd DotProduct (bit-identical to the oracle's
+    // list_dot_product); one narrow projection, no shuffle. Exploded to
+    // (vec_id, j, comp) scalar rows for the driver comparator.
+    "e7_random_projection" -> ((s, dir) => {
+      val dOut = 8
+      val signVec = transform(sequence(lit(0), lit(63)), i =>
+        when(conv(substring(md5(concat_ws("_", lit("rp"), i.cast("string"),
+            col("j").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(dOut - 1))).as("j"))
+        .select(col("vec_id"), col("j").cast("int").as("j"),
+          round(VF.dot(col("embedding"), signVec) / math.sqrt(dOut.toDouble), 6)
+            .as("comp"))
     }),
     // A3 KNN over dequantized int8 vectors — quantized storage, exact scoring
     // of the approximate codes; deterministic, so fully oracle-checkable.
@@ -768,6 +802,43 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // X21 Gopher-style rule gate (Rae et al. 2021 §A1.1): word-count bounds,
+    // mean word length, alpha-word fraction, required-stopword kinds,
+    // bullet/ellipsis line fractions, AND'd into one pass/fail bit. Bullet
+    // and ellipsis decorations are synthesized deterministically from doc_id
+    // (the x7 pattern) so both line-shape rules actually fire on the
+    // synthetic corpus. words/lines are evalOnce'd OWN columns: five signals
+    // re-reference each array, and CollapseProject would otherwise inline
+    // the split per signal.
+    "x21_gopher_rules" -> ((s, dir) => {
+      val txt = concat(
+        when(col("doc_id") % 3 === 0, lit("- ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nto be continued...")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), txt.as("txt"))
+        .select(col("doc_id"),
+          Norm.evalOnce(TA.rawWords(col("txt"))).as("w"),
+          Norm.evalOnce(TA.rawLines(col("txt"))).as("l"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          TA.meanWordLenW(col("w")).as("mwl"),
+          TA.alphaWordFracW(col("w")).as("af"),
+          TA.stopKindCountW(col("w")).as("n_stop_kinds"),
+          TA.bulletLineFracL(col("l")).as("bf"),
+          TA.ellipsisLineFracL(col("l")).as("ef"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 4).as("mean_word_len"),
+          round(col("af"), 4).as("alpha_frac"),
+          col("n_stop_kinds"),
+          round(col("bf"), 4).as("bullet_frac"),
+          round(col("ef"), 4).as("ellipsis_frac"),
+          when(col("n_words").between(20, 100000) &&
+               col("mwl").between(3.0, 10.0) && col("af") >= 0.7 &&
+               col("n_stop_kinds") >= 2 && col("bf") <= 0.9 && col("ef") <= 0.3,
+            lit(1)).otherwise(lit(0)).as("pass"))
+    }),
+
     // SIM1 sparse TF-IDF cosine via inverted-index join — the sparse twin of
     // d5/d6's dense cosine: pair scores come from joining posting lists on
     // the term key, stop terms (df > 30) pruned BEFORE the self-join.
@@ -798,6 +869,34 @@ object SparkEntry {
       val docs = spread(t(s, dir, "documents"))
         .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
       CorpusOps.removeDuplicateSpans(docs, "doc_id", "toks", 8)
+    }),
+
+    // D12 keep-BEST exact dedup: collapse word-order/repetition variants
+    // (fingerprint key — the sorted distinct token set; 446 keys over 500
+    // docs at sf0.01) keeping the longest member, not the first-seen. One
+    // map-side-combinable aggregate; max_by over a (quality, -id) struct,
+    // never a per-key window sort.
+    "d12_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Norm.normTokens(col("text")).as("_t"))
+      Dedup.exactKeepBest(docs, "doc_id", "n_chars", TA.fingerprintT(col("_t")))
+        .select(col("key"), col("keep_id"), col("best_q").cast("long").as("best_q"),
+          col("n_dups"))
+    }),
+
+    // D13 incremental (delta) dedup: new documents (odd ids) probed against
+    // the SAVED signatures of an already-indexed corpus (even ids) — band
+    // equi-join only, the corpus is never re-paired with itself. The 100 TB
+    // ingest shape: delta-sized probe vs corpus posting lists.
+    "d13_delta_dedup" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(spread(t(s, dir, "documents")),
+          "doc_id", "text", numHashes = 6, shingleSize = 3)
+        .localCheckpoint(true) // feeds both split sides + the similarity join
+      val saved = sigs.filter(col("id") % 2 === 0)
+      val delta = sigs.filter(col("id") % 2 === 1)
+      val pairs = Dedup.lshDeltaPairs(delta, saved, bands = 3, rowsPerBand = 2)
+      Dedup.minhashSimilarity(pairs, sigs, numHashes = 6) // ids are disjoint
     }),
 
     // PK1 sequence packing: global token offsets (corpus ordered by doc_id) and
@@ -1016,6 +1115,24 @@ object SparkEntry {
           expr("session_end div 1000").as("session_end_us"),
           col("n_events"), col("sum_value"))
     }),
+    // ST3 interval join (batch twin of StreamingOps.intervalJoinStream):
+    // purchases within 10 min after each click by the same user. Equi-join
+    // on user_id + range predicate — one shuffle on the key; the streaming
+    // twin carries the same bound in its join condition so state expires
+    // (StreamingSpec pins batch equivalence).
+    "st3_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pts") >= col("cts") && col("pts") <= col("cts") + 600000000000L)
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
     // X6 JSON property extraction (the schemaless "dynamic fields" surface,
     // milvus.py:97): parse events.props, aggregate an extracted field.
     "x6_json_props" -> ((s, dir) => {
@@ -1551,6 +1668,19 @@ object SparkEntry {
         s"""SELECT degree, count(*) AS n_entities FROM (
            |  SELECT word, count(DISTINCT doc_id) AS degree FROM ($docWords) t GROUP BY word) g
            |GROUP BY degree""".stripMargin.replace("\n", " "),
+      // naive edge³ triple join — same answer as the degree-oriented Spark
+      // algorithm (the d8/d9 "different algorithm, same answer" pattern)
+      "g11_triangles" ->
+        s"""WITH wd AS (SELECT doc_id, unnest(list_distinct($toksDoc)) AS w FROM documents),
+           |e AS (SELECT DISTINCT a.w AS u, b.w AS v
+           |  FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND a.w < b.w),
+           |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+           |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+           |c AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+           |  UNION ALL SELECT z FROM tri)
+           |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM c GROUP BY node""".stripMargin.replace("\n", " "),
       "g3_relation_dedup" ->
         (s"SELECT md5(text) AS id, text, n_dups FROM (SELECT concat_ws(' ', ${normE("p_brand")}, " +
           s"${normE("p_type")}, ${normE("p_name")}) AS text, count(*) AS n_dups FROM part GROUP BY 1) t"),
@@ -1579,6 +1709,14 @@ object SparkEntry {
           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
           |        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
           |        FROM embeddings) s) t""".stripMargin.replace("\n", " "),
+      "e7_random_projection" ->
+        """WITH js AS (SELECT unnest(generate_series(0, 7)) AS j),
+          |sv AS (SELECT j, list_transform(range(0, 64), i ->
+          |    CASE WHEN CAST(('0x' || substr(md5('rp_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+          |         THEN 1.0 ELSE -1.0 END) AS s FROM js)
+          |SELECT e.vec_id, CAST(sv.j AS INTEGER) AS j,
+          |  round(list_dot_product(e.embedding::DOUBLE[], sv.s::DOUBLE[]) / sqrt(8.0), 6) AS comp
+          |FROM embeddings e CROSS JOIN sv""".stripMargin.replace("\n", " "),
       "a3_quantized_knn" ->
         """WITH pre AS (
           |  SELECT vec_id,
@@ -1814,6 +1952,28 @@ object SparkEntry {
            |pairs AS (
            |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
            |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+           |SELECT p.id_a, p.id_b,
+           |  (${(0 until 6).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / 6.0 AS est_jaccard
+           |FROM pairs p JOIN sigs sa ON p.id_a = sa.id JOIN sigs sb ON p.id_b = sb.id""".stripMargin.replace("\n", " "),
+      "d12_keep_best" ->
+        s"""WITH f AS (SELECT doc_id, n_chars,
+           |    md5(array_to_string(list_sort(list_distinct($toksDoc)), ' ')) AS key
+           |  FROM documents),
+           |r AS (SELECT key, doc_id, n_chars,
+           |    row_number() OVER (PARTITION BY key ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           |    count(*) OVER (PARTITION BY key) AS n_dups FROM f)
+           |SELECT key, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS best_q,
+           |  CAST(n_dups AS BIGINT) AS n_dups FROM r WHERE rn = 1""".stripMargin.replace("\n", " "),
+      "d13_delta_dedup" ->
+        s"""WITH sigs AS ($minhashSigs),
+           |banded AS (
+           |  SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
+           |  UNION ALL SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+           |  UNION ALL SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+           |  WHERE a.id % 2 = 1 AND b.id % 2 = 0)
            |SELECT p.id_a, p.id_b,
            |  (${(0 until 6).map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END").mkString(" + ")}) / 6.0 AS est_jaccard
            |FROM pairs p JOIN sigs sa ON p.id_a = sa.id JOIN sigs sb ON p.id_b = sb.id""".stripMargin.replace("\n", " "),
@@ -2213,6 +2373,31 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
            |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
+      "x21_gopher_rules" ->
+        """WITH d AS (SELECT doc_id,
+          |    concat(CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END, text,
+          |           CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END) AS txt
+          |  FROM documents),
+          |w AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(txt, '\s+'), x -> x <> '') AS words,
+          |    string_split(txt, chr(10)) AS lines FROM d),
+          |m AS (SELECT doc_id,
+          |    len(words) AS n_words,
+          |    CASE WHEN len(words) = 0 THEN NULL
+          |         ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) END AS mwl,
+          |    CASE WHEN len(words) = 0 THEN NULL
+          |         ELSE CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words) END AS af,
+          |    len(list_intersect(list_distinct(words), ['the','a','an','of','to','in','and','is','on','for'])) AS nstop,
+          |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bf,
+          |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ef
+          |  FROM w)
+          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, round(mwl, 4) AS mean_word_len,
+          |  round(af, 4) AS alpha_frac, CAST(nstop AS BIGINT) AS n_stop_kinds,
+          |  round(bf, 4) AS bullet_frac, round(ef, 4) AS ellipsis_frac,
+          |  CAST(CASE WHEN n_words BETWEEN 20 AND 100000 AND mwl BETWEEN 3 AND 10
+          |       AND af >= 0.7 AND nstop >= 2 AND bf <= 0.9 AND ef <= 0.3
+          |       THEN 1 ELSE 0 END AS INTEGER) AS pass
+          |FROM m""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t
@@ -2286,6 +2471,14 @@ object SparkEntry {
           |  max(tsn) // 1000 AS session_end_us,
           |  count(*) AS n_events, round(sum(value), 4) AS sum_value
           |FROM sess GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+      "st3_interval_join" ->
+        """SELECT c.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_purchases,
+          |round(sum(p.value), 4) AS sum_value
+          |FROM events c JOIN events p ON c.user_id = p.user_id
+          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |  AND epoch_ns(p.ts) >= epoch_ns(c.ts)
+          |  AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 600000000000
+          |GROUP BY c.event_id""".stripMargin.replace("\n", " "),
       "x6_json_props" ->
         """SELECT event_type, count(*) AS n,
           |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -128,6 +128,48 @@ object TextAnalysis {
   def fingerprintT(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
+  // ------------------------------------------------------- Gopher rule gate
+  // Rule-based document quality gate in the shape of Gopher's (Rae et al.
+  // 2021, §A1.1) pre-filter — the heuristics a curation pass applies to the
+  // RAW text (whitespace words, line shape) before any model-based scoring.
+  // All pure built-ins: one codegen'd projection per signal, no shuffle, no
+  // dictionaries. Callers should project `rawWords`/`rawLines` as their own
+  // (evalOnce'd) columns and feed the `*W`/`*L` signals, since each signal
+  // re-references the array.
+
+  /** Whitespace-split words of the RAW text (normalization would erase the
+    * punctuation/casing signals the rules inspect); empties dropped. */
+  def rawWords(text: Column): Column = filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Lines of the raw text (always ≥ 1 — split never returns empty). */
+  def rawLines(text: Column): Column = split(text, "\n")
+
+  /** Mean word length; null for word-less documents (so threshold
+    * comparisons fail closed rather than comparing against a fake 0). */
+  def meanWordLenW(words: Column): Column =
+    when(size(words) === 0, lit(null).cast("double"))
+      .otherwise(aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / size(words))
+
+  /** Fraction of words containing at least one alphabetic character
+    * (Gopher's "80% of words must contain an alphabetic character"). */
+  def alphaWordFracW(words: Column): Column =
+    when(size(words) === 0, lit(null).cast("double"))
+      .otherwise(size(filter(words, w => w.rlike("[a-z]"))).cast("double") / size(words))
+
+  /** Number of DISTINCT required stopwords present (Gopher: ≥ 2 of a fixed
+    * small set — a cheap "is this prose" signal). */
+  def stopKindCountW(words: Column, stops: Seq[String] = stopwordsEn): Column =
+    size(array_intersect(array_distinct(words), typedLit(stops))).cast("long")
+
+  /** Fraction of lines starting with a bullet ("- " / "* "). */
+  def bulletLineFracL(lines: Column): Column =
+    size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+      .cast("double") / size(lines)
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFracL(lines: Column): Column =
+    size(filter(lines, l => l.endsWith("..."))).cast("double") / size(lines)
+
   /** Winnowing-style rolling-hash fingerprint: minimum md5 over character
     * k-grams of the normalized text (null if shorter than k). Pass a
     * pre-projected normalized-text column for the same inlining reason. */

@@ -18,6 +18,22 @@ object Dedup {
       .groupBy("key")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the BEST duplicate, not the first: one row per
+    * distinct key with the id of the highest-`qualityCol` member (ties → the
+    * smaller id, so the choice is deterministic). Same one-shuffle map-side-
+    * combinable shape as [[exact]] — `max_by` over a (quality, -id) struct is
+    * an ordinary aggregate, NOT a per-key window sort. `keyExpr` defaults to
+    * normalized text; pass e.g. `TextAnalysis.fingerprintT` output to collapse
+    * word-order/repetition variants instead. */
+  def exactKeepBest(df: DataFrame, idCol: String, qualityCol: String,
+      keyExpr: Column): DataFrame =
+    df.select(col(idCol).as("id"), keyExpr.as("key"), col(qualityCol).as("q"))
+      .groupBy("key")
+      .agg(
+        max_by(col("id"), struct(col("q"), (-col("id")).as("nid"))).as("keep_id"),
+        max(col("q")).as("best_q"),
+        count(lit(1)).as("n_dups"))
+
   /** MinHash signatures: k independent hash functions h_i(s) = md5(seed_i ‖ s),
     * minimum over the document's word-shingle set. One explode + k min() aggregates
     * in a single pass (map-side partial min, one shuffle on doc id).
@@ -46,21 +62,41 @@ object Dedup {
     * sharing any band key. Pair search becomes a self-equi-join on (band, key) —
     * the standard way to keep near-dup detection linear in corpus size. */
   def lshCandidatePairs(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    // Single pass: band keys as one array + posexplode (NOT a union of `bands`
-    // selects, which would recompute the signature DAG once per band).
-    val bandKeys = array((0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
-      md5(concat_ws("|", cols: _*))
-    }: _*)
-    val banded = signatures.select(col("id"), posexplode(bandKeys))
-      .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
-      .filter(col("band_key").isNotNull)
-    banded.as("a").join(banded.as("b"),
+    val b = banded(signatures, bands, rowsPerBand)
+    b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** (id, band, band_key) rows. Single pass: band keys as one array +
+    * posexplode (NOT a union of `bands` selects, which would recompute the
+    * signature DAG once per band). */
+  private def banded(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = array((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      md5(concat_ws("|", cols: _*))
+    }: _*)
+    signatures.select(col("id"), posexplode(bandKeys))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
+      .filter(col("band_key").isNotNull)
+  }
+
+  /** Incremental (delta) LSH dedup: candidate matches of NEW documents
+    * against an already-indexed corpus's saved signatures — the operator a
+    * 100 TB ingest actually runs. The corpus is never re-paired with itself
+    * (that work is done and saved); each delta batch only probes the saved
+    * band keys, so the join is delta × matching-bands, and the planner
+    * broadcasts the (typically batch-sized) delta side. Output:
+    * (id_a = new id, id_b = matched corpus id), distinct. */
+  def lshDeltaPairs(newSigs: DataFrame, savedSigs: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    banded(newSigs, bands, rowsPerBand).as("a")
+      .join(banded(savedSigs, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
   /** Estimated Jaccard similarity of candidate pairs = fraction of agreeing
     * minhash components. */

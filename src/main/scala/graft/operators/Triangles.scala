@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected edge list, degree-ordered.
+  *
+  * Graph-shape analysis for the entity graph the builder produces (clustering
+  * structure = how "webby" the extracted knowledge is) and for any
+  * co-occurrence graph a curation pipeline derives. The naive approach —
+  * join edges with edges with edges — enumerates every PATH of length 2
+  * (sum of deg² wedges), which a single high-degree hub makes quadratic.
+  *
+  * The standard distributed fix (Schank–Wagner orientation; the shape
+  * GraphX's TriangleCount and Cohen's MapReduce formulation both use):
+  * orient every undirected edge from its lower-(degree, id) endpoint to the
+  * higher one. Every node's OUT-degree in the oriented graph is O(√m), so
+  * wedge enumeration — the self-join on the oriented source — is bounded by
+  * Σ outdeg² ≤ m·√m total, independent of hub skew. Each triangle is
+  * generated exactly once, at its lowest-(degree, id) corner.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts.
+    *
+    * `edges`: undirected (srcCol, dstCol) pairs, any order/duplication —
+    * canonicalized and deduped here; self-loops dropped. Output:
+    * (node, n_triangles) for every node in ≥1 triangle (triangle-free nodes
+    * are absent, same as the SQL oracle's GROUP BY over triangle corners).
+    *
+    * Plan shape: the canonical edge list fans out to four consumers (degree
+    * agg, two orientation lookups, the closing-edge join), so it is
+    * materialized once; everything downstream is equi-joins and one final
+    * count aggregate — no windows, no collects. */
+  def perNodeCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // degree of each node in the undirected graph
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+
+    // orient each edge from lower (degree, id) to higher — total order, so
+    // exactly one direction survives per edge
+    val oriented = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+
+    // wedges at the lowest corner (src shared; dst pair ordered by id, so
+    // each wedge is emitted once AND (u, v) is already canonical for the
+    // closing-edge semi-join)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val triangles = wedges.join(canon, Seq("u", "v"), "left_semi")
+
+    triangles
+      .select(explode(array(col("x"), col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -21,6 +21,25 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream-stream interval join: each left event joined to the
+    * right-side events of the same key within `[leftTs, leftTs + windowNanos]`.
+    * Both sides carry watermarks and the join condition carries the time
+    * bound, so Spark can expire join state — without the bound a
+    * stream-stream inner join buffers both streams forever. `left`/`right`:
+    * (key, ts TIMESTAMP, ...); column names must be disjoint apart from the
+    * key. Returns the joined rows; callers aggregate downstream. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, windowNanos: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL ${windowNanos / 1000} MICROSECOND"))
+      .drop(r(keyCol))
+  }
+
   /** One user-session state machine for flatMapGroupsWithState. */
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

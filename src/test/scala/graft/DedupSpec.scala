@@ -203,6 +203,38 @@ class DedupSpec extends SparkSpec {
       s"stars CC left ${leaked.size} pinned RDDs (expected <= 2: nodes + final edges)")
   }
 
+  test("exactKeepBest keeps the highest-quality duplicate, ties to smaller id") {
+    import graft.functions.{Norm, TextAnalysis}
+    val rows = Seq(
+      (1L, "alpha beta", 10L), (2L, "beta  alpha", 30L), // same token set, 2 wins on q
+      (3L, "gamma", 7L), (4L, "gamma", 7L),              // exact tie → smaller id 3
+      (5L, "delta", 1L)
+    ).toDF("doc_id", "text", "q")
+      .select(col("doc_id"), col("q"), Norm.normTokens(col("text")).as("_t"))
+    val got = Dedup.exactKeepBest(rows, "doc_id", "q", TextAnalysis.fingerprintT(col("_t")))
+      .select("keep_id", "best_q", "n_dups").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 30L, 2L), (3L, 7L, 2L), (5L, 1L, 1L)), got)
+  }
+
+  test("lshDeltaPairs probes saved signatures only — no corpus self-pairs") {
+    // docs 1,2 (old) are near-identical; 11 (new) matches them; 12 (new) is
+    // ALSO a duplicate of 11 — but new×new must NOT pair (already-indexed
+    // semantics: the delta is deduped against the corpus, not against itself)
+    val txt = "spark shuffles the join keys across the cluster nodes tonight"
+    val rows = Seq(
+      (1L, txt), (2L, txt + " again"), (3L, "completely different words entirely"),
+      (11L, txt), (12L, txt)
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(rows, "doc_id", "text", numHashes = 6, shingleSize = 3)
+    val old = sigs.filter($"id" <= 3L)
+    val neu = sigs.filter($"id" >= 11L)
+    val pairs = Dedup.lshDeltaPairs(neu, old, bands = 3, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a >= 11L && b <= 3L }, pairs)
+    assert(pairs.contains((11L, 1L)) && pairs.contains((12L, 1L)), pairs)
+    assert(!pairs.exists { case (a, b) => a >= 11L && b >= 11L }, pairs)
+  }
+
   test("unpersistPlanCheckpoints frees the span family's internal token base") {
     // The documented caller-must-free contract for library consumers: the
     // result derives from an INTERNAL (id, toks) checkpoint that a root-only

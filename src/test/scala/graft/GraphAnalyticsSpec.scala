@@ -120,4 +120,32 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rj(Seq(lo, lo + w - 1, lo + w), Seq((1, lo, lo + w)), w) ==
       Set((lo, 1), (lo + w - 1, 1)))
   }
+
+  // ----------------------------------------------------------------- Triangles
+  test("triangles: K4 minus one edge; reversed/duplicate edges and loops fold") {
+    import graft.operators.Triangles
+    // K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd remain.
+    // a,b are in both (2 each); c,d in one; e-f edge is triangle-free.
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),       // duplicate + reversed: one edge
+      ("a", "c"), ("b", "c"),
+      ("a", "d"), ("d", "b"),
+      ("e", "f"), ("e", "e")        // no triangle; self-loop dropped
+    ).toDF("x", "y")
+    val got = Triangles.perNodeCounts(edges, "x", "y")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L), got)
+  }
+
+  test("triangles: hub skew — star graph has none, wheel rim closes them") {
+    import graft.operators.Triangles
+    val star = (1 to 20).map(i => ("hub", s"n$i")).toDF("x", "y")
+    assert(Triangles.perNodeCounts(star, "x", "y").count() == 0)
+    // close the rim into a cycle: every rim edge forms a triangle with hub
+    val rim = (1 to 20).map(i => (s"n$i", s"n${i % 20 + 1}")).toDF("x", "y")
+    val got = Triangles.perNodeCounts(star.union(rim), "x", "y")
+      .as[(String, Long)].collect().toMap
+    assert(got("hub") == 20L) // hub corners every rim triangle
+    assert((1 to 20).forall(i => got(s"n$i") == 2L), got) // each rim node in 2
+  }
 }

@@ -11,6 +11,24 @@ import java.nio.file.Files
 class MiscOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopher rules: word-less documents fail closed (null signals, pass 0)") {
+    import graft.functions.{TextAnalysis => TAF}
+    val got = Seq((1L, ""), (2L, "the quick brown fox jumps over a lazy dog today"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TAF.rawWords(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n"),
+        TAF.meanWordLenW(col("w")).as("mwl"), TAF.alphaWordFracW(col("w")).as("af"),
+        TAF.stopKindCountW(col("w")).as("ns"),
+        when(TAF.meanWordLenW(col("w")).between(3.0, 10.0), lit(1)).otherwise(lit(0)).as("p"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val empty = got(1L)
+    assert(empty.getInt(1) == 0 && empty.isNullAt(2) && empty.isNullAt(3))
+    assert(empty.getInt(5) == 0, "null signal must fail the threshold, not pass it")
+    val prose = got(2L)
+    assert(prose.getInt(1) == 10 && !prose.isNullAt(2))
+    assert(prose.getLong(4) == 2L) // "the" + "a" of the required-stopword set
+  }
+
   test("V5 backfill appends naive hits not already present, preserving order") {
     val graphHits = Seq(("pA", 1), ("pB", 2)).toDF("passage_id", "rank")
     val naive = Seq(("pB", 1), ("pC", 2), ("pD", 3)).toDF("passage_id", "rank")

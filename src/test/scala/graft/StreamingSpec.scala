@@ -206,4 +206,29 @@ class StreamingSpec extends SparkSpec {
     assert(after.keySet.filterNot(before.keySet) ==
       touched.filterNot(before.keySet), "unexpected new bucket dirs")
   }
+
+  test("stream-stream interval join matches the batch join (watermarked state)") {
+    val dir = Files.createTempDirectory("stream_ij").toString
+    val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val clicks = Seq(
+      (1L, ts(0, 0), "c1"), (1L, ts(30, 0), "c2"), (2L, ts(0, 0), "c3"))
+      .toDF("user_id", "cts", "click_id")
+    val purchases = Seq(
+      (1L, ts(5, 0), 10.0),   // within 10 min of c1
+      (1L, ts(9, 59), 2.0),   // still within c1's window
+      (1L, ts(41, 0), 5.0),   // outside c2's window (30+10 < 41)
+      (2L, ts(0, 0), 7.0),    // exactly at c3's open bound
+      (3L, ts(1, 0), 9.0))    // no click for this user
+      .toDF("user_id", "pts", "value")
+    clicks.write.parquet(s"$dir/c"); purchases.write.parquet(s"$dir/p")
+    val sc = spark.readStream.schema(clicks.schema).parquet(s"$dir/c")
+    val sp = spark.readStream.schema(purchases.schema).parquet(s"$dir/p")
+    val q = StreamingOps.intervalJoinStream(sc, sp, "user_id", "cts", "pts",
+        windowNanos = 600L * 1000000000L)
+      .writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ij_out")
+      .select("click_id", "value").as[(String, Double)].collect().toSet
+    assert(got == Set(("c1", 10.0), ("c1", 2.0), ("c3", 7.0)), got)
+  }
 }
