@@ -839,6 +839,28 @@ object SparkEntry {
             lit(1)).otherwise(lit(0)).as("pass"))
     }),
 
+    // X22 cross-document novelty: per doc, the fraction of its distinct
+    // 8-gram windows NOT already present in any earlier (smaller-id) doc —
+    // the marginal-contribution signal that ranks an ingest queue. Shape:
+    // one gram explode (checkpointed — it feeds the first-seen aggregate AND
+    // the join-back), a min(doc_id) hash aggregate on the gram key, one
+    // equi-join back, one per-doc aggregate. Never pairwise.
+    "x22_novelty" -> ((s, dir) => {
+      val grams = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.evalOnce(Norm.normTokens(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(Norm.shingles(col("toks"), 8))).as("gram"))
+        .localCheckpoint(true)
+      val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+        .select(col("doc_id"), col("n_grams"), col("n_seen"),
+          round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4)
+            .as("novelty"))
+    }),
+
     // SIM1 sparse TF-IDF cosine via inverted-index join — the sparse twin of
     // d5/d6's dense cosine: pair scores come from joining posting lists on
     // the term key, stop terms (df > 30) pruned BEFORE the self-join.
@@ -1027,6 +1049,28 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // CS3 deterministic HyperLogLog cardinality per (lang, value-kind):
+    // the mergeable-sketch twin of an exact count-distinct — 64 max-folded
+    // registers per group instead of shuffling every distinct value. Words
+    // (≤31 distinct) exercise the small-range linear-counting correction;
+    // 3-shingles (3k–9k distinct per lang) exercise the raw estimator. The
+    // oracle recomputes the IDENTICAL estimate (integer rho via binary
+    // string length, BIGINT register fold — engine-reproducible by design).
+    "cs3_hll_distinct" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("lang"), Norm.evalOnce(Norm.normTokens(col("text"))).as("toks"))
+        .localCheckpoint(true) // feeds both kinds × (estimate + exact twin)
+      val vals = base
+        .select(col("lang"), lit("w1").as("kind"), explode(col("toks")).as("val"))
+        .unionByName(base.select(col("lang"), lit("w3").as("kind"),
+          explode(Norm.shingles(col("toks"), 3)).as("val")))
+      val est = CorpusOps.hllEstimate(vals, Seq("lang", "kind"), "val")
+      val exact = vals.groupBy("lang", "kind").agg(countDistinct(col("val")).as("n_exact"))
+      exact.join(est, Seq("lang", "kind"))
+        .select(col("lang"), col("kind"), col("n_exact"),
+          round(col("hll_est"), 4).as("hll_est_r"))
     }),
 
     // X19 deterministic epoch shuffle: reproducible global training order by
@@ -2373,6 +2417,37 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
            |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
+      "cs3_hll_distinct" ->
+        s"""WITH d AS (SELECT lang, $toksDoc AS w FROM documents),
+           |vals AS (
+           |  SELECT lang, 'w1' AS kind, unnest(w) AS val FROM d
+           |  UNION ALL
+           |  SELECT lang, 'w3' AS kind, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+           |    i -> array_to_string(list_slice(w, i, i+2), ' '))) AS val FROM d),
+           |h AS (SELECT lang, kind, CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h FROM vals),
+           |r AS (SELECT lang, kind, h % 64 AS b,
+           |    max(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END) AS m
+           |  FROM h GROUP BY 1, 2, 3),
+           |s AS (SELECT lang, kind,
+           |    CAST(sum(1::BIGINT << CAST(55 - m AS INTEGER)) AS BIGINT)
+           |      + (64 - count(*)) * (1::BIGINT << 55) AS s,
+           |    64 - count(*) AS v
+           |  FROM r GROUP BY 1, 2),
+           |e AS (SELECT lang, kind,
+           |    0.709::DOUBLE * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE) AS raw, v FROM s),
+           |x AS (SELECT lang, kind, count(DISTINCT val) AS n_exact FROM vals GROUP BY 1, 2)
+           |SELECT x.lang, x.kind, CAST(x.n_exact AS BIGINT) AS n_exact,
+           |  round(CASE WHEN e.raw <= 160.0 AND e.v > 0 THEN 64.0 * ln(64.0 / e.v) ELSE e.raw END, 4) AS hll_est_r
+           |FROM x JOIN e ON x.lang = e.lang AND x.kind = e.kind""".stripMargin.replace("\n", " "),
+      "x22_novelty" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+           |    i -> array_to_string(list_slice(w, i, i+7), ' ')))) AS gram FROM d),
+           |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+           |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           |  round(1.0 - CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+           |FROM g JOIN f USING (gram) GROUP BY g.doc_id""".stripMargin.replace("\n", " "),
       "x21_gopher_rules" ->
         """WITH d AS (SELECT doc_id,
           |    concat(CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END, text,

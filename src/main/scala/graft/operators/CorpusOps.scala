@@ -545,4 +545,53 @@ object CorpusOps {
       .orderBy(col("_wkey").desc, col(idCol).asc)
       .limit(k)
       .drop("_wkey")
+
+  /** Deterministic HyperLogLog cardinality estimate per group (Flajolet et
+    * al. 2007; p = 6, 64 registers, h = 60-bit md5 prefix).
+    *
+    * The mergeable-sketch shape corpus stats need at 100 TB: per group the
+    * state is 64 small registers folded with max() — map-side combinable,
+    * mergeable across partitions/days/shards — where the exact twin
+    * (count-distinct) must shuffle every distinct VALUE. At billions of
+    * distinct values per group that is the difference between kilobytes and
+    * terabytes of shuffle.
+    *
+    * Engine-reproducible by construction, so a SQL oracle can recompute the
+    * IDENTICAL estimate: rho comes from the binary-string length of the
+    * 54-bit suffix (never a float log2 of a big integer), the register fold
+    * is Σ 2^(55−M) in BIGINT (a float Σ 2^−M needs 61 mantissa bits and
+    * becomes order-dependent), and the only floating point is the final
+    * αm²·2⁵⁵/S division plus the small-range correction m·ln(m/V) when
+    * E ≤ 2.5m and empty registers remain.
+    *
+    * Output: groupCols + (hll_est DOUBLE). */
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val m = 64 // p = 6
+    val g = groupCols.map(col)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val regs = df
+      .select(g :+ h.as("_h"): _*)
+      .select(g ++ Seq(pmod(col("_h"), lit(m)).as("_b"),
+        shiftright(col("_h"), 6).as("_w")): _*)
+      .select(g ++ Seq(col("_b"),
+        when(col("_w") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("_w")))).as("_rho")): _*)
+      .groupBy(g :+ col("_b"): _*)
+      .agg(max(col("_rho")).as("_m"))
+    regs
+      .groupBy(g: _*)
+      .agg(
+        sum(expr("shiftleft(1L, cast(55 - _m as int))")).as("_sp"),
+        count(lit(1)).as("_np"))
+      .select(g ++ Seq(
+        (col("_sp") + (lit(m.toLong) - col("_np")) * lit(1L << 55)).as("_s"),
+        (lit(m.toLong) - col("_np")).as("_v")): _*)
+      .select(g :+ {
+        val raw = lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble) /
+          col("_s").cast("double")
+        when(raw <= lit(2.5 * m) && col("_v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_v")))
+          .otherwise(raw).as("hll_est")
+      }: _*)
+  }
 }
