@@ -406,6 +406,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("hllEstimate: repartition-invariant (mergeable registers), exact on branches") {
+    // Mergeability is the sketch's entire point at scale: max-folded
+    // registers must give the SAME estimate however rows are partitioned.
+    val rows = (0L until 5000L).map(i => (s"g${i % 2}", s"v${i % (if (i % 2 == 0) 40 else 3000)}"))
+      .toDF("grp", "value")
+    val a = CorpusOps.hllEstimate(rows, Seq("grp"), "value")
+      .as[(String, Double)].collect().toMap
+    val b = CorpusOps.hllEstimate(rows.repartition(13), Seq("grp"), "value")
+      .as[(String, Double)].collect().toMap
+    assert(a == b, s"estimate changed under repartition: $a vs $b")
+    // even i mod 40 → 20 distinct (small-range correction branch); odd i mod
+    // 3000 → 1500 distinct (raw branch). HLL at m=64 has ~13% std error —
+    // assert the right ballpark, not bits (the oracle row pins exact values)
+    assert(math.abs(a("g0") - 20) / 20 < 0.35, a)
+    assert(math.abs(a("g1") - 1500) / 1500 < 0.35, a)
+  }
+
   test("bloomDecontaminate block hygiene: repeated calls pin nothing") {
     val sc = spark.sparkContext
     val corpus = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "key")
