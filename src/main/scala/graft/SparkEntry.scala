@@ -335,6 +335,24 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // PR2 PERSONALIZED PageRank: teleport mass returns to a seed set (parts
+    // with key % 100 == 0) instead of uniformly — importance relative to a
+    // query's entity hits, the centrality a graph-RAG retriever wants when
+    // ranking an expanded subgraph (global PageRank promotes hubs regardless
+    // of the question). Same per-iteration plan as pr1: node-sized broadcast
+    // + one map-side-combined aggregation; oracle = 3 unrolled CTE rounds.
+    "pr2_personalized" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = PageRank.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 100 === 0).select(col("p_partkey"))
+      PageRank.personalized(edges, seeds, iterations = 3)
+        .select(col("id").as("part_id"), round(col("pr"), 8).as("pr_r"))
+        .orderBy(col("pr_r").desc, col("part_id").asc)
+        .limit(50)
+    }),
+
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
     // per customer: >20 orders ⇒ top-20 by totalprice; else ALL sorted by orderkey.
@@ -1049,6 +1067,22 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // CS4 Count-Min frequency estimates for the top-20 bigrams beside their
+    // exact counts — one-sided error (est ≥ exact, inflated only by bucket
+    // collisions), cells sum-mergeable. Completes the deterministic sketch
+    // suite: Bloom (x20) membership, HLL (cs3) cardinality, CMS frequency.
+    "cs4_countmin" -> ((s, dir) => {
+      val bigrams = spread(t(s, dir, "documents"))
+        .select(Norm.evalOnce(Norm.normTokens(col("text"))).as("toks"))
+        .select(explode(Norm.shingles(col("toks"), 2)).as("bigram"))
+        .localCheckpoint(true) // feeds the sketch build + the exact twin
+      val exact = bigrams.groupBy("bigram").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("bigram").asc).limit(20)
+      CorpusOps.countMinEstimate(bigrams, "bigram", exact, "bigram")
+        .join(exact, Seq("bigram"))
+        .select(col("bigram"), col("exact_cnt"), col("cms_est"))
     }),
 
     // CS3 deterministic HyperLogLog cardinality per (lang, value-kind):
@@ -1891,6 +1925,31 @@ object SparkEntry {
           |  FROM deg g LEFT JOIN c3 c ON c.id = g.src)
           |SELECT id AS part_id, round(pr, 8) AS pr_r FROM r3
           |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      "pr2_personalized" ->
+        """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+          |seeds AS (SELECT src AS id FROM deg WHERE src % 100 = 0),
+          |ns AS (SELECT count(*) AS s FROM seeds),
+          |tp AS (SELECT g.src AS id,
+          |    CASE WHEN s2.id IS NOT NULL THEN 1.0::DOUBLE / (SELECT s FROM ns) ELSE 0.0::DOUBLE END AS t
+          |  FROM deg g LEFT JOIN seeds s2 ON s2.id = g.src),
+          |r0 AS (SELECT id, t AS pr FROM tp),
+          |c1 AS (SELECT e.dst AS id, sum(r.pr / g.d) AS c FROM e0 e
+          |  JOIN r0 r ON e.src = r.id JOIN deg g ON g.src = e.src GROUP BY e.dst),
+          |r1 AS (SELECT tp.id, 0.15::DOUBLE * tp.t + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM tp LEFT JOIN c1 c ON c.id = tp.id),
+          |c2 AS (SELECT e.dst AS id, sum(r.pr / g.d) AS c FROM e0 e
+          |  JOIN r1 r ON e.src = r.id JOIN deg g ON g.src = e.src GROUP BY e.dst),
+          |r2 AS (SELECT tp.id, 0.15::DOUBLE * tp.t + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM tp LEFT JOIN c2 c ON c.id = tp.id),
+          |c3 AS (SELECT e.dst AS id, sum(r.pr / g.d) AS c FROM e0 e
+          |  JOIN r2 r ON e.src = r.id JOIN deg g ON g.src = e.src GROUP BY e.dst),
+          |r3 AS (SELECT tp.id, 0.15::DOUBLE * tp.t + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM tp LEFT JOIN c3 c ON c.id = tp.id)
+          |SELECT id AS part_id, round(pr, 8) AS pr_r FROM r3
+          |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
       "v1_eviction" ->
         """SELECT o_custkey,
           |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,
@@ -2417,6 +2476,24 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
            |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
+      "cs4_countmin" ->
+        s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+           |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram
+           |  FROM (SELECT $toksDoc AS w FROM documents) d),
+           |rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+           |cells AS (SELECT rs.r,
+           |    CAST(('0x' || substr(md5('cm' || rs.r || '-' || bigram), 1, 8)) AS BIGINT) % 128 AS b,
+           |    count(*) AS cnt
+           |  FROM bg, rs GROUP BY 1, 2),
+           |top AS (SELECT bigram, count(*) AS exact_cnt FROM bg GROUP BY 1
+           |  ORDER BY exact_cnt DESC, bigram ASC LIMIT 20),
+           |probe AS (SELECT t.bigram, t.exact_cnt, rs.r,
+           |    CAST(('0x' || substr(md5('cm' || rs.r || '-' || t.bigram), 1, 8)) AS BIGINT) % 128 AS b
+           |  FROM top t, rs)
+           |SELECT p.bigram, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+           |FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.b = c.b
+           |GROUP BY p.bigram, p.exact_cnt""".stripMargin.replace("\n", " "),
       "cs3_hll_distinct" ->
         s"""WITH d AS (SELECT lang, $toksDoc AS w FROM documents),
            |vals AS (

@@ -546,6 +546,37 @@ object CorpusOps {
       .limit(k)
       .drop("_wkey")
 
+  /** Count-Min frequency estimates (Cormode–Muthukrishnan 2005) for a probe
+    * set — the third leg of the deterministic sketch suite (Bloom =
+    * membership, HLL = cardinality, CMS = frequency). depth×width counters
+    * (default 4×128 = one cache line per row) built with ONE map-side-
+    * combined aggregation over a ×depth explode; estimates are min over the
+    * probe's depth cells — one-sided (never under-counts), cells are
+    * sum-mergeable across partitions/shards/days. At 100 TB the sketch is
+    * bytes where the exact twin's (value → count) table is the full value
+    * space; the estimate join touches depth×|probes| rows against a
+    * broadcastable cell table. Deterministic md5 bucket hashes, so a SQL
+    * oracle rebuilds the identical sketch. Output: (<probeCol>, cms_est). */
+  def countMinEstimate(df: DataFrame, valueCol: String,
+      probes: DataFrame, probeCol: String,
+      depth: Int = 4, width: Int = 128): DataFrame = {
+    def hashes(c: Column): Column = array((0 until depth).map(r => struct(
+      lit(r).as("_r"),
+      pmod(conv(substring(md5(concat(lit(s"cm$r-"), c)), 1, 8), 16, 10)
+        .cast("long"), lit(width.toLong)).as("_b"))): _*)
+    val cells = df
+      .select(explode(hashes(col(valueCol))).as("h"))
+      .groupBy(col("h._r").as("_r"), col("h._b").as("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    probes.select(col(probeCol).as("_p")).distinct()
+      .select(col("_p"), explode(hashes(col("_p"))).as("h"))
+      .select(col("_p"), col("h._r").as("_r"), col("h._b").as("_b"))
+      .join(cells, Seq("_r", "_b"), "left")
+      .groupBy(col("_p"))
+      .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_est"))
+      .select(col("_p").as(probeCol), col("cms_est"))
+  }
+
   /** Deterministic HyperLogLog cardinality estimate per group (Flajolet et
     * al. 2007; p = 6, 64 registers, h = 60-bit md5 prefix).
     *

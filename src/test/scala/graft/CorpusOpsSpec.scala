@@ -423,6 +423,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(a("g1") - 1500) / 1500 < 0.35, a)
   }
 
+  test("countMin: one-sided (never under-counts), absent probes report 0") {
+    val vals = (0L until 2000L).map(i => Tuple1(s"v${i % 150}")).toDF("v")
+    val probes = ((0 until 150 by 7).map(i => s"v$i") :+ "absent").toDF("p")
+    val est = CorpusOps.countMinEstimate(vals, "v", probes, "p")
+      .as[(String, Long)].collect().toMap
+    val exact = vals.groupBy("v").count().as[(String, Long)].collect().toMap
+    for ((p, e) <- est if p != "absent")
+      assert(e >= exact(p), s"$p: est $e < exact ${exact(p)} — CMS must never under-count")
+    assert(est("absent") >= 0L) // collisions may inflate, never error
+  }
+
   test("bloomDecontaminate block hygiene: repeated calls pin nothing") {
     val sc = spark.sparkContext
     val corpus = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "key")

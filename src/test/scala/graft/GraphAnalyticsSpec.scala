@@ -121,6 +121,25 @@ class GraphAnalyticsSpec extends SparkSpec {
       Set((lo, 1), (lo + w - 1, 1)))
   }
 
+  test("personalized pagerank: mass localizes around the seed; decays with distance") {
+    // symmetric path a-b-c-d-e, seed {a}: rank must strictly decay with
+    // distance from the seed — the property global PageRank does NOT have
+    // (it would rank interior nodes b,c,d above the endpoint a)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val r = PageRank.personalized(path, seeds, iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(r("a") > r("b") && r("b") > r("c") && r("c") > r("d") && r("d") > r("e"), r)
+    val global = PageRank.run(path, 10).as[(String, Double)].collect().toMap
+    assert(global("b") > global("a"), "precondition: global PR ranks interior over endpoint")
+    // seeds without out-edges are ignored; zero surviving seeds must refuse
+    val e = intercept[IllegalArgumentException] {
+      PageRank.personalized(path, Seq("zz").toDF("id"), 2)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   // ----------------------------------------------------------------- Triangles
   test("triangles: K4 minus one edge; reversed/duplicate edges and loops fold") {
     import graft.operators.Triangles
