@@ -85,18 +85,25 @@ object Bench {
     // of the suite's final GC.
     val warm = if (wanted.isEmpty && results.contains("rag_pipeline")) {
       val fn = SparkEntry.queries("rag_pipeline")
-      val secs = (1 to 2).map { _ =>
+      // Only SUCCESSFUL runs may publish a time: a crashed warm re-run's
+      // time-to-failure would otherwise win the min and indict the in-suite
+      // number with a bogus fast "warm" twin — the exact confusion this
+      // cross-check exists to remove. All-failed → warm = -1 (visible, not
+      // silently absent-but-plausible).
+      val secs = (1 to 2).flatMap { _ =>
         val pre = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench-warm] rag_pipeline re-run failed: $e"); false }
         val s = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => pre.contains(id) }
           .values.foreach(_.unpersist(blocking = false))
         System.gc()
-        s
+        if (ok) Some(s) else None
       }
-      s""","warm":{"rag_pipeline":${secs.min}}"""
+      s""","warm":{"rag_pipeline":${if (secs.nonEmpty) secs.min else -1}}"""
     } else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm,"sf":"$sfDir"}"""
     println(line)

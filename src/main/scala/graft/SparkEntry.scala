@@ -2538,7 +2538,7 @@ object SparkEntry {
           |    CASE WHEN len(words) = 0 THEN NULL
           |         ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) END AS mwl,
           |    CASE WHEN len(words) = 0 THEN NULL
-          |         ELSE CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(words) END AS af,
+          |         ELSE CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words) END AS af,
           |    len(list_intersect(list_distinct(words), ['the','a','an','of','to','in','and','is','on','for'])) AS nstop,
           |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(lines) AS bf,
           |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ef

@@ -151,10 +151,12 @@ object TextAnalysis {
       .otherwise(aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / size(words))
 
   /** Fraction of words containing at least one alphabetic character
-    * (Gopher's "80% of words must contain an alphabetic character"). */
+    * (Gopher's "80% of words must contain an alphabetic character").
+    * Both cases: these are RAW words by design, so an all-caps document
+    * must count as alphabetic (r8 review). */
   def alphaWordFracW(words: Column): Column =
     when(size(words) === 0, lit(null).cast("double"))
-      .otherwise(size(filter(words, w => w.rlike("[a-z]"))).cast("double") / size(words))
+      .otherwise(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / size(words))
 
   /** Number of DISTINCT required stopwords present (Gopher: ≥ 2 of a fixed
     * small set — a cheap "is this prose" signal). */

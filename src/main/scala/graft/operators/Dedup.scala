@@ -21,16 +21,20 @@ object Dedup {
   /** Exact dedup keeping the BEST duplicate, not the first: one row per
     * distinct key with the id of the highest-`qualityCol` member (ties → the
     * smaller id, so the choice is deterministic). Same one-shuffle map-side-
-    * combinable shape as [[exact]] — `max_by` over a (quality, -id) struct is
-    * an ordinary aggregate, NOT a per-key window sort. `keyExpr` defaults to
-    * normalized text; pass e.g. `TextAnalysis.fingerprintT` output to collapse
-    * word-order/repetition variants instead. */
+    * combinable shape as [[exact]] — `min_by` over a (-quality, id) struct is
+    * an ordinary aggregate, NOT a per-key window sort. Negating QUALITY (a
+    * numeric by nature) rather than the id keeps the tie-break type-agnostic:
+    * md5-string ids — the norm in this codebase's graph tables — order
+    * lexicographically inside the struct, where a negated string id would
+    * not survive analysis (r8 review). `keyExpr`: pass e.g.
+    * `TextAnalysis.fingerprintT` output to collapse word-order/repetition
+    * variants instead of exact normalized text. */
   def exactKeepBest(df: DataFrame, idCol: String, qualityCol: String,
       keyExpr: Column): DataFrame =
     df.select(col(idCol).as("id"), keyExpr.as("key"), col(qualityCol).as("q"))
       .groupBy("key")
       .agg(
-        max_by(col("id"), struct(col("q"), (-col("id")).as("nid"))).as("keep_id"),
+        min_by(col("id"), struct((-col("q")).as("nq"), col("id"))).as("keep_id"),
         max(col("q")).as("best_q"),
         count(lit(1)).as("n_dups"))
 

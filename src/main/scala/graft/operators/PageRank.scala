@@ -103,17 +103,31 @@ object PageRank {
       .repartition(col("dst"))
       .localCheckpoint(true)
 
+    // e's blocks are no longer read once weighted is materialized
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = weighted
         .join(broadcast(ranks), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("_invdeg")).as("_c"))
         .select(col("dst").as("id"), col("_c"))
-      ranks = nodes.join(broadcast(contribs), Seq("id"), "left")
+      val next = nodes.join(broadcast(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_c"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      // superseded iteration checkpoints would otherwise pin one node-sized
+      // block set PER ITERATION for the life of the session (stars-CC
+      // hygiene, extended here by the r8 review); iteration 1's "ranks" is
+      // the un-checkpointed init frame — nothing to free
+      if (i > 1) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    if (iterations > 0) {
+      // the final ranks checkpoint is self-contained: the setup frames only
+      // fed the loop and can release their blocks with the result alive
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(weighted)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(deg)
     }
     ranks
   }
@@ -149,18 +163,31 @@ object PageRank {
       .select(col("src"), col("dst"), (lit(1.0) / col("_d")).as("_invdeg"))
       .repartition(col("dst"))
       .localCheckpoint(true)
+    // e and deg fed only the (now-materialized) nodes and weighted frames —
+    // free them so a long-lived retriever calling this per query doesn't
+    // accumulate pinned setup blocks (r8 review; same hygiene as [[run]])
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(deg)
     var ranks = nodes.select(col("id"), tel.as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = weighted
         .join(broadcast(ranks), col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("_invdeg")).as("_c"))
         .select(col("dst").as("id"), col("_c"))
-      ranks = nodes.join(broadcast(contribs), Seq("id"), "left")
+      val next = nodes.join(broadcast(contribs), Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * tel +
             lit(damping) * coalesce(col("_c"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      if (i > 1) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    if (iterations > 0) {
+      // final ranks checkpoint is self-contained; nodes still backs the
+      // iteration-0 frame only when the loop never ran
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(weighted)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(nodes)
     }
     ranks
   }

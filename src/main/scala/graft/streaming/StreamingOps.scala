@@ -27,10 +27,16 @@ object StreamingOps {
     * bound, so Spark can expire join state — without the bound a
     * stream-stream inner join buffers both streams forever. `left`/`right`:
     * (key, ts TIMESTAMP, ...); column names must be disjoint apart from the
-    * key. Returns the joined rows; callers aggregate downstream. */
+    * key. Returns the joined rows; callers aggregate downstream.
+    * `windowNanos` must be a whole number of microseconds: TimestampType is
+    * µs-precision, so a finer bound cannot be represented — refusing beats
+    * silently truncating the documented window (r8 review). */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, windowNanos: Long,
       watermark: String = "1 hour"): DataFrame = {
+    require(windowNanos > 0 && windowNanos % 1000 == 0,
+      s"windowNanos must be a positive multiple of 1000 (TimestampType is " +
+        s"microsecond-precision), got $windowNanos")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,

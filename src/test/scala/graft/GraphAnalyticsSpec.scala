@@ -140,6 +140,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(e.getMessage.contains("seed"))
   }
 
+  test("pagerank block hygiene: only the final ranks checkpoint survives a run") {
+    val sc = spark.sparkContext
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    for (f <- Seq(
+        () => PageRank.run(edges, 4),
+        () => PageRank.personalized(edges, Seq("a").toDF("id"), 4))) {
+      val before = sc.getPersistentRDDs.keySet
+      f().count()
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1,
+        s"pagerank left ${leaked.size} pinned RDDs (expected <= 1: final ranks)")
+    }
+  }
+
   // ----------------------------------------------------------------- Triangles
   test("triangles: K4 minus one edge; reversed/duplicate edges and loops fold") {
     import graft.operators.Triangles
