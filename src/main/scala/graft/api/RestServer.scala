@@ -258,12 +258,21 @@ final class RestServer(spark: SparkSession, storeBase: String,
           n.set[ObjectNode]("passages", hitsJson(hits))
           respond(ex, 200, n)
         case ("GET", Seq("graphs", g, "importance")) =>
-          // structural entity importance (PageRank over subject↔object edges)
-          val limit = Option(ex.getRequestURI.getQuery)
-            .flatMap(_.split("&").collectFirst {
-              case kv if kv.startsWith("limit=") => kv.drop(6).toInt })
-            .getOrElse(20)
-          val rows = rag(g).entityImportance().limit(limit).collect()
+          // structural entity importance (PageRank over subject↔object edges);
+          // ?seeds=name1,name2 switches to the personalized variant (teleport
+          // to the seeds — importance relative to a query's entity hits)
+          val params = Option(ex.getRequestURI.getQuery)
+            .map(_.split("&").toSeq).getOrElse(Seq.empty)
+          val limit = params.collectFirst {
+            case kv if kv.startsWith("limit=") => kv.drop(6).toInt }.getOrElse(20)
+          val seeds = params.collectFirst {
+            case kv if kv.startsWith("seeds=") =>
+              java.net.URLDecoder.decode(kv.drop(6), "UTF-8")
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+            .getOrElse(Seq.empty)
+          val imp = if (seeds.isEmpty) rag(g).entityImportance()
+            else rag(g).entityImportanceFrom(seeds)
+          val rows = imp.limit(limit).collect()
           val arr = mapper.createArrayNode()
           rows.foreach { r =>
             val o = arr.addObject()

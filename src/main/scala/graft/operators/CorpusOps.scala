@@ -596,12 +596,19 @@ object CorpusOps {
     * E ≤ 2.5m and empty registers remain.
     *
     * Output: groupCols + (hll_est DOUBLE). */
-  def hllEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  def hllEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The sketch STATE behind [[hllEstimate]]: (groupCols..., _b, _m) rows —
+    * one register per (group, bucket) seen. Mergeable by max(_m) on the same
+    * keys, which is what makes HLL incremental: a saved register table plus
+    * a micro-batch's registers max-merge into exactly the registers of the
+    * union of the inputs ([[graft.streaming.StreamingOps.hllMaintain]]). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val m = 64 // p = 6
     val g = groupCols.map(col)
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
-    val regs = df
-      .select(g :+ h.as("_h"): _*)
+    df.select(g :+ h.as("_h"): _*)
       .select(g ++ Seq(pmod(col("_h"), lit(m)).as("_b"),
         shiftright(col("_h"), 6).as("_w")): _*)
       .select(g ++ Seq(col("_b"),
@@ -609,6 +616,13 @@ object CorpusOps {
           .otherwise(lit(55) - length(bin(col("_w")))).as("_rho")): _*)
       .groupBy(g :+ col("_b"): _*)
       .agg(max(col("_rho")).as("_m"))
+  }
+
+  /** Fold (groupCols..., _b, _m) registers into the per-group estimate —
+    * the read side of the incremental sketch. */
+  def hllFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = 64
+    val g = groupCols.map(col)
     regs
       .groupBy(g: _*)
       .agg(

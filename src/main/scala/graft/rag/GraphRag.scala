@@ -348,6 +348,29 @@ final class GraphRag(
       .orderBy(col("pr").desc, col("id").asc)
   }
 
+  /** [[entityImportance]], personalized: teleport mass returns to the given
+    * seed entities (by NAME, T2-normalized to ids the same way the builder
+    * keys them), so the ranking is importance RELATIVE to a query's entity
+    * hits — what a retriever wants when ordering an expanded subgraph, where
+    * global PageRank promotes corpus-wide hubs regardless of the question.
+    * Unknown/edge-less seed names are ignored; at least one must survive. */
+  def entityImportanceFrom(seedNames: Seq[String], iterations: Int = 5): DataFrame = {
+    require(seedNames.nonEmpty, "entityImportanceFrom needs at least one seed name")
+    val rel = store.cachedTable(graph, "relations")
+    val e = rel.select(col("entity_ids").getItem(0).as("src"),
+        col("entity_ids").getItem(1).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val seeds = seedNames.toDF("raw")
+      .select(graft.functions.Norm.idOf(graft.functions.Norm.normPhrase(col("raw"))).as("id"))
+    PageRank.personalized(sym, seeds, iterations)
+      .join(store.cachedTable(graph, "entities").select(col("id"), col("name")),
+        Seq("id"), "left")
+      .select(col("id"), col("name"), col("pr"))
+      .orderBy(col("pr").desc, col("id").asc)
+  }
+
   /** Typo-tolerant entity lookup ([[FuzzyMatch]]): each probe name finds its
     * nearest entity names by edit distance over T2-normalized text — the
     * robustness layer over G2's exact-name identity for noisy NER output.

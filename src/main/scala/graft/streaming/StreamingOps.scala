@@ -46,6 +46,35 @@ object StreamingOps {
       .drop(r(keyCol))
   }
 
+  /** Incremental HLL maintenance: each micro-batch's registers max-merge
+    * into a saved register table, so the running distinct-count sketch of an
+    * unbounded stream stays register-sized (64 rows per group) and never
+    * re-reads history — the streaming twin of
+    * [[graft.operators.CorpusOps.hllEstimate]], same pattern as the IVF-PQ
+    * `addSaved` maintenance. Register equality with a one-shot batch build
+    * over the union of all batches is EXACT (StreamingSpec pins it) — that
+    * is mergeability, and why the same fold works shard-parallel. Read side:
+    * `CorpusOps.hllFromRegisters(spark.read.parquet(path), groupCols)`. */
+  def hllMaintain(stream: DataFrame, groupCols: Seq[String], valueCol: String,
+      registerPath: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.CorpusOps.hllRegisters(batch, groupCols, valueCol)
+        val merged0 =
+          try spark.read.parquet(registerPath).unionByName(fresh)
+            .groupBy((groupCols :+ "_b").map(col): _*)
+            .agg(max(col("_m")).as("_m"))
+          catch { case _: org.apache.spark.sql.AnalysisException => fresh } // first batch
+        // pin the merge BEFORE overwriting the table it reads, then free
+        val merged = merged0.localCheckpoint(true)
+        try merged.write.mode("overwrite").parquet(registerPath)
+        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+        ()
+      }
+      .start()
+
   /** One user-session state machine for flatMapGroupsWithState. */
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

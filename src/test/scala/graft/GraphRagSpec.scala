@@ -253,6 +253,22 @@ class GraphRagSpec extends SparkSpec {
     assert(hits.forall(h => ids.contains(h.id)))
   }
 
+  test("entityImportanceFrom localizes rank around the seed's component") {
+    rag.addDocumentsWithTriplets(docs)
+    // seed by RAW name — the engine normalizes to the builder's id keying
+    val imp = rag.entityImportanceFrom(Seq("Marie Curie"), iterations = 5)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // all teleport mass stays in the curie component; einstein's component
+    // gets exactly zero — the relative-to-the-query property global PR lacks
+    assert(imp("marie curie") > imp("radium"))
+    assert(imp("theory of relativity") == 0.0 && imp("albert einstein") == 0.0)
+    // unknown seed names are ignored; all-unknown refuses
+    val e = intercept[IllegalArgumentException] {
+      rag.entityImportanceFrom(Seq("nobody at all"), iterations = 2)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("upsert replaces rows, preserves others (S7)") {
     rag.addDocumentsWithTriplets(docs)
     import org.apache.spark.sql.functions._

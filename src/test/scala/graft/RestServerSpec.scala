@@ -200,6 +200,16 @@ class RestServerSpec extends SparkSpec {
       imp.body().indexOf("radium").max(imp.body().length),
       imp.body().indexOf("polonium").max(imp.body().length)), imp.body())
 
+    // personalized variant: seeded at radium, the symmetric far leaf
+    // (polonium, 2 hops) must rank strictly below radium — under global PR
+    // the two leaves TIE by symmetry, so the gap is the personalization.
+    // (The hub still outranks the degree-1 seed: it receives all of the
+    // seed's pushed mass — correct PPR behavior, pinned by the ordering.)
+    val pimp = get("/graphs/rest5/importance?limit=3&seeds=radium")
+    assert(pimp.statusCode() == 200, pimp.body())
+    assert(pimp.body().indexOf("radium") >= 0 &&
+      pimp.body().indexOf("radium") < pimp.body().indexOf("polonium"), pimp.body())
+
     val m = post("/graphs/rest5/match_entities",
       """{"names": ["Marei Curie", "radium"], "max_dist": 2, "top_k": 1}""")
     assert(m.statusCode() == 200, m.body())

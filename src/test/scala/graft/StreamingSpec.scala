@@ -207,6 +207,34 @@ class StreamingSpec extends SparkSpec {
       touched.filterNot(before.keySet), "unexpected new bucket dirs")
   }
 
+  test("streaming HLL maintenance: merged registers == one-shot batch registers") {
+    import graft.operators.CorpusOps
+    val dir = Files.createTempDirectory("stream_hll").toString
+    val regPath = s"$dir/registers"
+    val all = (0L until 3000L).map(i => (s"g${i % 2}", s"v${i % 700}"))
+      .toDF("grp", "value")
+    // two waves → two micro-batches (maxFilesPerTrigger=1)
+    all.filter($"value" < "v35").write.parquet(s"$dir/in/a")
+    all.filter($"value" >= "v35").write.parquet(s"$dir/in/b")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.hllMaintain(stream, Seq("grp"), "value", regPath)
+    q.processAllAvailable(); q.stop()
+    // mergeability is EXACT: max-merged micro-batch registers must equal the
+    // one-shot batch registers over the union — and therefore so must the
+    // estimate read from the saved table
+    val streamed = spark.read.parquet(regPath)
+      .as[(String, Long, Int)].collect().toSet
+    val batch = CorpusOps.hllRegisters(all, Seq("grp"), "value")
+      .as[(String, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    val estS = CorpusOps.hllFromRegisters(spark.read.parquet(regPath), Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    val estB = CorpusOps.hllEstimate(all, Seq("grp"), "value")
+      .as[(String, Double)].collect().toMap
+    assert(estS == estB)
+  }
+
   test("stream-stream interval join matches the batch join (watermarked state)") {
     val dir = Files.createTempDirectory("stream_ij").toString
     val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
