@@ -335,6 +335,20 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // G12 k-core peel layers (Seidman onion decomposition) of the part
+    // co-occurrence graph: layer = round at which the node's surviving
+    // degree drops below k=80 (0 = survives = the 80-core). Fixpoint in 6
+    // rounds at sf0.01 (4 at sf0.001, where the core is empty — the layers
+    // stay non-degenerate); budget 8 with early exit, so the Spark loop and
+    // the oracle's 8 unrolled rounds agree by monotonicity.
+    "g12_kcore_layers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = PageRank.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
+      KCore.peelLayers(edges, k = 80, maxRounds = 8)
+        .select(col("id").as("part_id"), col("layer"))
+    }),
+
     // PR2 PERSONALIZED PageRank: teleport mass returns to a seed set (parts
     // with key % 100 == 0) instead of uniformly — importance relative to a
     // query's entity hits, the centrality a graph-RAG retriever wants when
@@ -1925,6 +1939,34 @@ object SparkEntry {
           |  FROM deg g LEFT JOIN c3 c ON c.id = g.src)
           |SELECT id AS part_id, round(pr, 8) AS pr_r FROM r3
           |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      "g12_kcore_layers" -> {
+        // 8 unrolled peel rounds, generated mechanically (the pr1 pattern at
+        // depth): d_r = degrees over the round's surviving edges, rm_r =
+        // survivors whose degree (0 if edge-less) dropped below k, a_r/e_r =
+        // the induced survivors. Layers = union of rm_1..rm_8 + core at 0.
+        val R = 8
+        val rounds = (1 to R).map { r =>
+          // MATERIALIZED: each round references the previous one 3x — plain
+          // CTE inlining would expand the chain exponentially (observed as
+          // "too many open files" re-scanning lineitem at round depth 8)
+          s"""d$r AS MATERIALIZED (SELECT src, count(*) AS d FROM e${r - 1} GROUP BY src),
+             |rm$r AS MATERIALIZED (SELECT a.id FROM a${r - 1} a LEFT JOIN d$r d ON d.src = a.id
+             |  WHERE coalesce(d.d, 0) < 80),
+             |a$r AS MATERIALIZED (SELECT id FROM a${r - 1} WHERE id NOT IN (SELECT id FROM rm$r)),
+             |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+             |  JOIN a$r x ON e.src = x.id JOIN a$r y ON e.dst = y.id)""".stripMargin
+        }.mkString(",\n")
+        val layers = (1 to R)
+          .map(r => s"SELECT id, $r AS layer FROM rm$r").mkString(" UNION ALL ")
+        s"""WITH c0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+           |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+           |$rounds
+           |SELECT id AS part_id, CAST(layer AS INTEGER) AS layer FROM (
+           |  $layers UNION ALL SELECT id, 0 AS layer FROM a$R) t""".stripMargin.replace("\n", " ")
+      },
       "pr2_personalized" ->
         """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           |  FROM lineitem a JOIN lineitem b

@@ -154,6 +154,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("k-core peel: cascading layers, surviving core, hygiene") {
+    import graft.operators.KCore
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // triangle abc (2-core) + chain c-d-e hanging off it: e (deg 1) peels in
+    // round 1, which drops d to deg 1 → round 2 — the cascade IS the layer
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+    val sym = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    val got = KCore.peelLayers(sym, k = 2, maxRounds = 10)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 0, "c" -> 0, "d" -> 2, "e" -> 1), got)
+    // result-backing checkpoints only: survivors + one per non-empty round
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3, s"kCore left ${leaked.size} pinned RDDs")
+    org.apache.spark.sql.graft.Bridge.unpersistPlanCheckpoints(
+      KCore.peelLayers(sym, k = 2, maxRounds = 10))
+  }
+
   // ----------------------------------------------------------------- Triangles
   test("triangles: K4 minus one edge; reversed/duplicate edges and loops fold") {
     import graft.operators.Triangles
