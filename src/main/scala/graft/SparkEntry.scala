@@ -229,6 +229,28 @@ object SparkEntry {
           round(VF.dot(col("embedding"), signVec) / math.sqrt(dOut.toDouble), 6)
             .as("comp"))
     }),
+    // E8 binary-sign Hamming KNN: 1-bit/dim signatures (two 32-bit words per
+    // 64-dim vector), XOR+popcount scoring. Queries broadcast against one
+    // signature scan — 8 bytes/vector touched instead of 256 — the shortlist
+    // stage of a signature-scan → exact-rerank cascade at scale.
+    "e8_hamming_knn" -> ((s, dir) => {
+      import graft.functions.BinarySign
+      val sigs = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          BinarySign.packWord(col("embedding"), 0).as("w0"),
+          BinarySign.packWord(col("embedding"), 32).as("w1"))
+      val q = sigs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+      val scored = sigs.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          BinarySign.hamming2(col("q0"), col("q1"), col("w0"), col("w1")).as("hamming"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("hamming").asc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+    }),
     // A3 KNN over dequantized int8 vectors — quantized storage, exact scoring
     // of the approximate codes; deterministic, so fully oracle-checkable.
     "a3_quantized_knn" -> ((s, dir) => {
@@ -1809,6 +1831,21 @@ object SparkEntry {
           |SELECT e.vec_id, CAST(sv.j AS INTEGER) AS j,
           |  round(list_dot_product(e.embedding::DOUBLE[], sv.s::DOUBLE[]) / sqrt(8.0), 6) AS comp
           |FROM embeddings e CROSS JOIN sv""".stripMargin.replace("\n", " "),
+      "e8_hamming_knn" ->
+        """WITH sig AS (
+          |  SELECT vec_id,
+          |    CAST(list_sum(list_transform(range(0,32), i -> CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+          |    CAST(list_sum(list_transform(range(0,32), i -> CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM sig WHERE vec_id < 8),
+          |scored AS (
+          |  SELECT q.query_id, c.vec_id AS neighbor_id,
+          |         bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1)) AS hamming
+          |  FROM q CROSS JOIN (SELECT * FROM sig WHERE vec_id >= 8) c)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, CAST(hamming AS INTEGER) AS hamming FROM (
+          |  SELECT query_id, neighbor_id, hamming,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+          |  FROM scored) r WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "a3_quantized_knn" ->
         """WITH pre AS (
           |  SELECT vec_id,

@@ -68,3 +68,31 @@ object Quantize {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 }
+
+/** Sign-bit binary signatures — the most aggressive embedding compression
+  * (1 bit/dim, 32× smaller than float32 at rest and in shuffle) with Hamming
+  * distance scored as XOR + popcount, both codegen'd integer ops. For
+  * L2-normalized vectors Hamming on sign bits is a monotone proxy for angular
+  * distance (the 1-hyperplane-per-axis special case of SimHash, already used
+  * for near-dup blocking in `Dedup.simHashBuckets`); here it serves retrieval:
+  * a signature scan touches 8 bytes/vector instead of 256, so the 100 TB shape
+  * is signature-scan → top-R shortlist → exact float rerank of R rows (the
+  * same two-stage contract as `IvfPq.searchSaved`'s ADC → refine).
+  *
+  * Words pack 32 bits each into a non-negative BIGINT, so the arithmetic (and
+  * the DuckDB oracle's) never touches the sign bit — `1::BIGINT << 63` is UB
+  * territory in some engines and a negative surprise in the rest. */
+object BinarySign {
+  import org.apache.spark.sql.functions._
+
+  /** Bits [lo, lo+31] of v's sign pattern (bit j set ⇔ v(lo+j) > 0) as one
+    * non-negative long. Pure integer fold — exact across engines. */
+  def packWord(v: Column, lo: Int): Column =
+    aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L),
+      (acc, i) => acc + when(element_at(v, i + lit(1)) > lit(0f),
+        call_function("shiftleft", lit(1L), i - lit(lo))).otherwise(lit(0L)))
+
+  /** Hamming distance between two 2-word signatures: Σ popcount(a XOR b). */
+  def hamming2(a0: Column, a1: Column, b0: Column, b1: Column): Column =
+    (bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))).cast("int")
+}

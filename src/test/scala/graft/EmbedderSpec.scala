@@ -96,6 +96,32 @@ class EmbedderSpec extends SparkSpec {
     assert(overlap >= 0.8, s"quantized/exact top-10 overlap $overlap")
   }
 
+  test("BinarySign: packed words match per-bit signs; Hamming = per-dim sign flips") {
+    import graft.functions.BinarySign
+    val emb = spark.read.parquet(sf("embeddings"))
+    val rows = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        BinarySign.packWord(col("embedding"), 0).as("w0"),
+        BinarySign.packWord(col("embedding"), 32).as("w1"))
+      .as[(Long, Seq[Double], Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, v, w0, w1) =>
+      assert(w0 >= 0L && w1 >= 0L, s"vec $id: sign bit leaked into a word")
+      (0 until 32).foreach { j =>
+        assert(((w0 >> j) & 1L) == (if (v(j) > 0) 1L else 0L), s"vec $id bit $j")
+        assert(((w1 >> j) & 1L) == (if (v(32 + j) > 0) 1L else 0L), s"vec $id bit ${32 + j}")
+      }
+    }
+    // Hamming over the packed words == count of dims whose sign differs.
+    val byId = rows.map(r => r._1 -> r).toMap
+    val a = byId(rows.head._1); val b = byId(rows.last._1)
+    val expected = (0 until 64).count(i => (a._2(i) > 0) != (b._2(i) > 0))
+    val got = emb.sparkSession.range(1)
+      .select(BinarySign.hamming2(lit(a._3), lit(a._4), lit(b._3), lit(b._4)).as("h"))
+      .as[Int].head()
+    assert(got == expected, s"hamming $got != $expected")
+  }
+
   test("embeddings are unit-norm and deterministic across calls") {
     val docs = Seq(("x", "alpha beta gamma")).toDF("id", "text")
     val e = HashEmbedder(dim = 32)
