@@ -371,6 +371,21 @@ object SparkEntry {
         .select(col("id").as("part_id"), col("layer"))
     }),
 
+    // G13 label-propagation communities (synchronous, min-tiebreak mode) on
+    // the SPARSIFIED co-occurrence graph — pairs sharing >= 2 distinct
+    // orders (the full graph is near-complete and LPA collapses to one
+    // label; repeated co-occurrence is where community structure lives:
+    // 332 communities / 1892 nodes at sf0.01). 4 rounds, fixed on both
+    // sides — synchronous LPA need not converge (bipartite-ish regions
+    // oscillate), so the oracle unrolls exactly the same round count.
+    "g13_labelprop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = PageRank.cooccurrenceEdgesMinCount(li, "l_orderkey", "l_partkey", 2)
+      LabelPropagation.run(edges, rounds = 4)
+        .select(col("id").as("part_id"), col("label"))
+    }),
+
     // PR2 PERSONALIZED PageRank: teleport mass returns to a seed set (parts
     // with key % 100 == 0) instead of uniformly — importance relative to a
     // query's entity hits, the centrality a graph-RAG retriever wants when
@@ -2003,6 +2018,30 @@ object SparkEntry {
            |$rounds
            |SELECT id AS part_id, CAST(layer AS INTEGER) AS layer FROM (
            |  $layers UNION ALL SELECT id, 0 AS layer FROM a$R) t""".stripMargin.replace("\n", " ")
+      },
+      "g13_labelprop" -> {
+        // 4 unrolled synchronous LPA rounds. Sparsified base: canonical pairs
+        // co-occurring in >= 2 DISTINCT orders (count(DISTINCT l_orderkey),
+        // NOT count(*) — a part repeated within one order must count once,
+        // matching the Spark side's collect_set). Mode-with-min-tiebreak via
+        // row_number over (count DESC, label ASC). MATERIALIZED for the same
+        // reason as g12: each round is referenced by the next.
+        val R = 4
+        val rounds = (1 to R).map { r =>
+          s"""l$r AS MATERIALIZED (SELECT id, label FROM (
+             |  SELECT e.dst AS id, l.label, count(*) AS c,
+             |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) AS rn
+             |  FROM e0 e JOIN l${r - 1} l ON l.id = e.src
+             |  GROUP BY e.dst, l.label) t WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+           |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e0),
+           |$rounds
+           |SELECT id AS part_id, label FROM l$R""".stripMargin.replace("\n", " ")
       },
       "pr2_personalized" ->
         """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -60,6 +60,28 @@ object PageRank {
       .select(col("e.src"), col("e.dst"))
   }
 
+  /** [[cooccurrenceEdges]] restricted to pairs co-occurring in at least
+    * `minGroups` DISTINCT groups — the standard sparsifier for dense
+    * co-occurrence graphs (a single shared group is mostly noise; repeated
+    * co-occurrence is signal). Multiplicity = distinct groups, same as the
+    * collect_set base (duplicate items within one group count once).
+    * Same scale shape, with the count folded into the pair-dedup aggregate. */
+  def cooccurrenceEdgesMinCount(df: DataFrame, groupCol: String, itemCol: String,
+      minGroups: Int): DataFrame = {
+    val canon = df.groupBy(col(groupCol))
+      .agg(collect_set(col(itemCol)).as("_items"))
+      .select(explode(col("_items")).as("src"), col("_items"))
+      .select(col("src"), explode(col("_items")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("_m"))
+      .filter(col("_m") >= minGroups)
+    canon.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
+
   /** Run `iterations` damped PageRank passes over `edges` (columns `src`,
     * `dst`; duplicates must already be removed — they would double-count).
     * Returns (`id`, `pr`) for every node with at least one out-edge.

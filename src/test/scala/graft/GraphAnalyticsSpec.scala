@@ -172,6 +172,43 @@ class GraphAnalyticsSpec extends SparkSpec {
       KCore.peelLayers(sym, k = 2, maxRounds = 10))
   }
 
+  test("label propagation: bridged cliques stay separate communities; hygiene") {
+    import graft.operators.LabelPropagation
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // two 4-cliques {a1..a4}, {b1..b4} joined by one bridge a4-b1: connected
+    // components would merge everything; the mode keeps two communities
+    // (each bridge endpoint hears 3 clique votes vs 1 bridge vote)
+    val cliq = (g: String) => for {
+      i <- 1 to 4; j <- 1 to 4 if i < j
+    } yield (s"$g$i", s"$g$j")
+    val und = cliq("a") ++ cliq("b") :+ ("a4", "b1")
+    val sym = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    val got = LabelPropagation.run(sym, rounds = 4)
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == (1 to 4).flatMap(i => Seq(s"a$i", s"b$i")).toSet)
+    // min label wins inside each clique: all of a* -> a1, all of b* -> b1
+    (1 to 4).foreach { i =>
+      assert(got(s"a$i") == "a1", s"a$i -> ${got(s"a$i")}")
+      assert(got(s"b$i") == "b1", s"b$i -> ${got(s"b$i")}")
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"labelProp left ${leaked.size} pinned RDDs")
+    org.apache.spark.sql.graft.Bridge.unpersistPlanCheckpoints(
+      LabelPropagation.run(sym, rounds = 2))
+  }
+
+  test("cooccurrenceEdgesMinCount: distinct-group multiplicity, symmetric output") {
+    // pair (p1,p2) in groups g1,g2 (and DUPLICATED within g1 — counts once);
+    // (p1,p3) only in g1 — pruned at minGroups=2
+    val df = Seq(
+      ("g1", "p1"), ("g1", "p1"), ("g1", "p2"), ("g1", "p3"),
+      ("g2", "p1"), ("g2", "p2")).toDF("g", "item")
+    val got = PageRank.cooccurrenceEdgesMinCount(df, "g", "item", minGroups = 2)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "p2"), ("p2", "p1")), got)
+  }
+
   // ----------------------------------------------------------------- Triangles
   test("triangles: K4 minus one edge; reversed/duplicate edges and loops fold") {
     import graft.operators.Triangles
