@@ -930,6 +930,19 @@ object SparkEntry {
             .as("novelty"))
     }),
 
+    // X23 DSIR importance weights (Xie et al. 2023): log-likelihood ratio of
+    // two add-one-smoothed hashed unigram+bigram LMs — target domain = every
+    // 10th doc, raw = the rest. The model is 2·256 longs regardless of
+    // corpus size; two corpus passes, zero pinned state. High weight =
+    // target-like; feeds importance resampling.
+    "x23_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          (col("doc_id") % 10 === 0).as("is_target"))
+      CorpusOps.dsirWeights(docs, "doc_id", "toks", "is_target", buckets = 256)
+        .select(col("doc_id"), round(col("weight"), 4).as("w_r"))
+    }),
+
     // SIM1 sparse TF-IDF cosine via inverted-index join — the sparse twin of
     // d5/d6's dense cosine: pair scores come from joining posting lists on
     // the term key, stop terms (df > 30) pruned BEFORE the self-join.
@@ -2643,6 +2656,25 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
            |  round(1.0 - CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
            |FROM g JOIN f USING (gram) GROUP BY g.doc_id""".stripMargin.replace("\n", " "),
+      "x23_dsir_weights" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, doc_id % 10 = 0 AS t,
+           |         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b
+           |  FROM (SELECT doc_id, unnest(list_concat(w,
+           |      list_transform(generate_series(1, greatest(len(w)-1, 0)),
+           |        i -> array_to_string(list_slice(w, i, i+1), ' ')))) AS f
+           |    FROM (SELECT doc_id, $toksDoc AS w FROM documents) d0) s),
+           |g AS (SELECT b, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           |             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nr
+           |      FROM f GROUP BY b),
+           |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(nr) AS BIGINT) AS tr FROM g),
+           |lam AS (SELECT b, ln(CAST(nt+1 AS DOUBLE)/CAST(tt+256 AS DOUBLE))
+           |               - ln(CAST(nr+1 AS DOUBLE)/CAST(tr+256 AS DOUBLE)) AS lam FROM g, tot),
+           |pd AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+           |sc AS (SELECT pd.doc_id, sum(pd.c * lam.lam) AS s FROM pd JOIN lam ON pd.b = lam.b GROUP BY 1)
+           |SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS w_r
+           |FROM (SELECT DISTINCT doc_id FROM documents) d
+           |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin.replace("\n", " "),
       "x21_gopher_rules" ->
         """WITH d AS (SELECT doc_id,
           |    concat(CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END, text,

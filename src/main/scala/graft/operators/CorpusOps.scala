@@ -473,6 +473,49 @@ object CorpusOps {
         (coalesce(col("_s"), lit(0.0)) + lit(bias)).as("score"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two hashed n-gram
+    * unigram LMs — one on a TARGET-domain sample, one on the raw pool — and
+    * weight every document by its log-likelihood ratio,
+    * `w(doc) = Σ_b count_doc(b) · (ln p̂_target(b) − ln p̂_raw(b))`,
+    * features = unigrams + bigrams hashed into `buckets` cells, both LMs
+    * add-one smoothed. High-weight docs "look like" the target domain; the
+    * weights feed importance RESAMPLING (e.g. [[weightedSample]]) to tilt a
+    * web-scale pool toward a quality domain without training a classifier.
+    *
+    * Scale shape: two passes over the tokenized corpus, zero pinned state —
+    * pass 1 folds features into a `buckets`-sized count table (map-side
+    * combined conditional sums), pass 2 re-folds per (doc, bucket) and joins
+    * the broadcast bucket model. The model IS the sketch: 2·buckets longs,
+    * independent of corpus size — the same few-KB-model-vs-corpus-shuffle
+    * economics as [[bloomDecontaminate]]. Hash = md5-prefix arithmetic,
+    * reproducible in any engine (the e7 Rademacher recipe).
+    *
+    * Output: (<idCol>, weight), one row per doc — featureless docs weigh 0,
+    * resampling must see them to drop them explicitly. */
+  def dsirWeights(df: DataFrame, idCol: String, toksCol: String,
+      isTargetCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val feats = df.select(col(idCol).as("id"), col(isTargetCol).as("_t"),
+        explode(concat(col(toksCol), graft.functions.Norm.shingles(col(toksCol), 2))).as("_f"))
+      .select(col("id"), col("_t"),
+        (conv(substring(md5(col("_f")), 1, 8), 16, 10).cast("long") % buckets).as("_b"))
+    val global = feats.groupBy(col("_b"))
+      .agg(sum(when(col("_t"), lit(1L)).otherwise(lit(0L))).as("_nt"),
+        sum(when(!col("_t"), lit(1L)).otherwise(lit(0L))).as("_nr"))
+    val totals = global.agg(sum(col("_nt")).as("_T"), sum(col("_nr")).as("_R"))
+    val lam = global.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((col("_nt") + 1).cast("double") / (col("_T") + buckets).cast("double"))
+          - log((col("_nr") + 1).cast("double") / (col("_R") + buckets).cast("double"))).as("_lam"))
+    val scored = feats.groupBy(col("id"), col("_b")).agg(count(lit(1)).as("_c"))
+      .join(broadcast(lam), Seq("_b"))
+      .groupBy(col("id")).agg(sum(col("_c") * col("_lam")).as("_s"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("_s"), lit(0.0)).as("weight"))
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -434,6 +434,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(est("absent") >= 0L) // collisions may inflate, never error
   }
 
+  test("dsirWeights: target-like docs weigh higher, featureless docs weigh 0") {
+    import graft.functions.Norm
+    // target domain speaks {alpha, beta}; raw pool speaks {gamma, delta};
+    // doc 100 is raw but SOUNDS target-like — resampling should favor it
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", true), (1L, "beta alpha beta alpha", true),
+      (10L, "gamma delta gamma delta", false), (11L, "delta gamma delta", false),
+      (12L, "gamma delta gamma", false),
+      (100L, "alpha beta alpha", false),
+      (101L, "", false))
+      .toDF("doc_id", "text", "is_target")
+      .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"), col("is_target"))
+    val w = CorpusOps.dsirWeights(docs, "doc_id", "toks", "is_target", buckets = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet == Set(0L, 1L, 10L, 11L, 12L, 100L, 101L))
+    assert(w(101L) == 0.0, s"empty doc must weigh 0, got ${w(101L)}")
+    // the target-sounding raw doc outweighs every genuinely-raw doc
+    assert(w(100L) > w(10L) && w(100L) > w(11L) && w(100L) > w(12L), w.toString)
+    // and raw-domain docs carry negative log-ratio mass
+    assert(w(10L) < 0.0, w.toString)
+  }
+
   test("bloomDecontaminate block hygiene: repeated calls pin nothing") {
     val sc = spark.sparkContext
     val corpus = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "key")
