@@ -606,6 +606,14 @@ object SparkEntry {
         minCosine = 0.35, blockBits = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
     }),
+    // D14 SemDeDup (Abbas et al. 2023): deterministic k-means cells (the
+    // a2-checked Lloyd arithmetic, iters=0), then keep-min-id pruning of
+    // cosine>=0.35 pairs WITHIN each cell only. ~80/500 dropped at sf0.01 —
+    // the cluster-bounded twin of d5's exact pair scan.
+    "d14_semdedup" -> ((s, dir) => {
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, tau = 0.35)
+    }),
     // G5-salted: skew-safe adjacency aggregation (two-phase salted collect_set)
     // must equal the direct aggregate. Array serialized to string for the
     // driver comparator.
@@ -2254,6 +2262,19 @@ object SparkEntry {
           |FROM v a JOIN v b ON a.id < b.id
           |WHERE list_dot_product(a.e, b.e) /
           |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35""".stripMargin.replace("\n", " "),
+      "d14_semdedup" ->
+        """WITH corpus AS (SELECT CAST(vec_id AS VARCHAR) id, embedding::DOUBLE[] v FROM embeddings),
+          |cents AS (SELECT id AS centroid_id, v AS cv FROM corpus ORDER BY id LIMIT 8),
+          |assign AS (SELECT id, centroid_id, v FROM (
+          |    SELECT c.id, cents.centroid_id, c.v,
+          |      row_number() OVER (PARTITION BY c.id ORDER BY list_dot_product(c.v, cents.cv) DESC, cents.centroid_id DESC) rn
+          |    FROM corpus c, cents) t WHERE rn = 1),
+          |drp AS (SELECT DISTINCT a.id FROM assign a JOIN assign b
+          |  ON a.centroid_id = b.centroid_id AND b.id < a.id
+          |  WHERE list_dot_product(a.v, b.v)
+          |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
+          |SELECT a.id AS vec_id, a.centroid_id AS cell, (d.id IS NULL) AS keep
+          |FROM assign a LEFT JOIN drp d ON a.id = d.id""".stripMargin.replace("\n", " "),
       "d6_neardup_blocked" -> {
         // Re-derive the exact hyperplanes used by Dedup.embeddingNearDupPairs
         // (dim 64, blockBits 4) and inline them as SQL literals.

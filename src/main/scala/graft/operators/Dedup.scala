@@ -396,6 +396,39 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means clustering, then
+    * near-duplicate pruning WITHIN each cluster only — the published recipe
+    * for web-scale embedding dedup, where a corpus-wide pair search (even
+    * LSH-blocked) is dominated by the clustering's linear passes. Reuses
+    * [[IvfIndex.build]]'s deterministic Lloyd (seeds = lowest ids, dot-product
+    * assignment, greatest-centroid tiebreak), so cluster assignment is exactly
+    * the a2-oracle-checked arithmetic. Within a cell, row a is dropped when
+    * some b with b.id < a.id (string order — ids are strings per the index
+    * contract) has cosine ≥ τ: the keep-min-id greedy, a total order, so the
+    * survivor set is unique regardless of execution order.
+    *
+    * Scale shape: build = broadcast-assign passes (corpus never self-joins
+    * globally); the pair search is an equi-join ON THE CELL KEY — quadratic
+    * only within a cell, the same bounded-block economics as [[lshCandidatePairs]].
+    * The inverted file is checkpointed once (the one corpus-scale
+    * materialization — it feeds both sides of the self-join); callers free it
+    * with `Bridge.unpersistPlanCheckpoints(result)` after their last action.
+    *
+    * Output: (vec_id, cell, keep) — every input row, survivors flagged true. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, tau: Double, iters: Int = 0): DataFrame = {
+    val inv = IvfIndex.build(df, idCol, vecCol, nClusters, iters)
+      .assignments.localCheckpoint(true) // id, centroid_id, v
+    val dropped = inv.as("a").join(inv.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("b.id") < col("a.id"))
+      .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= tau)
+      .select(col("a.id").as("id")).distinct()
+    inv.select(col("id"), col("centroid_id"))
+      .join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("centroid_id").as("cell"),
+        coalesce(!col("_drop"), lit(true)).as("keep"))
+  }
+
   /** C4-style corpus-level line deduplication: any line whose NORMALIZED form
     * occurs more than `maxOccurrences` times across the whole corpus
     * (boilerplate: headers, footers, nav chrome) is dropped from every

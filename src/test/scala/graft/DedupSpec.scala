@@ -253,6 +253,30 @@ class DedupSpec extends SparkSpec {
     assert(after.isEmpty, s"span token base still pinned: $after")
   }
 
+  test("semDedup: keep-min-id within a cell; cross-cell twins both survive; hygiene") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // ids 1,2: same direction (cos=1) -> same cell -> 2 dropped, 1 kept.
+    // id 3: orthogonal -> own cell, kept. ids 4,5: near-identical directions
+    // but OPPOSITE cells won't happen here (same cluster) — instead 5 is
+    // anti-parallel to 4 (cos=-1): same cell as nothing similar -> kept.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f)), (5L, Seq(0.0f, 0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(emb, "vec_id", "embedding", nClusters = 3, tau = 0.9)
+      .as[(String, String, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.keySet == Set("1", "2", "3", "4", "5"))
+    assert(got("1") && !got("2"), s"min-id must survive: $got")
+    assert(got("3") && got("4") && got("5"), s"non-dups must survive: $got")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"semDedup left ${leaked.size} pinned RDDs")
+    org.apache.spark.sql.graft.Bridge.unpersistPlanCheckpoints(
+      Dedup.semDedup(emb, "vec_id", "embedding", nClusters = 3, tau = 0.9))
+  }
+
   test("connectedComponents plumbs starsMaxRounds to the fallback") {
     // maxIter=1 on a deep chain forces the stars fallback; an absurdly small
     // stars budget must surface the plumbed parameter in the failure, and a
