@@ -951,6 +951,18 @@ object SparkEntry {
         .select(col("doc_id"), round(col("weight"), 4).as("w_r"))
     }),
 
+    // X24 DSIR resampling ACTION: Gumbel-top-k over the x23 log-weights —
+    // sampling k docs without replacement ∝ exp(weight), derandomized via
+    // md5-uniform Gumbel noise. Bounded top-k (TakeOrdered), never a sort.
+    "x24_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          (col("doc_id") % 10 === 0).as("is_target"))
+      val w = CorpusOps.dsirWeights(docs, "doc_id", "toks", "is_target", buckets = 256)
+      CorpusOps.gumbelTopK(w, "doc_id", "weight", k = 50)
+        .select(col("doc_id"), round(col("gkey"), 4).as("gk_r"))
+    }),
+
     // SIM1 sparse TF-IDF cosine via inverted-index join — the sparse twin of
     // d5/d6's dense cosine: pair scores come from joining posting lists on
     // the term key, stop terms (df > 30) pruned BEFORE the self-join.
@@ -1623,6 +1635,24 @@ object SparkEntry {
     val normE = (c: String) => s"trim(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'))"
     val normDoc = normE("text")
     val toksDoc = s"list_filter(string_split($normDoc, ' '), x -> x <> '')"
+    // Shared by x23 (weights) and x24 (resampling action): the DSIR hashed
+    // unigram+bigram LM CTE chain ending in per-doc log-ratio sums `sc`.
+    val dsirCtes =
+      s"""f AS (
+         |  SELECT doc_id, doc_id % 10 = 0 AS t,
+         |         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(list_concat(w,
+         |      list_transform(generate_series(1, greatest(len(w)-1, 0)),
+         |        i -> array_to_string(list_slice(w, i, i+1), ' ')))) AS f
+         |    FROM (SELECT doc_id, $toksDoc AS w FROM documents) d0) s),
+         |g AS (SELECT b, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nr
+         |      FROM f GROUP BY b),
+         |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(nr) AS BIGINT) AS tr FROM g),
+         |lam AS (SELECT b, ln(CAST(nt+1 AS DOUBLE)/CAST(tt+256 AS DOUBLE))
+         |               - ln(CAST(nr+1 AS DOUBLE)/CAST(tr+256 AS DOUBLE)) AS lam FROM g, tot),
+         |pd AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+         |sc AS (SELECT pd.doc_id, sum(pd.c * lam.lam) AS s FROM pd JOIN lam ON pd.b = lam.b GROUP BY 1)""".stripMargin
     val docWords =
       s"""SELECT doc_id, w.word, w.pos FROM (
          |  SELECT doc_id, unnest($toksDoc) AS word,
@@ -2678,24 +2708,20 @@ object SparkEntry {
            |  round(1.0 - CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
            |FROM g JOIN f USING (gram) GROUP BY g.doc_id""".stripMargin.replace("\n", " "),
       "x23_dsir_weights" ->
-        s"""WITH f AS (
-           |  SELECT doc_id, doc_id % 10 = 0 AS t,
-           |         CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b
-           |  FROM (SELECT doc_id, unnest(list_concat(w,
-           |      list_transform(generate_series(1, greatest(len(w)-1, 0)),
-           |        i -> array_to_string(list_slice(w, i, i+1), ' ')))) AS f
-           |    FROM (SELECT doc_id, $toksDoc AS w FROM documents) d0) s),
-           |g AS (SELECT b, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-           |             CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nr
-           |      FROM f GROUP BY b),
-           |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(nr) AS BIGINT) AS tr FROM g),
-           |lam AS (SELECT b, ln(CAST(nt+1 AS DOUBLE)/CAST(tt+256 AS DOUBLE))
-           |               - ln(CAST(nr+1 AS DOUBLE)/CAST(tr+256 AS DOUBLE)) AS lam FROM g, tot),
-           |pd AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
-           |sc AS (SELECT pd.doc_id, sum(pd.c * lam.lam) AS s FROM pd JOIN lam ON pd.b = lam.b GROUP BY 1)
+        s"""WITH $dsirCtes
            |SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS w_r
            |FROM (SELECT DISTINCT doc_id FROM documents) d
            |LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin.replace("\n", " "),
+      "x24_dsir_resample" ->
+        s"""WITH $dsirCtes,
+           |lw AS (SELECT d.doc_id, coalesce(sc.s, 0.0) AS lw
+           |  FROM (SELECT DISTINCT doc_id FROM documents) d
+           |  LEFT JOIN sc ON d.doc_id = sc.doc_id),
+           |ky AS (SELECT doc_id, lw + -ln(-ln(
+           |    (CAST(('0x' || substr(md5('gum' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+           |    / 16777216.0)) AS gk FROM lw)
+           |SELECT doc_id, round(gk, 4) AS gk_r FROM ky
+           |ORDER BY gk DESC, doc_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
       "x21_gopher_rules" ->
         """WITH d AS (SELECT doc_id,
           |    concat(CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END, text,

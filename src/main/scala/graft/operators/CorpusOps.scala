@@ -516,6 +516,27 @@ object CorpusOps {
       .select(col("id").as(idCol), coalesce(col("_s"), lit(0.0)).as("weight"))
   }
 
+  /** Gumbel-top-k resampling — the ACTION behind [[dsirWeights]]: drawing k
+    * docs without replacement with probability ∝ exp(logWeight) is exactly
+    * taking the k largest `logWeight + Gumbel(0,1)` keys (Gumbel-max trick).
+    * The Gumbel noise is derandomized the e7 way — `u = (md5-prefix + ½)/2²⁴`,
+    * `g = −ln(−ln u)` — so the sample is a pure function of the id set and
+    * reproducible across engines, runs, and repartitionings (a resample you
+    * cannot replay is a training set you cannot audit).
+    *
+    * Scale shape: per-row arithmetic + one bounded top-k
+    * (TakeOrdered: per-partition heaps, k-sized driver merge — never a
+    * global sort). Ties broken by id. */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeightCol: String, k: Int,
+      seed: String = "gum"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast("double") + 0.5) / 16777216.0
+    df.select(col(idCol), (col(logWeightCol) + -log(-log(u))).as("gkey"))
+      .orderBy(col("gkey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k vocabulary: token frequencies over the corpus, floor-filtered at
     * `minCount`, ranked by (count desc, token) — the tie order pins the cut
     * boundary deterministically. One explode + one hash aggregate with

@@ -456,6 +456,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(w(10L) < 0.0, w.toString)
   }
 
+  test("gumbelTopK: deterministic, repartition-invariant, dominant weight always sampled") {
+    val n = 200
+    val docs = (1L to n).map(i => (i, if (i == 137L) 100.0 else 0.0)).toDF("doc_id", "lw")
+    val pick = (d: org.apache.spark.sql.DataFrame) =>
+      CorpusOps.gumbelTopK(d, "doc_id", "lw", k = 20)
+        .select("doc_id").as[Long].collect().toSet
+    val a = pick(docs)
+    assert(a.size == 20)
+    assert(a.contains(137L), "a +100-log-weight doc must survive any 20-of-200 draw")
+    assert(pick(docs.repartition(13)) == a, "sample must not depend on partitioning")
+    // k >= n degenerates to the full set
+    assert(pick(docs.limit(5)).size == 5)
+  }
+
   test("bloomDecontaminate block hygiene: repeated calls pin nothing") {
     val sc = spark.sparkContext
     val corpus = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "key")
