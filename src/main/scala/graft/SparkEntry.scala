@@ -251,6 +251,37 @@ object SparkEntry {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
     }),
+    // E9 Matryoshka two-stage KNN (Kusupati et al. 2022, MRL): shortlist on
+    // the 16-dim PREFIX of each embedding (a trained sub-embedding under MRL),
+    // exact full-dim rerank of the top-20 shortlist — the memory-bandwidth
+    // cascade for float vectors (prefix scan touches 1/4 of the bytes), the
+    // float analogue of e8's signature-scan → rerank and pq2's ADC → refine.
+    // Prefix scores are bit-identical across engines (sequential double dot),
+    // so the shortlist cut itself is oracle-exact, not just the final ranks.
+    "e9_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          slice(col("embedding"), 1, 16).as("pfx"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("pfx").as("qp"))
+      val short = emb.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VF.dot(col("pfx"), col("qp")).as("ps"), col("embedding"), col("qe"))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("ps").desc, col("neighbor_id").asc)))
+        .filter(col("prank") <= 20)
+      short
+        .select(col("query_id"), col("neighbor_id"),
+          VF.dot(col("embedding"), col("qe")).as("fs"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("fs").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("fs"), 6).as("score_r"))
+    }),
     // A3 KNN over dequantized int8 vectors — quantized storage, exact scoring
     // of the approximate codes; deterministic, so fully oracle-checkable.
     "a3_quantized_knn" -> ((s, dir) => {
@@ -402,6 +433,24 @@ object SparkEntry {
         .select(col("id").as("part_id"), round(col("pr"), 8).as("pr_r"))
         .orderBy(col("pr_r").desc, col("part_id").asc)
         .limit(50)
+    }),
+    // G14 HITS hubs & authorities (Kleinberg 1999) over the supplier→part
+    // bipartite supply graph (distinct pairs): 2 max-normalized iterations,
+    // top-40 per side by rounded score with id tie-break. Two-sided
+    // centrality pr1's symmetrized PageRank collapses; max-normalization
+    // keeps the normalizer order-independent, so only degree-bounded sums
+    // carry float noise (absorbed at round 6, the pr1 contract).
+    "g14_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      Hits.run(e, iterations = 2)
+        .select(col("role"), col("id"), round(col("score"), 6).as("score_r"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("role"))
+            .orderBy(col("score_r").desc, col("id").asc)))
+        .filter(col("rk") <= 40)
+        .select(col("role"), col("id"), col("score_r"))
     }),
 
     // ------------------------------------------------- §2.8 eviction/assembly (V)
@@ -877,6 +926,20 @@ object SparkEntry {
       val evalSet = docs.filter(col("doc_id") % 7 === 0).select(col("key"))
       CorpusOps.bloomDecontaminate(docs, "key", evalSet, "key", fpp = 0.01)
         .select(col("doc_id"))
+    }),
+    // X25 SEMANTIC decontamination — the embedding-cosine twin of x20's
+    // exact-key bloom path: flag corpus vectors within cosine 0.35 of ANY
+    // benchmark vector (vec_id < 48 plays the eval set), the defense against
+    // paraphrased eval leakage that exact matching misses. The benchmark
+    // side rides as ONE driver literal (eval-sized by contract), so the
+    // corpus pass is a single narrow projection — no join, no shuffle.
+    "x25_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      CorpusOps.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 48), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 48), "embedding", tau = 0.35)
+        .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos_r"),
+          col("keep"))
     }),
 
     // X21 Gopher-style rule gate (Rae et al. 2021 §A1.1): word-count bounds,
@@ -1572,6 +1635,37 @@ object SparkEntry {
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+    // Q7-shaped volume shipping: bidirectional trade flow between two
+    // nations by ship year. The nation filter is pushed INTO the dimension
+    // build (supplier/customer joined to the 2-row nation slice FIRST), so
+    // the broadcast into the fact scan prunes lineitem to the ~8% of rows
+    // with a qualifying supplier before the orders fact-fact join — the
+    // dimension-filter-pushdown shape that matters at 100 TB, where
+    // filtering after the fact joins would shuffle the whole table.
+    "q7_volume" -> ((s, dir) => {
+      val nat2 = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup2 = t(s, dir, "supplier")
+        .join(broadcast(nat2.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust2 = t(s, dir, "customer")
+        .join(broadcast(nat2.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+      li.join(broadcast(sup2), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust2), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -1912,6 +2006,21 @@ object SparkEntry {
           |  SELECT query_id, neighbor_id, hamming,
           |         row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
           |  FROM scored) r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "e9_matryoshka" ->
+        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, (embedding::DOUBLE[])[1:16] AS p FROM embeddings),
+          |q AS (SELECT vec_id AS qid, e AS qe, p AS qp FROM v WHERE vec_id < 8),
+          |c AS (SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+          |        list_dot_product(v.p, q.qp) AS ps, v.e, q.qe
+          |      FROM v CROSS JOIN q WHERE v.vec_id >= 8),
+          |shortl AS (SELECT query_id, neighbor_id, e, qe FROM (
+          |    SELECT query_id, neighbor_id, e, qe,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, neighbor_id ASC) AS prank
+          |    FROM c) t WHERE prank <= 20),
+          |f AS (SELECT query_id, neighbor_id, list_dot_product(e, qe) AS fs FROM shortl)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(fs, 6) AS score_r FROM (
+          |  SELECT query_id, neighbor_id, fs,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY fs DESC, neighbor_id ASC) AS rank
+          |  FROM f) t WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "a3_quantized_knn" ->
         """WITH pre AS (
           |  SELECT vec_id,
@@ -2119,6 +2228,23 @@ object SparkEntry {
           |  FROM tp LEFT JOIN c3 c ON c.id = tp.id)
           |SELECT id AS part_id, round(pr, 8) AS pr_r FROM r3
           |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      "g14_hits" ->
+        """WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+          |h0 AS (SELECT DISTINCT src AS id, 1.0::DOUBLE AS s FROM e),
+          |a1r AS MATERIALIZED (SELECT e.dst AS id, sum(h.s) AS s FROM e JOIN h0 h ON e.src = h.id GROUP BY e.dst),
+          |a1 AS MATERIALIZED (SELECT id, s / (SELECT max(s) FROM a1r) AS s FROM a1r),
+          |h1r AS MATERIALIZED (SELECT e.src AS id, sum(a.s) AS s FROM e JOIN a1 a ON e.dst = a.id GROUP BY e.src),
+          |h1 AS MATERIALIZED (SELECT id, s / (SELECT max(s) FROM h1r) AS s FROM h1r),
+          |a2r AS MATERIALIZED (SELECT e.dst AS id, sum(h.s) AS s FROM e JOIN h1 h ON e.src = h.id GROUP BY e.dst),
+          |a2 AS MATERIALIZED (SELECT id, s / (SELECT max(s) FROM a2r) AS s FROM a2r),
+          |h2r AS MATERIALIZED (SELECT e.src AS id, sum(a.s) AS s FROM e JOIN a2 a ON e.dst = a.id GROUP BY e.src),
+          |h2 AS MATERIALIZED (SELECT id, s / (SELECT max(s) FROM h2r) AS s FROM h2r),
+          |u AS (SELECT 'hub' AS role, id, round(s, 6) AS score_r FROM h2
+          |      UNION ALL SELECT 'auth' AS role, id, round(s, 6) AS score_r FROM a2)
+          |SELECT role, id, score_r FROM (
+          |  SELECT role, id, score_r,
+          |    row_number() OVER (PARTITION BY role ORDER BY score_r DESC, id ASC) AS rk
+          |  FROM u) t WHERE rk <= 40""".stripMargin.replace("\n", " "),
       "v1_eviction" ->
         """SELECT o_custkey,
           |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,
@@ -2658,6 +2784,16 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, md5($normDoc) AS key FROM documents),
            |ev AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0)
            |SELECT doc_id FROM d WHERE key NOT IN (SELECT key FROM ev)""".stripMargin.replace("\n", " "),
+      "x25_semantic_decontaminate" ->
+        """WITH tset AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 48),
+          |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 48),
+          |m AS (SELECT c.vec_id,
+          |    max(CASE WHEN sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(t.e, t.e)) = 0
+          |             THEN 0.0
+          |             ELSE list_dot_product(c.e, t.e)
+          |                  / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(t.e, t.e))) END) AS mc
+          |  FROM c CROSS JOIN tset t GROUP BY c.vec_id)
+          |SELECT vec_id, round(mc, 6) AS max_cos_r, mc < 0.35 AS keep FROM m""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram
@@ -2949,7 +3085,26 @@ object SparkEntry {
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |JOIN nation ON s_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
-          |GROUP BY r_name, n_name""".stripMargin.replace("\n", " ")
+          |GROUP BY r_name, n_name""".stripMargin.replace("\n", " "),
+      "q7_volume" ->
+        """SELECT supp_nation, cust_nation, l_year,
+          |  round(sum(volume), 2) AS revenue, count(*) AS n_items
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+          |    l.l_extendedprice * (1 - l.l_discount) AS volume
+          |  FROM lineitem l
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+          |    AND n1.n_name <> n2.n_name
+          |    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          |    AND l.l_shipdate < TIMESTAMP '1997-01-01') t
+          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", " ")
     )
   }
 }

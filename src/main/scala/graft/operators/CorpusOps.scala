@@ -445,6 +445,67 @@ object CorpusOps {
     corpus.filter(!might).unionByName(candidates.select(corpus.columns.map(col): _*))
   }
 
+  /** Semantic (embedding-cosine) decontamination — the fuzzy twin of
+    * [[bloomDecontaminate]]: where the bloom path removes corpus rows whose
+    * KEY exactly matches a benchmark row, this removes rows whose EMBEDDING
+    * is within cosine `tau` of any benchmark embedding — the defense against
+    * paraphrased/reformatted eval leakage that exact n-gram matching misses
+    * (the decontamination gap documented by Yang et al. 2023, "Rethinking
+    * Benchmark and Contamination").
+    *
+    * Scale shape: the benchmark side is collected to the driver and inlined
+    * as ONE array-of-arrays literal (driver-bounded by construction — eval
+    * sets are thousands of rows where the corpus is billions; `maxTestVecs`
+    * fails fast on misuse), so the corpus pass is a single narrow projection:
+    * no join, no shuffle, no broadcast exchange — each row folds over the
+    * literal with codegen'd higher-order functions. This is the same
+    * "few-MB build side vs corpus-wide shuffle" trade as the bloom sketch.
+    *
+    * Arithmetic contract: cosine = dot/(‖a‖·‖b‖) with every term computed
+    * engine-side in double precision and left-to-right sums (DotProduct ≡
+    * DuckDB's list_dot_product), so an oracle reproduces the doubles
+    * bit-for-bit; max over identical doubles is order-independent. Zero
+    * vectors on either side score 0 (never NaN). The corpus norm is
+    * projected as a named column BEFORE the fold — inlined, Catalyst's
+    * lambda rewrite would re-evaluate it once per benchmark vector.
+    *
+    * Output: one row per corpus row — (<idCol>, max_cos, keep), keep =
+    * max_cos < tau. Callers filter on `keep`; emitting the flag rather than
+    * dropping makes the removal auditable (what was cut, and how close). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+      testVecs: DataFrame, testVecCol: String, tau: Double,
+      maxTestVecs: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows = testVecs.select(col(testVecCol)).collect()
+    require(rows.length <= maxTestVecs,
+      s"semanticDecontaminate: ${rows.length} benchmark vectors exceed the " +
+        s"driver-literal bound $maxTestVecs — this path is for eval-sized " +
+        "build sides; shard the benchmark or raise the bound explicitly")
+    require(rows.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    // float -> double widening is exact, so the literal carries the same
+    // values DuckDB's embedding::DOUBLE[] produces
+    val lits: Seq[Seq[Double]] = rows.toSeq.map { r =>
+      r.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case x         => x.toString.toDouble
+      }
+    }
+    val tlit = typedlit(lits)
+    val v = col(vecCol)
+    val withNorm = corpus.withColumn("_nv",
+      sqrt(graft.functions.VectorFunctions.dot(v, v)))
+    val cos = (tv: Column) => {
+      val denom = col("_nv") * sqrt(graft.functions.VectorFunctions.dot(tv, tv))
+      when(denom === 0.0, lit(0.0))
+        .otherwise(graft.functions.VectorFunctions.dot(v, tv) / denom)
+    }
+    withNorm
+      .withColumn("max_cos",
+        aggregate(tlit, lit(-1.0d), (acc, tv) => greatest(acc, cos(tv))))
+      .select(col(idCol), col("max_cos"), (col("max_cos") < tau).as("keep"))
+  }
+
   /** Model-based quality scoring — the linear text-classifier filter of
     * C4/fastText-style curation: score(doc) = bias + Σ_t w(t) · tf(t, doc)
     * over a (token, weight) model table. The corpus side aggregates term

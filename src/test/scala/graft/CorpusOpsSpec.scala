@@ -470,6 +470,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pick(docs.limit(5)).size == 5)
   }
 
+  test("semanticDecontaminate: cosine threshold flags near-duplicates of the eval set") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // exact match of t1 -> cos 1.0
+      (2L, Seq(0.9, 0.1, 0.0)),   // near t1
+      (3L, Seq(0.0, 0.0, 1.0)),   // orthogonal to both
+      (4L, Seq(0.0, 0.0, 0.0))    // zero vector -> cos 0, never NaN
+    ).toDF("id", "vec")
+    val evalSet = Seq(Tuple1(Seq(1.0, 0.0, 0.0)), Tuple1(Seq(0.0, 1.0, 0.0))).toDF("e")
+    val got = CorpusOps.semanticDecontaminate(corpus, "id", "vec", evalSet, "e", tau = 0.8)
+      .as[(Long, Double, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(math.abs(got(1L)._1 - 1.0) < 1e-12 && !got(1L)._2)
+    assert(got(2L)._1 > 0.8 && !got(2L)._2)
+    assert(math.abs(got(3L)._1) < 1e-12 && got(3L)._2)
+    assert(got(4L)._1 == 0.0 && got(4L)._2, "zero vector must score 0, not NaN")
+  }
+
+  test("semanticDecontaminate: driver-literal bound and empty eval set fail fast") {
+    val corpus = Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val big = (0 until 10).map(i => Tuple1(Seq(i.toDouble, 1.0))).toDF("e")
+    intercept[IllegalArgumentException] {
+      CorpusOps.semanticDecontaminate(corpus, "id", "vec", big, "e", 0.5, maxTestVecs = 5)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.semanticDecontaminate(corpus, "id", "vec", big.limit(0), "e", 0.5)
+    }
+  }
+
+  test("semanticDecontaminate: no join or shuffle in the corpus pass (literal fold)") {
+    val corpus = (0L until 50L).map(i => (i, Seq(i.toDouble, 1.0, 2.0))).toDF("id", "vec")
+    val evalSet = Seq(Tuple1(Seq(1.0, 1.0, 2.0))).toDF("e")
+    val plan = CorpusOps.semanticDecontaminate(corpus, "id", "vec", evalSet, "e", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corpus pass must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"corpus pass must not shuffle:\n$plan")
+  }
+
   test("bloomDecontaminate block hygiene: repeated calls pin nothing") {
     val sc = spark.sparkContext
     val corpus = (0L until 100L).map(i => (i, s"k$i")).toDF("id", "key")

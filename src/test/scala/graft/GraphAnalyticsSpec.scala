@@ -236,4 +236,61 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got("hub") == 20L) // hub corners every rim triangle
     assert((1 to 20).forall(i => got(s"n$i") == 2L), got) // each rim node in 2
   }
+
+  // ------------------------------------------------------------------ HITS
+  test("hits: star graph — center is the sole max on its side, max-normalized to 1") {
+    import graft.operators.Hits
+    // leaves point AT the hub: hub is the one authority, leaves are hubs
+    val star = (1 to 10).map(i => (s"leaf$i", "center")).toDF("src", "dst")
+    val r = Hits.run(star, iterations = 3)
+      .as[(String, String, Double)].collect()
+      .groupBy(_._1).map { case (role, rs) => role -> rs.map(t => t._2 -> t._3).toMap }
+    assert(r("auth") == Map("center" -> 1.0))
+    assert(r("hub").keySet == (1 to 10).map(i => s"leaf$i").toSet)
+    assert(r("hub").values.forall(_ == 1.0)) // symmetric leaves all tie at max
+  }
+
+  test("hits: authority ranks by referrer quality, not raw in-degree") {
+    import graft.operators.Hits
+    // g is cited once by a strong hub (h cites 3 well-cited pages);
+    // p is cited twice but only by weak hubs that cite nothing else popular.
+    val edges = Seq(
+      ("h", "a"), ("h", "b"), ("h", "g"),   // strong hub h
+      ("w1", "p"), ("w2", "p"),             // weak hubs w1, w2
+      ("h2", "a"), ("h2", "b")              // h2 reinforces a,b => h stays strong
+    ).toDF("src", "dst")
+    val auth = Hits.run(edges, iterations = 5)
+      .filter(col("role") === "auth").select("id", "score")
+      .as[(String, Double)].collect().toMap
+    assert(auth("a") > auth("p") && auth("b") > auth("p"),
+      s"well-referred pages must outrank raw-degree p: $auth")
+    assert(auth("g") > 0.0 && auth.values.max == 1.0)
+  }
+
+  test("hits: scores are invariant to edge-list partitioning and duplicates-free input order") {
+    import graft.operators.Hits
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ => (s"s${rnd.nextInt(15)}", s"d${rnd.nextInt(15)}"))
+      .distinct.toDF("src", "dst")
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      Hits.run(df, iterations = 2)
+        .select(col("role"), col("id"), round(col("score"), 9).as("s"))
+        .as[(String, String, Double)].collect().toSet
+    assert(norm(edges) == norm(edges.repartition(11).sortWithinPartitions("dst")))
+  }
+
+  test("hits: block hygiene — only the returned checkpoint is pinned; freeing it leaves nothing") {
+    import graft.operators.Hits
+    import org.apache.spark.sql.graft.Bridge
+    val sc = spark.sparkContext
+    val edges = (1 to 60).map(i => (s"s${i % 8}", s"d${i % 11}")).distinct.toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    for (_ <- 0 until 3) {
+      val r = Hits.run(edges, iterations = 2)
+      r.count()
+      Bridge.unpersistCheckpoint(r) // the documented caller-must-free contract
+    }
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"Hits.run leaked ${leaked.size} pinned RDDs beyond its result")
+  }
 }
