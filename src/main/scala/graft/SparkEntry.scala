@@ -379,10 +379,7 @@ object SparkEntry {
     // top-50 by rounded rank with id tie-break. Scale shape: one edge
     // materialization + (join + hash agg) per iteration; see PageRank.scala.
     "pr1_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = PageRank.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-      PageRank.run(edges, iterations = 3)
+      PageRank.run(coEdges(s, dir), iterations = 3)
         .select(col("id").as("part_id"), round(col("pr"), 8).as("pr_r"))
         .orderBy(col("pr_r").desc, col("part_id").asc)
         .limit(50)
@@ -395,10 +392,7 @@ object SparkEntry {
     // stay non-degenerate); budget 8 with early exit, so the Spark loop and
     // the oracle's 8 unrolled rounds agree by monotonicity.
     "g12_kcore_layers" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = PageRank.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
-      KCore.peelLayers(edges, k = 80, maxRounds = 8)
+      KCore.peelLayers(coEdges(s, dir), k = 80, maxRounds = 8)
         .select(col("id").as("part_id"), col("layer"))
     }),
 
@@ -410,10 +404,7 @@ object SparkEntry {
     // sides — synchronous LPA need not converge (bipartite-ish regions
     // oscillate), so the oracle unrolls exactly the same round count.
     "g13_labelprop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = PageRank.cooccurrenceEdgesMinCount(li, "l_orderkey", "l_partkey", 2)
-      LabelPropagation.run(edges, rounds = 4)
+      LabelPropagation.run(coEdges(s, dir, minGroups = 2), rounds = 4)
         .select(col("id").as("part_id"), col("label"))
     }),
 
@@ -424,12 +415,9 @@ object SparkEntry {
     // of the question). Same per-iteration plan as pr1: node-sized broadcast
     // + one map-side-combined aggregation; oracle = 3 unrolled CTE rounds.
     "pr2_personalized" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = PageRank.cooccurrenceEdges(li, "l_orderkey", "l_partkey")
       val seeds = t(s, dir, "part")
         .filter(col("p_partkey") % 100 === 0).select(col("p_partkey"))
-      PageRank.personalized(edges, seeds, iterations = 3)
+      PageRank.personalized(coEdges(s, dir), seeds, iterations = 3)
         .select(col("id").as("part_id"), round(col("pr"), 8).as("pr_r"))
         .orderBy(col("pr_r").desc, col("part_id").asc)
         .limit(50)
@@ -1678,6 +1666,52 @@ object SparkEntry {
     * query many"). Rebuilt transparently if a harness freed the blocks
     * (Bench's per-query cleanup does — its warm-up pre-builds this frame so
     * the lexical queries then share it as pre-existing infrastructure). */
+  /** Shared part co-occurrence pair table for the graph-analytics family
+    * (pr1/pr2/g12/g13): canonical (src < dst) part pairs sharing a lineitem
+    * order, with their distinct-order multiplicity `_m`, checkpointed once
+    * per (session, sfDir). The corpus-scale work — the per-order collect_set
+    * aggregate, the quadratic pair fan-out, the pair-dedup shuffle — is
+    * IDENTICAL across PageRank / personalized PR / k-core / label
+    * propagation; a real engine materializes the graph once and runs every
+    * centrality/community pass over it ("build the graph once, analyze
+    * many"), exactly the [[lexTokens]] index-once contract. Each query then
+    * derives its edge view narrowly: both directions via one generator, the
+    * g13 sparsifier as a `_m >= n` filter first. */
+  private val coPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame = {
+    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
+    coPairCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(coPairCache.remove)
+    coPairCache.synchronized {
+      coPairCache.get((s, dir)).filter(alive).getOrElse {
+        val fresh = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("_items"))
+          .select(explode(col("_items")).as("src"), col("_items"))
+          .select(col("src"), explode(col("_items")).as("dst"))
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("_m"))
+          .localCheckpoint(true)
+        coPairCache((s, dir)) = fresh
+        fresh
+      }
+    }
+  }
+
+  /** Symmetric duplicate-free edge view of [[coPairs]] (optionally
+    * sparsified to pairs sharing >= `minGroups` orders) — the
+    * [[graft.operators.PageRank.cooccurrenceEdges]] contract, derived
+    * narrowly from the shared pair table. */
+  private def coEdges(s: SparkSession, dir: String, minGroups: Int = 1): DataFrame =
+    coPairs(s, dir)
+      .filter(col("_m") >= minGroups)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+
   private val lexTokenCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def lexTokens(s: SparkSession, dir: String): DataFrame = {
