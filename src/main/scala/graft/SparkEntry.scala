@@ -441,6 +441,20 @@ object SparkEntry {
         .select(col("role"), col("id"), col("score_r"))
     }),
 
+    // G15 Adamic-Adar link prediction on the SPARSIFIED co-occurrence graph
+    // (the g13 base): top-50 predicted absent edges by AA score — the
+    // knowledge-graph-completion signal (entity pairs sharing selective
+    // neighbors but no direct edge = the relations an extraction pass most
+    // likely missed). Center-degree cap 64 bounds the wedge table; rounded
+    // to 6 (the pr1 float-noise contract), pair-asc tie-break.
+    "g15_adamic_adar" -> ((s, dir) => {
+      LinkPrediction.adamicAdar(coEdges(s, dir, minGroups = 2), maxHubDegree = 64)
+        .select(col("src"), col("dst"), col("common"),
+          round(col("aa"), 6).as("aa_r"))
+        .orderBy(col("aa_r").desc, col("src").asc, col("dst").asc)
+        .limit(50)
+    }),
+
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
     // per customer: >20 orders ⇒ top-20 by totalprice; else ALL sorted by orderkey.
@@ -2279,6 +2293,26 @@ object SparkEntry {
           |  SELECT role, id, score_r,
           |    row_number() OVER (PARTITION BY role ORDER BY score_r DESC, id ASC) AS rk
           |  FROM u) t WHERE rk <= 40""".stripMargin.replace("\n", " "),
+      // g15: wedges routed through the center w (degree-capped at 64 BEFORE
+      // the join, carrying deg(w) on the row), aggregated per canonical
+      // (u < v) pair, known edges anti-joined out, AA rounded at 6 (pr1
+      // float contract). Base graph = the g13 sparsified co-occurrence.
+      "g15_adamic_adar" ->
+        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+          |wed AS (SELECT l1.src AS u, l2.dst AS v, dw.d AS dw
+          |  FROM e0 l1 JOIN deg dw ON dw.src = l1.dst AND dw.d <= 64
+          |  JOIN e0 l2 ON l2.src = l1.dst AND l1.src < l2.dst),
+          |agg AS (SELECT u, v, count(*) AS common, sum(1.0::DOUBLE / ln(dw)) AS aa
+          |  FROM wed GROUP BY u, v),
+          |cand AS (SELECT g.u, g.v, g.common, g.aa FROM agg g
+          |  LEFT JOIN c0 k ON k.u = g.u AND k.v = g.v WHERE k.u IS NULL)
+          |SELECT u AS src, v AS dst, common, round(aa, 6) AS aa_r FROM cand
+          |ORDER BY aa_r DESC, src ASC, dst ASC LIMIT 50""".stripMargin.replace("\n", " "),
       "v1_eviction" ->
         """SELECT o_custkey,
           |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,

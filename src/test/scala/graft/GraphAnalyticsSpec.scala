@@ -172,6 +172,36 @@ class GraphAnalyticsSpec extends SparkSpec {
       KCore.peelLayers(sym, k = 2, maxRounds = 10))
   }
 
+  test("adamic-adar: scores match brute force, known edges excluded, hub cap prunes") {
+    import graft.operators.LinkPrediction
+    // square a-b-c-d-a (so (a,c) and (b,d) are the distance-2 non-edges)
+    // plus hub h wired to everything: with the cap admitting h, (a,c) gets
+    // 1/ln2 + 1/ln2 (via b, d) + 1/ln4 (via h); capping at 3 removes h's
+    // wedge contributions entirely.
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"))
+    val sym = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    def scores(cap: Int): Map[(String, String), (Long, Double)] =
+      LinkPrediction.adamicAdar(sym, maxHubDegree = cap)
+        .as[(String, String, Long, Double)].collect()
+        .map { case (u, v, c, aa) => (u, v) -> (c, aa) }.toMap
+    val full = scores(cap = 4)
+    // deg: a,b,c,d = 3 (two square neighbors + h), h = 4
+    val viaSquare = 1.0 / math.log(3)
+    val viaHub = 1.0 / math.log(4)
+    assert(full.keySet == Set(("a", "c"), ("b", "d")), full.keySet)
+    val (cAC, aaAC) = full(("a", "c"))
+    assert(cAC == 3L)
+    assert(math.abs(aaAC - (2 * viaSquare + viaHub)) < 1e-12)
+    // capping below deg(h) drops the hub-routed wedges, keeps the rest
+    val capped = scores(cap = 3)
+    assert(capped(("a", "c"))._1 == 2L)
+    assert(math.abs(capped(("a", "c"))._2 - 2 * viaSquare) < 1e-12)
+    // no predicted pair may be a known edge
+    val known = und.map { case (u, v) => if (u < v) (u, v) else (v, u) }.toSet
+    assert(full.keySet.intersect(known).isEmpty)
+  }
+
   test("label propagation: bridged cliques stay separate communities; hygiene") {
     import graft.operators.LabelPropagation
     val sc = spark.sparkContext
