@@ -944,6 +944,22 @@ object SparkEntry {
           col("keep"))
     }),
 
+    // X26 leakage-safe (cluster-aware) split: near-dup clusters from the d8
+    // LSH pipeline hash through their cluster REPRESENTATIVE, so no cluster
+    // straddles train/eval; singletons hash as themselves (identical to x5
+    // where no duplication exists). Output: per-split doc and cluster
+    // counts — the mixture a cluster-aware splitter actually produces.
+    "x26_cluster_split" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 6, shingleSize = 3)
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
+      DatasetSplit.assignSplitLeakageSafe(t(s, dir, "documents"), "doc_id", pairs,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_clusters"))
+    }),
+
     // X21 Gopher-style rule gate (Rae et al. 2021 §A1.1): word-count bounds,
     // mean word length, alpha-word fraction, required-stopword kinds,
     // bullet/ellipsis line fractions, AND'd into one pass/fail bit. Bullet
@@ -2446,6 +2462,15 @@ object SparkEntry {
       "d8_dedup_clusters" -> ccClustersSql,
       // identical answer, different distributed algorithm under test
       "d9_stars_clusters" -> ccClustersSql,
+      // x26: the d8 cluster map as a subquery; every doc hashes through
+      // coalesce(cluster rep, own id) with the x5 md5-bucket arithmetic.
+      "x26_cluster_split" ->
+        s"""SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters FROM (
+           |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, rep FROM (
+           |    SELECT coalesce(c.rep_id, d.doc_id) AS rep,
+           |      CAST(('0x' || substr(md5(CAST(coalesce(c.rep_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+           |    FROM documents d LEFT JOIN ($ccClustersSql) c ON c.id = d.doc_id) t) g
+           |GROUP BY 1""".stripMargin.replace("\n", " "),
       "d3_simhash" ->
         """WITH tok AS (
           |  SELECT doc_id AS id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h

@@ -28,4 +28,31 @@ object DatasetSplit {
     }
     df.withColumn("split", expr)
   }
+
+  /** Leakage-safe split: near-duplicate documents must NOT straddle the
+    * train/eval boundary — a test doc whose near-twin sits in train is
+    * memorized contamination that no post-hoc decontamination join catches
+    * (the texts differ; the content doesn't). The standard fix is to split
+    * by DUP-CLUSTER, not by row: every member of a near-dup cluster hashes
+    * through its cluster representative, so the whole cluster lands in one
+    * split; singleton docs hash through their own id, which keeps the split
+    * identical to [[assignSplit]] wherever no duplication exists.
+    *
+    * `pairs`: near-dup candidate pairs (`id_a`, `id_b`) from any detector
+    * ([[Dedup.lshCandidatePairs]], [[Dedup.embeddingNearDupPairs]], ...).
+    * Clusters are their connected components ([[Dedup.connectedComponents]]
+    * — auto-falls back to the O(log n) star algorithm on deep chains), a
+    * pair-sized structure joined back to the corpus once: no corpus-scale
+    * shuffle beyond the one id-keyed join. Adds `rep` (the cluster
+    * representative the hash used) and `split`.
+    */
+  def assignSplitLeakageSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val reps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("rep_id"))
+    val withRep = df.join(reps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep_id"), col(idCol)))
+      .drop("rep_id")
+    assignSplit(withRep, "rep", weights)
+  }
 }

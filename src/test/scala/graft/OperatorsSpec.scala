@@ -257,6 +257,30 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("leakage-safe split: clusters never straddle, singletons match plain split") {
+    import graft.operators.DatasetSplit
+    val df = (0 until 500).map(i => (i.toLong, s"row $i")).toDF("id", "text")
+    // chain clusters {0,1,2} and {10,500->no: keep ids in range} {10,11};
+    // transitivity must hold through the chain
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val sp = DatasetSplit.assignSplitLeakageSafe(df, "id", pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val bySplit = sp.select("id", "split", "rep").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // every cluster member shares its cluster-mates' split AND rep
+    assert(Set(bySplit(0L), bySplit(1L), bySplit(2L)).size == 1)
+    assert(Set(bySplit(10L), bySplit(11L)).size == 1)
+    assert(bySplit(0L)._2 == 0L && bySplit(10L)._2 == 10L) // min-id rep
+    // singletons (everything else) are assigned exactly as the plain split
+    val plain = DatasetSplit.assignSplit(df, "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L)
+    df.collect().map(_.getLong(0)).filterNot(clustered).foreach { i =>
+      assert(bySplit(i)._1 == plain(i), s"singleton $i moved split")
+    }
+  }
+
   // -------------------------------------------------------------- multimodal
   test("multimodal: asset schema, stubbed feature extraction, frame sampling") {
     val docs = Seq(("d1", "x" * 1000), ("d2", "short")).toDF("doc_id", "text")
