@@ -123,26 +123,35 @@ object Bench {
     // profiling run. min of 2: the first re-run can still absorb stragglers
     // of the suite's final GC.
     val warm = if (wanted.isEmpty && results.contains("rag_pipeline")) {
-      val fn = SparkEntry.queries("rag_pipeline")
-      // Only SUCCESSFUL runs may publish a time: a crashed warm re-run's
-      // time-to-failure would otherwise win the min and indict the in-suite
-      // number with a bogus fast "warm" twin — the exact confusion this
-      // cross-check exists to remove. All-failed → warm = -1 (visible, not
-      // silently absent-but-plausible).
-      val secs = (1 to 2).flatMap { _ =>
-        val pre = spark.sparkContext.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case NonFatal(e) =>
-          System.err.println(s"[bench-warm] rag_pipeline re-run failed: $e"); false }
-        val s = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => pre.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
-        System.gc()
-        if (ok) Some(s) else None
+      // Warm cross-check twins: the flagship plus this run's slowest three
+      // other queries — exactly the rows a reader would question. An
+      // in-suite reading far above its own warm twin indicts the box or
+      // session state, not the plan; a twin that AGREES certifies the
+      // in-suite number. Only SUCCESSFUL runs may publish a time: a crashed
+      // warm re-run's time-to-failure would otherwise win the min and
+      // indict the in-suite number with a bogus fast twin — the exact
+      // confusion this cross-check exists to remove. All-failed → -1
+      // (visible, not silently absent-but-plausible).
+      val suspects = "rag_pipeline" +:
+        results.filterNot(_._1 == "rag_pipeline").toSeq.sortBy(-_._2).take(3).map(_._1)
+      val twins = suspects.map { name =>
+        val fn = SparkEntry.queries(name)
+        val secs = (1 to 2).flatMap { _ =>
+          val pre = spark.sparkContext.getPersistentRDDs.keySet
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench-warm] $name re-run failed: $e"); false }
+          val s = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => pre.contains(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          System.gc()
+          if (ok) Some(s) else None
+        }
+        s"\"$name\":${if (secs.nonEmpty) secs.min else -1}"
       }
-      s""","warm":{"rag_pipeline":${if (secs.nonEmpty) secs.min else -1}}"""
+      twins.mkString(""","warm":{""", ",", "}")
     } else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm,"sf":"$sfDir"}"""
     println(line)

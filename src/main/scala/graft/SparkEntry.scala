@@ -1272,6 +1272,35 @@ object SparkEntry {
           round(col("hll_est"), 4).as("hll_est_r"))
     }),
 
+    // CS5 sketch-based overlap pre-check: HLL inclusion-exclusion estimate
+    // of |train ∩ test| distinct content fingerprints (the x9 corpus with
+    // its injected shifted duplicates, so real overlap exists), beside the
+    // exact intersection count — estimate and truth in one row, the go/no-go
+    // signal a pipeline consults BEFORE paying an exact decontamination
+    // pass. All three estimate terms derive from ONE register table (union
+    // sketch = max-merge), the mergeability cs3's property test pins.
+    "cs5_hll_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val fp = docs.unionByName(dups)
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.fingerprintT(col("toks")).as("fp"))
+      val sp = DatasetSplit.assignSplit(fp, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val est = CorpusOps.hllOverlapEstimate(sp, "split", "fp", "train", "test")
+      val tr = sp.filter(col("split") === "train").select("fp").distinct()
+      val te = sp.filter(col("split") === "test").select("fp").distinct()
+      val exact = tr.join(te, Seq("fp"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_overlap"))
+      est.crossJoin(exact) // 1x1-row scalar assembly
+        .select(round(col("est_a"), 4).as("est_train"),
+          round(col("est_b"), 4).as("est_test"),
+          round(col("est_union"), 4).as("est_union"),
+          round(col("est_overlap"), 4).as("est_overlap"),
+          col("n_exact_overlap"))
+    }),
+
     // X19 deterministic epoch shuffle: reproducible global training order by
     // md5(seed‖id), ranked with the two-phase prefix sum (no global window).
     "x19_epoch_shuffle" -> ((s, dir) => {
@@ -2927,6 +2956,41 @@ object SparkEntry {
            |SELECT x.lang, x.kind, CAST(x.n_exact AS BIGINT) AS n_exact,
            |  round(CASE WHEN e.raw <= 160.0 AND e.v > 0 THEN 64.0 * ln(64.0 / e.v) ELSE e.raw END, 4) AS hll_est_r
            |FROM x JOIN e ON x.lang = e.lang AND x.kind = e.kind""".stripMargin.replace("\n", " "),
+      // cs5: three HLL estimates from one register CTE (union = max-merge of
+      // the per-split registers — the mergeability the estimate leans on),
+      // overlap by inclusion-exclusion clamped at 0, exact intersection
+      // beside it. Register/fold arithmetic identical to cs3's.
+      "cs5_hll_overlap" ->
+        s"""WITH un AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+           |fps AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksDoc)), ' ')) AS fp FROM un),
+           |sp AS (SELECT fp, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT fp, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM fps) t),
+           |v2 AS (SELECT split, fp FROM sp WHERE split IN ('train', 'test')),
+           |h AS (SELECT split, CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) AS h FROM v2),
+           |r AS (SELECT split, h % 64 AS b,
+           |    max(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END) AS m
+           |  FROM h GROUP BY 1, 2),
+           |ru AS (SELECT b, max(m) AS m FROM r GROUP BY 1),
+           |s1 AS (SELECT split,
+           |    CAST(sum(1::BIGINT << CAST(55 - m AS INTEGER)) AS BIGINT) + (64 - count(*)) * (1::BIGINT << 55) AS s,
+           |    64 - count(*) AS v FROM r GROUP BY 1),
+           |e1 AS (SELECT split, CASE WHEN raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v) ELSE raw END AS est
+           |  FROM (SELECT split, 0.709::DOUBLE * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE) AS raw, v FROM s1) q),
+           |su AS (SELECT CAST(sum(1::BIGINT << CAST(55 - m AS INTEGER)) AS BIGINT) + (64 - count(*)) * (1::BIGINT << 55) AS s,
+           |    64 - count(*) AS v FROM ru),
+           |eu AS (SELECT CASE WHEN raw <= 160.0 AND v > 0 THEN 64.0 * ln(64.0 / v) ELSE raw END AS est
+           |  FROM (SELECT 0.709::DOUBLE * 4096.0 * 36028797018963968.0 / CAST(s AS DOUBLE) AS raw, v FROM su) q),
+           |ex AS (SELECT count(*) AS n FROM (
+           |  SELECT DISTINCT fp FROM v2 WHERE split = 'train'
+           |  INTERSECT SELECT DISTINCT fp FROM v2 WHERE split = 'test') i)
+           |SELECT round(ta.est, 4) AS est_train, round(tb.est, 4) AS est_test,
+           |  round(eu.est, 4) AS est_union,
+           |  round(greatest(ta.est + tb.est - eu.est, 0.0), 4) AS est_overlap,
+           |  CAST(ex.n AS BIGINT) AS n_exact_overlap
+           |FROM (SELECT est FROM e1 WHERE split = 'train') ta,
+           |     (SELECT est FROM e1 WHERE split = 'test') tb, eu, ex""".stripMargin.replace("\n", " "),
       "x22_novelty" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
            |g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),

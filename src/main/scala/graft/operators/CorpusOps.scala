@@ -743,6 +743,43 @@ object CorpusOps {
       .agg(max(col("_rho")).as("_m"))
   }
 
+  /** HLL inclusion–exclusion overlap estimate between two groups:
+    * est(A ∩ B) ≈ est(A) + est(B) − est(A ∪ B), every term from ONE register
+    * table — the union sketch is just max() over both groups' registers
+    * (the merge property), so the whole answer derives from the same single
+    * corpus pass that built the per-group sketches.
+    *
+    * The 100 TB use is the PRE-FLIGHT contamination check: before paying an
+    * exact decontamination pass ([[bloomDecontaminate]] or a distinct-join),
+    * estimate how much two corpora/splits/shards even overlap from
+    * kilobyte-sized sketches — shards ship 64 registers each, never values,
+    * and sketches from different days/machines merge associatively. The
+    * estimate inherits HLL's per-term error (~13% at p=6), which is exactly
+    * the fidelity a go/no-go pre-check needs; clamped at 0 because
+    * inclusion–exclusion on three ±σ estimates can go slightly negative on
+    * disjoint inputs.
+    *
+    * Output: one row — (est_a, est_b, est_union, est_overlap), doubles.
+    * The two scalar-assembly cross joins are 1×1-row frames (aggregates),
+    * not data joins. */
+  def hllOverlapEstimate(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val regs = hllRegisters(df.filter(col(groupCol).isin(a, b)), Seq(groupCol), valueCol)
+      .localCheckpoint(true) // corpus-pass result, read by 2 consumers below
+    val per = hllFromRegisters(regs, Seq(groupCol))
+    val wide = per.agg(
+      max(when(col(groupCol) === a, col("hll_est"))).as("est_a"),
+      max(when(col(groupCol) === b, col("hll_est"))).as("est_b"))
+    val uni = hllFromRegisters(
+        regs.groupBy(col("_b")).agg(max(col("_m")).as("_m")), Seq.empty)
+      .select(col("hll_est").as("est_union"))
+    val out = wide.crossJoin(uni)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0))
+          .as("est_overlap"))
+    out
+  }
+
   /** Fold (groupCols..., _b, _m) registers into the per-group estimate —
     * the read side of the incremental sketch. */
   def hllFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {

@@ -423,6 +423,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(a("g1") - 1500) / 1500 < 0.35, a)
   }
 
+  test("hllOverlapEstimate: inclusion-exclusion tracks true overlap, clamps at 0") {
+    // groups share values 0..399 of 1000 each: true overlap 400. One row,
+    // estimate within sketch error; exact disjointness clamps to ~0.
+    val rows = ((0L until 1000L).map(i => ("a", s"v$i")) ++
+      (0L until 1000L).map(i => ("b", s"v${i + 600}"))).toDF("grp", "value")
+    val r = CorpusOps.hllOverlapEstimate(rows, "grp", "value", "a", "b")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(math.abs(r._1 - 1000) / 1000 < 0.35, r)
+    assert(math.abs(r._2 - 1000) / 1000 < 0.35, r)
+    assert(math.abs(r._3 - 1600) / 1600 < 0.35, r)
+    // overlap inherits all three errors — generous band, sign must be right
+    assert(r._4 > 50 && r._4 < 900, r)
+    val disjoint = ((0L until 500L).map(i => ("a", s"x$i")) ++
+      (0L until 500L).map(i => ("b", s"y$i"))).toDF("grp", "value")
+    val d = CorpusOps.hllOverlapEstimate(disjoint, "grp", "value", "a", "b")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(d._4 >= 0.0 && d._4 < 200, d) // clamped, near-zero overlap
+  }
+
   test("countMin: one-sided (never under-counts), absent probes report 0") {
     val vals = (0L until 2000L).map(i => Tuple1(s"v${i % 150}")).toDF("v")
     val probes = ((0 until 150 by 7).map(i => s"v$i") :+ "absent").toDF("p")
