@@ -1114,6 +1114,18 @@ object SparkEntry {
       CorpusOps.packSequences(toks, "doc_id", "n", seqLen = 512)
     }),
 
+    // PK2 length-bucketed inference batching: documents ranked by token
+    // count (desc, id tie-break) and cut into 32-doc batches, so each batch
+    // pads to ~its own length — per-batch roster + padding accounting. The
+    // ranking is the two-phase prefix sum, never a global single-partition
+    // window.
+    "pk2_length_batches" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.tokenCountT(col("toks")).as("n"))
+      CorpusOps.lengthBatches(toks, "doc_id", "n", batchSize = 32)
+    }),
+
     // X10 stratified downsampling: every language stratum capped at the size of
     // the smallest via deterministic id-hash buckets; output = per-stratum
     // before/after counts (the auditable summary of the sampling decision).
@@ -2721,6 +2733,14 @@ object SparkEntry {
         s"""SELECT doc_id, len(toks) AS n_tokens,
            |  CAST(coalesce(list_sum(list_transform(toks, t -> greatest(1, CAST(ceil(length(t) / 4.0) AS INTEGER)))), 0) AS INTEGER) AS n_subwords
            |FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t""".stripMargin.replace("\n", " "),
+      "pk2_length_batches" ->
+        s"""WITH n AS (SELECT doc_id, CAST(len($toksDoc) AS BIGINT) AS nt FROM documents),
+           |r AS (SELECT doc_id, nt,
+           |    row_number() OVER (ORDER BY nt DESC, doc_id ASC) - 1 AS rk FROM n)
+           |SELECT rk // 32 AS batch_id, count(*) AS n_docs,
+           |  max(nt) AS max_tokens, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           |  count(*) * max(nt) - CAST(sum(nt) AS BIGINT) AS padding
+           |FROM r GROUP BY 1""".stripMargin.replace("\n", " "),
       "x4_fingerprint" ->
         s"""SELECT doc_id,
            |  md5(array_to_string(list_sort(list_distinct($toksDoc)), ' ')) AS fp,

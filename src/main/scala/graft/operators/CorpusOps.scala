@@ -54,6 +54,36 @@ object CorpusOps {
       .drop("_pid", "_base")
   }
 
+  /** Length-bucketed inference batching: rank documents by token count
+    * (descending, id tie-break) and cut the ranking into fixed-size
+    * batches, so each batch holds near-equal-length documents — the
+    * standard padding-waste optimization for batched model inference
+    * (embedding/scoring/generation passes pad every sequence in a batch to
+    * the batch maximum; random batching pays the corpus-max on most
+    * batches, sorted batching pays ~the per-batch max). Emits the batch
+    * roster plus the padding accounting a scheduler needs.
+    *
+    * Built on the two-phase prefix sum — the global length ranking never
+    * funnels through one executor (a `row_number()` over the whole corpus
+    * would), and the result is partition-count invariant.
+    *
+    * Output: one row per batch — (batch_id, n_docs, max_tokens, sum_tokens,
+    * padding = n_docs·max − sum), batch_id 0-based in descending-length
+    * order. */
+  def lengthBatches(df: DataFrame, idCol: String, nTokensCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val keyed = df.select(col(idCol), col(nTokensCol).cast("long").as("_nt"))
+      .withColumn("_n", lit(1L))
+    withPrefixSum(keyed, Seq(col("_nt").desc, col(idCol)), "_p")
+      .withColumn("batch_id", (col("_p") / batchSize).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("_nt")).as("max_tokens"),
+        sum(col("_nt")).as("sum_tokens"))
+      .withColumn("padding", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Assign every document a global token offset (corpus ordered by id) and
     * the fixed-length context windows it lands in — the "concat and split at
     * seqLen boundaries" step of LLM pre-training corpus assembly. Built on

@@ -423,6 +423,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(a("g1") - 1500) / 1500 < 0.35, a)
   }
 
+  test("lengthBatches: sorted batching, brute-force padding, repartition-invariant") {
+    // lengths 100,99,...,1 over ids 0..99; batchSize 10 → batch b holds
+    // lengths 100-10b .. 91-10b, max = 100-10b, padding = 0+1+...+9 = 45
+    val rows = (0L until 100L).map(i => (i, 100L - i)).toDF("id", "n")
+    val got = CorpusOps.lengthBatches(rows, "id", "n", batchSize = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    got.foreach { case (b, nd, mx, sm, pad) =>
+      assert(nd == 10L && mx == 100L - 10 * b && pad == 45L, (b, nd, mx, sm, pad))
+    }
+    val re = CorpusOps.lengthBatches(rows.repartition(7), "id", "n", batchSize = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq, "batching changed under repartition")
+    // ties broken by id: equal lengths split deterministically
+    val ties = (0L until 30L).map(i => (i, 7L)).toDF("id", "n")
+    val t1 = CorpusOps.lengthBatches(ties, "id", "n", batchSize = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(t1.map(_._2).toSeq == Seq(8L, 8L, 8L, 6L))
+    assert(t1.forall(_._5 == 0L)) // all-equal lengths: zero padding
+  }
+
   test("hllOverlapEstimate: inclusion-exclusion tracks true overlap, clamps at 0") {
     // groups share values 0..399 of 1000 each: true overlap 400. One row,
     // estimate within sketch error; exact disjointness clamps to ~0.
