@@ -75,6 +75,49 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming near-dup detection against a growing corpus: each micro-batch
+    * of documents is minhash-signed once, paired WITHIN itself
+    * ([[graft.operators.Dedup.lshCandidatePairs]]) and against the SAVED
+    * signature table ([[graft.operators.Dedup.lshDeltaPairs]] — band
+    * equi-join only, the corpus is never re-paired with itself), then its
+    * signatures append to the table. This is the ingest-time dedup shape an
+    * unbounded corpus needs: per batch the work is batch × matching-bands,
+    * state is one signature row per document ever seen (never raw text),
+    * and history is never re-scanned.
+    *
+    * Exactness (StreamingSpec pins it): the canonicalized union of all
+    * emitted pairs equals `lshCandidatePairs` over the one-shot union of
+    * every batch — any (a, b) sharing a band key lands either in b's batch
+    * (intra) or when the later of the two arrives (cross). Signatures are
+    * deterministic per document, so the decomposition is lossless.
+    *
+    * Output rows at `pairsPath`: (id_a, id_b) candidate pairs, cross-batch
+    * pairs oriented (new, old); canonicalize with least/greatest downstream
+    * if an undirected set is wanted. */
+  def lshDedupMaintain(docs: DataFrame, idCol: String, textCol: String,
+      sigPath: String, pairsPath: String,
+      numHashes: Int = 6, shingleSize: Int = 3,
+      bands: Int = 3, rowsPerBand: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val D = graft.operators.Dedup
+        val sigs = D.minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+          .localCheckpoint(true) // feeds intra-pairing, cross-pairing, and the append
+        try {
+          val intra = D.lshCandidatePairs(sigs, bands, rowsPerBand)
+          val pairs =
+            try intra.unionByName(
+              D.lshDeltaPairs(sigs, spark.read.parquet(sigPath), bands, rowsPerBand))
+            catch { case _: org.apache.spark.sql.AnalysisException => intra } // first batch
+          pairs.write.mode("append").parquet(pairsPath)
+          sigs.write.mode("append").parquet(sigPath)
+        } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sigs)
+        ()
+      }
+      .start()
+
   /** One user-session state machine for flatMapGroupsWithState. */
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

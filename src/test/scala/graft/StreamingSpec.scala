@@ -235,6 +235,33 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming LSH dedup maintenance: union of emitted pairs == one-shot batch pairs") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("stream_lsh").toString
+    // duplicate-heavy corpus: text repeats every 5 ids, split across THREE
+    // waves so dup pairs land intra-batch AND cross-batch
+    val all = (0L until 60L).map(i => (i, s"the quick document number ${i % 5} body text"))
+      .toDF("doc_id", "text")
+    all.filter($"doc_id" < 20).write.parquet(s"$dir/in/a")
+    all.filter($"doc_id" >= 20 && $"doc_id" < 40).write.parquet(s"$dir/in/b")
+    all.filter($"doc_id" >= 40).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.lshDedupMaintain(stream, "doc_id", "text",
+      s"$dir/sigs", s"$dir/pairs")
+    q.processAllAvailable(); q.stop()
+    val canon = (df: org.apache.spark.sql.DataFrame) => df
+      .select(least($"id_a", $"id_b").as("a"), greatest($"id_a", $"id_b").as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val streamed = canon(spark.read.parquet(s"$dir/pairs"))
+    val oneShot = canon(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(all, "doc_id", "text", 6, 3), 3, 2))
+    assert(streamed == oneShot, s"streamed ${streamed.size} vs batch ${oneShot.size}")
+    assert(streamed.nonEmpty) // the fixture must actually produce dups
+    // state is signature rows, one per doc ever seen
+    assert(spark.read.parquet(s"$dir/sigs").count() == 60L)
+  }
+
   test("stream-stream interval join matches the batch join (watermarked state)") {
     val dir = Files.createTempDirectory("stream_ij").toString
     val ts = (m: Int, s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
