@@ -1161,6 +1161,24 @@ object SparkEntry {
         .select(col("doc_id"), round(col("logppl"), 6).as("logppl_r"))
     }),
 
+    // X27 curriculum phases: documents ranked easy->hard by ROUNDED unigram
+    // log-perplexity (the float is rounded BEFORE ranking so both engines
+    // sort identical keys; x12 pins rounded-6 equality) and cut into 4
+    // proportional phases; per-phase sizes and score range. Ranking via the
+    // two-phase prefix sum, N as a 1-row broadcast.
+    "x27_curriculum" -> ((s, dir) => {
+      val ppl = CorpusOps.unigramLogPerplexity(
+        t(s, dir, "documents").select(col("doc_id"),
+          Norm.normTokens(col("text")).as("toks")),
+        "doc_id", "toks")
+        .select(col("doc_id"), round(col("logppl"), 6).as("score_r"))
+      CorpusOps.curriculumPhases(ppl, "doc_id", "score_r", nPhases = 4)
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_r")).as("min_score"),
+          max(col("score_r")).as("max_score"))
+    }),
+
     // X13 token-budget corpus selection: greedy by (quality desc, id), keep
     // docs whose exclusive token prefix-sum + own size fits a global budget —
     // the "best N tokens" cut of a training-mix build, via the two-phase
@@ -2665,6 +2683,20 @@ object SparkEntry {
            |SELECT doc_id, round(avg(-ln(freq.c / tot.t)), 6) AS logppl_r
            |FROM tok JOIN freq USING (term) CROSS JOIN tot
            |GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      // x27: the x12 ppl CTE, rounded BEFORE ranking (identical sort keys on
+      // both engines), row_number rank -> proportional 4-phase cut.
+      "x27_curriculum" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksDoc) AS term FROM documents),
+           |freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(c) AS t FROM freq),
+           |ppl AS (SELECT doc_id, round(avg(-ln(freq.c / tot.t)), 6) AS score_r
+           |  FROM tok JOIN freq USING (term) CROSS JOIN tot GROUP BY doc_id),
+           |n AS (SELECT count(*) AS nn FROM ppl),
+           |r AS (SELECT doc_id, score_r,
+           |    row_number() OVER (ORDER BY score_r ASC, doc_id ASC) - 1 AS rk FROM ppl)
+           |SELECT CAST(rk * 4 // (SELECT nn FROM n) AS BIGINT) AS phase,
+           |  count(*) AS n_docs, min(score_r) AS min_score, max(score_r) AS max_score
+           |FROM r GROUP BY 1""".stripMargin.replace("\n", " "),
       "x13_token_budget" ->
         s"""WITH scored AS (
            |  SELECT doc_id, len(toks) AS n_tokens,

@@ -84,6 +84,32 @@ object CorpusOps {
       .withColumn("padding", col("n_docs") * col("max_tokens") - col("sum_tokens"))
   }
 
+  /** Curriculum phase assignment: rank rows by a difficulty score
+    * (ascending, id tie-break) and cut the ranking into `nPhases`
+    * contiguous phases — the easy→hard schedule of curriculum training
+    * (Bengio et al. 2009), over whatever proxy the caller scores with
+    * (log-perplexity, quality, length). Phase k of n covers ranks
+    * [k·N/n, (k+1)·N/n): proportional, deterministic, partition-invariant.
+    *
+    * Callers ranking on a FLOAT score across engines must pre-round it
+    * (make the sort key the rounded value): ranking on raw doubles lets
+    * last-bit associativity noise flip neighbors across a phase boundary.
+    * Built on the two-phase prefix sum; N arrives as a 1-row broadcast.
+    *
+    * Output: input columns + `phase` (0-based long). */
+  def curriculumPhases(df: DataFrame, idCol: String, scoreCol: String,
+      nPhases: Int): DataFrame = {
+    require(nPhases >= 1, s"nPhases must be >= 1, got $nPhases")
+    val keyed = df.select(col(idCol), col(scoreCol)).withColumn("_n", lit(1L))
+    val ranked = withPrefixSum(keyed, Seq(col(scoreCol), col(idCol)), "_p")
+    ranked
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("_tot")))) // 1-row scalar
+      // integral `div`, not float division + floor: a double quotient can
+      // round UP across a phase boundary once counts pass 2^50-ish
+      .withColumn("phase", expr(s"(_p * $nPhases) div _tot"))
+      .drop("_n", "_p", "_tot")
+  }
+
   /** Assign every document a global token offset (corpus ordered by id) and
     * the fixed-length context windows it lands in — the "concat and split at
     * seqLen boundaries" step of LLM pre-training corpus assembly. Built on

@@ -423,6 +423,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(a("g1") - 1500) / 1500 < 0.35, a)
   }
 
+  test("curriculumPhases: proportional cuts, easy first, repartition-invariant") {
+    val rows = (0L until 100L).map(i => (i, (100L - i).toDouble)).toDF("id", "score")
+    val got = CorpusOps.curriculumPhases(rows, "id", "score", nPhases = 4)
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 100)
+    val byPhase = got.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byPhase.values.forall(_.size == 25))
+    // phase 0 = the 25 SMALLEST scores (easy first)
+    assert(byPhase(0L) == (1L to 25L).map(_.toDouble).toSet, byPhase(0L))
+    assert(byPhase(3L) == (76L to 100L).map(_.toDouble).toSet)
+    val re = CorpusOps.curriculumPhases(rows.repartition(7), "id", "score", 4)
+      .as[(Long, Double, Long)].collect()
+    assert(re.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // non-divisible N: phases sized by the rank formula, never off by > 1
+    val odd = CorpusOps.curriculumPhases(
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "score"), "id", "score", 3)
+      .as[(Long, Double, Long)].collect().groupBy(_._3).view.mapValues(_.length).toMap
+    assert(odd == Map(0L -> 4, 1L -> 3, 2L -> 3), odd)
+  }
+
   test("lengthBatches: sorted batching, brute-force padding, repartition-invariant") {
     // lengths 100,99,...,1 over ids 0..99; batchSize 10 → batch b holds
     // lengths 100-10b .. 91-10b, max = 100-10b, padding = 0+1+...+9 = 45
