@@ -580,6 +580,24 @@ object SparkEntry {
       graft.eval.Recall.ndcgAtK(hits, gold, Seq(5))
     }),
 
+    // M5 mean reciprocal rank on the same labeled retrieval task as m4:
+    // 1/rank of the first gold hit in the top-5, 0 when none — the
+    // known-item metric; one conditional aggregate, the division is
+    // engine-exact (no sums).
+    "m5_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20 && col("vec_id") < 220)
+      val hits = VectorSearch.knnJoin(
+          q, c, "vec_id", "embedding", "vec_id", "embedding", 5)
+        .select(col("query_id").as("question_id"), col("rank"),
+          col("neighbor_id").as("item"))
+      val gold = q.select(col("vec_id").cast("string").as("question_id"), col("label"))
+        .join(c.select(col("vec_id").cast("string").as("item"), col("label")), Seq("label"))
+        .select("question_id", "item")
+      graft.eval.Recall.mrrAtK(hits, gold, Seq(5))
+    }),
+
     // ------------------------------------------------- scale pipeline: dedup (D)
     // D1 exact dedup on normalized text (hash-groupBy).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2480,6 +2498,20 @@ object SparkEntry {
           |  round(coalesce(dcg.d, 0.0) / idcg.i, 6) AS ndcg_at_5
           |FROM gn JOIN idcg ON gn.qid = idcg.qid
           |LEFT JOIN dcg ON gn.qid = dcg.qid""".stripMargin.replace("\n", " "),
+      // m5: first-gold-hit rank per question, reciprocal, 0 when none.
+      "m5_mrr" ->
+        """WITH q AS (SELECT CAST(vec_id AS VARCHAR) qid, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT CAST(vec_id AS VARCHAR) cid, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20 AND vec_id < 220),
+          |hits AS (SELECT qid, cid, rank FROM (
+          |  SELECT q.qid, c.cid,
+          |    row_number() OVER (PARTITION BY q.qid ORDER BY list_dot_product(qv, cv) DESC, c.cid ASC) AS rank
+          |  FROM q, c) t WHERE rank <= 5),
+          |gold AS (SELECT q.qid, c.cid FROM q JOIN c ON q.ql = c.cl),
+          |gn AS (SELECT qid FROM gold GROUP BY 1),
+          |fr AS (SELECT h.qid, min(h.rank) AS r
+          |  FROM hits h JOIN gold gd ON h.qid = gd.qid AND h.cid = gd.cid GROUP BY 1)
+          |SELECT gn.qid AS question_id, round(coalesce(1.0::DOUBLE / fr.r, 0.0::DOUBLE), 6) AS mrr_at_5
+          |FROM gn LEFT JOIN fr ON gn.qid = fr.qid""".stripMargin.replace("\n", " "),
       "d1_exact_dedup" ->
         s"""SELECT $normDoc AS key, min(doc_id) AS keep_id, count(*) AS n_dups
            |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),

@@ -68,6 +68,24 @@ object Recall {
     * Rounded to 6 dp — the comparison precision the oracle uses.
     *
     * Output: (question_id, ndcg_at_<k>...), one row per gold question. */
+  /** Mean reciprocal rank at k (Voorhees 1999): 1/rank of the FIRST gold
+    * hit within the top k, 0 when none hits — the single-relevant-answer
+    * metric (known-item search, QA with one gold passage) where recall@k
+    * saturates and nDCG over-structures. max(1/rank) ≡ 1/min(hit rank)
+    * (reciprocal is monotone), so the whole metric is one conditional
+    * aggregate over the same joined frame as the other metrics; the lone
+    * division is reproduced bit-for-bit by any engine (no sums). One row
+    * per question with gold (missing questions would silently lift a macro
+    * average). */
+  def mrrAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
+    val aggs = ks.map { k =>
+      round(coalesce(
+        max(when(col("hit") && col("rank") <= k, lit(1.0) / col("rank"))),
+        lit(0.0)), 6).as(s"mrr_at_$k")
+    }
+    joinedHits(retrieved, gold).groupBy("question_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   def ndcgAtK(retrieved: DataFrame, gold: DataFrame, ks: Seq[Int] = kGrid): DataFrame = {
     def idcg(k: Int) = aggregate(
       sequence(lit(1), least(first(col("gold_n")), lit(k))),

@@ -109,6 +109,24 @@ class EvalSpec extends SparkSpec {
     assert(got == Map("q1" -> q1, "q2" -> 1.0, "q3" -> 0.0), got)
   }
 
+  test("mrrAtK: reciprocal of FIRST gold hit, k cutoff, zero retrieval = 0") {
+    val gold = Seq(("q1", "a"), ("q1", "b"), ("q2", "x"), ("q3", "y")).toDF("question_id", "item")
+    val retrieved = Seq(
+      ("q1", 2, "zz"), ("q1", 3, "b"), ("q1", 5, "a"), // first hit rank 3
+      ("q2", 7, "x")                                   // hit beyond k=5
+      // q3 retrieves nothing
+    ).toDF("question_id", "rank", "item")
+    val got = Recall.mrrAtK(retrieved, gold, Seq(5))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("q1" -> 0.333333, "q2" -> 0.0, "q3" -> 0.0), got)
+    // a multiply-retrieved gold item scores at its BEST rank
+    val again = Recall.mrrAtK(
+      Seq(("q1", 4, "a"), ("q1", 2, "a")).toDF("question_id", "rank", "item"),
+      Seq(("q1", "a")).toDF("question_id", "item"), Seq(5))
+      .as[(String, Double)].collect().toMap
+    assert(again == Map("q1" -> 0.5), again)
+  }
+
   test("ndcgAtK counts a multiply-retrieved gold item once, at its best rank") {
     val gold = Seq(("q1", "a")).toDF("question_id", "item")
     val retrieved = Seq(("q1", 2, "a"), ("q1", 4, "a")).toDF("question_id", "rank", "item")
