@@ -598,6 +598,22 @@ object SparkEntry {
       graft.eval.Recall.mrrAtK(hits, gold, Seq(5))
     }),
 
+    // ER1 blocked entity resolution: near-duplicate part NAMES via prefix
+    // blocking + threshold Levenshtein (quadratic only within a block — the
+    // LSH-band economics applied to edit distance). A char-dropped typo
+    // variant of every 10th name is injected AFTER position 5 (so it stays
+    // in its prefix-4 block) and the pair search deterministically fires.
+    "er1_entity_neardup" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val typos = p.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000).as("id"),
+          concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100000))
+            .as("name"))
+      FuzzyMatch.blockedNearDupPairs(p.unionByName(typos), "id", "name",
+        prefixLen = 4, maxEdit = 2)
+    }),
+
     // ------------------------------------------------- scale pipeline: dedup (D)
     // D1 exact dedup on normalized text (hash-groupBy).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2512,6 +2528,18 @@ object SparkEntry {
           |  FROM hits h JOIN gold gd ON h.qid = gd.qid AND h.cid = gd.cid GROUP BY 1)
           |SELECT gn.qid AS question_id, round(coalesce(1.0::DOUBLE / fr.r, 0.0::DOUBLE), 6) AS mrr_at_5
           |FROM gn LEFT JOIN fr ON gn.qid = fr.qid""".stripMargin.replace("\n", " "),
+      // er1: same injection, blocking, and thresholds; DuckDB's levenshtein
+      // is the exact distance, so the <= filter equals Spark's early-abandon.
+      "er1_entity_neardup" ->
+        """WITH p AS (
+          |  SELECT p_partkey AS id, p_name AS name FROM part
+          |  UNION ALL SELECT p_partkey + 1000000, substr(p_name, 1, 5) || substr(p_name, 7)
+          |    FROM part WHERE p_partkey % 10 = 0),
+          |t AS (SELECT id, lower(trim(name)) AS s,
+          |    substr(lower(trim(name)), 1, 4) AS blk FROM p)
+          |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+          |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+          |WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2""".stripMargin.replace("\n", " "),
       "d1_exact_dedup" ->
         s"""SELECT $normDoc AS key, min(doc_id) AS keep_id, count(*) AS n_dups
            |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),

@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * — cost is O(corpus × probes) cheap compares, the same contract as every
   * other query-side operator here.
   *
-  * For corpus×corpus fuzzy DEDUP (both sides large) use the blocked
-  * similarity family instead ([[Dedup.lshCandidatePairs]], n-gram Jaccard,
-  * SimHash): edit-distance all-pairs does not scale and is deliberately not
-  * offered.
+  * For corpus×corpus fuzzy DEDUP (both sides large) UNBLOCKED edit-distance
+  * all-pairs does not scale and is deliberately not offered; use
+  * [[blockedNearDupPairs]] (prefix-block entity resolution, quadratic only
+  * within a block — the [[Dedup.lshCandidatePairs]] economics) or the
+  * token-level blocked families (LSH, n-gram Jaccard, SimHash).
   */
 object FuzzyMatch {
 
@@ -48,5 +49,36 @@ object FuzzyMatch {
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("match"), (-col("col.score")).cast("int").as("dist"))
+  }
+
+  /** Blocked entity resolution: near-duplicate NAME pairs within a large
+    * entity table — the canonicalization signal a graph build runs when
+    * exact-normalized dedup (G2) leaves typo/OCR/transliteration variants
+    * as distinct nodes. Standard prefix blocking: candidates must share
+    * their first `prefixLen` (lowercased, trimmed) characters, so the
+    * quadratic pair search runs only WITHIN a block ([[Dedup]]'s
+    * band/cell economics; an unblocked all-pairs is deliberately not
+    * offered). Within a block: a length pre-filter (a necessary condition
+    * for edit distance, codegen-cheap) then threshold Levenshtein
+    * (early-abandon beyond `maxEdit`). Identical names (distance 0) count —
+    * exact dedup upstream is the caller's choice, not silently assumed.
+    *
+    * Blocking trades recall for scale exactly like LSH banding: a typo
+    * INSIDE the prefix escapes the block (run with a reversed-string second
+    * pass, or route to the token-level families, when that matters).
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, one row per pair. */
+  def blockedNearDupPairs(df: DataFrame, idCol: String, strCol: String,
+      prefixLen: Int, maxEdit: Int): DataFrame = {
+    require(prefixLen >= 1 && maxEdit >= 0)
+    val t = df.select(col(idCol).as("id"),
+        lower(trim(col(strCol))).as("_t"))
+      .withColumn("_blk", substring(col("_t"), 1, prefixLen))
+    t.as("a").join(t.as("b"),
+        col("a._blk") === col("b._blk") && col("a.id") < col("b.id"))
+      .filter(abs(length(col("a._t")) - length(col("b._t"))) <= maxEdit)
+      .withColumn("_d", levenshtein(col("a._t"), col("b._t"), maxEdit))
+      .filter(col("_d") >= 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("_d").as("dist"))
   }
 }
