@@ -454,6 +454,16 @@ object SparkEntry {
         .orderBy(col("aa_r").desc, col("src").asc, col("dst").asc)
         .limit(50)
     }),
+    // G16 deterministic random walks (DeepWalk/node2vec sampling kernel):
+    // 3-step hash-argmin walks from every node ≡ 0 (mod 100) over the
+    // sparsified co-occurrence graph. See operators.RandomWalk.
+    "g16_random_walks" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val seeds = edges.filter(col("src") % 100 === 0)
+        .select(col("src").as("node")).distinct()
+      RandomWalk.walks(edges, seeds, steps = 3)
+        .select(col("walk_id"), col("step"), col("node"))
+    }),
 
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
@@ -596,6 +606,32 @@ object SparkEntry {
         .join(c.select(col("vec_id").cast("string").as("item"), col("label")), Seq("label"))
         .select("question_id", "item")
       graft.eval.Recall.mrrAtK(hits, gold, Seq(5))
+    }),
+
+    // M6 precision/recall/F1 threshold sweep — the calibration read every
+    // score-gated pipeline stage needs before a cut point is chosen (which
+    // quality/langid/classifier threshold keeps the data you want?).
+    // Scored here: stopword_ratio as an is-English detector against the
+    // table's ground-truth lang column. One corpus pass fans into six
+    // threshold groups (map-side combined); thresholds with zero predicted
+    // docs drop out on both engines (inner GROUP BY after the gate).
+    "m6_pr_curve" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select((col("lang") === "en").cast("int").as("y"),
+          TA.stopwordRatioT(Norm.normTokens(col("text"))).as("score"))
+      val th = s.createDataFrame(
+        Seq(0.05, 0.1, 0.15, 0.2, 0.25, 0.3).map(Tuple1(_))).toDF("threshold")
+      val pos = scored.agg(sum(col("y")).as("_pos"))
+      val p = col("tp") / col("n_pred")
+      val r = col("tp") / col("_pos")
+      scored.crossJoin(broadcast(th))
+        .filter(col("score") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pred"), sum(col("y")).as("tp"))
+        .crossJoin(pos) // 6x1-row scalar assembly
+        .select(col("threshold"), col("n_pred"), col("tp"),
+          round(p, 6).as("prec"), round(r, 6).as("recall"),
+          when(p + r > 0, round(lit(2) * p * r / (p + r), 6)).as("f1"))
     }),
 
     // ER1 blocked entity resolution: near-duplicate part NAMES via prefix
@@ -1364,6 +1400,19 @@ object SparkEntry {
           round(col("est_overlap"), 4).as("est_overlap"),
           col("n_exact_overlap"))
     }),
+    // CS6 histogram-quantile sketch: per-source token-length quantiles read
+    // from a 64-bin equi-width mergeable histogram state — the distribution
+    // leg of the sketch suite (cs1 is the exact global-sort twin). binW = 8
+    // (a power of two, so the bin index is float-exact on every engine).
+    "cs6_hist_quantiles" -> ((s, dir) => {
+      val lens = t(s, dir, "documents")
+        .select(col("source"),
+          TA.tokenCountT(Norm.normTokens(col("text"))).as("n"))
+      val state = CorpusOps.histogramSketch(lens, Seq("source"), "n", 0L, 512L, 64)
+      CorpusOps.histogramQuantiles(state, Seq("source"), 0L, 512L, 64,
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .select(col("source"), col("q"), round(col("est"), 4).as("est_r"))
+    }),
 
     // X19 deterministic epoch shuffle: reproducible global training order by
     // md5(seed‖id), ranked with the two-phase prefix sum (no global window).
@@ -1492,6 +1541,20 @@ object SparkEntry {
         .agg(round(max(col("o_totalprice")), 2).as("ord_price"))
       AsOfJoin.backward(ev, ord, "user_id", "ts", "ots", Seq("ord_price"))
         .select(col("event_id"), col("asof_ord_price"))
+    }),
+    // AJ2 nearest-in-time join: same inputs as aj1, but each event aligns to
+    // the closest order either direction (backward wins ties) — the
+    // feature-alignment variant of as-of. See AsOfJoin.nearest.
+    "aj2_nearest_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          (col("o_orderdate").cast("timestamp").cast("long") * 1000000000L).as("ots"),
+          col("o_totalprice"))
+        .groupBy("user_id", "ots")
+        .agg(round(max(col("o_totalprice")), 2).as("ord_price"))
+      AsOfJoin.nearest(ev, ord, "user_id", "ts", "ots", Seq("ord_price"))
+        .select(col("event_id"), col("nearest_ord_price"))
     }),
     // FZ1 typo-tolerant entity matching: probes are part names with the first
     // char dropped and a char appended (edit distance ≤ 2 from their source);
@@ -2422,6 +2485,32 @@ object SparkEntry {
           |  LEFT JOIN c0 k ON k.u = g.u AND k.v = g.v WHERE k.u IS NULL)
           |SELECT u AS src, v AS dst, common, round(aa, 6) AS aa_r FROM cand
           |ORDER BY aa_r DESC, src ASC, dst ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      // g16: replay the hash-argmin next-hop choice step by step — one
+      // row_number window per hop ordered by (md5 draw, candidate id), the
+      // same total order as the Scala side's (hash, dst) struct-min.
+      "g16_random_walks" ->
+        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e0 WHERE src % 100 = 0),
+          |s1 AS (SELECT walk_id, node FROM (
+          |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
+          |    ORDER BY md5(concat_ws('-', f.walk_id, '1', f.node, e.dst)), e.dst) AS rn
+          |  FROM s0 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
+          |s2 AS (SELECT walk_id, node FROM (
+          |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
+          |    ORDER BY md5(concat_ws('-', f.walk_id, '2', f.node, e.dst)), e.dst) AS rn
+          |  FROM s1 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
+          |s3 AS (SELECT walk_id, node FROM (
+          |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
+          |    ORDER BY md5(concat_ws('-', f.walk_id, '3', f.node, e.dst)), e.dst) AS rn
+          |  FROM s2 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1)
+          |SELECT walk_id, 0 AS step, node FROM s0
+          |UNION ALL SELECT walk_id, 1, node FROM s1
+          |UNION ALL SELECT walk_id, 2, node FROM s2
+          |UNION ALL SELECT walk_id, 3, node FROM s3""".stripMargin.replace("\n", " "),
       "v1_eviction" ->
         """SELECT o_custkey,
           |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,
@@ -2528,6 +2617,25 @@ object SparkEntry {
           |  FROM hits h JOIN gold gd ON h.qid = gd.qid AND h.cid = gd.cid GROUP BY 1)
           |SELECT gn.qid AS question_id, round(coalesce(1.0::DOUBLE / fr.r, 0.0::DOUBLE), 6) AS mrr_at_5
           |FROM gn LEFT JOIN fr ON gn.qid = fr.qid""".stripMargin.replace("\n", " "),
+      // m6: same stopword-ratio score and lang label; precision/recall are
+      // BIGINT/BIGINT divisions (float-exact both engines), f1 from the
+      // unrounded pair. VALUES + CAST keeps thresholds DOUBLE (a bare
+      // DuckDB 0.05 literal is DECIMAL and would skew the hashed schema).
+      "m6_pr_curve" ->
+        s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS score
+           |  FROM (SELECT lang, $toksDoc AS toks FROM documents) t),
+           |pos AS (SELECT CAST(sum(y) AS BIGINT) AS p FROM sc),
+           |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+           |  FROM (VALUES (0.05), (0.1), (0.15), (0.2), (0.25), (0.3)) v(x)),
+           |agg AS (SELECT threshold, count(*) AS n_pred, CAST(sum(y) AS BIGINT) AS tp
+           |  FROM sc, th WHERE score >= threshold GROUP BY 1)
+           |SELECT threshold, n_pred, tp,
+           |  round(tp / n_pred, 6) AS prec, round(tp / p, 6) AS recall,
+           |  CASE WHEN tp / n_pred + tp / p > 0
+           |       THEN round(2 * (tp / n_pred) * (tp / p) / (tp / n_pred + tp / p), 6) END AS f1
+           |FROM agg, pos""".stripMargin.replace("\n", " "),
       // er1: same injection, blocking, and thresholds; DuckDB's levenshtein
       // is the exact distance, so the <= filter equals Spark's early-abandon.
       "er1_entity_neardup" ->
@@ -3103,6 +3211,22 @@ object SparkEntry {
            |  CAST(ex.n AS BIGINT) AS n_exact_overlap
            |FROM (SELECT est FROM e1 WHERE split = 'train') ta,
            |     (SELECT est FROM e1 WHERE split = 'test') tb, eu, ex""".stripMargin.replace("\n", " "),
+      // cs6: rebuild the identical 64-bin histogram state and interpolate —
+      // floor(n/8.0) is float-exact (binW is a power of two), the est
+      // arithmetic is the same left-assoc chain as the Scala side.
+      "cs6_hist_quantiles" ->
+        s"""WITH lens AS (SELECT source, len($toksDoc) AS n FROM documents),
+           |st AS (SELECT source,
+           |    least(greatest(CAST(floor(n / 8.0) AS INTEGER), 0), 63) AS bin,
+           |    count(*) AS cnt FROM lens GROUP BY 1, 2),
+           |cum AS (SELECT source, bin, cnt,
+           |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS c,
+           |    sum(cnt) OVER (PARTITION BY source) AS n FROM st),
+           |qs AS (SELECT CAST(x AS DOUBLE) AS q
+           |  FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(x))
+           |SELECT source, q,
+           |  round(0 + 8 * bin + 8 * (q * n - (c - cnt)) / cnt, 4) AS est_r
+           |FROM cum, qs WHERE c >= q * n AND (c - cnt) < q * n""".stripMargin.replace("\n", " "),
       "x22_novelty" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
            |g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
@@ -3246,6 +3370,20 @@ object SparkEntry {
           |  FROM orders GROUP BY 1, 2)
           |SELECT e.event_id, o.v AS asof_ord_price
           |FROM events e ASOF LEFT JOIN o ON e.user_id = o.k AND o.t <= epoch_ns(e.ts)""".stripMargin.replace("\n", " "),
+      // aj2: brute-force per-event argmin over the user's orders — fine at
+      // oracle scale; (abs distance, earlier time) reproduces the Spark
+      // side's backward-wins-ties pick exactly.
+      "aj2_nearest_join" ->
+        """WITH o AS (
+          |  SELECT o_custkey AS k, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 AS t,
+          |         round(max(o_totalprice), 2) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |j AS (SELECT e.event_id, o.v,
+          |    row_number() OVER (PARTITION BY e.event_id
+          |      ORDER BY abs(epoch_ns(e.ts) - o.t), o.t) AS rn
+          |  FROM events e JOIN o ON e.user_id = o.k)
+          |SELECT e.event_id, j1.v AS nearest_ord_price
+          |FROM events e LEFT JOIN (SELECT event_id, v FROM j WHERE rn = 1) j1 USING (event_id)""".stripMargin.replace("\n", " "),
       "fz1_fuzzy_match" ->
         """WITH probes AS (SELECT p_partkey AS probe_id, substr(p_name, 2) || 'z' AS probe
           |  FROM part WHERE p_partkey % 397 = 0),

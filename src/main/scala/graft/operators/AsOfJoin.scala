@@ -43,4 +43,56 @@ object AsOfJoin {
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         valueCols.map(v => col(s"__asof_$v").as(s"asof_$v")): _*)
   }
+
+  /** Nearest join: for each left row, the right row on the same key that
+    * minimizes |rightTime − leftTime| — backward wins ties (the earlier
+    * right row), matching sensor-fusion/feature-alignment convention where
+    * an already-observed value beats a future one at equal distance.
+    *
+    * Same union-sort economics as [[backward]]: ONE shuffle on the key, one
+    * per-partition sort feeding two frame variants of the same window (last
+    * non-null right struct carried forward, first carried backward), then a
+    * per-row pick. No theta-join, no range explosion, arbitrarily large
+    * sides.
+    *
+    * Precondition (same as [[backward]]'s dedup convention at call sites):
+    * right rows unique per (key, time) — aggregate first, or the carried
+    * value among equal times is tie-broken arbitrarily.
+    *
+    * Output: left columns + nearest value columns as `nearest_<v>` (null
+    * when the key has no right rows at all). */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTimeCol: String, rightTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val rv = struct(col(rightTimeCol).cast("long").as("t"),
+      struct(valueCols.map(col): _*).as("v"))
+    val r = right.select(
+      col(keyCol).as("__k"), col(rightTimeCol).cast("long").as("__t"),
+      lit(0).as("__side"), rv.as("__r"))
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTimeCol).cast("long").as("__t"),
+      lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"))
+    val u = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
+      .unionByName(r.withColumn("__l", lit(null).cast(l.schema("__l").dataType)))
+    // right rows sort before left at equal time: an equal-time right value is
+    // in the BACKWARD frame with distance 0, which wins the pick anyway
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t").asc, col("__side").asc)
+    val back = last(col("__r"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val fwd = first(col("__r"), ignoreNulls = true)
+      .over(w.rowsBetween(0, Window.unboundedFollowing))
+    val picked = u
+      .withColumn("__b", back).withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__n",
+        when(col("__f").isNull, col("__b"))
+          .when(col("__b").isNull, col("__f"))
+          .when(col("__t") - col("__b.t") <= col("__f.t") - col("__t"), col("__b"))
+          .otherwise(col("__f")))
+    picked.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(v => col(s"__n.v.$v").as(s"nearest_$v")): _*)
+  }
 }

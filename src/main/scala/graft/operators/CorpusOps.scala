@@ -758,6 +758,60 @@ object CorpusOps {
       .select(col("_p").as(probeCol), col("cms_est"))
   }
 
+  /** Mergeable equi-width histogram sketch: per (group, bin) counts over a
+    * fixed [lo, hi) range — the quantile leg of the deterministic sketch
+    * suite (Bloom = membership, HLL = cardinality, CMS = frequency,
+    * histogram = distribution). `binW = (hi-lo)/bins` must divide evenly and
+    * is kept a power of two by convention so the bin index is exact in
+    * either integer or double arithmetic (engines disagree on int-division
+    * semantics; floor(x / 2^k) does not). Values outside the range clamp to
+    * the edge bins. State is one count per NON-EMPTY (group, bin) —
+    * map-side combinable, sum-mergeable across partitions/shards/days —
+    * which at 100 TB is kilobytes per group where an exact quantile needs a
+    * global sort and Spark's approx_percentile is neither cross-engine
+    * reproducible nor mergeable across separately-built shards.
+    * Output: groupCols + (bin INT, cnt BIGINT). */
+  def histogramSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins > 0 && (hi - lo) % bins == 0,
+      s"bins must divide the range evenly: [$lo,$hi) / $bins")
+    val binW = (hi - lo) / bins
+    val g = groupCols.map(col)
+    val b = least(greatest(
+      floor((col(valueCol).cast("double") - lo) / binW).cast("int"), lit(0)),
+      lit(bins - 1))
+    df.select(g :+ b.as("bin"): _*)
+      .groupBy(g :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Interpolated quantile read over a [[histogramSketch]] state: for each
+    * group and each q, find the first bin whose cumulative count reaches
+    * q·n and interpolate linearly inside it —
+    * est = lo + binW·bin + binW·(q·n − cumBefore)/cnt. The arithmetic is a
+    * fixed dataflow of exact integers into one double division, so a SQL
+    * oracle reproduces it bit-for-bit. The cumulative window runs over the
+    * sketch (≤ bins rows per group), not the data. Output: groupCols +
+    * (q DOUBLE, est DOUBLE). */
+  def histogramQuantiles(state: DataFrame, groupCols: Seq[String],
+      lo: Long, hi: Long, bins: Int, qs: Seq[Double]): DataFrame = {
+    val binW = (hi - lo) / bins
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val wn = Window.partitionBy(groupCols.map(col): _*)
+    val cum = state
+      .withColumn("_cum", sum(col("cnt")).over(w))
+      .withColumn("_n", sum(col("cnt")).over(wn))
+    val qdf = cum.sparkSession.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q")
+    cum.crossJoin(broadcast(qdf))
+      .withColumn("_t", col("q") * col("_n"))
+      .filter(col("_cum") >= col("_t") && (col("_cum") - col("cnt")) < col("_t"))
+      .select(groupCols.map(col) ++ Seq(col("q"),
+        (lit(lo) + lit(binW) * col("bin") +
+          lit(binW) * (col("_t") - (col("_cum") - col("cnt"))) / col("cnt"))
+          .as("est")): _*)
+  }
+
   /** Deterministic HyperLogLog cardinality estimate per group (Flajolet et
     * al. 2007; p = 6, 64 registers, h = 60-bit md5 prefix).
     *

@@ -53,11 +53,12 @@ object ProductQuantizer {
       .orderBy(col("id").asc).limit(k)
       // k rows: the window is bounded by the seed count (codebook size, at
       // most a few hundred — e.g. 16 or 128 at current call sites), never the
-      // corpus. The constant partition key keeps the spec non-empty so
-      // WindowExec doesn't log its move-all-data warning — execution is
-      // identical either way: one partition of k rows.
+      // corpus. The partition key is constant-per-row but NOT foldable (a
+      // lit(0) is folded out of the spec by Catalyst, and an empty spec makes
+      // WindowExec log its move-all-data warning) — execution is identical
+      // either way: one partition of k rows.
       .withColumn("code",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("id").asc)))
+        row_number().over(Window.partitionBy(col("id").isNull).orderBy(col("id").asc)))
     var cw = seeds
       .select(col("code"), posexplode(subspaces(col("v"), m, dsub)))
       .select(col("pos").as("sub"), col("code"), col("col").as("cvec"))

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic random walks over a symmetric edge list — the sampling
+  * kernel behind DeepWalk/node2vec-style graph embeddings (Perozzi et al.
+  * 2014): each walk emits the (node, context) positive pairs a skip-gram
+  * embedding trains on. The graph-RAG use is entity-embedding pre-training
+  * over the extracted knowledge graph — the reference only embeds entity
+  * TEXT (embedding/embedder.py), so structural embeddings over its graph
+  * are a scale-pipeline addition; walks are also the standard sampler for
+  * GNN neighborhoods (GraphSAGE) and for approximating visiting
+  * distributions without materializing multi-hop joins.
+  *
+  * Determinism: the "random" next-hop choice is the argmin of
+  * md5(walkId ‖ step ‖ cur ‖ candidate) over the current node's neighbors
+  * — a per-(walk, step) uniform draw that is reproducible across engines,
+  * partitionings and retries (the same derandomization contract as A-ES
+  * sampling in [[CorpusOps]]: hash-keyed order statistics instead of an
+  * RNG stream, which would be partition-order-dependent on a cluster).
+  *
+  * Scale shape (the part that must survive 100 TB of edges):
+  *  - each step is ONE equi-join of the walk frontier (one row per live
+  *    walk) against the edge list on the current node, followed by a
+  *    per-walk min — partial-aggregated map-side, so the shuffle carries
+  *    one row per (walk, candidate) pre-combine and one row per walk
+  *    post-combine, never the edge list. Walk state never leaves the
+  *    executors; nothing is collected.
+  *  - the frontier is checkpointed per step (it is read by the next hop
+  *    AND the output union; an uncheckpointed lineage would re-run every
+  *    prefix once per consumer — the [[SubgraphExpansion]] per-hop
+  *    contract, measured there).
+  *  - walks at a node with no out-edges simply end (inner join drops
+  *    them); a symmetric edge list never strands a seeded walk.
+  *  - ties on the hash are broken by the smaller candidate id, making the
+  *    argmin a total order even under (astronomically unlikely) md5
+  *    collisions.
+  *
+  * `edges`: symmetric directed pair list, both directions present, no
+  * duplicates ([[PageRank.cooccurrenceEdges]]'s contract). `seeds`: one
+  * `node` column; one walk starts at each distinct seed, identified by it.
+  * Output: (walk_id, step, node) — step 0 is the seed row.
+  */
+object RandomWalk {
+
+  def walks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    // Scanned once per hop; pin so hops don't rescan the upstream plan.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var frontier = seeds.select(col("node")).distinct()
+      .select(col("node").as("walk_id"), col("node"))
+      .localCheckpoint(true)
+    var out = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
+    for (step <- 1 to steps) {
+      val h = md5(concat_ws("-",
+        col("walk_id").cast("string"), lit(step.toString),
+        col("node").cast("string"), col("dst").cast("string")))
+      frontier = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("walk_id"), struct(h.as("_h"), col("dst")).as("_c"))
+        .groupBy(col("walk_id"))
+        .agg(min(col("_c")).as("_c")) // (hash, dst) struct min = hash argmin, id tiebreak
+        .select(col("walk_id"), col("_c.dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(
+        frontier.select(col("walk_id"), lit(step).as("step"), col("node")))
+    }
+    out
+  }
+}

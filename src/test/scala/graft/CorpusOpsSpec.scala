@@ -577,4 +577,36 @@ class CorpusOpsSpec extends SparkSpec {
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"bloomDecontaminate left ${leaked.size} pinned RDDs")
   }
+
+  // ------------------------------------------------------- histogram sketch
+  test("histogramSketch: clamps to edge bins; state merges by summing counts") {
+    val a = Seq(-5L, 0L, 7L, 8L, 100L).map(v => ("g", v)).toDF("grp", "v")
+    val b = Seq(3L, 9L, 200L).map(v => ("g", v)).toDF("grp", "v")
+    val sk = (df: org.apache.spark.sql.DataFrame) =>
+      CorpusOps.histogramSketch(df, Seq("grp"), "v", 0L, 32L, 4)
+        .as[(String, Int, Long)].collect().toSeq
+    // binW=8: -5,0,7 -> bin 0; 8 -> bin 1; 100 -> clamped to bin 3
+    assert(sk(a).sortBy(_._2) == Seq(("g", 0, 3L), ("g", 1, 1L), ("g", 3, 1L)))
+    // merge property: sketch(a ∪ b) == sum of counts of sketch(a) + sketch(b)
+    val merged = (sk(a) ++ sk(b)).groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => (k._1, k._2, rs.map(_._3).sum) }.toSet
+    assert(sk(a.unionByName(b)).toSet == merged)
+  }
+
+  test("histogramQuantiles: interpolation is exact on a uniform fill") {
+    // 32 values 0..31 over [0,32) with 4 bins: each bin holds 8, and the
+    // interpolated quantile of a uniform histogram is just q*n scaled: for
+    // q=0.5, target=16, bin 2 (cum 24, cumBefore 16 is NOT < 16 -> bin 1 has
+    // cum 16 >= 16 and cumBefore 8 < 16): est = 8 + 8*(16-8)/8 = 16.
+    val df = (0L until 32L).map(v => ("g", v)).toDF("grp", "v")
+    val st = CorpusOps.histogramSketch(df, Seq("grp"), "v", 0L, 32L, 4)
+    val got = CorpusOps.histogramQuantiles(st, Seq("grp"), 0L, 32L, 4,
+        Seq(0.25, 0.5, 0.75))
+      .as[(String, Double, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map(0.25 -> 8.0, 0.5 -> 16.0, 0.75 -> 24.0))
+    // exactly one bin answers each (group, q): boundary targets never double-fire
+    val n = CorpusOps.histogramQuantiles(st, Seq("grp"), 0L, 32L, 4,
+      Seq(0.25, 0.5, 0.75, 0.99)).count()
+    assert(n == 4L)
+  }
 }

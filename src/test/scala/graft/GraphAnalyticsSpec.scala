@@ -323,4 +323,36 @@ class GraphAnalyticsSpec extends SparkSpec {
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"Hits.run leaked ${leaked.size} pinned RDDs beyond its result")
   }
+
+  // ------------------------------------------------------------- random walks
+  test("random walks: every hop follows an edge, one node per (walk, step), reproducible") {
+    import graft.operators.RandomWalk
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val run = () => RandomWalk.walks(edges, seeds, steps = 3)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = run()
+    // step 0 is the seed; 2 walks x 4 steps, exactly one node per (walk, step)
+    assert(got.size == 8 && got.map(r => (r._1, r._2)).distinct.size == 8)
+    assert(got.filter(_._2 == 0).map(r => (r._1, r._3)).toSet == Set((1L, 1L), (4L, 4L)))
+    val edgeSet = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    for (w <- Seq(1L, 4L); s <- 1 to 3) {
+      val cur = got.find(r => r._1 == w && r._2 == s).get._3
+      val prev = got.find(r => r._1 == w && r._2 == s - 1).get._3
+      assert(edgeSet((prev, cur)), s"walk $w step $s: ($prev,$cur) is not an edge")
+    }
+    assert(got == run(), "hash-argmin walks must be run-to-run identical")
+  }
+
+  test("random walks: a forced path is followed; dead ends terminate the walk early") {
+    import graft.operators.RandomWalk
+    // 1 -> 2 -> 3 is the only route (symmetric chain would allow backtracking;
+    // directed here to force the path AND give 3 a dead end)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = RandomWalk.walks(edges, Seq(1L).toDF("node"), steps = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._2).toSeq
+    // steps 0,1,2 exist; step 3 is dropped (node 3 has no out-edge)
+    assert(got.map(r => (r._2, r._3)) == Seq((0, 1L), (1, 2L), (2, 3L)))
+  }
 }

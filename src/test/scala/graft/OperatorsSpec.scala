@@ -55,6 +55,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got("e3").isEmpty)       // no earlier right row for key 2
   }
 
+  test("nearest join: closest either direction, backward wins ties, null keys stay null") {
+    val left = Seq(
+      (1L, 100L, "mid"),   // right at 90 (d=10) and 104 (d=4) -> forward 104
+      (1L, 92L, "tie"),    // right at 90 and 94 both d=2 -> backward 90 wins
+      (1L, 10L, "before"), // only later rights exist -> forward 90
+      (2L, 50L, "lone"))   // key 2 has no right rows -> null
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 90L, 9.0), (1L, 94L, 94.0), (1L, 104L, 14.0))
+      .toDF("k", "rt", "price")
+    val got = AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("price"))
+      .select(col("name"), col("nearest_price")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("mid").contains(14.0))
+    assert(got("tie").contains(9.0))
+    assert(got("before").contains(9.0))
+    assert(got("lone").isEmpty)
+  }
+
   // -------------------------------------------------------------- sessionize
   test("gap sessionization splits on gap and rolls up stats") {
     val ev = Seq(
