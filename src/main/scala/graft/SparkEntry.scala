@@ -805,6 +805,29 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
+    // B3 exact-phrase search over positional postings — adjacency-aware
+    // lexical matching BM25's bag-of-words cannot express; the repeated
+    // first term exercises the same-posting-list offset self-join. See
+    // PhraseSearch.
+    "b3_phrase_match" -> ((s, dir) => {
+      PhraseSearch.phraseMatch(t(s, dir, "documents"), "doc_id", "text",
+          Seq("table", "table", "value"))
+        .select(col("id").as("doc_id"), col("n_hits"))
+    }),
+    // B4 Dirichlet query-likelihood retrieval (Zhai–Lafferty LM scoring) on
+    // the same queries/tokenization as b1 — the lexical trio's third model
+    // (BM25 / TF-IDF / QL-LM), built from the shared lexTokens frame. See
+    // QueryLikelihood.
+    "b4_query_likelihood" -> ((s, dir) => {
+      val idx = Bm25.buildFromTokens(lexTokens(s, dir).select("id", "term"))
+      val queries = s.createDataFrame(Seq(
+        ("q0", "fast vector scan"),
+        ("q1", "spark window agg"),
+        ("q2", "customer order join"))).toDF("qid", "qtext")
+      QueryLikelihood.score(idx, queries, "qid", "qtext", mu = 300.0, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score_r"))
+    }),
     // B2 hybrid retrieval: dense KNN run + sparse BM25 run fused with
     // reciprocal-rank fusion (rank-only, so the fused scores are exact).
     // Queries = the first 4 docs (their text for the lexical run, their
@@ -2264,6 +2287,44 @@ object SparkEntry {
            |FROM (SELECT query_id, id AS doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc) r
+           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // b3: positional self-joins with relative offsets (1-based subscripts
+      // cancel in the offset arithmetic); the repeated 'table' term makes
+      // p0/p1 the same posting list shifted by one.
+      "b3_phrase_match" ->
+        s"""WITH dw AS ($docWords),
+           |p0 AS (SELECT doc_id, pos FROM dw WHERE word = 'table'),
+           |p1 AS (SELECT doc_id, pos - 1 AS pos FROM dw WHERE word = 'table'),
+           |p2 AS (SELECT doc_id, pos - 2 AS pos FROM dw WHERE word = 'value')
+           |SELECT p0.doc_id, count(*) AS n_hits
+           |FROM p0 JOIN p1 USING (doc_id, pos) JOIN p2 USING (doc_id, pos)
+           |GROUP BY 1""".stripMargin.replace("\n", " "),
+      // b4: the matched-terms Dirichlet decomposition, DOUBLE everywhere the
+      // Scala side is; the float dataflow (qtf·ln(1 + tf/(μ·cf/T)) summed,
+      // then + qlen·ln(μ/(dl+μ))) mirrors QueryLikelihood.score exactly.
+      "b4_query_likelihood" ->
+        s"""WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS id, unnest($toksDoc) AS term FROM documents),
+           |tf AS (SELECT term, id, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(sum(dl) AS DOUBLE) AS t FROM dl),
+           |cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY 1),
+           |q AS (SELECT 'q0' AS query_id, 'fast vector scan' AS qtext
+           |      UNION ALL SELECT 'q1', 'spark window agg'
+           |      UNION ALL SELECT 'q2', 'customer order join'),
+           |qt AS (SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf
+           |  FROM (SELECT query_id, unnest(${toksOf("qtext")}) AS term FROM q) u GROUP BY 1, 2),
+           |ql AS (SELECT query_id, CAST(sum(qtf) AS DOUBLE) AS qlen FROM qt GROUP BY 1),
+           |sc AS (SELECT qt.query_id, tf.id, dl.dl,
+           |    sum(qt.qtf * ln(1.0 + tf.tf / (300.0 * cf.cf / tot.t))) AS s1
+           |  FROM qt JOIN tf ON qt.term = tf.term JOIN cf ON tf.term = cf.term
+           |    JOIN dl ON tf.id = dl.id CROSS JOIN tot
+           |  GROUP BY 1, 2, 3),
+           |fin AS (SELECT query_id, id, s1 + ql.qlen * ln(300.0 / (dl + 300.0)) AS score
+           |  FROM sc JOIN ql USING (query_id))
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |FROM (SELECT query_id, id AS doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+           |      FROM fin) r
            |WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "b2_rrf_hybrid" ->
         s"""WITH ${bm25Cte("WHERE doc_id >= 4",

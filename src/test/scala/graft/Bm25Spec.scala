@@ -120,6 +120,48 @@ class Bm25Spec extends SparkSpec {
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
       "release() must unpersist every block the build pinned")
   }
+
+  // ------------------------------------------------------------ phrase search
+  test("phraseMatch: adjacency required, overlaps counted, phrase normalized") {
+    import graft.operators.PhraseSearch
+    val docs = Seq(
+      (1L, "new york city hall"),   // 1 hit of "new york"
+      (2L, "york new haven"),       // reversed: no hit
+      (3L, "new new york"),         // still 1 hit (york only once)
+      (4L, "a a a b")).toDF("doc_id", "text") // overlap: "a a" twice
+    val hit = (p: Seq[String]) =>
+      PhraseSearch.phraseMatch(docs, "doc_id", "text", p)
+        .as[(Long, Long)].collect().toMap
+    assert(hit(Seq("new", "york")) == Map(1L -> 1L, 3L -> 1L))
+    assert(hit(Seq("a", "a")) == Map(4L -> 2L))
+    // raw phrase words go through T2 normalization like the corpus does
+    assert(hit(Seq("New,", "YORK!")) == Map(1L -> 1L, 3L -> 1L))
+    assert(hit(Seq("absent", "phrase")).isEmpty)
+  }
+
+  // -------------------------------------------------------- query likelihood
+  test("queryLikelihood: hand-computed Dirichlet score; coverage beats raw tf") {
+    import graft.operators.QueryLikelihood
+    val docs = Seq(
+      ("d1", "x y"),         // both query terms once
+      ("d2", "x x x x"),     // one term, high tf
+      ("d3", "z z")).toDF("id", "text")
+    val idx = Bm25.build(docs, "id", "text")
+    val q = Seq(("q0", "x y")).toDF("qid", "qtext")
+    val got = QueryLikelihood.score(idx, q, "qid", "qtext", mu = 10.0, k = 5)
+      .select(col("doc_id"), col("rank"), col("score"))
+      .as[(String, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus: T=8, cf(x)=5, cf(y)=1. d1: dl=2,tf(x)=1,tf(y)=1
+    val T = 8.0; val mu = 10.0
+    val d1 = math.log(1 + 1 / (mu * 5 / T)) + math.log(1 + 1 / (mu * 1 / T)) +
+      2 * math.log(mu / (2 + mu))
+    val d2 = math.log(1 + 4 / (mu * 5 / T)) + 2 * math.log(mu / (4 + mu))
+    assert(math.abs(got("d1")._2 - d1) < 1e-12, s"got ${got("d1")._2} want $d1")
+    assert(math.abs(got("d2")._2 - d2) < 1e-12)
+    // d1 covers both terms (rare y is strong evidence) -> outranks tf-heavy d2
+    assert(got("d1")._1 == 1 && got("d2")._1 == 2)
+    assert(!got.contains("d3"), "docs matching no query term are not scored")
+  }
 }
 
 /** tiny local helper: token count with the engine tokenizer */
