@@ -464,6 +464,20 @@ object SparkEntry {
       RandomWalk.walks(edges, seeds, steps = 3)
         .select(col("walk_id"), col("step"), col("node"))
     }),
+    // G17 bounded-hop multi-source shortest paths: Bellman–Ford relaxation
+    // with edges weighted 1/co-occurrence-multiplicity (distance prefers
+    // strongly co-occurring paths). See ShortestPaths.
+    "g17_bounded_sssp" -> ((s, dir) => {
+      val pairs = coPairs(s, dir).filter(col("_m") >= 2)
+      val edges = pairs.select(explode(array(
+          struct(col("src"), col("dst"), col("_m")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("_m")))).as("e"))
+        .select(col("e.src"), col("e.dst"), (lit(1.0) / col("e._m")).as("w"))
+      val seeds = edges.filter(col("src") % 500 === 0)
+        .select(col("src").as("node")).distinct()
+      ShortestPaths.boundedSssp(edges, seeds, hops = 3)
+        .select(col("seed"), col("node"), round(col("d"), 6).as("d_r"))
+    }),
 
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
@@ -2572,6 +2586,32 @@ object SparkEntry {
           |UNION ALL SELECT walk_id, 1, node FROM s1
           |UNION ALL SELECT walk_id, 2, node FROM s2
           |UNION ALL SELECT walk_id, 3, node FROM s3""".stripMargin.replace("\n", " "),
+      // g17: three unrolled Bellman–Ford rounds — each a union of carry +
+      // relax then a (seed, node) min, the identical float dataflow
+      // (d_{k+1} = d_k + w, same candidate multiset per min).
+      "g17_bounded_sssp" ->
+        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
+          |    count(DISTINCT a.l_orderkey) AS m
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst, 1.0 / m AS w FROM c0
+          |  UNION ALL SELECT v, u, 1.0 / m FROM c0),
+          |d0 AS (SELECT DISTINCT src AS seed, src AS node, 0.0::DOUBLE AS d
+          |  FROM e0 WHERE src % 500 = 0),
+          |d1 AS (SELECT seed, node, min(d) AS d FROM (
+          |  SELECT seed, node, d FROM d0 UNION ALL
+          |  SELECT d0.seed, e.dst AS node, d0.d + e.w AS d
+          |  FROM d0 JOIN e0 e ON e.src = d0.node) u GROUP BY 1, 2),
+          |d2 AS (SELECT seed, node, min(d) AS d FROM (
+          |  SELECT seed, node, d FROM d1 UNION ALL
+          |  SELECT d1.seed, e.dst AS node, d1.d + e.w AS d
+          |  FROM d1 JOIN e0 e ON e.src = d1.node) u GROUP BY 1, 2),
+          |d3 AS (SELECT seed, node, min(d) AS d FROM (
+          |  SELECT seed, node, d FROM d2 UNION ALL
+          |  SELECT d2.seed, e.dst AS node, d2.d + e.w AS d
+          |  FROM d2 JOIN e0 e ON e.src = d2.node) u GROUP BY 1, 2)
+          |SELECT seed, node, round(d, 6) AS d_r FROM d3""".stripMargin.replace("\n", " "),
       "v1_eviction" ->
         """SELECT o_custkey,
           |  CASE WHEN cnt > 20 THEN rank_score ELSE rank_id END AS rank,

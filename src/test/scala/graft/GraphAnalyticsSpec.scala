@@ -355,4 +355,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     // steps 0,1,2 exist; step 3 is dropped (node 3 has no out-edge)
     assert(got.map(r => (r._2, r._3)) == Seq((0, 1L), (1, 2L), (2, 3L)))
   }
+
+  // ------------------------------------------------------ bounded-hop SSSP
+  test("boundedSssp: two light hops beat one heavy edge; hop bound truncates") {
+    import graft.operators.ShortestPaths
+    // 1 -(5.0)- 3 direct, but 1 -(1.0)- 2 -(1.0)- 3 is lighter; 4 is 3 hops out
+    val pairs = Seq((1L, 3L, 5.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val d2 = ShortestPaths.boundedSssp(edges, Seq(1L).toDF("node"), hops = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(d2 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 6.0))
+    // within 2 hops node 4's best is via the heavy edge (5+1); hop 3 finds 3.0
+    val d3 = ShortestPaths.boundedSssp(edges, Seq(1L).toDF("node"), hops = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(d3(4L) == 3.0)
+  }
 }
