@@ -1554,6 +1554,17 @@ object SparkEntry {
         .groupBy("click_id")
         .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 4).as("sum_value"))
     }),
+    // EV1 strictly-ordered funnel conversion (view → click → purchase):
+    // per-step survivor joins + min aggregates. See EventAnalytics.funnel.
+    "ev1_funnel" -> ((s, dir) => {
+      EventAnalytics.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+    // EV2 daily cohort retention (first-active-day cohorts, offsets 0..7):
+    // exact integer epoch-ns day indexes. See EventAnalytics.retention.
+    "ev2_retention" -> ((s, dir) => {
+      EventAnalytics.retention(t(s, dir, "events"), "user_id", "ts", maxOffset = 7)
+    }),
 
     // X6 JSON property extraction (the schemaless "dynamic fields" surface,
     // milvus.py:97): parse events.props, aggregate an extracted field.
@@ -2744,9 +2755,10 @@ object SparkEntry {
           |  SELECT p_partkey AS id, p_name AS name FROM part
           |  UNION ALL SELECT p_partkey + 1000000, substr(p_name, 1, 5) || substr(p_name, 7)
           |    FROM part WHERE p_partkey % 10 = 0),
-          |t AS (SELECT id, lower(trim(name)) AS s,
-          |    substr(lower(trim(name)), 1, 4) AS blk FROM p)
-          |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+          |t AS (SELECT s, min(id) AS id, count(*) AS n, substr(s, 1, 4) AS blk
+          |  FROM (SELECT id, lower(trim(name)) AS s FROM p) q GROUP BY s)
+          |SELECT a.id AS id_a, b.id AS id_b, CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist,
+          |  a.n AS n_a, b.n AS n_b
           |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
           |WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2""".stripMargin.replace("\n", " "),
       "d1_exact_dedup" ->
@@ -3458,6 +3470,30 @@ object SparkEntry {
           |  AND epoch_ns(p.ts) >= epoch_ns(c.ts)
           |  AND epoch_ns(p.ts) <= epoch_ns(c.ts) + 600000000000
           |GROUP BY c.event_id""".stripMargin.replace("\n", " "),
+      // ev1: per-step earliest-completion CTE chain with strict > chaining.
+      "ev1_funnel" ->
+        """WITH u1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |u2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+          |  JOIN u1 ON e.user_id = u1.user_id AND epoch_ns(e.ts) > u1.t
+          |  WHERE e.event_type = 'click' GROUP BY 1),
+          |u3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+          |  JOIN u2 ON e.user_id = u2.user_id AND epoch_ns(e.ts) > u2.t
+          |  WHERE e.event_type = 'purchase' GROUP BY 1)
+          |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM u1
+          |UNION ALL SELECT 2, 'click', count(*) FROM u2
+          |UNION ALL SELECT 3, 'purchase', count(*) FROM u3""".stripMargin.replace("\n", " "),
+      // ev2: integer day division (//) mirrors the Spark side's `div` —
+      // a float path would mis-bucket epoch-ns values past 2^53.
+      "ev2_retention" ->
+        """WITH act AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |coh AS (SELECT user_id, min(day) AS c FROM act GROUP BY 1)
+          |SELECT coh.c AS cohort_day, act.day - coh.c AS day_offset,
+          |  count(*) AS n_users
+          |FROM act JOIN coh ON act.user_id = coh.user_id
+          |WHERE act.day - coh.c <= 7
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "x6_json_props" ->
         """SELECT event_type, count(*) AS n,
           |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over an event stream table — the funnel and
+  * cohort-retention reads every product/telemetry pipeline runs beside
+  * sessionization ([[Sessionize]]). Batch forms here; both are
+  * incrementalizable the [[graft.streaming.StreamingOps]] way (per-user
+  * state = current funnel stage / first-seen day, both watermark-bounded).
+  *
+  * Scale shapes:
+  *  - funnel: step k is ONE (filtered events)⋈(step k−1 completions)
+  *    equi-join on the user plus a min aggregate — survivor sets shrink
+  *    monotonically, shuffles are user-keyed and map-side combined, and the
+  *    per-step counts are one-row aggregates unioned at the end (scalar
+  *    assembly, no data cross joins).
+  *  - retention: day indexes via exact integer division of the epoch-ns
+  *    long (a double division would lose integer precision past 2^53 and
+  *    mis-bucket boundary events), one distinct (user, day) pass, a
+  *    user-keyed cohort join, then a (cohort, offset) count — all hash
+  *    aggregates, nothing driver-side.
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered funnel conversion: a user completes step k at their
+    * earliest `steps(k)` event STRICTLY after their step k−1 completion
+    * (same-timestamp events do not chain — a purchase logged in the same
+    * nanosecond as the view it requires is not a conversion).
+    * `tsCol` must be comparable (the engine's epoch-ns long convention).
+    * Output: (step INT 1-based, event_type, n_users) — one row per step. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: no steps")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t"))
+    var out = cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit(steps.head).as("event_type"), col("n_users"))
+    for (k <- 1 until steps.length) {
+      val next = events.filter(col(typeCol) === steps(k))
+        .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+      cur = cur.join(next, Seq("_u"))
+        .filter(col("_ts") > col("_t"))
+        .groupBy("_u").agg(min(col("_ts")).as("_t"))
+      out = out.unionByName(cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(k + 1).as("step"), lit(steps(k)).as("event_type"), col("n_users")))
+    }
+    out
+  }
+
+  /** Daily cohort retention: cohort(user) = the user's first active day
+    * (exact integer epoch-ns division), and a (cohort_day, day_offset) cell
+    * counts users active `day_offset` days after their cohort day, offsets
+    * 0..maxOffset. A user active twice on one day counts once.
+    * Output: (cohort_day BIGINT, day_offset BIGINT, n_users). */
+  def retention(events: DataFrame, userCol: String, tsNsCol: String,
+      maxOffset: Int): DataFrame = {
+    val DayNs = 86400000000000L
+    val active = events
+      .select(col(userCol).as("_u"), expr(s"$tsNsCol div $DayNs").as("_day"))
+      .distinct()
+      .localCheckpoint(true) // read by the cohort agg and the retention join
+    val cohort = active.groupBy("_u").agg(min(col("_day")).as("_c"))
+    active.join(cohort, Seq("_u"))
+      .select(col("_u"), col("_c"), (col("_day") - col("_c")).as("_off"))
+      .filter(col("_off") <= maxOffset)
+      .groupBy(col("_c").as("cohort_day"), col("_off").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

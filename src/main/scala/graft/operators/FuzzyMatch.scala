@@ -54,31 +54,45 @@ object FuzzyMatch {
   /** Blocked entity resolution: near-duplicate NAME pairs within a large
     * entity table — the canonicalization signal a graph build runs when
     * exact-normalized dedup (G2) leaves typo/OCR/transliteration variants
-    * as distinct nodes. Standard prefix blocking: candidates must share
-    * their first `prefixLen` (lowercased, trimmed) characters, so the
-    * quadratic pair search runs only WITHIN a block ([[Dedup]]'s
-    * band/cell economics; an unblocked all-pairs is deliberately not
-    * offered). Within a block: a length pre-filter (a necessary condition
-    * for edit distance, codegen-cheap) then threshold Levenshtein
-    * (early-abandon beyond `maxEdit`). Identical names (distance 0) count —
-    * exact dedup upstream is the caller's choice, not silently assumed.
+    * as distinct nodes.
+    *
+    * Exact duplicates collapse FIRST: the pair search runs over DISTINCT
+    * (lowercased, trimmed) strings, each carrying its multiplicity and its
+    * minimum owning id as representative. This is both the ER semantics
+    * (variants of a name are interesting; identical copies are exact
+    * dedup's job, D1/D12) and the scale guard — real entity columns are
+    * heavy-tailed, and without the collapse a value repeated n times emits
+    * n²/2 distance-0 pairs per block (measured: the 64-distinct-name part
+    * table at sf0.1 → 30M in-block pairs uncollapsed, thousands collapsed).
+    *
+    * Then standard prefix blocking: candidates must share their first
+    * `prefixLen` characters, so the quadratic search runs only WITHIN a
+    * block ([[Dedup]]'s band/cell economics; an unblocked all-pairs is
+    * deliberately not offered). Within a block: a length pre-filter (a
+    * necessary condition for edit distance, codegen-cheap) then threshold
+    * Levenshtein (early-abandon beyond `maxEdit`).
     *
     * Blocking trades recall for scale exactly like LSH banding: a typo
     * INSIDE the prefix escapes the block (run with a reversed-string second
     * pass, or route to the token-level families, when that matters).
     *
-    * Output: (id_a, id_b, dist) with id_a < id_b, one row per pair. */
+    * Output: (id_a, id_b, dist, n_a, n_b) with id_a < id_b — one row per
+    * near-duplicate distinct-string pair (dist ≥ 1 by construction), ids
+    * the representatives, n_* the exact-copy counts behind each side. */
   def blockedNearDupPairs(df: DataFrame, idCol: String, strCol: String,
       prefixLen: Int, maxEdit: Int): DataFrame = {
     require(prefixLen >= 1 && maxEdit >= 0)
-    val t = df.select(col(idCol).as("id"),
-        lower(trim(col(strCol))).as("_t"))
+    val t = df.select(col(idCol).as("id"), lower(trim(col(strCol))).as("_t"))
+      .groupBy("_t")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n"))
       .withColumn("_blk", substring(col("_t"), 1, prefixLen))
+      .localCheckpoint(true) // distinct-name-sized; both self-join sides read it
     t.as("a").join(t.as("b"),
         col("a._blk") === col("b._blk") && col("a.id") < col("b.id"))
       .filter(abs(length(col("a._t")) - length(col("b._t"))) <= maxEdit)
       .withColumn("_d", levenshtein(col("a._t"), col("b._t"), maxEdit))
-      .filter(col("_d") >= 0)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("_d").as("dist"))
+      .filter(col("_d") >= 0) // ≥ 1 in practice: distinct strings never tie at 0
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("_d").as("dist"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
   }
 }

@@ -73,6 +73,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got("lone").isEmpty)
   }
 
+  // --------------------------------------------------------- event analytics
+  test("funnel: strict ordering chains steps; same-timestamp does not convert") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      (2L, 10L, "view"), (2L, 10L, "click"),  // same-ts click: no chain
+      (3L, 20L, "click"), (3L, 30L, "view"),  // click BEFORE view: step 2 out
+      (4L, 5L, "view"), (4L, 50L, "click")).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1 -> 4L, 2 -> 2L, 3 -> 1L)) // users 1+4 click after view
+  }
+
+  test("retention: first-day cohorts, distinct per day, offset window") {
+    import graft.operators.EventAnalytics
+    val D = 86400000000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 10L), (1L, D + 1L),       // cohort day 0, active d0 d1
+      (2L, D), (2L, 3 * D),                    // cohort day 1, active d1 d3
+      (3L, 0L), (3L, 9 * D)).toDF("user_id", "ts") // d9 outside maxOffset=7
+    val got = EventAnalytics.retention(ev, "user_id", "ts", maxOffset = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
   // -------------------------------------------------------------- sessionize
   test("gap sessionization splits on gap and rolls up stats") {
     val ev = Seq(

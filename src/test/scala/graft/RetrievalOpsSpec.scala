@@ -80,16 +80,19 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(!got.contains("p3")) // nothing within range emits nothing
   }
 
-  test("blocked entity resolution: in-block typos pair, cross-block escapes, dist 0 counts") {
+  test("blocked entity resolution: exact dups collapse to multiplicity, typos pair, cross-block escapes") {
     val ents = Seq(
       (1L, "goldenrod lace"), (2L, "goldenrod lac"),   // 1 edit, same block
-      (3L, "goldenrod lace"),                          // exact dup of 1
+      (3L, "goldenrod lace"),                          // exact dup: folds into id 1's count
       (4L, "xoldenrod lace"),                          // 1 edit INSIDE prefix -> other block
       (5L, "silver spring"), (6L, "silver sprinkle")   // 3 edits: beyond maxEdit=2
     ).toDF("id", "name")
     val got = FuzzyMatch.blockedNearDupPairs(ents, "id", "name", prefixLen = 4, maxEdit = 2)
-      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1), got)
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // ONE pair of distinct strings: rep ids (1, 2), the exact copy (id 3)
+    // appears as n_a = 2, never as its own distance-0 rows
+    assert(got == Map((1L, 2L) -> ((1, 2L, 1L))), got)
     // the blocking tradeoff is explicit: id 4 is 1 edit from 1 but unblocked
     assert(!got.contains((1L, 4L)))
   }
