@@ -663,6 +663,21 @@ object SparkEntry {
       FuzzyMatch.blockedNearDupPairs(p.unionByName(typos), "id", "name",
         prefixLen = 4, maxEdit = 2)
     }),
+    // ER2 resolution clusters — the ACTION on er1's pairs: every row (same
+    // typo-injected input) gets its canonical id via exact collapse +
+    // connected components over the blocked pair graph; rows in no pair
+    // keep their exact-collapse representative. See
+    // FuzzyMatch.resolutionClusters.
+    "er2_resolution_clusters" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val typos = p.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000).as("id"),
+          concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100000))
+            .as("name"))
+      FuzzyMatch.resolutionClusters(p.unionByName(typos), "id", "name",
+        prefixLen = 4, maxEdit = 2)
+    }),
 
     // ------------------------------------------------- scale pipeline: dedup (D)
     // D1 exact dedup on normalized text (hash-groupBy).
@@ -695,6 +710,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(spread(t(s, dir, "documents")), "doc_id", "text",
         shingleSize = 3, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+    }),
+    // D15 containment near-dup pairs: |A∩B| / min(|A|,|B|) over the same
+    // shingle posting-list join as d4 — the subset-duplication signal
+    // (short doc quoted whole inside a long one) Jaccard misses. The 0.6
+    // threshold sits below d4's 0.5-Jaccard pairs' containment, so d15 ⊋ d4
+    // on asymmetric-size pairs. See Dedup.containmentPairs.
+    "d15_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+        shingleSize = 3, minContainment = 0.6)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          round(col("containment"), 6).as("containment_r"))
     }),
     // D7 C4-style corpus-level line dedup: a shared boilerplate footer is
     // appended to every document so the drop path is deterministically
@@ -839,6 +865,21 @@ object SparkEntry {
         ("q1", "spark window agg"),
         ("q2", "customer order join"))).toDF("qid", "qtext")
       QueryLikelihood.score(idx, queries, "qid", "qtext", mu = 300.0, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score_r"))
+    }),
+    // B5 RM3-style pseudo-relevance feedback on the b1 queries: first-pass
+    // BM25 top-5 docs feed tf/dl expansion-term mining (top-3 new terms,
+    // rounded-weight ranking, term-asc ties), re-scored with λ=1/2 (a power
+    // of two, so the weighted sum stays bit-exact). See Bm25.prfScore.
+    "b5_prf_expansion" -> ((s, dir) => {
+      val idx = Bm25.buildFromTokens(lexTokens(s, dir).select("id", "term"))
+      val queries = s.createDataFrame(Seq(
+        ("q0", "fast vector scan"),
+        ("q1", "spark window agg"),
+        ("q2", "customer order join"))).toDF("qid", "qtext")
+      Bm25.prfScore(idx, queries, "qid", "qtext", k = 5,
+          fbDocs = 5, fbTerms = 3, lambda = 0.5)
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
@@ -1564,6 +1605,13 @@ object SparkEntry {
     // exact integer epoch-ns day indexes. See EventAnalytics.retention.
     "ev2_retention" -> ((s, dir) => {
       EventAnalytics.retention(t(s, dir, "events"), "user_id", "ts", maxOffset = 7)
+    }),
+    // EV3 rolling engagement (DAU / trailing-7-day WAU / stickiness): exact
+    // distinct-over-range-window via the bounded sequence-explode rewrite.
+    // See EventAnalytics.rollingActive.
+    "ev3_rolling_active" -> ((s, dir) => {
+      EventAnalytics.rollingActive(t(s, dir, "events"), "user_id", "ts",
+        windowDays = 7)
     }),
 
     // X6 JSON property extraction (the schemaless "dynamic fields" surface,
@@ -2351,6 +2399,40 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM fin) r
            |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // b5: the RM3 chain on top of the shared BM25 CTEs — first-pass top-5
+      // (ties id-pinned), expansion weights Σ tf/dl anti-joined against the
+      // original terms, top-3 by ROUNDED weight (term-asc ties, the x27
+      // convention), re-score with the weight as the OUTERMOST factor in the
+      // same order as the Spark side (λ=0.5 is a power of two — exact).
+      "b5_prf_expansion" ->
+        s"""WITH ${bm25Cte("",
+             "SELECT 'q0' AS query_id, 'fast vector scan' AS qtext " +
+               "UNION ALL SELECT 'q1', 'spark window agg' " +
+               "UNION ALL SELECT 'q2', 'customer order join'")},
+           |fb AS (SELECT query_id, id FROM (
+           |    SELECT query_id, id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+           |    FROM sc) f WHERE rn <= 5),
+           |ew AS (SELECT fb.query_id, tf.term, sum(tf.tf / dl.dl) AS w
+           |  FROM fb JOIN tf ON tf.id = fb.id JOIN dl ON dl.id = fb.id
+           |  GROUP BY 1, 2),
+           |ewx AS (SELECT ew.query_id, ew.term, ew.w FROM ew
+           |  ANTI JOIN qt ON ew.query_id = qt.query_id AND ew.term = qt.term),
+           |ex AS (SELECT query_id, term FROM (
+           |    SELECT query_id, term,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY round(w, 9) DESC, term ASC) AS rn
+           |    FROM ewx) e WHERE rn <= 3),
+           |qw AS (SELECT query_id, term, 1.0 AS qw FROM qt
+           |  UNION ALL SELECT query_id, term, 0.5 FROM ex),
+           |sc2 AS (SELECT qw.query_id, tf.id,
+           |  sum(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) * qw.qw) AS score
+           |  FROM qw JOIN tf ON qw.term = tf.term JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.id = dl.id CROSS JOIN st
+           |  GROUP BY 1, 2)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |FROM (SELECT query_id, id AS doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+           |      FROM sc2) r
+           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "b2_rrf_hybrid" ->
         s"""WITH ${bm25Cte("WHERE doc_id >= 4",
              "SELECT CAST(doc_id AS VARCHAR) AS query_id, text AS qtext FROM documents WHERE doc_id < 4")},
@@ -2761,6 +2843,26 @@ object SparkEntry {
           |  a.n AS n_a, b.n AS n_b
           |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
           |WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2""".stripMargin.replace("\n", " "),
+      // er2: er1's pair derivation + recursive reachability min-id (the d8/d9
+      // ccClustersSql pattern applied to edit-distance edges); unpaired rows
+      // fall back to their exact-collapse representative via the LEFT join.
+      "er2_resolution_clusters" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT p_partkey AS id, p_name AS name FROM part
+          |  UNION ALL SELECT p_partkey + 1000000, substr(p_name, 1, 5) || substr(p_name, 7)
+          |    FROM part WHERE p_partkey % 10 = 0),
+          |base AS (SELECT id, lower(trim(name)) AS s FROM p),
+          |t AS (SELECT s, min(id) AS rep FROM base GROUP BY s),
+          |tb AS (SELECT s, rep, substr(s, 1, 4) AS blk FROM t),
+          |pr AS (SELECT a.rep AS id_a, b.rep AS id_b FROM tb a JOIN tb b
+          |  ON a.blk = b.blk AND a.rep < b.rep
+          |  WHERE abs(length(a.s) - length(b.s)) <= 2 AND levenshtein(a.s, b.s) <= 2),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach(id, r) AS (SELECT DISTINCT src, src FROM edges
+          |  UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          |cc AS (SELECT id, min(r) AS canon FROM reach GROUP BY id)
+          |SELECT base.id, coalesce(cc.canon, t.rep) AS canon_id
+          |FROM base JOIN t USING (s) LEFT JOIN cc ON t.rep = cc.id""".stripMargin.replace("\n", " "),
       "d1_exact_dedup" ->
         s"""SELECT $normDoc AS key, min(doc_id) AS keep_id, count(*) AS n_dups
            |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
@@ -2831,6 +2933,18 @@ object SparkEntry {
            |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
            |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
            |WHERE j >= 0.5""".stripMargin.replace("\n", " "),
+      // d15: d4's intersection CTEs with the containment denominator
+      // (min set size) — BIGINT/BIGINT→DOUBLE division is float-exact.
+      "d15_containment" ->
+        s"""WITH dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
+           |sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id_a, id_b, CAST(i AS BIGINT) AS inter, round(c, 6) AS containment_r FROM (
+           |  SELECT id_a, id_b, i, CAST(i AS DOUBLE) / least(sa.sz, sb.sz) AS c
+           |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
+           |WHERE c >= 0.6""".stripMargin.replace("\n", " "),
       "d7_line_dedup" ->
         s"""WITH lines AS (
            |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS line
@@ -3494,6 +3608,20 @@ object SparkEntry {
           |FROM act JOIN coh ON act.user_id = coh.user_id
           |WHERE act.day - coh.c <= 7
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // ev3: the range-join formulation (count DISTINCT users per trailing
+      // window) — an independent decomposition of the Spark side's bounded
+      // sequence-explode rewrite; BIGINT/BIGINT→DOUBLE division is
+      // float-exact on both engines.
+      "ev3_rolling_active" ->
+        """WITH act AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+          |wau AS (SELECT d.day, count(DISTINCT a.user_id) AS wau
+          |  FROM (SELECT DISTINCT day FROM act) d
+          |  JOIN act a ON a.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+          |SELECT dau.day, dau.dau, wau.wau,
+          |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+          |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin.replace("\n", " "),
       "x6_json_props" ->
         """SELECT event_type, count(*) AS n,
           |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

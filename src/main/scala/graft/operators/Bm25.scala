@@ -116,7 +116,69 @@ object Bm25 {
     scoreTerms(index, qterms, k, params)
   }
 
+  /** Pseudo-relevance feedback (RM3-style): run the query, treat its top
+    * `fbDocs` documents as relevant, mine the `fbTerms` most representative
+    * new terms from them, and re-score with the expanded query — the
+    * vocabulary-mismatch fix ("car" finds "automobile" documents) that needs
+    * no model, only a second pass over the index.
+    *
+    *  - feedback weight of a candidate term = Σ over feedback docs of its
+    *    in-doc relative frequency tf/dl (the uniform-prior relevance-model
+    *    estimate); original query terms are excluded (they are already in
+    *    the query), and expansion terms enter with weight `lambda`, original
+    *    terms with weight 1.
+    *  - determinism: feedback docs are the k-ties-by-id-pinned first-pass
+    *    top-k; expansion terms rank on the ROUNDED weight (9 dp) with a
+    *    term-asc tiebreak, so both engines sort identical keys (the x27
+    *    convention). `lambda` should be a power of two (default 0.5) so the
+    *    weighted contribution stays bit-exact across engines.
+    *
+    * Scale shape: two passes of the [[score]] kernel (each O(matched
+    * postings), never O(corpus)) plus one feedback-doc join — `fb` is
+    * (queries × fbDocs) rows, broadcast onto the postings, and the weight
+    * aggregate is map-side combined. The expansion-term window partitions
+    * by query over a candidate set bounded by the feedback docs' vocabulary
+    * — queries are broadcast-small by contract, so the window never sees
+    * corpus-scale data.
+    *
+    * Output: (query_id, rank, doc_id, score) — same contract as [[score]].
+    */
+  def prfScore(index: Index, queries: DataFrame, qId: String, qText: String,
+      k: Int, fbDocs: Int = 5, fbTerms: Int = 3, lambda: Double = 0.5,
+      params: Params = Params()): DataFrame = {
+    require(fbDocs > 0 && fbTerms >= 0)
+    val qterms = queries.select(col(qId).cast("string").as("query_id"),
+      explode(array_distinct(Norm.normTokens(col(qText)))).as("term"))
+      .localCheckpoint(true) // tiny; read by first pass, anti-join, final union
+    val fb = scoreTerms(index, qterms, fbDocs, params)
+      .select(col("query_id"), col("doc_id").as("id"))
+    // candidate weights from the postings (available built OR loaded):
+    // Σ tf/dl over the query's feedback docs, minus the original terms
+    val wts = index.postings.join(broadcast(fb), Seq("id"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("tf") / col("dl")).as("w"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    val byWeight = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("w"), 9).desc, col("term").asc)
+    val expansion = wts
+      .withColumn("_rn", row_number().over(byWeight))
+      .filter(col("_rn") <= fbTerms)
+      .select(col("query_id"), col("term"), lit(lambda).as("qw"))
+    val expanded = qterms.withColumn("qw", lit(1.0)).unionByName(expansion)
+    scoreWeightedTerms(index, expanded, k, params)
+  }
+
   private def scoreTerms(index: Index, qterms: DataFrame, k: Int,
+      params: Params): DataFrame =
+    // ·1.0 is an exact no-op in IEEE double, so the unweighted path's scores
+    // are bit-identical to the pre-weighting implementation
+    scoreWeightedTerms(index, qterms.withColumn("qw", lit(1.0)), k, params)
+
+  /** [[scoreTerms]] with a per-(query, term) weight column `qw` multiplying
+    * each term's BM25 contribution — the scoring kernel [[prfScore]]'s
+    * expanded queries need (original terms weight 1, feedback terms λ). */
+  private def scoreWeightedTerms(index: Index, qterms: DataFrame, k: Int,
       params: Params): DataFrame = {
     val tfNorm = col("tf") * lit(params.k1 + 1.0) /
       (col("tf") + lit(params.k1) *
@@ -135,7 +197,7 @@ object Bm25 {
     matched
       .crossJoin(broadcast(index.stats))
       .select(col("query_id"), col("id"),
-        (idf(col("df"), col("n")) * tfNorm).as("contrib"))
+        (idf(col("df"), col("n")) * tfNorm * col("qw")).as("contrib"))
       .groupBy("query_id", "id")
       .agg(sum("contrib").as("score"))
       .groupBy("query_id")

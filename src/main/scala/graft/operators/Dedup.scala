@@ -316,6 +316,50 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: score = |A ∩ B| / min(|A|, |B|)
+    * over word-shingle sets — the subset-duplication signal symmetric
+    * Jaccard structurally misses. A short document quoted whole inside a
+    * long one (a tweet in an article, a licence header in every file, a
+    * chunk re-packed into a larger context window) has containment ≈ 1 but
+    * Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded dedup keeps feeding
+    * the trainer the same text. Broder's containment formulation; the
+    * denominator is the SMALLER set, i.e. the max of the two directional
+    * containments.
+    *
+    * Same plan as [[ngramJaccardPairs]] (this is the d4 family's third
+    * score, not a new join shape): distinct (doc, shingle) checkpointed
+    * once, stop-shingles (df > `maxShingleFreq`) pruned BEFORE the
+    * posting-list self-join — a shingle in df docs contributes df² join
+    * rows — intersection counts by one hash aggregate, set sizes joined
+    * back. Pairs sharing only pruned shingles never materialize.
+    *
+    * Output: (id_a, id_b, inter, containment) for pairs with containment ≥
+    * `minContainment`, id_a < id_b. Sizes are of the FULL shingle sets
+    * (pruning bounds the join, not the semantics of |A|): containment is
+    * then exact for pairs whose shared shingles survive pruning and
+    * conservatively low otherwise — the safe direction for a dedup gate. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minContainment: Double = 0.0,
+      maxShingleFreq: Long = 1000000L): DataFrame = {
+    val docSh = shingleRows(df, idCol, textCol, shingleSize)
+      .distinct()
+      .localCheckpoint(true) // freq filter + both join sides + sizes
+    val rare = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq).select("sh")
+    val filtered = docSh.join(rare, Seq("sh"), "left_semi")
+    val sizes = docSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Sparse TF-IDF cosine similarity via INVERTED-INDEX join — the sparse
     * twin of [[embeddingNearDupPairs]]: documents are tf-idf vectors over
     * their (kept) tokens, and pair scores come from joining the posting

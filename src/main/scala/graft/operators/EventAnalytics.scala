@@ -48,6 +48,46 @@ object EventAnalytics {
     out
   }
 
+  /** Rolling engagement: per observed day, DAU (distinct users that day),
+    * WAU (distinct users in the trailing `windowDays`-day window ending that
+    * day) and stickiness = DAU/WAU — the daily health read every event
+    * pipeline publishes beside [[retention]].
+    *
+    * An exact distinct-over-range-window does not exist as a Spark window
+    * function; the scale shape here is the standard rewrite: the distinct
+    * (user, day) pass (the same frame retention starts from), then each
+    * active day FANS OUT to the ≤`windowDays` window-end days it contributes
+    * to (`sequence` explode — bounded by the window length, never by data),
+    * a second distinct collapses a user active on several days of one
+    * window, and a hash count per day finishes. Every shuffle is user- or
+    * day-keyed and map-side combined; nothing is proportional to raw events
+    * past the first distinct. Output rows only for days with activity
+    * (window-end days no event landed on are not invented).
+    *
+    * Output: (day BIGINT epoch-day, dau, wau, stickiness DOUBLE rounded 6).
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsNsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "rollingActive: windowDays must be >= 1")
+    val DayNs = 86400000000000L
+    val active = events
+      .select(col(userCol).as("_u"), expr(s"$tsNsCol div $DayNs").as("_day"))
+      .distinct()
+      .localCheckpoint(true) // read by dau, the window fan-out, and the day list
+    val dau = active.groupBy("_day").agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("_u"),
+        explode(sequence(col("_day"), col("_day") + (windowDays - 1))).as("_day"))
+      .distinct()
+      .groupBy("_day").agg(count(lit(1)).as("wau"))
+    // inner join to dau keeps observed days only: the fan-out invents
+    // window-end days beyond the last activity, which have a WAU but no DAU
+    dau.join(wau, Seq("_day"))
+      .select(col("_day").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** Daily cohort retention: cohort(user) = the user's first active day
     * (exact integer epoch-ns division), and a (cohort_day, day_offset) cell
     * counts users active `day_offset` days after their cohort day, offsets

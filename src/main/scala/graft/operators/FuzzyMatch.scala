@@ -80,19 +80,66 @@ object FuzzyMatch {
     * near-duplicate distinct-string pair (dist ≥ 1 by construction), ids
     * the representatives, n_* the exact-copy counts behind each side. */
   def blockedNearDupPairs(df: DataFrame, idCol: String, strCol: String,
-      prefixLen: Int, maxEdit: Int): DataFrame = {
-    require(prefixLen >= 1 && maxEdit >= 0)
-    val t = df.select(col(idCol).as("id"), lower(trim(col(strCol))).as("_t"))
+      prefixLen: Int, maxEdit: Int): DataFrame =
+    blockedPairs(distinctNames(df, idCol, strCol, prefixLen), maxEdit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("_d").as("dist"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+
+  /** The exact-collapse table behind [[blockedNearDupPairs]]: one row per
+    * distinct (lowercased, trimmed) string with its min-id representative,
+    * exact-copy count and prefix block. Eagerly checkpointed — distinct-name
+    * sized, read by both self-join sides. */
+  private def distinctNames(df: DataFrame, idCol: String, strCol: String,
+      prefixLen: Int): DataFrame = {
+    require(prefixLen >= 1)
+    df.select(col(idCol).as("id"), lower(trim(col(strCol))).as("_t"))
       .groupBy("_t")
       .agg(min(col("id")).as("id"), count(lit(1)).as("n"))
       .withColumn("_blk", substring(col("_t"), 1, prefixLen))
-      .localCheckpoint(true) // distinct-name-sized; both self-join sides read it
+      .localCheckpoint(true)
+  }
+
+  /** In-block near-dup pair search over a [[distinctNames]] table: prefix
+    * block equality, length pre-filter, threshold Levenshtein. Columns stay
+    * `a.*`/`b.*`-qualified plus `_d` for the caller to project. */
+  private def blockedPairs(t: DataFrame, maxEdit: Int): DataFrame = {
+    require(maxEdit >= 0)
     t.as("a").join(t.as("b"),
         col("a._blk") === col("b._blk") && col("a.id") < col("b.id"))
       .filter(abs(length(col("a._t")) - length(col("b._t"))) <= maxEdit)
       .withColumn("_d", levenshtein(col("a._t"), col("b._t"), maxEdit))
       .filter(col("_d") >= 0) // ≥ 1 in practice: distinct strings never tie at 0
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("_d").as("dist"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+  }
+
+  /** Full entity resolution on top of [[blockedNearDupPairs]]: every input
+    * row is assigned a CANONICAL id — the minimum id reachable through the
+    * near-duplicate pair graph (exact copies collapse first, then connected
+    * components over the blocked pairs; [[graft.operators.Dedup]]'s
+    * transitive-closure semantics applied to edit-distance edges). This is
+    * the ACTION form of er-pair detection: the output is the rewrite map a
+    * graph build applies so "Albert Einstein", "Albret Einstein" and their
+    * exact copies all land on one node.
+    *
+    * Scale shape: the pair search is [[blockedNearDupPairs]]'s (quadratic
+    * only within a prefix block, over DISTINCT strings); the component pass
+    * is [[Dedup.connectedComponents]] (pair-graph-sized, O(diameter) rounds
+    * with the O(log n) star fallback); the final assignment is one join of
+    * the corpus against the distinct-name table and one against the
+    * pair-node-sized label table. Rows in no near-dup pair keep their
+    * exact-collapse representative — the map degrades to plain exact dedup
+    * exactly where no fuzzy duplication exists.
+    *
+    * Output: (id, canon_id) for EVERY input row; canon_id == id marks the
+    * canonical rows themselves. */
+  def resolutionClusters(df: DataFrame, idCol: String, strCol: String,
+      prefixLen: Int, maxEdit: Int): DataFrame = {
+    val t = distinctNames(df, idCol, strCol, prefixLen)
+    val pairs = blockedPairs(t, maxEdit)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cc = Dedup.connectedComponents(pairs) // (id, rep_id), pair nodes only
+    df.select(col(idCol).as("id"), lower(trim(col(strCol))).as("_t"))
+      .join(t.select(col("_t"), col("id").as("_rep")), Seq("_t"))
+      .join(cc.select(col("id").as("_rep"), col("rep_id")), Seq("_rep"), "left")
+      .select(col("id"), coalesce(col("rep_id"), col("_rep")).as("canon_id"))
   }
 }

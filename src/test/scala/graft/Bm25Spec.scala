@@ -162,6 +162,30 @@ class Bm25Spec extends SparkSpec {
     assert(got("d1")._1 == 1 && got("d2")._1 == 2)
     assert(!got.contains("d3"), "docs matching no query term are not scored")
   }
+
+  // --------------------------------------- pseudo-relevance feedback (RM3)
+  test("prfScore: expansion terms bridge vocabulary mismatch; originals keep weight 1") {
+    val docs = Seq(
+      ("d1", "solar panels power the grid"),
+      ("d2", "solar panels on the roof"),
+      ("d3", "roof repair and roof panels"), // NO query term: reachable only via expansion
+      ("d4", "gardening is unrelated")
+    ).toDF("id", "text")
+    val idx = Bm25.build(docs, "id", "text")
+    val q = Seq(("q", "solar")).toDF("qid", "qtext")
+    val plain = Bm25.score(idx, q, "qid", "qtext", k = 4)
+      .select("doc_id").as[String].collect().toSet
+    assert(plain == Set("d1", "d2"), "baseline: only literal matches score")
+    val prf = Bm25.prfScore(idx, q, "qid", "qtext", k = 4,
+        fbDocs = 2, fbTerms = 8, lambda = 0.5)
+      .select("doc_id", "rank").as[(String, Int)].collect().toMap
+    // feedback docs d1+d2 contribute panels/roof/... -> d3 now retrievable
+    assert(prf.contains("d3"), s"expansion did not reach d3: $prf")
+    assert(!prf.contains("d4"), "unrelated doc must stay unreachable")
+    // original term keeps weight 1: a true solar doc still outranks the
+    // expansion-only hit
+    assert(prf("d1") < prf("d3") && prf("d2") < prf("d3"))
+  }
 }
 
 /** tiny local helper: token count with the engine tokenizer */

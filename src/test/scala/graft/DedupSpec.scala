@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) < pairs((1L, 3L)))
   }
 
+  test("containment: a doc quoted whole scores 1.0 where jaccard stays low") {
+    val cdocs = Seq(
+      (1L, "one two three four five six seven eight"), // 6 3-shingles
+      (2L, "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen"), // doc 1 is its prefix: containment 1, |B|=12
+      (3L, "entirely different words live here today")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdocs, "doc_id", "text",
+        shingleSize = 3, minContainment = 0.9)
+      .select("id_a", "id_b", "inter", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 6L, 1.0)), cont.toSeq)
+    // the same pair is INVISIBLE to a 0.9-Jaccard gate (6/12 = 0.5)
+    val jac = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
   test("embedding near-dup with sign-bit blocking is a subset of exact pairs") {
     val emb = spark.read.parquet(sf("embeddings")).limit(200)
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.3, blockBits = 0)

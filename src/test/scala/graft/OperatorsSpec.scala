@@ -99,6 +99,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("rolling active: trailing-window distinct users, observed days only") {
+    import graft.operators.EventAnalytics
+    val D = 86400000000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 5L),          // u1 active d0 (twice: distinct once)
+      (2L, 0L), (2L, 2 * D),       // u2 active d0 and d2
+      (3L, 10 * D)).toDF("user_id", "ts") // far day: d2's window must not see it
+    val got = EventAnalytics.rollingActive(ev, "user_id", "ts", windowDays = 7)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // d0: dau 2, wau 2; d2: dau 1 (u2), wau 2 (u1+u2 within 7 days);
+    // d10: u3 alone (d2 is 8 days back, outside); d1/d3..d9 not emitted
+    assert(got == Map(
+      0L -> ((2L, 2L, 1.0)), 2L -> ((1L, 2L, 0.5)), 10L -> ((1L, 1L, 1.0))))
+  }
+
   // -------------------------------------------------------------- sessionize
   test("gap sessionization splits on gap and rolls up stats") {
     val ev = Seq(

@@ -97,6 +97,20 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(!got.contains((1L, 4L)))
   }
 
+  test("resolution clusters: transitive chains collapse to min id, exact dups follow, loners keep themselves") {
+    val ents = Seq(
+      (10L, "aaaa x"), (11L, "aaaa xy"), (12L, "aaaa xyz"), (13L, "aaaa xyzw"),
+      // 10~13 is distance 3 (> maxEdit): reachable ONLY transitively
+      (14L, "aaaa x"),        // exact dup of 10: collapses, then follows 10
+      (20L, "silver spring")) // no pair anywhere: canon = itself
+      .toDF("id", "name")
+    val got = FuzzyMatch.resolutionClusters(ents, "id", "name",
+        prefixLen = 4, maxEdit = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 20L -> 20L), got)
+  }
+
   // ---------------------------------------------------------- negative sampling
   test("negative sampling: exactly k draws per anchor, weight-biased, stable") {
     val items = Seq(("common", 90L), ("rare", 5L), ("mid", 5L)).toDF("item", "w")
