@@ -184,6 +184,21 @@ object SparkEntry {
         .select(col("a.w").as("wa"), col("b.w").as("wb"))
       Triangles.perNodeCounts(edges, "wa", "wb")
     }),
+    // G18 local clustering coefficient over g11's co-occurrence edges:
+    // 2·T(v)/(deg·(deg−1)), degree-ordered triangle counts + one degree agg;
+    // the hub-vs-clique shape read for expansion safety. See
+    // Triangles.clusteringCoefficient.
+    "g18_clustering_coeff" -> ((s, dir) => {
+      val wordDoc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(Norm.normTokens(col("text")))).as("w"))
+      val edges = wordDoc.as("a")
+        .join(wordDoc.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("wa"), col("b.w").as("wb"))
+      Triangles.clusteringCoefficient(edges, "wa", "wb")
+        .select(col("node"), col("degree"), col("n_triangles"),
+          round(col("coeff"), 6).as("coeff_r"))
+    }),
 
     // ----------------------------------------------------------- §2.5 embeddings
     // E3 L2 normalization (embeddings.py:142-143). Exploded to one row per
@@ -2271,6 +2286,25 @@ object SparkEntry {
            |  UNION ALL SELECT z FROM tri)
            |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
            |FROM c GROUP BY node""".stripMargin.replace("\n", " "),
+      // g18: g11's triangle CTEs + a degree aggregate; both ratio factors
+      // are exact BIGINTs so the one double division is engine-exact.
+      "g18_clustering_coeff" ->
+        s"""WITH wd AS (SELECT doc_id, unnest(list_distinct($toksDoc)) AS w FROM documents),
+           |e AS (SELECT DISTINCT a.w AS u, b.w AS v
+           |  FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND a.w < b.w),
+           |deg AS (SELECT node, count(*) AS d FROM
+           |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) n GROUP BY 1),
+           |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+           |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+           |c AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+           |  UNION ALL SELECT z FROM tri),
+           |tc AS (SELECT node, count(*) AS t FROM c GROUP BY node)
+           |SELECT deg.node, deg.d AS degree,
+           |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+           |  round(CASE WHEN deg.d < 2 THEN 0.0
+           |    ELSE 2.0 * coalesce(tc.t, 0) / CAST(deg.d * (deg.d - 1) AS DOUBLE) END, 6) AS coeff_r
+           |FROM deg LEFT JOIN tc ON deg.node = tc.node""".stripMargin.replace("\n", " "),
       "g3_relation_dedup" ->
         (s"SELECT md5(text) AS id, text, n_dups FROM (SELECT concat_ws(' ', ${normE("p_brand")}, " +
           s"${normE("p_type")}, ${normE("p_name")}) AS text, count(*) AS n_dups FROM part GROUP BY 1) t"),

@@ -32,14 +32,20 @@ object Triangles {
     * agg, two orientation lookups, the closing-edge join), so it is
     * materialized once; everything downstream is equi-joins and one final
     * count aggregate — no windows, no collects. */
-  def perNodeCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+  def perNodeCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    perNodeCountsCanon(canonicalize(edges, srcCol, dstCol))
 
+  /** Canonical undirected edge list (u < v, self-loops dropped, deduped),
+    * eagerly checkpointed — read by several downstream consumers. */
+  private def canonicalize(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = edges
+    .select(least(col(srcCol), col(dstCol)).as("u"),
+      greatest(col(srcCol), col(dstCol)).as("v"))
+    .filter(col("u") =!= col("v"))
+    .distinct()
+    .localCheckpoint(true)
+
+  private def perNodeCountsCanon(canon: DataFrame): DataFrame = {
     // degree of each node in the undirected graph
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -66,5 +72,34 @@ object Triangles {
     triangles
       .select(explode(array(col("x"), col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient per node: c(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    * — the fraction of a node's neighbor pairs that are themselves connected.
+    * The graph-shape read behind [[perNodeCounts]]: a high-coefficient entity
+    * sits in a dense clique-ish neighborhood (one topic, safe to expand
+    * through), a low-coefficient high-degree node is a star hub bridging
+    * unrelated contexts (the expansion-explosion nodes P4's working-set cap
+    * exists for). Watts–Strogatz definition; nodes with degree < 2 have no
+    * neighbor pair and score 0 by convention.
+    *
+    * Same plan as [[perNodeCounts]] plus one edge-sized degree aggregate and
+    * a node-sized left join — triangle-free nodes surface with 0 triangles
+    * rather than disappearing. Both factors of the ratio are exact BIGINTs,
+    * so the single double division is engine-exact.
+    *
+    * Output: (node, degree, n_triangles, coeff) for every node with ≥1 edge. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonicalize(edges, srcCol, dstCol)
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(perNodeCountsCanon(canon), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("coeff"))
   }
 }

@@ -267,6 +267,21 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert((1 to 20).forall(i => got(s"n$i") == 2L), got) // each rim node in 2
   }
 
+  test("clustering coefficient: diagonal square + pendant — exact ratios, zeros surface") {
+    import graft.operators.Triangles
+    // square a-b-c-d-a with diagonal a-c, plus pendant d-e
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+      ("d", "e")).toDF("x", "y")
+    val got = Triangles.clusteringCoefficient(edges, "x", "y")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 2L, 2.0 / 3)))  // neighbors b,c,d; pairs bc, cd closed
+    assert(got("b") == ((2L, 1L, 1.0)))
+    assert(got("c") == ((3L, 2L, 2.0 / 3)))
+    assert(got("d") == ((3L, 1L, 1.0 / 3)))  // neighbors a,c,e; only ac closed
+    assert(got("e") == ((1L, 0L, 0.0)))      // degree-1: no pair, 0 by convention
+  }
+
   // ------------------------------------------------------------------ HITS
   test("hits: star graph — center is the sole max on its side, max-normalized to 1") {
     import graft.operators.Hits
