@@ -898,6 +898,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
+    // B6 best-window snippet extraction: per (query, matching doc) the
+    // width-8 token window covering the most distinct query terms (ties →
+    // earliest), text sliced from the token array — windows anchor only at
+    // query-term hits, so everything is posting-list-sized. See Snippets.
+    "b6_snippets" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        ("q0", "fast vector scan"),
+        ("q1", "spark window agg"),
+        ("q2", "customer order join"))).toDF("qid", "qtext")
+      Snippets.bestWindow(t(s, dir, "documents"), "doc_id", "text",
+        queries, "qid", "qtext", width = 8)
+    }),
     // B2 hybrid retrieval: dense KNN run + sparse BM25 run fused with
     // reciprocal-rank fusion (rank-only, so the fused scores are exact).
     // Queries = the first 4 docs (their text for the lexical run, their
@@ -2467,6 +2479,28 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc2) r
            |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // b6: positional-hit self-join windows (anchored at hits, width 8),
+      // argmax as a row_number — 1-based generate_subscripts positions match
+      // the Spark side's pos0+1; the snippet is the same list_slice both ways.
+      "b6_snippets" ->
+        s"""WITH dw AS ($docWords),
+           |q AS (SELECT 'q0' AS query_id, 'fast vector scan' AS qtext
+           |      UNION ALL SELECT 'q1', 'spark window agg'
+           |      UNION ALL SELECT 'q2', 'customer order join'),
+           |qt AS (SELECT DISTINCT query_id, unnest(${toksOf("qtext")}) AS term FROM q),
+           |m AS (SELECT qt.query_id, dw.doc_id, dw.pos, dw.word
+           |  FROM dw JOIN qt ON dw.word = qt.term),
+           |w AS (SELECT a.query_id, a.doc_id, a.pos AS s, count(DISTINCT b.word) AS n_terms
+           |  FROM m a JOIN m b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+           |    AND b.pos >= a.pos AND b.pos < a.pos + 8 GROUP BY 1, 2, 3),
+           |best AS (SELECT query_id, doc_id, s, n_terms,
+           |    row_number() OVER (PARTITION BY query_id, doc_id
+           |      ORDER BY n_terms DESC, s ASC) AS rn FROM w)
+           |SELECT b.query_id, b.doc_id, CAST(b.s AS INTEGER) AS start_pos, b.n_terms,
+           |  array_to_string(list_slice(t.w, b.s, b.s + 7), ' ') AS snippet
+           |FROM best b JOIN (SELECT doc_id, $toksDoc AS w FROM documents) t
+           |  ON b.doc_id = t.doc_id
+           |WHERE b.rn = 1""".stripMargin.replace("\n", " "),
       "b2_rrf_hybrid" ->
         s"""WITH ${bm25Cte("WHERE doc_id >= 4",
              "SELECT CAST(doc_id AS VARCHAR) AS query_id, text AS qtext FROM documents WHERE doc_id < 4")},

@@ -111,6 +111,25 @@ class RetrievalOpsSpec extends SparkSpec {
       14L -> 10L, 20L -> 20L), got)
   }
 
+  test("snippets: densest window wins, ties earliest, no-hit docs absent") {
+    import graft.operators.Snippets
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "nothing relevant here at all"),
+      (3L, "delta delta delta")).toDF("doc_id", "text")
+    val q = Seq(("q", "alpha delta")).toDF("qid", "qtext")
+    val got = Snippets.bestWindow(docs, "doc_id", "text", q, "qid", "qtext",
+        width = 4)
+      .select("doc_id", "start_pos", "n_terms", "snippet")
+      .as[(Long, Int, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1: windows at 1 {alpha,delta} and 4 {delta,alpha} both cover 2 —
+    // earliest start wins; snippet = tokens 1..4
+    assert(got(1L) == ((1L, 1, 2L, "alpha beta gamma delta")), got(1L))
+    // doc 3: only one distinct term however many hits; window clips at end
+    assert(got(3L)._3 == 1L && got(3L)._2 == 1)
+    assert(!got.contains(2L))
+  }
+
   // ---------------------------------------------------------- negative sampling
   test("negative sampling: exactly k draws per anchor, weight-biased, stable") {
     val items = Seq(("common", 90L), ("rare", 5L), ("mid", 5L)).toDF("item", "w")
