@@ -152,6 +152,84 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelEv(user_id: Long, ts: Long, event_type: String)
+  final case class FunnelAdvance(user_id: Long, step: Int, ts: Long)
+
+  /** Streaming funnel maintenance — the incremental twin of
+    * [[graft.operators.EventAnalytics.funnel]]: per-user state is just
+    * (current stage, its completion ts) — CONSTANT per user regardless of
+    * history — and an event advances the user one stage when it is the
+    * stage's type strictly after the previous completion (the batch
+    * operator's no-same-timestamp-chaining rule). Emits one
+    * [[FunnelAdvance]] per stage transition; `count(DISTINCT user)` per
+    * step downstream reproduces the batch funnel counts.
+    *
+    * Ordering contract (the [[sessionizeStream]] precedent): events are
+    * processed in event-time order WITHIN a micro-batch; a cross-batch
+    * late event that would have enabled an earlier chain is not replayed
+    * (constant state cannot rewrite history — route late-heavy sources
+    * through the batch operator, or bound lateness upstream with a
+    * watermarked sort). For in-order delivery the emitted advances equal
+    * the batch funnel exactly (pinned in StreamingSpec). */
+  def funnelStream(events: Dataset[FunnelEv],
+      steps: Seq[String]): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnelStream: no steps")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[(Int, Long)]) =>
+          var (stage, last) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          evs.toSeq.sortBy(_.ts).foreach { e =>
+            if (stage < steps.length && e.event_type == steps(stage) &&
+                (stage == 0 || e.ts > last)) {
+              stage += 1
+              last = e.ts
+              out += FunnelAdvance(user, stage, e.ts)
+            }
+          }
+          state.update((stage, last))
+          out.result().iterator
+      }
+  }
+
+  final case class ActiveEv(user_id: Long, ts: Long)
+  final case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  /** Streaming cohort-retention maintenance — the incremental twin of
+    * [[graft.operators.EventAnalytics.retention]]: per-user state is the
+    * cohort day plus a BITMASK of day offsets already emitted (maxOffset <
+    * 64 ⇒ one Long — state is constant-size however long the user lives,
+    * the distinct-(user, day) dedup without keeping days). Emits each
+    * (user, cohort_day, day_offset) exactly once; `count(*)` per
+    * (cohort_day, day_offset) downstream reproduces the batch grid.
+    * Same in-order contract as [[funnelStream]]: the first event seen
+    * fixes the cohort day (exact integer epoch-ns day division). */
+  def retentionStream(events: Dataset[ActiveEv],
+      maxOffset: Int): Dataset[RetentionHit] = {
+    require(maxOffset >= 0 && maxOffset < 64, "retentionStream: maxOffset in [0, 63]")
+    import events.sparkSession.implicits._
+    val DayNs = 86400000000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), RetentionHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[(Long, Long)]) =>
+          val days = evs.toSeq.map(e => Math.floorDiv(e.ts, DayNs)).sorted
+          var (cohort, mask) = state.getOption.getOrElse((days.head, 0L))
+          val out = Seq.newBuilder[RetentionHit]
+          days.foreach { d =>
+            val off = d - cohort
+            if (off >= 0 && off <= maxOffset && (mask & (1L << off)) == 0L) {
+              mask |= (1L << off)
+              out += RetentionHit(user, cohort, off)
+            }
+          }
+          state.update((cohort, mask))
+          out.result().iterator
+      }
+  }
+
   /** Streaming graph ingestion: every micro-batch of documents (id, text,
     * triplets) is handed to `graft` — typically
     * `GraphRag.graftDocumentsDf`, i.e. one delta graph build + set-merge into

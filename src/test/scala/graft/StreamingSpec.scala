@@ -86,6 +86,59 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((7L, 1000L, 2000L, 2L, 3.0)))
   }
 
+  test("streaming funnel advances equal the batch funnel; constant per-user state") {
+    import StreamingOps.FunnelEv
+    import graft.operators.EventAnalytics
+    val evs = Seq(
+      FunnelEv(1L, 10L, "view"), FunnelEv(1L, 20L, "click"), FunnelEv(1L, 30L, "purchase"),
+      FunnelEv(2L, 10L, "view"), FunnelEv(2L, 10L, "click"), // same-ts: no chain
+      FunnelEv(3L, 20L, "click"), FunnelEv(3L, 30L, "view"),
+      FunnelEv(4L, 5L, "view"), FunnelEv(4L, 50L, "click"))
+    val dir = Files.createTempDirectory("stream_funnel").toString + "/data"
+    evs.toDF().write.parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType))))
+      .parquet(dir).as[FunnelEv]
+    val q = StreamingOps.funnelStream(stream, Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append").format("memory").queryName("fun_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("fun_out").groupBy("step")
+      .agg(countDistinct("user_id").as("n_users"))
+      .as[(Int, Long)].collect().toMap
+    val batch = EventAnalytics.funnel(evs.toDF(), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("step", "n_users").as[(Int, Long)].collect()
+      .filter(_._2 > 0).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("streaming retention hits equal the batch grid; bitmask dedups repeat days") {
+    import StreamingOps.ActiveEv
+    import graft.operators.EventAnalytics
+    val D = 86400000000000L
+    val evs = Seq(
+      ActiveEv(1L, 0L), ActiveEv(1L, 10L), ActiveEv(1L, D + 1L),
+      ActiveEv(2L, D), ActiveEv(2L, 3 * D),
+      ActiveEv(3L, 0L), ActiveEv(3L, 9 * D)) // d9 outside maxOffset=7
+    val dir = Files.createTempDirectory("stream_ret").toString + "/data"
+    evs.toDF().write.parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", LongType))))
+      .parquet(dir).as[ActiveEv]
+    val q = StreamingOps.retentionStream(stream, maxOffset = 7)
+      .writeStream.outputMode("append").format("memory").queryName("ret_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ret_out").groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventAnalytics.retention(evs.toDF(), "user_id", "ts", maxOffset = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming graph ingestion grafts micro-batches into the stored graph") {
     import graft.model.{Doc, Triplet}
     import graft.rag.GraphRag
