@@ -422,6 +422,17 @@ object SparkEntry {
       LabelPropagation.run(coEdges(s, dir, minGroups = 2), rounds = 4)
         .select(col("id").as("part_id"), col("label"))
     }),
+    // G19 per-community Newman modularity of the g13 communities — the
+    // quality read on any partition (Q = Σ contrib; near 0 ⇒ the split is
+    // no better than random). All ratio inputs exact BIGINTs. See
+    // LabelPropagation.modularity.
+    "g19_modularity" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val labels = LabelPropagation.run(edges, rounds = 4)
+      LabelPropagation.modularity(labels, edges)
+        .select(col("label").as("community"), col("n_nodes"),
+          col("n_in_edges"), col("deg_sum"), round(col("contrib"), 6).as("contrib_r"))
+    }),
 
     // PR2 PERSONALIZED PageRank: teleport mass returns to a seed set (parts
     // with key % 100 == 0) instead of uniformly — importance relative to a
@@ -661,6 +672,18 @@ object SparkEntry {
         .select(col("threshold"), col("n_pred"), col("tp"),
           round(p, 6).as("prec"), round(r, 6).as("recall"),
           when(p + r > 0, round(lit(2) * p * r / (p + r), 6)).as("f1"))
+    }),
+    // M7 Cohen's kappa: beyond-chance agreement of the x1 langid heuristic
+    // against the table's ground-truth lang — every division input is an
+    // exact BIGINT (p_e's numerator is an integer sum of count products).
+    // See Recall.cohenKappa.
+    "m7_kappa" -> ((s, dir) => {
+      val pred = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.langIdT(Norm.normTokens(col("text"))).as("lang_pred"))
+      graft.eval.Recall.cohenKappa(pred, "lang_pred", "lang")
+        .select(col("n"), col("n_agree"), round(col("po"), 6).as("po_r"),
+          round(col("pe"), 6).as("pe_r"), round(col("kappa"), 6).as("kappa_r"))
     }),
 
     // ER1 blocked entity resolution: near-duplicate part NAMES via prefix
@@ -2177,6 +2200,29 @@ object SparkEntry {
          |  FROM qt JOIN tf ON qt.term = tf.term JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.id = dl.id CROSS JOIN st
          |  GROUP BY 1, 2)""".stripMargin.replace("\n", " ")
     val stopList = "['the','a','an','of','to','in','and','is','on','for']"
+    // 4 unrolled synchronous LPA rounds (shared by g13 and g19). Sparsified
+    // base: canonical pairs co-occurring in >= 2 DISTINCT orders
+    // (count(DISTINCT l_orderkey), NOT count(*) — a part repeated within one
+    // order must count once, matching the Spark side's collect_set).
+    // Mode-with-min-tiebreak via row_number over (count DESC, label ASC).
+    // MATERIALIZED for the same reason as g12: each round is referenced by
+    // the next. Yields `e0` (symmetric edges) and `l4` (final labels).
+    val lpaCtes = {
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS MATERIALIZED (SELECT id, label FROM (
+           |  SELECT e.dst AS id, l.label, count(*) AS c,
+           |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) AS rn
+           |  FROM e0 e JOIN l${r - 1} l ON l.id = e.src
+           |  GROUP BY e.dst, l.label) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e0),
+         |$rounds""".stripMargin
+    }
     // (doc_id, lang) via the x1 n-gram heuristic — shared by x1 and x10.
     val langSelect =
       s"""SELECT doc_id, CASE WHEN m = 0 THEN 'und'
@@ -2635,30 +2681,29 @@ object SparkEntry {
            |SELECT id AS part_id, CAST(layer AS INTEGER) AS layer FROM (
            |  $layers UNION ALL SELECT id, 0 AS layer FROM a$R) t""".stripMargin.replace("\n", " ")
       },
-      "g13_labelprop" -> {
-        // 4 unrolled synchronous LPA rounds. Sparsified base: canonical pairs
-        // co-occurring in >= 2 DISTINCT orders (count(DISTINCT l_orderkey),
-        // NOT count(*) — a part repeated within one order must count once,
-        // matching the Spark side's collect_set). Mode-with-min-tiebreak via
-        // row_number over (count DESC, label ASC). MATERIALIZED for the same
-        // reason as g12: each round is referenced by the next.
-        val R = 4
-        val rounds = (1 to R).map { r =>
-          s"""l$r AS MATERIALIZED (SELECT id, label FROM (
-             |  SELECT e.dst AS id, l.label, count(*) AS c,
-             |         row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) AS rn
-             |  FROM e0 e JOIN l${r - 1} l ON l.id = e.src
-             |  GROUP BY e.dst, l.label) t WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-           |  FROM lineitem a JOIN lineitem b
-           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-           |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
-           |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e0),
-           |$rounds
-           |SELECT id AS part_id, label FROM l$R""".stripMargin.replace("\n", " ")
-      },
+      "g13_labelprop" ->
+        s"""WITH $lpaCtes
+           |SELECT id AS part_id, label FROM l4""".stripMargin.replace("\n", " "),
+      // g19: the same 4-round LPA CTEs + modularity assembly — one
+      // edge⋈labels⋈labels join, two label-keyed counts, a node count and
+      // the directed-edge total; same (ein/E − (d/E)·(d/E)) float shape as
+      // the Spark side.
+      "g19_modularity" ->
+        s"""WITH $lpaCtes,
+           |j AS (SELECT e.src, e.dst, la.label AS la, lb.label AS lb
+           |  FROM e0 e JOIN l4 la ON la.id = e.src JOIN l4 lb ON lb.id = e.dst),
+           |etot AS (SELECT CAST(count(*) AS DOUBLE) AS e FROM e0),
+           |nn AS (SELECT label, count(*) AS n_nodes FROM l4 GROUP BY 1),
+           |ds AS (SELECT la AS label, count(*) AS deg_sum FROM j GROUP BY 1),
+           |din AS (SELECT la AS label, count(*) AS n_in FROM j WHERE la = lb GROUP BY 1)
+           |SELECT nn.label AS community, nn.n_nodes,
+           |  CAST(coalesce(din.n_in, 0) AS BIGINT) AS n_in_edges,
+           |  CAST(coalesce(ds.deg_sum, 0) AS BIGINT) AS deg_sum,
+           |  round(CAST(coalesce(din.n_in, 0) AS DOUBLE) / etot.e
+           |    - (CAST(coalesce(ds.deg_sum, 0) AS DOUBLE) / etot.e)
+           |      * (CAST(coalesce(ds.deg_sum, 0) AS DOUBLE) / etot.e), 6) AS contrib_r
+           |FROM nn LEFT JOIN ds ON nn.label = ds.label
+           |  LEFT JOIN din ON nn.label = din.label, etot""".stripMargin.replace("\n", " "),
       "pr2_personalized" ->
         """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           |  FROM lineitem a JOIN lineitem b
@@ -2898,6 +2943,24 @@ object SparkEntry {
            |  CASE WHEN tp / n_pred + tp / p > 0
            |       THEN round(2 * (tp / n_pred) * (tp / p) / (tp / n_pred + tp / p), 6) END AS f1
            |FROM agg, pos""".stripMargin.replace("\n", " "),
+      // m7: confusion-marginal kappa over the shared langSelect CTE; p_e's
+      // numerator is an integer Σ na·nb, so every division is engine-exact.
+      "m7_kappa" ->
+        s"""WITH lp AS ($langSelect),
+           |j AS (SELECT d.doc_id, d.lang AS truth, lp.lang AS pred
+           |  FROM documents d JOIN lp ON d.doc_id = lp.doc_id),
+           |t AS (SELECT count(*) AS n,
+           |    CAST(sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM j),
+           |ma AS (SELECT pred AS c, count(*) AS na FROM j GROUP BY 1),
+           |mb AS (SELECT truth AS c, count(*) AS nb FROM j GROUP BY 1),
+           |s AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS s FROM ma JOIN mb USING (c))
+           |SELECT t.n, t.n_agree,
+           |  round(CAST(t.n_agree AS DOUBLE) / t.n, 6) AS po_r,
+           |  round(CAST(s.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n), 6) AS pe_r,
+           |  round(CASE WHEN CAST(s.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n) = 1.0 THEN NULL
+           |    ELSE (CAST(t.n_agree AS DOUBLE) / t.n - CAST(s.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n))
+           |      / (1.0 - CAST(s.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n)) END, 6) AS kappa_r
+           |FROM t, s""".stripMargin.replace("\n", " "),
       // er1: same injection, blocking, and thresholds; DuckDB's levenshtein
       // is the exact distance, so the <= filter equals Spark's early-abandon.
       "er1_entity_neardup" ->

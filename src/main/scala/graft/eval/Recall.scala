@@ -98,4 +98,35 @@ object Recall {
     }
     joinedHits(retrieved, gold).groupBy("question_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Cohen's kappa — beyond-chance agreement between two label columns over
+    * the same rows (multi-class): κ = (p_o − p_e)/(1 − p_e), p_o = observed
+    * agreement, p_e = Σ_c marginal_a(c)·marginal_b(c)/n². The calibration
+    * read for any pair of classifiers/gates in the pipeline: a langid
+    * heuristic vs ground truth, two quality gates, annotator vs model —
+    * raw accuracy flatters imbalanced label sets, κ does not.
+    *
+    * Scale shape: one pass for (n, agreement), two map-side-combined
+    * marginal aggregates (class-count-sized), a class-keyed join for the
+    * chance term — no windows, nothing driver-side. Every input to the
+    * three float divisions is an exact BIGINT (p_e's numerator is an
+    * integer sum of count products), so the result is engine-exact up to
+    * the final rounding. κ is NULL when p_e = 1 (both raters constant —
+    * agreement beyond chance is undefined).
+    *
+    * Output: one row (n, n_agree, po, pe, kappa). */
+  def cohenKappa(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = pairs.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col(aCol) === col(bCol), 1L)), lit(0L)).as("n_agree"))
+    val ma = pairs.groupBy(col(aCol).as("_c")).agg(count(lit(1)).as("_na"))
+    val mb = pairs.groupBy(col(bCol).as("_c")).agg(count(lit(1)).as("_nb"))
+    val s = ma.join(mb, Seq("_c"))
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_s"))
+    val po = col("n_agree").cast("double") / col("n")
+    val pe = col("_s").cast("double") / (col("n").cast("double") * col("n"))
+    t.crossJoin(broadcast(s))
+      .select(col("n"), col("n_agree"), po.as("po"), pe.as("pe"),
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

@@ -55,4 +55,41 @@ object LabelPropagation {
     Bridge.unpersistCheckpoint(e)
     labels
   }
+
+  /** Newman modularity, reported PER COMMUNITY: for community c over a
+    * SYMMETRIC duplicate-free edge list with E directed edges,
+    * contrib(c) = Ein_c/E − (D_c/E)², where Ein_c counts directed edges
+    * with both endpoints in c and D_c is c's degree sum; Q = Σ contrib.
+    * The quality read on [[run]]'s output (or any partition: LPA labels,
+    * k-means cells, a manual split) — Q near 0 means the "communities"
+    * are no better than random, so downstream consumers (community-scoped
+    * dedup, topic-sharded retrieval) should not trust the split.
+    *
+    * Shape: one edge⋈labels⋈labels join feeding two label-keyed counts, a
+    * node count, and a 1-row total folded in as a broadcast — no windows,
+    * nothing driver-side. All ratio inputs are exact BIGINTs.
+    *
+    * Output: (label, n_nodes, n_in_edges directed, deg_sum, contrib). */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val tot = e.agg(count(lit(1)).cast("double").as("_etot"))
+    val j = e
+      .join(labels.select(col("id").as("src"), col("label").as("_la")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("label").as("_lb")), Seq("dst"))
+    val ein = j.filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label")).agg(count(lit(1)).as("n_in_edges"))
+    val dsum = j.groupBy(col("_la").as("label")).agg(count(lit(1)).as("deg_sum"))
+    val nn = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val einD = coalesce(col("n_in_edges"), lit(0L)).cast("double")
+    val degD = coalesce(col("deg_sum"), lit(0L)).cast("double")
+    // left joins: an all-isolated-nodes community (possible when `labels`
+    // covers more nodes than `edges`) surfaces with zeros, not a dropped row
+    nn.join(dsum, Seq("label"), "left").join(ein, Seq("label"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("n_in_edges"), lit(0L)).as("n_in_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        (einD / col("_etot") -
+          (degD / col("_etot")) * (degD / col("_etot"))).as("contrib"))
+  }
 }

@@ -136,4 +136,18 @@ class EvalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got == Map("q1" -> exp), got)
   }
+
+  test("cohenKappa: hand-computed multi-class kappa; constant raters -> NULL (M7)") {
+    val pairs = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"), ("z", "z"))
+      .toDF("a", "b")
+    val row = Recall.cohenKappa(pairs, "a", "b").collect()(0)
+    assert(row.getLong(0) == 5L && row.getLong(1) == 4L)
+    assert(row.getDouble(2) == 0.8) // po
+    // marginals a: x2 y2 z1; b: x1 y3 z1 -> pe = (2+6+1)/25
+    assert(row.getDouble(3) == 9.0 / 25)
+    assert(math.abs(row.getDouble(4) - (0.8 - 0.36) / 0.64) < 1e-12)
+    // both raters constant: agreement beyond chance is undefined
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Recall.cohenKappa(const, "a", "b").collect()(0).isNullAt(4))
+  }
 }

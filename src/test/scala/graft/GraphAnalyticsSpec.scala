@@ -282,6 +282,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got("e") == ((1L, 0L, 0.0)))      // degree-1: no pair, 0 by convention
   }
 
+  test("modularity: bridged triangles — hand-computed contribs; one-community split = 0") {
+    import graft.operators.LabelPropagation
+    // two triangles bridged by one edge: each community contrib =
+    // 6/14 − (7/14)²; Q ≈ 0.357
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d"))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val labels = Seq("a" -> "c1", "b" -> "c1", "c" -> "c1",
+      "d" -> "c2", "e" -> "c2", "f" -> "c2").toDF("id", "label")
+    val got = LabelPropagation.modularity(labels, edges)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val exp = 6.0 / 14 - (7.0 / 14) * (7.0 / 14)
+    assert(got("c1") == (("c1", 3L, 6L, 7L, exp)), got("c1"))
+    assert(got("c2") == (("c2", 3L, 6L, 7L, exp)))
+    // the degenerate one-community split scores exactly 0 (Ein = E, D = E)
+    val one = labels.withColumn("label", lit("all"))
+    val q = LabelPropagation.modularity(one, edges)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(q.toSeq == Seq(("all", 6L, 14L, 14L, 0.0)), q.toSeq)
+  }
+
   // ------------------------------------------------------------------ HITS
   test("hits: star graph — center is the sole max on its side, max-normalized to 1") {
     import graft.operators.Hits
