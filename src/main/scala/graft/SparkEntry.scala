@@ -1166,6 +1166,31 @@ object SparkEntry {
     // synthetic corpus. words/lines are evalOnce'd OWN columns: five signals
     // re-reference each array, and CollapseProject would otherwise inline
     // the split per signal.
+    // X28 markup content extraction — the in-scope core of S2/S3 (once bytes
+    // are text, extraction is codegen'd regex work): deterministic markup is
+    // wrapped around each doc (nav link every 3rd, script block every 4th —
+    // the block regex must swallow its inner '<'), then strip + unescape +
+    // collapse, with link density as the boilerplate signal. See
+    // TextAnalysis.stripMarkup / linkTextLen.
+    "x28_markup_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+        col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/x\">click here to subscribe</a>")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("<script>var x = 1 < 2; // &amp; junk</script>")).otherwise(lit("")),
+        lit("<p>&amp; more &lt;tags&gt;</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("_h"))
+        .select(col("doc_id"), TA.stripMarkup(col("_h")).as("clean_text"),
+          TA.linkTextLen(col("_h")).as("_ll"))
+        .select(col("doc_id"), col("clean_text"),
+          length(col("clean_text")).cast("bigint").as("n_chars"),
+          col("_ll").cast("bigint").as("link_len"),
+          round(col("_ll").cast("double") /
+            length(col("clean_text")).cast("double"), 6).as("link_density"))
+    }),
     "x21_gopher_rules" -> ((s, dir) => {
       val txt = concat(
         when(col("doc_id") % 3 === 0, lit("- ")).otherwise(lit("")),
@@ -3609,6 +3634,28 @@ object SparkEntry {
            |    / 16777216.0)) AS gk FROM lw)
            |SELECT doc_id, round(gk, 4) AS gk_r FROM ky
            |ORDER BY gk DESC, doc_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      // x28: same injection; RE2 evaluates the identical lazy patterns; the
+      // &amp;-last unescape order matches TextAnalysis.stripMarkup.
+      "x28_markup_extract" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>' ||
+          |  CASE WHEN doc_id % 3 = 0 THEN '<a href="/x">click here to subscribe</a>' ELSE '' END ||
+          |  CASE WHEN doc_id % 4 = 0 THEN '<script>var x = 1 < 2; // &amp; junk</script>' ELSE '' END ||
+          |  '<p>&amp; more &lt;tags&gt;</p></body></html>' AS html FROM documents),
+          |c AS (SELECT doc_id, html, trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(
+          |      regexp_replace(regexp_replace(html,
+          |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+          |        '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |    '\s+', ' ', 'g')) AS clean FROM h),
+          |l AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+          |    regexp_extract_all(html, '(?s)<a[^>]*>(.*?)</a>', 1), x -> length(x))), 0) AS BIGINT) AS link_len
+          |  FROM h)
+          |SELECT c.doc_id, c.clean AS clean_text,
+          |  CAST(length(c.clean) AS BIGINT) AS n_chars, l.link_len,
+          |  round(CAST(l.link_len AS DOUBLE) / CAST(length(c.clean) AS DOUBLE), 6) AS link_density
+          |FROM c JOIN l ON c.doc_id = l.doc_id""".stripMargin.replace("\n", " "),
       "x21_gopher_rules" ->
         """WITH d AS (SELECT doc_id,
           |    concat(CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END, text,

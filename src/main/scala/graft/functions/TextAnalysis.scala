@@ -175,6 +175,36 @@ object TextAnalysis {
   /** Winnowing-style rolling-hash fingerprint: minimum md5 over character
     * k-grams of the normalized text (null if shorter than k). Pass a
     * pre-projected normalized-text column for the same inlining reason. */
+  // ------------------------------------------------ markup content extraction
+  // The in-scope core of the reference's S2/S3 converters (MarkItDown /
+  // trafilatura, loaders/converter.py + url_fetcher.py): once bytes are
+  // text, extraction is regex/string work that runs inside codegen over any
+  // corpus — strip script/style blocks, strip tags, unescape the five XML
+  // entities, collapse whitespace. RE2-safe patterns (lazy quantifiers, no
+  // backrefs) so a DuckDB twin evaluates them identically.
+
+  /** Visible text of a markup document: script/style blocks and tags → space,
+    * entities unescaped (&amp; LAST so "&amp;lt;" cannot double-unescape),
+    * whitespace collapsed, trimmed. */
+  def stripMarkup(html: Column): Column = {
+    val noBlock = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTag = regexp_replace(noBlock, "<[^>]*>", " ")
+    val unesc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTag,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(unesc, "\\s+", " "))
+  }
+
+  /** Total character length of anchor (`<a …>…</a>`) inner content — the
+    * numerator of link density, the classic boilerplate signal (nav bars and
+    * footers are link-dense, body prose is not). Assumes tag-free anchor
+    * content (strip nested markup upstream when that does not hold). */
+  def linkTextLen(html: Column): Column =
+    coalesce(aggregate(
+      regexp_extract_all(html, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(x)), lit(0))
+
   def minKgramHash(text: Column, k: Int = 8): Column = minKgramHashNorm(Norm.normPhrase(text), k)
   def minKgramHashNorm(norm: Column, k: Int): Column =
     when(length(norm) < k, lit(null).cast("string")).otherwise(

@@ -8,6 +8,23 @@ class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
   // ------------------------------------------------------------- text analysis
+  test("stripMarkup: blocks swallowed whole, entities unescaped last, link length") {
+    import graft.functions.TextAnalysis
+    val html = "<body><h1>T</h1><p>hello &amp; bye</p>" +
+      "<script>if (1 < 2) x; // </p> fake</script>" + // inner '<' and fake tag
+      "<a href=\"u\">link me</a><a href=\"v\">x</a></body>"
+    val df = Seq(Tuple1(html)).toDF("h")
+      .select(TextAnalysis.stripMarkup(col("h")).as("c"),
+        TextAnalysis.linkTextLen(col("h")).as("l"))
+    val (clean, linkLen) = df.as[(String, Int)].collect()(0)
+    assert(clean == "T hello & bye link me x", s"[$clean]")
+    assert(linkLen == "link me".length + 1)
+    // &amp;lt; must NOT double-unescape (amp replaced last)
+    val tricky = Seq(Tuple1("<p>&amp;lt;</p>")).toDF("h")
+      .select(TextAnalysis.stripMarkup(col("h"))).as[String].collect()(0)
+    assert(tricky == "&lt;")
+  }
+
   test("langId picks marker language; und when nothing matches") {
     val got = Seq(
       ("a", "the cat and the dog is in the house with food"),
