@@ -686,6 +686,22 @@ object SparkEntry {
           round(col("pe"), 6).as("pe_r"), round(col("kappa"), 6).as("kappa_r"))
     }),
 
+    // V6 MMR diversity selection over a KNN top-20 (query = vec 0, corpus =
+    // the r1 pool): λ=1/2 so the score arithmetic is bit-exact; near-copies
+    // of a picked vector rank below fresh directions. See Assembly.mmrSelect.
+    "v6_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cand = VectorSearch.knnJoin(
+          emb.filter(col("vec_id") === 0), emb.filter(col("vec_id") >= 8),
+          "vec_id", "embedding", "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("id"), col("score").as("rel"))
+        .join(emb.select(col("vec_id").cast("string").as("id"), col("embedding")),
+          Seq("id"))
+      Assembly.mmrSelect(cand, "id", "rel", "embedding", k = 5, lambda = 0.5)
+        .select(col("rank"), col("pick_id"),
+          round(col("mmr_score"), 6).as("mmr_r"))
+    }),
+
     // ER1 blocked entity resolution: near-duplicate part NAMES via prefix
     // blocking + threshold Levenshtein (quadratic only within a block — the
     // LSH-band economics applied to edit distance). A char-dropped typo
@@ -2986,6 +3002,34 @@ object SparkEntry {
            |    ELSE (CAST(t.n_agree AS DOUBLE) / t.n - CAST(s.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n))
            |      / (1.0 - CAST(s.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n)) END, 6) AS kappa_r
            |FROM t, s""".stripMargin.replace("\n", " "),
+      // v6: 5 unrolled MMR rounds (the pr1/g12 unroll convention) — per round
+      // a correlated max-dot over the selected set, argmax by (score DESC,
+      // id ASC); λ=1/2 and list_dot_product(::DOUBLE[]) keep every score
+      // bit-identical to the driver-side scan.
+      "v6_mmr" -> {
+        val rounds = (2 to 5).map { r =>
+          s"""sc$r AS (SELECT c.id, c.v, c.rel,
+             |    0.5 * c.rel - 0.5 * (SELECT max(list_dot_product(c.v::DOUBLE[], s.v::DOUBLE[])) FROM su${r - 1} s) AS score
+             |  FROM cand c ANTI JOIN su${r - 1} u ON c.id = u.id),
+             |sel$r AS (SELECT id, v, score FROM (
+             |    SELECT id, v, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM sc$r) t WHERE rn = 1),
+             |su$r AS (SELECT id, v FROM su${r - 1} UNION ALL SELECT id, v FROM sel$r)""".stripMargin
+        }.mkString(",\n")
+        val finals = (1 to 5)
+          .map(r => s"SELECT $r AS rank, id AS pick_id, round(score, 6) AS mmr_r FROM sel$r")
+          .mkString(" UNION ALL ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |cand0 AS (SELECT CAST(c.vec_id AS VARCHAR) AS id, c.embedding AS v,
+           |    list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]) AS rel
+           |  FROM embeddings c, q WHERE c.vec_id >= 8),
+           |cand AS (SELECT id, v, rel FROM (
+           |    SELECT id, v, rel, row_number() OVER (ORDER BY rel DESC, id ASC) AS rn FROM cand0) t WHERE rn <= 20),
+           |sel1 AS (SELECT id, v, 0.5 * rel AS score FROM (
+           |    SELECT id, v, rel, row_number() OVER (ORDER BY 0.5 * rel DESC, id ASC) AS rn FROM cand) t WHERE rn = 1),
+           |su1 AS (SELECT id, v FROM sel1),
+           |$rounds
+           |$finals""".stripMargin.replace("\n", " ")
+      },
       // er1: same injection, blocking, and thresholds; DuckDB's levenshtein
       // is the exact distance, so the <= filter equals Spark's early-abandon.
       "er1_entity_neardup" ->

@@ -128,6 +128,80 @@ object Assembly {
 
   /** V5 naive-RAG backfill (rag.py:629-638): append KNN passages not already
     * present until `topK` total, preserving order. Inputs: (passage_id, rank). */
+  final case class MmrPick(rank: Int, pick_id: String, mmr_score: Double)
+
+  /** Maximal Marginal Relevance selection (Carbonell–Goldstein) — the
+    * diversity ACTION on a retrieved candidate set: iteratively pick
+    * argmax [ λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) ], so near-copies
+    * of an already-chosen document rank below a fresh topic even at higher
+    * relevance — the context-packing read a RAG assembler wants when the
+    * top-k is dominated by one passage's duplicates.
+    *
+    * Candidates are broadcast-small BY CONTRACT (a retrieval top-k — the
+    * [[VectorSearch.knnJoin]] query-side bound, enforced by
+    * `maxCandidates`), so selection is a driver-side k-scan like the
+    * reference's own assembly stage; zero Spark jobs beyond the collect.
+    * Determinism: candidates scan in id order, strict `>` keeps the first
+    * (min id) on score ties; round 1 pays no similarity penalty; `lambda`
+    * should be a power of two (default 1/2) so the score arithmetic is
+    * bit-exact across engines. sim = sequential-double dot product,
+    * bit-identical to [[graft.functions.VectorFunctions]]'s DotProduct and
+    * DuckDB's `list_dot_product(a::DOUBLE[], b::DOUBLE[])` (pass normalized
+    * vectors for cosine semantics).
+    *
+    * Output: (rank, pick_id, mmr_score) for min(k, candidates) picks. */
+  def mmrSelect(candidates: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.5,
+      maxCandidates: Int = 65536): DataFrame = {
+    require(k >= 1, "mmrSelect: k must be >= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("string"), col(relCol).cast("double"), col(vecCol))
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrSelect: ${rows.length} candidates exceed the broadcast-small " +
+        s"contract ($maxCandidates) — cut with a retrieval top-k first")
+    val n = rows.length
+    val ids = rows.map(_.getString(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Float](2).toArray)
+    val order = Array.range(0, n).sortBy(ids(_)) // deterministic scan order
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = Seq.newBuilder[MmrPick]
+    var round = 1
+    while (round <= math.min(k, n)) {
+      var bestI = -1
+      var bestScore = Double.NegativeInfinity
+      order.foreach { i =>
+        if (!picked(i)) {
+          val score =
+            if (round == 1) lambda * rel(i)
+            else lambda * rel(i) - (1 - lambda) * maxSim(i)
+          if (score > bestScore) { bestI = i; bestScore = score }
+        }
+      }
+      picked(bestI) = true
+      out += MmrPick(round, ids(bestI), bestScore)
+      order.foreach { i =>
+        if (!picked(i))
+          maxSim(i) = math.max(maxSim(i), dotD(vecs(i), vecs(bestI)))
+      }
+      round += 1
+    }
+    out.result().toDF()
+  }
+
+  /** Sequential left-to-right double accumulation — the DotProduct /
+    * `list_dot_product(::DOUBLE[])` float contract. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
   def backfill(graphHits: DataFrame, naiveHits: DataFrame, topK: Int): DataFrame = {
     val extra = naiveHits
       .join(graphHits.select("passage_id"), Seq("passage_id"), "left_anti")

@@ -148,6 +148,27 @@ class OperatorsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- eviction
+  test("mmrSelect: duplicate direction demoted below fresh topic; ties to min id") {
+    import graft.operators.Assembly
+    val cands = Seq(
+      ("c1", 1.0, Array(1f, 0f)),
+      ("c2", 0.9, Array(1f, 0f)),  // same direction as c1: redundant
+      ("c3", 0.5, Array(0f, 1f))). // orthogonal: fresh topic
+      toDF("id", "rel", "vec")
+    val got = Assembly.mmrSelect(cands, "id", "rel", "vec", k = 3, lambda = 0.5)
+      .as[(Int, String, Double)].collect().sortBy(_._1)
+    // round 1: no penalty -> c1 (0.5); round 2: c2 = 0.45-0.5 (IEEE, not a
+    // clean -0.05) loses to c3 = 0.25-0; round 3: c2 last at its penalized score
+    assert(got.toSeq ==
+      Seq((1, "c1", 0.5), (2, "c3", 0.25), (3, "c2", 0.5 * 0.9 - 0.5 * 1.0)), got.toSeq)
+    // score tie -> min id: two identical candidates
+    val tied = Seq(("b", 1.0, Array(1f, 0f)), ("a", 1.0, Array(1f, 0f)))
+      .toDF("id", "rel", "vec")
+    val first = Assembly.mmrSelect(tied, "id", "rel", "vec", k = 1)
+      .as[(Int, String, Double)].collect()(0)
+    assert(first == ((1, "a", 0.5)))
+  }
+
   test("evictionTopK: above threshold scores win; below threshold id-sorted (V1 quirk)") {
     val mk = (n: Int) => (0 until n).map(i =>
       (f"id_$i%03d", Seq.fill(4)(i.toDouble / n))).toDF("id", "embedding")
