@@ -1582,6 +1582,16 @@ object SparkEntry {
           Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .select(col("source"), col("q"), round(col("est"), 4).as("est_r"))
     }),
+    // CS7 key-skew report over events.user_id: Gini + top-10 heavy keys —
+    // the pre-flight read before keying a big join (salting / AQE skew
+    // decision); rank i via the two-phase prefix sum, all ratio inputs
+    // exact BIGINTs. See CorpusOps.skewReport.
+    "cs7_skew_report" -> ((s, dir) => {
+      CorpusOps.skewReport(t(s, dir, "events"), "user_id", topK = 10)
+        .select(col("rank"), col("key"), col("cnt"),
+          round(col("share"), 6).as("share_r"),
+          col("n_keys"), col("total"), round(col("gini"), 6).as("gini_r"))
+    }),
 
     // X19 deterministic epoch shuffle: reproducible global training order by
     // md5(seed‖id), ranked with the two-phase prefix sum (no global window).
@@ -3654,6 +3664,23 @@ object SparkEntry {
            |SELECT source, q,
            |  round(0 + 8 * bin + 8 * (q * n - (c - cnt)) / cnt, 4) AS est_r
            |FROM cum, qs WHERE c >= q * n AND (c - cnt) < q * n""".stripMargin.replace("\n", " "),
+      // cs7: ascending row_number = the prefix-sum rank; Σ(2i−1)·cnt and
+      // n·total stay integers until the one division, same as the Spark side.
+      "cs7_skew_report" ->
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+          |  FROM events GROUP BY 1),
+          |r AS (SELECT key, cnt,
+          |    row_number() OVER (ORDER BY cnt ASC, key ASC) AS i FROM c),
+          |st AS (SELECT CAST(sum((2 * i - 1) * cnt) AS BIGINT) AS a,
+          |    count(*) AS n, CAST(sum(cnt) AS BIGINT) AS t FROM r),
+          |h AS (SELECT key, cnt,
+          |    row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank FROM c)
+          |SELECT CAST(h.rank AS INTEGER) AS rank, h.key, h.cnt,
+          |  round(CAST(h.cnt AS DOUBLE) / CAST(st.t AS DOUBLE), 6) AS share_r,
+          |  st.n AS n_keys, st.t AS total,
+          |  round(CAST(st.a - st.n * st.t AS DOUBLE)
+          |    / CAST(st.n * st.t AS DOUBLE), 6) AS gini_r
+          |FROM h, st WHERE h.rank <= 10""".stripMargin.replace("\n", " "),
       "x22_novelty" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
            |g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),

@@ -70,6 +70,48 @@ object CorpusOps {
     * Output: one row per batch — (batch_id, n_docs, max_tokens, sum_tokens,
     * padding = n_docs·max − sum), batch_id 0-based in descending-length
     * order. */
+  /** Key-skew report: per-key counts summarized as the Gini coefficient plus
+    * the `topK` heaviest keys with their share — the diagnostic a pipeline
+    * runs BEFORE keying a 100 TB join/aggregate, to decide whether it needs
+    * [[Salting]] or AQE skew handling (a hot key's share is the fraction of
+    * the shuffle landing on one task; Gini near 0 = uniform, near 1 = a few
+    * keys own the data).
+    *
+    * Gini over counts c_1 ≤ … ≤ c_n (ascending, key tie-break):
+    * G = Σ(2i − n − 1)·c_i / (n·Σc). The global rank i comes from the
+    * two-phase prefix sum — NEVER an unpartitioned window over the key set —
+    * and the numerator/denominator stay exact BIGINTs until one final
+    * division (int64-safe while n·total < 2^63; beyond that aggregate in
+    * decimal). Heavy keys via the bounded [[VectorSearch.topKUdaf]] (counts
+    * < 2^53 are exact doubles), ties to the smaller key.
+    *
+    * Output: `topK` rows (rank, key, cnt, share, n_keys, total, gini) — the
+    * scalars repeat per row so one result set carries the whole report. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "skewReport: topK must be >= 1")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_n", lit(1L))
+    // _i0 = zero-based ascending rank; (2·_i0 + 1) = 2i − 1
+    val ranked = withPrefixSum(counts, Seq(col("cnt").asc, col("key").asc), "_i0")
+      .localCheckpoint(true) // read by the stats agg and the top-k agg
+    val stats = ranked.agg(
+      sum((lit(2L) * col("_i0") + lit(1L)) * col("cnt")).as("_a"),
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+    val topk = VectorSearch.topKUdaf(topK)
+    ranked
+      .agg(topk(col("key"), col("cnt").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"), col("col.id").as("key"),
+        col("col.score").cast("long").as("cnt"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+        col("n_keys"), col("total"),
+        ((col("_a") - col("n_keys") * col("total")).cast("double") /
+          (col("n_keys") * col("total")).cast("double")).as("gini"))
+  }
+
   def lengthBatches(df: DataFrame, idCol: String, nTokensCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")

@@ -609,4 +609,27 @@ class CorpusOpsSpec extends SparkSpec {
       Seq(0.25, 0.5, 0.75, 0.99)).count()
     assert(n == 4L)
   }
+
+  test("skewReport: hand-computed Gini, uniform = exactly 0, heavy key leads") {
+    // a×4, b×1, c×1: asc ranks b=1 c=2 a=3 -> A = 1+3+20 = 24, nT = 18,
+    // G = (24-18)/18 = 1/3
+    val rows = (Seq.fill(4)("a") ++ Seq("b", "c")).map(Tuple1(_)).toDF("k")
+    val got = CorpusOps.skewReport(rows, "k", topK = 2)
+      .as[(Int, String, Long, Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0)._2 == "a" && got(0)._3 == 4L && got(0)._4 == 4.0 / 6)
+    assert(got(0)._5 == 3L && got(0)._6 == 6L)
+    assert(got(0)._7 == 6.0 / 18)
+    // count tie between b and c -> smaller key ranks 2
+    assert(got(1)._2 == "b" && got(1)._3 == 1L)
+    // perfectly uniform keys: Gini exactly 0 (integer numerator cancels)
+    val uni = (1 to 30).map(i => Tuple1(s"k${i % 10}")).toDF("k")
+    val g0 = CorpusOps.skewReport(uni, "k", topK = 1)
+      .select("gini").as[Double].collect()(0)
+    assert(g0 == 0.0)
+    // stable under repartition (the two-phase rank is partition-invariant)
+    val again = CorpusOps.skewReport(rows.repartition(7), "k", topK = 2)
+      .as[(Int, String, Long, Double, Long, Long, Double)].collect().toSet
+    assert(again == got.toSet)
+  }
 }
