@@ -399,6 +399,21 @@ object SparkEntry {
         .orderBy(col("pr_r").desc, col("part_id").asc)
         .limit(50)
     }),
+    // PR3 edge-WEIGHTED PageRank: transition mass ∝ co-occurrence
+    // multiplicity (the weight coPairs already carries) — strongly
+    // co-occurring neighbors beat incidental ones. Same zero-exchange loop
+    // as pr1. See PageRank.runWeighted.
+    "pr3_weighted_pagerank" -> ((s, dir) => {
+      val e = coPairs(s, dir).select(explode(array(
+          struct(col("src"), col("dst"), col("_m").as("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("_m").as("w"))))
+          .as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+      PageRank.runWeighted(e, iterations = 3)
+        .select(col("id").as("part_id"), round(col("pr"), 6).as("pr_r"))
+        .orderBy(col("pr_r").desc, col("part_id").asc)
+        .limit(50)
+    }),
 
     // G12 k-core peel layers (Seidman onion decomposition) of the part
     // co-occurrence graph: layer = round at which the node's surviving
@@ -2703,6 +2718,34 @@ object SparkEntry {
           |r3 AS (SELECT g.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
           |  FROM deg g LEFT JOIN c3 c ON c.id = g.src)
           |SELECT id AS part_id, round(pr, 8) AS pr_r FROM r3
+          |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      // pr3: DISTINCT (order, part) pairs first (coPairs' collect_set
+      // semantics — a part repeated within one order counts once), then 3
+      // unrolled rounds with sum(pr · tw), tw = w/Σw precomputed per edge in
+      // the Spark side's float form.
+      "pr3_weighted_pagerank" ->
+        """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |c0 AS (SELECT a.p AS u, b.p AS v, count(*) AS m
+          |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+          |e0 AS (SELECT u AS src, v AS dst, m FROM c0 UNION ALL SELECT v, u, m FROM c0),
+          |wd AS (SELECT src, CAST(sum(m) AS BIGINT) AS wd FROM e0 GROUP BY 1),
+          |ew AS (SELECT e0.src, e0.dst, CAST(e0.m AS DOUBLE) / CAST(wd.wd AS DOUBLE) AS tw
+          |  FROM e0 JOIN wd ON e0.src = wd.src),
+          |nn AS (SELECT count(*) AS cnt FROM wd),
+          |r0 AS (SELECT src AS id, 1.0::DOUBLE / (SELECT cnt FROM nn) AS pr FROM wd),
+          |c1 AS (SELECT e.dst AS id, sum(r.pr * e.tw) AS c FROM ew e
+          |  JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+          |r1 AS (SELECT w.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM wd w LEFT JOIN c1 c ON c.id = w.src),
+          |c2 AS (SELECT e.dst AS id, sum(r.pr * e.tw) AS c FROM ew e
+          |  JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+          |r2 AS (SELECT w.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM wd w LEFT JOIN c2 c ON c.id = w.src),
+          |c3 AS (SELECT e.dst AS id, sum(r.pr * e.tw) AS c FROM ew e
+          |  JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+          |r3 AS (SELECT w.src AS id, 0.15::DOUBLE / (SELECT cnt FROM nn) + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+          |  FROM wd w LEFT JOIN c3 c ON c.id = w.src)
+          |SELECT id AS part_id, round(pr, 6) AS pr_r FROM r3
           |ORDER BY pr_r DESC, part_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
       "g12_kcore_layers" -> {
         // 8 unrolled peel rounds, generated mechanically (the pr1 pattern at

@@ -154,6 +154,53 @@ object PageRank {
     ranks
   }
 
+  /** Edge-WEIGHTED PageRank: transition probability src→dst is
+    * w(src,dst)/Σw(src,·) instead of 1/outdeg — on a co-occurrence graph
+    * the weights are the multiplicities [[graft.SparkEntry.coPairs]] already
+    * carries, so strongly co-occurring neighbors receive proportionally more
+    * rank than incidental ones (the same signal [[ShortestPaths]] uses as
+    * inverse distance). Same zero-exchange plan as [[run]]: normalized
+    * edges built once, pre-partitioned on dst, checkpointed; per iteration
+    * ONE node-sized broadcast join + one map-side-combined aggregation.
+    * Dangling mass is dropped, not redistributed (the [[run]] convention).
+    * `edges(src, dst, w)` with positive weights; for node sets past the
+    * broadcast bound use [[runBig]] on the unweighted graph or shard the
+    * rank vector. */
+  def runWeighted(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("_w"))
+      .localCheckpoint(true)
+    val wout = e.groupBy("src").agg(sum("_w").as("_wd")).localCheckpoint(true)
+    val nodes = wout.select(col("src").as("id"))
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("pr", lit(0.0))
+    val weighted = e.join(broadcast(wout), Seq("src"))
+      .select(col("src"), col("dst"), (col("_w") / col("_wd")).as("_tw"))
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+    var ranks = nodes.withColumn("pr", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val contribs = weighted
+        .join(broadcast(ranks), col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("_tw")).as("_c"))
+        .select(col("dst").as("id"), col("_c"))
+      val next = nodes.join(broadcast(contribs), Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_c"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      if (i > 1) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    if (iterations > 0) {
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(weighted)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(wout)
+    }
+    ranks
+  }
+
   /** Personalized PageRank: teleport mass returns to a SEED set instead of
     * uniformly — importance RELATIVE to a query's entity hits, the centrality
     * a graph-RAG retriever actually wants when ranking an expanded subgraph

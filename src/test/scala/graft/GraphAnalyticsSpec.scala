@@ -282,6 +282,26 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got("e") == ((1L, 0L, 0.0)))      // degree-1: no pair, 0 by convention
   }
 
+  test("weighted pagerank: equal weights ≡ unweighted bit-for-bit; heavy edge wins") {
+    import graft.operators.PageRank
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    // w/Σw with constant w=2 is exactly 1/outdeg (power-of-two scaling)
+    val flat = PageRank.runWeighted(edges.withColumn("w", lit(2L)), iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val plain = PageRank.run(edges, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(flat == plain, s"$flat vs $plain")
+    // a routes 9/10 of its mass to b: b must outrank c even though c has
+    // more (light) neighbors
+    val w = Seq(("a", "b", 9L), ("b", "a", 9L), ("a", "c", 1L), ("c", "a", 1L),
+      ("b", "c", 1L), ("c", "b", 1L), ("c", "d", 1L), ("d", "c", 1L))
+      .toDF("src", "dst", "w")
+    val ranks = PageRank.runWeighted(w, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(ranks("b") > ranks("c"), ranks.toString)
+  }
+
   test("modularity: bridged triangles — hand-computed contribs; one-community split = 0") {
     import graft.operators.LabelPropagation
     // two triangles bridged by one edge: each community contrib =
