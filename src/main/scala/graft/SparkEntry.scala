@@ -693,9 +693,11 @@ object SparkEntry {
     // exact BIGINT (p_e's numerator is an integer sum of count products).
     // See Recall.cohenKappa.
     "m7_kappa" -> ((s, dir) => {
+      // toks projected BEFORE langIdT (the x1 pattern): inline, Catalyst
+      // would re-run the regex tokenize once per language list_filter
       val pred = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TA.langIdT(Norm.normTokens(col("text"))).as("lang_pred"))
+        .select(col("doc_id"), col("lang"), Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), TA.langIdT(col("toks")).as("lang_pred"))
       graft.eval.Recall.cohenKappa(pred, "lang_pred", "lang")
         .select(col("n"), col("n_agree"), round(col("po"), 6).as("po_r"),
           round(col("pe"), 6).as("pe_r"), round(col("kappa"), 6).as("kappa_r"))
