@@ -966,6 +966,21 @@ object SparkEntry {
       Snippets.bestWindow(t(s, dir, "documents"), "doc_id", "text",
         queries, "qid", "qtext", width = 8)
     }),
+    // B7 query spell correction against the x11 corpus vocabulary: OOV
+    // query terms get top-3 in-vocabulary corrections by (edit distance,
+    // corpus frequency, term) — the noisy-channel read with frequency as
+    // the prior; in-vocab terms emit nothing. See FuzzyMatch.spellCorrect.
+    "b7_spell_correct" -> ((s, dir) => {
+      val vocab = CorpusOps.vocabulary(
+        t(s, dir, "documents").select(Norm.normTokens(col("text")).as("toks")),
+        "toks", minCount = 5, topK = 100)
+      val queries = s.createDataFrame(Seq(
+        ("q0", "custmer ordr"),
+        ("q1", "vektor scan"),
+        ("q2", "windw agg"))).toDF("qid", "qtext")
+      FuzzyMatch.spellCorrect(vocab, "token", "cnt", queries, "qid", "qtext",
+        maxDist = 2, k = 3)
+    }),
     // B2 hybrid retrieval: dense KNN run + sparse BM25 run fused with
     // reciprocal-rank fusion (rank-only, so the fused scores are exact).
     // Queries = the first 4 docs (their text for the lexical run, their
@@ -2593,6 +2608,26 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc2) r
            |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // b7: the x11 vocabulary CTE + anti-join for OOV terms + threshold
+      // levenshtein ranking; DuckDB's exact distance under <= equals the
+      // Spark side's early-abandon form.
+      "b7_spell_correct" ->
+        s"""WITH v AS (SELECT token, cnt FROM (
+           |    SELECT word AS token, count(*) AS cnt FROM ($docWords) dw GROUP BY word) t
+           |  WHERE cnt >= 5 ORDER BY cnt DESC, token LIMIT 100),
+           |q AS (SELECT 'q0' AS query_id, 'custmer ordr' AS qtext
+           |      UNION ALL SELECT 'q1', 'vektor scan'
+           |      UNION ALL SELECT 'q2', 'windw agg'),
+           |qt AS (SELECT DISTINCT query_id, unnest(${toksOf("qtext")}) AS qterm FROM q),
+           |oov AS (SELECT qt.query_id, qt.qterm FROM qt ANTI JOIN v ON qt.qterm = v.token),
+           |m AS (SELECT o.query_id, o.qterm, v.token AS suggestion,
+           |    CAST(levenshtein(o.qterm, v.token) AS INTEGER) AS dist, v.cnt AS freq
+           |  FROM oov o JOIN v ON abs(length(o.qterm) - length(v.token)) <= 2
+           |    AND levenshtein(o.qterm, v.token) <= 2)
+           |SELECT query_id, qterm, CAST(rank AS INTEGER) AS rank, suggestion, dist, freq
+           |FROM (SELECT m.*, row_number() OVER (PARTITION BY query_id, qterm
+           |    ORDER BY dist ASC, freq DESC, suggestion ASC) AS rank FROM m) r
+           |WHERE rank <= 3""".stripMargin.replace("\n", " "),
       // b6: positional-hit self-join windows (anchored at hits, width 8),
       // argmax as a row_number — 1-based generate_subscripts positions match
       // the Spark side's pos0+1; the snippet is the same list_slice both ways.

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Norm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -109,6 +110,42 @@ object FuzzyMatch {
       .filter(abs(length(col("a._t")) - length(col("b._t"))) <= maxEdit)
       .withColumn("_d", levenshtein(col("a._t"), col("b._t"), maxEdit))
       .filter(col("_d") >= 0) // ≥ 1 in practice: distinct strings never tie at 0
+  }
+
+  /** "Did you mean" query spell correction against a corpus VOCABULARY
+    * ([[CorpusOps.vocabulary]]'s (term, freq) shape): each query term NOT in
+    * the vocabulary gets its top-k in-vocabulary corrections ranked by
+    * (edit distance ASC, corpus frequency DESC, term ASC) — the noisy-channel
+    * heuristic with frequency as the language-model prior. In-vocabulary
+    * terms emit nothing (they are already right); a query whose every term
+    * is known produces no suggestions at all.
+    *
+    * Scale shape: the vocabulary is the big side, scanned ONCE with the
+    * broadcast-tiny OOV terms fused into codegen (length prefilter →
+    * threshold Levenshtein — the [[topKByEditDistance]] economics); the
+    * ranking window partitions by (query, term), bounded by the
+    * broadcast-small probe contract, never by the vocabulary.
+    *
+    * Output: (query_id, qterm, rank, suggestion, dist, freq). */
+  def spellCorrect(vocab: DataFrame, termCol: String, freqCol: String,
+      probes: DataFrame, pId: String, pText: String,
+      maxDist: Int, k: Int): DataFrame = {
+    require(maxDist >= 1 && k >= 1)
+    val qterms = probes.select(col(pId).cast("string").as("query_id"),
+      explode(array_distinct(Norm.normTokens(col(pText)))).as("qterm"))
+    val v = vocab.select(col(termCol).as("_t"), col(freqCol).as("_f"))
+    val oov = qterms.join(v.select(col("_t").as("qterm")), Seq("qterm"), "left_anti")
+    val byEvidence = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "qterm")
+      .orderBy(col("dist").asc, col("_f").desc, col("_t").asc)
+    v.join(broadcast(oov),
+        abs(length(col("_t")) - length(col("qterm"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_t"), col("qterm"), maxDist))
+      .filter(col("dist") >= 0)
+      .withColumn("rank", row_number().over(byEvidence))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qterm"), col("rank"),
+        col("_t").as("suggestion"), col("dist"), col("_f").as("freq"))
   }
 
   /** Full entity resolution on top of [[blockedNearDupPairs]]: every input

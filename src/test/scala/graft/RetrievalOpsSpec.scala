@@ -111,6 +111,20 @@ class RetrievalOpsSpec extends SparkSpec {
       14L -> 10L, 20L -> 20L), got)
   }
 
+  test("spellCorrect: OOV terms ranked by (dist, freq, term); in-vocab emit nothing") {
+    val vocab = Seq(("customer", 50L), ("customs", 10L), ("cluster", 5L))
+      .toDF("token", "cnt")
+    val q = Seq(("p1", "custmer customer")).toDF("qid", "qtext")
+    val got = FuzzyMatch.spellCorrect(vocab, "token", "cnt", q, "qid", "qtext",
+        maxDist = 2, k = 3)
+      .as[(String, String, Int, String, Int, Long)].collect().sortBy(_._3)
+    // only the OOV 'custmer' is corrected; 'customer' (in vocab) is silent
+    assert(got.forall(_._2 == "custmer"), got.toSeq)
+    assert(got.head._4 == "customer" && got.head._5 == 1) // one dropped 'o'
+    // distance beats frequency; among equal distances higher freq first
+    assert(got.map(_._4).toSeq == got.sortBy(r => (r._5, -r._6, r._4)).map(_._4).toSeq)
+  }
+
   test("snippets: densest window wins, ties earliest, no-hit docs absent") {
     import graft.operators.Snippets
     val docs = Seq(
