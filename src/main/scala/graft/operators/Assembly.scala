@@ -126,8 +126,6 @@ object Assembly {
       Seq("rel_rank", "pos", "passage_id"), Seq("passage_id"), topK)
   }
 
-  /** V5 naive-RAG backfill (rag.py:629-638): append KNN passages not already
-    * present until `topK` total, preserving order. Inputs: (passage_id, rank). */
   final case class MmrPick(rank: Int, pick_id: String, mmr_score: Double)
 
   /** Maximal Marginal Relevance selection (Carbonell–Goldstein) — the
@@ -157,7 +155,8 @@ object Assembly {
     val spark = candidates.sparkSession
     import spark.implicits._
     val rows = candidates
-      .select(col(idCol).cast("string"), col(relCol).cast("double"), col(vecCol))
+      .select(col(idCol).cast("string"), col(relCol).cast("double"),
+        col(vecCol).cast("array<double>")) // float widens exactly
       .collect()
     require(rows.length <= maxCandidates,
       s"mmrSelect: ${rows.length} candidates exceed the broadcast-small " +
@@ -165,7 +164,7 @@ object Assembly {
     val n = rows.length
     val ids = rows.map(_.getString(0))
     val rel = rows.map(_.getDouble(1))
-    val vecs = rows.map(_.getSeq[Float](2).toArray)
+    val vecs = rows.map(_.getSeq[Double](2).toArray)
     val order = Array.range(0, n).sortBy(ids(_)) // deterministic scan order
     val picked = new Array[Boolean](n)
     val maxSim = Array.fill(n)(Double.NegativeInfinity)
@@ -195,13 +194,15 @@ object Assembly {
 
   /** Sequential left-to-right double accumulation — the DotProduct /
     * `list_dot_product(::DOUBLE[])` float contract. */
-  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
+  /** V5 naive-RAG backfill (rag.py:629-638): append KNN passages not already
+    * present until `topK` total, preserving order. Inputs: (passage_id, rank). */
   def backfill(graphHits: DataFrame, naiveHits: DataFrame, topK: Int): DataFrame = {
     val extra = naiveHits
       .join(graphHits.select("passage_id"), Seq("passage_id"), "left_anti")

@@ -325,6 +325,33 @@ final class GraphRag(
       .toSeq
   }
 
+  /** Diversity-reranked retrieval: a dense passage run `runDepth` deep,
+    * MMR-selected down to `finalTopK` ([[Assembly.mmrSelect]]) — near-copies
+    * of an already-chosen passage (chunk overlaps, boilerplate twins) rank
+    * below fresh content even at higher raw similarity, so the final context
+    * window carries `finalTopK` DISTINCT pieces of evidence rather than one
+    * passage's duplicates. `lambda` trades relevance against diversity
+    * (1 = plain KNN order; default 1/2). Candidates are a top-k by
+    * construction, satisfying mmrSelect's broadcast-small contract. */
+  def retrieveDiverse(question: String, lambda: Double = 0.5): Seq[RetrievalHit] = {
+    val k = config.finalTopK
+    val runDepth = math.max(2 * k, 10)
+    val passagesT = store.cachedTable(graph, "passages")
+    val qvecDf = Seq(question).toDF("qtext")
+      .select(col("qtext"), embedder.embed(col("qtext")).as("qvec"))
+    val cand = VectorSearch.knnJoin(
+        qvecDf, passagesT, "qtext", "qvec", "id", "embedding", runDepth)
+      .select(col("neighbor_id").as("id"), col("score").as("rel"))
+      .join(passagesT.select(col("id"), col("embedding")), Seq("id"))
+    val picks = Assembly.mmrSelect(cand, "id", "rel", "embedding", k, lambda)
+    passagesT.select(col("id").as("pick_id"), col("text"))
+      .join(broadcast(picks), Seq("pick_id"))
+      .orderBy("rank")
+      .select("pick_id", "text", "mmr_score", "rank").collect()
+      .map(r => RetrievalHit(r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+  }
+
   def stats(): Map[String, Long] = store.stats(graph)
 
   /** Structural entity importance: damped [[PageRank]] over the

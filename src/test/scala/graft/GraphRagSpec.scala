@@ -177,6 +177,29 @@ class GraphRagSpec extends SparkSpec {
     assert(hrag.retrieveHybrid("who discovered polonium").nonEmpty)
   }
 
+  test("diverse retrieval: lambda=1 reproduces KNN order; default demotes a near-copy") {
+    val dstore = new GraphStore(spark, Files.createTempDirectory("divstore").toString)
+    val drag = new GraphRag(spark, dstore, "div",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 2))
+    // two near-identical curie passages + one distinct newton passage
+    drag.addDocumentsWithTriplets(Seq(
+      graft.model.Doc("curie1", "Marie Curie\nMarie Curie discovered polonium.",
+        Seq(graft.model.Triplet("Marie Curie", "discovered", "polonium"))),
+      graft.model.Doc("curie2", "Marie Curie\nMarie Curie discovered polonium!",
+        Seq(graft.model.Triplet("Marie Curie", "discovered", "polonium"))),
+      graft.model.Doc("newton", "Isaac Newton\nNewton formulated gravity.",
+        Seq(graft.model.Triplet("Newton", "formulated", "gravity")))))
+    val q = "who discovered polonium"
+    val plain = drag.retrieveDiverse(q, lambda = 1.0)
+    assert(plain.size == 2 && plain.map(_.rank) == Seq(1, 2))
+    // λ=1 = pure relevance: both curie twins make the cut
+    assert(plain.map(_.id).toSet == Set("curie1", "curie2"), plain.map(_.id))
+    // default λ: the second curie twin is redundant; newton replaces it
+    val div = drag.retrieveDiverse(q)
+    assert(div.size == 2 && div.map(_.id).head.startsWith("curie"))
+    assert(div.map(_.id).contains("newton"), s"got ${div.map(_.id)}")
+  }
+
   test("expansion history logs per-degree additions (P6)") {
     rag.addDocumentsWithTriplets(docs)
     val r = rag.retrieve(question)
