@@ -31,6 +31,7 @@ import java.nio.charset.StandardCharsets
   *   POST   /graphs/{g}/retrieve         ← {question, ...knobs} → retrieval-only JSON
   *   POST   /graphs/{g}/retrieve_naive   ← {question, top_k?} → passage KNN only (R6)
   *   POST   /graphs/{g}/retrieve_hybrid  ← {question, top_k?} → dense+BM25 RRF fusion
+  *   POST   /graphs/{g}/retrieve_diverse ← {question, top_k?, lambda?} → MMR-reranked dense run
   *   GET    /graphs/{g}/importance?limit=n → PageRank entity centrality
   *   POST   /graphs/{g}/match_entities   ← {names, max_dist?, top_k?} → fuzzy lookup
   *   DELETE /graphs/{g}
@@ -253,6 +254,18 @@ final class RestServer(spark: SparkSession, storeBase: String,
           val body = readBody(ex)
           val q = body.get("question").asText()
           val hits = rag(g, configFor(body)).retrieveHybrid(q)
+          val n = mapper.createObjectNode()
+          n.put("question", q)
+          n.set[ObjectNode]("passages", hitsJson(hits))
+          respond(ex, 200, n)
+        case ("POST", Seq("graphs", g, "retrieve_diverse")) =>
+          // dense KNN reranked by MMR (diversity over near-duplicate passages);
+          // optional body field `lambda` trades relevance vs diversity
+          val body = readBody(ex)
+          val q = body.get("question").asText()
+          val lambda =
+            if (body.has("lambda")) body.get("lambda").asDouble() else 0.5
+          val hits = rag(g, configFor(body)).retrieveDiverse(q, lambda)
           val n = mapper.createObjectNode()
           n.put("question", q)
           n.set[ObjectNode]("passages", hitsJson(hits))

@@ -161,6 +161,11 @@ class RestServerSpec extends SparkSpec {
     assert(hybrid.body().contains("d3"), hybrid.body())
     val hybridPassages = "\"rank\"".r.findAllIn(hybrid.body()).size
     assert(hybridPassages == 2, hybrid.body())
+
+    val diverse = post("/graphs/rest4/retrieve_diverse",
+      """{"question": "who broke the enigma machine", "top_k": 2, "lambda": 0.5}""")
+    assert(diverse.statusCode() == 200, diverse.body())
+    assert("\"rank\"".r.findAllIn(diverse.body()).size == 2, diverse.body())
   }
 
   test("re-indexing a graph serves fresh rows to later queries (cache lifecycle)") {
