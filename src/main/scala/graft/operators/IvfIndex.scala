@@ -157,6 +157,51 @@ object IvfIndex {
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(assigned)
   }
 
+  /** Incremental DELETE from a SAVED index — the other half of the
+    * [[addSaved]] maintenance contract: a cascade delete in the store must
+    * not leave the ANN index serving dead ids. `ids` leave the inverted file
+    * with write amplification bounded by the cells that contain them: one
+    * partition-pruned probe finds the touched cells, survivors rewrite ONLY
+    * those cell directories, and a cell left empty is REMOVED outright —
+    * a zero-row dynamic overwrite writes nothing, so the stale files would
+    * silently keep serving the deleted ids. An index emptied entirely
+    * collapses back to the readable empty plain-file layout [[save]] uses.
+    * Unknown ids are ignored; `ids` is a delta-sized driver set (the
+    * [[addSaved]] probe bound). */
+  def deleteSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val idx = load(spark, dir)
+    if (idx.assignments.isEmpty) return
+    val apath = s"$dir/assignments.parquet"
+    val touched = idx.assignments.filter(col("id").isin(ids: _*))
+      .select(CellCol).distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val survivors = idx.assignments
+      .filter(col(CellCol).isin(touched.toIndexedSeq: _*))
+      .filter(not(col("id").isin(ids: _*)))
+      // lineage break: the writes below replace the very files this read
+      .localCheckpoint(true)
+    try {
+      val live = survivors.select(CellCol).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (live.nonEmpty)
+        survivors.repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(CellCol).parquet(apath)
+      touched.filterNot(live).foreach { c =>
+        graft.sources.BucketedTable.deleteDir(spark, s"$apath/$CellCol=$c")
+      }
+      val root = new org.apache.hadoop.fs.Path(apath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val anyCellLeft = fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$CellCol="))
+      if (!anyCellLeft)
+        // limit(0) collapses to an empty LocalRelation — schema only
+        idx.assignments.limit(0).write.mode("overwrite").parquet(apath)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(survivors)
+  }
+
   /** Measured recall@k of probe-limited search vs exact KNN, per nProbe — the
     * accuracy dial the reference's AUTOINDEX hides (config.py:43-50). Recall is
     * macro-averaged |ivf_top_k ∩ exact_top_k| / k over the queries; with the

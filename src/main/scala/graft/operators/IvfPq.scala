@@ -209,6 +209,46 @@ object IvfPq {
       finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
   }
 
+  /** Incremental DELETE from a saved IVF-PQ index — [[addSaved]]'s other
+    * half (the [[IvfIndex.deleteSaved]] contract applied to the code table):
+    * write amplification bounded by the cells containing the ids, a cell
+    * left empty removed outright (a zero-row dynamic overwrite would leave
+    * its stale files serving the deleted codes), a fully-emptied code table
+    * restored to the readable plain-file layout. Codebooks and centroids
+    * are untouched — deletes never degrade the quantizer. Unknown ids are
+    * ignored; `ids` is a delta-sized driver set. */
+  def deleteSaved(spark: SparkSession, dir: String, ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val codesPath = s"$dir/codes.parquet"
+    val existing = spark.read.parquet(codesPath)
+    if (existing.isEmpty) return
+    val touched = existing.filter(col("id").isin(ids: _*))
+      .select(CellCol).distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val survivors = existing
+      .filter(col(CellCol).isin(touched.toIndexedSeq: _*))
+      .filter(not(col("id").isin(ids: _*)))
+      // lineage break: the writes below replace the very files this read
+      .localCheckpoint(true)
+    try {
+      val live = survivors.select(CellCol).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (live.nonEmpty)
+        survivors.repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy(CellCol).parquet(codesPath)
+      touched.filterNot(live).foreach { c =>
+        graft.sources.BucketedTable.deleteDir(spark, s"$codesPath/$CellCol=$c")
+      }
+      val root = new org.apache.hadoop.fs.Path(codesPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val anyCellLeft = fs.exists(root) &&
+        fs.listStatus(root).exists(_.getPath.getName.startsWith(s"$CellCol="))
+      if (!anyCellLeft)
+        existing.limit(0).write.mode("overwrite").parquet(codesPath)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(survivors)
+  }
+
   def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
       qId: String, qVec: String, nProbe: Int, k: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")

@@ -257,9 +257,26 @@ final class GraphStore(spark: SparkSession, base: String,
   def delete(graph: String, tableName: String, ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
     val victims = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
-    rewriteBuckets(graph, tableName, ids.map(bucketOf(graph, _)).distinct)(
+    // a pure delete never changes a surviving row's embedding, so the ANN
+    // index is MAINTAINED (cell-pruned id removal) instead of dropped — at
+    // 100 TB a one-row delete must not invalidate the whole clustering
+    rewriteBuckets(graph, tableName, ids.map(bucketOf(graph, _)).distinct,
+      preserveAnnIndex = true)(
       _.join(victims, Seq("id"), "left_anti"))
+    deleteFromAnnIndex(graph, tableName, ids)
   }
+
+  /** Incrementally remove ids from a persisted ANN index — no-op when none
+    * exists; layout-dispatched like [[addToAnnIndex]]. Always valid for pure
+    * deletes (surviving embeddings are untouched); writes that may change an
+    * embedding must drop the index instead (the rewrite default). */
+  def deleteFromAnnIndex(graph: String, tableName: String, ids: Seq[String]): Unit =
+    if (BucketedTable.exists(spark, annPath(graph, tableName))) {
+      if (annIndexIsPq(graph, tableName))
+        graft.operators.IvfPq.deleteSaved(spark, annPath(graph, tableName), ids)
+      else
+        graft.operators.IvfIndex.deleteSaved(spark, annPath(graph, tableName), ids)
+    }
 
   /** G9 cascade delete of a passage: remove the row AND scrub its id from every
     * neighbor's adjacency arrays + edge tables (graph/graph.py:634-672).

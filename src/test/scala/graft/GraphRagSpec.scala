@@ -81,6 +81,23 @@ class GraphRagSpec extends SparkSpec {
     assert(annRag.retrieve(question).passages.nonEmpty)
   }
 
+  test("store delete maintains the ANN index (cell-pruned id removal, no drop)") {
+    val dstore = new GraphStore(spark, Files.createTempDirectory("anndel").toString)
+    val drag = new GraphRag(spark, dstore, "annd",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3,
+        annNProbe = Some(4), annNList = 4))
+    drag.addDocumentsWithTriplets(docs)
+    val before = dstore.loadAnnIndex("annd", "entities").get
+      .assignments.select("id").collect().map(_.getString(0)).toSet
+    val victim = before.head
+    dstore.delete("annd", "entities", Seq(victim))
+    // the index SURVIVED the delete and no longer carries the victim
+    val after = dstore.loadAnnIndex("annd", "entities")
+    assert(after.isDefined, "delete dropped the ANN index instead of maintaining it")
+    val ids = after.get.assignments.select("id").collect().map(_.getString(0)).toSet
+    assert(ids == before - victim, s"index ids $ids != ${before - victim}")
+  }
+
   test("graft extends the persisted ANN index in place instead of dropping it") {
     val gstore = new GraphStore(spark, Files.createTempDirectory("anngraft").toString)
     val q2 = "What did Ada Lovelace write?"

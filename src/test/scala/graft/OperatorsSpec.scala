@@ -283,6 +283,37 @@ class OperatorsSpec extends SparkSpec {
     assert(a == e)
   }
 
+  test("IVF deleteSaved prunes cells, removes emptied dirs, empties to a readable layout") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val rows = emb.filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    IvfIndex.save(IvfIndex.build(rows, "vec_id", "embedding", nList = 4), dir)
+    // delete a slice; full-probe search over the survivor index == exact KNN
+    // over the survivor rows (deleted ids are never served)
+    val dead = (10 until 20).map(_.toString)
+    IvfIndex.deleteSaved(spark, dir, dead)
+    val after = IvfIndex.load(spark, dir)
+    val ids = after.assignments.select("id").as[String].collect().toSet
+    assert(ids == (0 until 40).map(_.toString).toSet -- dead)
+    val queries = emb.filter(col("vec_id") >= 12 && col("vec_id") < 15)
+    val got = IvfIndex.search(after, queries, "vec_id", "embedding", nProbe = 4, k = 5)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val exact = graft.operators.VectorSearch.knnJoin(queries,
+        rows.filter(!col("vec_id").isInCollection(dead.map(_.toLong))),
+        "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(got == exact)
+    // unknown ids are a no-op
+    IvfIndex.deleteSaved(spark, dir, Seq("99999"))
+    assert(IvfIndex.load(spark, dir).assignments.count() == 30)
+    // empty the index completely: layout stays readable, addSaved revives it
+    IvfIndex.deleteSaved(spark, dir, (0 until 40).map(_.toString))
+    val emptied = IvfIndex.load(spark, dir)
+    assert(emptied.assignments.isEmpty)
+    IvfIndex.addSaved(spark, dir, emb.filter(col("vec_id") < 5), "vec_id", "embedding")
+    assert(IvfIndex.load(spark, dir).assignments.count() == 5)
+  }
+
   test("IVF addSaved into an EMPTY saved index works (no centroid self-overwrite)") {
     // Regression (r7 review): the empty-layout branch used to call save(),
     // which rewrote centroids.parquet while idx.centroids lazily read that

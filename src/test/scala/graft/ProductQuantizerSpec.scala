@@ -192,6 +192,31 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(graft.operators.IvfPq.searchSaved(spark, edir, q, "id", "v", 1, 5).isEmpty)
   }
 
+  test("ivf-pq deleteSaved: dead ids never served, emptied cells vanish, pin-free") {
+    import graft.operators.IvfPq
+    val corpus = vecs(64, 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    IvfPq.buildAndSave(corpus, "id", "v", dir, nList = 4, m = 4, dsub = 4, k = 8)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val dead = (0 until 16).map(_.toString)
+    IvfPq.deleteSaved(spark, dir, dead)
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    assert(codes.select("id").distinct().count() == 48)
+    assert(codes.filter(col("id").isin(dead: _*)).isEmpty)
+    // full-probe searchSaved serves only survivors
+    val q = corpus.filter(col("id") === 63).select(col("id").as("qid"), col("v").as("qv"))
+    val got = IvfPq.searchSaved(spark, dir, q, "qid", "qv", nProbe = 4, k = 64)
+      .select("neighbor_id").as[String].collect().toSet
+    assert(got.nonEmpty && got.intersect(dead.toSet).isEmpty, got.toString)
+    // unknown ids: no-op; full wipe leaves a readable empty layout
+    IvfPq.deleteSaved(spark, dir, Seq("zzz"))
+    IvfPq.deleteSaved(spark, dir, (0 until 64).map(_.toString))
+    assert(spark.read.parquet(s"$dir/codes.parquet").isEmpty)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"deleteSaved left ${leaked.size} pinned RDDs")
+  }
+
   test("ivf-pq addSaved: delta merges into touched cells, dedups, stays pin-free") {
     import graft.operators.IvfPq
     val corpus = vecs(64, 16)
