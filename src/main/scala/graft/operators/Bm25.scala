@@ -218,18 +218,133 @@ object Bm25 {
       nBuckets: Int = BucketedTable.DefaultBuckets): Unit = {
     val spark = index.postings.sparkSession
     BucketedTable.write(index.postings, s"$dir/postings.parquet", "term", nBuckets)
+    // avgdl = sumdl/n correctly rounded, so n·avgdl rounds back to the exact
+    // integer token total for any corpus under 2^52 tokens — the marker
+    // carries it so incremental maintenance stays integer-exact.
     BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
-      s"${index.nDocs} ${index.avgdl} $nBuckets")
+      s"${index.nDocs} ${index.avgdl} $nBuckets " +
+        s"${Math.round(index.nDocs * index.avgdl)}")
+  }
+
+  /** Parsed stats marker; legacy 3-field markers derive the token total. */
+  private def readStats(spark: SparkSession, dir: String): (Long, Double, Int, Long) = {
+    val parts = BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
+    val (n, avgdl, nb) = (parts(0).toLong, parts(1).toDouble, parts(2).toInt)
+    val sumdl = parts.lift(3).map(_.toLong).getOrElse(Math.round(n * avgdl))
+    (n, avgdl, nb, sumdl)
   }
 
   private def statsDf(spark: SparkSession, n: Double, avgdl: Double): DataFrame =
     spark.range(1).select(lit(n).as("n"), lit(avgdl).as("avgdl"))
 
   def load(spark: SparkSession, dir: String): Index = {
-    val Array(n, avgdl, _) =
-      BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
+    val (n, avgdl, _, _) = readStats(spark, dir)
     Index(BucketedTable.read(spark, s"$dir/postings.parquet").drop("_bucket"),
-      statsDf(spark, n.toDouble, avgdl.toDouble))
+      statsDf(spark, n.toDouble, avgdl))
+  }
+
+  /** Incrementally ADD documents to a SAVED index, bit-identical to a full
+    * rebuild over the grown corpus: per-term df bumps and the new posting
+    * rows rewrite ONLY the buckets the delta's terms hash into
+    * ([[graft.sources.BucketedTable.rewriteBuckets]]), and the stats marker
+    * advances by exact integers (doc count, token total — avgdl is ONE
+    * division of integers on every path, so scores never drift from a
+    * rebuild's). Ids already present are skipped (add-only, the
+    * [[graft.operators.IvfIndex.addSaved]] contract; the probe is one
+    * column-pruned scan with the delta ids pushed down). Write
+    * amplification is bounded by the delta's vocabulary, never the index. */
+  def addSavedDocs(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (n, _, nb, sumdl) = readStats(spark, dir)
+    val ppath = s"$dir/postings.parquet"
+    val delta = docs.select(col(idCol).cast("string").as("id"),
+        explode(Norm.normTokens(col(textCol))).as("term"))
+      .localCheckpoint(true) // tokenized once; tf/df/stats all read it
+    try {
+      val deltaIds = delta.select("id").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (deltaIds.isEmpty) return
+      val already = BucketedTable.read(spark, ppath)
+        .filter(col("id").isin(deltaIds: _*))
+        .select("id").distinct().collect().map(_.getString(0)).toSet
+      val freshIds = deltaIds.filterNot(already)
+      if (freshIds.isEmpty) return
+      val freshTok = delta.filter(col("id").isin(freshIds: _*))
+      val tfD = freshTok.groupBy("term", "id")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dlD = freshTok.groupBy("id").agg(count(lit(1)).cast("double").as("dl"))
+      val dfD = tfD.groupBy("term").agg(count(lit(1)).cast("double").as("_dfd"))
+        .localCheckpoint(true) // delta-vocabulary-sized; bump + new rows read it
+      try {
+        val terms = dfD.select("term").collect().map(_.getString(0))
+        val buckets = terms.map(BucketedTable.bucketOf(_, nb)).distinct.toSeq
+        BucketedTable.rewriteBuckets(spark, ppath, "term", nb, buckets) { old =>
+          // surviving rows of touched terms take the df bump; new rows enter
+          // with df = old df (0 for index-new terms) + delta df. USING joins
+          // put the key first, so the output re-projects to the saved
+          // layout's column order.
+          val cols = old.columns.map(col).toIndexedSeq
+          val oldDf = old.groupBy("term").agg(first(col("df")).as("_df0"))
+          val bumped = old.join(broadcast(dfD), Seq("term"), "left")
+            .withColumn("df", col("df") + coalesce(col("_dfd"), lit(0.0)))
+          val fresh = tfD.join(broadcast(dfD), Seq("term"))
+            .join(broadcast(oldDf), Seq("term"), "left")
+            .join(dlD, Seq("id"))
+            .withColumn("df", coalesce(col("_df0"), lit(0.0)) + col("_dfd"))
+          bumped.select(cols: _*).unionByName(fresh.select(cols: _*))
+        }
+        val addedTokens = freshTok.count()
+        val n2 = n + freshIds.size
+        val avg2 = if (n2 == 0) 0.0 else (sumdl + addedTokens).toDouble / n2
+        BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
+          s"$n2 $avg2 $nb ${sumdl + addedTokens}")
+      } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dfD)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(delta)
+  }
+
+  /** Incrementally DELETE documents from a SAVED index — the other half of
+    * [[addSavedDocs]], same rebuild-exact contract. Callers pass the docs AS
+    * INDEXED (id + the same text): postings are term-bucketed, so a doc's
+    * rows are locatable only through its terms — delete from the lexical
+    * index BEFORE (or with) removing the rows from the store. Ids not in the
+    * index are ignored; a term whose last document leaves simply has no rows
+    * left (df reaches 0 with them). */
+  def deleteSavedDocs(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (n, _, nb, sumdl) = readStats(spark, dir)
+    val ppath = s"$dir/postings.parquet"
+    val delta = docs.select(col(idCol).cast("string").as("id"),
+        explode(Norm.normTokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
+    try {
+      val deltaIds = delta.select("id").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (deltaIds.isEmpty) return
+      val present = BucketedTable.read(spark, ppath)
+        .filter(col("id").isin(deltaIds: _*))
+        .select("id").distinct().collect().map(_.getString(0)).toSet
+      if (present.isEmpty) return
+      val deadTok = delta.filter(col("id").isin(present.toSeq: _*))
+      val dfD = deadTok.select("term", "id").distinct()
+        .groupBy("term").agg(count(lit(1)).cast("double").as("_dfd"))
+        .localCheckpoint(true)
+      try {
+        val terms = dfD.select("term").collect().map(_.getString(0))
+        val buckets = terms.map(BucketedTable.bucketOf(_, nb)).distinct.toSeq
+        BucketedTable.rewriteBuckets(spark, ppath, "term", nb, buckets) { old =>
+          val cols = old.columns.map(col).toIndexedSeq
+          old.filter(not(col("id").isin(present.toSeq: _*)))
+            .join(broadcast(dfD), Seq("term"), "left")
+            .withColumn("df", col("df") - coalesce(col("_dfd"), lit(0.0)))
+            .select(cols: _*)
+        }
+        val removedTokens = deadTok.count()
+        val n2 = n - present.size
+        val avg2 = if (n2 == 0) 0.0 else (sumdl - removedTokens).toDouble / n2
+        BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
+          s"$n2 $avg2 $nb ${sumdl - removedTokens}")
+      } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dfD)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(delta)
   }
 
   /** Score against a SAVED index with term-bucket pruning: the query's terms
@@ -238,16 +353,15 @@ object Bm25 {
     * the index is never scanned. */
   def scoreSaved(spark: SparkSession, dir: String, queries: DataFrame,
       qId: String, qText: String, k: Int, params: Params = Params()): DataFrame = {
-    val Array(n, avgdl, nb) =
-      BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
+    val (n, avgdl, nb, _) = readStats(spark, dir)
     val qterms = queries.select(col(qId).cast("string").as("query_id"),
       explode(array_distinct(Norm.normTokens(col(qText)))).as("term"))
       .localCheckpoint(true) // tiny; reused for bucket probe + scoring join
     val buckets = qterms.select("term").distinct().collect()
-      .map(r => BucketedTable.bucketOf(r.getString(0), nb.toInt)).distinct.toSeq
+      .map(r => BucketedTable.bucketOf(r.getString(0), nb)).distinct.toSeq
     val pruned = BucketedTable.read(spark, s"$dir/postings.parquet")
       .filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
-    scoreTerms(Index(pruned, statsDf(spark, n.toDouble, avgdl.toDouble)),
+    scoreTerms(Index(pruned, statsDf(spark, n.toDouble, avgdl)),
       qterms, k, params)
   }
 }

@@ -165,9 +165,27 @@ final class GraphRag(
     mergeAdjacency("relations", delta.relations, Seq("passage_ids"))
     store.addToAnnIndex(graph, "entities", delta.entities.select("id", "embedding"))
     store.addToAnnIndex(graph, "relations", delta.relations.select("id", "embedding"))
-    store.rewriteForKeys(graph, "passages", delta.passages, "id") { old =>
+    // The persisted LEXICAL index survives a graft the same way the ANN
+    // indexes do, and stays REBUILD-EXACT: ids the delta replaces leave the
+    // index with their OLD text first (postings are term-bucketed — the old
+    // rows are only locatable through the text as indexed), then the whole
+    // delta enters. Rows pinned BEFORE the rewrite replaces their files.
+    val maintainLex = store.lexIndexExists(graph)
+    val replacedRows = if (maintainLex) {
+      val r = store.table(graph, "passages")
+        .join(delta.passages.select("id"), Seq("id"), "left_semi")
+        .select("id", "text").localCheckpoint(true)
+      store.deleteFromLexIndex(graph, r)
+      Some(r)
+    } else None
+    store.rewriteForKeys(graph, "passages", delta.passages, "id",
+      preserveLexIndex = maintainLex) { old =>
       old.join(delta.passages.select("id"), Seq("id"), "left_anti")
         .unionByName(delta.passages)
+    }
+    if (maintainLex) {
+      store.addToLexIndex(graph, delta.passages.select("id", "text"))
+      replacedRows.foreach(org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
     }
     Seq(("entity_relation", delta.entityRelation, "entity_id"),
       ("entity_passage", delta.entityPassage, "entity_id"),

@@ -222,6 +222,23 @@ final class GraphStore(spark: SparkSession, base: String,
     if (BucketedTable.exists(spark, lexPath(graph)))
       BucketedTable.deleteDir(spark, lexPath(graph))
 
+  def lexIndexExists(graph: String): Boolean =
+    BucketedTable.exists(spark, lexPath(graph))
+
+  /** Incrementally add `docs(id, text)` to the persisted lexical index —
+    * no-op when none exists. Rebuild-exact ([[graft.operators.Bm25.addSavedDocs]]);
+    * already-indexed ids are skipped, so callers replacing a passage's TEXT
+    * must [[deleteFromLexIndex]] the old rows first. */
+  def addToLexIndex(graph: String, docs: DataFrame): Unit =
+    if (lexIndexExists(graph))
+      graft.operators.Bm25.addSavedDocs(spark, lexPath(graph), docs, "id", "text")
+
+  /** Incrementally remove `docs(id, text)` — the rows AS INDEXED — from the
+    * persisted lexical index; no-op when none exists. */
+  def deleteFromLexIndex(graph: String, docs: DataFrame): Unit =
+    if (lexIndexExists(graph))
+      graft.operators.Bm25.deleteSavedDocs(spark, lexPath(graph), docs, "id", "text")
+
   /** Incrementally add rows (id, embedding, ...) to a persisted ANN index —
     * no-op when none exists. Add-only ([[graft.operators.IvfIndex.addSaved]]):
     * ids already indexed keep their cells, so this is only correct after
@@ -417,20 +434,24 @@ final class GraphStore(spark: SparkSession, base: String,
     * embedding (insert-new + adjacency-merge shapes); the caller then appends
     * the genuinely-new rows via [[addToAnnIndex]]. */
   def rewriteForKeys(graph: String, tableName: String, keys: DataFrame,
-      keyCol: String, preserveAnnIndex: Boolean = false)(
+      keyCol: String, preserveAnnIndex: Boolean = false,
+      preserveLexIndex: Boolean = false)(
       f: DataFrame => DataFrame): Unit =
     rewriteBuckets(graph, tableName,
       BucketedTable.distinctBuckets(keys, keyCol, bucketsFor(graph)),
-      preserveAnnIndex)(f)
+      preserveAnnIndex, preserveLexIndex)(f)
 
   private def rewriteBuckets(graph: String, tableName: String, buckets: Seq[Int],
-      preserveAnnIndex: Boolean = false)(f: DataFrame => DataFrame): Unit = {
+      preserveAnnIndex: Boolean = false,
+      preserveLexIndex: Boolean = false)(f: DataFrame => DataFrame): Unit = {
     BucketedTable.rewriteBuckets(
       spark, path(graph, tableName), clusterKey(tableName), bucketsFor(graph), buckets)(f)
     // Invalidate caches and derived indexes over the replaced files (see save()).
     invalidateCache(graph, tableName)
     if (!preserveAnnIndex) dropAnnIndex(graph, tableName)
-    if (tableName == "passages") dropLexIndex(graph)
+    // preserveLexIndex: ONLY valid when the caller maintains the index
+    // itself (delete-old + add-new around the rewrite, the graft path)
+    if (tableName == "passages" && !preserveLexIndex) dropLexIndex(graph)
     spark.catalog.refreshByPath(path(graph, tableName))
   }
 

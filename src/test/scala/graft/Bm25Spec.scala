@@ -60,6 +60,44 @@ class Bm25Spec extends SparkSpec {
     assert(pruned == direct && direct.nonEmpty)
   }
 
+  test("saved-index maintenance: addSavedDocs/deleteSavedDocs == a rebuild, exactly") {
+    import graft.sources.BucketedTable
+    val a = docsDf.filter(col("id").isin("d1", "d2", "d3"))
+    val b = docsDf.filter(col("id").isin("d4", "d5"))
+    def newDir() = java.nio.file.Files.createTempDirectory("bm25maint").toString
+    val (dirInc, dirFull, dirA) = (newDir(), newDir(), newDir())
+    Bm25.save(Bm25.build(a, "id", "text"), dirInc)
+    Bm25.save(Bm25.build(docsDf, "id", "text"), dirFull)
+    Bm25.save(Bm25.build(a, "id", "text"), dirA)
+    def postings(d: String) = BucketedTable
+      .read(spark, s"$d/postings.parquet").drop("_bucket")
+      .collect().map(_.toSeq).toSet
+    def marker(d: String) =
+      BucketedTable.readMarker(spark, s"$d/_bm25_stats").get
+
+    Bm25.addSavedDocs(spark, dirInc, b, "id", "text")
+    assert(postings(dirInc) == postings(dirFull), "grown postings != rebuild")
+    assert(marker(dirInc) == marker(dirFull), "grown stats != rebuild")
+    val q = Seq(("q", "spark cluster rarestword gardening")).toDF("qid", "qtext")
+    val inc = Bm25.scoreSaved(spark, dirInc, q, "qid", "qtext", k = 5)
+      .collect().map(_.toSeq).toSet
+    val full = Bm25.scoreSaved(spark, dirFull, q, "qid", "qtext", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full && inc.nonEmpty)
+
+    // re-adding present ids is a no-op
+    Bm25.addSavedDocs(spark, dirInc, b, "id", "text")
+    assert(postings(dirInc) == postings(dirFull) && marker(dirInc) == marker(dirFull))
+
+    // deleting them back out restores the A-only index exactly
+    Bm25.deleteSavedDocs(spark, dirInc, b, "id", "text")
+    assert(postings(dirInc) == postings(dirA), "shrunk postings != rebuild")
+    assert(marker(dirInc) == marker(dirA), "shrunk stats != rebuild")
+    // deleting unknown ids is a no-op
+    Bm25.deleteSavedDocs(spark, dirInc, b, "id", "text")
+    assert(postings(dirInc) == postings(dirA))
+  }
+
   test("rrf: fuses two runs rank-only, doc in both runs wins") {
     val runA = Seq(("q", 1, "x"), ("q", 2, "y")).toDF("query_id", "rank", "doc_id")
     val runB = Seq(("q", 1, "z"), ("q", 2, "x")).toDF("query_id", "rank", "doc_id")

@@ -217,6 +217,43 @@ class GraphRagSpec extends SparkSpec {
     assert(div.map(_.id).contains("newton"), s"got ${div.map(_.id)}")
   }
 
+  test("graft maintains the lexical index rebuild-exactly, incl. text replacement") {
+    val lstore = new GraphStore(spark, Files.createTempDirectory("lexgraft").toString)
+    val lrag = new GraphRag(spark, lstore, "lexg",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3,
+        lexicalIndex = true))
+    lrag.addDocumentsWithTriplets(docs)
+    def savedPostings = lstore.loadLexIndex("lexg").get
+      .postings.collect().map(_.toSeq).toSet
+    def rebuilt = {
+      val idx = graft.operators.Bm25.build(
+        lstore.table("lexg", "passages"), "id", "text")
+      val p = idx.postings.collect().map(_.toSeq).toSet
+      val s = (idx.nDocs, idx.avgdl)
+      idx.release(); (p, s)
+    }
+    // graft a NEW passage: the index survives and equals a fresh rebuild
+    lrag.createPassage(Doc("lovelace",
+      "Ada Lovelace\nAda Lovelace wrote the first computer program.",
+      Seq(Triplet("Ada Lovelace", "wrote", "first computer program"))))
+    assert(lstore.loadLexIndex("lexg").isDefined, "graft dropped the lex index")
+    val (p1, s1) = rebuilt
+    assert(savedPostings == p1, "grown lex postings != rebuild")
+    val li1 = lstore.loadLexIndex("lexg").get
+    assert((li1.nDocs, li1.avgdl) == s1)
+    // REPLACE the passage text: old postings leave, new ones enter
+    lrag.createPassage(Doc("lovelace",
+      "Ada Lovelace\nShe pioneered analytical engine notes.",
+      Seq(Triplet("Ada Lovelace", "pioneered", "analytical engine notes"))))
+    val (p2, s2) = rebuilt
+    assert(savedPostings == p2, "replaced-text lex postings != rebuild")
+    val li2 = lstore.loadLexIndex("lexg").get
+    assert((li2.nDocs, li2.avgdl) == s2)
+    // the replaced text is served lexically; the old text is not
+    val hits = lrag.retrieveHybrid("analytical engine notes")
+    assert(hits.map(_.id).contains("lovelace"), hits.map(_.id).toString)
+  }
+
   test("expansion history logs per-degree additions (P6)") {
     rag.addDocumentsWithTriplets(docs)
     val r = rag.retrieve(question)
