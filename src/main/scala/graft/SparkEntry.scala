@@ -1739,6 +1739,15 @@ object SparkEntry {
     "ev2_retention" -> ((s, dir) => {
       EventAnalytics.retention(t(s, dir, "events"), "user_id", "ts", maxOffset = 7)
     }),
+    // EV4 funnel time-to-convert: per transition the exact p50/p90 of
+    // t_k − t_{k−1} over converting users — the funnel-as-SLA read. See
+    // EventAnalytics.funnelLatencies.
+    "ev4_funnel_latency" -> ((s, dir) => {
+      EventAnalytics.funnelLatencies(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .select(col("step"), col("event_type"), col("n_users"),
+          round(col("p50"), 4).as("p50_r"), round(col("p90"), 4).as("p90_r"))
+    }),
     // EV3 rolling engagement (DAU / trailing-7-day WAU / stickiness): exact
     // distinct-over-range-window via the bounded sequence-explode rewrite.
     // See EventAnalytics.rollingActive.
@@ -3937,6 +3946,24 @@ object SparkEntry {
           |FROM act JOIN coh ON act.user_id = coh.user_id
           |WHERE act.day - coh.c <= 7
           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // ev4: the ev1 completion CTEs carrying the previous step's time, so
+      // the latency is a column; quantile_cont ≡ Spark's exact percentile.
+      "ev4_funnel_latency" ->
+        """WITH u1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |u2 AS (SELECT e.user_id, u1.t AS t0, min(epoch_ns(e.ts)) AS t FROM events e
+          |  JOIN u1 ON e.user_id = u1.user_id AND epoch_ns(e.ts) > u1.t
+          |  WHERE e.event_type = 'click' GROUP BY 1, 2),
+          |u3 AS (SELECT e.user_id, u2.t AS t0, min(epoch_ns(e.ts)) AS t FROM events e
+          |  JOIN u2 ON e.user_id = u2.user_id AND epoch_ns(e.ts) > u2.t
+          |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users,
+          |  round(quantile_cont(CAST(t - t0 AS DOUBLE) / 1e9, 0.5), 4) AS p50_r,
+          |  round(quantile_cont(CAST(t - t0 AS DOUBLE) / 1e9, 0.9), 4) AS p90_r FROM u2 HAVING count(*) > 0
+          |UNION ALL
+          |SELECT 3, 'purchase', count(*),
+          |  round(quantile_cont(CAST(t - t0 AS DOUBLE) / 1e9, 0.5), 4),
+          |  round(quantile_cont(CAST(t - t0 AS DOUBLE) / 1e9, 0.9), 4) FROM u3 HAVING count(*) > 0""".stripMargin.replace("\n", " "),
       // ev3: the range-join formulation (count DISTINCT users per trailing
       // window) — an independent decomposition of the Spark side's bounded
       // sequence-explode rewrite; BIGINT/BIGINT→DOUBLE division is

@@ -48,6 +48,49 @@ object EventAnalytics {
     out
   }
 
+  /** Time-to-convert distribution per funnel transition: for each step k ≥ 2,
+    * the per-user latency t_k − t_{k−1} between consecutive [[funnel]]
+    * completions in SECONDS, summarized as count + exact percentiles — the read that
+    * turns a conversion funnel into an SLA (where do users stall, and for
+    * how long). Same survivor-join chain as [[funnel]] (strict-after
+    * chaining, so latencies are positive by construction); the percentile
+    * is exact per step — for funnels whose per-step converter counts
+    * outgrow a single sort, feed the latencies to the mergeable
+    * [[CorpusOps.histogramSketch]]/[[CorpusOps.histogramQuantiles]] pair
+    * instead (the cs1/cs6 pairing).
+    *
+    * Output: (step INT ≥ 2, event_type, n_users, p50, p90) — one row per
+    * transition with ≥ 1 converter. */
+  def funnelLatencies(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "funnelLatencies: need at least 2 steps")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t"))
+    var out: DataFrame = null
+    for (k <- 1 until steps.length) {
+      val next = events.filter(col(typeCol) === steps(k))
+        .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+      val comp = cur.join(next, Seq("_u"))
+        .filter(col("_ts") > col("_t"))
+        .groupBy("_u", "_t").agg(min(col("_ts")).as("_t2"))
+      val stats = comp
+        // latency in SECONDS: percentile interpolation is correctly-rounded
+        // float math on both engines, but at epoch-ns magnitudes (~1e14) one
+        // ulp is ~0.02 — far above any sane rounding. Seconds keep the
+        // interpolation noise ~1e-11, far below the 4-dp comparison.
+        .select(((col("_t2") - col("_t")).cast("double") / lit(1e9)).as("_lat"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("percentile(_lat, 0.5)").as("p50"), // exact: ≡ quantile_cont
+          expr("percentile(_lat, 0.9)").as("p90"))
+        .select(lit(k + 1).as("step"), lit(steps(k)).as("event_type"),
+          col("n_users"), col("p50"), col("p90"))
+        .filter(col("n_users") > 0)
+      out = if (out == null) stats else out.unionByName(stats)
+      cur = comp.select(col("_u"), col("_t2").as("_t"))
+    }
+    out
+  }
+
   /** Rolling engagement: per observed day, DAU (distinct users that day),
     * WAU (distinct users in the trailing `windowDays`-day window ending that
     * day) and stickiness = DAU/WAU — the daily health read every event

@@ -116,6 +116,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("funnel latencies: interpolated exact percentiles of step-to-step gaps") {
+    import graft.operators.EventAnalytics
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 30L, "click"), (1L, 100L, "purchase"),
+      (2L, 10L, "view"), (2L, 20L, "click"),
+      (3L, 5L, "click")).toDF("user_id", "ts", "event_type") // no view: out
+    val got = EventAnalytics.funnelLatencies(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // step 2 gaps [10, 20] ns = [1e-8, 2e-8] s: p50 interpolates to 1.5e-8,
+    // p90 to 1.9e-8; step 3 gap [70] ns (approximate: interpolation ulps)
+    assert(got(2)._1 == 2L)
+    assert(math.abs(got(2)._2 - 1.5e-8) < 1e-15 && math.abs(got(2)._3 - 1.9e-8) < 1e-15, got(2))
+    assert(got(3)._1 == 1L && got(3)._2 == 7.0e-8 && got(3)._3 == 7.0e-8)
+  }
+
   test("rolling active: trailing-window distinct users, observed days only") {
     import graft.operators.EventAnalytics
     val D = 86400000000000L
