@@ -1214,6 +1214,17 @@ object SparkEntry {
     // synthetic corpus. words/lines are evalOnce'd OWN columns: five signals
     // re-reference each array, and CollapseProject would otherwise inline
     // the split per signal.
+    // X30 corpus drift: Jensen–Shannon divergence between the even- and
+    // odd-doc unigram distributions — the ingest-monitor alert before a
+    // shifted crawl poisons training mixes. See CorpusOps.unigramDrift.
+    "x30_unigram_drift" -> ((s, dir) => {
+      val toks = lexTokens(s, dir)
+      CorpusOps.unigramDrift(
+          toks.filter(col("doc_id") % 2 === 0).select("term"),
+          toks.filter(col("doc_id") % 2 === 1).select("term"))
+        .select(col("n_a"), col("n_b"), col("vocab"),
+          round(col("js"), 6).as("js_r"))
+    }),
     // X28 markup content extraction — the in-scope core of S2/S3 (once bytes
     // are text, extraction is codegen'd regex work): deterministic markup is
     // wrapped around each doc (nav link every 3rd, script block every 4th —
@@ -3794,6 +3805,22 @@ object SparkEntry {
            |    / 16777216.0)) AS gk FROM lw)
            |SELECT doc_id, round(gk, 4) AS gk_r FROM ky
            |ORDER BY gk DESC, doc_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      // x30: the same zero-safe JS decomposition (0·ln0 terms excluded by
+      // the CASE guards); summation-order ulps sit ~9 orders below round-6.
+      "x30_unigram_drift" ->
+        s"""WITH ta AS (SELECT unnest($toksDoc) AS term FROM documents WHERE doc_id % 2 = 0),
+           |tb AS (SELECT unnest($toksDoc) AS term FROM documents WHERE doc_id % 2 = 1),
+           |ca AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
+           |cb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
+           |j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+           |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+           |tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+           |  CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b, count(*) AS vocab FROM j),
+           |pq AS (SELECT CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) AS p,
+           |              CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE) AS q FROM j, tot),
+           |js AS (SELECT 0.5 * sum(CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+           |  + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END) AS js FROM pq)
+           |SELECT tot.n_a, tot.n_b, tot.vocab, round(js.js, 6) AS js_r FROM tot, js""".stripMargin.replace("\n", " "),
       // x28: same injection; RE2 evaluates the identical lazy patterns; the
       // &amp;-last unescape order matches TextAnalysis.stripMarkup.
       "x28_markup_extract" ->

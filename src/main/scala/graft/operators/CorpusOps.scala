@@ -70,6 +70,49 @@ object CorpusOps {
     * Output: one row per batch — (batch_id, n_docs, max_tokens, sum_tokens,
     * padding = n_docs·max − sum), batch_id 0-based in descending-length
     * order. */
+  /** Distribution drift between two token streams (corpus snapshots, crawl
+    * days, source mixes): Jensen–Shannon divergence of their unigram
+    * distributions over the UNION vocabulary — the bounded (≤ ln 2),
+    * symmetric, zero-safe drift score an ingest monitor alerts on before a
+    * shifted crawl poisons training mixes. No smoothing needed: a term
+    * absent from one side contributes only through the other's
+    * p·ln(2p/(p+q)) term (0·ln0 = 0 by convention, handled exactly).
+    *
+    * Shape: two map-side-combined term counts, ONE full-outer equi-join on
+    * the term key, a per-term contribution, one scalar sum — vocabulary-
+    * sized work after the counts, nothing driver-side.
+    *
+    * Output: one row (n_a, n_b, vocab, js). */
+  def unigramDrift(tokensA: DataFrame, tokensB: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    def counts(t: DataFrame, c: String) =
+      t.groupBy(col(termCol).as("term")).agg(count(lit(1)).as(c))
+    // vocab-sized, read by the totals agg AND the contribution agg — an
+    // un-pinned frame would re-run both corpus-scale counts per consumer
+    val joined = counts(tokensA, "_ca")
+      .join(counts(tokensB, "_cb"), Seq("term"), "full_outer")
+      .select(coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .localCheckpoint(true)
+    val tot = joined.agg(coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      count(lit(1)).as("vocab"))
+    val js = joined
+      .crossJoin(broadcast(tot.select(col("n_a").cast("double").as("_na"),
+        col("n_b").cast("double").as("_nb"))))
+      .select((col("_ca").cast("double") / col("_na")).as("_p"),
+        (col("_cb").cast("double") / col("_nb")).as("_q"))
+      .select(
+        when(col("_p") > 0,
+          col("_p") * log(lit(2.0) * col("_p") / (col("_p") + col("_q"))))
+          .otherwise(0.0).as("_ta"),
+        when(col("_q") > 0,
+          col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+          .otherwise(0.0).as("_tb"))
+      .agg((lit(0.5) * sum(col("_ta")) + lit(0.5) * sum(col("_tb"))).as("js"))
+    tot.crossJoin(broadcast(js))
+  }
+
   /** Key-skew report: per-key counts summarized as the Gini coefficient plus
     * the `topK` heaviest keys with their share — the diagnostic a pipeline
     * runs BEFORE keying a 100 TB join/aggregate, to decide whether it needs

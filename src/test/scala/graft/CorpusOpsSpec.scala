@@ -610,6 +610,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n == 4L)
   }
 
+  test("unigramDrift: identical = 0, disjoint = ln 2, hand-computed middle case") {
+    def toks(ts: String*) = ts.map(Tuple1(_)).toDF("term")
+    def js(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      CorpusOps.unigramDrift(a, b).select("js").as[Double].collect()(0)
+    assert(js(toks("x", "y", "z"), toks("z", "x", "y")) == 0.0)
+    assert(math.abs(js(toks("a", "a"), toks("b")) - math.log(2)) < 1e-12)
+    // A = [x,x,y], B = [x,y,y]: by symmetry js = 2/3·ln(4/3) + 1/3·ln(2/3)
+    val expected = 2.0 / 3 * math.log(4.0 / 3) + 1.0 / 3 * math.log(2.0 / 3)
+    assert(math.abs(js(toks("x", "x", "y"), toks("x", "y", "y")) - expected) < 1e-12)
+    // totals and union vocab are reported
+    val row = CorpusOps.unigramDrift(toks("x", "x"), toks("y"))
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(row._1 == 2L && row._2 == 1L && row._3 == 2L)
+  }
+
   test("skewReport: hand-computed Gini, uniform = exactly 0, heavy key leads") {
     // a×4, b×1, c×1: asc ranks b=1 c=2 a=3 -> A = 1+3+20 = 24, nT = 18,
     // G = (24-18)/18 = 1/3
