@@ -1214,6 +1214,35 @@ object SparkEntry {
     // synthetic corpus. words/lines are evalOnce'd OWN columns: five signals
     // re-reference each array, and CollapseProject would otherwise inline
     // the split per signal.
+    // PIPE2 corpus health report — the one-row dashboard every ingest batch
+    // publishes before its data enters a training mix: volume, exact-dup
+    // rate, language share, token-length quantiles. ONE pass over the
+    // corpus (single aggregate; tokens/langid/key are per-row projections),
+    // every ratio from exact integers.
+    "pipe2_health" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          Norm.normPhrase(col("text")).as("key"))
+        .select(col("doc_id"), col("key"),
+          size(col("toks")).cast("long").as("n_toks"),
+          TA.langIdT(col("toks")).as("pred"))
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          countDistinct(col("key")).as("_nd"),
+          sum((col("pred") === "en").cast("long")).as("n_en"),
+          expr("percentile(n_toks, 0.5)").as("_p50"),
+          expr("percentile(n_toks, 0.9)").as("_p90"))
+        .select(col("n_docs"), col("total_tokens"),
+          (col("n_docs") - col("_nd")).as("n_exact_dups"),
+          round((col("n_docs") - col("_nd")).cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate_r"),
+          col("n_en"),
+          round(col("n_en").cast("double") / col("n_docs").cast("double"), 6)
+            .as("en_share_r"),
+          round(col("_p50"), 4).as("p50_tokens_r"),
+          round(col("_p90"), 4).as("p90_tokens_r"))
+    }),
     // X30 corpus drift: Jensen–Shannon divergence between the even- and
     // odd-doc unigram distributions — the ingest-monitor alert before a
     // shifted crawl poisons training mixes. See CorpusOps.unigramDrift.
@@ -3805,6 +3834,23 @@ object SparkEntry {
            |    / 16777216.0)) AS gk FROM lw)
            |SELECT doc_id, round(gk, 4) AS gk_r FROM ky
            |ORDER BY gk DESC, doc_id ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      // pipe2: the same integers/quantiles from the shared normalization and
+      // langid CTE vals (quantile_cont ≡ Spark's exact percentile).
+      "pipe2_health" ->
+        s"""WITH b AS (SELECT d.doc_id, len($toksDoc) AS n_toks,
+           |    $normDoc AS key, lp.lang AS pred
+           |  FROM documents d JOIN ($langSelect) lp ON d.doc_id = lp.doc_id)
+           |SELECT count(*) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           |  count(*) - count(DISTINCT key) AS n_exact_dups,
+           |  round(CAST(count(*) - count(DISTINCT key) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate_r,
+           |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           |  round(CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 6) AS en_share_r,
+           |  round(quantile_cont(n_toks, 0.5), 4) AS p50_tokens_r,
+           |  round(quantile_cont(n_toks, 0.9), 4) AS p90_tokens_r
+           |FROM b""".stripMargin.replace("\n", " "),
       // x30: the same zero-safe JS decomposition (0·ln0 terms excluded by
       // the CASE guards); summation-order ulps sit ~9 orders below round-6.
       "x30_unigram_drift" ->
