@@ -47,4 +47,54 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ⌈bytes / targetBytes⌉ size-targeted files — THE operational 100 TB
+    * table-maintenance op. Streaming sinks, bucket-pruned CRUD and
+    * fine-grained ingests each leave a trickle of small files; a scan's
+    * task count (and the namenode's metadata load) is proportional to file
+    * count, so a million 1 MB files turn a 10-second scan into a scheduling
+    * storm. The on-disk byte size comes from the FileSystem listing (no
+    * data pass), the rewrite is one read → `repartition(n)` → atomic
+    * swap via a temp directory (parquet cannot be rewritten in place from
+    * itself), and an optional `sortCol` re-sorts within each output file so
+    * min/max pruning survives the compaction.
+    *
+    * Returns the output file count. Compact when
+    * `avg file size ≪ targetBytes`; a no-op-sized input still rewrites
+    * (callers gate on [[fileStats]]). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, sortCol: Option[String] = None): Int = {
+    require(targetBytes > 0)
+    val (nFiles, totalBytes) = fileStats(spark, path)
+    require(nFiles > 0, s"compact: no parquet files under $path")
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = s"${path}__compact_tmp"
+    val rows = spark.read.parquet(path).repartition(n)
+    val sorted = sortCol.fold(rows)(c => rows.sortWithinPartitions(c))
+    sorted.write.mode("overwrite").parquet(tmp)
+    graft.sources.BucketedTable.deleteDir(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    fileStats(spark, path)._1
+  }
+
+  /** (parquet file count, total bytes) of a directory from the FileSystem
+    * listing — the compaction trigger input, no data pass. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return (0, 0L)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
 }

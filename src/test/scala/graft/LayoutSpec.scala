@@ -78,4 +78,21 @@ class LayoutSpec extends SparkSpec {
       assert(zs == zs.sorted, "rows not sorted within partition")
     }
   }
+
+  test("compact: many small files collapse to size-targeted few, content intact") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 32 partitions of a small table -> 32 tiny files
+    spark.range(0, 2000).toDF("v").repartition(32).write.parquet(dir)
+    val (n0, bytes) = Layout.fileStats(spark, dir)
+    assert(n0 == 32 && bytes > 0)
+    val before = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    // target = all bytes in ~2 files
+    val n1 = Layout.compact(spark, dir, targetBytes = bytes / 2 + 1,
+      sortCol = Some("v"))
+    assert(n1 <= 3 && n1 >= 1, s"got $n1 files")
+    assert(Layout.fileStats(spark, dir)._1 == n1)
+    val after = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction changed the data")
+  }
 }
