@@ -437,6 +437,22 @@ object SparkEntry {
       LabelPropagation.run(coEdges(s, dir, minGroups = 2), rounds = 4)
         .select(col("id").as("part_id"), col("label"))
     }),
+    // G21 ego-network features over g11's co-occurrence edges: degree +
+    // triangles + clustering coefficient + average neighbor degree, the
+    // per-node structural feature vector graph-ML consumes. See
+    // Triangles.egoFeatures.
+    "g21_ego_features" -> ((s, dir) => {
+      val wordDoc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(Norm.normTokens(col("text")))).as("w"))
+      val edges = wordDoc.as("a")
+        .join(wordDoc.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("wa"), col("b.w").as("wb"))
+      Triangles.egoFeatures(edges, "wa", "wb")
+        .select(col("node"), col("degree"), col("n_triangles"),
+          round(col("coeff"), 6).as("coeff_r"),
+          round(col("avg_nbr_deg"), 6).as("avg_nbr_deg_r"))
+    }),
     // G19 per-community Newman modularity of the g13 communities — the
     // quality read on any partition (Q = Σ contrib; near 0 ⇒ the split is
     // no better than random). All ratio inputs exact BIGINTs. See
@@ -2864,6 +2880,30 @@ object SparkEntry {
       "g13_labelprop" ->
         s"""WITH $lpaCtes
            |SELECT id AS part_id, label FROM l4""".stripMargin.replace("\n", " "),
+      // g21: g18's CTEs + one direction-expanded edge⋈degree join for the
+      // neighbor-degree mean (exact integer sum / count).
+      "g21_ego_features" ->
+        s"""WITH wd AS (SELECT doc_id, unnest(list_distinct($toksDoc)) AS w FROM documents),
+           |e AS (SELECT DISTINCT a.w AS u, b.w AS v
+           |  FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND a.w < b.w),
+           |deg AS (SELECT node, count(*) AS d FROM
+           |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) n GROUP BY 1),
+           |e2 AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+           |nb AS (SELECT e2.a AS node, avg(CAST(deg.d AS DOUBLE)) AS an
+           |  FROM e2 JOIN deg ON deg.node = e2.b GROUP BY 1),
+           |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+           |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+           |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+           |c AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+           |  UNION ALL SELECT z FROM tri),
+           |tc AS (SELECT node, count(*) AS t FROM c GROUP BY node)
+           |SELECT deg.node, deg.d AS degree,
+           |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+           |  round(CASE WHEN deg.d < 2 THEN 0.0
+           |    ELSE 2.0 * coalesce(tc.t, 0) / CAST(deg.d * (deg.d - 1) AS DOUBLE) END, 6) AS coeff_r,
+           |  round(nb.an, 6) AS avg_nbr_deg_r
+           |FROM deg LEFT JOIN tc ON deg.node = tc.node
+           |  JOIN nb ON nb.node = deg.node""".stripMargin.replace("\n", " "),
       // g19: the same 4-round LPA CTEs + modularity assembly — one
       // edge⋈labels⋈labels join, two label-keyed counts, a node count and
       // the directed-edge total; same (ein/E − (d/E)·(d/E)) float shape as

@@ -90,16 +90,43 @@ object Triangles {
     *
     * Output: (node, degree, n_triangles, coeff) for every node with ≥1 edge. */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val canon = canonicalize(edges, srcCol, dstCol)
-    val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+      dstCol: String): DataFrame =
+    ccFromCanon(canonicalize(edges, srcCol, dstCol))
+
+  private def degFromCanon(canon: DataFrame): DataFrame =
+    canon.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(perNodeCountsCanon(canon), Seq("node"), "left")
+
+  private def ccFromCanon(canon: DataFrame): DataFrame =
+    degFromCanon(canon).join(perNodeCountsCanon(canon), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") < 2, lit(0.0))
           .otherwise(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
             (col("degree") * (col("degree") - 1)).cast("double"))
           .as("coeff"))
+
+  /** Per-node ego-network feature vector — the structural features a
+    * graph-ML pipeline (link prediction, node classification, GNN label
+    * bootstrapping) computes for EVERY node before any model sees the graph:
+    * degree, triangle count, local clustering coefficient
+    * ([[clusteringCoefficient]]) plus average neighbor degree (the
+    * assortativity read: a low-degree node with high-degree neighbors sits
+    * on a hub's rim, not in a backwater). One canonical edge materialization
+    * feeds all four; avg neighbor degree is one direction-expanded
+    * edge⋈degree join + a mean of exact integers.
+    *
+    * Output: (node, degree, n_triangles, coeff, avg_nbr_deg). */
+  def egoFeatures(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonicalize(edges, srcCol, dstCol)
+    val deg = degFromCanon(canon)
+    val dirEdges = canon.select(col("u").as("_a"), col("v").as("_b"))
+      .unionByName(canon.select(col("v").as("_a"), col("u").as("_b")))
+    val nbr = dirEdges
+      .join(deg.select(col("node").as("_b"), col("degree").as("_nd")), Seq("_b"))
+      .groupBy(col("_a").as("node"))
+      .agg(avg(col("_nd").cast("double")).as("avg_nbr_deg"))
+    ccFromCanon(canon).join(nbr, Seq("node"))
   }
 }

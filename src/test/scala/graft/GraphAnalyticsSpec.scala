@@ -302,6 +302,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(ranks("b") > ranks("c"), ranks.toString)
   }
 
+  test("egoFeatures: avg neighbor degree flags the hub's rim; agrees with coefficient") {
+    import graft.operators.Triangles
+    // star: hub degree 4, leaves degree 1 with avg neighbor degree 4
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .toDF("x", "y")
+    val got = Triangles.egoFeatures(star, "x", "y")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("h") == (("h", 4L, 0L, 0.0, 1.0)))   // hub: all neighbors deg 1
+    assert(got("l1") == (("l1", 1L, 0L, 0.0, 4.0))) // rim: one neighbor, the hub
+    // triangle: everything symmetric, coeff 1, avg nbr deg 2
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("x", "y")
+    val t = Triangles.egoFeatures(tri, "x", "y")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(t.forall(r => r._2 == 2L && r._3 == 1L && r._4 == 1.0 && r._5 == 2.0))
+  }
+
   test("modularity: bridged triangles — hand-computed contribs; one-community split = 0") {
     import graft.operators.LabelPropagation
     // two triangles bridged by one edge: each community contrib =
