@@ -40,6 +40,38 @@ object Loaders {
         filter(col("d.extracted_triples"), t => size(t) >= 3).as("triples"))
   }
 
+  /** Robust JSONL corpus ingestion with corrupt-record ROUTING — the shape a
+    * 100 TB crawl feed demands: web-scale JSONL always carries a tail of
+    * truncated writes, encoding garbage and schema drift, and both failure
+    * modes of the naive read are wrong (FAILFAST kills a day-long ingest on
+    * one bad line; DROPMALFORMED silently loses data with no audit trail).
+    * PERMISSIVE parsing with a corrupt-record column splits the stream
+    * instead: (good rows matching `schemaDdl`, quarantined raw lines) — the
+    * bad side is written to a quarantine path for replay/inspection, the
+    * good side flows on. One scan, the split is a codegen'd null check.
+    *
+    * A row is quarantined when it fails to PARSE (malformed JSON); a parsed
+    * object merely missing fields keeps nulls — route those with an explicit
+    * filter on required columns (schema drift is a policy decision, not a
+    * parse error). */
+  def readJsonlRouted(spark: SparkSession, path: String,
+      schemaDdl: String): (DataFrame, DataFrame) = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(schemaDdl).add("_corrupt_record", "string")
+    // the parsed frame feeds both split sides; caching avoids Spark's
+    // corrupt-record-column restriction on re-reads AND a second file scan
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
+
   /** S5 NER TSV cache (llm/extractor.py:296-314): HippoRAG format, tab-separated
     * with header; `triples` column holds JSON with `named_entities`. Returns the
     * question → normalized-entities map used by CachedNerExtractor. */

@@ -47,6 +47,25 @@ class EvalSpec extends SparkSpec {
     assert(t0.forall(_ >= 2))
   }
 
+  test("readJsonlRouted splits parse failures to quarantine, keeps schema-drift rows") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.jsonl"),
+      ("""{"id": 1, "text": "good row"}""" + "\n" +
+        """{"id": 2, "text": "also fine"}""" + "\n" +
+        """{"id": 3, "text": "truncated""" + "\n" + // malformed: quarantined
+        """{"id": 4}""" + "\n" // parses; missing field stays null (policy, not parse)
+        ).getBytes("UTF-8"))
+    val (good, bad) = Loaders.readJsonlRouted(spark, s"$dir/c.jsonl",
+      "id BIGINT, text STRING")
+    val rows = good.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(rows == Seq((1L, Some("good row")), (2L, Some("also fine")),
+      (4L, None)), rows)
+    val quarantined = bad.collect().map(_.getString(0)).toSeq
+    assert(quarantined.size == 1 && quarantined.head.contains("truncated"),
+      quarantined)
+  }
+
   test("graph-RAG recall@k on the offline fixture (M1-M3)") {
     val qRows = questions.select(col("_id"), col("question")).as[(String, String)].collect()
     val retrieved = qRows.flatMap { case (qid, q) =>
