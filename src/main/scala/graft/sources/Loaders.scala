@@ -53,7 +53,12 @@ object Loaders {
     * A row is quarantined when it fails to PARSE (malformed JSON); a parsed
     * object merely missing fields keeps nulls — route those with an explicit
     * filter on required columns (schema drift is a policy decision, not a
-    * parse error). */
+    * parse error).
+    *
+    * Both frames share one cached parse (Spark refuses a bare query on only
+    * the corrupt-record column, and two scans would double the ingest);
+    * long-lived callers `unpersist()` either returned frame after the good
+    * side is persisted downstream. */
   def readJsonlRouted(spark: SparkSession, path: String,
       schemaDdl: String): (DataFrame, DataFrame) = {
     val schema = org.apache.spark.sql.types.StructType
