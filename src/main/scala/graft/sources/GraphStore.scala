@@ -306,11 +306,23 @@ final class GraphStore(spark: SparkSession, base: String,
     val relBuckets = BucketedTable.distinctBuckets(
       table(graph, "relation_passage").filter(col("passage_id") === passageId),
       "relation_id", bucketsFor(graph))
-    rewriteBuckets(graph, "passages", Seq(bucketOf(graph, passageId)))(
+    // the cascade deletes rows and scrubs adjacency ARRAYS — no surviving
+    // embedding or passage text changes — so both derived indexes are
+    // MAINTAINED: the doomed passage leaves the lexical index under its
+    // stored text (pinned before the rewrite replaces the files)
+    if (lexIndexExists(graph)) {
+      val oldRow = pruned(graph, "passages", Seq(passageId))
+        .filter(col("id") === passageId).select("id", "text")
+        .localCheckpoint(true)
+      deleteFromLexIndex(graph, oldRow)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(oldRow)
+    }
+    rewriteBuckets(graph, "passages", Seq(bucketOf(graph, passageId)),
+      preserveAnnIndex = true, preserveLexIndex = true)(
       _.filter(col("id") =!= passageId))
-    rewriteBuckets(graph, "entities", entBuckets)(
+    rewriteBuckets(graph, "entities", entBuckets, preserveAnnIndex = true)(
       _.withColumn("passage_ids", array_remove(col("passage_ids"), passageId)))
-    rewriteBuckets(graph, "relations", relBuckets)(
+    rewriteBuckets(graph, "relations", relBuckets, preserveAnnIndex = true)(
       _.withColumn("passage_ids", array_remove(col("passage_ids"), passageId)))
     rewriteBuckets(graph, "entity_passage", entBuckets)(
       _.filter(col("passage_id") =!= passageId))
@@ -343,20 +355,28 @@ final class GraphStore(spark: SparkSession, base: String,
           .filter(col("relation_id").isin(dr: _*)).select("passage_id"))
     val passBuckets = BucketedTable.distinctBuckets(passRefs, "passage_id", bucketsFor(graph))
 
-    rewriteBuckets(graph, "entities", (eb +: refEntBuckets).distinct) { df =>
+    // delete + adjacency scrub only — the ANN indexes are maintained (the
+    // doomed entity and its incident relations leave them explicitly) and
+    // the lexical index is untouched (passage TEXT never changes here)
+    rewriteBuckets(graph, "entities", (eb +: refEntBuckets).distinct,
+      preserveAnnIndex = true) { df =>
       val kept = df.filter(col("id") =!= entityId)
       if (dr.isEmpty) kept
       else kept.withColumn("relation_ids",
         filter(col("relation_ids"), r => !r.isin(dr: _*)))
     }
     if (dr.nonEmpty)
-      rewriteBuckets(graph, "relations", drBuckets)(_.filter(!col("id").isin(dr: _*)))
-    rewriteBuckets(graph, "passages", passBuckets) { df =>
+      rewriteBuckets(graph, "relations", drBuckets, preserveAnnIndex = true)(
+        _.filter(!col("id").isin(dr: _*)))
+    rewriteBuckets(graph, "passages", passBuckets,
+      preserveAnnIndex = true, preserveLexIndex = true) { df =>
       val scrubbed = df.withColumn("entity_ids", array_remove(col("entity_ids"), entityId))
       if (dr.isEmpty) scrubbed
       else scrubbed.withColumn("relation_ids",
         filter(col("relation_ids"), r => !r.isin(dr: _*)))
     }
+    deleteFromAnnIndex(graph, "entities", Seq(entityId))
+    if (dr.nonEmpty) deleteFromAnnIndex(graph, "relations", dr)
     rewriteBuckets(graph, "entity_relation", (eb +: refEntBuckets).distinct) { df =>
       val noEnt = df.filter(col("entity_id") =!= entityId)
       if (dr.isEmpty) noEnt else noEnt.filter(!col("relation_id").isin(dr: _*))
@@ -378,11 +398,15 @@ final class GraphStore(spark: SparkSession, base: String,
       pruned(graph, "relation_passage", Seq(relationId))
         .filter(col("relation_id") === relationId),
       "passage_id", bucketsFor(graph))
-    rewriteBuckets(graph, "relations", rb)(_.filter(col("id") =!= relationId))
-    rewriteBuckets(graph, "entities", entBuckets)(
+    // same maintenance contract as the entity cascade: delete + scrub only
+    rewriteBuckets(graph, "relations", rb, preserveAnnIndex = true)(
+      _.filter(col("id") =!= relationId))
+    rewriteBuckets(graph, "entities", entBuckets, preserveAnnIndex = true)(
       _.withColumn("relation_ids", array_remove(col("relation_ids"), relationId)))
-    rewriteBuckets(graph, "passages", passBuckets)(
+    rewriteBuckets(graph, "passages", passBuckets,
+      preserveAnnIndex = true, preserveLexIndex = true)(
       _.withColumn("relation_ids", array_remove(col("relation_ids"), relationId)))
+    deleteFromAnnIndex(graph, "relations", Seq(relationId))
     rewriteBuckets(graph, "entity_relation", entBuckets)(
       _.filter(col("relation_id") =!= relationId))
     rewriteBuckets(graph, "relation_passage", rb)(

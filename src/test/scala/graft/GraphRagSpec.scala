@@ -217,6 +217,44 @@ class GraphRagSpec extends SparkSpec {
     assert(div.map(_.id).contains("newton"), s"got ${div.map(_.id)}")
   }
 
+  test("cascade deletes maintain ANN + lexical indexes (no drop, dead ids leave)") {
+    val cstore = new GraphStore(spark, Files.createTempDirectory("cascidx").toString)
+    val crag = new GraphRag(spark, cstore, "casc",
+      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 3,
+        annNProbe = Some(4), annNList = 4, lexicalIndex = true))
+    crag.addDocumentsWithTriplets(docs)
+    def entIds = cstore.loadAnnIndex("casc", "entities").get
+      .assignments.select("id").collect().map(_.getString(0)).toSet
+    def relIds = cstore.loadAnnIndex("casc", "relations").get
+      .assignments.select("id").collect().map(_.getString(0)).toSet
+    val relBefore = relIds
+
+    // passage cascade: both indexes survive; lex equals a rebuild
+    cstore.deletePassageCascade("casc", "darwin")
+    assert(cstore.loadAnnIndex("casc", "entities").isDefined)
+    assert(cstore.loadLexIndex("casc").isDefined, "passage cascade dropped lex")
+    val rebuilt = {
+      val idx = graft.operators.Bm25.build(
+        cstore.table("casc", "passages"), "id", "text")
+      val ps = idx.postings.collect().map(_.toSeq).toSet
+      idx.release(); ps
+    }
+    assert(cstore.loadLexIndex("casc").get.postings.collect().map(_.toSeq).toSet
+      == rebuilt, "cascade lex != rebuild")
+
+    // entity cascade: the entity and its incident relations leave the indexes
+    val einstein = cstore.table("casc", "entities")
+      .filter(org.apache.spark.sql.functions.col("name") === "albert einstein")
+      .select("id").collect()(0).getString(0)
+    val doomedRels = cstore.table("casc", "entity_relation")
+      .filter(org.apache.spark.sql.functions.col("entity_id") === einstein)
+      .select("relation_id").collect().map(_.getString(0)).toSet
+    assert(doomedRels.nonEmpty)
+    cstore.deleteEntityCascade("casc", einstein)
+    assert(!entIds.contains(einstein), "dead entity still in ANN index")
+    assert(relIds == relBefore -- doomedRels, "incident relations not removed")
+  }
+
   test("graft maintains the lexical index rebuild-exactly, incl. text replacement") {
     val lstore = new GraphStore(spark, Files.createTempDirectory("lexgraft").toString)
     val lrag = new GraphRag(spark, lstore, "lexg",
