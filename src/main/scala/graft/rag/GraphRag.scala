@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * AUTOINDEX-backed search (config.py:43-50) with the accuracy dial exposed
   * (see IvfIndex.recallCurve for choosing it; nProbe = annNList ⇒ exact).
   * Indexes are built at indexing time; incremental grafts EXTEND them in
-  * place (add-only cell merges — the graft never re-embeds existing rows),
-  * while any write that could stale them (upsert, cascade, re-index) drops
-  * them and retrieval silently falls back to exact KNN until re-indexed. */
+  * place (add-only cell merges — the graft never re-embeds existing rows)
+  * and deletes/cascades REMOVE the dead ids from them (cell-pruned — pure
+  * deletes never change a surviving embedding), while any write that could
+  * stale them (upsert, re-index) drops them and retrieval silently falls
+  * back to exact KNN until re-indexed. */
 final case class RagConfig(
     entityTopK: Int = 20,
     relationTopK: Int = 20,

@@ -150,9 +150,11 @@ final class GraphStore(spark: SparkSession, base: String,
   // -------------------------------------------------------------- ANN indexes
   /** Persisted IVF index over a node table's embeddings — the reference's
     * resident vector index (AUTOINDEX, config.py:43-50) as a DERIVED artifact:
-    * built at indexing time, dropped by ANY write to its base table (save,
-    * upsert, cascade, graft), so a stale index can never serve a query —
-    * readers fall back to exact KNN until it is rebuilt. */
+    * built at indexing time and MAINTAINED through embedding-preserving
+    * writes (grafts add, deletes/cascades remove — cell-pruned both ways);
+    * any write that could change a surviving embedding (save, upsert) drops
+    * it, so a stale index can never serve a query — readers fall back to
+    * exact KNN until it is rebuilt. */
   private def annPath(graph: String, tableName: String) =
     s"$base/$graph/ivf_$tableName"
 
