@@ -21,6 +21,7 @@ import java.nio.charset.StandardCharsets
   *   GET    /graphs                      → ["name", ...]
   *   GET    /graphs/{g}/documents/{id}   → passage row with adjacency
   *   GET    /graphs/{g}/stats            → {entities, relations, passages}
+  *   GET    /graphs/{g}/health           → rows + files/bytes per table + index presence
   *   POST   /graphs/{g}/documents        ← [{id, text, triplets: [[s,p,o],...]}, ...]
   *   POST   /graphs/{g}/import           ← {path, chunk_size?, overlap?} (app.py:423-474)
   *   GET    /graphs/{g}/neighbors/{id}?limit=n (app.py:697-761)
@@ -172,6 +173,20 @@ final class RestServer(spark: SparkSession, storeBase: String,
         case ("GET", Seq("graphs", g, "stats")) =>
           val n = mapper.createObjectNode()
           store.stats(g).foreach { case (k, v) => n.put(k, v) }
+          respond(ex, 200, n)
+        case ("GET", Seq("graphs", g, "health")) =>
+          // operational snapshot: rows + file counts/bytes per node table
+          // (the compaction-trigger read) + derived-index presence
+          val n = mapper.createObjectNode()
+          store.stats(g).foreach { case (k, v) => n.put(s"${k}_rows", v) }
+          Seq("entities", "relations", "passages").foreach { t =>
+            val (nf, bytes) = store.tableFileStats(g, t)
+            n.put(s"${t}_files", nf)
+            n.put(s"${t}_bytes", bytes)
+          }
+          n.put("ann_entities", store.annIndexExists(g, "entities"))
+          n.put("ann_relations", store.annIndexExists(g, "relations"))
+          n.put("lex_passages", store.lexIndexExists(g))
           respond(ex, 200, n)
         case ("POST", Seq("graphs", g, "documents")) =>
           val stats = rag(g).addDocumentsWithTriplets(parseDocs(readBody(ex)))

@@ -227,6 +227,15 @@ final class GraphStore(spark: SparkSession, base: String,
   def lexIndexExists(graph: String): Boolean =
     BucketedTable.exists(spark, lexPath(graph))
 
+  def annIndexExists(graph: String, tableName: String): Boolean =
+    BucketedTable.exists(spark, annPath(graph, tableName))
+
+  /** (file count, bytes) of a table's parquet directory from the FileSystem
+    * listing — the compaction-trigger read ([[graft.operators.Layout.compact]]),
+    * no data pass. */
+  def tableFileStats(graph: String, name: String): (Int, Long) =
+    graft.operators.Layout.fileStats(spark, path(graph, name))
+
   /** Incrementally add `docs(id, text)` to the persisted lexical index —
     * no-op when none exists. Rebuild-exact ([[graft.operators.Bm25.addSavedDocs]]);
     * already-indexed ids are skipped, so callers replacing a passage's TEXT

@@ -293,4 +293,24 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming lexical-index maintenance: every micro-batch of documents
+    * (id, text) merges into a SAVED BM25 index via
+    * [[graft.operators.Bm25.addSavedDocs]] — rebuild-exact, term-bucket-
+    * bounded writes, already-indexed ids skipped (re-delivered batches are
+    * idempotent). The search side keeps serving term-bucket-pruned scans
+    * between batches; the streamed index is bit-identical to a one-shot
+    * build over everything ever ingested (pinned in StreamingSpec). The
+    * lexical leg of the streaming maintenance suite (ANN [[IvfPq.addSaved]]
+    * via foreachBatchGraft, HLL [[hllMaintain]], LSH [[lshDedupMaintain]]). */
+  def foreachBatchLexMaintain(docs: DataFrame, indexDir: String,
+      idCol: String = "id", textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Bm25.addSavedDocs(
+          batch.sparkSession, indexDir, batch, idCol, textCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -162,6 +162,12 @@ class RestServerSpec extends SparkSpec {
     val hybridPassages = "\"rank\"".r.findAllIn(hybrid.body()).size
     assert(hybridPassages == 2, hybrid.body())
 
+    val health = get("/graphs/rest4/health")
+    assert(health.statusCode() == 200, health.body())
+    assert(health.body().contains("passages_rows") &&
+      health.body().contains("passages_files") &&
+      health.body().contains("lex_passages"), health.body())
+
     val diverse = post("/graphs/rest4/retrieve_diverse",
       """{"question": "who broke the enigma machine", "top_k": 2, "lambda": 0.5}""")
     assert(diverse.statusCode() == 200, diverse.body())

@@ -139,6 +139,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming lexical maintenance: streamed index == one-shot build, exactly") {
+    import graft.operators.Bm25
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "cluster scheduling and shuffles"),
+      (3L, "a quiet unrelated document")).toDF("id", "text")
+    val dir = Files.createTempDirectory("streamlex").toString
+    // seed the index with doc 1, stream docs 2+3 in
+    Bm25.save(Bm25.build(docs.filter(col("id") === 1), "id", "text"),
+      s"$dir/idx")
+    val src = s"$dir/feed"
+    docs.filter(col("id") > 1).write.parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType))))
+      .parquet(src)
+    val q = StreamingOps.foreachBatchLexMaintain(stream, s"$dir/idx")
+    q.awaitTermination()
+    val streamed = graft.sources.BucketedTable
+      .read(spark, s"$dir/idx/postings.parquet").drop("_bucket")
+      .collect().map(_.toSeq).toSet
+    val oneShot = Bm25.build(docs, "id", "text")
+    val expect = oneShot.postings.collect().map(_.toSeq).toSet
+    assert(streamed == expect, "streamed lexical index != one-shot build")
+    val loaded = Bm25.load(spark, s"$dir/idx")
+    assert(loaded.nDocs == oneShot.nDocs && loaded.avgdl == oneShot.avgdl)
+    oneShot.release()
+  }
+
   test("streaming graph ingestion grafts micro-batches into the stored graph") {
     import graft.model.{Doc, Triplet}
     import graft.rag.GraphRag
