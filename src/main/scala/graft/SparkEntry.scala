@@ -798,6 +798,14 @@ object SparkEntry {
         shingleSize = 3, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
     }),
+    // D16 duplication-rate attribution by ingest source: which feed sends
+    // the duplicates, and whether its copies collide across feeds. See
+    // Dedup.dupRateByGroup.
+    "d16_dup_by_source" -> ((s, dir) => {
+      Dedup.dupRateByGroup(t(s, dir, "documents"), "source", "doc_id", "text")
+        .select(col("group").as("source"), col("n_docs"), col("n_dup_involved"),
+          col("n_cross_dup"), round(col("dup_rate"), 6).as("dup_rate_r"))
+    }),
     // D15 containment near-dup pairs: |A∩B| / min(|A|,|B|) over the same
     // shingle posting-list join as d4 — the subset-duplication signal
     // (short doc quoted whole inside a long one) Jaccard misses. The 0.6
@@ -3312,6 +3320,18 @@ object SparkEntry {
            |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
            |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
            |WHERE j >= 0.5""".stripMargin.replace("\n", " "),
+      // d16: per-key (copies, distinct groups) stats joined back — the same
+      // normalization as d1; BIGINT/BIGINT→DOUBLE division is float-exact.
+      "d16_dup_by_source" ->
+        s"""WITH k AS (SELECT source AS grp, $normDoc AS key FROM documents),
+           |ks AS (SELECT key, count(*) AS kc, count(DISTINCT grp) AS kg
+           |  FROM k GROUP BY 1)
+           |SELECT k.grp AS source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN ks.kc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_involved,
+           |  CAST(sum(CASE WHEN ks.kg > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup,
+           |  round(CAST(sum(CASE WHEN ks.kc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate_r
+           |FROM k JOIN ks ON k.key = ks.key GROUP BY 1""".stripMargin.replace("\n", " "),
       // d15: d4's intersection CTEs with the containment denominator
       // (min set size) — BIGINT/BIGINT→DOUBLE division is float-exact.
       "d15_containment" ->

@@ -18,6 +18,32 @@ object Dedup {
       .groupBy("key")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Duplication rate PER GROUP (ingest source, crawl day, shard): for each
+    * group, how many of its documents participate in an exact-duplicate
+    * cluster ANYWHERE in the corpus — the attribution read behind [[exact]]:
+    * a global dup rate says the corpus is 30% duplicated, this says WHICH
+    * feed is sending them (and whether its copies collide with other
+    * feeds: `n_cross_dup` counts docs whose duplicate set spans groups).
+    * Two hash aggregates + one key join — no pairwise anything.
+    *
+    * Output: (group, n_docs, n_dup_involved, n_cross_dup, dup_rate). */
+  def dupRateByGroup(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val keyed = df.select(col(groupCol).as("grp"),
+      Norm.normPhrase(col(textCol)).as("key"))
+    val keyStats = keyed.groupBy("key")
+      .agg(count(lit(1)).as("_kc"), countDistinct(col("grp")).as("_kg"))
+    keyed.join(keyStats, Seq("key"))
+      .groupBy(col("grp").as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_kc") > 1).cast("long")).as("n_dup_involved"),
+        sum((col("_kg") > 1).cast("long")).as("n_cross_dup"))
+      .select(col("group"), col("n_docs"), col("n_dup_involved"),
+        col("n_cross_dup"),
+        (col("n_dup_involved").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
+
   /** Exact dedup keeping the BEST duplicate, not the first: one row per
     * distinct key with the id of the highest-`qualityCol` member (ties → the
     * smaller id, so the choice is deterministic). Same one-shuffle map-side-

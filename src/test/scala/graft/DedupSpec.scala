@@ -55,6 +55,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) < pairs((1L, 3L)))
   }
 
+  test("dupRateByGroup: in-group vs cross-group duplicate attribution") {
+    val d = Seq(
+      (1L, "same text", "feedA"), (2L, "same text", "feedA"), // in-group pair
+      (3L, "other text", "feedA"),                            // unique
+      (4L, "same text", "feedB"),   // cross-group copy of the A pair
+      (5L, "b only", "feedB")).toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateByGroup(d, "source", "doc_id", "text")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // feedA: 3 docs, 2 dup-involved (both also cross-group via doc 4)
+    assert(got("feedA") == (("feedA", 3L, 2L, 2L, 2.0 / 3)), got("feedA"))
+    assert(got("feedB") == (("feedB", 2L, 1L, 1L, 0.5)))
+  }
+
   test("containment: a doc quoted whole scores 1.0 where jaccard stays low") {
     val cdocs = Seq(
       (1L, "one two three four five six seven eight"), // 6 3-shingles
