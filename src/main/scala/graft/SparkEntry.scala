@@ -927,6 +927,19 @@ object SparkEntry {
           col("score").as("adc_r"))
     }),
 
+    // A4 Euclidean (L2) KNN — the reference's configurable metric_type
+    // (config.py:43-54) beyond IP/cosine: same broadcast-scan-reduce plan,
+    // distance = sequential Σ(a−b)² fold + sqrt (list_distance parity). See
+    // VectorSearch.knnJoinL2.
+    "a4_l2_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.knnJoinL2(
+          emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+          "vec_id", "embedding", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist_r"))
+    }),
+
     // ---------------------------------------- scale pipeline: lexical retrieval
     // B1 BM25 top-k over the documents corpus: inverted-index build (explode +
     // three hash aggs) + broadcast query-term join + bounded top-k aggregate.
@@ -2647,6 +2660,20 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM fin) r
            |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // a4: DuckDB's native list_distance is the independent L2 twin; ties
+      // by VARCHAR id like every KNN row.
+      "a4_l2_knn" ->
+        """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+          |round(dist, 6) AS dist_r FROM (
+          |  SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+          |    CAST(c.vec_id AS VARCHAR) AS neighbor_id,
+          |    list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS dist,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) ASC,
+          |        CAST(c.vec_id AS VARCHAR) ASC) AS rank
+          |  FROM embeddings q, embeddings c
+          |  WHERE q.vec_id < 8 AND c.vec_id >= 8) t
+          |WHERE rank <= 5""".stripMargin.replace("\n", " "),
       // b5: the RM3 chain on top of the shared BM25 CTEs — first-pass top-5
       // (ties id-pinned), expansion weights Σ tf/dl anti-joined against the
       // original terms, top-3 by ROUNDED weight (term-asc ties, the x27

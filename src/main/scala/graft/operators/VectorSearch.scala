@@ -119,6 +119,42 @@ object VectorSearch {
         col("col.score").as("score"))
   }
 
+  /** [[knnJoin]] under EUCLIDEAN (L2) distance — the reference's metric is
+    * configurable (milvus.py:103-111, metric_type in config.py:43-54); IP on
+    * normalized vectors covers COSINE, this covers L2 for callers whose
+    * vectors are NOT normalized (raw feature spaces, PQ residuals). Same
+    * broadcast-scan-reduce plan; the distance is a sequential double fold
+    * Σ(a−b)² over double-cast arrays then sqrt — the element order and
+    * arithmetic DuckDB's `list_distance(::DOUBLE[], ...)` uses, so the
+    * scores are engine-comparable like the DotProduct/list_dot_product
+    * pair. Nearest first (ties by id ASC).
+    * Output: (query_id, rank, neighbor_id, dist). */
+  def knnJoinL2(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val q = queries.select(col(qId).cast("string").as("__qid"),
+      col(qVec).cast("array<double>").as("__qvec"))
+    val c = corpus.select(col(cId).cast("string").as("__cid"),
+      col(cVec).cast("array<double>").as("__cvec"))
+    val d2 = aggregate(
+      zip_with(col("__qvec"), col("__cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    c.join(broadcast(q))
+      .select(col("__qid"), col("__cid"), sqrt(d2).as("__dist"))
+      .groupBy(col("__qid"))
+      .agg(topk(col("__cid"), -col("__dist")).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")))
+      .select(
+        col("__qid").as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("dist"))
+  }
+
   /** Window-based reference implementation of the same semantics (used to cross-check
     * the aggregator in tests; O(n log n) per query — do not use at scale). */
   def knnJoinWindow(

@@ -79,4 +79,33 @@ class VectorSearchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
     assert(got.toSeq == Seq(("a", 0.9, 1), ("b", 0.5, 2)))
   }
+
+  test("knnJoinL2: nearest by Euclidean distance, agrees with brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val got = VectorSearch.knnJoinL2(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
+        "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // brute force on the driver with the same sequential fold
+    val rows = emb.collect().map(r =>
+      (r.getLong(0).toString, r.getSeq[Float](1).map(_.toDouble).toArray))
+    def d(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      math.sqrt(s)
+    }
+    val qs = rows.filter(_._1.toLong < 3)
+    val cs = rows.filter(_._1.toLong >= 3)
+    qs.foreach { case (qid, qv) =>
+      val expect = cs.map { case (cid, cv) => (cid, d(qv, cv)) }
+        .sortBy { case (cid, dist) => (dist, cid) }.take(5)
+      val mine = got.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(mine.map(_._1) == expect.map(_._1).toSeq, s"q $qid order")
+      mine.zip(expect).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9, s"q $qid dist $a vs $b") }
+    }
+    // ranks are contiguous from 1
+    assert(got.filter(_._1 == "0").map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+  }
 }
