@@ -75,6 +75,7 @@ final class RestServer(spark: SparkSession, storeBase: String,
       c = c.copy(relationNumberThreshold = body.get("relation_number_threshold").asInt())
     if (body.has("rerank_select")) c = c.copy(rerankSelect = body.get("rerank_select").asInt())
     if (body.has("top_k")) c = c.copy(finalTopK = body.get("top_k").asInt())
+    if (body.has("metric")) c = c.copy(metric = body.get("metric").asText())
     c
   }
 

@@ -35,7 +35,17 @@ final case class RagConfig(
     /** Build-and-persist a BM25 index over passages at indexing time, for
       * [[GraphRag.retrieveHybrid]] (dense+sparse RRF). Off by default — the
       * reference retrieves dense-only; hybrid is the engine's extension. */
-    lexicalIndex: Boolean = false)
+    lexicalIndex: Boolean = false,
+    /** Vector metric for the core retrieve + naive paths — the reference's
+      * metric_type dial (config.py:43-54): "ip" (inner product; cosine on
+      * the embedder's normalized vectors, the default) or "l2" (Euclidean;
+      * scores become NEGATED distances so every downstream higher-is-better
+      * stage — thresholds, eviction, ranking — works unchanged; set
+      * similarity thresholds on the negated-distance scale). The persisted
+      * ANN index path serves "ip" only; "l2" retrieval is exact. On
+      * L2-normalized vectors both metrics produce the same ranking (the
+      * d² = 2 − 2·cos identity, pinned in GraphRagSpec). */
+    metric: String = "ip")
 
 /** The engine façade — the reference's `VectorGraphRAG` (rag.py) re-expressed as
   * Spark DataFrame jobs orchestrated from the driver.
@@ -227,10 +237,10 @@ final class GraphRag(
     def nodeKnn(queries: DataFrame, tbl: DataFrame, tableName: String, k: Int): DataFrame =
       (for {
         nProbe <- config.annNProbe
+        if config.metric == "ip" // the IVF artifact is an IP index
         idx <- store.loadAnnIndex(graph, tableName)
       } yield IvfIndex.search(idx, queries, "qtext", "qvec", nProbe, k))
-        .getOrElse(VectorSearch.knnJoin(
-          queries, tbl, "qtext", "qvec", "id", "embedding", k))
+        .getOrElse(bruteKnn(queries, tbl, k))
 
     // Stage 2+3: embed query entities, entity KNN + threshold + dedup-union (R1–R3).
     val entitySeeds: DataFrame =
@@ -499,10 +509,20 @@ final class GraphRag(
     NeighborResult(entity, relations.toSeq, nbrs.toSeq)
   }
 
+  /** Metric-dispatched exact KNN (config.metric): "l2" scores are negated
+    * distances so downstream higher-is-better logic is metric-agnostic. */
+  private def bruteKnn(queries: DataFrame, tbl: DataFrame, k: Int): DataFrame =
+    config.metric match {
+      case "l2" => VectorSearch.knnJoinL2(
+          queries, tbl, "qtext", "qvec", "id", "embedding", k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          (-col("dist")).as("score"))
+      case _ => VectorSearch.knnJoin(
+        queries, tbl, "qtext", "qvec", "id", "embedding", k)
+    }
+
   private def naivePassageHits(qvecDf: DataFrame, passagesT: DataFrame): DataFrame =
-    VectorSearch.knnJoin(
-      qvecDf, passagesT,
-      "qtext", "qvec", "id", "embedding", config.finalTopK)
+    bruteKnn(qvecDf, passagesT, config.finalTopK)
       .select(col("neighbor_id").as("passage_id"), col("rank"))
 
 }

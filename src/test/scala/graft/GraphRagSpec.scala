@@ -217,6 +217,23 @@ class GraphRagSpec extends SparkSpec {
     assert(div.map(_.id).contains("newton"), s"got ${div.map(_.id)}")
   }
 
+  test("metric=l2 reproduces the ip ranking on normalized vectors (d2 = 2 - 2cos)") {
+    val mstore = new GraphStore(spark, Files.createTempDirectory("metric").toString)
+    val ner = CachedNerExtractor(
+      Map(question -> Seq("Albert Einstein", "theory of relativity")))
+    // permissive thresholds on BOTH scales (l2 scores are negated distances)
+    def cfg(m: String) = RagConfig(entitySimilarityThreshold = -10.0,
+      relationSimilarityThreshold = -10.0, finalTopK = 3, metric = m)
+    val ipRag = new GraphRag(spark, mstore, "met", config = cfg("ip"), ner = ner)
+    val l2Rag = new GraphRag(spark, mstore, "met", config = cfg("l2"), ner = ner)
+    ipRag.addDocumentsWithTriplets(docs)
+    val ip = ipRag.retrieve(question)
+    val l2 = l2Rag.retrieve(question)
+    assert(l2.passages.map(_.id) == ip.passages.map(_.id),
+      s"l2 ${l2.passages.map(_.id)} vs ip ${ip.passages.map(_.id)}")
+    assert(l2.relations.map(_.id) == ip.relations.map(_.id))
+  }
+
   test("cascade deletes maintain ANN + lexical indexes (no drop, dead ids leave)") {
     val cstore = new GraphStore(spark, Files.createTempDirectory("cascidx").toString)
     val crag = new GraphRag(spark, cstore, "casc",
