@@ -2155,6 +2155,75 @@ object SparkEntry {
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // ------------------------------------------------------- round-10 additions
+    // G22 neighbor-overlap link prediction beside g15's Adamic-Adar: Jaccard
+    // normalizes by BOTH endpoint degrees, ranking tail-entity pairs that
+    // share most of their few neighbors above hub pairs — top-50 by
+    // (rounded) jaccard, pair-asc ties. Same capped-wedge spine as g15.
+    "g22_jaccard_linkpred" -> ((s, dir) => {
+      LinkPrediction.neighborOverlap(coEdges(s, dir, minGroups = 2), maxHubDegree = 64)
+        .select(col("src"), col("dst"), col("common"),
+          round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy(col("jaccard_r").desc, col("src").asc, col("dst").asc)
+        .limit(50)
+    }),
+    // M8 ROC AUC of the m6 scorer (stopword ratio as an is-English detector)
+    // — the threshold-free grade of the scorer itself, via the rank-sum
+    // identity over score-collapsed rows. See eval.Recall.aucRoc.
+    "m8_auc" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select((col("lang") === "en").cast("int").as("y"),
+          TA.stopwordRatioT(Norm.normTokens(col("text"))).as("score"))
+      graft.eval.Recall.aucRoc(scored, "score", "y")
+        .select(col("n"), col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc_r"))
+    }),
+    // EV5 volume-anomaly days: per event type, days whose count z-scores
+    // ≥ 2 against the type's own daily history. See EventAnalytics.anomalousDays.
+    "ev5_anomaly_days" -> ((s, dir) => {
+      EventAnalytics.anomalousDays(t(s, dir, "events"), "event_type", "ts", z = 2.0)
+    }),
+    // EV6 first-order Markov transitions over per-user event sequences:
+    // P(next | current), deterministic (ts, event_id) ordering. See
+    // EventAnalytics.transitions.
+    "ev6_transitions" -> ((s, dir) => {
+      EventAnalytics.transitions(t(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id")
+    }),
+    // T6 sentence segmentation (RE2-compatible marker split — no lookbehind,
+    // so the oracle's regex engine reproduces it byte-for-byte). doc_id
+    // restored to BIGINT per the t1 type contract.
+    "t6_sentences" -> ((s, dir) => {
+      Chunker.splitSentences(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"),
+          col("sent_idx").cast("long").as("sent_idx"), col("sentence"), col("n_chars"))
+    }),
+    // B8 boolean retrieval (customer AND order AND NOT vector) over the
+    // shared lexTokens postings — set algebra on posting lists, the exact-
+    // match complement to the ranked b1/b4/tf1 trio. See BooleanRetrieval.
+    "b8_boolean_retrieval" -> ((s, dir) => {
+      BooleanRetrieval.retrieve(lexTokens(s, dir), "doc_id", "term",
+        must = Seq("customer", "order"), mustNot = Seq("vector"))
+        .select(col("id").as("doc_id"))
+    }),
+    // D17 banding-quality measurement: the d2 LSH candidates graded against
+    // the d4 exact-Jaccard(≥0.5) truth pairs — precision/recall/F1 in one
+    // pair-list-sized join, the read that tunes (bands × rows) before a
+    // corpus-scale dedup run. See Dedup.pairQuality.
+    "d17_pair_quality" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        numHashes = 6, shingleSize = 3).localCheckpoint(true)
+      val cand = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5).select("id_a", "id_b")
+      Dedup.pairQuality(cand, truth)
+        // "precision" is a type keyword in ANSI engines; _r suffixes keep the
+        // twin SQL unquoted (and mark the rounded ratios, the house style).
+        .select(col("n_cand"), col("n_truth"), col("tp"),
+          col("precision").as("precision_r"), col("recall").as("recall_r"),
+          col("f1").as("f1_r"))
     })
   )
 
@@ -4292,7 +4361,124 @@ object SparkEntry {
           |    AND n1.n_name <> n2.n_name
           |    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
           |    AND l.l_shipdate < TIMESTAMP '1997-01-01') t
-          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", " ")
+          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", " "),
+
+      // ----------------------------------------------------- round-10 additions
+      // g22: g15's wedge CTEs with the Jaccard numerator/denominator —
+      // capped-center intersection, FULL endpoint degrees (the documented
+      // lower-bound contract), known edges anti-joined out.
+      "g22_jaccard_linkpred" ->
+        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+          |wed AS (SELECT l1.src AS u, l2.dst AS v
+          |  FROM e0 l1 JOIN deg dw ON dw.src = l1.dst AND dw.d <= 64
+          |  JOIN e0 l2 ON l2.src = l1.dst AND l1.src < l2.dst),
+          |agg AS (SELECT u, v, count(*) AS common FROM wed GROUP BY u, v),
+          |cand AS (SELECT g.u, g.v, g.common FROM agg g
+          |  LEFT JOIN c0 k ON k.u = g.u AND k.v = g.v WHERE k.u IS NULL)
+          |SELECT c.u AS src, c.v AS dst, c.common,
+          |  round(CAST(c.common AS DOUBLE) / (du.d + dv.d - c.common), 6) AS jaccard_r
+          |FROM cand c JOIN deg du ON du.src = c.u JOIN deg dv ON dv.src = c.v
+          |ORDER BY jaccard_r DESC, src ASC, dst ASC LIMIT 50""".stripMargin.replace("\n", " "),
+      // m8: the m6 scorer CTE feeding the rank-sum AUC — rows collapse per
+      // distinct score, average tie ranks via one cumulative window, exact
+      // integer counts until the final division (round 6 absorbs the
+      // rank-sum's double-accumulation order).
+      "m8_auc" ->
+        s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS score
+           |  FROM (SELECT lang, $toksDoc AS toks FROM documents) t),
+           |g AS (SELECT score AS s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p FROM sc GROUP BY 1),
+           |r AS (SELECT s, c, p,
+           |    sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS below
+           |  FROM g),
+           |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np,
+           |    CAST(sum(c - p) AS BIGINT) AS nn,
+           |    sum(p * (below + (c + 1) / 2.0)) AS rs FROM r)
+           |SELECT n, np AS n_pos, nn AS n_neg,
+           |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+           |       ELSE round((rs - np * (np + 1) / 2.0) / CAST(np * nn AS DOUBLE), 6) END AS auc_r
+           |FROM a""".stripMargin.replace("\n", " "),
+      // ev5: exact integer (n, Σc, Σc²) per type, μ/σ/z derived with the
+      // identical IEEE double steps as the Spark side; σ=0 types drop.
+      "ev5_anomaly_days" ->
+        """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+          |    count(*) AS n_events FROM events GROUP BY 1, 2),
+          |st AS (SELECT event_type, count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s,
+          |    CAST(sum(n_events * n_events) AS BIGINT) AS ss FROM daily GROUP BY 1),
+          |z AS (SELECT d.event_type, d.day, d.n_events,
+          |    CAST(st.s AS DOUBLE) / st.n AS mu,
+          |    sqrt(CAST(st.ss AS DOUBLE) / st.n
+          |      - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)) AS sigma
+          |  FROM daily d JOIN st ON d.event_type = st.event_type)
+          |SELECT event_type, day, n_events, round((n_events - mu) / sigma, 6) AS z_r
+          |FROM z WHERE sigma > 0 AND abs((n_events - mu) / sigma) >= 2.0""".stripMargin.replace("\n", " "),
+      // ev6: one user-partitioned lead window with the (ts, event_id)
+      // tie-break, matrix-sized count + probability join.
+      "ev6_transitions" ->
+        """WITH p AS (SELECT event_type AS src_event,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS dst_event
+          |  FROM events),
+          |c AS (SELECT src_event, dst_event, count(*) AS n FROM p
+          |  WHERE dst_event IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT src_event, sum(n) AS tot FROM c GROUP BY 1)
+          |SELECT c.src_event, c.dst_event, c.n,
+          |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+          |FROM c JOIN t ON c.src_event = t.src_event""".stripMargin.replace("\n", " "),
+      // t6: the marker-split segmentation re-run under RE2 — '\1' || chr(1)
+      // re-emits the captured terminator, split on the marker; pre-filter
+      // subscripts keep indexes stable under the empty drop.
+      "t6_sentences" ->
+        """WITH m AS (SELECT doc_id,
+          |    string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS arr
+          |  FROM documents),
+          |x AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS sent_idx,
+          |    trim(unnest(arr)) AS sentence FROM m)
+          |SELECT doc_id, sent_idx, sentence, length(sentence) AS n_chars
+          |FROM x WHERE length(sentence) > 0""".stripMargin.replace("\n", " "),
+      // b8: posting-list set algebra — k-way AND as one count(DISTINCT)
+      // gate, NOT as an anti-join, over the b1 tokenization.
+      "b8_boolean_retrieval" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksDoc) AS term FROM documents),
+           |hits AS (SELECT doc_id FROM tok WHERE term IN ('customer', 'order')
+           |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+           |ban AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+           |SELECT h.doc_id FROM hits h LEFT JOIN ban b ON h.doc_id = b.doc_id
+           |WHERE b.doc_id IS NULL""".stripMargin.replace("\n", " "),
+      // d17: the d2 candidate CTEs and the d4 truth CTEs joined on the
+      // canonical pair — three scalar counts, guarded divisions.
+      "d17_pair_quality" ->
+        s"""WITH sigs AS ($minhashSigs),
+           |banded AS (
+           |  SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
+           |  UNION ALL SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
+           |  UNION ALL SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs),
+           |cand AS (SELECT DISTINCT a.id AS u, b.id AS v
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+           |dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
+           |sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+           |inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS i
+           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+           |tru AS (SELECT ia AS u, ib AS v FROM (
+           |    SELECT ia, ib, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+           |    FROM inter JOIN sizes sa ON ia = sa.id JOIN sizes sb ON ib = sb.id) t
+           |  WHERE j >= 0.5),
+           |nc AS (SELECT count(*) AS n_cand FROM cand),
+           |ng AS (SELECT count(*) AS n_truth FROM tru),
+           |tpq AS (SELECT count(*) AS tp FROM cand JOIN tru ON cand.u = tru.u AND cand.v = tru.v),
+           |pr AS (SELECT n_cand, n_truth, tp,
+           |    CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END AS p,
+           |    CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END AS r
+           |  FROM nc, ng, tpq)
+           |SELECT n_cand, n_truth, tp, round(p, 6) AS precision_r, round(r, 6) AS recall_r,
+           |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1_r
+           |FROM pr""".stripMargin.replace("\n", " ")
     )
   }
 }

@@ -137,4 +137,49 @@ object Recall {
         when(pe === 1.0, lit(null).cast("double"))
           .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
+
+  /** ROC AUC of a score against a binary label, by the rank-sum identity
+    * (Mann-Whitney U): with average ranks r̄_i over ALL rows ordered by
+    * score ascending,
+    *
+    *   AUC = (Σ_{i: y_i=1} r̄_i − P(P+1)/2) / (P·N)
+    *
+    * — exactly the probability a random positive outranks a random negative,
+    * ties counting ½ (which the average-rank form encodes for free). This is
+    * the threshold-free companion to the [[graft.operators.CorpusOps]]-style
+    * PR sweep (m6): it grades the SCORER, not a cut point, so it's the
+    * number to watch while iterating on a quality/langid/dedup classifier
+    * before any threshold is chosen.
+    *
+    * Scale shape: rows collapse to one row PER DISTINCT SCORE first (hash
+    * aggregate, map-side combined — for bounded-precision scores like
+    * quality ratios this is thousands of rows regardless of corpus size);
+    * the single window runs over that collapsed table ordered by score, so
+    * the sort is distinct-score-sized, never corpus-sized. The positive
+    * rank-sum is exact integer×(k+½) arithmetic until the one final
+    * division. AUC is NULL when either class is absent (undefined, not 0).
+    *
+    * Output: one row (n, n_pos, n_neg, auc). */
+  def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scored
+      .select(col(scoreCol).as("_s"), col(labelCol).cast("long").as("_y"))
+      .groupBy("_s")
+      .agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
+    // Average rank of every row tied at this score: (#rows below) + (c+1)/2.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore
+      .withColumn("_below", sum(col("_c")).over(w) - col("_c"))
+      .withColumn("_rbar", col("_below") + (col("_c") + 1).cast("double") / 2)
+    ranked.agg(
+        sum(col("_c")).as("n"),
+        sum(col("_p")).as("n_pos"),
+        sum(col("_c") - col("_p")).as("n_neg"),
+        sum(col("_p") * col("_rbar")).as("_rsum"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise((col("_rsum") - col("n_pos") * (col("n_pos") + 1).cast("double") / 2) /
+            (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
 }

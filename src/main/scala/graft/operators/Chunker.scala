@@ -84,4 +84,31 @@ object Chunker {
       .select(col("id"), col("pos").cast("int").as("chunk_index"),
         col("total_chunks"), col("col").as("chunk"))
   }
+
+  /** T6 sentence segmentation — the sub-chunk text unit the chunker's ". "
+    * separator already respects, exposed as its own operator: sentence-level
+    * rows feed dedup (paragraph/sentence-level near-dup), quality signals
+    * (per-sentence length distributions) and citation-granular retrieval.
+    *
+    * Rule-based and codegen'd end to end: a terminator ([.!?]) followed by
+    * whitespace ends a sentence (the whitespace is consumed); the final
+    * sentence keeps its terminator; empty fragments drop. The regex is
+    * RE2-compatible (no lookbehind — the terminator is CAPTURED and re-
+    * emitted with a \u0001 marker, then split on the marker), so any
+    * RE2-based engine reproduces the segmentation byte-for-byte.
+    *
+    * Shape: one projection + posexplode per document — embarrassingly
+    * parallel, no shuffle; `sent_idx` is the pre-filter position so indexes
+    * are stable under the empty-fragment drop.
+    *
+    * Output: (id STRING, sent_idx INT 0-based, sentence, n_chars). */
+  def splitSentences(docs: DataFrame, idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    docs.select(col(idCol).cast("string").as("id"), posexplode(split(marked, "\u0001")))
+      .select(col("id"), col("pos").cast("int").as("sent_idx"),
+        trim(col("col")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+      .withColumn("n_chars", length(col("sentence")))
+  }
 }

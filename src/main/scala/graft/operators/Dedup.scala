@@ -531,4 +531,41 @@ object Dedup {
         count(lit(1)).as("n_lines_kept"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Candidate-pair quality against a ground-truth pair set — the tuning
+    * read that closes the dedup loop: every approximate family here (LSH
+    * banding, SimHash, blocked cosine) trades recall for candidate count
+    * through its knobs (bands × rows, Hamming radius, block bits), and the
+    * ONLY way to set those knobs responsibly is to measure precision/recall
+    * against exact pairs on a sample. This operator is that measurement:
+    * run the approximate pairs and the exact pairs over the same (sampled)
+    * slice, count the overlap, read off where the banding curve sits.
+    *
+    * Both inputs are (id_a, id_b) pair lists; rows are canonicalized
+    * (least/greatest) and deduplicated here, so either orientation is
+    * accepted. Shape: one equi-join on the canonical pair + three counts —
+    * everything is pair-list-sized (the whole point: the evaluation costs
+    * what the candidates cost, not corpus²). Ratios are NULL when their
+    * denominator is empty (no candidates / no truth), never 0-by-fiat.
+    *
+    * Output: one row (n_cand, n_truth, tp, precision, recall, f1) — exact
+    * BIGINT counts, DOUBLE ratios rounded 6. */
+  def pairQuality(candidates: DataFrame, truth: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+    val c = canon(candidates).localCheckpoint(true)
+    val g = canon(truth).localCheckpoint(true)
+    val nc = c.agg(count(lit(1)).as("n_cand"))
+    val ng = g.agg(count(lit(1)).as("n_truth"))
+    val tp = c.join(g, Seq("u", "v")).agg(count(lit(1)).as("tp"))
+    val p = when(col("n_cand") > 0, col("tp").cast("double") / col("n_cand"))
+    val r = when(col("n_truth") > 0, col("tp").cast("double") / col("n_truth"))
+    nc.crossJoin(ng).crossJoin(tp)
+      .select(col("n_cand"), col("n_truth"), col("tp"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        round(when(p + r > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
 }

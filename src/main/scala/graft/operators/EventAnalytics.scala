@@ -150,4 +150,70 @@ object EventAnalytics {
       .groupBy(col("_c").as("cohort_day"), col("_off").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Volume-anomaly days per event type: daily event counts z-scored against
+    * the type's own history — the monitoring read that catches a broken
+    * ingest feed (count collapses) or a bot burst (count spikes) before
+    * either poisons a training corpus. A (type, day) cell is anomalous when
+    * |count − μ_type| ≥ z·σ_type (population σ).
+    *
+    * Scale shape: one map-side-combined (type, day) count, then a type-sized
+    * second aggregate for (n, Σc, Σc²) — both plain hash aggregates; the
+    * final z-score join is broadcast (types × days vs #types). All sums are
+    * exact BIGINTs; μ, σ and z are derived from them with identical IEEE
+    * double steps on any engine, so the rounded z is engine-exact. Types
+    * with a single observed day or zero variance emit no rows (σ = 0 —
+    * every day is its own mean; an anomaly needs a distribution to violate).
+    *
+    * Output: (event_type, day BIGINT, n_events, z_r DOUBLE rounded 6),
+    * anomalous cells only. */
+  def anomalousDays(events: DataFrame, typeCol: String, tsNsCol: String,
+      z: Double = 2.0): DataFrame = {
+    val DayNs = 86400000000000L
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), expr(s"$tsNsCol div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // read by the stats aggregate and the z-score join
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("_n"), sum(col("n_events")).as("_s"),
+        sum(col("n_events") * col("n_events")).as("_ss"))
+      .withColumn("_mu", col("_s").cast("double") / col("_n"))
+      .withColumn("_sigma",
+        sqrt(col("_ss").cast("double") / col("_n") - col("_mu") * col("_mu")))
+      .filter(col("_sigma") > 0)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("_z", (col("n_events") - col("_mu")) / col("_sigma"))
+      .filter(abs(col("_z")) >= z)
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("_z"), 6).as("z_r"))
+  }
+
+  /** First-order Markov transition matrix over each user's event sequence:
+    * P(next = b | current = a), estimated from consecutive event pairs in
+    * per-user time order — the session-path read behind "what do users do
+    * after X" and the generative model for synthetic event streams.
+    *
+    * Scale shape: ONE user-partitioned lead() window — per-user sequences
+    * are session-scale (bounded), so no global sort exists anywhere; the
+    * pair counts and the per-source totals are hash aggregates, and the
+    * probability join is transition-matrix-sized (#types²). Equal-timestamp
+    * events are ordered by `idCol` so the pairing is deterministic on every
+    * engine. Output: (src_event, dst_event, n BIGINT, prob DOUBLE rounded
+    * 6), transitions observed at least once. */
+  def transitions(events: DataFrame, userCol: String, tsNsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsNsCol), col(idCol), col(typeCol).as("src_event"))
+      .withColumn("dst_event", lead(col("src_event"), 1).over(w))
+      .filter(col("dst_event").isNotNull)
+      .groupBy("src_event", "dst_event")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // read by the totals aggregate and the prob join
+    val totals = pairs.groupBy("src_event").agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("src_event"))
+      .select(col("src_event"), col("dst_event"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("prob"))
+  }
 }

@@ -68,4 +68,50 @@ object LinkPrediction {
     scored.join(known, Seq("u", "v"), "left_anti")
       .select(col("u").as("src"), col("v").as("dst"), col("common"), col("aa"))
   }
+
+  /** Neighbor-overlap link prediction — common-neighbor count and Jaccard
+    * coefficient |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)| for candidate non-edges at
+    * distance 2 (Liben-Nowell & Kleinberg 2003's strongest simple
+    * predictors). Complements [[adamicAdar]]: Jaccard normalizes by BOTH
+    * endpoints' degrees, so it ranks a pair of low-degree entities sharing
+    * most of their (few) neighbors above a hub pair sharing many — the right
+    * ordering when the graph mixes head entities with tail entities, which
+    * extraction-derived knowledge graphs always do.
+    *
+    * Same scale spine as [[adamicAdar]]: the wedge table routes through the
+    * center and is pruned BEFORE the join by `maxHubDegree` (a degree-d
+    * center emits d² wedges); the intersection therefore counts shared
+    * neighbors through SURVIVING centers, while the union denominator uses
+    * the endpoints' FULL degrees — capped-intersection / full-union, so the
+    * reported Jaccard is a lower bound that only tightens as the cap rises
+    * (document the cap with the score, never silently). Endpoint degrees
+    * arrive via one broadcast of the node-sized degree table AFTER the
+    * (u,v) aggregate collapses the wedge table, so the join is output-sized.
+    *
+    * `edges`: symmetric directed pair list, both directions, no duplicates.
+    * Output: (src, dst) with src < dst, `common`, `jaccard` (unrounded —
+    * callers round; a count ratio, but DOUBLE division order still matters
+    * across engines). */
+  def neighborOverlap(edges: DataFrame, maxHubDegree: Int): DataFrame = {
+    require(maxHubDegree >= 2, s"maxHubDegree must be >= 2, got $maxHubDegree")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+    val centers = broadcast(deg.filter(col("_d") <= maxHubDegree)
+      .select(col("id").as("w")))
+    val wedges = e.select(col("src").as("u"), col("dst").as("w"))
+      .join(centers, Seq("w"))
+      .join(e.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+    val known = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val degB = broadcast(deg)
+    scored.join(known, Seq("u", "v"), "left_anti")
+      .join(degB.select(col("id").as("u"), col("_d").as("_du")), Seq("u"))
+      .join(degB.select(col("id").as("v"), col("_d").as("_dv")), Seq("v"))
+      .select(col("u").as("src"), col("v").as("dst"), col("common"),
+        (col("common").cast("double") /
+          (col("_du") + col("_dv") - col("common"))).as("jaccard"))
+  }
 }

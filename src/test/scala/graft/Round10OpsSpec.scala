@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.{BooleanRetrieval, Chunker, Dedup, EventAnalytics, LinkPrediction}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator batch: neighbor-overlap link prediction, ROC AUC,
+  * event anomaly/transition analytics, sentence segmentation, boolean
+  * retrieval, candidate-pair quality. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("g22 neighborOverlap: hand-checked Jaccard on a 5-node path+triangle") {
+    // Graph: 1-2, 2-3, 3-4, 2-4 (triangle 2-3-4 plus pendant 1).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = LinkPrediction.neighborOverlap(edges, maxHubDegree = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // Candidate non-edges at distance 2: (1,3) via 2, (1,4) via 2.
+    // deg(1)=1, deg(3)=2, deg(4)=2 → jaccard = 1/(1+2-1) = 0.5.
+    assert(got.keySet == Set((1L, 3L), (1L, 4L)))
+    assert(got((1L, 3L)) == (1L, 0.5))
+    assert(got((1L, 4L)) == (1L, 0.5))
+  }
+
+  test("g22 neighborOverlap: hub cap drops wedges through the hub only") {
+    // Star center 10 with leaves 1..5; pair (1,2) also wedges through 20.
+    val und = (1L to 5L).map(l => (10L, l)) ++ Seq((20L, 1L), (20L, 2L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val capped = LinkPrediction.neighborOverlap(edges, maxHubDegree = 2)
+    // center 10 (deg 5) pruned: (1,2) now wedges only through 20 (deg 2),
+    // so its common count is 1, not 2; (10,20) wedges through the degree-2
+    // leaves 1 and 2, both surviving centers.
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set((1L, 2L), (10L, 20L)))
+    assert(rows((1L, 2L)) == 1L) // through 20 only, not through 10
+    assert(rows((10L, 20L)) == 2L) // through centers 1 and 2
+  }
+
+  test("m8 aucRoc: perfect separation = 1, reversed = 0, ties average to 0.5") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(graft.eval.Recall.aucRoc(perfect, "s", "y")
+      .select("auc").as[Double].head() == 1.0)
+    val reversed = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)).toDF("s", "y")
+    assert(graft.eval.Recall.aucRoc(reversed, "s", "y")
+      .select("auc").as[Double].head() == 0.0)
+    // All scores identical: every pair is a tie → AUC exactly 0.5.
+    val ties = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("s", "y")
+    assert(graft.eval.Recall.aucRoc(ties, "s", "y")
+      .select("auc").as[Double].head() == 0.5)
+    // Single-class input: AUC undefined → NULL, never 0-by-fiat.
+    val oneClass = Seq((0.9, 1), (0.1, 1)).toDF("s", "y")
+    assert(graft.eval.Recall.aucRoc(oneClass, "s", "y")
+      .select("auc").collect().head.isNullAt(0))
+  }
+
+  test("m8 aucRoc agrees with the O(n²) pair definition on a mixed case") {
+    val rows = Seq((0.9, 1), (0.7, 0), (0.7, 1), (0.4, 1), (0.2, 0), (0.1, 0))
+    val auc = graft.eval.Recall.aucRoc(rows.toDF("s", "y"), "s", "y")
+      .select("auc").as[Double].head()
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val pairSum = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    assert(math.abs(auc - pairSum / (pos.size * neg.size)) < 1e-12)
+  }
+
+  test("ev5 anomalousDays: a spike day z-scores out; zero-variance types drop") {
+    val DayNs = 86400000000000L
+    // type "a": 9 days of 10 events + 1 day of 100 → that day is anomalous.
+    val calm = for (d <- 0L until 9L; i <- 0 until 10)
+      yield ("a", d * DayNs + i * 1000L)
+    val spike = (0 until 100).map(i => ("a", 9L * DayNs + i * 1000L))
+    // type "b": constant 5/day → σ=0 → no rows even though |z| is undefined.
+    val flat = for (d <- 0L until 10L; i <- 0 until 5)
+      yield ("b", d * DayNs + i * 1000L)
+    val ev = (calm ++ spike ++ flat).toDF("event_type", "ts")
+    val got = EventAnalytics.anomalousDays(ev, "event_type", "ts", z = 2.0)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "a" && got.head.getLong(1) == 9L
+      && got.head.getLong(2) == 100L)
+    assert(got.head.getDouble(3) > 2.0)
+  }
+
+  test("ev6 transitions: probabilities per source sum to 1; ts ties break by id") {
+    val ev = Seq(
+      // user 1: a → b → a  (pairs: a→b, b→a)
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), (1L, 300L, 3L, "a"),
+      // user 2: a → a (equal ts — id order decides), then → c
+      (2L, 100L, 10L, "a"), (2L, 100L, 11L, "a"), (2L, 400L, 12L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(("a", "b")) == (1L, 0.333333))
+    assert(got(("a", "a")) == (1L, 0.333333))
+    assert(got(("a", "c")) == (1L, 0.333333))
+    assert(got(("b", "a")) == (1L, 1.0))
+    val bySrc = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    bySrc.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-3) }
+  }
+
+  test("t6 splitSentences: terminators kept, whitespace consumed, empties drop") {
+    val docs = Seq(
+      (1L, "First one. Second two!  Third three? tail without terminator"),
+      (2L, "No terminator at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Chunker.splitSentences(docs, "doc_id", "text")
+      .orderBy("id", "sent_idx")
+      .select("id", "sent_idx", "sentence").as[(String, Int, String)].collect().toSeq
+    assert(got == Seq(
+      ("1", 0, "First one."), ("1", 1, "Second two!"), ("1", 2, "Third three?"),
+      ("1", 3, "tail without terminator"),
+      ("2", 0, "No terminator at all")))
+  }
+
+  test("b8 BooleanRetrieval: AND needs every term, NOT excludes, dups absorbed") {
+    val postings = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // doc 1: x y (x twice)
+      (2L, "x"),                       // doc 2: x only
+      (3L, "x"), (3L, "y"), (3L, "z")) // doc 3: x y z
+      .toDF("doc_id", "term")
+    val got = BooleanRetrieval.retrieve(postings, "doc_id", "term",
+      must = Seq("x", "y"), mustNot = Seq("z"))
+      .as[Long].collect().toSet
+    assert(got == Set(1L)) // 2 misses y; 3 banned by z; 1's dup x counts once
+    val noBan = BooleanRetrieval.retrieve(postings, "doc_id", "term",
+      must = Seq("x", "y"))
+      .as[Long].collect().toSet
+    assert(noBan == Set(1L, 3L))
+  }
+
+  test("d17 pairQuality: canonicalizes orientation, exact counts, null guards") {
+    val cand = Seq((2L, 1L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.pairQuality(cand, truth).collect().head
+    // cand canon = {(1,2),(3,4),(5,6)}; truth = {(1,2),(3,4),(7,8)}; tp = 2.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 3L, 2L))
+    assert(r.getDouble(3) == 0.666667 && r.getDouble(4) == 0.666667)
+    assert(r.getDouble(5) == 0.666667)
+    // Empty truth: recall/f1 NULL, precision still defined.
+    val empty = truth.filter(col("id_a") < 0)
+    val r2 = Dedup.pairQuality(cand, empty).collect().head
+    assert(r2.getLong(1) == 0L && r2.isNullAt(4) && r2.isNullAt(5))
+    assert(r2.getDouble(3) == 0.0)
+  }
+}
