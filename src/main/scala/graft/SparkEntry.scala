@@ -2213,17 +2213,55 @@ object SparkEntry {
     // corpus-scale dedup run. See Dedup.pairQuality.
     "d17_pair_quality" -> ((s, dir) => {
       val docs = spread(t(s, dir, "documents"))
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
-        numHashes = 6, shingleSize = 3).localCheckpoint(true)
+      // ONE shingle explode feeds BOTH the approximate side (minhash — min()
+      // is idempotent, so the distinct frame signs identically) and the
+      // exact side (Jaccard) — the corpus-scale cost here IS the explode,
+      // and it is identical across the two pair families being compared.
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", shingleSize = 3)
+        .distinct().localCheckpoint(true)
+      val sigs = Dedup.minhashSignaturesFromShingles(sh, numHashes = 6)
+        .localCheckpoint(true)
       val cand = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleSize = 3, minJaccard = 0.5).select("id_a", "id_b")
+      val truth = Dedup.ngramJaccardPairsFromShingles(sh,
+        minJaccard = 0.5, maxShingleFreq = 1000000L).select("id_a", "id_b")
       Dedup.pairQuality(cand, truth)
         // "precision" is a type keyword in ANSI engines; _r suffixes keep the
         // twin SQL unquoted (and mark the rounded ratios, the house style).
         .select(col("n_cand"), col("n_truth"), col("tp"),
           col("precision").as("precision_r"), col("recall").as("recall_r"),
           col("f1").as("f1_r"))
+    }),
+    // X31 Flesch Reading Ease from the engine's own segmentation surrogates
+    // (t6 sentence rule, normTokens words, vowel-group syllables) — all
+    // exact integer counts into one engine-exact double formula; word-less
+    // docs yield NULL, never a fake score. See TextAnalysis.fleschReadingEase.
+    "x31_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          Norm.normPhrase(col("text")).as("norm"),
+          Norm.normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.sentenceCount(col("text")).as("n_sents"),
+          TA.tokenCountT(col("toks")).as("n_words"),
+          TA.syllableCountNorm(col("norm")).as("n_sylls"))
+        .withColumn("flesch_r",
+          round(TA.fleschReadingEase(col("n_sents"), col("n_words"), col("n_sylls")), 6))
+    }),
+    // EV7 exponentially time-decayed event counts (half-life 1 day from the
+    // stream's max ts) — the "trending now" ranking read. See
+    // EventAnalytics.decayedCounts.
+    "ev7_decayed_counts" -> ((s, dir) => {
+      EventAnalytics.decayedCounts(t(s, dir, "events"), "event_type", "ts",
+          halfLifeDays = 1.0)
+        .select(col("event_type"), col("n_events"),
+          round(col("decayed"), 6).as("decayed_r"))
+    }),
+    // M9 percentile-bootstrap CI for the m1 macro recall — hash-deterministic
+    // resampling (md5(r‖j) mod n), so both engines draw the identical
+    // multiset. See eval.Recall.bootstrapCi.
+    "m9_bootstrap_ci" -> ((s, dir) => {
+      val perQ = queries("m1_recall")(s, dir)
+      graft.eval.Recall.bootstrapCi(perQ, "query_id", "recall_at_5", reps = 200)
     })
   )
 
@@ -4478,7 +4516,54 @@ object SparkEntry {
            |  FROM nc, ng, tpq)
            |SELECT n_cand, n_truth, tp, round(p, 6) AS precision_r, round(r, 6) AS recall_r,
            |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1_r
-           |FROM pr""".stripMargin.replace("\n", " ")
+           |FROM pr""".stripMargin.replace("\n", " "),
+      // x31: the t6 marker-split sentence count in place, token words,
+      // vowel-group syllables — three exact integers into the Flesch
+      // formula with the same association order.
+      "x31_readability" ->
+        s"""SELECT doc_id, n_sents, n_words, n_sylls,
+           |  round(CASE WHEN n_words > 0 AND n_sents > 0
+           |    THEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+           |      - 84.6 * (CAST(n_sylls AS DOUBLE) / n_words) END, 6) AS flesch_r
+           |FROM (SELECT doc_id,
+           |    len(list_filter(
+           |      string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)),
+           |      x -> length(trim(x)) > 0)) AS n_sents,
+           |    len($toksDoc) AS n_words,
+           |    len(regexp_extract_all($normDoc, '[aeiouy]+')) AS n_sylls
+           |  FROM documents) t""".stripMargin.replace("\n", " "),
+      // ev7: reference time = one scalar max; weight 2^(−age/halfLife) with
+      // identical exponent arithmetic; round 6 absorbs the double-sum order.
+      "ev7_decayed_counts" ->
+        """WITH tm AS (SELECT max(epoch_ns(ts)) AS T FROM events)
+          |SELECT event_type, count(*) AS n_events,
+          |  round(sum(pow(2.0, -CAST(tm.T - epoch_ns(ts) AS DOUBLE) / 86400000000000.0)), 6)
+          |    AS decayed_r
+          |FROM events, tm GROUP BY event_type""".stripMargin.replace("\n", " "),
+      // m9: the m1 per-question CTE + hash-deterministic bootstrap — the
+      // x5 md5-arithmetic index convention, quantile_cont ≡ percentile.
+      "m9_bootstrap_ci" ->
+        """WITH q AS (SELECT CAST(vec_id AS VARCHAR) query_id, embedding::DOUBLE[] qv, label ql FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT CAST(vec_id AS VARCHAR) neighbor_id, embedding::DOUBLE[] cv, label cl FROM embeddings WHERE vec_id >= 20),
+          |hits AS (
+          |  SELECT query_id, ql, cl,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY list_dot_product(qv, cv) DESC, neighbor_id ASC) AS rank
+          |  FROM q, c),
+          |pq AS (SELECT query_id, sum(CASE WHEN ql = cl THEN 1 ELSE 0 END) / 5.0 AS v
+          |  FROM hits WHERE rank <= 5 GROUP BY query_id),
+          |idx AS (SELECT v, row_number() OVER (ORDER BY query_id) - 1 AS rid FROM pq),
+          |nn AS (SELECT count(*) AS n FROM idx),
+          |draws AS (SELECT rs.r,
+          |    CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || '-' || CAST(js.j AS VARCHAR)), 1, 8)) AS BIGINT)
+          |      % (SELECT n FROM nn) AS rid
+          |  FROM (SELECT unnest(generate_series(0, 199)) AS r) rs,
+          |       (SELECT unnest(generate_series(0, (SELECT n FROM nn) - 1)) AS j) js),
+          |means AS (SELECT d.r, avg(i.v) AS m FROM draws d JOIN idx i ON d.rid = i.rid GROUP BY d.r)
+          |SELECT (SELECT n FROM nn) AS n_questions, count(*) AS n_reps,
+          |  round(avg(m), 6) AS mean_r,
+          |  round(quantile_cont(m, 0.025), 6) AS lo_r,
+          |  round(quantile_cont(m, 0.975), 6) AS hi_r
+          |FROM means""".stripMargin.replace("\n", " ")
     )
   }
 }

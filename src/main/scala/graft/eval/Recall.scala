@@ -182,4 +182,53 @@ object Recall {
           .otherwise((col("_rsum") - col("n_pos") * (col("n_pos") + 1).cast("double") / 2) /
             (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
+
+  /** Bootstrap confidence interval for the macro average of a per-question
+    * metric (Efron's percentile bootstrap): `reps` resamples of n questions
+    * WITH replacement, a mean per replicate, the (lo, hi) quantiles of the
+    * replicate means. The honesty companion to every macro average this
+    * module produces — "recall@5 = 0.81" from 40 eval questions is a point
+    * on a wide distribution, and shipping the number without its interval
+    * is how eval deltas get over-read.
+    *
+    * Resampling is HASH-DETERMINISTIC, not RNG-streamed: draw j of
+    * replicate r picks question index md5(r ‖ "-" ‖ j) mod n — the same
+    * md5-arithmetic convention as the x5 split and g16 walks, so any engine
+    * reproduces the exact resample multiset with no seed state, and retries/
+    * re-partitionings cannot change the answer.
+    *
+    * Scale shape: questions are numbered by ONE eval-sized window (this is
+    * the per-QUESTION frame — thousands of rows when corpora are 100 TB, it
+    * is never corpus data); the draw table is reps × n rows built from a
+    * `sequence` explode, resolved to values by one equi-join on the drawn
+    * index; replicate means and the final quantiles are two more bounded
+    * aggregates. Nothing driver-side except the n needed for the modulus.
+    *
+    * Output: one row (n_questions, n_reps, mean_r, lo_r, hi_r) — the mean of
+    * replicate means and the exact interpolated interval, rounded 6. */
+  def bootstrapCi(perQuestion: DataFrame, idCol: String, valueCol: String,
+      reps: Int = 200, lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
+    require(reps > 0 && lo >= 0 && hi <= 1 && lo < hi)
+    import org.apache.spark.sql.expressions.Window
+    val rows = perQuestion
+      .select(col(idCol).as("_q"), col(valueCol).cast("double").as("_v"))
+      .withColumn("_rid", row_number().over(Window.orderBy(col("_q"))) - 1)
+      .select("_rid", "_v")
+      .localCheckpoint(true) // read by the count and the draw join
+    val n = rows.count()
+    require(n > 0, "bootstrapCi: empty per-question frame")
+    val draws = rows.sparkSession.range(reps).toDF("_r")
+      .select(col("_r"), explode(sequence(lit(0), lit(n.toInt - 1))).as("_j"))
+      .select(col("_r"),
+        (conv(substring(md5(concat_ws("-", col("_r"), col("_j"))), 1, 8), 16, 10)
+          .cast("long") % n).as("_rid"))
+    val means = draws.join(rows, Seq("_rid")).groupBy("_r").agg(avg(col("_v")).as("_m"))
+    means.agg(
+        count(lit(1)).as("n_reps"),
+        round(avg(col("_m")), 6).as("mean_r"),
+        round(percentile(col("_m"), lit(lo)), 6).as("lo_r"),
+        round(percentile(col("_m"), lit(hi)), 6).as("hi_r"))
+      .select(lit(n).as("n_questions"), col("n_reps"),
+        col("mean_r"), col("lo_r"), col("hi_r"))
+  }
 }

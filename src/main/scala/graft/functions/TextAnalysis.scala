@@ -211,4 +211,32 @@ object TextAnalysis {
       array_min(transform(
         sequence(lit(1), length(norm) - k + 1),
         i => md5(norm.substr(i, lit(k))))))
+
+  /** Sentence count under EXACTLY the
+    * [[graft.operators.Chunker.splitSentences]] segmentation rule, without
+    * materializing the sentence rows: the same marker split (captured
+    * terminator re-emitted with \u0001, no lookbehind), non-empty fragments
+    * counted in place — one projection, no explode, and by construction
+    * equal to the t6 row count per document. */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(regexp_replace(text, "([.!?])\\s+", "$1\u0001"), "\u0001"),
+      x => length(trim(x)) > 0))
+
+  /** Syllable-group count: maximal [aeiouy]+ runs over the normalized text —
+    * the standard cheap syllable surrogate (each vowel cluster ≈ one
+    * syllable). Spaces break runs, so the doc-level count equals the
+    * per-word sum without a token explode. */
+  def syllableCountNorm(norm: Column): Column =
+    regexp_count(norm, lit("[aeiouy]+"))
+
+  /** Flesch Reading Ease over the engine's own normalization/segmentation
+    * surrogates: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Word-less or sentence-less documents yield NULL (fail closed — a
+    * formula fed degenerate denominators must not claim a readability).
+    * All three inputs are exact integer counts, so the score is the same
+    * IEEE double on any engine. */
+  def fleschReadingEase(nSents: Column, nWords: Column, nSylls: Column): Column =
+    when(nWords > 0 && nSents > 0,
+      lit(206.835) - lit(1.015) * (nWords.cast("double") / nSents)
+        - lit(84.6) * (nSylls.cast("double") / nWords))
 }

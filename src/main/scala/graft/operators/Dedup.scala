@@ -71,18 +71,28 @@ object Dedup {
     * Output: (id, sig_0..sig_{k-1}) — columns, not an array, so each is a plain
     * min() aggregate that Catalyst fuses. Docs with no shingles get null sigs. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 12, shingleSize: Int = 3): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleSize)
+      numHashes: Int = 12, shingleSize: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(
+      shingleRows(df, idCol, textCol, shingleSize), numHashes)
+
+  /** [[minhashSignatures]] over a pre-built (id, sh) shingle frame — the
+    * tokenize-once entry point when several dedup consumers (signatures AND
+    * exact pairs, as in the d17 quality measurement) read the same corpus:
+    * the shingle explode dominates every one of them and is identical, so
+    * build it once, pin it, feed them all (the lexTokens contract). min() is
+    * idempotent, so a DISTINCT (id, sh) frame yields the same signatures as
+    * the raw multiset. */
+  def minhashSignaturesFromShingles(shingles: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"mh$i-"), col("sh")))).as(s"sig_$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (id, shingle) rows. Tokenization is projected into its own column FIRST:
     * `shingles(normTokens(text))` inlined would re-evaluate the regexp+split per
     * lambda reference (≈ once per shingle index) — projecting the array keeps it
     * a per-row attribute read. */
-  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"), Norm.normTokens(col(textCol)).as("toks"))
       .select(col("id"), explode(Norm.shingles(col("toks"), shingleSize)).as("sh"))
@@ -317,14 +327,22 @@ object Dedup {
     * they are pure join-skew with no discriminative value. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.0,
-      maxShingleFreq: Long = 1000000L): DataFrame = {
+      maxShingleFreq: Long = 1000000L): DataFrame =
     // The distinct (doc, shingle) set feeds FOUR consumers (freq filter, both
     // self-join sides, set sizes). An EAGER localCheckpoint materializes it once;
     // a lazy persist would let the branches race and recompute the explode
     // concurrently within the first action.
-    val docSh = shingleRows(df, idCol, textCol, shingleSize)
-      .distinct()
-      .localCheckpoint(true)
+    ngramJaccardPairsFromShingles(
+      shingleRows(df, idCol, textCol, shingleSize).distinct().localCheckpoint(true),
+      minJaccard, maxShingleFreq)
+
+  /** [[ngramJaccardPairs]] over a pre-built (id, sh) frame — the
+    * tokenize-once twin of [[minhashSignaturesFromShingles]]. CONTRACT: the
+    * input must be DISTINCT per (id, sh) and already pinned (checkpointed/
+    * persisted) — it is read by four consumers here, and an unpinned frame
+    * would re-run the caller's explode per branch. */
+  def ngramJaccardPairsFromShingles(docSh: DataFrame, minJaccard: Double,
+      maxShingleFreq: Long): DataFrame = {
     val rare = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq).select("sh")
     val filtered = docSh.join(rare, Seq("sh"), "left_semi")

@@ -216,4 +216,31 @@ object EventAnalytics {
       .select(col("src_event"), col("dst_event"), col("n"),
         round(col("n").cast("double") / col("_tot"), 6).as("prob"))
   }
+
+  /** Exponentially time-decayed event counts per type — the "trending now"
+    * read: each event contributes 2^(−age/halfLife) measured from the
+    * stream's latest timestamp, so a type with recent volume outranks one
+    * with the same raw count spread over history. The batch form of the
+    * decayed counter every monitoring/ranking surface keeps; the streaming
+    * twin is one more multiply-and-add per micro-batch (state = (count,
+    * decayed-to-watermark) per type).
+    *
+    * Scale shape: ONE 1-row max aggregate for the reference time, broadcast
+    * into a codegen'd weight projection, then one map-side-combined
+    * per-type sum — two passes, no windows, no per-key sorts. The weight
+    * sum is a double accumulation (order-sensitive at ~1e-13 relative);
+    * callers round before cross-engine comparison.
+    *
+    * Output: (event_type, n_events BIGINT, decayed DOUBLE unrounded). */
+  def decayedCounts(events: DataFrame, typeCol: String, tsNsCol: String,
+      halfLifeDays: Double = 1.0): DataFrame = {
+    require(halfLifeDays > 0, "decayedCounts: halfLifeDays must be > 0")
+    val hlNs = halfLifeDays * 86400000000000.0
+    val tmax = events.agg(max(col(tsNsCol)).as("_T"))
+    events.crossJoin(broadcast(tmax))
+      .select(col(typeCol).as("event_type"),
+        pow(lit(2.0), -(col("_T") - col(tsNsCol)).cast("double") / hlNs).as("_w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed"))
+  }
 }

@@ -146,4 +146,68 @@ class Round10OpsSpec extends SparkSpec {
     assert(r2.getLong(1) == 0L && r2.isNullAt(4) && r2.isNullAt(5))
     assert(r2.getDouble(3) == 0.0)
   }
+
+  test("d17 shared-shingle signatures equal the direct text-path signatures") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val direct = Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 4, shingleSize = 3).orderBy("id").collect().toSeq
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).distinct()
+    val shared = Dedup.minhashSignaturesFromShingles(sh, numHashes = 4)
+      .orderBy("id").collect().toSeq
+    assert(direct == shared) // min() idempotence: distinct frame signs identically
+  }
+
+  test("m9 bootstrapCi: constant metric collapses the interval to the point") {
+    val perQ = (1 to 30).map(i => (s"q$i", 0.8)).toDF("question_id", "v")
+    val r = graft.eval.Recall.bootstrapCi(perQ, "question_id", "v", reps = 50)
+      .collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 0.8 && r.getDouble(3) == 0.8 && r.getDouble(4) == 0.8)
+  }
+
+  test("m9 bootstrapCi: deterministic across runs, interval brackets the mean") {
+    val perQ = (1 to 40).map(i => (f"q$i%02d", if (i % 4 == 0) 0.0 else 1.0))
+      .toDF("question_id", "v")
+    val a = graft.eval.Recall.bootstrapCi(perQ, "question_id", "v", reps = 100)
+      .collect().head
+    val b = graft.eval.Recall.bootstrapCi(perQ, "question_id", "v", reps = 100)
+      .collect().head
+    assert(a == b) // hash-deterministic resampling — no RNG stream, no seed state
+    assert(a.getDouble(3) <= a.getDouble(2) && a.getDouble(2) <= a.getDouble(4))
+    assert(a.getDouble(3) < a.getDouble(4)) // non-degenerate metric → real width
+  }
+
+  test("x31 readability signals: sentence/syllable counts on a known text") {
+    import graft.functions.{Norm, TextAnalysis => TAF}
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran! Did it?"),
+      (2L, ""),
+      (3L, "word")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TAF.sentenceCount(col("text")).as("s"),
+        TAF.syllableCountNorm(Norm.normPhrase(col("text"))).as("y"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((3, 8))) // 3 sentences; 8 words, each one vowel group
+    assert(got(2L) == ((0, 0)))
+    assert(got(3L) == ((1, 1)))
+  }
+
+  test("ev7 decayedCounts: recency outweighs raw volume; exact half-life steps") {
+    val DayNs = 86400000000000L
+    // "old": 4 events 2 days ago → 4 * 2^-2 = 1.0 decayed.
+    // "new": 2 events at T → 2.0 decayed. Raw count orders old > new,
+    // decayed orders new > old.
+    val ev = ((1 to 4).map(i => ("old", 0L + i)) ++ Seq(("new", 2L * DayNs), ("new", 2L * DayNs)))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventAnalytics
+      .decayedCounts(ev, "event_type", "ts", halfLifeDays = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("new")._1 == 2L && got("new")._2 == 2.0)
+    assert(got("old")._1 == 4L)
+    assert(math.abs(got("old")._2 - 1.0) < 1e-9) // ts offsets of a few ns ≈ exact
+    assert(got("new")._2 > got("old")._2)
+  }
 }
