@@ -313,4 +313,63 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming decayed-counter maintenance — the incremental twin of
+    * [[graft.operators.EventAnalytics.decayedCounts]]: state is ONE row per
+    * event type (n_events, decayed, t_ref), where `decayed` is every seen
+    * event's 2^(−age/halfLife) weight referenced to `t_ref` (the max
+    * timestamp seen so far, the same reference the batch operator uses).
+    * Each micro-batch advances the reference to max(saved, batch), RESCALES
+    * the saved sums by 2^(−Δref/halfLife) — exponential decay is
+    * self-similar, so the whole history re-references in one multiply per
+    * type, never a re-read of past events — and adds the batch's weights.
+    * State is type-count-sized forever; an unbounded stream costs O(batch)
+    * per trigger.
+    *
+    * Exactness: in real arithmetic streamed ≡ batch (the rescale telescopes
+    * to the single-reference sum); in floats each rescale costs ulps, so
+    * the twin agrees to ~1e-12 relative (StreamingSpec pins 1e-9), unlike
+    * the register-exact HLL twin — documented, not hidden. Out-of-order
+    * batches are safe: the reference only advances, and a batch older than
+    * `t_ref` simply contributes weights < 1. */
+  def decayedMaintain(events: DataFrame, typeCol: String, tsNsCol: String,
+      statePath: String, halfLifeDays: Double = 1.0): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hlNs = halfLifeDays * 86400000000000.0
+        val bmax = batch.agg(max(col(tsNsCol))).head()
+        if (!bmax.isNullAt(0)) {
+          val saved =
+            try Some(spark.read.parquet(statePath))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          val tNew = saved match {
+            case Some(st) =>
+              math.max(bmax.getLong(0), st.agg(max(col("t_ref"))).head().getLong(0))
+            case None => bmax.getLong(0)
+          }
+          val fresh = batch.select(col(typeCol).as("event_type"),
+              pow(lit(2.0), -(lit(tNew) - col(tsNsCol)).cast("double") / hlNs).as("_w"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed"))
+          val merged0 = saved match {
+            case None => fresh
+            case Some(st) => st
+              .select(col("event_type"), col("n_events"),
+                (col("decayed") *
+                  pow(lit(2.0), -(lit(tNew) - col("t_ref")).cast("double") / hlNs))
+                  .as("decayed"))
+              .unionByName(fresh)
+              .groupBy("event_type")
+              .agg(sum(col("n_events")).as("n_events"), sum(col("decayed")).as("decayed"))
+          }
+          // pin the merge BEFORE overwriting the table it reads, then free
+          val merged = merged0.withColumn("t_ref", lit(tNew)).localCheckpoint(true)
+          try merged.write.mode("overwrite").parquet(statePath)
+          finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+        }
+        ()
+      }
+      .start()
 }

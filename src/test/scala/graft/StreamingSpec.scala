@@ -368,4 +368,44 @@ class StreamingSpec extends SparkSpec {
       .select("click_id", "value").as[(String, Double)].collect().toSet
     assert(got == Set(("c1", 10.0), ("c1", 2.0), ("c3", 7.0)), got)
   }
+
+  test("streaming decayed counters: rescale-and-add matches the batch twin") {
+    import graft.operators.EventAnalytics
+    val dir = Files.createTempDirectory("stream_decay").toString
+    val statePath = s"$dir/state"
+    val DayNs = 86400000000000L
+    // three waves, each advancing the max timestamp, with an out-of-order
+    // type ("b") whose later batch carries only OLD events
+    val waves: Seq[Seq[(String, Long)]] = Seq(
+      (0 until 40).map(i => ("a", i.toLong * DayNs / 20)),
+      (0 until 30).map(i => ("b", DayNs + i.toLong * DayNs / 30)),
+      // wave 3 mixes fresh "a" events with "b" events OLDER than wave 2's
+      // max — the out-of-order case (reference must not regress, old
+      // arrivals weight < 1)
+      (0 until 20).map(i => ("a", 2L * DayNs + i.toLong * DayNs / 10)) ++
+        (0 until 10).map(i => ("b", DayNs / 2 + i.toLong)))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.toDF("event_type", "ts").coalesce(1).write.parquet(s"$dir/in/w$i") }
+    val all = waves.flatten.toDF("event_type", "ts")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.decayedMaintain(stream, "event_type", "ts", statePath,
+      halfLifeDays = 1.0)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(statePath)
+      .select("event_type", "n_events", "decayed")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = EventAnalytics.decayedCounts(all, "event_type", "ts", 1.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet == batch.keySet)
+    // counts exact; weights agree to float-rescale tolerance (exponential
+    // decay telescopes exactly in real arithmetic, ulps per rescale in IEEE)
+    streamed.foreach { case (k, (n, d)) =>
+      assert(n == batch(k)._1)
+      assert(math.abs(d - batch(k)._2) < 1e-9, s"$k: $d vs ${batch(k)._2}")
+    }
+    // the reference advanced to the global max
+    assert(spark.read.parquet(statePath).select(max("t_ref")).head().getLong(0)
+      == all.agg(max("ts")).head().getLong(0))
+  }
 }
