@@ -166,8 +166,12 @@ object Recall {
       .groupBy("_s")
       .agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
     // Average rank of every row tied at this score: (#rows below) + (c+1)/2.
+    // The window is single-partition BY DESIGN (a cumulative sum needs the
+    // total order) and distinct-score-sized; the literal partition key states
+    // that intent and keeps WindowExec's unpartitioned-window warning out of
+    // production logs.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("_s"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = byScore
       .withColumn("_below", sum(col("_c")).over(w) - col("_c"))
@@ -210,9 +214,12 @@ object Recall {
       reps: Int = 200, lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
     require(reps > 0 && lo >= 0 && hi <= 1 && lo < hi)
     import org.apache.spark.sql.expressions.Window
+    // Single-partition by design (a global numbering) and eval-sized; the
+    // literal partition key silences WindowExec's warning (the aucRoc note).
     val rows = perQuestion
       .select(col(idCol).as("_q"), col(valueCol).cast("double").as("_v"))
-      .withColumn("_rid", row_number().over(Window.orderBy(col("_q"))) - 1)
+      .withColumn("_rid",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("_q"))) - 1)
       .select("_rid", "_v")
       .localCheckpoint(true) // read by the count and the draw join
     val n = rows.count()
