@@ -2262,6 +2262,33 @@ object SparkEntry {
     "m9_bootstrap_ci" -> ((s, dir) => {
       val perQ = queries("m1_recall")(s, dir)
       graft.eval.Recall.bootstrapCi(perQ, "query_id", "recall_at_5", reps = 200)
+    }),
+    // X32 signal-redundancy matrix: pairwise Pearson correlations of three
+    // quality signals in ONE corpus pass (k²/2 built-in corr calls would
+    // rescan per pair). See CorpusOps.pearsonMatrix.
+    "x32_signal_corr" -> ((s, dir) => {
+      val sig = t(s, dir, "documents")
+        .select(col("text"), Norm.normTokens(col("text")).as("toks"))
+        .select(
+          TA.tokenCountT(col("toks")).cast("double").as("n_tokens"),
+          TA.punctRatio(col("text")).as("punct_ratio"),
+          TA.stopwordRatioT(col("toks")).as("stopword_ratio"))
+      CorpusOps.pearsonMatrix(sig, Seq("n_tokens", "punct_ratio", "stopword_ratio"))
+        .select(col("sig_a"), col("sig_b"), round(col("corr"), 6).as("corr_r"))
+    }),
+    // ER3 survivorship: canonical metadata per d8 dedup cluster — modal
+    // non-null value per attribute, ties to min. See CorpusOps.survivorship.
+    "er3_survivorship" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(spread(docs), "doc_id", "text",
+        numHashes = 6, shingleSize = 3).localCheckpoint(true)
+      val clusters = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2))
+      val members = docs.join(
+        clusters.select(col("id").as("doc_id"), col("rep_id")), Seq("doc_id"))
+      CorpusOps.survivorship(members, "rep_id", "doc_id", Seq("lang", "source"))
+        .select(col("cluster").as("rep_id"), col("n_members"),
+          col("lang"), col("source"))
     })
   )
 
@@ -4563,7 +4590,48 @@ object SparkEntry {
           |  round(avg(m), 6) AS mean_r,
           |  round(quantile_cont(m, 0.025), 6) AS lo_r,
           |  round(quantile_cont(m, 0.975), 6) AS hi_r
-          |FROM means""".stripMargin.replace("\n", " ")
+          |FROM means""".stripMargin.replace("\n", " "),
+      // x32: the one-pass moment aggregate (n, Σx, Σx², Σxy) and the same
+      // corr association on both engines; zero-variance pairs NULL.
+      "x32_signal_corr" ->
+        s"""WITH sg AS (SELECT CAST(len(toks) AS DOUBLE) AS x1,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS x2,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS x3
+           |  FROM (SELECT text, $toksDoc AS toks FROM documents) t),
+           |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    sum(x1) AS s1, sum(x1*x1) AS q1, sum(x2) AS s2, sum(x2*x2) AS q2,
+           |    sum(x3) AS s3, sum(x3*x3) AS q3,
+           |    sum(x1*x2) AS p12, sum(x1*x3) AS p13, sum(x2*x3) AS p23 FROM sg)
+           |SELECT 'n_tokens' AS sig_a, 'punct_ratio' AS sig_b,
+           |  round(CASE WHEN n*q1 - s1*s1 > 0 AND n*q2 - s2*s2 > 0
+           |    THEN (n*p12 - s1*s2) / sqrt((n*q1 - s1*s1) * (n*q2 - s2*s2)) END, 6) AS corr_r FROM a
+           |UNION ALL SELECT 'n_tokens', 'stopword_ratio',
+           |  round(CASE WHEN n*q1 - s1*s1 > 0 AND n*q3 - s3*s3 > 0
+           |    THEN (n*p13 - s1*s3) / sqrt((n*q1 - s1*s1) * (n*q3 - s3*s3)) END, 6) FROM a
+           |UNION ALL SELECT 'punct_ratio', 'stopword_ratio',
+           |  round(CASE WHEN n*q2 - s2*s2 > 0 AND n*q3 - s3*s3 > 0
+           |    THEN (n*p23 - s2*s3) / sqrt((n*q2 - s2*s2) * (n*q3 - s3*s3)) END, 6) FROM a""".stripMargin.replace("\n", " "),
+      // er3: the d8 cluster map as a subquery (the x26 convention), melt to
+      // (cluster, attr, value), modal value with (count DESC, value ASC)
+      // ties, pivot back over the known attr list.
+      "er3_survivorship" ->
+        s"""WITH mem AS (SELECT d.doc_id, c.rep_id, d.lang, d.source
+           |  FROM documents d JOIN ($ccClustersSql) c ON c.id = d.doc_id),
+           |mel AS (SELECT rep_id, 'lang' AS attr, lang AS value FROM mem
+           |  UNION ALL SELECT rep_id, 'source', source FROM mem),
+           |cnt AS (SELECT rep_id, attr, value, count(*) AS c FROM mel
+           |  WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+           |bst AS (SELECT rep_id, attr, value FROM (
+           |  SELECT rep_id, attr, value,
+           |    row_number() OVER (PARTITION BY rep_id, attr ORDER BY c DESC, value ASC) AS rn
+           |  FROM cnt) r WHERE rn = 1),
+           |nm AS (SELECT rep_id, count(DISTINCT doc_id) AS n_members FROM mem GROUP BY 1)
+           |SELECT nm.rep_id, nm.n_members,
+           |  max(CASE WHEN b.attr = 'lang' THEN b.value END) AS lang,
+           |  max(CASE WHEN b.attr = 'source' THEN b.value END) AS source
+           |FROM nm JOIN bst b ON b.rep_id = nm.rep_id GROUP BY 1, 2""".stripMargin.replace("\n", " ")
     )
   }
 }

@@ -996,4 +996,76 @@ object CorpusOps {
           .otherwise(raw).as("hll_est")
       }: _*)
   }
+
+  /** Pairwise Pearson correlation matrix of k numeric columns in ONE corpus
+    * pass — the signal-redundancy read behind every quality-gate design:
+    * two gates correlated at 0.95 are one gate paid for twice, and the only
+    * way to see that before wiring thresholds is this matrix. (Spark's
+    * built-in `corr` is one pair per pass; k signals would cost k²/2 scans.)
+    *
+    * Scale shape: a single map-side-combined aggregate computes n, Σx, Σx²
+    * per column and Σxy per pair (k + k + k(k−1)/2 scalar accumulators —
+    * dozens for any sane signal count), then the k(k−1)/2 output rows derive
+    * from that ONE row via a literal struct array + explode. Nothing is
+    * corpus-sized after the aggregate. corr = (nΣxy − ΣxΣy) /
+    * √((nΣx²−(Σx)²)(nΣy²−(Σy)²)), NULL when either variance is 0 (a
+    * constant signal has no correlation, not corr=0). Double sums are
+    * order-sensitive at ~1e-12 relative; callers round before cross-engine
+    * comparison.
+    *
+    * Output: (sig_a, sig_b, corr) for each a < b pair in `cols` order. */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "pearsonMatrix: need at least 2 columns")
+    val aggs = Seq(count(lit(1)).cast("double").as("_n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c)).as(s"_s_$c"), sum(col(c) * col(c)).as(s"_q_$c"))) ++
+      (for (i <- cols.indices; j <- (i + 1) until cols.size)
+        yield sum(col(cols(i)) * col(cols(j))).as(s"_p_${i}_$j"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = col("_n") * col(s"_p_${i}_$j") - col(s"_s_$a") * col(s"_s_$b")
+      val da = col("_n") * col(s"_q_$a") - col(s"_s_$a") * col(s"_s_$a")
+      val db = col("_n") * col(s"_q_$b") - col(s"_s_$b") * col(s"_s_$b")
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        when(da > 0 && db > 0, num / sqrt(da * db)).as("corr"))
+    }
+    row.select(explode(array(pairs: _*)).as("_pr")).select(col("_pr.*"))
+  }
+
+  /** Survivorship — the canonical-record step AFTER entity resolution or
+    * dedup clustering: each cluster keeps, per attribute, its MODAL non-null
+    * value (most members agree), ties to the smallest value — the standard
+    * deterministic merge rule (a majority of feeds carrying the right
+    * `lang` outvotes one mislabeled copy). Input: member records already
+    * carrying their cluster id (join your [[Dedup.connectedComponents]] /
+    * [[FuzzyMatch.resolutionClusters]] map upstream).
+    *
+    * Scale shape: attributes melt through ONE literal struct-array explode
+    * (k× row fan-out, k = attribute count), then two map-side-combined
+    * aggregates — (cluster, attr, value) counts, then per-(cluster, attr)
+    * argmax via the min_by struct trick (no window, no per-cluster sort) —
+    * and a k-column pivot over the KNOWN attr list. Nothing quadratic,
+    * nothing driver-side.
+    *
+    * Output: (cluster, n_members, <attr>... ) one row per cluster; an
+    * attribute null in every member stays null. */
+  def survivorship(records: DataFrame, clusterCol: String,
+      idCol: String, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "survivorship: no attributes")
+    val melted = records.select(col(clusterCol).as("cluster"), explode(array(
+        attrs.map(a => struct(lit(a).as("attr"), col(a).cast("string").as("value"))): _*))
+        .as("_m"))
+      .select(col("cluster"), col("_m.attr"), col("_m.value"))
+      .filter(col("value").isNotNull)
+    val best = melted
+      .groupBy("cluster", "attr", "value").agg(count(lit(1)).as("_c"))
+      .groupBy("cluster", "attr")
+      .agg(min_by(col("value"), struct((-col("_c")).as("nc"), col("value"))).as("_best"))
+    val members = records.groupBy(col(clusterCol).as("cluster"))
+      .agg(countDistinct(col(idCol)).as("n_members"))
+    members.join(
+      best.groupBy("cluster").pivot("attr", attrs).agg(first(col("_best"))),
+      Seq("cluster"), "left")
+  }
 }

@@ -195,6 +195,36 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(3L) == ((1, 1)))
   }
 
+  test("x32 pearsonMatrix: known correlations, constant column yields NULL") {
+    import graft.operators.CorpusOps
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+      .toDF("a", "b", "c", "k")
+    val got = CorpusOps.pearsonMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(math.round(r.getDouble(2) * 1e9) / 1e9)))
+      .toMap
+    assert(got.size == 6) // 4 choose 2 pairs, one aggregate pass
+    assert(got(("a", "b")) == Some(1.0)) // b = 2a
+    assert(got(("a", "c")) == Some(-1.0)) // c = -a
+    assert(got(("b", "c")) == Some(-1.0))
+    assert(got(("a", "k")) == None) // zero variance → NULL, not corr=0
+  }
+
+  test("er3 survivorship: modal value wins, ties to min, all-null attr stays null") {
+    import graft.operators.CorpusOps
+    val members = Seq(
+      (10L, 1L, "en", "feedA"), (10L, 2L, "en", "feedB"), (10L, 3L, "de", null),
+      (20L, 4L, "fr", null), (20L, 5L, "es", null)) // lang tie → min ("es")
+      .toDF("rep_id", "doc_id", "lang", "source")
+    val got = CorpusOps.survivorship(members, "rep_id", "doc_id", Seq("lang", "source"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), Option(r.getString(3)))).toMap
+    assert(got(10L) == ((3L, "en", Some("feedA")))) // en 2-1; source tie feedA<feedB
+    assert(got(20L) == ((2L, "es", None))) // tie → min; source all null stays null
+  }
+
   test("ev7 decayedCounts: recency outweighs raw volume; exact half-life steps") {
     val DayNs = 86400000000000L
     // "old": 4 events 2 days ago → 4 * 2^-2 = 1.0 decayed.
