@@ -2289,6 +2289,16 @@ object SparkEntry {
       CorpusOps.survivorship(members, "rep_id", "doc_id", Seq("lang", "source"))
         .select(col("cluster").as("rep_id"), col("n_members"),
           col("lang"), col("source"))
+    }),
+    // G23 per-community conductance over the g13 communities — the boundary
+    // leakiness grade (g19 scores the partition, this scores EACH cluster).
+    // See LabelPropagation.conductance.
+    "g23_conductance" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val labels = LabelPropagation.run(edges, rounds = 4)
+      LabelPropagation.conductance(labels, edges)
+        .select(col("community"), col("n_nodes"), col("volume"), col("cut_edges"),
+          round(col("conductance"), 6).as("conductance_r"))
     })
   )
 
@@ -4631,7 +4641,26 @@ object SparkEntry {
            |SELECT nm.rep_id, nm.n_members,
            |  max(CASE WHEN b.attr = 'lang' THEN b.value END) AS lang,
            |  max(CASE WHEN b.attr = 'source' THEN b.value END) AS source
-           |FROM nm JOIN bst b ON b.rep_id = nm.rep_id GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+           |FROM nm JOIN bst b ON b.rep_id = nm.rep_id GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // g23: the g19 join CTE over the shared 4-round LPA labels; volumes =
+      // directed-edge counts at the source (both directions present), total
+      // volume a scalar subquery, zero-volume communities NULL.
+      "g23_conductance" ->
+        s"""WITH $lpaCtes,
+           |j AS (SELECT e.src, e.dst, la.label AS la, lb.label AS lb
+           |  FROM e0 e JOIN l4 la ON la.id = e.src JOIN l4 lb ON lb.id = e.dst),
+           |nn AS (SELECT label, count(*) AS n_nodes FROM l4 GROUP BY 1),
+           |vol AS (SELECT la AS label, count(*) AS vol FROM j GROUP BY 1),
+           |cut AS (SELECT la AS label, count(*) AS cut FROM j WHERE la <> lb GROUP BY 1),
+           |vt AS (SELECT count(*) AS v FROM j)
+           |SELECT nn.label AS community, nn.n_nodes,
+           |  CAST(coalesce(vol.vol, 0) AS BIGINT) AS volume,
+           |  CAST(coalesce(cut.cut, 0) AS BIGINT) AS cut_edges,
+           |  round(CASE WHEN least(coalesce(vol.vol, 0), (SELECT v FROM vt) - coalesce(vol.vol, 0)) > 0
+           |    THEN CAST(coalesce(cut.cut, 0) AS DOUBLE)
+           |      / least(coalesce(vol.vol, 0), (SELECT v FROM vt) - coalesce(vol.vol, 0)) END, 6) AS conductance_r
+           |FROM nn LEFT JOIN vol ON nn.label = vol.label
+           |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " ")
     )
   }
 }

@@ -92,4 +92,41 @@ object LabelPropagation {
         (einD / col("_etot") -
           (degD / col("_etot")) * (degD / col("_etot"))).as("contrib"))
   }
+
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), vol(G) − vol(C))
+    * — [[modularity]]'s sharper companion: modularity rewards a partition
+    * globally, conductance grades each community's BOUNDARY (how leaky is
+    * this cluster), which is the go/no-go read before community-scoped work
+    * (per-community dedup, topic-sharded retrieval) trusts one specific
+    * community rather than the whole split. Low φ = tight community; φ near
+    * 1 = a random slice.
+    *
+    * Scale shape: ONE labels⋈edges⋈labels join (pinned — both the volume
+    * and cut aggregates read it), then community-sized counts; volumes via
+    * the directed-edge count at the source (the edge list carries both
+    * directions, so that IS Σ deg over members), total volume as a 1-row
+    * broadcast. All ratio inputs exact BIGINTs. Rows drive from the label
+    * table, so an all-isolated community surfaces with zeros and a NULL φ
+    * (undefined — no volume to leak), never a dropped row.
+    *
+    * Output: (community, n_nodes, volume, cut_edges, conductance). */
+  def conductance(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val j = edges.select(col("src"), col("dst"))
+      .join(labels.select(col("id").as("src"), col("label").as("_la")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("label").as("_lb")), Seq("dst"))
+      .localCheckpoint(true) // read by the volume, cut, and total aggregates
+    val nn = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val vol = j.groupBy(col("_la").as("label")).agg(count(lit(1)).as("volume"))
+    val cut = j.filter(col("_la") =!= col("_lb"))
+      .groupBy(col("_la").as("label")).agg(count(lit(1)).as("cut_edges"))
+    val tot = j.agg(count(lit(1)).as("_vtot"))
+    val v = coalesce(col("volume"), lit(0L))
+    val c = coalesce(col("cut_edges"), lit(0L))
+    val denom = least(v, col("_vtot") - v)
+    nn.join(vol, Seq("label"), "left").join(cut, Seq("label"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("label").as("community"), col("n_nodes"),
+        v.as("volume"), c.as("cut_edges"),
+        when(denom > 0, c.cast("double") / denom).as("conductance"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.eval.Recall
+import graft.operators.Dedup
+import org.scalacheck.Gen
+
+/** Randomized properties for the round-10 eval/dedup additions — invariants
+  * that hold for ANY input, checked against brute force or algebra:
+  * AUC is rank-only (monotone score transforms are no-ops), the bootstrap
+  * interval is bracketed by the metric's range, pair quality is orientation-
+  * invariant. These are the corners a fixed fixture never exercises. */
+class EvalPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val scoredGen = Gen.listOfN(40, for {
+    s <- Gen.chooseNum(0, 20) // coarse grid → plenty of score ties
+    y <- Gen.oneOf(0, 1)
+  } yield (s.toDouble / 20, y))
+
+  test("aucRoc is invariant under strictly monotone score transforms") {
+    Iterator.continually(scoredGen.sample).flatten.take(6).foreach { rows =>
+      val df = rows.toDF("s", "y")
+      def auc(d: org.apache.spark.sql.DataFrame) =
+        Recall.aucRoc(d, "s", "y").select("auc").collect().head
+      val base = auc(df)
+      // x → x³ + 2x is strictly increasing: ranks unchanged ⇒ AUC unchanged
+      val mono = auc(df.select((col("s") * col("s") * col("s") + col("s") * 2).as("s"),
+        col("y")))
+      assert(base == mono, s"rows=$rows")
+      // reversing the score order flips AUC to 1 − AUC (both classes present)
+      if (!base.isNullAt(0)) {
+        val rev = auc(df.select((-col("s")).as("s"), col("y")))
+        assert(math.abs(base.getDouble(0) + rev.getDouble(0) - 1.0) < 1e-12)
+      }
+    }
+  }
+
+  test("aucRoc equals the O(n²) pair count on arbitrary inputs") {
+    Iterator.continually(scoredGen.sample).flatten.take(6).foreach { rows =>
+      val r = Recall.aucRoc(rows.toDF("s", "y"), "s", "y").collect().head
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) assert(r.isNullAt(3))
+      else {
+        val want = (for (p <- pos; n <- neg)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+        assert(math.abs(r.getDouble(3) - want) < 1e-12, s"rows=$rows")
+      }
+    }
+  }
+
+  test("bootstrapCi interval lies within [min, max] of the metric values") {
+    val metricsGen = Gen.listOfN(25, Gen.chooseNum(0, 10).map(_ / 10.0))
+    Iterator.continually(metricsGen.sample).flatten.take(4).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (f"q$i%03d", v) }
+        .toDF("question_id", "v")
+      val r = Recall.bootstrapCi(df, "question_id", "v", reps = 60).collect().head
+      val (lo, mean, hi) = (r.getDouble(3), r.getDouble(2), r.getDouble(4))
+      assert(lo <= mean && mean <= hi, s"vs=$vs")
+      assert(lo >= vs.min - 1e-9 && hi <= vs.max + 1e-9, s"vs=$vs")
+    }
+  }
+
+  test("pairQuality is invariant under pair orientation and duplication") {
+    val pairsGen = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L); if a != b
+    } yield (a, b))
+    Iterator.continually((for { c <- pairsGen; t <- pairsGen } yield (c, t)).sample)
+      .flatten.take(4).foreach { case (cand, truth) =>
+        val c1 = cand.toDF("id_a", "id_b")
+        // flip every pair and duplicate the list: same canonical set
+        val c2 = cand.map(p => (p._2, p._1)).toDF("id_a", "id_b").unionAll(c1)
+        val t1 = truth.toDF("id_a", "id_b")
+        val r1 = Dedup.pairQuality(c1, t1).collect().head
+        val r2 = Dedup.pairQuality(c2, t1).collect().head
+        assert(r1 == r2, s"cand=$cand truth=$truth")
+      }
+  }
+}

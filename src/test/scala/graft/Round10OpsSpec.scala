@@ -225,6 +225,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(20L) == ((2L, "es", None))) // tie → min; source all null stays null
   }
 
+  test("g23 conductance: two bridged triangles, isolated community NULL") {
+    import graft.operators.LabelPropagation
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B"), (7L, "C")).toDF("id", "label")
+    val got = LabelPropagation.conductance(labels, edges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // vol(A) = 6 intra-directed + 1 bridge out = 7; cut = 1; φ = 1/7.
+    assert(got("A") == ((3L, 7L, 1L, Some(1.0 / 7))))
+    assert(got("B") == ((3L, 7L, 1L, Some(1.0 / 7))))
+    assert(got("C") == ((1L, 0L, 0L, None))) // no volume to leak → undefined
+  }
+
   test("ev7 decayedCounts: recency outweighs raw volume; exact half-life steps") {
     val DayNs = 86400000000000L
     // "old": 4 events 2 days ago → 4 * 2^-2 = 1.0 decayed.
