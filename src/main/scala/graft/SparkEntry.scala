@@ -2299,6 +2299,20 @@ object SparkEntry {
       LabelPropagation.conductance(labels, edges)
         .select(col("community"), col("n_nodes"), col("volume"), col("cut_edges"),
           round(col("conductance"), 6).as("conductance_r"))
+    }),
+    // MM3 perceptual average-hash for image dedup: real decode is probed
+    // (and fails over the synthetic text-byte payloads — exercising the
+    // probe), the byte-grid fallback hashes deterministically; real-pixel
+    // hashing is golden-pinned in MultimodalSpec (PNG ≡ BMP). The 64-bit
+    // hash ships as unsigned halves for the cross-engine compare. See
+    // Multimodal.imageAHash.
+    "mm3_image_ahash" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(
+        t(s, dir, "documents").filter(col("n_chars") > 0), "doc_id", "text", "image")
+      Multimodal.imageAHash(assets)
+        .select(col("asset_id"), col("decoded"),
+          col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
     })
   )
 
@@ -4660,7 +4674,28 @@ object SparkEntry {
            |    THEN CAST(coalesce(cut.cut, 0) AS DOUBLE)
            |      / least(coalesce(vol.vol, 0), (SELECT v FROM vt) - coalesce(vol.vol, 0)) END, 6) AS conductance_r
            |FROM nn LEFT JOIN vol ON nn.label = vol.label
-           |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " ")
+           |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " "),
+      // mm3: the byte-grid fallback replayed over character codes (payloads
+      // are ASCII text bytes, so ord ≡ byte); cell = floor(64·(i−1)/n), bit
+      // via the exact integer cross-product, hash packed as 32-bit halves
+      // (pow(2, 63) would overflow BIGINT — the d3 nBits lesson).
+      "mm3_image_ahash" ->
+        """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id, text, length(text) AS n
+          |  FROM documents WHERE n_chars > 0),
+          |pos AS (SELECT asset_id, n, text, unnest(generate_series(1, n)) AS i FROM d),
+          |ch AS (SELECT asset_id, CAST(((i - 1) * 64) // n AS INTEGER) AS cell,
+          |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v FROM pos),
+          |cel AS (SELECT asset_id, cell, CAST(sum(v) AS BIGINT) AS c, count(*) AS k
+          |  FROM ch GROUP BY 1, 2),
+          |tot AS (SELECT asset_id, CAST(sum(c) AS BIGINT) AS s, CAST(sum(k) AS BIGINT) AS nn
+          |  FROM cel GROUP BY 1),
+          |bits AS (SELECT cel.asset_id, cel.cell,
+          |    CASE WHEN cel.c * tot.nn > tot.s * cel.k THEN 1 ELSE 0 END AS b
+          |  FROM cel JOIN tot ON cel.asset_id = tot.asset_id)
+          |SELECT asset_id, false AS decoded,
+          |  CAST(coalesce(sum(CASE WHEN b = 1 AND cell < 32 THEN CAST(pow(2, cell) AS BIGINT) END), 0) AS BIGINT) AS ahash_lo,
+          |  CAST(coalesce(sum(CASE WHEN b = 1 AND cell >= 32 THEN CAST(pow(2, cell - 32) AS BIGINT) END), 0) AS BIGINT) AS ahash_hi
+          |FROM bits GROUP BY 1""".stripMargin.replace("\n", " ")
     )
   }
 }

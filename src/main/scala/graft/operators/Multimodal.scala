@@ -208,6 +208,86 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) — the classic image near-dup
+    * fingerprint: the DECODED image is block-averaged onto an 8×8 luminance
+    * grid, and bit k is set when cell k's mean beats the image's GLOBAL
+    * mean — a 64-bit signature whose Hamming distance tracks visual
+    * similarity (resize/recompression-invariant by construction: the block
+    * average absorbs them). Downstream, pair hashes exactly like e8's
+    * binary signatures (XOR + popcount, Hamming-bucket blocking) for
+    * corpus-scale image dedup.
+    *
+    * The global-mean criterion (classic aHash uses the mean of cell means)
+    * is chosen for exactness: every comparison is the integer cross-product
+    * cellSum·N > total·cellCount — no accumulated-float tie can flip a bit,
+    * on any engine, for integer-valued inputs (bytes; pixel lumas are
+    * deterministic doubles within the JVM).
+    *
+    * Undecodable payloads and non-image modalities take the byte-grid
+    * fallback (raw byte values block-averaged onto the same 64 cells,
+    * `decoded = false`) — the mm1/mm2 convention: the Spark-side shape
+    * (schema, batching, partitioning) is exercised end-to-end with no codec,
+    * and the byte path is reproducible by any engine that can read bytes.
+    *
+    * Output: (asset_id, decoded BOOLEAN, ahash BIGINT — all 64 bits used;
+    * split with shiftrightunsigned for engines without unsigned longs). */
+  def imageAHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "modality", "payload").mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val cells = new Array[Double](64)
+          val counts = new Array[Long](64)
+          var isDecoded = false
+          if (r.getString(1) == "image") decodeImage(payload).foreach { img =>
+            isDecoded = true
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = ((rgb >> 16) & 0xff) * 0.299 +
+                  ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+                val cell = (y * 8 / h) * 8 + (x * 8 / w)
+                cells(cell) += luma
+                counts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          if (!isDecoded && payload != null) {
+            val n = payload.length
+            var i = 0
+            while (i < n) {
+              val cell = (i.toLong * 64 / n).toInt
+              cells(cell) += (payload(i) & 0xff)
+              counts(cell) += 1
+              i += 1
+            }
+          }
+          val total = cells.sum
+          val nAll = counts.sum
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            // cell mean > global mean, as an exact cross-product (no division)
+            if (counts(k) > 0 && cells(k) * nAll > total * counts(k))
+              hash |= (1L << k)
+            k += 1
+          }
+          Row(r.getString(0), isDecoded, hash)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling shape for video: emit every `stride`-th "frame" (here: fixed-
     * size byte windows of the payload — the real impl swaps the window iterator
     * for a codec's frame iterator; partitioning/explode shape is identical). */

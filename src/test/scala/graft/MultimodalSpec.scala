@@ -172,4 +172,28 @@ class MultimodalSpec extends SparkSpec {
       .digest(frames.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(md5 == "b4dd7e9feb27e6d88e23b55a6705c4c8", s"rows=${frames.linesIterator.size} md5=$md5")
   }
+
+  test("imageAHash: real pixels (PNG == BMP), byte fallback, bright-half bits") {
+    // left half black, right half white: cells 0-3 of each grid row dark,
+    // cells 4-7 bright -> exactly the bright-half bits set in every row
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xffffff)
+    val png = encode(img, "png")
+    val bmp = encode(img, "bmp")
+    val assets = Seq(("png", png), ("bmp", bmp), ("junk", Array[Byte](1, 2, 3, 4)))
+      .toDF("id", "bytes")
+    val got = Multimodal.imageAHash(Multimodal.toAssets(assets, "id", "bytes", "image"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(got("png")._1 && got("bmp")._1 && !got("junk")._1)
+    // PNG and BMP encode DIFFERENT bytes of the SAME pixels: equal hashes
+    // pin that the hash comes from decoded content, not payload bytes
+    assert(png.toSeq != bmp.toSeq)
+    assert(got("png")._2 == got("bmp")._2)
+    // expected: bit (row*8 + col) set iff col >= 4, for all 8 rows
+    val want = (for (row <- 0 until 8; c <- 4 until 8) yield 1L << (row * 8 + c)).sum
+    assert(got("png")._2 == want, f"got ${got("png")._2}%016x want $want%016x")
+    // the undecodable payload still hashes deterministically via bytes
+    assert(got("junk")._2 != 0L)
+  }
 }
