@@ -2300,6 +2300,43 @@ object SparkEntry {
         .select(col("community"), col("n_nodes"), col("volume"), col("cut_edges"),
           round(col("conductance"), 6).as("conductance_r"))
     }),
+    // G24 degree assortativity (Newman 2002): Pearson correlation of
+    // (deg(u), deg(v)) over every directed edge — one scalar that says
+    // whether hubs link to hubs (assortative, > 0) or to leaves
+    // (disassortative, < 0): the shape read that predicts whether the
+    // P4 expansion loop's frontier explodes through hub-hub chains.
+    // Composes the x32 moment kernel over a broadcast degree join.
+    "g24_assortativity" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+      val degB = broadcast(deg)
+      val pairs = edges
+        .join(degB.select(col("id").as("src"), col("_d").as("du")), Seq("src"))
+        .join(degB.select(col("id").as("dst"), col("_d").as("dv")), Seq("dst"))
+        .select(col("du").cast("double").as("du"), col("dv").cast("double").as("dv"))
+      CorpusOps.pearsonMatrix(pairs, Seq("du", "dv"))
+        .select(round(col("corr"), 6).as("assortativity_r"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_directed_edges")))
+        .select(col("n_directed_edges"), col("assortativity_r"))
+    }),
+    // X33 dedup threshold curve: pair and document counts at six Jaccard
+    // cut points from ONE exact-pair scan (the m6 sweep convention) — the
+    // data that picks a near-dup threshold BEFORE committing a corpus run.
+    "x33_dup_threshold_curve" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(spread(t(s, dir, "documents")),
+          "doc_id", "text", shingleSize = 3, minJaccard = 0.3)
+        .localCheckpoint(true) // read once per threshold branch
+      val th = s.createDataFrame(
+        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8).map(Tuple1(_))).toDF("threshold")
+      pairs.crossJoin(broadcast(th))
+        .filter(col("jaccard") >= col("threshold"))
+        .select(col("threshold"), col("id_a"), col("id_b"))
+        .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"),
+          col("id_a"), col("id_b"))
+        .groupBy("threshold")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("id")).as("n_docs_involved"))
+    }),
     // MM3 perceptual average-hash for image dedup: real decode is probed
     // (and fails over the synthetic text-byte payloads — exercising the
     // probe), the byte-grid fallback hashes deterministically; real-pixel
@@ -4675,6 +4712,43 @@ object SparkEntry {
            |      / least(coalesce(vol.vol, 0), (SELECT v FROM vt) - coalesce(vol.vol, 0)) END, 6) AS conductance_r
            |FROM nn LEFT JOIN vol ON nn.label = vol.label
            |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " "),
+      // g24: the g15 co-occurrence CTEs + a degree self-join feeding the
+      // x32 moment formula — degrees are integers, so every sum is an exact
+      // double and the correlation is engine-exact before rounding.
+      "g24_assortativity" ->
+        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+          |pairs AS (SELECT CAST(du.d AS DOUBLE) AS x1, CAST(dv.d AS DOUBLE) AS x2
+          |  FROM e0 JOIN deg du ON du.src = e0.src JOIN deg dv ON dv.src = e0.dst),
+          |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x1*x1) AS q1,
+          |    sum(x2) AS s2, sum(x2*x2) AS q2, sum(x1*x2) AS p12 FROM pairs),
+          |ne AS (SELECT count(*) AS n_directed_edges FROM e0)
+          |SELECT ne.n_directed_edges,
+          |  round(CASE WHEN n*q1 - s1*s1 > 0 AND n*q2 - s2*s2 > 0
+          |    THEN (n*p12 - s1*s2) / sqrt((n*q1 - s1*s1) * (n*q2 - s2*s2)) END, 6)
+          |    AS assortativity_r
+          |FROM ne, a""".stripMargin.replace("\n", " "),
+      // x33: the d4 pair CTEs fanned into six thresholds; pair counts halved
+      // from the two-row explode exactly as the Spark side does.
+      "x33_dup_threshold_curve" ->
+        s"""WITH dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
+           |sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+           |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+           |pj AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+           |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+           |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3),
+           |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+           |  FROM (VALUES (0.3), (0.4), (0.5), (0.6), (0.7), (0.8)) v(x)),
+           |f AS (SELECT threshold, id_a, id_b FROM pj, th WHERE j >= threshold),
+           |e AS (SELECT threshold, id_a AS id FROM f UNION ALL SELECT threshold, id_b FROM f)
+           |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           |  count(DISTINCT id) AS n_docs_involved
+           |FROM e GROUP BY 1""".stripMargin.replace("\n", " "),
       // mm3: the byte-grid fallback replayed over character codes (payloads
       // are ASCII text bytes, so ord ≡ byte); cell = floor(64·(i−1)/n), bit
       // via the exact integer cross-product, hash packed as 32-bit halves

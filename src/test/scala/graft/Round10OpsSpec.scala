@@ -241,6 +241,47 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("C") == ((1L, 0L, 0L, None))) // no volume to leak → undefined
   }
 
+  test("g24 assortativity building blocks: star graph is exactly -1, ring is NULL") {
+    import graft.operators.CorpusOps
+    // star: hub 0 to leaves 1..4, both directions. Degree pairs are (4,1)
+    // and (1,4) — perfect anti-correlation.
+    val und = (1L to 4L).map(l => (0L, l))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+    val pairs = edges
+      .join(deg.select(col("id").as("src"), col("_d").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("_d").as("dv")), Seq("dst"))
+      .select(col("du").cast("double").as("du"), col("dv").cast("double").as("dv"))
+    val r = CorpusOps.pearsonMatrix(pairs, Seq("du", "dv")).collect().head
+    assert(r.getDouble(2) == -1.0) // exact: integer moments, no float noise
+    // ring: every degree 2 → zero variance → NULL, not 0
+    val ringU = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val ring = ringU.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val rdeg = ring.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+    val rp = ring
+      .join(rdeg.select(col("id").as("src"), col("_d").as("du")), Seq("src"))
+      .join(rdeg.select(col("id").as("dst"), col("_d").as("dv")), Seq("dst"))
+      .select(col("du").cast("double").as("du"), col("dv").cast("double").as("dv"))
+    assert(CorpusOps.pearsonMatrix(rp, Seq("du", "dv")).collect().head.isNullAt(2))
+  }
+
+  test("x33 threshold curve: counts are monotone non-increasing in the threshold") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "alpha beta gamma delta other words here now"), // mid overlap
+      (4L, "completely different content with no shared shingles at all"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.1)
+    val byTh = Seq(0.1, 0.3, 0.6).map { th =>
+      th -> pairs.filter(col("jaccard") >= th).count()
+    }
+    assert(byTh.map(_._2) == byTh.map(_._2).sorted.reverse) // monotone
+    assert(byTh.head._2 >= 2) // 1~2 strongly, 1~3/2~3 weakly
+    assert(byTh.last._2 >= 1) // the near-dup pair survives a high cut
+  }
+
   test("ev7 decayedCounts: recency outweighs raw volume; exact half-life steps") {
     val DayNs = 86400000000000L
     // "old": 4 events 2 days ago → 4 * 2^-2 = 1.0 decayed.
