@@ -2300,6 +2300,17 @@ object SparkEntry {
         .select(col("community"), col("n_nodes"), col("volume"), col("cut_edges"),
           round(col("conductance"), 6).as("conductance_r"))
     }),
+    // D18 the same exact-Jaccard(≥0.5) pairs as d4 through the PREFIX-
+    // FILTERED join (SSJoin/PPJoin): the corpus-wide self-join touches only
+    // each document's rarest prefix tokens; hot-shingle skew is structurally
+    // absent. Same oracle as d4 — two algorithms, one answer. See
+    // Dedup.prefixFilteredJaccardPairs.
+    "d18_prefix_jaccard" -> ((s, dir) => {
+      val sh = Dedup.shingleRows(spread(t(s, dir, "documents")), "doc_id", "text",
+        shingleSize = 3).distinct().localCheckpoint(true)
+      Dedup.prefixFilteredJaccardPairs(sh, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+    }),
     // G24 degree assortativity (Newman 2002): Pearson correlation of
     // (deg(u), deg(v)) over every directed edge — one scalar that says
     // whether hubs link to hubs (assortative, > 0) or to leaves
@@ -2491,6 +2502,19 @@ object SparkEntry {
       s"""SELECT doc_id AS id,
          |  ${(0 until 6).map(i => s"min(md5('mh$i-' || sh)) AS sig_$i").mkString(", ")}
          |FROM ($docShingles) s GROUP BY doc_id""".stripMargin.replace("\n", " ")
+    // Exact Jaccard(≥0.5) pairs over the doc shingle sets — shared verbatim
+    // by d4 (full posting-list join) and d18 (prefix-filtered join): two
+    // algorithms, one answer, one SQL.
+    val jaccardPairsSql =
+      s"""WITH dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
+         |sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM (
+         |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+         |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
+         |WHERE j >= 0.5""".stripMargin.replace("\n", " ")
     // Transitive dedup-cluster assignment (reachability min-id) — shared by
     // d8 (label propagation) and d9 (large-star/small-star): the clustering
     // is algorithm-independent, so one SQL answer checks both.
@@ -3532,16 +3556,11 @@ object SparkEntry {
           |sums AS (SELECT id, j, sum(contrib) AS s FROM bits GROUP BY id, j)
           |SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           |FROM sums GROUP BY id""".stripMargin.replace("\n", " "),
-      "d4_ngram_jaccard" ->
-        s"""WITH dsh AS (SELECT DISTINCT doc_id AS id, sh FROM ($docShingles) s),
-           |sizes AS (SELECT id, count(*) AS sz FROM dsh GROUP BY id),
-           |inter AS (
-           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-           |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
-           |SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM (
-           |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
-           |  FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id) t
-           |WHERE j >= 0.5""".stripMargin.replace("\n", " "),
+      "d4_ngram_jaccard" -> jaccardPairsSql,
+      // d18: the PREFIX-FILTERED algorithm under the SAME oracle as d4 —
+      // the pair set is algorithm-independent, so one SQL answer checks
+      // both implementations (the d8/d9 convention).
+      "d18_prefix_jaccard" -> jaccardPairsSql,
       // d16: per-key (copies, distinct groups) stats joined back — the same
       // normalization as d1; BIGINT/BIGINT→DOUBLE division is float-exact.
       "d16_dup_by_source" ->

@@ -550,6 +550,57 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Exact Jaccard pairs by PREFIX FILTERING (the SSJoin/PPJoin family —
+    * Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): the scale path for the
+    * same answer [[ngramJaccardPairs]] computes by joining FULL posting
+    * lists. Under one global token order (rarest first), two sets with
+    * J ≥ t must share a token within their PREFIXES of length
+    * |x| − ⌈t·|x|⌉ + 1 — because J ≥ t forces |x∩y| ≥ ⌈t·max(|x|,|y|)⌉,
+    * and an intersection that large cannot hide entirely in both suffixes.
+    * So the corpus-wide self-join touches only prefix tokens (by
+    * construction the RAREST per document — small posting lists exactly
+    * where the join fans out), and the exact intersection count runs only
+    * over surviving candidate pairs: verify cost is candidates × document
+    * size, never corpus². The frequent-shingle join skew that
+    * [[ngramJaccardPairs]] must prune heuristically (maxShingleFreq) is
+    * structurally absent here — hot tokens sort to the suffix and never
+    * enter the join.
+    *
+    * CONTRACT: `docSh` must be DISTINCT (id, sh) and pinned (it feeds the
+    * df/size aggregates, the prefix ranking, and both verify legs). The
+    * per-document ranking window partitions by id — document-sized, never
+    * global. Output: (id_a, id_b, jaccard) with id_a < id_b, EXACTLY the
+    * [[ngramJaccardPairsFromShingles]] rows at the same threshold (the
+    * d8/d9 two-algorithms-one-oracle pattern; equality is oracle-checked
+    * at minJaccard = 0.5 and spec-checked against the full join). */
+  def prefixFilteredJaccardPairs(docSh: DataFrame, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"prefixFilteredJaccardPairs: threshold must be in (0, 1], got $minJaccard")
+    import org.apache.spark.sql.expressions.Window
+    val df = docSh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    val sizes = docSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("sh"))
+    val prefix = docSh.join(df, Seq("sh"))
+      .withColumn("_rk", row_number().over(w))
+      .join(sizes, Seq("id"))
+      .filter(col("_rk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(docSh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(docSh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sza")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("_i").cast("double") / (col("_sza") + col("_szb") - col("_i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Candidate-pair quality against a ground-truth pair set — the tuning
     * read that closes the dedup loop: every approximate family here (LSH
     * banding, SimHash, blocked cosine) trades recall for candidate count

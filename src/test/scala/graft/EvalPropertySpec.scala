@@ -62,6 +62,30 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("d18 prefix-filtered Jaccard equals the full posting join on random corpora") {
+    // random docs from a small vocabulary → dense near-dup structure, every
+    // threshold regime hit; equality must be EXACT (same pairs, same scores)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.listOfN(18, for {
+      n <- Gen.chooseNum(4, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    Iterator.continually(docGen.sample).flatten.take(5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.5, 0.8)) {
+        val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .distinct().localCheckpoint(true)
+        def canon(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("j"))
+          .as[(Long, Long, Double)].collect().toSet
+        val full = canon(Dedup.ngramJaccardPairsFromShingles(sh, t, 1000000L))
+        val pref = canon(Dedup.prefixFilteredJaccardPairs(sh, t))
+        assert(pref == full, s"t=$t texts=$texts")
+      }
+    }
+  }
+
   test("pairQuality is invariant under pair orientation and duplication") {
     val pairsGen = Gen.listOfN(30, for {
       a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L); if a != b
