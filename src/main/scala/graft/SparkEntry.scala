@@ -2300,6 +2300,17 @@ object SparkEntry {
         .select(col("community"), col("n_nodes"), col("volume"), col("cut_edges"),
           round(col("conductance"), 6).as("conductance_r"))
     }),
+    // CS8 token-mass weighted length quantiles: "half the corpus's TOKENS
+    // live in documents shorter than …" — the packing/budget planning read
+    // cs1's unweighted percentiles get wrong whenever a few giant docs carry
+    // most of the mass. See CorpusOps.weightedQuantiles.
+    "cs8_weighted_quantiles" -> ((s, dir) => {
+      val sig = t(s, dir, "documents")
+        .select(col("n_chars").as("len"),
+          TA.tokenCountT(Norm.normTokens(col("text"))).cast("long").as("toks"))
+      CorpusOps.weightedQuantiles(sig, "len", "toks", Seq(0.25, 0.5, 0.9))
+        .select(col("q"), col("value").as("len_at_mass"))
+    }),
     // D18 the same exact-Jaccard(≥0.5) pairs as d4 through the PREFIX-
     // FILTERED join (SSJoin/PPJoin): the corpus-wide self-join touches only
     // each document's rarest prefix tokens; hot-shingle skew is structurally
@@ -4731,6 +4742,17 @@ object SparkEntry {
            |      / least(coalesce(vol.vol, 0), (SELECT v FROM vt) - coalesce(vol.vol, 0)) END, 6) AS conductance_r
            |FROM nn LEFT JOIN vol ON nn.label = vol.label
            |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " "),
+      // cs8: (value → Σweight) collapse, cumulative window, q·W thresholds —
+      // integer weights so the cut comparisons are engine-exact.
+      "cs8_weighted_quantiles" ->
+        s"""WITH sig AS (SELECT n_chars AS len, len($toksDoc) AS toks FROM documents),
+           |bv AS (SELECT len, CAST(sum(toks) AS BIGINT) AS w FROM sig GROUP BY 1),
+           |cm AS (SELECT len, w,
+           |    sum(w) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(w) OVER () AS tot FROM bv),
+           |qf AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.25), (0.5), (0.9)) v(x))
+           |SELECT q, min(len) AS len_at_mass FROM cm, qf
+           |WHERE cum >= q * tot GROUP BY 1""".stripMargin.replace("\n", " "),
       // g24: the g15 co-occurrence CTEs + a degree self-join feeding the
       // x32 moment formula — degrees are integers, so every sum is an exact
       // double and the correlation is engine-exact before rounding.

@@ -997,6 +997,38 @@ object CorpusOps {
       }: _*)
   }
 
+  /** Weighted quantiles: the smallest value v whose cumulative WEIGHT
+    * reaches q·W — e.g. document length at token-mass quantiles ("half the
+    * corpus's tokens live in documents shorter than …"), the planning read
+    * for sequence packing and token budgets that unweighted length
+    * percentiles (cs1) get wrong whenever size and count diverge (they
+    * always do: a few giant docs carry most of the mass).
+    *
+    * Scale shape: one map-side-combined (value → Σweight) aggregate, a
+    * single-partition cumulative window over the DISTINCT-VALUE-sized
+    * collapsed table (the m8 convention — literal partition key, bounded by
+    * value cardinality, never corpus-sized), then a broadcast quantile
+    * fan-out and a min-aggregate. Thresholds q·W compute identically on any
+    * engine (integer W, literal q).
+    *
+    * Output: (q, value) — one row per requested quantile. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    import org.apache.spark.sql.expressions.Window
+    val byVal = df.groupBy(col(valueCol).as("_v"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal.withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("_tot", sum(col("_w")).over(
+        Window.partitionBy(lit(0))))
+    val qf = df.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    cum.crossJoin(broadcast(qf))
+      .filter(col("_cum") >= col("q") * col("_tot"))
+      .groupBy("q").agg(min(col("_v")).as("value"))
+  }
+
   /** Pairwise Pearson correlation matrix of k numeric columns in ONE corpus
     * pass — the signal-redundancy read behind every quality-gate design:
     * two gates correlated at 0.95 are one gate paid for twice, and the only

@@ -282,6 +282,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(byTh.last._2 >= 1) // the near-dup pair survives a high cut
   }
 
+  test("cs8 weightedQuantiles: mass cuts differ from count cuts by construction") {
+    import graft.operators.CorpusOps
+    // 9 docs of length 10 (weight 1 each) + 1 doc of length 1000 carrying
+    // weight 991: count-median is 10, but half the MASS is in the giant.
+    val rows = (1 to 9).map(_ => (10L, 1L)) :+ ((1000L, 991L))
+    val df = rows.toDF("len", "toks")
+    val got = CorpusOps.weightedQuantiles(df, "len", "toks", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got(0.5) == 1000L) // weighted median = the giant
+    assert(got(0.9) == 1000L)
+    val count = CorpusOps.weightedQuantiles(
+        df.withColumn("one", lit(1L)), "len", "one", Seq(0.5))
+      .collect().head.getLong(1)
+    assert(count == 10L) // unweighted median — the divergence cs8 exists to expose
+  }
+
   test("ev7 decayedCounts: recency outweighs raw volume; exact half-life steps") {
     val DayNs = 86400000000000L
     // "old": 4 events 2 days ago → 4 * 2^-2 = 1.0 decayed.
