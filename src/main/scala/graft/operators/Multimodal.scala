@@ -49,17 +49,37 @@ object Multimodal {
     * payload bytes → BufferedImage, None when the bytes aren't a supported
     * image. ImageIO instances are not thread-safe to share, but each call
     * creates its own reader — safe under Spark's task parallelism. */
+  /** Decoded-image pixel cap (≈64 MiB as TYPE_INT_RGB): a container whose
+    * HEADER claims outsized dimensions must be rejected BEFORE pixel decode
+    * — ImageIO.read allocates width×height×4 bytes up front, so at corpus
+    * scale one adversarial 100-megapixel header is an executor OOM, not a
+    * slow task. Same contract as [[MaxDecodedAudioBytes]]. */
+  private[operators] val MaxDecodedPixels: Long = 16L * 1024 * 1024
+
   private[operators] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null) None
     else try {
       // ImageIO's default disk cache would create a temp file PER PAYLOAD
       // (including every non-image probe) — wrap the already-in-memory bytes
       // in a memory-cache stream instead; no executor-side disk I/O.
-      // no explicit close: ImageIO.read(ImageInputStream) closes the stream
-      // itself (a second close throws), and the backing buffer is pure heap
-      Option(javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload))))
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) { stream.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(stream)
+          // dimensions come from the HEADER — no pixel allocation yet; gate
+          // the real decode on them
+          val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxDecodedPixels) None
+          else Option(reader.read(0))
+        } finally {
+          reader.dispose()
+          stream.close()
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic features from REAL pixels: per-pixel Rec.601 luminance in

@@ -196,4 +196,22 @@ class MultimodalSpec extends SparkSpec {
     // the undecodable payload still hashes deterministically via bytes
     assert(got("junk")._2 != 0L)
   }
+
+  test("image decode rejects outsized headers before any pixel allocation") {
+    // take a real tiny PNG and patch its IHDR to CLAIM 100000x100000 (with a
+    // fixed-up CRC): the bounded decoder must reject on the header dims and
+    // fall back to the byte path, decoded=false — never allocate 40 GB
+    val png = encode(testImage(4, 4), "png")
+    val big = png.clone()
+    val dim = java.nio.ByteBuffer.allocate(4).putInt(100000).array()
+    for (i <- 0 until 4) { big(16 + i) = dim(i); big(20 + i) = dim(i) }
+    val crc = new java.util.zip.CRC32()
+    crc.update(big, 12, 17) // chunk type (4) + IHDR data (13)
+    java.nio.ByteBuffer.wrap(big, 29, 4).putInt(crc.getValue.toInt)
+    val assets = Seq(("big", big), ("ok", png)).toDF("id", "bytes")
+    val got = Multimodal.imageAHash(Multimodal.toAssets(assets, "id", "bytes", "image"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!got("big")) // header-gated: rejected without decoding
+    assert(got("ok"))   // the unpatched twin still really decodes
+  }
 }
