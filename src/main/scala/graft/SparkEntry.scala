@@ -4808,8 +4808,8 @@ object SparkEntry {
           |    CASE WHEN cel.c * tot.nn > tot.s * cel.k THEN 1 ELSE 0 END AS b
           |  FROM cel JOIN tot ON cel.asset_id = tot.asset_id)
           |SELECT asset_id, false AS decoded,
-          |  CAST(coalesce(sum(CASE WHEN b = 1 AND cell < 32 THEN CAST(pow(2, cell) AS BIGINT) END), 0) AS BIGINT) AS ahash_lo,
-          |  CAST(coalesce(sum(CASE WHEN b = 1 AND cell >= 32 THEN CAST(pow(2, cell - 32) AS BIGINT) END), 0) AS BIGINT) AS ahash_hi
+          |  coalesce(CAST(sum(CASE WHEN b = 1 AND cell < 32 THEN CAST(pow(2, cell) AS BIGINT) END) AS BIGINT), 0) AS ahash_lo,
+          |  coalesce(CAST(sum(CASE WHEN b = 1 AND cell >= 32 THEN CAST(pow(2, cell - 32) AS BIGINT) END) AS BIGINT), 0) AS ahash_hi
           |FROM bits GROUP BY 1""".stripMargin.replace("\n", " ")
     )
   }
