@@ -86,6 +86,69 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("conductance stays in [0,1] and both boundary counts balance on random graphs") {
+    import graft.operators.LabelPropagation
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L); if a != b
+    } yield (a, b))
+    Iterator.continually(edgeGen.sample).flatten.take(4).foreach { und =>
+      val dedup = und.map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      val edges = dedup.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+      val labels = (0L to 9L).map(i => (i, (i % 3).toString)).toDF("id", "label")
+      val rows = LabelPropagation.conductance(labels, edges).collect()
+      rows.foreach { r =>
+        if (!r.isNullAt(4)) {
+          val phi = r.getDouble(4)
+          assert(phi >= 0.0 && phi <= 1.0, s"phi=$phi edges=$dedup")
+        }
+        assert(r.getLong(3) <= r.getLong(2)) // cut ⊆ volume
+      }
+      // every directed cut edge is counted once on each side: Σcut is even
+      assert(rows.map(_.getLong(3)).sum % 2 == 0)
+    }
+  }
+
+  test("weightedQuantiles is monotone in q and returns observed values") {
+    import graft.operators.CorpusOps
+    val rowsGen = Gen.listOfN(20, for {
+      v <- Gen.chooseNum(1L, 50L); w <- Gen.chooseNum(1L, 9L)
+    } yield (v, w))
+    Iterator.continually(rowsGen.sample).flatten.take(4).foreach { rows =>
+      val df = rows.toDF("v", "w")
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val got = CorpusOps.weightedQuantiles(df, "v", "w", qs)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val ordered = qs.map(got)
+      assert(ordered == ordered.sorted, s"rows=$rows got=$got")
+      assert(ordered.forall(v => rows.exists(_._1 == v))) // observed values only
+      assert(got(1.0) == rows.map(_._1).max) // full mass ⇒ the maximum
+      // brute-force check of the q=0.5 cut
+      val w = rows.map(_._2).sum
+      val cum = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, c), (v, wv)) => (v, c + wv) }.drop(1)
+      val want = cum.find(_._2 >= 0.5 * w).get._1
+      assert(got(0.5) == want, s"rows=$rows")
+    }
+  }
+
+  test("survivorship picks the brute-force modal value on random clusters") {
+    import graft.operators.CorpusOps
+    val recGen = Gen.listOfN(30, for {
+      c <- Gen.chooseNum(0L, 3L); id <- Gen.chooseNum(0L, 1000L)
+      v <- Gen.oneOf("x", "y", "z")
+    } yield (c, id, v))
+    Iterator.continually(recGen.sample).flatten.take(4).foreach { recs =>
+      val df = recs.toDF("cluster", "rid", "attr1")
+      val got = CorpusOps.survivorship(df, "cluster", "rid", Seq("attr1"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      recs.groupBy(_._1).foreach { case (c, rs) =>
+        val counts = rs.groupBy(_._3).view.mapValues(_.size).toMap
+        val want = counts.toSeq.sortBy { case (v, n) => (-n, v) }.head._1
+        assert(got(c) == want, s"cluster=$c counts=$counts")
+      }
+    }
+  }
+
   test("pairQuality is invariant under pair orientation and duplication") {
     val pairsGen = Gen.listOfN(30, for {
       a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L); if a != b
