@@ -174,6 +174,17 @@ object EventAnalytics {
       .groupBy(col(typeCol).as("event_type"), expr(s"$tsNsCol div $DayNs").as("day"))
       .agg(count(lit(1)).as("n_events"))
       .localCheckpoint(true) // read by the stats aggregate and the z-score join
+    anomalousDaysFromDaily(daily, z)
+  }
+
+  /** [[anomalousDays]] over a pre-aggregated (event_type, day, n_events)
+    * frame — the entry point for incrementally-maintained daily counts (the
+    * [[graft.streaming.StreamingOps]] anomaly state table): daily counts
+    * are ADDITIVE across micro-batches, so the streamed state equals the
+    * batch aggregate exactly and this derivation is shared verbatim.
+    * CONTRACT: input pinned (it feeds the stats aggregate and the z-score
+    * join). */
+  def anomalousDaysFromDaily(daily: DataFrame, z: Double): DataFrame = {
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("_n"), sum(col("n_events")).as("_s"),
         sum(col("n_events") * col("n_events")).as("_ss"))

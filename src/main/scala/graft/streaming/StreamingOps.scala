@@ -314,6 +314,42 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming volume-anomaly maintenance — the incremental twin of
+    * [[graft.operators.EventAnalytics.anomalousDays]]: state is the
+    * (event_type, day, n_events) daily-count table, and daily counts are
+    * ADDITIVE across micro-batches, so merging is one grouped sum and the
+    * streamed state equals the one-shot batch aggregate EXACTLY (integer
+    * counts — no float caveat; StreamingSpec pins equality, and the ev5
+    * z-score read runs over the state via
+    * [[graft.operators.EventAnalytics.anomalousDaysFromDaily]] unchanged).
+    * State is (types × active days)-sized; prune old days downstream of
+    * the monitoring window if the stream is unbounded. Re-delivered
+    * batches double-count (the sessionizeStream in-order contract) —
+    * route through exactly-once sinks or dedup upstream. */
+  def anomalyMaintain(events: DataFrame, typeCol: String, tsNsCol: String,
+      statePath: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val DayNs = 86400000000000L
+        val fresh = batch
+          .groupBy(col(typeCol).as("event_type"),
+            expr(s"$tsNsCol div $DayNs").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val merged0 =
+          try spark.read.parquet(statePath).unionByName(fresh)
+            .groupBy("event_type", "day")
+            .agg(sum(col("n_events")).as("n_events"))
+          catch { case _: org.apache.spark.sql.AnalysisException => fresh } // first batch
+        // pin the merge BEFORE overwriting the table it reads, then free
+        val merged = merged0.localCheckpoint(true)
+        try merged.write.mode("overwrite").parquet(statePath)
+        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+        ()
+      }
+      .start()
+
   /** Streaming decayed-counter maintenance — the incremental twin of
     * [[graft.operators.EventAnalytics.decayedCounts]]: state is ONE row per
     * event type (n_events, decayed, t_ref), where `decayed` is every seen

@@ -369,6 +369,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("c1", 10.0), ("c1", 2.0), ("c3", 7.0)), got)
   }
 
+  test("streaming anomaly state: merged daily counts equal the batch aggregate exactly") {
+    import graft.operators.EventAnalytics
+    val dir = Files.createTempDirectory("stream_anom").toString
+    val statePath = s"$dir/state"
+    val DayNs = 86400000000000L
+    // a calm history plus a spike day, split so the SPIKE DAY STRADDLES two
+    // micro-batches — the case where per-batch anomaly detection would miss
+    // what the merged state catches
+    val calm = for (d <- 0L until 9L; i <- 0 until 10) yield ("a", d * DayNs + i * 1000L)
+    val spike = (0 until 100).map(i => ("a", 9L * DayNs + i * 1000L))
+    val all = (calm ++ spike).toDF("event_type", "ts")
+    all.filter($"ts" < 9L * DayNs + 50000L).write.parquet(s"$dir/in/a")
+    all.filter($"ts" >= 9L * DayNs + 50000L).write.parquet(s"$dir/in/b")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.anomalyMaintain(stream, "event_type", "ts", statePath)
+    q.processAllAvailable(); q.stop()
+    // integer counts are additive: streamed state == one-shot aggregate, EXACT
+    val streamed = spark.read.parquet(statePath)
+      .as[(String, Long, Long)].collect().toSet
+    val batch = all.groupBy(col("event_type"), expr(s"ts div $DayNs").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // and the ev5 read over the state finds the straddled spike day
+    val anom = EventAnalytics.anomalousDaysFromDaily(
+      spark.read.parquet(statePath).localCheckpoint(true), z = 2.0).collect()
+    assert(anom.length == 1 && anom.head.getLong(1) == 9L
+      && anom.head.getLong(2) == 100L)
+  }
+
   test("streaming decayed counters: rescale-and-add matches the batch twin") {
     import graft.operators.EventAnalytics
     val dir = Files.createTempDirectory("stream_decay").toString
