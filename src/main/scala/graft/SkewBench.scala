@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the d4-vs-d18 CROSSOVER claim: the full posting-list
+  * join (`ngramJaccardPairs`, d4) wins on benign shingle distributions,
+  * the prefix-filtered join (`prefixFilteredJaccardPairs`, d18/PPJoin)
+  * wins under hot-shingle skew — because d4's self-join fans out df² rows
+  * per shingle while d18's prefix structurally excludes hot tokens (they
+  * sort to the suffix under the rarest-first order and never enter the
+  * join). README records d18 LOSING at sf0.1's benign distribution; this
+  * main produces the other half of the claim as a measured number instead
+  * of an argument.
+  *
+  * The skewed corpus derives from the driver's own documents table — no
+  * synthetic rows, just the real-world failure shape injected: ~30% of
+  * documents get one shared boilerplate header (the repeated licence
+  * banner / site nav / disclaimer every web crawl actually contains),
+  * giving ~38 shingles with df ≈ 0.3·N. That is exactly the join-skew
+  * shape `cs7_skew_report` exists to warn about: at df = 1500 one hot
+  * shingle alone is 1500²/2 ≈ 1.1M join rows for d4.
+  *
+  * Both algorithms run from the SAME pinned distinct (id, sh) frame (the
+  * shingle build is identical infrastructure, not part of the contrast)
+  * and must return the SAME pair count (two algorithms, one answer — the
+  * d4/d18 oracle contract, asserted here too).
+  *
+  * Output: one JSON line {"corpus", "n_docs", "d4_sec", "d18_sec",
+  * "n_pairs", "hot_df"} per corpus (plain, skewed).
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+
+    val boiler = ("this site and all contents are provided as is without " +
+      "warranty of any kind either express or implied including but not " +
+      "limited to the implied warranties of merchantability and fitness " +
+      "for a particular purpose all rights reserved").trim // 38 words
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    def run(name: String, df: DataFrame): Unit = {
+      // one shingle build, pinned, shared by both contestants — and fully
+      // materialized BEFORE either clock starts
+      val sh = Dedup.shingleRows(df, "doc_id", "text", 3)
+        .distinct().localCheckpoint(true)
+      val nDocs = df.count()
+      val hotDf = sh.groupBy("sh").count().agg(max("count")).head().getLong(0)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // warm both paths once at tiny scale so neither pays first-run codegen
+      val tiny = sh.filter(col("id") < 20).localCheckpoint(true)
+      Dedup.ngramJaccardPairsFromShingles(tiny, 0.5, 1000000L).count()
+      Dedup.prefixFilteredJaccardPairs(tiny, 0.5).count()
+      val (t4, n4) = time(
+        Dedup.ngramJaccardPairsFromShingles(sh, 0.5, 1000000L).count())
+      val (t18, n18) = time(
+        Dedup.prefixFilteredJaccardPairs(sh, 0.5).count())
+      require(n4 == n18, s"answer mismatch: d4=$n4 d18=$n18") // one answer
+      println(f"""{"corpus": "$name", "n_docs": $nDocs, "hot_df": $hotDf, """ +
+        f""""d4_sec": $t4%.2f, "d18_sec": $t18%.2f, "n_pairs": $n4}""")
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sh)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tiny)
+    }
+
+    run("plain", docs)
+    run("skewed", docs.withColumn("text",
+      when(col("doc_id") % 10 < 3, concat(lit(boiler), lit(" "), col("text")))
+        .otherwise(col("text"))))
+    spark.stop()
+  }
+}

@@ -455,14 +455,51 @@ object SparkEntry {
     }),
     // G19 per-community Newman modularity of the g13 communities — the
     // quality read on any partition (Q = Σ contrib; near 0 ⇒ the split is
-    // no better than random). All ratio inputs exact BIGINTs. See
-    // LabelPropagation.modularity.
+    // no better than random). The contribution ships as the EXACT integer
+    // rational (n_in·E − deg_sum², E²) — pure BIGINT arithmetic on counts,
+    // zero cross-engine float surface (the m6/m7 convention; closes the
+    // r10 non-reproducible rounding red). See LabelPropagation.modularity.
     "g19_modularity" -> ((s, dir) => {
       val edges = coEdges(s, dir, minGroups = 2)
       val labels = LabelPropagation.run(edges, rounds = 4)
       LabelPropagation.modularity(labels, edges)
         .select(col("label").as("community"), col("n_nodes"),
-          col("n_in_edges"), col("deg_sum"), round(col("contrib"), 6).as("contrib_r"))
+          col("n_in_edges"), col("deg_sum"), col("contrib_num"), col("contrib_den"))
+    }),
+    // G25 WEIGHTED modularity of the same g13/g19 communities, every edge
+    // counted by its co-occurrence multiplicity `_m` (how many orders pair
+    // the parts) — the unweighted pass scores a 100-order bond equal to a
+    // 1-order bridge, flattening exactly the dense cores the split exists
+    // to find. Same exact-BIGINT rational as g19 (w_in·W − S², W²).
+    // See LabelPropagation.modularityWeighted.
+    "g25_weighted_modularity" -> ((s, dir) => {
+      val wEdges = coPairs(s, dir).filter(col("_m") >= 2)
+        .select(explode(array(
+          struct(col("src"), col("dst"), col("_m").as("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("_m").as("w")))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+      val labels = LabelPropagation.run(wEdges.select("src", "dst"), rounds = 4)
+      LabelPropagation.modularityWeighted(labels, wEdges, "w")
+        .select(col("label").as("community"), col("n_nodes"),
+          col("n_in_edges").as("w_in"), col("deg_sum").as("w_deg"),
+          col("contrib_num"), col("contrib_den"))
+    }),
+    // G26 WEIGHTED conductance over the same multiplicity graph: a
+    // community glued by heavy internal bonds but cut only by 1-order
+    // bridges is tight, and the unweighted phi overstates its leakage.
+    // Single-division double from exact integer volume/cut (the g23
+    // convention). See LabelPropagation.conductanceWeighted.
+    "g26_weighted_conductance" -> ((s, dir) => {
+      val wEdges = coPairs(s, dir).filter(col("_m") >= 2)
+        .select(explode(array(
+          struct(col("src"), col("dst"), col("_m").as("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("_m").as("w")))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+      val labels = LabelPropagation.run(wEdges.select("src", "dst"), rounds = 4)
+      LabelPropagation.conductanceWeighted(labels, wEdges, "w")
+        .select(col("community"), col("n_nodes"),
+          col("volume").as("w_volume"), col("cut_edges").as("w_cut"),
+          round(col("conductance"), 6).as("phi_r"))
     }),
 
     // PR2 PERSONALIZED PageRank: teleport mass returns to a seed set (parts
@@ -2366,8 +2403,15 @@ object SparkEntry {
     // hash ships as unsigned halves for the cross-engine compare. See
     // Multimodal.imageAHash.
     "mm3_image_ahash" -> ((s, dir) => {
+      // ASCII pin: the byte-grid fallback hashes UTF-8 PAYLOAD BYTES while
+      // the oracle replays it over character codes — identical only when
+      // char ≡ byte, so both engines filter to ASCII texts (octet_length =
+      // char length) and the twin is exact by construction for ANY corpus,
+      // not just the incidentally-ASCII synthetic one.
       val assets = Multimodal.toAssets(
-        t(s, dir, "documents").filter(col("n_chars") > 0), "doc_id", "text", "image")
+        t(s, dir, "documents").filter(col("n_chars") > 0)
+          .filter(octet_length(col("text")) === length(col("text"))),
+        "doc_id", "text", "image")
       Multimodal.imageAHash(assets)
         .select(col("asset_id"), col("decoded"),
           col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
@@ -2614,7 +2658,8 @@ object SparkEntry {
            |  FROM e0 e JOIN l${r - 1} l ON l.id = e.src
            |  GROUP BY e.dst, l.label) t WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
-      s"""c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+      s"""c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |  count(DISTINCT a.l_orderkey) AS m
          |  FROM lineitem a JOIN lineitem b
          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
@@ -3171,24 +3216,62 @@ object SparkEntry {
            |  JOIN nb ON nb.node = deg.node""".stripMargin.replace("\n", " "),
       // g19: the same 4-round LPA CTEs + modularity assembly — one
       // edge⋈labels⋈labels join, two label-keyed counts, a node count and
-      // the directed-edge total; same (ein/E − (d/E)·(d/E)) float shape as
-      // the Spark side.
+      // the directed-edge total; the contribution as the EXACT BIGINT
+      // rational (n_in·E − deg_sum², E²), no float arithmetic anywhere.
       "g19_modularity" ->
         s"""WITH $lpaCtes,
            |j AS (SELECT e.src, e.dst, la.label AS la, lb.label AS lb
            |  FROM e0 e JOIN l4 la ON la.id = e.src JOIN l4 lb ON lb.id = e.dst),
-           |etot AS (SELECT CAST(count(*) AS DOUBLE) AS e FROM e0),
+           |etot AS (SELECT CAST(count(*) AS BIGINT) AS e FROM e0),
            |nn AS (SELECT label, count(*) AS n_nodes FROM l4 GROUP BY 1),
            |ds AS (SELECT la AS label, count(*) AS deg_sum FROM j GROUP BY 1),
            |din AS (SELECT la AS label, count(*) AS n_in FROM j WHERE la = lb GROUP BY 1)
            |SELECT nn.label AS community, nn.n_nodes,
            |  CAST(coalesce(din.n_in, 0) AS BIGINT) AS n_in_edges,
            |  CAST(coalesce(ds.deg_sum, 0) AS BIGINT) AS deg_sum,
-           |  round(CAST(coalesce(din.n_in, 0) AS DOUBLE) / etot.e
-           |    - (CAST(coalesce(ds.deg_sum, 0) AS DOUBLE) / etot.e)
-           |      * (CAST(coalesce(ds.deg_sum, 0) AS DOUBLE) / etot.e), 6) AS contrib_r
+           |  CAST(coalesce(din.n_in, 0) * etot.e
+           |    - coalesce(ds.deg_sum, 0) * coalesce(ds.deg_sum, 0) AS BIGINT) AS contrib_num,
+           |  CAST(etot.e * etot.e AS BIGINT) AS contrib_den
            |FROM nn LEFT JOIN ds ON nn.label = ds.label
            |  LEFT JOIN din ON nn.label = din.label, etot""".stripMargin.replace("\n", " "),
+      // g25/g26: the weighted twins — c0's multiplicity m rides the same
+      // LPA CTEs; every count becomes sum(m), the rationals stay integral.
+      "g25_weighted_modularity" ->
+        s"""WITH $lpaCtes,
+           |ew AS (SELECT u AS src, v AS dst, m FROM c0 UNION ALL SELECT v, u, m FROM c0),
+           |j AS (SELECT ew.m, la.label AS la, lb.label AS lb
+           |  FROM ew JOIN l4 la ON la.id = ew.src JOIN l4 lb ON lb.id = ew.dst),
+           |wt AS (SELECT CAST(sum(m) AS BIGINT) AS w FROM ew),
+           |nn AS (SELECT label, count(*) AS n_nodes FROM l4 GROUP BY 1),
+           |ds AS (SELECT la AS label, CAST(sum(m) AS BIGINT) AS s FROM j GROUP BY 1),
+           |din AS (SELECT la AS label, CAST(sum(m) AS BIGINT) AS wi FROM j WHERE la = lb GROUP BY 1)
+           |SELECT nn.label AS community, nn.n_nodes,
+           |  CAST(coalesce(din.wi, 0) AS BIGINT) AS w_in,
+           |  CAST(coalesce(ds.s, 0) AS BIGINT) AS w_deg,
+           |  CAST(coalesce(din.wi, 0) * wt.w
+           |    - coalesce(ds.s, 0) * coalesce(ds.s, 0) AS BIGINT) AS contrib_num,
+           |  CAST(wt.w * wt.w AS BIGINT) AS contrib_den
+           |FROM nn LEFT JOIN ds ON nn.label = ds.label
+           |  LEFT JOIN din ON nn.label = din.label, wt""".stripMargin.replace("\n", " "),
+      "g26_weighted_conductance" ->
+        s"""WITH $lpaCtes,
+           |ew AS (SELECT u AS src, v AS dst, m FROM c0 UNION ALL SELECT v, u, m FROM c0),
+           |j AS (SELECT ew.m, la.label AS la, lb.label AS lb
+           |  FROM ew JOIN l4 la ON la.id = ew.src JOIN l4 lb ON lb.id = ew.dst),
+           |nn AS (SELECT label, count(*) AS n_nodes FROM l4 GROUP BY 1),
+           |vol AS (SELECT la AS label, sum(m) AS v FROM j GROUP BY 1),
+           |cut AS (SELECT la AS label, sum(m) AS c FROM j WHERE la <> lb GROUP BY 1),
+           |vt AS (SELECT sum(m) AS v FROM j)
+           |SELECT nn.label AS community, nn.n_nodes,
+           |  CAST(coalesce(vol.v, 0) AS BIGINT) AS w_volume,
+           |  CAST(coalesce(cut.c, 0) AS BIGINT) AS w_cut,
+           |  round(CASE WHEN least(coalesce(vol.v, 0),
+           |      (SELECT v FROM vt) - coalesce(vol.v, 0)) > 0
+           |    THEN CAST(coalesce(cut.c, 0) AS DOUBLE)
+           |      / CAST(least(coalesce(vol.v, 0),
+           |          (SELECT v FROM vt) - coalesce(vol.v, 0)) AS DOUBLE) END, 6) AS phi_r
+           |FROM nn LEFT JOIN vol ON nn.label = vol.label
+           |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " "),
       "pr2_personalized" ->
         """WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           |  FROM lineitem a JOIN lineitem b
@@ -4722,7 +4805,7 @@ object SparkEntry {
            |SELECT nm.rep_id, nm.n_members,
            |  max(CASE WHEN b.attr = 'lang' THEN b.value END) AS lang,
            |  max(CASE WHEN b.attr = 'source' THEN b.value END) AS source
-           |FROM nm JOIN bst b ON b.rep_id = nm.rep_id GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+           |FROM nm LEFT JOIN bst b ON b.rep_id = nm.rep_id GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       // g23: the g19 join CTE over the shared 4-round LPA labels; volumes =
       // directed-edge counts at the source (both directions present), total
       // volume a scalar subquery, zero-volume communities NULL.
@@ -4796,7 +4879,7 @@ object SparkEntry {
       // (pow(2, 63) would overflow BIGINT — the d3 nBits lesson).
       "mm3_image_ahash" ->
         """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id, text, length(text) AS n
-          |  FROM documents WHERE n_chars > 0),
+          |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)),
           |pos AS (SELECT asset_id, n, text, unnest(generate_series(1, n)) AS i FROM d),
           |ch AS (SELECT asset_id, CAST(((i - 1) * 64) // n AS INTEGER) AS cell,
           |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v FROM pos),

@@ -47,6 +47,24 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance stamp: when a board row goes red without a reproducible
+    // cause (the r10 g19 incident), this pins exactly WHICH code, engine,
+    // and inputs produced the dump — bisectable in minutes, not adjudicated
+    // on circumstantial evidence. Best-effort: never fails the dump.
+    val gitSha = try {
+      val pr = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .directory(new java.io.File(".")).start()
+      val sha = new String(pr.getInputStream.readAllBytes()).trim
+      if (pr.waitFor() == 0) sha else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val sfMtime = try Files.getLastModifiedTime(Paths.get(sfDir)).toMillis
+      catch { case _: Throwable => -1L }
+    Files.writeString(Paths.get(s"$outDir/provenance.json"),
+      s"""{"git_sha": ${q(gitSha)}, "spark_version": ${q(spark.version)},
+         | "scala_version": ${q(scala.util.Properties.versionNumberString)},
+         | "sf_dir": ${q(sfDir)}, "sf_dir_mtime_ms": $sfMtime,
+         | "dumped_at_ms": ${System.currentTimeMillis()},
+         | "java_version": ${q(System.getProperty("java.version"))}}""".stripMargin.replace("\n", ""))
     spark.stop()
   }
 }

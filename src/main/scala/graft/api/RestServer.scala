@@ -18,6 +18,7 @@ import java.nio.charset.StandardCharsets
   *
   * Routes:
   *   GET    /health
+  *   GET    /settings                    → engine config introspection (app.py:321-337)
   *   GET    /graphs                      → ["name", ...]
   *   GET    /graphs/{g}/documents/{id}   → passage row with adjacency
   *   GET    /graphs/{g}/stats            → {entities, relations, passages}
@@ -153,6 +154,32 @@ final class RestServer(spark: SparkSession, storeBase: String,
         case ("GET", Seq("health")) =>
           val n = mapper.createObjectNode()
           n.put("status", "ok")
+          respond(ex, 200, n)
+        // Config introspection (api/app.py:321-337 GET /settings): the
+        // engine-level knobs the server was built with — retrieval dials
+        // from RagConfig, the embedder's dimension (the reference reports
+        // embedding_dimension), and the storage root standing in for the
+        // reference's milvus_uri/db. Per-request overrides (configFor) are
+        // NOT reflected here, matching the reference's app.state.settings.
+        case ("GET", Seq("settings")) =>
+          val n = mapper.createObjectNode()
+          n.put("embedding_dimension", graft.functions.HashEmbedder().dim)
+          n.put("store_base", storeBase)
+          n.put("metric", config.metric)
+          n.put("entity_top_k", config.entityTopK)
+          n.put("relation_top_k", config.relationTopK)
+          n.put("entity_similarity_threshold", config.entitySimilarityThreshold)
+          n.put("relation_similarity_threshold", config.relationSimilarityThreshold)
+          n.put("expansion_degree", config.expansionDegree)
+          n.put("relation_number_threshold", config.relationNumberThreshold)
+          n.put("rerank_select", config.rerankSelect)
+          n.put("top_k", config.finalTopK)
+          config.annNProbe match {
+            case Some(p) => n.put("ann_nprobe", p)
+            case None    => n.putNull("ann_nprobe")
+          }
+          n.put("ann_nlist", config.annNList)
+          n.put("lexical_index", config.lexicalIndex)
           respond(ex, 200, n)
         case ("GET", Seq("graphs", g, "documents", id)) =>
           val rows = store.table(g, "passages")

@@ -30,11 +30,15 @@ object BooleanRetrieval {
   def retrieve(postings: DataFrame, idCol: String, termCol: String,
       must: Seq[String], mustNot: Seq[String] = Nil): DataFrame = {
     require(must.nonEmpty, "BooleanRetrieval.retrieve: empty must-term set")
+    // dedupe the query's term list: a caller-side duplicate must-term would
+    // otherwise make countDistinct (≤ distinct terms) unable to ever reach
+    // must.size and silently return zero rows
+    val m = must.distinct
     val p = postings.select(col(idCol).as("id"), col(termCol).as("term"))
-    val hits = p.filter(col("term").isin(must: _*))
+    val hits = p.filter(col("term").isin(m: _*))
       .groupBy("id")
       .agg(countDistinct(col("term")).as("_k"))
-      .filter(col("_k") === must.size)
+      .filter(col("_k") === m.size)
       .select("id")
     if (mustNot.isEmpty) hits
     else hits.join(

@@ -1048,12 +1048,17 @@ object CorpusOps {
     * Output: (sig_a, sig_b, corr) for each a < b pair in `cols` order. */
   def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "pearsonMatrix: need at least 2 columns")
+    // complete-case analysis: a row with ANY null signal is dropped up
+    // front, so n counts exactly the rows the Σx/Σx²/Σxy sums saw — a null
+    // would otherwise skew every correlation involving that column (the
+    // sums skip nulls, count(lit(1)) would not)
+    val cc = df.na.drop(cols)
     val aggs = Seq(count(lit(1)).cast("double").as("_n")) ++
       cols.flatMap(c => Seq(
         sum(col(c)).as(s"_s_$c"), sum(col(c) * col(c)).as(s"_q_$c"))) ++
       (for (i <- cols.indices; j <- (i + 1) until cols.size)
         yield sum(col(cols(i)) * col(cols(j))).as(s"_p_${i}_$j"))
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = cc.agg(aggs.head, aggs.tail: _*)
     val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
       val (a, b) = (cols(i), cols(j))
       val num = col("_n") * col(s"_p_${i}_$j") - col(s"_s_$a") * col(s"_s_$b")

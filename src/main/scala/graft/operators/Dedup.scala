@@ -580,10 +580,18 @@ object Dedup {
     val df = docSh.groupBy("sh").agg(count(lit(1)).as("_df"))
     val sizes = docSh.groupBy("id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("sh"))
+    // ⌈t·sz⌉ guarded against IEEE round-up: when t·sz is exactly integer k
+    // but the product rounds to k+ε, a bare ceil gives k+1 and the prefix
+    // comes out one token SHORT — qualifying pairs silently missed (e.g.
+    // t=0.28, sz=25). Subtracting 1e-9 first can only LENGTHEN the prefix
+    // (more candidates; the exact verify step restores precision), never
+    // shorten it, so the ngramJaccardPairs-equality contract holds for
+    // every (t, sz).
     val prefix = docSh.join(df, Seq("sh"))
       .withColumn("_rk", row_number().over(w))
       .join(sizes, Seq("id"))
-      .filter(col("_rk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .filter(col("_rk") <=
+        col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
       .select(col("id"), col("sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -67,30 +67,61 @@ object LabelPropagation {
     *
     * Shape: one edge⋈labels⋈labels join feeding two label-keyed counts, a
     * node count, and a 1-row total folded in as a broadcast — no windows,
-    * nothing driver-side. All ratio inputs are exact BIGINTs.
+    * nothing driver-side. All ratio inputs are exact BIGINTs, and the
+    * contribution ships BOTH ways: `contrib` as the double a human reads,
+    * and the exact integer rational `contrib_num = n_in·E − deg_sum²` over
+    * `contrib_den = E²` — a pure function of counts with zero float
+    * surface, so two engines agree bit-for-bit (the m6/m7 engine-exact
+    * convention). BIGINT bound: safe while E < 3.0e9 directed edges; past
+    * that a caller widens both products to DecimalType(38,0) — the counts
+    * themselves stay exact far beyond any real graph.
     *
-    * Output: (label, n_nodes, n_in_edges directed, deg_sum, contrib). */
-  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val tot = e.agg(count(lit(1)).cast("double").as("_etot"))
+    * Output: (label, n_nodes, n_in_edges directed, deg_sum, contrib,
+    * contrib_num, contrib_den). */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame =
+    modularityImpl(labels, edges.select(col("src"), col("dst"),
+      lit(1L).as("_w")))
+
+  /** WEIGHTED Newman modularity — the same per-community contribution with
+    * every count replaced by a weight sum: contrib(c) = W_in_c/W −
+    * (S_c/W)², W the total directed edge weight, S_c community c's weighted
+    * degree. The natural read on a multiplicity graph (the co-occurrence
+    * table's `_m`: how MANY orders/documents co-mention the pair) — an
+    * unweighted pass treats a 100-order pairing and a 1-order pairing as
+    * the same edge, systematically flattening exactly the dense cores a
+    * community split is supposed to find (Newman 2004, "Analysis of
+    * weighted networks").
+    *
+    * `weightCol` must be INTEGRAL (BIGINT-safe): the engine-exact rational
+    * then survives unchanged — contrib_num = w_in·W − S_c², contrib_den =
+    * W², pure integer arithmetic, bit-equal across engines. Same plan
+    * shape as [[modularity]]; weights ride the existing aggregates. */
+  def modularityWeighted(labels: DataFrame, edges: DataFrame,
+      weightCol: String): DataFrame =
+    modularityImpl(labels, edges.select(col("src"), col("dst"),
+      col(weightCol).cast("long").as("_w")))
+
+  private def modularityImpl(labels: DataFrame, e: DataFrame): DataFrame = {
+    val tot = e.agg(sum(col("_w")).as("_etot"))
     val j = e
       .join(labels.select(col("id").as("src"), col("label").as("_la")), Seq("src"))
       .join(labels.select(col("id").as("dst"), col("label").as("_lb")), Seq("dst"))
     val ein = j.filter(col("_la") === col("_lb"))
-      .groupBy(col("_la").as("label")).agg(count(lit(1)).as("n_in_edges"))
-    val dsum = j.groupBy(col("_la").as("label")).agg(count(lit(1)).as("deg_sum"))
+      .groupBy(col("_la").as("label")).agg(sum(col("_w")).as("n_in_edges"))
+    val dsum = j.groupBy(col("_la").as("label")).agg(sum(col("_w")).as("deg_sum"))
     val nn = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
-    val einD = coalesce(col("n_in_edges"), lit(0L)).cast("double")
-    val degD = coalesce(col("deg_sum"), lit(0L)).cast("double")
+    val einL = coalesce(col("n_in_edges"), lit(0L))
+    val degL = coalesce(col("deg_sum"), lit(0L))
+    val num = einL * col("_etot") - degL * degL
+    val den = col("_etot") * col("_etot")
     // left joins: an all-isolated-nodes community (possible when `labels`
     // covers more nodes than `edges`) surfaces with zeros, not a dropped row
     nn.join(dsum, Seq("label"), "left").join(ein, Seq("label"), "left")
       .crossJoin(broadcast(tot))
       .select(col("label"), col("n_nodes"),
-        coalesce(col("n_in_edges"), lit(0L)).as("n_in_edges"),
-        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
-        (einD / col("_etot") -
-          (degD / col("_etot")) * (degD / col("_etot"))).as("contrib"))
+        einL.as("n_in_edges"), degL.as("deg_sum"),
+        (num.cast("double") / den.cast("double")).as("contrib"),
+        num.as("contrib_num"), den.as("contrib_den"))
   }
 
   /** Per-community conductance φ(C) = cut(C) / min(vol(C), vol(G) − vol(C))
@@ -110,16 +141,32 @@ object LabelPropagation {
     * (undefined — no volume to leak), never a dropped row.
     *
     * Output: (community, n_nodes, volume, cut_edges, conductance). */
-  def conductance(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val j = edges.select(col("src"), col("dst"))
+  def conductance(labels: DataFrame, edges: DataFrame): DataFrame =
+    conductanceImpl(labels, edges.select(col("src"), col("dst"),
+      lit(1L).as("_w")))
+
+  /** WEIGHTED conductance φ(C) = cut_w(C) / min(vol_w(C), W − vol_w(C)) —
+    * [[conductance]] with every edge counted by its multiplicity: on a
+    * co-occurrence graph a community held together by 100-order pairings
+    * but cut by 1-order bridges is TIGHT, and the unweighted φ (which
+    * scores each bridge equal to each internal bond) overstates its
+    * leakage. `weightCol` must be integral; all ratio inputs stay exact
+    * BIGINTs. Same single-join plan as [[conductance]]. */
+  def conductanceWeighted(labels: DataFrame, edges: DataFrame,
+      weightCol: String): DataFrame =
+    conductanceImpl(labels, edges.select(col("src"), col("dst"),
+      col(weightCol).cast("long").as("_w")))
+
+  private def conductanceImpl(labels: DataFrame, e: DataFrame): DataFrame = {
+    val j = e
       .join(labels.select(col("id").as("src"), col("label").as("_la")), Seq("src"))
       .join(labels.select(col("id").as("dst"), col("label").as("_lb")), Seq("dst"))
       .localCheckpoint(true) // read by the volume, cut, and total aggregates
     val nn = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
-    val vol = j.groupBy(col("_la").as("label")).agg(count(lit(1)).as("volume"))
+    val vol = j.groupBy(col("_la").as("label")).agg(sum(col("_w")).as("volume"))
     val cut = j.filter(col("_la") =!= col("_lb"))
-      .groupBy(col("_la").as("label")).agg(count(lit(1)).as("cut_edges"))
-    val tot = j.agg(count(lit(1)).as("_vtot"))
+      .groupBy(col("_la").as("label")).agg(sum(col("_w")).as("cut_edges"))
+    val tot = j.agg(sum(col("_w")).as("_vtot"))
     val v = coalesce(col("volume"), lit(0L))
     val c = coalesce(col("cut_edges"), lit(0L))
     val denom = least(v, col("_vtot") - v)

@@ -86,6 +86,21 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("d18 prefix filter survives the IEEE ceil round-up (t=0.28, sz=25)") {
+    // 0.28·25 = 7.000000000000001 in IEEE doubles: a bare ceil reads 8 and
+    // cuts the prefix one token short. Adversarial pair: x has 18 unique
+    // tokens (df=1, sort FIRST under the rarest-first order) + 7 shared
+    // (df=2, sort LAST — positions 19..25); y ⊆ x is exactly those 7.
+    // J = 7/25 = 0.28 ≥ t, and the only shared token reachable by x's
+    // prefix is position 19 — precisely the position the round-up lops off.
+    val x = (1 to 18).map(i => (1L, f"u$i%02d")) ++ (1 to 7).map(i => (1L, s"s$i"))
+    val y = (1 to 7).map(i => (2L, s"s$i"))
+    val sh = (x ++ y).toDF("id", "sh")
+    val got = Dedup.prefixFilteredJaccardPairs(sh, 0.28)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.28)), got)
+  }
+
   test("conductance stays in [0,1] and both boundary counts balance on random graphs") {
     import graft.operators.LabelPropagation
     val edgeGen = Gen.listOfN(25, for {

@@ -330,16 +330,52 @@ class GraphAnalyticsSpec extends SparkSpec {
     val labels = Seq("a" -> "c1", "b" -> "c1", "c" -> "c1",
       "d" -> "c2", "e" -> "c2", "f" -> "c2").toDF("id", "label")
     val got = LabelPropagation.modularity(labels, edges)
-      .as[(String, Long, Long, Long, Double)].collect()
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    val exp = 6.0 / 14 - (7.0 / 14) * (7.0 / 14)
-    assert(got("c1") == (("c1", 3L, 6L, 7L, exp)), got("c1"))
-    assert(got("c2") == (("c2", 3L, 6L, 7L, exp)))
+    // exact rational: n_in·E − deg_sum² = 6·14 − 49 = 35 over E² = 196;
+    // the double is derived FROM the rational (one division, not three ops)
+    val exp = 35.0 / 196.0
+    assert(got("c1") == (("c1", 3L, 6L, 7L, exp, 35L, 196L)), got("c1"))
+    assert(got("c2") == (("c2", 3L, 6L, 7L, exp, 35L, 196L)))
+    assert(got.values.forall(r => r._5 == r._6.toDouble / r._7.toDouble))
     // the degenerate one-community split scores exactly 0 (Ein = E, D = E)
     val one = labels.withColumn("label", lit("all"))
     val q = LabelPropagation.modularity(one, edges)
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+    assert(q.toSeq == Seq(("all", 6L, 14L, 14L, 0.0, 0L, 196L)), q.toSeq)
+  }
+
+  test("weighted modularity/conductance: heavy triangles, light bridge — hand-computed") {
+    import graft.operators.LabelPropagation
+    // the bridged-triangles graph, intra-triangle bonds weight 10, the
+    // bridge weight 1: W = 2·(6·10 + 1) = 122 directed weight
+    val und = Seq(("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+      ("d", "e", 10L), ("e", "f", 10L), ("d", "f", 10L), ("c", "d", 1L))
+    val edges = und.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+      .toDF("src", "dst", "w")
+    val labels = Seq("a" -> "c1", "b" -> "c1", "c" -> "c1",
+      "d" -> "c2", "e" -> "c2", "f" -> "c2").toDF("id", "label")
+    // per community: w_in = 6·10 = 60 directed, S = 60 + 1 bridge = 61;
+    // contrib_num = 60·122 − 61² = 3599, den = 122² = 14884
+    val m = LabelPropagation.modularityWeighted(labels, edges, "w")
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m("c1") == (("c1", 3L, 60L, 61L, 3599.0 / 14884.0, 3599L, 14884L)), m("c1"))
+    assert(m("c2") == (("c2", 3L, 60L, 61L, 3599.0 / 14884.0, 3599L, 14884L)))
+    // weighted contrib (0.242) > unweighted (35/196 = 0.179): the light
+    // bridge no longer dilutes the split — the operator's whole point
+    assert(3599.0 / 14884.0 > 35.0 / 196.0)
+    // conductance: vol = 61, cut = 1, min(61, 122−61) = 61 → φ = 1/61
+    val c = LabelPropagation.conductanceWeighted(labels, edges, "w")
       .as[(String, Long, Long, Long, Double)].collect()
-    assert(q.toSeq == Seq(("all", 6L, 14L, 14L, 0.0)), q.toSeq)
+      .map(r => r._1 -> r).toMap
+    assert(c("c1") == (("c1", 3L, 61L, 1L, 1.0 / 61.0)), c("c1"))
+    assert(c("c2") == (("c2", 3L, 61L, 1L, 1.0 / 61.0)))
+    // weight-1 everywhere degenerates to the unweighted kernels exactly
+    val ones = edges.withColumn("w", lit(1L))
+    val uw = LabelPropagation.modularity(labels, ones).collect().toSet
+    val ww = LabelPropagation.modularityWeighted(labels, ones, "w").collect().toSet
+    assert(uw == ww)
   }
 
   // ------------------------------------------------------------------ HITS

@@ -228,6 +228,20 @@ class RestServerSpec extends SparkSpec {
     assert(m.body().contains("\"dist\":0"), m.body()) // exact radium hit
   }
 
+  test("/settings returns the config the server was built with") {
+    val r = get("/settings")
+    assert(r.statusCode() == 200, r.body())
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    // the two non-default knobs this spec's server was constructed with
+    assert(n.get("entity_similarity_threshold").asDouble() == 0.5, r.body())
+    assert(n.get("top_k").asInt() == 3, r.body())
+    // defaults + engine facts ride along
+    assert(n.get("metric").asText() == "ip")
+    assert(n.get("embedding_dimension").asInt() == 64)
+    assert(n.get("ann_nprobe").isNull)
+    assert(n.get("store_base").asText().nonEmpty)
+  }
+
   test("unknown route gives a JSON 404; malformed body gives JSON 500") {
     assert(get("/nope").statusCode() == 404)
     val bad = post("/graphs/g/query", "{not json")
