@@ -45,13 +45,26 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
 
+    // 56 words → 54 hot 3-shingles: sized to stay OUT of every prefix.
+    // The prefix excludes a doc's h hot shingles only while h ≤ ⌈t·sz⌉ − 1
+    // (they must all fit in the suffix); the smallest docs taking the
+    // header here have ~65 organic shingles, so h = 54 ≤ ⌈119/2⌉ − 1 = 59
+    // holds corpus-wide. A header past that bound leaks into prefixes and
+    // the candidate join inherits the skew — measured: an 84-word header
+    // on ≥50-organic-shingle docs put d18 at 48 s vs d4's 20 s. PPJoin's
+    // structural-skew-immunity claim is CONDITIONAL on boilerplate being a
+    // minority of each document — true of licence banners on articles,
+    // false of banners pasted onto tweets.
     val boiler = ("this site and all contents are provided as is without " +
       "warranty of any kind either express or implied including but not " +
       "limited to the implied warranties of merchantability and fitness " +
-      "for a particular purpose all rights reserved").trim // 38 words
+      "for a particular purpose all rights reserved " +
+      "no part of this publication may be reproduced distributed or " +
+      "transmitted in any form or by any means without the prior " +
+      "written permission of the publisher").trim // 56 words
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), col("n_chars"))
       .repartition(spark.sparkContext.defaultParallelism)
 
     def run(name: String, df: DataFrame): Unit = {
@@ -70,9 +83,16 @@ object SkewBench {
       val tiny = sh.filter(col("id") < 20).localCheckpoint(true)
       Dedup.ngramJaccardPairsFromShingles(tiny, 0.5, 1000000L).count()
       Dedup.prefixFilteredJaccardPairs(tiny, 0.5).count()
-      val (t4, n4) = time(
+      // 3 reps, median: single-shot numbers on this box swing ±40% (the
+      // same in-suite-vs-warm-twin drift BENCH documents), which is larger
+      // than the effect under measurement
+      def median3(f: => Long): (Double, Long) = {
+        val rs = Seq.fill(3)(time(f))
+        (rs.map(_._1).sorted.apply(1), rs.head._2)
+      }
+      val (t4, n4) = median3(
         Dedup.ngramJaccardPairsFromShingles(sh, 0.5, 1000000L).count())
-      val (t18, n18) = time(
+      val (t18, n18) = median3(
         Dedup.prefixFilteredJaccardPairs(sh, 0.5).count())
       require(n4 == n18, s"answer mismatch: d4=$n4 d18=$n18") // one answer
       println(f"""{"corpus": "$name", "n_docs": $nDocs, "hot_df": $hotDf, """ +
@@ -81,10 +101,29 @@ object SkewBench {
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tiny)
     }
 
-    run("plain", docs)
+    // 17 words → 15 hot shingles for mid-size docs: the same prefix bound
+    // (15 ≤ ⌈(24+15)/2⌉ − 1 = 19 for the smallest ~24-organic-shingle doc
+    // taking it) at a much higher df.
+    val nav = ("home about products services news events careers contact " +
+      "privacy policy terms of use sitemap search login register").trim
+
+    // TWO disjoint header tiers, each sized to its documents' organic
+    // shingle count so the prefix bound holds corpus-wide: the 56-word
+    // licence banner on long docs (n_chars > 400, ~29% ⇒ df ≈ 1440) and a
+    // 17-word nav strip on mid docs (150 < n_chars ≤ 400, ~52% ⇒ df ≈
+    // 2600). Pairs sharing ONLY a header stay far below the 0.5 threshold
+    // (J ≲ 0.30), so the ANSWER is unchanged — only the JOIN hardens:
+    // d4's posting join pays Σ_hot df²/2 ≈ 56M + 49M extra rows; d18's
+    // prefixes exclude every hot shingle by construction. Injecting into
+    // SHORT docs instead would make the header itself thousands of
+    // qualifying near-dup pairs — a bigger answer both algorithms rightly
+    // pay for, not a harder join that only d4 does.
+    run("plain", docs.select(col("doc_id"), col("text")))
     run("skewed", docs.withColumn("text",
-      when(col("doc_id") % 10 < 3, concat(lit(boiler), lit(" "), col("text")))
-        .otherwise(col("text"))))
+        when(col("n_chars") > 400, concat(lit(boiler), lit(" "), col("text")))
+          .when(col("n_chars") > 150, concat(lit(nav), lit(" "), col("text")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text")))
     spark.stop()
   }
 }
