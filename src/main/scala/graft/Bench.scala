@@ -42,6 +42,10 @@ object Bench {
     // for pr1/pr2/g12/g13) — same rationale and cleanup contract as above.
     try SparkEntry.coPairs(spark, sfDir).count()
     catch { case NonFatal(e) => System.err.println(s"[bench] coPairs warm-up failed: $e") }
+    // Shared LPA community labels (detect-once-grade-many for
+    // g13/g19/g23/g25/g26) — same rationale and cleanup contract.
+    try SparkEntry.coLabels(spark, sfDir).count()
+    catch { case NonFatal(e) => System.err.println(s"[bench] coLabels warm-up failed: $e") }
     // Optional args = query-name filter for fast single-query iteration;
     // the driver passes none and gets the full set. SPARK_GRAFT_BENCH_FIRST
     // hoists one query to the front of the sorted order (A/B accountability:
