@@ -1435,6 +1435,28 @@ object SparkEntry {
     // the bigram space (916 terms, df 1..46 at sf0.01) gives 30 pairs with
     // 30 DISTINCT cosines, so the tf/idf/dot/norm arithmetic is genuinely
     // hash-checked (r7 review: a degenerate oracle verifies nothing).
+    // SIM2 hard-negative mining (exact): per anchor, the top-5 highest-
+    // cosine vectors with a DIFFERENT label above a 0.1 floor — the
+    // confusable-band pairs a contrastive embedder actually learns from
+    // (random negatives are trivially far and contribute ~zero gradient).
+    // See VectorSearch.hardNegatives.
+    "sim2_hard_negatives" -> ((s, dir) => {
+      VectorSearch.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 5, minCosine = 0.1)
+        .select(col("anchor_id"), col("rank"), col("neg_id"),
+          round(col("cosine"), 6).as("cosine_r"))
+    }),
+    // SIM3 the same mining restricted to pairs agreeing on a 3-bit
+    // hyperplane sign sketch (d6's blocking, d5/d6's exact-vs-blocked
+    // pairing): the equi-join scale path, biased toward exactly the
+    // high-cosine region hard negatives live in. Oracle re-derives the
+    // identical planes as SQL literals.
+    "sim3_hard_negatives_blocked" -> ((s, dir) => {
+      VectorSearch.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 5, minCosine = 0.1, blockBits = 3)
+        .select(col("anchor_id"), col("rank"), col("neg_id"),
+          round(col("cosine"), 6).as("cosine_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -4327,6 +4349,41 @@ object SparkEntry {
           |       AND af >= 0.7 AND nstop >= 2 AND bf <= 0.9 AND ef <= 0.3
           |       THEN 1 ELSE 0 END AS INTEGER) AS pass
           |FROM m""".stripMargin.replace("\n", " "),
+      // sim2/sim3: the label-inequality pair scan + per-anchor top-5 by
+      // (cosine DESC, neg_id ASC); sim3 adds the d6-style re-derived
+      // hyperplane block key to both sides of the join.
+      "sim2_hard_negatives" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, label, embedding::DOUBLE[] AS e FROM embeddings),
+          |p AS (SELECT a.id AS anchor_id, b.id AS neg_id,
+          |    list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+          |  FROM v a JOIN v b ON a.id <> b.id AND a.label <> b.label)
+          |SELECT anchor_id, rank, neg_id, round(c, 6) AS cosine_r FROM (
+          |  SELECT anchor_id, neg_id, c,
+          |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neg_id ASC) AS INTEGER) AS rank
+          |  FROM p WHERE c >= 0.1) t WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      "sim3_hard_negatives_blocked" -> {
+        val dim = 64
+        val planes = (0 until 3).map { j =>
+          (0 until dim).map { d =>
+            if (Integer.parseInt(
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d").substring(0, 2), 16) < 128) "1.0" else "-1.0"
+          }.mkString("[", ",", "]::DOUBLE[]")
+        }
+        val blkExpr = planes.zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN list_dot_product(e, $p) >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, label, embedding::DOUBLE[] AS e FROM embeddings),
+           |bv AS (SELECT id, label, e, $blkExpr AS blk FROM v),
+           |p AS (SELECT a.id AS anchor_id, b.id AS neg_id,
+           |    list_dot_product(a.e, b.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+           |  FROM bv a JOIN bv b ON a.blk = b.blk AND a.id <> b.id AND a.label <> b.label)
+           |SELECT anchor_id, rank, neg_id, round(c, 6) AS cosine_r FROM (
+           |  SELECT anchor_id, neg_id, c,
+           |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neg_id ASC) AS INTEGER) AS rank
+           |  FROM p WHERE c >= 0.1) t WHERE rank <= 5""".stripMargin.replace("\n", " ")
+      },
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

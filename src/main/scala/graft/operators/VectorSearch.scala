@@ -187,6 +187,67 @@ object VectorSearch {
     hits.groupBy(col(cIdCol))
       .agg(max(col("score")).as("score"), min(col("rank")).as("best_rank"))
 
+  /** HARD-NEGATIVE MINING for contrastive training — per anchor, the top-k
+    * most-similar vectors carrying a DIFFERENT label. The negatives that
+    * actually move an embedder live just outside the decision boundary
+    * (high cosine, wrong class); uniformly random negatives are almost all
+    * trivially far and contribute ~zero gradient, so every contrastive
+    * recipe (SimCLR-style InfoNCE, triplet, SBERT fine-tuning) mines the
+    * confusable band instead. `minCosine` floors the band to cut the easy
+    * tail before the top-k even sees it.
+    *
+    * Shape: label-inequality self-join → cosine floor → the bounded top-k
+    * AGGREGATE ([[TopKAggregator]]: map-side combined, k-bounded state —
+    * never a per-anchor sort of all candidates). `blockBits = 0` is the
+    * exact n² baseline; `blockBits > 0` restricts candidates to pairs
+    * agreeing on the same deterministic hyperplane sign sketch
+    * [[Dedup.embeddingNearDupPairs]] blocks with (identical md5-derived
+    * planes) — the equi-join scale path, biased exactly toward the
+    * high-cosine region hard negatives live in (sign agreement IS
+    * approximate angular closeness). Recall < 1 vs the exact baseline by
+    * construction; both variants sit under oracles so the trade is
+    * measurable, the d5/d6 pairing.
+    *
+    * Rows with a NULL label join nothing (`=!=` is null-rejecting on both
+    * sides) — unlabeled vectors are neither anchors nor negatives.
+    * Output: (anchor_id, rank, neg_id, cosine), ids as strings, ties by
+    * neg_id ascending. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, minCosine: Double,
+      blockBits: Int = 0): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val topk = udaf(new TopKAggregator(k))
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      col(labelCol).as("__lab"), col(vecCol).as("__v"))
+    val withBlock =
+      if (blockBits == 0) base.withColumn("__blk", lit(0L))
+      else {
+        val dim = df.select(size(col(vecCol))).head().getInt(0)
+        val sketch = (0 until blockBits).map { j =>
+          val hj = typedLit((0 until dim).map(d =>
+            if (Integer.parseInt(
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d")
+                .substring(0, 2), 16) < 128) 1.0 else -1.0))
+          when(VectorFunctions.dot(col("__v"), hj) >= 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce((a, b) => a + b)
+        base.withColumn("__blk", sketch)
+      }
+    withBlock.as("a").join(withBlock.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+        col("a.__id") =!= col("b.__id") &&
+        col("a.__lab") =!= col("b.__lab"))
+      .select(col("a.__id").as("__anchor"), col("b.__id").as("__neg"),
+        VectorFunctions.cosine(col("a.__v"), col("b.__v")).as("__c"))
+      .filter(col("__c") >= minCosine)
+      .groupBy(col("__anchor"))
+      .agg(topk(col("__neg"), col("__c")).as("__top"))
+      .select(col("__anchor"), posexplode(col("__top")))
+      .select(col("__anchor").as("anchor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neg_id"), col("col.score").as("cosine"))
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

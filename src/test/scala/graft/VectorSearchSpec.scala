@@ -108,4 +108,32 @@ class VectorSearchSpec extends SparkSpec {
     // ranks are contiguous from 1
     assert(got.filter(_._1 == "0").map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
+
+  test("hardNegatives: only cross-label pairs, ranked by cosine, floor respected") {
+    // axis-aligned toy space: label 0 along x, label 1 along y, one mixed.
+    // cos(a, c) = 0 (orthogonal, below floor); cos(a, m) = 0.6; cos(a, d) = 0.8.
+    val rows = Seq(
+      ("a", 0, Array(1.0f, 0.0f)),
+      ("b", 0, Array(0.9f, 0.1f)),
+      ("c", 1, Array(0.0f, 1.0f)),
+      ("d", 1, Array(0.8f, 0.6f)),
+      ("m", 1, Array(0.6f, 0.8f))).toDF("id", "lab", "v")
+    val got = VectorSearch.hardNegatives(rows, "id", "v", "lab", k = 2, minCosine = 0.5)
+      .as[(String, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // anchor a: negatives must be label 1, ordered d (0.8) then m (0.6);
+    // c is orthogonal — cut by the 0.5 floor
+    assert(got("a").map(_._1) == Seq("d", "m"), got("a"))
+    assert(math.abs(got("a").head._2 - 0.8) < 1e-6)
+    // same-label b never appears as a's negative
+    assert(!got("a").exists(_._1 == "b"))
+    // anchors of label 1 mine from label 0 only
+    assert(got("d").forall(n => Set("a", "b").contains(n._1)), got("d"))
+    // blocked variant returns a subset of the exact answer at equal params
+    val exact = VectorSearch.hardNegatives(rows, "id", "v", "lab", 2, 0.5)
+      .as[(String, Int, String, Double)].collect().map(r => (r._1, r._3)).toSet
+    val blocked = VectorSearch.hardNegatives(rows, "id", "v", "lab", 2, 0.5, blockBits = 2)
+      .as[(String, Int, String, Double)].collect().map(r => (r._1, r._3)).toSet
+    assert(blocked.subsetOf(exact), s"blocked=$blocked exact=$exact")
+  }
 }
