@@ -1457,6 +1457,16 @@ object SparkEntry {
         .select(col("anchor_id"), col("rank"), col("neg_id"),
           round(col("cosine"), 6).as("cosine_r"))
     }),
+    // SIM4 kNN label-agreement (confident-learning signal): fraction of
+    // each vector's 10 nearest neighbors sharing its label — the
+    // mislabeled-example audit a labeled corpus runs before a classifier
+    // inherits the noise. See VectorSearch.labelAgreement.
+    "sim4_label_agreement" -> ((s, dir) => {
+      VectorSearch.labelAgreement(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 10)
+        .select(col("id"), col("label"), col("k_eff"), col("n_same"),
+          round(col("agreement"), 6).as("agreement_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -4384,6 +4394,21 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neg_id ASC) AS INTEGER) AS rank
            |  FROM p WHERE c >= 0.1) t WHERE rank <= 5""".stripMargin.replace("\n", " ")
       },
+      // sim4: per-anchor top-10 by (cosine DESC, id ASC) over the
+      // label-inequality-free pair scan, then the agreement count.
+      "sim4_label_agreement" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS lab,
+          |    embedding::DOUBLE[] AS e FROM embeddings WHERE label IS NOT NULL),
+          |p AS (SELECT a.id AS aid, a.lab AS alab, b.lab AS blab,
+          |    row_number() OVER (PARTITION BY a.id ORDER BY
+          |      list_dot_product(a.e, b.e) /
+          |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) DESC,
+          |      b.id ASC) AS rn
+          |  FROM v a JOIN v b ON a.id <> b.id)
+          |SELECT aid AS id, alab AS label, count(*) AS k_eff,
+          |  CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+          |  round(CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement_r
+          |FROM p WHERE rn <= 10 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

@@ -248,6 +248,50 @@ object VectorSearch {
         col("col.id").as("neg_id"), col("col.score").as("cosine"))
   }
 
+  /** kNN LABEL-AGREEMENT — the mislabeled-example detector (the signal
+    * behind confident-learning/Cleanlab-style label audits): for each
+    * labeled vector, the fraction of its k nearest neighbors (by cosine,
+    * any label) that share its label. A row whose neighborhood votes
+    * against it is either mislabeled or sits on a genuine class boundary;
+    * both are exactly the rows a training-data pipeline routes to review
+    * before the classifier inherits the noise.
+    *
+    * Shape: the all-pairs scan (the exact baseline; swap the candidate
+    * join for [[hardNegatives]]'s sign-blocking or [[IvfIndex]] probes at
+    * corpus scale) → bounded top-k aggregate per anchor → ONE map-side
+    * agreement count over the k·n surviving rows. Neighbor labels ride the
+    * top-k rows themselves (packed into the scored id), so nothing joins
+    * back against the corpus after the aggregate.
+    *
+    * `k_eff` is the actual neighbor count (< k when the corpus is small
+    * or labels are sparse); agreement divides by it, not by k, so small
+    * corpora aren't biased toward disagreement. NULL-label rows are
+    * excluded entirely (no label to agree with).
+    * Output: (id, label, k_eff, n_same, agreement). */
+  def labelAgreement(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"labelAgreement: k must be >= 1, got $k")
+    val topk = udaf(new TopKAggregator(k))
+    val base = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
+    // neighbor label rides the scored id ("id label") through the
+    // aggregate — NUL cannot appear in either half, the LlmCache key trick
+    base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
+        concat_ws(" ", col("b.__id"), col("b.__lab")).as("__nbr"),
+        VectorFunctions.cosine(col("a.__v"), col("b.__v")).as("__c"))
+      .groupBy(col("__anchor"), col("__alab"))
+      .agg(topk(col("__nbr"), col("__c")).as("__top"))
+      .select(col("__anchor"), col("__alab"), explode(col("__top")).as("__n"))
+      .select(col("__anchor"), col("__alab"),
+        element_at(split(col("__n.id"), " "), 2).as("__nlab"))
+      .groupBy(col("__anchor").as("id"), col("__alab").as("label"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("__nlab") === col("__alab"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("agreement", col("n_same").cast("double") / col("k_eff"))
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

@@ -136,4 +136,30 @@ class VectorSearchSpec extends SparkSpec {
       .as[(String, Int, String, Double)].collect().map(r => (r._1, r._3)).toSet
     assert(blocked.subsetOf(exact), s"blocked=$blocked exact=$exact")
   }
+
+  test("labelAgreement: planted mislabel scores 0, clean cluster members score 1") {
+    // two tight clusters; "bad" sits in cluster 0's direction but carries
+    // label 1 — the planted noise the detector exists to surface
+    val rows = Seq(
+      ("a", "0", Array(1.0f, 0.0f)), ("b", "0", Array(0.99f, 0.05f)),
+      ("c", "0", Array(0.98f, 0.1f)),
+      ("x", "1", Array(0.0f, 1.0f)), ("y", "1", Array(0.05f, 0.99f)),
+      ("bad", "1", Array(0.97f, 0.15f)),
+      ("n", null.asInstanceOf[String], Array(0.5f, 0.5f))).toDF("id", "lab", "v")
+    val got = VectorSearch.labelAgreement(rows, "id", "v", "lab", k = 2)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // null-label row is excluded on BOTH sides
+    assert(!got.contains("n"))
+    assert(got.size == 6)
+    // bad's 2 nearest are a/b/c members (label 0) -> agreement 0
+    assert(got("bad")._4 == 0L && got("bad")._5 == 0.0, got("bad"))
+    // a's 2 nearest are b and c (label 0, same) -> agreement 1
+    assert(got("a") == (("a", "0", 2L, 2L, 1.0)), got("a"))
+    // x's 2 nearest: y, then the planted "bad" (nearer to x than any
+    // cluster-0 member because of its 0.15 y-component) — both label 1
+    assert(got("x") == (("x", "1", 2L, 2L, 1.0)), got("x"))
+    // c sits nearest to bad: neighbors b (same) and bad (label 1) -> 0.5
+    assert(got("c")._5 == 0.5, got("c"))
+  }
 }
