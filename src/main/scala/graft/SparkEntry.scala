@@ -2238,6 +2238,19 @@ object SparkEntry {
     // M8 ROC AUC of the m6 scorer (stopword ratio as an is-English detector)
     // — the threshold-free grade of the scorer itself, via the rank-sum
     // identity over score-collapsed rows. See eval.Recall.aucRoc.
+    // M10 calibration bins (reliability diagram) for the same scorer m8
+    // grades by rank: is the stopword-ratio honest as P(english)? Per-bin
+    // exact counts + two single-division ratios; ECE derives from the rows.
+    // See Recall.calibrationBins.
+    "m10_calibration" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select((col("lang") === "en").cast("int").as("y"),
+          TA.stopwordRatioT(Norm.normTokens(col("text"))).as("score"))
+      graft.eval.Recall.calibrationBins(scored, "score", "y", bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("avg_score"), 6).as("avg_score_r"),
+          round(col("pos_rate"), 6).as("pos_rate_r"))
+    }),
     "m8_auc" -> ((s, dir) => {
       val scored = t(s, dir, "documents")
         .select((col("lang") === "en").cast("int").as("y"),
@@ -4727,6 +4740,18 @@ object SparkEntry {
       // distinct score, average tie ranks via one cumulative window, exact
       // integer counts until the final division (round 6 absorbs the
       // rank-sum's double-accumulation order).
+      // m10: the m8 scored frame binned bin = clamp(floor(score·10), 0, 9);
+      // identical float product+floor on both engines, counts exact.
+      "m10_calibration" ->
+        s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks) END AS score
+           |  FROM (SELECT lang, $toksDoc AS toks FROM documents) t),
+           |b AS (SELECT greatest(least(CAST(floor(score * 10) AS BIGINT), 9), 0) AS bin, score, y FROM sc)
+           |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+           |  round(sum(score) / count(*), 6) AS avg_score_r,
+           |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate_r
+           |FROM b GROUP BY 1""".stripMargin.replace("\n", " "),
       "m8_auc" ->
         s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            |    CASE WHEN len(toks) = 0 THEN 0.0

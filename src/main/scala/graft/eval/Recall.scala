@@ -138,6 +138,37 @@ object Recall {
           .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** CALIBRATION BINS (the reliability-diagram table): equal-width bins of
+    * a [0,1] score vs the empirical positive rate inside each bin — the
+    * companion read to [[aucRoc]]: AUC grades the RANKING, calibration
+    * grades whether the score is honest as a PROBABILITY, and a quality
+    * classifier whose 0.9 bucket is only 60% positive will silently skew
+    * any pipeline that thresholds on "p ≥ 0.9" or importance-weights by
+    * score. Expected-calibration-error is Σ (n_b/N)·|pos_rate_b − avg_b|
+    * over the output rows — left to the caller so the per-bin table stays
+    * the artifact (the m6 PR-sweep convention).
+    *
+    * Shape: ONE map-side-combined aggregate to `bins` rows; n and n_pos
+    * are exact BIGINTs, the two ratios are single divisions. Scores
+    * outside [0,1) clamp into the edge bins (bin = min(⌊s·bins⌋, bins−1),
+    * floored at 0), so a 1.0 score lands in the top bin instead of
+    * falling off the table.
+    *
+    * Output: (bin, n, n_pos, avg_score, pos_rate), one row per NON-EMPTY
+    * bin. */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"calibrationBins: bins must be >= 1, got $bins")
+    val b = greatest(least(floor(col(scoreCol) * bins).cast("long"),
+      lit(bins - 1L)), lit(0L))
+    scored.select(b.as("bin"), col(scoreCol).as("_s"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        (sum(col("_s")) / count(lit(1))).as("avg_score"),
+        (sum(col("_y")).cast("double") / count(lit(1))).as("pos_rate"))
+  }
+
   /** ROC AUC of a score against a binary label, by the rank-sum identity
     * (Mann-Whitney U): with average ranks r̄_i over ALL rows ordered by
     * score ascending,
