@@ -1467,6 +1467,17 @@ object SparkEntry {
         .select(col("id"), col("label"), col("k_eff"), col("n_same"),
           round(col("agreement"), 6).as("agreement_r"))
     }),
+    // SIM5 label prototypes: per-class centroid + the real member nearest
+    // it (medoid) — nearest-class-mean reps, distillation exemplars,
+    // per-class drift anchors. Centroid rounded per element for the
+    // cross-engine compare. See VectorSearch.labelPrototypes.
+    "sim5_label_prototypes" -> ((s, dir) => {
+      VectorSearch.labelPrototypes(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label")
+        .select(col("label"), col("n"), col("medoid_id"),
+          round(col("medoid_cos"), 6).as("medoid_cos_r"),
+          transform(col("centroid"), x => round(x, 6)).as("centroid_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -4422,6 +4433,23 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
           |  round(CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement_r
           |FROM p WHERE rn <= 10 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // sim5: per-(label, dim) average reassembled positionally, medoid =
+      // top-1 member by cosine-to-centroid with id tiebreak.
+      "sim5_label_prototypes" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS lab,
+          |    embedding::DOUBLE[] AS e FROM embeddings WHERE label IS NOT NULL),
+          |u AS (SELECT lab, i AS pos, e[i] AS x FROM v, unnest(generate_series(1, len(e))) AS t(i)),
+          |cpos AS (SELECT lab, pos, avg(x) AS c FROM u GROUP BY 1, 2),
+          |cent AS (SELECT lab, list(c ORDER BY pos) AS ce FROM cpos GROUP BY 1),
+          |n AS (SELECT lab, count(*) AS n FROM v GROUP BY 1),
+          |m AS (SELECT lab, id, cs, row_number() OVER (PARTITION BY lab ORDER BY cs DESC, id ASC) AS rn
+          |  FROM (SELECT v.lab, v.id,
+          |      list_dot_product(v.e, c2.ce) /
+          |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c2.ce, c2.ce))) AS cs
+          |    FROM v JOIN cent c2 ON v.lab = c2.lab) s)
+          |SELECT n.lab AS label, n.n, m.id AS medoid_id, round(m.cs, 6) AS medoid_cos_r,
+          |  list_transform(cent.ce, x -> round(x, 6)) AS centroid_r
+          |FROM n JOIN cent ON cent.lab = n.lab JOIN m ON m.lab = n.lab AND m.rn = 1""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

@@ -292,6 +292,49 @@ object VectorSearch {
       .withColumn("agreement", col("n_same").cast("double") / col("k_eff"))
   }
 
+  /** LABEL PROTOTYPES: per label, the mean vector (centroid) and the
+    * member nearest to it by cosine (medoid) — the class representatives
+    * behind nearest-class-mean classification, dataset distillation
+    * (train on prototypes, validate on the rest) and per-class drift
+    * monitoring (today's centroid vs last week's). The medoid matters
+    * because the centroid is NOT a corpus member: any pipeline that needs
+    * a real example per class (prompt exemplars, review samples) wants
+    * the medoid beside the mean.
+    *
+    * Shape: one posexplode → (label, dim)-keyed average (label·dim rows —
+    * tiny), centroids reassembled by sorted position, then ONE
+    * members⋈centroids broadcast-shaped join scored by cosine with a
+    * label-partitioned top-1. Members are scanned twice (centroid pass,
+    * medoid pass) — the input is pinned here so the scan is one job's
+    * cache, not two corpus reads. NULL-label rows are excluded.
+    * Output: (label, n, medoid_id, medoid_cos, centroid). */
+  def labelPrototypes(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(labelCol).cast("string").as("__lab"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint(true) // centroid aggregate + medoid join both read it
+    val cent = base.select(col("__lab"), posexplode(col("__v")))
+      .groupBy(col("__lab"), col("pos"))
+      .agg(avg(col("col")).as("__c"))
+      .groupBy(col("__lab"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__c")))).as("__pc"))
+      .select(col("__lab"), transform(col("__pc"), x => x.getField("__c")).as("__cent"))
+    val n = base.groupBy(col("__lab")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("__lab"))
+      .orderBy(col("__cos").desc, col("__id").asc)
+    val medoid = base.join(cent, Seq("__lab"))
+      .select(col("__lab"), col("__id"),
+        VectorFunctions.cosine(col("__v"), col("__cent")).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    n.join(medoid, Seq("__lab")).join(cent, Seq("__lab"))
+      .select(col("__lab").as("label"), col("n"),
+        col("__id").as("medoid_id"), col("__cos").as("medoid_cos"),
+        col("__cent").as("centroid"))
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

@@ -31,4 +31,30 @@ class Round11OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(e == Map(9L -> 2L, 0L -> 1L), e)
   }
+
+  test("sim5 labelPrototypes: centroid is the mean, medoid is the nearest member") {
+    import graft.operators.VectorSearch
+    // label A: three vectors around (1, 0); mean = (0.9, 0.1); "a2" at
+    // (0.9, 0.1) IS the mean direction — medoid by construction.
+    // label B: two symmetric vectors; tie on cosine -> id tiebreak picks b1.
+    val rows = Seq(
+      ("a1", "A", Array(1.0f, 0.0f)),
+      ("a2", "A", Array(0.9f, 0.1f)),
+      ("a3", "A", Array(0.8f, 0.2f)),
+      ("b1", "B", Array(0.0f, 1.0f)),
+      ("b2", "B", Array(1.0f, 0.0f)),
+      ("nn", null.asInstanceOf[String], Array(9.0f, 9.0f))).toDF("id", "lab", "v")
+    val got = VectorSearch.labelPrototypes(rows, "id", "v", "lab")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getString(2), r.getDouble(3), r.getSeq[Double](4)))).toMap
+    assert(got.keySet == Set("A", "B")) // null label excluded
+    val (nA, medA, cosA, centA) = got("A")
+    assert(nA == 3L && medA == "a2")
+    assert(centA.zip(Seq(0.9, 0.1)).forall { case (a, b) => math.abs(a - b) < 1e-7 })
+    assert(cosA > 0.999)
+    // B's centroid (0.5, 0.5) is equidistant from both members: id tiebreak
+    val (nB, medB, _, centB) = got("B")
+    assert(nB == 2L && medB == "b1", got("B"))
+    assert(centB.zip(Seq(0.5, 0.5)).forall { case (a, b) => math.abs(a - b) < 1e-7 })
+  }
 }
