@@ -441,6 +441,18 @@ object SparkEntry {
     // triangles + clustering coefficient + average neighbor degree, the
     // per-node structural feature vector graph-ML consumes. See
     // Triangles.egoFeatures.
+    // G27 k-truss peel layers (k=4, 3 fixed rounds) of the part
+    // co-occurrence graph: edges closing < 2 triangles peel per round —
+    // edge-grade cohesion one level above g12's node-grade k-core (a
+    // bridge between two hubs has high endpoint degrees but closes no
+    // triangles). layer = removal round, 0 = in the surviving truss;
+    // support = triangle count at removal. See Triangles.trussPeel.
+    "g27_truss_layers" -> ((s, dir) => {
+      Triangles.trussPeel(coEdges(s, dir, minGroups = 2), "src", "dst",
+        k = 4, rounds = 3)
+        .select(col("u").as("part_u"), col("v").as("part_v"),
+          col("layer"), col("support"))
+    }),
     "g21_ego_features" -> ((s, dir) => {
       val wordDoc = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(Norm.normTokens(col("text")))).as("w"))
@@ -3266,6 +3278,32 @@ object SparkEntry {
            |SELECT id AS part_id, label FROM l4""".stripMargin.replace("\n", " "),
       // g21: g18's CTEs + one direction-expanded edge⋈degree join for the
       // neighbor-degree mean (exact integer sum / count).
+      // g27: 3 unrolled peel rounds, each = naive ordered triple-join
+      // triangle enumeration (different algorithm than the Spark side's
+      // degree-ordered kernel — same answer, the g11 contract), per-edge
+      // support via the 3-edges-per-triangle union, then the < k-2 cut.
+      "g27_truss_layers" -> {
+        val roundCte = (n: Int) =>
+          s"""t$n AS (SELECT a.u AS x, a.v AS y, b.v AS z
+             |  FROM e${n - 1} a JOIN e${n - 1} b ON a.u = b.u AND a.v < b.v
+             |  JOIN e${n - 1} c ON c.u = a.v AND c.v = b.v),
+             |s$n AS (SELECT u, v, count(*) AS sup FROM (
+             |  SELECT x AS u, y AS v FROM t$n UNION ALL SELECT x, z FROM t$n
+             |  UNION ALL SELECT y, z FROM t$n) q GROUP BY 1, 2),
+             |d$n AS (SELECT e.u, e.v, coalesce(s.sup, 0) AS sup
+             |  FROM e${n - 1} e LEFT JOIN s$n s ON s.u = e.u AND s.v = e.v),
+             |e$n AS MATERIALIZED (SELECT u, v FROM d$n WHERE sup >= 2)""".stripMargin
+        s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM po a
+           |  JOIN po b ON a.o = b.o AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |${(1 to 4).map(roundCte).mkString(",\n")}
+           |SELECT part_u, part_v, layer, CAST(sup AS BIGINT) AS support FROM (
+           |  SELECT u AS part_u, v AS part_v, 1 AS layer, sup FROM d1 WHERE sup < 2
+           |  UNION ALL SELECT u, v, 2, sup FROM d2 WHERE sup < 2
+           |  UNION ALL SELECT u, v, 3, sup FROM d3 WHERE sup < 2
+           |  UNION ALL SELECT u, v, 0, sup FROM d4) f""".stripMargin.replace("\n", " ")
+      },
       "g21_ego_features" ->
         s"""WITH wd AS (SELECT doc_id, unnest(list_distinct($toksDoc)) AS w FROM documents),
            |e AS (SELECT DISTINCT a.w AS u, b.w AS v

@@ -106,6 +106,79 @@ object Triangles {
             (col("degree") * (col("degree") - 1)).cast("double"))
           .as("coeff"))
 
+  /** Per-edge triangle support over a canonical (u < v) edge list: the
+    * number of triangles the edge closes. Every edge surfaces, zeros
+    * included (the truss peel must see unsupported edges to remove them). */
+  private def edgeSupportCanon(canon: DataFrame): DataFrame = {
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("tu"), col("e2.dst").as("tv"))
+      .join(canon.select(col("u").as("tu"), col("v").as("tv")), Seq("tu", "tv"), "left_semi")
+    val sup = tri.select(explode(array(
+        struct(least(col("x"), col("tu")).as("u"), greatest(col("x"), col("tu")).as("v")),
+        struct(least(col("x"), col("tv")).as("u"), greatest(col("x"), col("tv")).as("v")),
+        struct(col("tu").as("u"), col("tv").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    canon.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** k-TRUSS peel layers (Cohen 2008): iteratively remove edges closing
+    * fewer than k−2 triangles, recomputing support each round — the
+    * EDGE-cohesion decomposition one level above [[graft.operators.KCore]]'s
+    * node degrees (an edge can join two high-degree nodes and still bridge
+    * unrelated regions; truss support sees through that because bridges
+    * close no triangles). The curation read: k-truss edges are the
+    * relationships multiple independent contexts corroborate — the safe
+    * spine for expansion — while layer-1 edges are single-source hearsay.
+    *
+    * `rounds` is FIXED, not run-to-convergence (the g12/g13 contract: a SQL
+    * oracle replays fixed rounds exactly; truss converges fast in practice
+    * and survivors of round r are a superset of the true k-truss that
+    * shrinks monotonically with r). Per round: one degree-ordered triangle
+    * enumeration (hub-skew-bounded, the [[perNodeCounts]] kernel), one
+    * edge-keyed count, one anti-join — survivors checkpointed, the
+    * predecessor freed (PageRank hygiene). Removed layers accumulate as a
+    * union of per-round frames, each output-sized.
+    *
+    * Output: (u, v, layer, support) for EVERY input edge — layer = removal
+    * round (1-based), 0 for survivors; support = the edge's triangle count
+    * at removal time (for survivors: on the final surviving set). */
+  def trussPeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"trussPeel: k must be >= 3, got $k")
+    require(rounds >= 1, s"trussPeel: rounds must be >= 1, got $rounds")
+    var cur = canonicalize(edges, srcCol, dstCol)
+    var removed: Option[DataFrame] = None
+    var r = 1
+    while (r <= rounds) {
+      val sup = edgeSupportCanon(cur)
+      val drop = sup.filter(col("support") < k - 2)
+        .select(col("u"), col("v"), lit(r).as("layer"), col("support"))
+      val next = cur.join(drop.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+        .localCheckpoint(true)
+      removed = Some(removed.map(_.unionByName(drop)).getOrElse(drop)
+        .localCheckpoint(true))
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(cur)
+      cur = next
+      r += 1
+    }
+    val survivors = edgeSupportCanon(cur)
+      .select(col("u"), col("v"), lit(0).as("layer"), col("support"))
+    removed.map(_.unionByName(survivors)).getOrElse(survivors)
+  }
+
   /** Per-node ego-network feature vector — the structural features a
     * graph-ML pipeline (link prediction, node classification, GNN label
     * bootstrapping) computes for EVERY node before any model sees the graph:

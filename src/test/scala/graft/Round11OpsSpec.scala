@@ -57,4 +57,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(nB == 2L && medB == "b1", got("B"))
     assert(centB.zip(Seq(0.5, 0.5)).forall { case (a, b) => math.abs(a - b) < 1e-7 })
   }
+
+  test("g27 trussPeel: K4 survives 4-truss, pendant and bridge peel in cascade") {
+    import graft.operators.Triangles
+    // K4 on {1,2,3,4}: every edge closes 2 triangles -> survives k=4.
+    // 4–5 attaches triangle {4,5,6} via two bridges: edges of that triangle
+    // close exactly 1 triangle -> removed round 1; pendant 6–7 closes 0.
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (4, 6), (5, 6), (6, 7))
+    val edges = und.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    val got = Triangles.trussPeel(edges, "src", "dst", k = 4, rounds = 3)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size == 10) // every input edge accounted for
+    // K4 edges: layer 0 with support 2 (computed on the final K4-only set)
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).foreach { e =>
+      assert(got(e) == ((0, 2L)), s"$e -> ${got(e)}")
+    }
+    // the {4,5,6} triangle closes 1 triangle per edge -> peeled round 1
+    Seq((4L, 5L), (4L, 6L), (5L, 6L)).foreach { e =>
+      assert(got(e) == ((1, 1L)), s"$e -> ${got(e)}")
+    }
+    // pendant edge closes nothing
+    assert(got((6L, 7L)) == ((1, 0L)))
+    // k=3 keeps every triangle edge: only the pendant peels
+    val k3 = Triangles.trussPeel(edges, "src", "dst", k = 3, rounds = 3)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(k3((6L, 7L)) == 1)
+    assert(k3.count(_._2 == 0) == 9, k3)
+  }
 }
