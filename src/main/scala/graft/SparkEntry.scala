@@ -2401,6 +2401,16 @@ object SparkEntry {
         .select(col("community"), col("n_nodes"), col("volume"), col("cut_edges"),
           round(col("conductance"), 6).as("conductance_r"))
     }),
+    // CS9 Zipf rank-frequency fit over the shared lexical postings: OLS
+    // slope of ln(count) on ln(rank) + R² — natural text sits near −1;
+    // shallower = boilerplate-heavy, steeper = a few tokens dominating.
+    // See CorpusOps.zipfFit.
+    "cs9_zipf_fit" -> ((s, dir) => {
+      CorpusOps.zipfFit(lexTokens(s, dir), "term")
+        .select(col("n_terms"), round(col("slope"), 6).as("slope_r"),
+          round(col("intercept"), 6).as("intercept_r"),
+          round(col("r2"), 6).as("r2_r"))
+    }),
     // CS8 token-mass weighted length quantiles: "half the corpus's TOKENS
     // live in documents shorter than …" — the packing/budget planning read
     // cs1's unweighted percentiles get wrong whenever a few giant docs carry
@@ -5018,6 +5028,22 @@ object SparkEntry {
            |  LEFT JOIN cut ON nn.label = cut.label""".stripMargin.replace("\n", " "),
       // cs8: (value → Σweight) collapse, cumulative window, q·W thresholds —
       // integer weights so the cut comparisons are engine-exact.
+      // cs9: term counts -> (count DESC, term ASC) rank -> ln/ln moments.
+      "cs9_zipf_fit" ->
+        s"""WITH tc AS (SELECT t, count(*) AS c FROM (
+           |    SELECT unnest($toksDoc) AS t FROM documents) u GROUP BY 1),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rk FROM tc),
+           |xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+           |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_terms,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+           |  FROM xy)
+           |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+           |  round(CASE WHEN n*sxx - sx*sx > 0 THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope_r,
+           |  round(CASE WHEN n*sxx - sx*sx > 0
+           |    THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END, 6) AS intercept_r,
+           |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+           |    THEN (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2_r
+           |FROM m""".stripMargin.replace("\n", " "),
       "cs8_weighted_quantiles" ->
         s"""WITH sig AS (SELECT n_chars AS len, len($toksDoc) AS toks FROM documents),
            |bv AS (SELECT len, CAST(sum(toks) AS BIGINT) AS w FROM sig GROUP BY 1),

@@ -1029,6 +1029,48 @@ object CorpusOps {
       .groupBy("q").agg(min(col("_v")).as("value"))
   }
 
+  /** ZIPF RANK-FREQUENCY FIT: OLS of ln(count) on ln(rank) over the term
+    * frequency table — the one-number corpus-health read distribution work
+    * starts from. Natural text sits near slope −1 (Zipf's law); a corpus
+    * whose slope is far shallower is template/boilerplate-heavy (mass
+    * spread across near-equal frequencies), far steeper means a few tokens
+    * dominate (log spam, repeated headers) — both are curation flags
+    * BEFORE any model sees the data, and the slope also calibrates
+    * heavy-hitter sketch budgets (cs2/cs4). R² says whether the power law
+    * actually holds or the slope is a fit through noise.
+    *
+    * Shape: one term-count aggregate (map-side combined), then a rank
+    * window over the VOCABULARY (single partition BY INTENT — vocabulary
+    * rows, bounded by distinct terms, never corpus-sized; the aucRoc
+    * convention), then one moment aggregate to a single row. Ties rank by
+    * (count DESC, term ASC) — total order, engine-replayable. Double sums
+    * are order-sensitive at ~1e-12 relative; callers round.
+    *
+    * Output: one row (n_terms, slope, intercept, r2); slope/r2 NULL for a
+    * degenerate vocabulary (< 2 distinct ranks worth of variance). */
+  def zipfFit(terms: DataFrame, termCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = terms.groupBy(col(termCol).as("_t")).agg(count(lit(1)).as("_c"))
+    // vocabulary-sized single-partition window (intent: ranks are global)
+    val w = Window.partitionBy(lit(0)).orderBy(col("_c").desc, col("_t").asc)
+    val xy = counts.withColumn("_rk", row_number().over(w))
+      .select(log(col("_rk").cast("double")).as("_x"),
+        log(col("_c").cast("double")).as("_y"))
+    val m = xy.agg(count(lit(1)).as("n_terms"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    val n = col("n_terms").cast("double")
+    val vx = n * col("_sxx") - col("_sx") * col("_sx")
+    val vy = n * col("_syy") - col("_sy") * col("_sy")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    val slope = when(vx > 0, cov / vx)
+    m.select(col("n_terms"), slope.as("slope"),
+      when(vx > 0, (col("_sy") - slope * col("_sx")) / n).as("intercept"),
+      when(vx > 0 && vy > 0, cov * cov / (vx * vy)).as("r2"))
+  }
+
   /** Pairwise Pearson correlation matrix of k numeric columns in ONE corpus
     * pass — the signal-redundancy read behind every quality-gate design:
     * two gates correlated at 0.95 are one gate paid for twice, and the only

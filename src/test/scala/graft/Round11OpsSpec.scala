@@ -87,4 +87,22 @@ class Round11OpsSpec extends SparkSpec {
     assert(k3((6L, 7L)) == 1)
     assert(k3.count(_._2 == 0) == 9, k3)
   }
+
+  test("cs9 zipfFit: exact power law fits slope -1 with r2 = 1; uniform is degenerate") {
+    import graft.operators.CorpusOps
+    // counts EXACTLY c(rank) = 720/rank for ranks 1..6 -> ln-ln is a
+    // perfect line of slope -1 through (0, ln 720)
+    val rows = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"t$r")).toDF("term")
+    val got = CorpusOps.zipfFit(rows, "term").collect().head
+    assert(got.getLong(0) == 6L)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 1e-9, got)
+    assert(math.abs(got.getDouble(2) - math.log(720.0)) < 1e-9)
+    assert(math.abs(got.getDouble(3) - 1.0) < 1e-9)
+    // a single term has zero rank variance: slope/intercept/r2 all NULL
+    val one = CorpusOps.zipfFit(Seq("a", "a", "a").toDF("term"), "term").collect().head
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(2) && one.isNullAt(3))
+    // uniform counts: slope exists (0) but y-variance is 0 -> r2 NULL
+    val uni = CorpusOps.zipfFit(Seq("a", "b", "c").toDF("term"), "term").collect().head
+    assert(math.abs(uni.getDouble(1)) < 1e-12 && uni.isNullAt(3), uni)
+  }
 }
