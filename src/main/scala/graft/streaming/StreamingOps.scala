@@ -350,6 +350,54 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming calibration maintenance — the incremental twin of
+    * [[graft.eval.Recall.calibrationBins]]: state is the bins-row table
+    * (bin, n, n_pos, sum_score), and ALL THREE statistics are additive
+    * across micro-batches, so the merge is one grouped sum and the
+    * streamed integer columns equal the one-shot batch aggregate EXACTLY
+    * (sum_score is a double sum — additive too, but associative only to
+    * ~1e-12 relative, the standing float-sum caveat; the reliability read
+    * pos_rate = n_pos/n is pure integers). This is how a live quality
+    * classifier's calibration is actually monitored: the scorer runs in
+    * the ingest stream, the bins absorb each batch, and the reliability
+    * diagram is a bins-row read at any moment — no replay of history.
+    * State is bins-sized, period. Re-delivered batches double-count
+    * (the sessionizeStream in-order contract). */
+  def calibrationMaintain(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int, statePath: String): StreamingQuery =
+    scored.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = greatest(least(floor(col(scoreCol) * bins).cast("long"),
+          lit(bins - 1L)), lit(0L))
+        val fresh = batch
+          .select(b.as("bin"), col(scoreCol).as("_s"),
+            col(labelCol).cast("long").as("_y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+            sum(col("_s")).as("sum_score"))
+        val merged0 =
+          try spark.read.parquet(statePath).unionByName(fresh)
+            .groupBy("bin")
+            .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+              sum(col("sum_score")).as("sum_score"))
+          catch { case _: org.apache.spark.sql.AnalysisException => fresh } // first batch
+        val merged = merged0.localCheckpoint(true)
+        try merged.write.mode("overwrite").parquet(statePath)
+        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+        ()
+      }
+      .start()
+
+  /** The reliability-diagram read over [[calibrationMaintain]]'s state:
+    * derives [[graft.eval.Recall.calibrationBins]]'s exact output shape
+    * (bin, n, n_pos, avg_score, pos_rate) from the maintained sums. */
+  def calibrationFromState(state: DataFrame): DataFrame =
+    state.select(col("bin"), col("n"), col("n_pos"),
+      (col("sum_score") / col("n")).as("avg_score"),
+      (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+
   /** Streaming decayed-counter maintenance — the incremental twin of
     * [[graft.operators.EventAnalytics.decayedCounts]]: state is ONE row per
     * event type (n_events, decayed, t_ref), where `decayed` is every seen

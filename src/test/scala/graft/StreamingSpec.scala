@@ -439,4 +439,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(statePath).select(max("t_ref")).head().getLong(0)
       == all.agg(max("ts")).head().getLong(0))
   }
+
+  test("streaming calibration bins: merged state equals the batch reliability table") {
+    import graft.eval.Recall
+    val dir = Files.createTempDirectory("stream_calib").toString
+    val statePath = s"$dir/state"
+    // two waves with DIFFERENT score mixes (wave 2 shifts mass upward), so
+    // per-batch tables differ from the merged one — the merge is the test
+    val w1 = (0 until 60).map(i => (i / 60.0, if (i % 3 == 0) 1 else 0))
+    val w2 = (0 until 40).map(i => (0.5 + i / 80.0, if (i % 2 == 0) 1 else 0))
+    w1.toDF("s", "y").coalesce(1).write.parquet(s"$dir/in/w1")
+    w2.toDF("s", "y").coalesce(1).write.parquet(s"$dir/in/w2")
+    val all = (w1 ++ w2).toDF("s", "y")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.calibrationMaintain(stream, "s", "y", bins = 10, statePath)
+    q.processAllAvailable(); q.stop()
+    val streamed = StreamingOps.calibrationFromState(spark.read.parquet(statePath))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val batch = Recall.calibrationBins(all, "s", "y", bins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (bin, (_, n, np, avg, rate)) =>
+      val (_, bn, bnp, bavg, brate) = batch(bin)
+      assert(n == bn && np == bnp, s"bin $bin") // integer stats EXACT
+      assert(rate == brate) // pure-integer division: exact too
+      assert(math.abs(avg - bavg) < 1e-12, s"bin $bin avg") // float-sum tolerance
+    }
+  }
 }
