@@ -164,6 +164,35 @@ class EvalPropertySpec extends SparkSpec {
     }
   }
 
+  test("trussPeel invariants on random graphs: cuts honest, k-monotone, degree bound") {
+    import graft.operators.Triangles
+    val edgeGen = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L); if a != b
+    } yield (a, b))
+    Iterator.continually(edgeGen.sample).flatten.take(4).foreach { und =>
+      val edges = und.toDF("src", "dst")
+      val out4 = Triangles.trussPeel(edges, "src", "dst", k = 4, rounds = 3)
+        .as[(Long, Long, Int, Long)].collect()
+      // every input edge appears exactly once (canonical form)
+      val canon = und.map(p => (p._1 min p._2, p._1 max p._2)).distinct.toSet
+      assert(out4.map(e => (e._1, e._2)).toSet == canon)
+      assert(out4.length == canon.size)
+      // every REMOVED edge was genuinely under-supported at removal time
+      // (survivors carry their support on the final set, which can sit
+      // below k−2 when fixed rounds stop before the fixpoint — that is
+      // the documented fixed-round contract, not an error)
+      out4.foreach { case (u, v, layer, sup) =>
+        if (layer > 0) assert(sup < 2, s"removed ($u,$v) layer $layer sup $sup")
+      }
+      // stricter k peels strictly more: survivors(k=4) ⊆ survivors(k=3)
+      val s4 = out4.filter(_._3 == 0).map(e => (e._1, e._2)).toSet
+      val s3 = Triangles.trussPeel(edges, "src", "dst", k = 3, rounds = 3)
+        .as[(Long, Long, Int, Long)].collect().filter(_._3 == 0)
+        .map(e => (e._1, e._2)).toSet
+      assert(s4.subsetOf(s3), s"edges=$und")
+    }
+  }
+
   test("pairQuality is invariant under pair orientation and duplication") {
     val pairsGen = Gen.listOfN(30, for {
       a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L); if a != b
