@@ -1490,6 +1490,13 @@ object SparkEntry {
           round(col("medoid_cos"), 6).as("medoid_cos_r"),
           transform(col("centroid"), x => round(x, 6)).as("centroid_r"))
     }),
+    // SIM6 mutual-kNN graph (k=8): undirected edges where each vector is
+    // in the other's top-8 — the hub-robust neighborhood graph for
+    // density-based dedup clustering. See VectorSearch.mutualKnn.
+    "sim6_mutual_knn" -> ((s, dir) => {
+      VectorSearch.mutualKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -2265,6 +2272,21 @@ object SparkEntry {
     // grades by rank: is the stopword-ratio honest as P(english)? Per-bin
     // exact counts + two single-division ratios; ECE derives from the rows.
     // See Recall.calibrationBins.
+    // M11 ROUGE-2 of each document's first-20-word "summary" against its
+    // full text — the content-survival read for any pipeline stage that
+    // REWRITES text (markup extraction, span removal): clipped bigram
+    // precision/recall/F1, document-sized joins only. See Recall.rougeN.
+    "m11_rouge2" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(Norm.normTokens(col("text")), 1, 20), " ").as("cand"),
+          col("text").as("ref"))
+      graft.eval.Recall.rougeN(pairs, "doc_id", "cand", "ref", n = 2)
+        .select(col("id").as("doc_id"), col("n_cand"), col("n_ref"), col("overlap"),
+          round(col("precision"), 6).as("precision_r"),
+          round(col("recall"), 6).as("recall_r"),
+          round(col("f1"), 6).as("f1_r"))
+    }),
     "m10_calibration" -> ((s, dir) => {
       val scored = t(s, dir, "documents")
         .select((col("lang") === "en").cast("int").as("y"),
@@ -4498,6 +4520,19 @@ object SparkEntry {
           |SELECT n.lab AS label, n.n, m.id AS medoid_id, round(m.cs, 6) AS medoid_cos_r,
           |  list_transform(cent.ce, x -> round(x, 6)) AS centroid_r
           |FROM n JOIN cent ON cent.lab = n.lab JOIN m ON m.lab = n.lab AND m.rn = 1""".stripMargin.replace("\n", " "),
+      // sim6: directed top-8 per anchor by (cosine DESC, id ASC), then the
+      // reversed-pair self-join keeps mutual edges once (id_a < id_b).
+      "sim6_mutual_knn" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
+          |p AS (SELECT a.id AS src, b.id AS dst,
+          |    list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+          |  FROM v a JOIN v b ON a.id <> b.id),
+          |r AS (SELECT src, dst, c,
+          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM p),
+          |knn AS (SELECT src, dst, c FROM r WHERE rn <= 8)
+          |SELECT x.src AS id_a, x.dst AS id_b, round(x.c, 6) AS cosine_r
+          |FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t
@@ -4818,6 +4853,34 @@ object SparkEntry {
       // rank-sum's double-accumulation order).
       // m10: the m8 scored frame binned bin = clamp(floor(score·10), 0, 9);
       // identical float product+floor on both engines, counts exact.
+      // m11: clipped bigram overlap of the first-20-token slice vs the
+      // full token list (normalizing a normalized slice is idempotent).
+      "m11_rouge2" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS w FROM documents),
+           |g AS (SELECT doc_id, list_slice(w, 1, 20) AS cw, w AS rw FROM d),
+           |cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(cw) - 1, 0)),
+           |    i -> array_to_string(list_slice(cw, i, i + 1), ' '))) AS gr FROM g),
+           |rg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(rw) - 1, 0)),
+           |    i -> array_to_string(list_slice(rw, i, i + 1), ' '))) AS gr FROM g),
+           |cc AS (SELECT doc_id, gr, count(*) AS nc FROM cg GROUP BY 1, 2),
+           |rc AS (SELECT doc_id, gr, count(*) AS nr FROM rg GROUP BY 1, 2),
+           |ov AS (SELECT cc.doc_id, CAST(sum(least(cc.nc, rc.nr)) AS BIGINT) AS overlap
+           |  FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.gr = rc.gr GROUP BY 1),
+           |tot AS (SELECT doc_id, greatest(len(cw) - 1, 0) AS n_cand,
+           |    greatest(len(rw) - 1, 0) AS n_ref FROM g)
+           |SELECT t.doc_id, CAST(t.n_cand AS BIGINT) AS n_cand,
+           |  CAST(t.n_ref AS BIGINT) AS n_ref,
+           |  CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+           |  round(CASE WHEN t.n_cand > 0 THEN CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_cand END, 6) AS precision_r,
+           |  round(CASE WHEN t.n_ref > 0 THEN CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_ref END, 6) AS recall_r,
+           |  round(CASE WHEN t.n_cand > 0 AND t.n_ref > 0
+           |      AND CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_cand
+           |        + CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_ref > 0
+           |    THEN 2.0 * (CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_cand)
+           |      * (CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_ref)
+           |      / (CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_cand
+           |        + CAST(coalesce(ov.overlap, 0) AS DOUBLE) / t.n_ref) END, 6) AS f1_r
+           |FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id""".stripMargin.replace("\n", " "),
       "m10_calibration" ->
         s"""WITH sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            |    CASE WHEN len(toks) = 0 THEN 0.0

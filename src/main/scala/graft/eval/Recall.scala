@@ -138,6 +138,48 @@ object Recall {
           .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** ROUGE-N per (candidate, reference) pair — the n-gram-overlap metric
+    * summarization/compression pipelines grade with (Lin 2004), and the
+    * data-curation read behind it: when a pipeline REWRITES text (markup
+    * extraction, span removal, dedup-driven trimming), ROUGE between
+    * output and source quantifies how much content survived. Standard
+    * CLIPPED counting: each n-gram's contribution is min(count_cand,
+    * count_ref), so repeating a gram in the candidate can't inflate
+    * precision.
+    *
+    * Shape: per-side n-gram explode → (id, gram) counts (map-side
+    * combined) → one equi-join on (id, gram) → Σ min per id — everything
+    * document-sized, never corpus². Precision over candidate grams,
+    * recall over reference grams, both NULL when their side has no grams
+    * (undefined, not 0); F1 NULL unless both exist and sum > 0.
+    *
+    * Output: (id, n_cand, n_ref, overlap, precision, recall, f1). */
+  def rougeN(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"rougeN: n must be >= 1, got $n")
+    import graft.functions.Norm
+    val base = df.select(col(idCol).as("id"),
+      Norm.shingles(Norm.normTokens(col(candCol)), n).as("_cg"),
+      Norm.shingles(Norm.normTokens(col(refCol)), n).as("_rg"))
+      .localCheckpoint(true) // two explodes + the totals read it
+    val cc = base.select(col("id"), explode(col("_cg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("_nc"))
+    val rc = base.select(col("id"), explode(col("_rg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("_nr"))
+    val ov = cc.join(rc, Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("_nc"), col("_nr"))).as("overlap"))
+    val p = when(col("n_cand") > 0, col("overlap").cast("double") / col("n_cand"))
+    val r = when(col("n_ref") > 0, col("overlap").cast("double") / col("n_ref"))
+    base.select(col("id"), size(col("_cg")).cast("long").as("n_cand"),
+        size(col("_rg")).cast("long").as("n_ref"))
+      .join(ov, Seq("id"), "left")
+      .select(col("id"), col("n_cand"), col("n_ref"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .select(col("id"), col("n_cand"), col("n_ref"), col("overlap"),
+        p.as("precision"), r.as("recall"),
+        when(p + r > 0, lit(2.0) * p * r / (p + r)).as("f1"))
+  }
+
   /** CALIBRATION BINS (the reliability-diagram table): equal-width bins of
     * a [0,1] score vs the empirical positive rate inside each bin — the
     * companion read to [[aucRoc]]: AUC grades the RANKING, calibration

@@ -350,6 +350,59 @@ object VectorSearch {
         col("__cent").as("centroid"))
   }
 
+  /** MUTUAL-kNN GRAPH: undirected edges (a, b) where each vector is in the
+    * OTHER's k nearest neighbors by cosine — the noise-robust similarity
+    * graph density-based dedup clustering and manifold methods (UMAP-style
+    * neighborhood graphs) build on: a one-directional kNN edge happily
+    * links an outlier to a cluster it merely sits nearest to, while
+    * mutuality requires the cluster to reciprocate, so hub-attraction
+    * edges drop out. The k dial trades graph connectivity against purity.
+    *
+    * Shape: one n² scored scan (norms hoisted per row — one dot per pair)
+    * reduced by the bounded top-k aggregate into the DIRECTED kNN list
+    * (n·k rows), then mutuality is a self-join of that list on reversed
+    * pairs — n·k sized, never n². The directed list is pinned (both join
+    * sides read it). blockBits > 0 restricts the scan to hyperplane-sign
+    * blocks, the [[hardNegatives]] scale path.
+    * Output: (id_a, id_b, cosine) with id_a < id_b, each mutual pair once. */
+  def mutualKnn(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      blockBits: Int = 0): DataFrame = {
+    require(k >= 1, s"mutualKnn: k must be >= 1, got $k")
+    val topk = udaf(new TopKAggregator(k))
+    val base0 = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
+    val base =
+      if (blockBits == 0) base0.withColumn("__blk", lit(0L))
+      else {
+        val dim = df.select(size(col(vecCol))).head().getInt(0)
+        val sketch = (0 until blockBits).map { j =>
+          val hj = typedLit((0 until dim).map(d =>
+            if (Integer.parseInt(
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d")
+                .substring(0, 2), 16) < 128) 1.0 else -1.0))
+          when(VectorFunctions.dot(col("__v"), hj) >= 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce((a, b) => a + b)
+        base0.withColumn("__blk", sketch)
+      }
+    val cos = when(col("a.__nm") === 0.0 || col("b.__nm") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("a.__v"), col("b.__v")) /
+        (col("a.__nm") * col("b.__nm")))
+    val knn = base.as("a").join(base.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("__src"), col("b.__id").as("__dst"), cos.as("__c"))
+      .groupBy(col("__src"))
+      .agg(topk(col("__dst"), col("__c")).as("__top"))
+      .select(col("__src"), explode(col("__top")).as("__t"))
+      .select(col("__src"), col("__t.id").as("__dst"), col("__t.score").as("__c"))
+      .localCheckpoint(true) // both sides of the mutuality join
+    knn.as("x").join(knn.as("y"),
+        col("x.__src") === col("y.__dst") && col("x.__dst") === col("y.__src") &&
+        col("x.__src") < col("x.__dst"))
+      .select(col("x.__src").as("id_a"), col("x.__dst").as("id_b"),
+        col("x.__c").as("cosine"))
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

@@ -105,4 +105,45 @@ class Round11OpsSpec extends SparkSpec {
     val uni = CorpusOps.zipfFit(Seq("a", "b", "c").toDF("term"), "term").collect().head
     assert(math.abs(uni.getDouble(1)) < 1e-12 && uni.isNullAt(3), uni)
   }
+
+  test("sim6 mutualKnn: one-directional outlier edges drop, tight pairs survive") {
+    import graft.operators.VectorSearch
+    // a/b form a tight pair; o's nearest is a, but a's top-1 is b (and
+    // vice versa), so o's edge is one-directional and must NOT appear
+    val rows = Seq(
+      ("a", Array(1.0f, 0.0f)),
+      ("b", Array(0.99f, 0.14f)),
+      ("o", Array(0.7f, 0.7f))).toDF("id", "v")
+    val k1 = VectorSearch.mutualKnn(rows, "id", "v", k = 1)
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(k1 == Set(("a", "b")), k1)
+    // k=2: every directed list contains both others -> all 3 pairs mutual
+    val k2 = VectorSearch.mutualKnn(rows, "id", "v", k = 2)
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(k2 == Set(("a", "b"), ("a", "o"), ("b", "o")), k2)
+  }
+
+  test("m11 rougeN: clipped counting, hand-checked bigrams, empty sides NULL") {
+    // cand "a b a b" vs ref "a b c a b": cand bigrams {ab:2, ba:1};
+    // ref bigrams {ab:2, bc:1, ca:1}; clipped overlap = min(2,2) = 2.
+    // precision 2/3, recall 2/4.
+    val df = Seq(
+      (1L, "a b a b", "a b c a b"),
+      (2L, "", "a b c"),          // no cand grams -> precision NULL
+      (3L, "x y", "z w")          // disjoint -> overlap 0, f1 NULL (p+r=0)
+    ).toDF("id", "cand", "ref")
+    val got = Recall.rougeN(df, "id", "cand", "ref", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 4L, 2L)), r1)
+    assert(math.abs(r1.getDouble(4) - 2.0 / 3) < 1e-12)
+    assert(r1.getDouble(5) == 0.5)
+    // f1 = 2pr/(p+r) = 2*(2/3)*(1/2)/(2/3+1/2) = (2/3)/(7/6) = 4/7
+    assert(math.abs(r1.getDouble(6) - 4.0 / 7) < 1e-12)
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(4) && !r2.isNullAt(5))
+    assert(r2.getDouble(5) == 0.0) // recall defined: 0 of 2 ref grams found
+    val r3 = got(3L)
+    assert(r3.getLong(3) == 0L && r3.getDouble(4) == 0.0 && r3.isNullAt(6))
+  }
 }
