@@ -1497,6 +1497,17 @@ object SparkEntry {
       VectorSearch.mutualKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
     }),
+    // SIM7 triplet mining: per anchor, hardest same-label positive (min
+    // cosine) + hardest cross-label negative (max cosine) + the margin —
+    // the literal (a, p, n) batch a triplet trainer consumes; margin < 0
+    // rows are the active constraint set. See VectorSearch.tripletMine.
+    "sim7_triplet_mine" -> ((s, dir) => {
+      VectorSearch.tripletMine(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("anchor_id"), col("label"), col("pos_id"),
+          round(col("pos_cos"), 6).as("pos_cos_r"), col("neg_id"),
+          round(col("neg_cos"), 6).as("neg_cos_r"),
+          round(col("margin"), 6).as("margin_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -4533,6 +4544,26 @@ object SparkEntry {
           |knn AS (SELECT src, dst, c FROM r WHERE rn <= 8)
           |SELECT x.src AS id_a, x.dst AS id_b, round(x.c, 6) AS cosine_r
           |FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""".stripMargin.replace("\n", " "),
+      // sim7: one pair scan, positive side ranked (c ASC, id ASC),
+      // negative side (c DESC, id ASC), inner-joined per anchor.
+      "sim7_triplet_mine" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS lab,
+          |    embedding::DOUBLE[] AS e FROM embeddings WHERE label IS NOT NULL),
+          |p AS (SELECT a.id AS aid, a.lab AS alab, b.id AS bid, a.lab = b.lab AS same,
+          |    list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+          |  FROM v a JOIN v b ON a.id <> b.id),
+          |pos AS (SELECT aid, alab, bid AS pos_id, c AS pos_cos FROM (
+          |  SELECT aid, alab, bid, c, row_number() OVER (PARTITION BY aid ORDER BY c ASC, bid ASC) AS rn
+          |  FROM p WHERE same) t WHERE rn = 1),
+          |neg AS (SELECT aid, bid AS neg_id, c AS neg_cos FROM (
+          |  SELECT aid, bid, c, row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
+          |  FROM p WHERE NOT same) t WHERE rn = 1)
+          |SELECT pos.aid AS anchor_id, pos.alab AS label, pos.pos_id,
+          |  round(pos.pos_cos, 6) AS pos_cos_r, neg.neg_id,
+          |  round(neg.neg_cos, 6) AS neg_cos_r,
+          |  round(pos.pos_cos - neg.neg_cos, 6) AS margin_r
+          |FROM pos JOIN neg ON neg.aid = pos.aid""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

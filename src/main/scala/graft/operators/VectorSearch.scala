@@ -403,6 +403,61 @@ object VectorSearch {
         col("x.__c").as("cosine"))
   }
 
+  /** TRIPLET MINING: per anchor, the HARDEST POSITIVE (same label,
+    * lowest cosine — the in-class example the embedder currently pushes
+    * away) and the HARDEST NEGATIVE (different label, highest cosine —
+    * [[hardNegatives]]'s top row), with the margin between them. This is
+    * the literal batch a triplet/contrastive trainer consumes
+    * (FaceNet-style hard mining): margin < 0 rows are the active
+    * constraint set where the loss is nonzero, and their count per class
+    * is the convergence read.
+    *
+    * Shape: ONE norm-hoisted n² scored scan feeds both sides — the
+    * same-label pairs reduce by a MIN-cosine top-1, the cross-label pairs
+    * by a MAX-cosine top-1 (two bounded aggregates over one join, never
+    * two scans). Anchors missing either side (singleton class, or no
+    * other class) drop — a triplet needs all three corners. blockBits
+    * would bias the POSITIVE side (hard positives are far apart, the
+    * opposite of where sign-blocks concentrate), so this operator is
+    * exact-only; at corpus scale mine negatives blocked via
+    * [[hardNegatives]] and positives within class partitions.
+    * Output: (anchor_id, label, pos_id, pos_cos, neg_id, neg_cos,
+    * margin = pos_cos − neg_cos). */
+  def tripletMine(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val top1 = udaf(new TopKAggregator(1))
+    val base = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
+      .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
+    val cos = when(col("a.__nm") === 0.0 || col("b.__nm") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("a.__v"), col("b.__v")) /
+        (col("a.__nm") * col("b.__nm")))
+    val scored = base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
+        col("b.__id").as("__other"), (col("a.__lab") === col("b.__lab")).as("__same"),
+        cos.as("__c"))
+      .localCheckpoint(true) // positive and negative reductions share it
+    // hardest positive: MIN cosine over same-label — negate the score so
+    // the (score DESC, id ASC) aggregator returns the minimum
+    val pos = scored.filter(col("__same"))
+      .groupBy(col("__anchor"), col("__alab"))
+      .agg(top1(col("__other"), -col("__c")).as("__t"))
+      .select(col("__anchor"), col("__alab"),
+        element_at(col("__t"), 1).getField("id").as("pos_id"),
+        (-element_at(col("__t"), 1).getField("score")).as("pos_cos"))
+    val neg = scored.filter(!col("__same"))
+      .groupBy(col("__anchor"))
+      .agg(top1(col("__other"), col("__c")).as("__t"))
+      .select(col("__anchor"),
+        element_at(col("__t"), 1).getField("id").as("neg_id"),
+        element_at(col("__t"), 1).getField("score").as("neg_cos"))
+    pos.join(neg, Seq("__anchor"))
+      .select(col("__anchor").as("anchor_id"), col("__alab").as("label"),
+        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

@@ -146,4 +146,34 @@ class Round11OpsSpec extends SparkSpec {
     val r3 = got(3L)
     assert(r3.getLong(3) == 0L && r3.getDouble(4) == 0.0 && r3.isNullAt(6))
   }
+
+  test("sim7 tripletMine: hardest positive is the farthest in-class, margin signs") {
+    import graft.operators.VectorSearch
+    // class A spans a 45-degree arc (a1 at 0 deg, a2 at 20, a3 at 45);
+    // class B sits at 80/90. For anchor a1: hardest positive = a3
+    // (farthest in class), hardest negative = b2 (cos 80 beats cos 90).
+    // Singleton class C drops (no positive corner).
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val rows = Seq(
+      ("a1", "A", v(0)), ("a2", "A", v(20)), ("a3", "A", v(45)),
+      ("b1", "B", v(90)), ("b2", "B", v(80)),
+      ("c1", "C", v(180))).toDF("id", "lab", "vec")
+    val got = VectorSearch.tripletMine(rows, "id", "vec", "lab")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getString(4), r.getDouble(6))).toMap
+    assert(!got.contains("c1")) // singleton class: no positive corner
+    val (p1, n1, m1) = got("a1")
+    assert(p1 == "a3" && n1 == "b2", got("a1"))
+    // pos_cos = cos45 (~0.707) > neg_cos = cos80 (~0.174) -> positive margin
+    assert(m1 > 0)
+    // b1's hardest negative is c1 (cos(90->180) = cos 90... actually
+    // farthest cross-label is NOT mined; hardest = HIGHEST cosine: a3 at
+    // 45 deg is cos(45) from b1, c1 is cos(90) -> a3 wins
+    assert(got("b1")._2 == "a3", got("b1"))
+    // c1 never appears: it is orthogonal-or-worse to every other vector,
+    // but as an anchor it lacks a positive; as a negative it loses to
+    // closer cross-label vectors for every anchor here
+    assert(got.values.forall(_._2 != "c1"))
+  }
 }
