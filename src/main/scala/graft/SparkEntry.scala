@@ -582,6 +582,28 @@ object SparkEntry {
         .select(col("seed"), col("node"), round(col("d"), 6).as("d_r"))
     }),
 
+    // G28 bounded HARMONIC centrality of the g17 seed set: H(v) =
+    // Σ 1/d(v,u) over nodes within 3 unweighted hops — the reachability
+    // centrality that (unlike closeness) is defined on disconnected
+    // graphs because unreached nodes contribute 0, not ∞. Engine-exact:
+    // per-distance node COUNTS are integers, the harmonic sum is one
+    // n1 + n2/2 + n3/3 expression from them. Reuses the SSSP kernel with
+    // unit weights. See ShortestPaths.boundedSssp.
+    "g28_harmonic" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2).withColumn("w", lit(1.0))
+      val seeds = edges.filter(col("src") % 500 === 0)
+        .select(col("src").as("node")).distinct()
+      ShortestPaths.boundedSssp(edges, seeds, hops = 3)
+        .filter(col("d") > 0)
+        .groupBy(col("seed"))
+        .agg(sum(when(col("d") === 1.0, 1L).otherwise(0L)).as("n_d1"),
+          sum(when(col("d") === 2.0, 1L).otherwise(0L)).as("n_d2"),
+          sum(when(col("d") === 3.0, 1L).otherwise(0L)).as("n_d3"))
+        .select(col("seed"), col("n_d1"), col("n_d2"), col("n_d3"),
+          round(col("n_d1") + col("n_d2") / lit(2.0) + col("n_d3") / lit(3.0), 6)
+            .as("harmonic_r"))
+    }),
+
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
     // per customer: >20 orders ⇒ top-20 by totalprice; else ALL sorted by orderkey.
@@ -3518,6 +3540,32 @@ object SparkEntry {
       // g17: three unrolled Bellman–Ford rounds — each a union of carry +
       // relax then a (seed, node) min, the identical float dataflow
       // (d_{k+1} = d_k + w, same candidate multiset per min).
+      // g28: 3 unrolled unweighted BFS rounds over the m>=2 edges, then
+      // integer per-distance counts and the single harmonic expression.
+      "g28_harmonic" ->
+        """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |c0 AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |sd AS (SELECT DISTINCT src AS node FROM e WHERE src % 500 = 0),
+          |d0 AS (SELECT node AS seed, node, 0 AS d FROM sd),
+          |d1 AS MATERIALIZED (SELECT seed, node, min(d) AS d FROM (
+          |  SELECT seed, node, d FROM d0
+          |  UNION ALL SELECT d0.seed, e.dst, d0.d + 1 FROM d0 JOIN e ON e.src = d0.node) q GROUP BY 1, 2),
+          |d2 AS MATERIALIZED (SELECT seed, node, min(d) AS d FROM (
+          |  SELECT seed, node, d FROM d1
+          |  UNION ALL SELECT d1.seed, e.dst, d1.d + 1 FROM d1 JOIN e ON e.src = d1.node) q GROUP BY 1, 2),
+          |d3 AS MATERIALIZED (SELECT seed, node, min(d) AS d FROM (
+          |  SELECT seed, node, d FROM d2
+          |  UNION ALL SELECT d2.seed, e.dst, d2.d + 1 FROM d2 JOIN e ON e.src = d2.node) q GROUP BY 1, 2)
+          |SELECT seed,
+          |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+          |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+          |  CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+          |  round(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)
+          |    + sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) / 2.0
+          |    + sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) / 3.0, 6) AS harmonic_r
+          |FROM d3 WHERE d > 0 GROUP BY 1""".stripMargin.replace("\n", " "),
       "g17_bounded_sssp" ->
         """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
           |    count(DISTINCT a.l_orderkey) AS m

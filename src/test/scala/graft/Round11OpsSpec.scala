@@ -176,4 +176,20 @@ class Round11OpsSpec extends SparkSpec {
     // closer cross-label vectors for every anchor here
     assert(got.values.forall(_._2 != "c1"))
   }
+
+  test("g28 harmonic counts: path graph hand-check via the SSSP kernel") {
+    import graft.operators.ShortestPaths
+    // path 1-2-3-4-5, seed 1: d=1 to {2}, d=2 to {3}, d=3 to {4}; 5 is
+    // beyond 3 hops -> H = 1 + 1/2 + 1/3 = 11/6
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b, 1.0), (b, a, 1.0)) }
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val d = ShortestPaths.boundedSssp(edges, seeds, hops = 3)
+      .filter(col("d") > 0).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(d == Map(2L -> 1.0, 3L -> 2.0, 4L -> 3.0), d)
+    val h = d.values.map(1.0 / _).sum
+    assert(math.abs(h - 11.0 / 6) < 1e-12)
+  }
 }
