@@ -3557,15 +3557,15 @@ object SparkEntry {
           |  UNION ALL SELECT d1.seed, e.dst, d1.d + 1 FROM d1 JOIN e ON e.src = d1.node) q GROUP BY 1, 2),
           |d3 AS MATERIALIZED (SELECT seed, node, min(d) AS d FROM (
           |  SELECT seed, node, d FROM d2
-          |  UNION ALL SELECT d2.seed, e.dst, d2.d + 1 FROM d2 JOIN e ON e.src = d2.node) q GROUP BY 1, 2)
-          |SELECT seed,
+          |  UNION ALL SELECT d2.seed, e.dst, d2.d + 1 FROM d2 JOIN e ON e.src = d2.node) q GROUP BY 1, 2),
+          |cnt AS (SELECT seed,
           |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
           |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
-          |  CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
-          |  round(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)
-          |    + sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) / 2.0
-          |    + sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) / 3.0, 6) AS harmonic_r
-          |FROM d3 WHERE d > 0 GROUP BY 1""".stripMargin.replace("\n", " "),
+          |  CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3
+          |  FROM d3 WHERE d > 0 GROUP BY 1)
+          |SELECT seed, n_d1, n_d2, n_d3,
+          |  round(n_d1 + n_d2 / 2.0 + n_d3 / 3.0, 6) AS harmonic_r
+          |FROM cnt""".stripMargin.replace("\n", " "),
       "g17_bounded_sssp" ->
         """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
           |    count(DISTINCT a.l_orderkey) AS m
