@@ -158,9 +158,16 @@ object Recall {
       n: Int): DataFrame = {
     require(n >= 1, s"rougeN: n must be >= 1, got $n")
     import graft.functions.Norm
-    val base = df.select(col(idCol).as("id"),
-      Norm.shingles(Norm.normTokens(col(candCol)), n).as("_cg"),
-      Norm.shingles(Norm.normTokens(col(refCol)), n).as("_rg"))
+    // tokenize behind an EvalBarrier in its OWN projection: shingles()
+    // references its input twice inside a transform lambda, and Catalyst
+    // would otherwise inline the regex tokenize per shingle index (the
+    // sim1 trap — measured here too: 10.1 s → ~1 s at sf0.1)
+    val toks = df.select(col(idCol).as("id"),
+      Norm.evalOnce(Norm.normTokens(col(candCol))).as("_ct"),
+      Norm.evalOnce(Norm.normTokens(col(refCol))).as("_rt"))
+    val base = toks.select(col("id"),
+      Norm.shingles(col("_ct"), n).as("_cg"),
+      Norm.shingles(col("_rt"), n).as("_rg"))
       .localCheckpoint(true) // two explodes + the totals read it
     val cc = base.select(col("id"), explode(col("_cg")).as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("_nc"))
