@@ -201,7 +201,9 @@ object Recall {
     * are exact BIGINTs, the two ratios are single divisions. Scores
     * outside [0,1) clamp into the edge bins (bin = min(⌊s·bins⌋, bins−1),
     * floored at 0), so a 1.0 score lands in the top bin instead of
-    * falling off the table.
+    * falling off the table. Rows with a NULL score or label are DROPPED
+    * up front — least/greatest skip NULL arguments, so an unguarded NULL
+    * score would silently clamp into the TOP bin and pollute its counts.
     *
     * Output: (bin, n, n_pos, avg_score, pos_rate), one row per NON-EMPTY
     * bin. */
@@ -210,7 +212,8 @@ object Recall {
     require(bins >= 1, s"calibrationBins: bins must be >= 1, got $bins")
     val b = greatest(least(floor(col(scoreCol) * bins).cast("long"),
       lit(bins - 1L)), lit(0L))
-    scored.select(b.as("bin"), col(scoreCol).as("_s"),
+    scored.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b.as("bin"), col(scoreCol).as("_s"),
         col(labelCol).cast("long").as("_y"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),

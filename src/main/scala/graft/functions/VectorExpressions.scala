@@ -36,6 +36,32 @@ object VectorFunctions {
     val nb = l2Norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
+
+  /** [[cosine]] with both norms PRE-COMPUTED (hoisted per row by the
+    * caller): the n² pair-scan form — one dot product per pair instead of
+    * three. Same VALUE as `cosine` for the same vectors (the norms are the
+    * same sqrt-of-dot), so an oracle written against the plain formula
+    * stays bit-equal. ONE definition so the five pair-scan call sites
+    * (hard negatives, label agreement, mutual kNN, triplet mining,
+    * embedding near-dup) can never drift apart. */
+  def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+  /** Deterministic hyperplane sign sketch: bit j = [v · h_j ≥ 0], h_j a
+    * ±1 direction with component d drawn from md5("hp{j}-{d}") — the
+    * LSH block key for high-cosine candidate joins ([[graft.operators.Dedup]]
+    * d6's blocking and the mining family's scale path). ONE definition:
+    * the DuckDB oracles re-derive these exact planes as SQL literals, so
+    * every Scala call site must share one seed/threshold or the
+    * cross-engine agreement silently breaks. */
+  def hyperplaneSketch(v: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val hj = typedLit((0 until dim).map(d =>
+        if (Integer.parseInt(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d")
+            .substring(0, 2), 16) < 128) 1.0 else -1.0))
+      when(dot(v, hj) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
 }
 
 /** Symmetric per-vector int8 quantization — the memory-bound scale path for

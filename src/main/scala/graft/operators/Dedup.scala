@@ -469,20 +469,14 @@ object Dedup {
     val withBlock =
       if (blockBits == 0) base.withColumn("blk", lit(0))
       else {
-        // sign sketch: bit j = sign(v · h_j), h_j a deterministic ±1 hyperplane
-        // derived from md5(j ‖ dim-index) — computed per row, no data exchange.
+        // sign sketch: the ONE shared md5-plane definition (the DuckDB
+        // oracle re-derives these planes literally) — per row, no exchange.
         val dim = df.select(size(col(vecCol))).head().getInt(0)
-        val sketch = (0 until blockBits).map { j =>
-          val hj = typedLit((0 until dim).map(d =>
-            if (Integer.parseInt(
-              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d").substring(0, 2), 16) < 128) 1.0 else -1.0))
-          when(VectorFunctions.dot(col("v"), hj) >= 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce((a, b) => a + b)
-        base.withColumn("blk", sketch)
+        base.withColumn("blk",
+          VectorFunctions.hyperplaneSketch(col("v"), dim, blockBits))
       }
-    val cosH = when(col("a._nm") === 0.0 || col("b._nm") === 0.0, lit(0.0))
-      .otherwise(VectorFunctions.dot(col("a.v"), col("b.v")) /
-        (col("a._nm") * col("b._nm")))
+    val cosH = VectorFunctions.cosinePre(col("a.v"), col("a._nm"),
+      col("b.v"), col("b._nm"))
     withBlock.as("a").join(withBlock.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -515,9 +509,8 @@ object Dedup {
       .assignments
       .withColumn("_nm", VectorFunctions.l2Norm(col("v"))) // hoisted norm
       .localCheckpoint(true) // id, centroid_id, v, _nm
-    val cosH = when(col("a._nm") === 0.0 || col("b._nm") === 0.0, lit(0.0))
-      .otherwise(VectorFunctions.dot(col("a.v"), col("b.v")) /
-        (col("a._nm") * col("b._nm")))
+    val cosH = VectorFunctions.cosinePre(col("a.v"), col("a._nm"),
+      col("b.v"), col("b._nm"))
     val dropped = inv.as("a").join(inv.as("b"),
         col("a.centroid_id") === col("b.centroid_id") && col("b.id") < col("a.id"))
       .filter(cosH >= tau)

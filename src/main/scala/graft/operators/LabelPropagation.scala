@@ -99,7 +99,23 @@ object LabelPropagation {
   def modularityWeighted(labels: DataFrame, edges: DataFrame,
       weightCol: String): DataFrame =
     modularityImpl(labels, edges.select(col("src"), col("dst"),
-      col(weightCol).cast("long").as("_w")))
+      integralWeight(edges, weightCol).as("_w")))
+
+  /** Fail fast on a fractional weight column: cast("long") would TRUNCATE
+    * tf-idf-style doubles toward zero and the kernels would return
+    * plausible-looking zeros instead of an error. */
+  private def integralWeight(edges: DataFrame, weightCol: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    edges.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(weightCol).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"weighted kernel: weight column '$weightCol' must be integral " +
+          s"(the exact-BIGINT rational contract), got $dt — scale and " +
+          "round fractional weights to integers upstream")
+    }
+  }
 
   private def modularityImpl(labels: DataFrame, e: DataFrame): DataFrame = {
     val tot = e.agg(sum(col("_w")).as("_etot"))
@@ -155,7 +171,7 @@ object LabelPropagation {
   def conductanceWeighted(labels: DataFrame, edges: DataFrame,
       weightCol: String): DataFrame =
     conductanceImpl(labels, edges.select(col("src"), col("dst"),
-      col(weightCol).cast("long").as("_w")))
+      integralWeight(edges, weightCol).as("_w")))
 
   private def conductanceImpl(labels: DataFrame, e: DataFrame): DataFrame = {
     val j = e

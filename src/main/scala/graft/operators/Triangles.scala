@@ -160,23 +160,28 @@ object Triangles {
     require(k >= 3, s"trussPeel: k must be >= 3, got $k")
     require(rounds >= 1, s"trussPeel: rounds must be >= 1, got $rounds")
     var cur = canonicalize(edges, srcCol, dstCol)
-    var removed: Option[DataFrame] = None
+    // each round's DROP list is the frame that gets checkpointed: the
+    // triangle-enumeration DAG then materializes exactly ONCE per round
+    // (both the next-edge anti-join and the output union read the pinned
+    // drop, never the lazy support plan), and the per-round drop frames
+    // are output-sized, so keeping them all pinned until the result is
+    // consumed is the cheapest correct lifetime
+    var drops = List.empty[DataFrame]
     var r = 1
     while (r <= rounds) {
-      val sup = edgeSupportCanon(cur)
-      val drop = sup.filter(col("support") < k - 2)
+      val drop = edgeSupportCanon(cur).filter(col("support") < k - 2)
         .select(col("u"), col("v"), lit(r).as("layer"), col("support"))
+        .localCheckpoint(true)
       val next = cur.join(drop.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
         .localCheckpoint(true)
-      removed = Some(removed.map(_.unionByName(drop)).getOrElse(drop)
-        .localCheckpoint(true))
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(cur)
+      drops ::= drop
       cur = next
       r += 1
     }
     val survivors = edgeSupportCanon(cur)
       .select(col("u"), col("v"), lit(0).as("layer"), col("support"))
-    removed.map(_.unionByName(survivors)).getOrElse(survivors)
+    drops.foldLeft(survivors)(_.unionByName(_))
   }
 
   /** Per-node ego-network feature vector — the structural features a

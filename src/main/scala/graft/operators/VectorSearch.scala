@@ -217,28 +217,21 @@ object VectorSearch {
       blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
-    // norm precomputed per ROW: the pair scan pays one dot product per
-    // pair instead of three (same value as VectorFunctions.cosine)
+    // norms (and block keys) precompute per ROW and the frame is PINNED:
+    // both self-join sides read the same materialized rows instead of
+    // re-running l2Norm (and the blockBits × dim sketch dots) per side
     val base = df.select(col(idCol).cast("string").as("__id"),
       col(labelCol).as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-    val withBlock =
+    val withBlock = (
       if (blockBits == 0) base.withColumn("__blk", lit(0L))
       else {
         val dim = df.select(size(col(vecCol))).head().getInt(0)
-        val sketch = (0 until blockBits).map { j =>
-          val hj = typedLit((0 until dim).map(d =>
-            if (Integer.parseInt(
-              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d")
-                .substring(0, 2), 16) < 128) 1.0 else -1.0))
-          when(VectorFunctions.dot(col("__v"), hj) >= 0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce((a, b) => a + b)
-        base.withColumn("__blk", sketch)
-      }
-    val cos = when(col("a.__nm") === 0.0 || col("b.__nm") === 0.0, lit(0.0))
-      .otherwise(VectorFunctions.dot(col("a.__v"), col("b.__v")) /
-        (col("a.__nm") * col("b.__nm")))
+        base.withColumn("__blk",
+          VectorFunctions.hyperplaneSketch(col("__v"), dim, blockBits))
+      }).localCheckpoint(true)
+    val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
+      col("b.__v"), col("b.__nm"))
     withBlock.as("a").join(withBlock.as("b"),
         col("a.__blk") === col("b.__blk") &&
         col("a.__id") =!= col("b.__id") &&
@@ -265,9 +258,7 @@ object VectorSearch {
     * Shape: the all-pairs scan (the exact baseline; swap the candidate
     * join for [[hardNegatives]]'s sign-blocking or [[IvfIndex]] probes at
     * corpus scale) → bounded top-k aggregate per anchor → ONE map-side
-    * agreement count over the k·n surviving rows. Neighbor labels ride the
-    * top-k rows themselves (packed into the scored id), so nothing joins
-    * back against the corpus after the aggregate.
+    * agreement count over the k·n surviving rows.
     *
     * `k_eff` is the actual neighbor count (< k when the corpus is small
     * or labels are sparse); agreement divides by it, not by k, so small
@@ -289,10 +280,8 @@ object VectorSearch {
         col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
       .localCheckpoint(true) // both pair-scan sides + the label join-back
-    // same VALUE as VectorFunctions.cosine, norms hoisted out of the pair
-    val cos = when(col("a.__nm") === 0.0 || col("b.__nm") === 0.0, lit(0.0))
-      .otherwise(VectorFunctions.dot(col("a.__v"), col("b.__v")) /
-        (col("a.__nm") * col("b.__nm")))
+    val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
+      col("b.__v"), col("b.__nm"))
     base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
         col("b.__id").as("__nbr"), cos.as("__c"))
@@ -371,23 +360,15 @@ object VectorSearch {
     val topk = udaf(new TopKAggregator(k))
     val base0 = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-    val base =
+    val base = (
       if (blockBits == 0) base0.withColumn("__blk", lit(0L))
       else {
         val dim = df.select(size(col(vecCol))).head().getInt(0)
-        val sketch = (0 until blockBits).map { j =>
-          val hj = typedLit((0 until dim).map(d =>
-            if (Integer.parseInt(
-              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d")
-                .substring(0, 2), 16) < 128) 1.0 else -1.0))
-          when(VectorFunctions.dot(col("__v"), hj) >= 0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce((a, b) => a + b)
-        base0.withColumn("__blk", sketch)
-      }
-    val cos = when(col("a.__nm") === 0.0 || col("b.__nm") === 0.0, lit(0.0))
-      .otherwise(VectorFunctions.dot(col("a.__v"), col("b.__v")) /
-        (col("a.__nm") * col("b.__nm")))
+        base0.withColumn("__blk",
+          VectorFunctions.hyperplaneSketch(col("__v"), dim, blockBits))
+      }).localCheckpoint(true) // both self-join sides read it
+    val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
+      col("b.__v"), col("b.__nm"))
     val knn = base.as("a").join(base.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__src"), col("b.__id").as("__dst"), cos.as("__c"))
@@ -430,9 +411,9 @@ object VectorSearch {
       .select(col(idCol).cast("string").as("__id"),
         col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-    val cos = when(col("a.__nm") === 0.0 || col("b.__nm") === 0.0, lit(0.0))
-      .otherwise(VectorFunctions.dot(col("a.__v"), col("b.__v")) /
-        (col("a.__nm") * col("b.__nm")))
+      .localCheckpoint(true) // both self-join sides read it
+    val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
+      col("b.__v"), col("b.__nm"))
     val scored = base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
         col("b.__id").as("__other"), (col("a.__lab") === col("b.__lab")).as("__same"),

@@ -371,7 +371,11 @@ object StreamingOps {
         val spark = batch.sparkSession
         val b = greatest(least(floor(col(scoreCol) * bins).cast("long"),
           lit(bins - 1L)), lit(0L))
+        // NULL score/label rows dropped — the batch twin's contract
+        // (least/greatest skip NULLs; an unguarded NULL score would clamp
+        // into the top bin and bake the pollution into persisted state)
         val fresh = batch
+          .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
           .select(b.as("bin"), col(scoreCol).as("_s"),
             col(labelCol).cast("long").as("_y"))
           .groupBy("bin")
