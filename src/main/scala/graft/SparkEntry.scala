@@ -1530,6 +1530,14 @@ object SparkEntry {
           round(col("neg_cos"), 6).as("neg_cos_r"),
           round(col("margin"), 6).as("margin_r"))
     }),
+    // SIM8 kNN density (k=10): mean cosine to the 10 nearest — low tail =
+    // corrupt/out-of-distribution docs, high tail = near-dup saturation,
+    // both curation queues. Deterministic ordered fold on both engines.
+    // See VectorSearch.knnDensity.
+    "sim8_knn_density" -> ((s, dir) => {
+      VectorSearch.knnDensity(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+        .select(col("id"), col("k_eff"), round(col("mean_cos"), 6).as("mean_cos_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -4612,6 +4620,19 @@ object SparkEntry {
           |  round(neg.neg_cos, 6) AS neg_cos_r,
           |  round(pos.pos_cos - neg.neg_cos, 6) AS margin_r
           |FROM pos JOIN neg ON neg.aid = pos.aid""".stripMargin.replace("\n", " "),
+      // sim8: top-10 by (cosine DESC, id ASC), mean via the ORDERED
+      // aggregate so the float summation order matches the Spark fold.
+      "sim8_knn_density" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
+          |p AS (SELECT a.id AS aid, b.id AS bid,
+          |    list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+          |  FROM v a JOIN v b ON a.id <> b.id),
+          |r AS (SELECT aid, bid, c,
+          |    row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn FROM p)
+          |SELECT aid AS id, count(*) AS k_eff,
+          |  round(sum(c ORDER BY c DESC, bid ASC) / count(*), 6) AS mean_cos_r
+          |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

@@ -439,6 +439,40 @@ object VectorSearch {
         (col("pos_cos") - col("neg_cos")).as("margin"))
   }
 
+  /** kNN DENSITY score: each vector's MEAN cosine to its k nearest
+    * neighbors — the embedding-space outlier read (Sun et al. 2022-style
+    * deep-kNN OOD): a corrupt document (mojibake, binary-in-text, wrong
+    * modality) embeds far from everything and scores near 0, while
+    * near-duplicate clusters saturate toward 1, so BOTH tails of this
+    * column are curation queues (low = broken, high = redundant). The
+    * mean over exactly the k nearest is deliberately rank-weighted-free —
+    * a single freak neighbor can't dominate the way a max would.
+    *
+    * Shape: the shared norm-hoisted pair scan into the bounded top-k,
+    * then the mean folds over the aggregator's SORTED (score DESC, id)
+    * sequence — a deterministic summation order both engines reproduce
+    * (the oracle uses DuckDB's ordered-aggregate `sum(c ORDER BY ...)`),
+    * so the double sum carries no partition-order noise.
+    * Output: (id, k_eff, mean_cos). */
+  def knnDensity(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"knnDensity: k must be >= 1, got $k")
+    val topk = udaf(new TopKAggregator(k))
+    val base = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
+      .localCheckpoint(true) // both self-join sides read it
+    val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
+      col("b.__v"), col("b.__nm"))
+    base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("__anchor"), col("b.__id").as("__nbr"), cos.as("__c"))
+      .groupBy(col("__anchor"))
+      .agg(topk(col("__nbr"), col("__c")).as("__top"))
+      .select(col("__anchor").as("id"),
+        size(col("__top")).cast("long").as("k_eff"),
+        (aggregate(transform(col("__top"), t => t.getField("score")),
+          lit(0.0), (acc, x) => acc + x) / size(col("__top"))).as("mean_cos"))
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

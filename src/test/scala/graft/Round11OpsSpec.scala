@@ -177,6 +177,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.values.forall(_._2 != "c1"))
   }
 
+  test("sim8 knnDensity: the planted outlier scores the lowest mean cosine") {
+    import graft.operators.VectorSearch
+    // tight cluster near (1, 0); "out" is orthogonal — its k_eff stays 2
+    // but its mean cosine collapses toward 0 while cluster members stay ~1
+    val rows = Seq(
+      ("a", Array(1.0f, 0.0f)), ("b", Array(0.99f, 0.05f)),
+      ("c", Array(0.98f, 0.1f)), ("out", Array(0.0f, 1.0f))).toDF("id", "v")
+    val got = VectorSearch.knnDensity(rows, "id", "v", k = 2)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.values.forall(_._1 == 2L)) // k_eff = 2 everywhere (4 vectors)
+    assert(got("out")._2 < 0.11, got("out")) // cos(out, c) ~ 0.1 is its best
+    Seq("a", "b", "c").foreach(id => assert(got(id)._2 > 0.99, s"$id ${got(id)}"))
+    assert(got.minBy(_._2._2)._1 == "out")
+  }
+
   test("g28 harmonic counts: path graph hand-check via the SSSP kernel") {
     import graft.operators.ShortestPaths
     // path 1-2-3-4-5, seed 1: d=1 to {2}, d=2 to {3}, d=3 to {4}; 5 is
