@@ -1503,14 +1503,19 @@ object SparkEntry {
     }),
     // SIM5 label prototypes: per-class centroid + the real member nearest
     // it (medoid) — nearest-class-mean reps, distillation exemplars,
-    // per-class drift anchors. Centroid rounded per element for the
-    // cross-engine compare. See VectorSearch.labelPrototypes.
+    // per-class drift anchors. Centroid serialized to a comma-joined string
+    // via decimal(18,6) (fixed-point on BOTH engines — a raw double cast can
+    // print scientific notation, and a raw array column crashes the driver
+    // comparator's row sort). See VectorSearch.labelPrototypes.
     "sim5_label_prototypes" -> ((s, dir) => {
       VectorSearch.labelPrototypes(t(s, dir, "embeddings"), "vec_id", "embedding",
         "label")
         .select(col("label"), col("n"), col("medoid_id"),
           round(col("medoid_cos"), 6).as("medoid_cos_r"),
-          transform(col("centroid"), x => round(x, 6)).as("centroid_r"))
+          array_join(
+            transform(col("centroid"),
+              x => round(x, 6).cast("decimal(18,6)").cast("string")),
+            ",").as("centroid_r"))
     }),
     // SIM6 mutual-kNN graph (k=8): undirected edges where each vector is
     // in the other's top-8 — the hub-robust neighborhood graph for
@@ -4585,7 +4590,8 @@ object SparkEntry {
           |      (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c2.ce, c2.ce))) AS cs
           |    FROM v JOIN cent c2 ON v.lab = c2.lab) s)
           |SELECT n.lab AS label, n.n, m.id AS medoid_id, round(m.cs, 6) AS medoid_cos_r,
-          |  list_transform(cent.ce, x -> round(x, 6)) AS centroid_r
+          |  array_to_string(list_transform(cent.ce,
+          |    x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS centroid_r
           |FROM n JOIN cent ON cent.lab = n.lab JOIN m ON m.lab = n.lab AND m.rn = 1""".stripMargin.replace("\n", " "),
       // sim6: directed top-8 per anchor by (cosine DESC, id ASC), then the
       // reversed-pair self-join keeps mutual edges once (id_a < id_b).

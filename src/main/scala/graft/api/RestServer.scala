@@ -19,6 +19,8 @@ import java.nio.charset.StandardCharsets
   * Routes:
   *   GET    /health
   *   GET    /settings                    → engine config introspection (app.py:321-337)
+  *   GET    /documents?graph_name&query&top_k → list/search documents (app.py:786-818);
+  *                                        query → passage KNN, no query → empty list
   *   GET    /graphs                      → ["name", ...]
   *   GET    /graphs/{g}/documents/{id}   → passage row with adjacency
   *   GET    /graphs/{g}/stats            → {entities, relations, passages}
@@ -49,7 +51,8 @@ import java.nio.charset.StandardCharsets
   * out of scope (SURVEY §1.4); this is API-surface parity.
   */
 final class RestServer(spark: SparkSession, storeBase: String,
-    config: RagConfig = RagConfig(), port: Int = 0) {
+    config: RagConfig = RagConfig(), port: Int = 0,
+    embedder: graft.functions.Embedder = graft.functions.HashEmbedder()) {
 
   private val mapper = new ObjectMapper()
   private val store = new GraphStore(spark, storeBase)
@@ -58,7 +61,20 @@ final class RestServer(spark: SparkSession, storeBase: String,
   def boundPort: Int = server.getAddress.getPort
 
   private def rag(graph: String, cfg: RagConfig = config) =
-    new GraphRag(spark, store, graph, cfg)
+    new GraphRag(spark, store, graph, cfg, embedder)
+
+  /** `?a=1&b=2` → Map("a" -> "1", "b" -> "2") (URL-decoded values). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&"))
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case Array(k) => Some(k -> "")
+          case _ => None
+        }
+      }.toMap
 
   /** Per-request retrieval knobs (api/app.py:550-667 exposes the same dials on
     * /query): any of these fields in a query/retrieve body overrides the
@@ -163,7 +179,9 @@ final class RestServer(spark: SparkSession, storeBase: String,
         // NOT reflected here, matching the reference's app.state.settings.
         case ("GET", Seq("settings")) =>
           val n = mapper.createObjectNode()
-          n.put("embedding_dimension", graft.functions.HashEmbedder().dim)
+          // the embedder the server actually builds/serves graphs with —
+          // NOT a fresh default (dim=32 embedders are in active use)
+          n.put("embedding_dimension", embedder.dim)
           n.put("store_base", storeBase)
           n.put("metric", config.metric)
           n.put("entity_top_k", config.entityTopK)
@@ -181,6 +199,49 @@ final class RestServer(spark: SparkSession, storeBase: String,
           n.put("ann_nlist", config.annNList)
           n.put("lexical_index", config.lexicalIndex)
           respond(ex, 200, n)
+        // Graph-unscoped document list/search (api/app.py:786-818
+        // GET /documents): `query` → passage vector search over
+        // `graph_name` (default "default"); without a query the reference
+        // returns the empty "listing is limited" shape — its vector store
+        // cannot enumerate efficiently — and so do we, for route parity.
+        case ("GET", Seq("documents")) =>
+          val params = queryParams(ex)
+          val g = params.getOrElse("graph_name", "default")
+          val topKRaw = params.get("top_k")
+          val topK = topKRaw.map(s => scala.util.Try(s.toInt).toOption)
+          if (topK.exists(p => p.isEmpty || p.exists(_ <= 0))) {
+            error(ex, 400, s"top_k must be a positive integer, got '${topKRaw.get}'")
+          } else params.get("query").filter(_.nonEmpty) match {
+            case None =>
+              val n = mapper.createObjectNode()
+              n.putArray("documents")
+              n.put("total", 0)
+              respond(ex, 200, n)
+            case Some(q) if !store.listGraphs().contains(g) =>
+              error(ex, 404, s"graph $g not found")
+            case Some(q) =>
+              val k = topK.flatten.getOrElse(10)
+              val hits = rag(g, config.copy(finalTopK = k)).retrieveNaive(q)
+              // adjacency backfill for the reference's DocumentResponse shape
+              // (id, text, entity_ids, relation_ids) — bounded: ≤ topK ids
+              val adj = store.table(g, "passages")
+                .filter(org.apache.spark.sql.functions.col("id")
+                  .isin(hits.map(_.id): _*))
+                .select("id", "entity_ids", "relation_ids").collect()
+                .map(r => r.getString(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
+                .toMap
+              val n = mapper.createObjectNode()
+              val docsArr = n.putArray("documents")
+              hits.foreach { h =>
+                val d = docsArr.addObject()
+                d.put("id", h.id); d.put("text", h.text)
+                val (es, rs) = adj.getOrElse(h.id, (Seq.empty[String], Seq.empty[String]))
+                val ea = d.putArray("entity_ids"); es.foreach(ea.add)
+                val ra = d.putArray("relation_ids"); rs.foreach(ra.add)
+              }
+              n.put("total", hits.size)
+              respond(ex, 200, n)
+          }
         case ("GET", Seq("graphs", g, "documents", id)) =>
           val rows = store.table(g, "passages")
             .filter(org.apache.spark.sql.functions.col("id") === id)

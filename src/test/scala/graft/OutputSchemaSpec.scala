@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Structural guard for the driver comparator's one hard constraint: the final
+  * projection of EVERY board query must be scalar-only. The driver sorts
+  * result rows by every column in pandas before hashing, and pandas cannot
+  * sort ndarray cells (`TypeError: unhashable type: 'numpy.ndarray'`) — a raw
+  * array/map/struct column turns a semantically-correct query into a red board
+  * row (the r11 `sim5_label_prototypes` incident). Arrays must be serialized
+  * (house convention: `array_join` of per-element strings, doubles via a
+  * decimal(18,6) cast so both engines print fixed-point).
+  *
+  * Building the plan is lazy — `fn(spark, dir).schema` resolves the analyzed
+  * schema without executing the query — so this covers all queries cheaply;
+  * only queries whose CONSTRUCTION is eager (collect-backed literals, index
+  * training) do real work, at sf0.001.
+  */
+class OutputSchemaSpec extends SparkSpec {
+
+  private def isScalar(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  test("every board query's final projection is scalar-only") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).schema.fields.collect {
+          case f if !isScalar(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+        }
+        if (bad.isEmpty) None
+        else Some(s"$name ships non-scalar column(s) [${bad.mkString(", ")}] — " +
+          "serialize with array_join (doubles via decimal(18,6) cast) on BOTH engines")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

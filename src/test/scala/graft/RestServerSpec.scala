@@ -174,6 +174,36 @@ class RestServerSpec extends SparkSpec {
     assert("\"rank\"".r.findAllIn(diverse.body()).size == 2, diverse.body())
   }
 
+  test("GET /documents: list/search route parity (api/app.py:786-818)") {
+    val docs =
+      """[
+        |{"id": "kepler", "text": "Johannes Kepler\nKepler stated the laws of planetary motion.",
+        | "triplets": [["Johannes Kepler", "stated", "planetary motion laws"]]},
+        |{"id": "brahe", "text": "Tycho Brahe\nBrahe recorded precise astronomical observations.",
+        | "triplets": [["Tycho Brahe", "recorded", "observations"]]}
+        |]""".stripMargin
+    assert(post("/graphs/rest6/documents", docs).statusCode() == 200)
+
+    // with a query: passage vector search, DocumentResponse shape
+    val hit = get("/documents?graph_name=rest6&query=planetary%20motion%20laws&top_k=1")
+    assert(hit.statusCode() == 200, hit.body())
+    assert(hit.body().contains("\"kepler\""), hit.body())
+    assert(hit.body().contains("\"entity_ids\"") && hit.body().contains("\"relation_ids\""),
+      hit.body())
+    assert(hit.body().contains("\"total\":1"), hit.body())
+
+    // no query: the reference's "listing is limited" empty shape
+    val empty = get("/documents?graph_name=rest6")
+    assert(empty.statusCode() == 200, empty.body())
+    assert(empty.body().contains("\"documents\":[]") && empty.body().contains("\"total\":0"),
+      empty.body())
+
+    // unknown graph with a query is a 404; malformed top_k is a 400
+    assert(get("/documents?graph_name=ghost&query=x").statusCode() == 404)
+    assert(get("/documents?graph_name=rest6&query=x&top_k=abc").statusCode() == 400)
+    assert(get("/documents?graph_name=rest6&query=x&top_k=0").statusCode() == 400)
+  }
+
   test("re-indexing a graph serves fresh rows to later queries (cache lifecycle)") {
     val docs1 =
       """[{"id": "pasteur", "text": "Louis Pasteur\nPasteur proved germ theory.",
@@ -240,6 +270,19 @@ class RestServerSpec extends SparkSpec {
     assert(n.get("embedding_dimension").asInt() == 64)
     assert(n.get("ann_nprobe").isNull)
     assert(n.get("store_base").asText().nonEmpty)
+
+    // embedding_dimension reports the embedder the server was BUILT with,
+    // not a fresh default (dim=32 embedders are in active use elsewhere)
+    val s32 = new RestServer(spark, Files.createTempDirectory("rest32").toString,
+      RagConfig(), embedder = graft.functions.HashEmbedder(32))
+    s32.start()
+    try {
+      val r32 = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${s32.boundPort}/settings")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val n32 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r32.body())
+      assert(n32.get("embedding_dimension").asInt() == 32, r32.body())
+    } finally s32.stop()
   }
 
   test("unknown route gives a JSON 404; malformed body gives JSON 500") {
