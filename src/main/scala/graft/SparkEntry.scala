@@ -1501,6 +1501,16 @@ object SparkEntry {
         .select(col("id"), col("label"), col("k_eff"), col("n_same"),
           round(col("agreement"), 6).as("agreement_r"))
     }),
+    // SIM4b the same audit restricted to hyperplane-sign blocks — the
+    // equi-join 100-TB path beside the exact n² baseline (the d5/d6
+    // pairing): neighborhoods stay high-cosine-biased, k_eff shrinks in
+    // thin blocks, block-singleton anchors drop.
+    "sim4_agreement_blocked" -> ((s, dir) => {
+      VectorSearch.labelAgreement(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 10, blockBits = 3)
+        .select(col("id"), col("label"), col("k_eff"), col("n_same"),
+          round(col("agreement"), 6).as("agreement_r"))
+    }),
     // SIM5 label prototypes: per-class centroid + the real member nearest
     // it (medoid) — nearest-class-mean reps, distillation exemplars,
     // per-class drift anchors. Centroid serialized to a comma-joined string
@@ -1524,6 +1534,15 @@ object SparkEntry {
       VectorSearch.mutualKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
     }),
+    // SIM6b the mutual-kNN graph over hyperplane-sign blocks: mutuality is
+    // computed WITHIN the blocked directed lists, so surviving edges are a
+    // subset biased toward the high-cosine edges the dedup-clustering
+    // consumer actually wants.
+    "sim6_mutual_knn_blocked" -> ((s, dir) => {
+      VectorSearch.mutualKnn(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8,
+        blockBits = 3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }),
     // SIM7 triplet mining: per anchor, hardest same-label positive (min
     // cosine) + hardest cross-label negative (max cosine) + the margin —
     // the literal (a, p, n) batch a triplet trainer consumes; margin < 0
@@ -1541,6 +1560,15 @@ object SparkEntry {
     // See VectorSearch.knnDensity.
     "sim8_knn_density" -> ((s, dir) => {
       VectorSearch.knnDensity(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+        .select(col("id"), col("k_eff"), round(col("mean_cos"), 6).as("mean_cos_r"))
+    }),
+    // SIM8b blocked density: the high tail (near-dup saturation) survives
+    // blocking nearly exact — near-identical vectors share sign patterns —
+    // while the low tail becomes a recall-biased sample; block-singleton
+    // rows drop.
+    "sim8_density_blocked" -> ((s, dir) => {
+      VectorSearch.knnDensity(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10,
+        blockBits = 3)
         .select(col("id"), col("k_eff"), round(col("mean_cos"), 6).as("mean_cos_r"))
     }),
     "sim1_sparse_cosine" -> ((s, dir) => {
@@ -2687,6 +2715,21 @@ object SparkEntry {
       .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
       .mkString(" UNION ALL ")
     val normE = (c: String) => s"trim(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'))"
+    // DuckDB twin of VectorFunctions.hyperplaneSketch over a DOUBLE[] column
+    // named `e`: the md5-derived ±1 planes re-derived as SQL literals —
+    // shared by every *_blocked mining oracle (sim3/sim4b/sim6b/sim8b) so the
+    // planes can never drift from the ONE Scala definition.
+    val blkSql = (bits: Int) => {
+      val dim = 64
+      (0 until bits).map { j =>
+        val plane = (0 until dim).map { d =>
+          if (Integer.parseInt(
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d")
+              .substring(0, 2), 16) < 128) "1.0" else "-1.0"
+        }.mkString("[", ",", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(e, $plane) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    }
     val normDoc = normE("text")
     val toksDoc = s"list_filter(string_split($normDoc, ' '), x -> x <> '')"
     // Shared by x23 (weights) and x24 (resampling action): the DSIR hashed
@@ -4539,18 +4582,8 @@ object SparkEntry {
           |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, neg_id ASC) AS INTEGER) AS rank
           |  FROM p WHERE c >= 0.1) t WHERE rank <= 5""".stripMargin.replace("\n", " "),
       "sim3_hard_negatives_blocked" -> {
-        val dim = 64
-        val planes = (0 until 3).map { j =>
-          (0 until dim).map { d =>
-            if (Integer.parseInt(
-              org.apache.commons.codec.digest.DigestUtils.md5Hex(s"hp$j-$d").substring(0, 2), 16) < 128) "1.0" else "-1.0"
-          }.mkString("[", ",", "]::DOUBLE[]")
-        }
-        val blkExpr = planes.zipWithIndex.map { case (p, j) =>
-          s"(CASE WHEN list_dot_product(e, $p) >= 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
         s"""WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, label, embedding::DOUBLE[] AS e FROM embeddings),
-           |bv AS (SELECT id, label, e, $blkExpr AS blk FROM v),
+           |bv AS (SELECT id, label, e, ${blkSql(3)} AS blk FROM v),
            |p AS (SELECT a.id AS anchor_id, b.id AS neg_id,
            |    list_dot_product(a.e, b.e) /
            |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
@@ -4575,6 +4608,21 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
           |  round(CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement_r
           |FROM p WHERE rn <= 10 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // sim4b: sim4's audit with the re-derived block key on both scan sides.
+      "sim4_agreement_blocked" ->
+        s"""WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS lab,
+           |    embedding::DOUBLE[] AS e FROM embeddings WHERE label IS NOT NULL),
+           |bv AS (SELECT id, lab, e, ${blkSql(3)} AS blk FROM v),
+           |p AS (SELECT a.id AS aid, a.lab AS alab, b.lab AS blab,
+           |    row_number() OVER (PARTITION BY a.id ORDER BY
+           |      list_dot_product(a.e, b.e) /
+           |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) DESC,
+           |      b.id ASC) AS rn
+           |  FROM bv a JOIN bv b ON a.blk = b.blk AND a.id <> b.id)
+           |SELECT aid AS id, alab AS label, count(*) AS k_eff,
+           |  CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           |  round(CAST(sum(CASE WHEN blab = alab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS agreement_r
+           |FROM p WHERE rn <= 10 GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       // sim5: per-(label, dim) average reassembled positionally, medoid =
       // top-1 member by cosine-to-centroid with id tiebreak.
       "sim5_label_prototypes" ->
@@ -4606,6 +4654,20 @@ object SparkEntry {
           |knn AS (SELECT src, dst, c FROM r WHERE rn <= 8)
           |SELECT x.src AS id_a, x.dst AS id_b, round(x.c, 6) AS cosine_r
           |FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""".stripMargin.replace("\n", " "),
+      // sim6b: sim6's directed lists restricted to shared blocks before the
+      // mutuality self-join.
+      "sim6_mutual_knn_blocked" ->
+        s"""WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
+           |bv AS (SELECT id, e, ${blkSql(3)} AS blk FROM v),
+           |p AS (SELECT a.id AS src, b.id AS dst,
+           |    list_dot_product(a.e, b.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+           |  FROM bv a JOIN bv b ON a.blk = b.blk AND a.id <> b.id),
+           |r AS (SELECT src, dst, c,
+           |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM p),
+           |knn AS (SELECT src, dst, c FROM r WHERE rn <= 8)
+           |SELECT x.src AS id_a, x.dst AS id_b, round(x.c, 6) AS cosine_r
+           |FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""".stripMargin.replace("\n", " "),
       // sim7: one pair scan, positive side ranked (c ASC, id ASC),
       // negative side (c DESC, id ASC), inner-joined per anchor.
       "sim7_triplet_mine" ->
@@ -4639,6 +4701,20 @@ object SparkEntry {
           |SELECT aid AS id, count(*) AS k_eff,
           |  round(sum(c ORDER BY c DESC, bid ASC) / count(*), 6) AS mean_cos_r
           |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin.replace("\n", " "),
+      // sim8b: sim8's scan restricted to shared blocks (same ordered-
+      // aggregate mean so the float summation order still matches Spark).
+      "sim8_density_blocked" ->
+        s"""WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
+           |bv AS (SELECT id, e, ${blkSql(3)} AS blk FROM v),
+           |p AS (SELECT a.id AS aid, b.id AS bid,
+           |    list_dot_product(a.e, b.e) /
+           |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+           |  FROM bv a JOIN bv b ON a.blk = b.blk AND a.id <> b.id),
+           |r AS (SELECT aid, bid, c,
+           |    row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn FROM p)
+           |SELECT aid AS id, count(*) AS k_eff,
+           |  round(sum(c ORDER BY c DESC, bid ASC) / count(*), 6) AS mean_cos_r
+           |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

@@ -471,9 +471,13 @@ object Dedup {
       else {
         // sign sketch: the ONE shared md5-plane definition (the DuckDB
         // oracle re-derives these planes literally) — per row, no exchange.
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        base.withColumn("blk",
-          VectorFunctions.hyperplaneSketch(col("v"), dim, blockBits))
+        // Empty input → skip blocking instead of crashing in head(); the
+        // pair scan is empty either way.
+        graft.operators.VectorSearch.headDim(df, vecCol) match {
+          case Some(dim) => base.withColumn("blk",
+            VectorFunctions.hyperplaneSketch(col("v"), dim, blockBits))
+          case None => base.withColumn("blk", lit(0))
+        }
       }
     val cosH = VectorFunctions.cosinePre(col("a.v"), col("a._nm"),
       col("b.v"), col("b._nm"))

@@ -85,6 +85,25 @@ class TopKRowAggregator(k: Int) extends Aggregator[ScoredRow, ArrayBuffer[Scored
 object VectorSearch {
 
   /** The bounded top-k aggregate as a DataFrame UDAF: `topKUdaf(k)(idCol, scoreCol)`. */
+  /** Vector dimension read from the FIRST row; None on an empty frame —
+    * callers skip sign-blocking then (an empty input yields an empty result
+    * either way) instead of crashing in `head()`. The first row's dimension
+    * is assumed uniform across the frame, the same contract every dot
+    * product here already relies on; ragged input fails in the dot, not
+    * silently in the sketch. */
+  private[operators] def headDim(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+
+  /** The shared block-key column: hyperplane sign sketch when `blockBits > 0`
+    * and the frame is non-empty, else the single block 0L. */
+  private def blockKey(df: DataFrame, vecCol: String, v: Column,
+      blockBits: Int): Column =
+    if (blockBits == 0) lit(0L)
+    else headDim(df, vecCol) match {
+      case Some(dim) => VectorFunctions.hyperplaneSketch(v, dim, blockBits)
+      case None => lit(0L)
+    }
+
   def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAggregator(k))
 
@@ -223,13 +242,9 @@ object VectorSearch {
     val base = df.select(col(idCol).cast("string").as("__id"),
       col(labelCol).as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-    val withBlock = (
-      if (blockBits == 0) base.withColumn("__blk", lit(0L))
-      else {
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        base.withColumn("__blk",
-          VectorFunctions.hyperplaneSketch(col("__v"), dim, blockBits))
-      }).localCheckpoint(true)
+    val withBlock = base
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
+      .localCheckpoint(true)
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
     withBlock.as("a").join(withBlock.as("b"),
@@ -270,19 +285,27 @@ object VectorSearch {
     * three), and neighbor labels join back AFTER the top-k against the
     * node-sized label table (n·k rows) instead of riding the n² rows as
     * packed strings (measured 6.8 s → 3.1 s at 5k×64d).
+    *
+    * `blockBits > 0` restricts the pair scan to hyperplane-sign blocks
+    * ([[hardNegatives]]'s equi-join scale path): neighborhoods stay
+    * high-cosine-biased (sign agreement IS approximate angular closeness),
+    * so the agreement signal degrades gracefully — `k_eff` shrinks where a
+    * block is thin, and anchors alone in their block drop out entirely.
     * Output: (id, label, k_eff, n_same, agreement). */
   def labelAgreement(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
+      labelCol: String, k: Int, blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"labelAgreement: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
     val base = df.filter(col(labelCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
       .localCheckpoint(true) // both pair-scan sides + the label join-back
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
-    base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
+    base.as("a").join(base.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
         col("b.__id").as("__nbr"), cos.as("__c"))
       .groupBy(col("__anchor"), col("__alab"))
@@ -358,15 +381,10 @@ object VectorSearch {
       blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"mutualKnn: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
-    val base0 = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+    val base = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-    val base = (
-      if (blockBits == 0) base0.withColumn("__blk", lit(0L))
-      else {
-        val dim = df.select(size(col(vecCol))).head().getInt(0)
-        base0.withColumn("__blk",
-          VectorFunctions.hyperplaneSketch(col("__v"), dim, blockBits))
-      }).localCheckpoint(true) // both self-join sides read it
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
+      .localCheckpoint(true) // both self-join sides read it
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
     val knn = base.as("a").join(base.as("b"),
@@ -453,17 +471,27 @@ object VectorSearch {
     * sequence — a deterministic summation order both engines reproduce
     * (the oracle uses DuckDB's ordered-aggregate `sum(c ORDER BY ...)`),
     * so the double sum carries no partition-order noise.
+    *
+    * `blockBits > 0` restricts the scan to hyperplane-sign blocks (the
+    * [[hardNegatives]] scale path). Blocked density reads LOWER for
+    * genuinely sparse rows (their few neighbors may land in other blocks)
+    * and nearly exact for dense near-dup clusters (near-identical vectors
+    * share sign patterns) — the high-tail curation queue survives blocking,
+    * the low tail becomes a recall-biased sample. Anchors alone in their
+    * block drop out.
     * Output: (id, k_eff, mean_cos). */
   def knnDensity(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"knnDensity: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
     val base = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
       .localCheckpoint(true) // both self-join sides read it
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
-    base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
+    base.as("a").join(base.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("b.__id").as("__nbr"), cos.as("__c"))
       .groupBy(col("__anchor"))
       .agg(topk(col("__nbr"), col("__c")).as("__top"))
