@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 184-query bench suite JIT-compiles thousands of whole-stage-codegen
+  // units; the JVM's default 240 MB reserved code cache fills mid-suite,
+  // the compiler shuts off ("CodeCache is full"), and every later query runs
+  // deoptimized (r11: rag_pipeline 17.5 s in-suite vs 5.7 s isolated in an
+  // identical warm JVM). 1 GiB keeps the whole suite compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )

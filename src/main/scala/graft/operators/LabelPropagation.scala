@@ -72,9 +72,11 @@ object LabelPropagation {
     * and the exact integer rational `contrib_num = n_in·E − deg_sum²` over
     * `contrib_den = E²` — a pure function of counts with zero float
     * surface, so two engines agree bit-for-bit (the m6/m7 engine-exact
-    * convention). BIGINT bound: safe while E < 3.0e9 directed edges; past
-    * that a caller widens both products to DecimalType(38,0) — the counts
-    * themselves stay exact far beyond any real graph.
+    * convention). BIGINT bound: safe while E < 3.0e9 directed edges, and
+    * ENFORCED — past it the kernel raises instead of wrapping silently;
+    * widen both products to DecimalType(38,0) upstream if a graph ever
+    * genuinely exceeds it (the counts themselves stay exact far beyond
+    * any real graph).
     *
     * Output: (label, n_nodes, n_in_edges directed, deg_sum, contrib,
     * contrib_num, contrib_den). */
@@ -128,8 +130,21 @@ object LabelPropagation {
     val nn = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
     val einL = coalesce(col("n_in_edges"), lit(0L))
     val degL = coalesce(col("deg_sum"), lit(0L))
-    val num = einL * col("_etot") - degL * degL
-    val den = col("_etot") * col("_etot")
+    // ENFORCED exact-BIGINT bound (not just documented): E² and deg_sum²
+    // stay under Long.MaxValue while E ≤ 3.03e9 directed weight. Past it the
+    // products would wrap silently and the engine-exact rational would be
+    // WRONG with no error — raise instead, lazily inside the projection (no
+    // extra job; the guard evaluates once per community row).
+    val bound = 3000000000L
+    val etotG = when(col("_etot") > bound,
+      raise_error(concat(
+        lit("modularity: total directed edge weight "), col("_etot"),
+        lit(s" exceeds the exact-BIGINT bound $bound (E^2 would overflow " +
+          "Long); scale integral weights down or widen the rational to " +
+          "DecimalType(38,0) upstream"))).cast("long"))
+      .otherwise(col("_etot"))
+    val num = einL * etotG - degL * degL
+    val den = etotG * etotG
     // left joins: an all-isolated-nodes community (possible when `labels`
     // covers more nodes than `edges`) surfaces with zeros, not a dropped row
     nn.join(dsum, Seq("label"), "left").join(ein, Seq("label"), "left")

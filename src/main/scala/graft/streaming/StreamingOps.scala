@@ -11,6 +11,52 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object StreamingOps {
 
+  /** Crash-safe persistence for the maintain ops' read→merge→overwrite state
+    * tables. A plain `mode("overwrite")` on the path just read has a loss
+    * window — a crash between its delete and its write drops ALL accumulated
+    * state — and it forces the merge to be pinned (localCheckpoint) before
+    * the overwrite deletes the rows it reads. Here the merged state writes
+    * to `{path}.tmp` first (the live table is untouched while the job runs,
+    * so no pin, no extra materialization), then rotates via renames:
+    * `path`→`{path}.old`, `{path}.tmp`→`path`, drop `.old`. Renames are
+    * atomic metadata ops on HDFS and local filesystems, so every crash point
+    * leaves a COMPLETE copy at `path` or `{path}.old` — [[StateTable.read]]
+    * falls back to `.old` — and a partial dir can only ever be the `.tmp`,
+    * which is never read. (Object stores fake renames with copies; put state
+    * on a real filesystem.) */
+  object StateTable {
+    import org.apache.hadoop.fs.Path
+
+    /** The current state, surviving a mid-rotation crash: `path` if present,
+      * else `{path}.old`, else None (genuinely first batch). Existence-based,
+      * not exception-typed — a corrupt read surfaces as its real error
+      * instead of masquerading as the first batch. */
+    def read(spark: SparkSession, statePath: String): Option[DataFrame] = {
+      val p = new Path(statePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(statePath))
+      else if (fs.exists(new Path(statePath + ".old")))
+        Some(spark.read.parquet(statePath + ".old"))
+      else None
+    }
+
+    /** Persist `merged` (which may lazily read `statePath`) as the new state. */
+    def overwrite(merged: DataFrame, statePath: String): Unit = {
+      val p = new Path(statePath)
+      val tmp = new Path(statePath + ".tmp")
+      val old = new Path(statePath + ".old")
+      val fs = p.getFileSystem(merged.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString) // live table still intact
+      // `.old` is only displaced while a complete copy exists elsewhere: when
+      // recovering from a crash that left ONLY `.old` (no `path`), it stays
+      // put until the new `path` is established, then drops.
+      if (fs.exists(p)) { fs.delete(old, true); fs.rename(p, old) }
+      fs.rename(tmp, p)
+      fs.delete(old, true)
+    }
+  }
+
   /** Tumbling-window aggregation with a watermark: events(ts: TIMESTAMP, event_type,
     * value) → (window, event_type, n, sum_value). Watermark bounds state: late rows
     * beyond it are dropped instead of growing the store forever. */
@@ -62,15 +108,13 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh = graft.operators.CorpusOps.hllRegisters(batch, groupCols, valueCol)
-        val merged0 =
-          try spark.read.parquet(registerPath).unionByName(fresh)
+        val merged = StateTable.read(spark, registerPath) match {
+          case Some(st) => st.unionByName(fresh)
             .groupBy((groupCols :+ "_b").map(col): _*)
             .agg(max(col("_m")).as("_m"))
-          catch { case _: org.apache.spark.sql.AnalysisException => fresh } // first batch
-        // pin the merge BEFORE overwriting the table it reads, then free
-        val merged = merged0.localCheckpoint(true)
-        try merged.write.mode("overwrite").parquet(registerPath)
-        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, registerPath)
         ()
       }
       .start()
@@ -337,15 +381,13 @@ object StreamingOps {
           .groupBy(col(typeCol).as("event_type"),
             expr(s"$tsNsCol div $DayNs").as("day"))
           .agg(count(lit(1)).as("n_events"))
-        val merged0 =
-          try spark.read.parquet(statePath).unionByName(fresh)
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
             .groupBy("event_type", "day")
             .agg(sum(col("n_events")).as("n_events"))
-          catch { case _: org.apache.spark.sql.AnalysisException => fresh } // first batch
-        // pin the merge BEFORE overwriting the table it reads, then free
-        val merged = merged0.localCheckpoint(true)
-        try merged.write.mode("overwrite").parquet(statePath)
-        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -381,15 +423,14 @@ object StreamingOps {
           .groupBy("bin")
           .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
             sum(col("_s")).as("sum_score"))
-        val merged0 =
-          try spark.read.parquet(statePath).unionByName(fresh)
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
             .groupBy("bin")
             .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
               sum(col("sum_score")).as("sum_score"))
-          catch { case _: org.apache.spark.sql.AnalysisException => fresh } // first batch
-        val merged = merged0.localCheckpoint(true)
-        try merged.write.mode("overwrite").parquet(statePath)
-        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -429,9 +470,7 @@ object StreamingOps {
         val hlNs = halfLifeDays * 86400000000000.0
         val bmax = batch.agg(max(col(tsNsCol))).head()
         if (!bmax.isNullAt(0)) {
-          val saved =
-            try Some(spark.read.parquet(statePath))
-            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          val saved = StateTable.read(spark, statePath)
           val tNew = saved match {
             case Some(st) =>
               math.max(bmax.getLong(0), st.agg(max(col("t_ref"))).head().getLong(0))
@@ -452,10 +491,7 @@ object StreamingOps {
               .groupBy("event_type")
               .agg(sum(col("n_events")).as("n_events"), sum(col("decayed")).as("decayed"))
           }
-          // pin the merge BEFORE overwriting the table it reads, then free
-          val merged = merged0.withColumn("t_ref", lit(tNew)).localCheckpoint(true)
-          try merged.write.mode("overwrite").parquet(statePath)
-          finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+          StateTable.overwrite(merged0.withColumn("t_ref", lit(tNew)), statePath)
         }
         ()
       }

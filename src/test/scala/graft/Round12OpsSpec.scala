@@ -55,6 +55,29 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("modularity: exact-BIGINT bound is enforced, not just documented") {
+    import graft.operators.LabelPropagation
+    val labels = Seq(("a", 1L), ("b", 1L)).toDF("id", "label")
+    // symmetric pair with 2e9 weight each way: E = 4e9 > the 3e9 bound,
+    // where E² would silently wrap a BIGINT
+    val heavy = Seq(("a", "b", 2000000000L), ("b", "a", 2000000000L))
+      .toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      LabelPropagation.modularityWeighted(labels, heavy, "w").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exact-BIGINT bound")), ex.toString)
+
+    // at the bound (not past it): still computes, exactly
+    val ok = Seq(("a", "b", 1500000000L), ("b", "a", 1500000000L))
+      .toDF("src", "dst", "w")
+    val row = LabelPropagation.modularityWeighted(labels, ok, "w")
+      .select("contrib_num", "contrib_den").head()
+    // one community holding everything: Ein = E, deg = E -> num = E·E − E² = 0
+    assert(row.getLong(0) == 0L && row.getLong(1) == 9000000000000000000L)
+  }
+
   test("empty input: blockBits > 0 yields empty results, not a head() crash") {
     val empty = Seq.empty[(String, String, Array[Float])].toDF("id", "lab", "v")
     assert(VectorSearch.hardNegatives(empty, "id", "v", "lab", k = 3,

@@ -469,4 +469,34 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(avg - bavg) < 1e-12, s"bin $bin avg") // float-sum tolerance
     }
   }
+
+  test("StateTable: rotation is crash-safe and read falls back to .old") {
+    import graft.streaming.StreamingOps.StateTable
+    val dir = Files.createTempDirectory("statetable").toString
+    val path = s"$dir/state"
+    assert(StateTable.read(spark, path).isEmpty) // genuinely first batch
+
+    StateTable.overwrite(Seq((1L, "a")).toDF("k", "v"), path)
+    assert(StateTable.read(spark, path).get.count() == 1)
+
+    // second overwrite whose plan READS the live state (the maintain-op
+    // shape): must not need a pin, must land the merged rows
+    val merged = StateTable.read(spark, path).get
+      .unionByName(Seq((2L, "b")).toDF("k", "v"))
+    StateTable.overwrite(merged, path)
+    assert(StateTable.read(spark, path).get.count() == 2)
+    // no leftover rotation dirs after a clean overwrite
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".tmp")))
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".old")))
+
+    // simulate a crash between `path -> .old` and `.tmp -> path`: the live
+    // dir is gone but .old holds the last complete state — read recovers it
+    Files.move(java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".old"))
+    val recovered = StateTable.read(spark, path)
+    assert(recovered.isDefined && recovered.get.count() == 2, "must fall back to .old")
+    // and the next overwrite heals the layout
+    StateTable.overwrite(recovered.get.unionByName(Seq((3L, "c")).toDF("k", "v")), path)
+    assert(StateTable.read(spark, path).get.count() == 3)
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".old")))
+  }
 }
