@@ -182,19 +182,23 @@ object Bench {
     // IVF-PQ twin: same dial, but recall at nProbe=nList stays < 1.0 by the
     // PQ approximation error — the accuracy number behind the memory cut.
     // Config sweep on these (uniform-random — PQ's adversarial case)
-    // embeddings: m=8/dsub=8/k=16 ceilings at 0.19, m=16/dsub=4/k=128 at
-    // ~0.64; the finer subspaces double code size to 16 small ints — still
-    // 16× smaller than the 64 floats they stand in for.
+    // embeddings, graft.SweepPq at sf0.1: m=8/dsub=8/k=16 ceilings at 0.19,
+    // m=16/dsub=4/k=128 at 0.638, m=32/dsub=2/k=128 at 0.813 raw / 1.000
+    // refined — AND builds faster (10.9 s vs 17.1 s: 2-d subquantizers train
+    // on tiny spaces). 32 small ints per code is still 8× under the 64
+    // floats; finer than dsub=2 does not exist. m=32/k=256/iters=8 buys
+    // +0.075 raw for 5× build cost with refine already saturated — not worth
+    // it; the serving default is the REFINE path (see [ivfpq-refine]).
     if (wanted.isEmpty) try {
       import org.apache.spark.sql.functions.col
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 8)
       val dir = java.nio.file.Files.createTempDirectory("ivfpq_bench").toString
       graft.operators.IvfPq.buildAndSave(emb, "vec_id", "embedding", dir,
-        nList = 32, m = 16, dsub = 4, k = 128, pqIters = 2)
+        nList = 32, m = 32, dsub = 2, k = 128, pqIters = 2)
       val curve = graft.operators.IvfPq.recallCurve(spark, dir, emb, queries,
         "vec_id", "embedding", "vec_id", "embedding", k = 10, nProbes = Seq(1, 2, 4, 8, 32))
-      System.err.println("[ivfpq-recall] nList=32 m=16 k=128 pqIters=2 k@10 " + curve.map {
+      System.err.println("[ivfpq-recall] nList=32 m=32 dsub=2 k=128 pqIters=2 k@10 " + curve.map {
         case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
       // two-stage refine: exact re-rank of the ADC top-(k×4) shortlist — how
       // much of the PQ ceiling the standard refine step recovers. Own
@@ -207,6 +211,33 @@ object Bench {
           case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
       } catch { case NonFatal(e) => System.err.println(s"[ivfpq-refine] failed: $e") }
     } catch { case NonFatal(e) => System.err.println(s"[ivfpq-recall] failed: $e") }
+    // Corpus-scale streaming maintenance demo: the LSH-dedup ingest path
+    // (StreamingOps.lshDedupMaintain — sign once, pair intra-batch, pair
+    // vs the SAVED signature table, append) over THIS bench corpus split
+    // into 8 micro-batches, beside its batch twin d2_lsh_pairs. Publishes
+    // per-batch latency so the streaming cost at corpus scale is measured,
+    // not just unit-tested: per batch the work is batch × matching-bands,
+    // state is one signature row per document ever seen.
+    if (wanted.isEmpty) try {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("st_lsh_bench").toString
+      docs.repartition(8).write.parquet(s"$base/in")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.StreamingOps.lshDedupMaintain(stream, "id", "text",
+        s"$base/sigs", s"$base/pairs")
+      q.processAllAvailable()
+      val durs = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong / 1000.0).sorted
+      q.stop()
+      val pairs = spark.read.parquet(s"$base/pairs").count()
+      if (durs.nonEmpty) System.err.println(
+        f"[st-lsh-maintenance] batches=${durs.size} pairs=$pairs " +
+          f"p50=${durs(durs.size / 2)}%.2fs max=${durs.last}%.2fs " +
+          f"total=${durs.sum}%.2fs (batch twin: d2_lsh_pairs)")
+    } catch { case NonFatal(e) => System.err.println(s"[st-lsh-maintenance] failed: $e") }
     spark.stop()
   }
 }

@@ -52,8 +52,15 @@ object Evaluate {
     val graphName = "eval"
     // Retrieval depth must cover the whole recall grid: recall_at_k for
     // k > finalTopK would otherwise silently clamp to recall_at_finalTopK.
+    // dim=256: at the fixture's ~400 entities / ~200 relations the 64-dim
+    // default's one-bucket hash collisions reach the same cosine tier as a
+    // genuine single-token overlap (measured r12: junk relations at 0.38-0.57
+    // vs signal 0.38); 256 buckets push collision noise under the two-token
+    // signal. The reference's real embedders are 1024-dim — a non-toy eval
+    // deserves a non-toy width.
     val rag = new GraphRag(spark, store, graphName,
       config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = Recall.kGrid.max),
+      embedder = graft.functions.HashEmbedder(dim = 256),
       ner = CachedNerExtractor(nerCache))
 
     // Skip-reindex probe (evaluate.py:343-371): existence check on the store.

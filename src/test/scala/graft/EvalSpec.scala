@@ -29,22 +29,32 @@ class EvalSpec extends SparkSpec {
         .map(t => Triplet(t(0), t(1), t(2))).toSeq
       Doc(title, passage, triples)
     }.toSeq
+    // dim=256 matches eval.Evaluate: at the multi-hop fixture's ~400
+    // entities the 64-dim default's hash collisions reach the signal tier
     val g = new GraphRag(spark, store, "eval",
       config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 5),
+      embedder = graft.functions.HashEmbedder(dim = 256),
       ner = CachedNerExtractor(nerCache))
     g.addDocumentsWithTriplets(docs)
     g
   }
 
+  /** The bounded question subset the retrieve-loop tests run over (each
+    * retrieve is several driver jobs; 56 × 2 paths would dominate the suite):
+    * all six legacy questions + one hidden multi-hop + one direct multi-hop. */
+  private lazy val specQuestions = questions
+    .filter(col("_id").isin("q1", "q2", "q3", "q4", "q5", "q6", "mh0", "mh30"))
+
   test("loaders parse corpus, questions, OpenIE docs and NER TSV (S4/S5)") {
-    assert(Loaders.readJsonCorpus(spark, res("test_corpus.json")).count() == 8)
-    assert(questions.count() == 6)
-    assert(openie.count() == 8)
+    assert(Loaders.readJsonCorpus(spark, res("test_corpus.json")).count() == 208)
+    assert(questions.count() == 56)
+    assert(openie.count() == 208)
     assert(nerCache("When did Albert Einstein publish his theory of relativity?") ==
       Seq("albert einstein", "theory of relativity"))
-    // triples are arity-filtered arrays
+    // triples are arity-filtered arrays: every doc keeps at least one, the
+    // legacy block keeps its 2-3 (the multi-hop chains carry exactly one)
     val t0 = openie.select(size(col("triples"))).as[Int].collect()
-    assert(t0.forall(_ >= 2))
+    assert(t0.forall(_ >= 1) && t0.max >= 2)
   }
 
   test("readJsonlRouted splits parse failures to quarantine, keeps schema-drift rows") {
@@ -67,12 +77,12 @@ class EvalSpec extends SparkSpec {
   }
 
   test("graph-RAG recall@k on the offline fixture (M1-M3)") {
-    val qRows = questions.select(col("_id"), col("question")).as[(String, String)].collect()
+    val qRows = specQuestions.select(col("_id"), col("question")).as[(String, String)].collect()
     val retrieved = qRows.flatMap { case (qid, q) =>
       rag.retrieve(q).passages.map(h => (qid, h.rank, h.id))
     }.toSeq.toDF("question_id", "rank", "item")
     val gold = Recall.goldTitles(
-      questions.select(col("_id").as("question_id"),
+      specQuestions.select(col("_id").as("question_id"),
         col("supporting_facts").cast("array<array<string>>")))
     val perQ = Recall.recallAtK(retrieved, gold, Seq(1, 2, 5))
     val avgRow = Recall.macroAverage(perQ, Seq(1, 2, 5)).collect().head
@@ -96,12 +106,12 @@ class EvalSpec extends SparkSpec {
   }
 
   test("naive RAG recall is computable and graph RAG is at least as good at k=5") {
-    val qRows = questions.select(col("_id"), col("question")).as[(String, String)].collect()
+    val qRows = specQuestions.select(col("_id"), col("question")).as[(String, String)].collect()
     val naive = qRows.flatMap { case (qid, q) =>
       rag.retrieveNaive(q).map(h => (qid, h.rank, h.id))
     }.toSeq.toDF("question_id", "rank", "item")
     val gold = Recall.goldTitles(
-      questions.select(col("_id").as("question_id"),
+      specQuestions.select(col("_id").as("question_id"),
         col("supporting_facts").cast("array<array<string>>")))
     val naiveR5 = Recall.macroAverage(Recall.recallAtK(naive, gold, Seq(5)), Seq(5))
       .collect().head.getAs[Double]("avg_recall_at_5")
@@ -111,6 +121,23 @@ class EvalSpec extends SparkSpec {
     val graphR5 = Recall.macroAverage(Recall.recallAtK(graphRetrieved, gold, Seq(5)), Seq(5))
       .collect().head.getAs[Double]("avg_recall_at_5")
     assert(graphR5 >= naiveR5 - 1e-9, s"graph $graphR5 < naive $naiveR5")
+  }
+
+  test("multi-hop bridge: graph reaches the coref-hidden passage, naive cannot") {
+    // Chain 0's B-passage text never names the relic ("the recovered
+    // artifact"); the canonical name rides only in the OpenIE triple. The
+    // graph path reaches it through the entity node; dense retrieval has no
+    // lexical handle — the structural gap EVALGRID.json measures corpus-wide
+    // (r12: graph 0.98 vs naive 0.76 at k=5, mirroring the reference's
+    // published 87.8 vs 73.4).
+    val q = "In which vault is the relic oblidor0 kept?"
+    val graphIds = rag.retrieve(q).passages.map(_.id)
+    assert(graphIds.take(5).contains("Chamber 0"), graphIds.mkString(", "))
+    assert(graphIds.take(5).contains("Quillon0"), graphIds.mkString(", "))
+    val naiveIds = rag.retrieveNaive(q).map(_.id)
+    assert(!naiveIds.take(5).contains("Chamber 0"),
+      "naive unexpectedly found the hidden passage: " + naiveIds.mkString(", "))
+    assert(naiveIds.take(5).contains("Quillon0"), naiveIds.mkString(", "))
   }
 
   test("ndcgAtK: hand-computed DCG/IDCG, perfect ranking = 1, zero retrieval = 0") {
