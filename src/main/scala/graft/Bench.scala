@@ -46,6 +46,10 @@ object Bench {
     // g13/g19/g23/g25/g26) — same rationale and cleanup contract.
     try SparkEntry.coLabels(spark, sfDir).count()
     catch { case NonFatal(e) => System.err.println(s"[bench] coLabels warm-up failed: $e") }
+    // Shared MinHash signatures + LSH candidate pairs (sign-once
+    // infrastructure for d2/d8/d9/d13/x26/er3) — same cleanup contract.
+    try SparkEntry.lshPairs(spark, sfDir).count()
+    catch { case NonFatal(e) => System.err.println(s"[bench] lshPairs warm-up failed: $e") }
     // Optional args = query-name filter for fast single-query iteration;
     // the driver passes none and gets the full set. SPARK_GRAFT_BENCH_FIRST
     // hoists one query to the front of the sorted order (A/B accountability:
