@@ -22,6 +22,13 @@ import java.nio.charset.StandardCharsets
   *   GET    /documents?graph_name&query&top_k → list/search documents (app.py:786-818);
   *                                        query → passage KNN, no query → empty list
   *   GET    /graphs                      → ["name", ...]
+  *
+  * Reference-shaped ALIASES (exact app.py route spellings; graph selected by
+  * ?graph_name=…, default "default") normalize onto the nested surface
+  * before dispatch: GET/PUT/DELETE /documents/{id}, POST /add_documents
+  * (object body {documents, ids?, triplets?} accepted), POST /import,
+  * POST /query, and the singular /graph/{g}/… spellings (stats, neighbors,
+  * DELETE /graph/{g}).
   *   GET    /graphs/{g}/documents/{id}   → passage row with adjacency
   *   GET    /graphs/{g}/stats            → {entities, relations, passages}
   *   GET    /graphs/{g}/health           → rows + files/bytes per table + index presence
@@ -113,23 +120,51 @@ final class RestServer(spark: SparkSession, storeBase: String,
   private def readBody(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
+  private def parseTripletArray(node: JsonNode): Seq[Triplet] = {
+    val ts = Seq.newBuilder[Triplet]
+    val tIt = node.elements()
+    while (tIt.hasNext) {
+      val t = tIt.next()
+      if (t.isArray && t.size() >= 3)
+        ts += Triplet(t.get(0).asText(), t.get(1).asText(), t.get(2).asText())
+      else if (t.isObject) // the reference's AddDocumentsRequest object form
+        ts += Triplet(t.get("subject").asText(), t.get("predicate").asText(),
+          t.get("object").asText())
+    }
+    ts.result()
+  }
+
+  /** Accepts BOTH body shapes: the nested route's array of
+    * `{id, text, triplets: [[s,p,o],…]}` and the reference's
+    * /add_documents object `{documents: [text,…], ids?, triplets?}`
+    * (api/app.py:379-421, triplets per-doc as [s,p,o] arrays or
+    * {subject,predicate,object} objects). Reference docs without ids get
+    * the deterministic md5(text) — the engine needs stable ids for
+    * upsert/delete and a random UUID would break replay. */
   private def parseDocs(node: JsonNode): Seq[Doc] = {
-    val it = node.elements()
     val out = Seq.newBuilder[Doc]
-    while (it.hasNext) {
-      val d = it.next()
-      val triplets =
-        if (d.has("triplets")) {
-          val ts = Seq.newBuilder[Triplet]
-          val tIt = d.get("triplets").elements()
-          while (tIt.hasNext) {
-            val t = tIt.next()
-            if (t.size() >= 3)
-              ts += Triplet(t.get(0).asText(), t.get(1).asText(), t.get(2).asText())
-          }
-          ts.result()
-        } else Seq.empty
-      out += Doc(d.get("id").asText(), d.get("text").asText(), triplets)
+    if (node.isObject && node.has("documents")) {
+      val docs = node.get("documents")
+      val ids = if (node.has("ids")) Some(node.get("ids")) else None
+      val trip = if (node.has("triplets")) Some(node.get("triplets")) else None
+      var i = 0
+      while (i < docs.size()) {
+        val text = docs.get(i).asText()
+        val id = ids.filter(a => i < a.size()).map(_.get(i).asText())
+          .getOrElse(org.apache.commons.codec.digest.DigestUtils.md5Hex(text))
+        val ts = trip.filter(a => i < a.size())
+          .map(a => parseTripletArray(a.get(i))).getOrElse(Seq.empty)
+        out += Doc(id, text, ts)
+        i += 1
+      }
+    } else {
+      val it = node.elements()
+      while (it.hasNext) {
+        val d = it.next()
+        val triplets =
+          if (d.has("triplets")) parseTripletArray(d.get("triplets")) else Seq.empty
+        out += Doc(d.get("id").asText(), d.get("text").asText(), triplets)
+      }
     }
     out.result()
   }
@@ -166,7 +201,22 @@ final class RestServer(spark: SparkSession, storeBase: String,
   server.createContext("/", (ex: HttpExchange) => {
     try {
       val path = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
-      (ex.getRequestMethod, path.toSeq) match {
+      // Route-shape aliases for exact reference parity (api/app.py exposes
+      // graph-UNSCOPED document/query routes selecting the graph via a
+      // `graph_name` query param defaulting to "default", and spells the
+      // graph-scoped reads with singular `/graph/{g}/…`): normalize those
+      // shapes onto the nested `/graphs/{g}/…` surface, then dispatch once —
+      // aliases can never drift from the canonical handlers.
+      val norm: Seq[String] = path.toSeq match {
+        case Seq("documents", id) => // GET/PUT/DELETE /documents/{id}
+          Seq("graphs", queryParams(ex).getOrElse("graph_name", "default"), "documents", id)
+        case Seq(verb) if Set("add_documents", "import", "query").contains(verb) =>
+          val mapped = if (verb == "add_documents") "documents" else verb
+          Seq("graphs", queryParams(ex).getOrElse("graph_name", "default"), mapped)
+        case Seq("graph", rest @ _*) => "graphs" +: rest // singular spelling
+        case p => p
+      }
+      (ex.getRequestMethod, norm) match {
         case ("GET", Seq("health")) =>
           val n = mapper.createObjectNode()
           n.put("status", "ok")
@@ -243,9 +293,13 @@ final class RestServer(spark: SparkSession, storeBase: String,
               respond(ex, 200, n)
           }
         case ("GET", Seq("graphs", g, "documents", id)) =>
-          val rows = store.table(g, "passages")
+          // a graph whose passages were all cascade-deleted leaves an empty
+          // parquet dir (schema uninferable) — that's "not found", not a 500
+          val rows = try store.table(g, "passages")
             .filter(org.apache.spark.sql.functions.col("id") === id)
             .select("id", "text", "entity_ids", "relation_ids").collect()
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Array.empty[org.apache.spark.sql.Row] }
           if (rows.isEmpty) error(ex, 404, s"document $id not found")
           else {
             val r = rows.head

@@ -204,6 +204,40 @@ class RestServerSpec extends SparkSpec {
     assert(get("/documents?graph_name=rest6&query=x&top_k=0").statusCode() == 400)
   }
 
+  test("reference-shaped route aliases: graph-unscoped documents, /add_documents, /query") {
+    // the reference's AddDocumentsRequest object body (app.py:379-421):
+    // texts + ids + per-doc triplets as [s,p,o] arrays
+    val ins = post("/add_documents?graph_name=rest7",
+      """{"documents": ["Grace Hopper\nHopper wrote the first compiler."],
+        | "ids": ["hopper"],
+        | "triplets": [[["Grace Hopper", "wrote", "first compiler"]]]}""".stripMargin)
+    assert(ins.statusCode() == 200, ins.body())
+    assert(ins.body().contains("\"passages\":1"), ins.body())
+
+    // graph-unscoped reads/writes with ?graph_name (app.py:765/820/854)
+    val doc = get("/documents/hopper?graph_name=rest7")
+    assert(doc.statusCode() == 200, doc.body())
+    assert(doc.body().contains("first compiler"), doc.body())
+    // no graph_name → the "default" graph, which doesn't exist here
+    assert(get("/documents/hopper").statusCode() != 200)
+
+    // singular /graph/{g}/stats spelling (app.py:671)
+    val st = get("/graph/rest7/stats")
+    assert(st.statusCode() == 200 && st.body().contains("\"passages\":1"), st.body())
+
+    // graph-unscoped /query (app.py:550)
+    val q = post("/query?graph_name=rest7",
+      """{"question": "Who wrote the first compiler?"}""")
+    assert(q.statusCode() == 200 && q.body().contains("hopper"), q.body())
+
+    val upd = put("/documents/hopper?graph_name=rest7", """{"text": "compiler pioneer"}""")
+    assert(upd.statusCode() == 200, upd.body())
+    assert(delete("/documents/hopper?graph_name=rest7").statusCode() == 200)
+    assert(get("/documents/hopper?graph_name=rest7").statusCode() == 404)
+    assert(delete("/graph/rest7").statusCode() == 200) // singular delete (app.py:339)
+    assert(!get("/graphs").body().contains("rest7"))
+  }
+
   test("re-indexing a graph serves fresh rows to later queries (cache lifecycle)") {
     val docs1 =
       """[{"id": "pasteur", "text": "Louis Pasteur\nPasteur proved germ theory.",
