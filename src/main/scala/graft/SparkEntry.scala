@@ -855,8 +855,8 @@ object SparkEntry {
     }),
     // D4 exact n-gram Jaccard pairs ≥ 0.5.
     "d4_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(spread(t(s, dir, "documents")), "doc_id", "text",
-        shingleSize = 3, minJaccard = 0.5)
+      Dedup.ngramJaccardPairsFromShingles(docShingles3(s, dir),
+        minJaccard = 0.5, maxShingleFreq = 1000000L)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
     }),
     // D16 duplication-rate attribution by ingest source: which feed sends
@@ -873,8 +873,8 @@ object SparkEntry {
     // threshold sits below d4's 0.5-Jaccard pairs' containment, so d15 ⊋ d4
     // on asymmetric-size pairs. See Dedup.containmentPairs.
     "d15_containment" -> ((s, dir) => {
-      Dedup.containmentPairs(spread(t(s, dir, "documents")), "doc_id", "text",
-        shingleSize = 3, minContainment = 0.6)
+      Dedup.containmentPairsFromShingles(docShingles3(s, dir),
+        minContainment = 0.6, maxShingleFreq = 1000000L)
         .select(col("id_a"), col("id_b"), col("inter"),
           round(col("containment"), 6).as("containment_r"))
     }),
@@ -2388,17 +2388,12 @@ object SparkEntry {
     // pair-list-sized join, the read that tunes (bands × rows) before a
     // corpus-scale dedup run. See Dedup.pairQuality.
     "d17_pair_quality" -> ((s, dir) => {
-      val docs = spread(t(s, dir, "documents"))
-      // ONE shingle explode feeds BOTH the approximate side (minhash — min()
-      // is idempotent, so the distinct frame signs identically) and the
-      // exact side (Jaccard) — the corpus-scale cost here IS the explode,
-      // and it is identical across the two pair families being compared.
-      val sh = Dedup.shingleRows(docs, "doc_id", "text", shingleSize = 3)
-        .distinct().localCheckpoint(true)
-      val sigs = Dedup.minhashSignaturesFromShingles(sh, numHashes = 6)
-        .localCheckpoint(true)
-      val cand = Dedup.lshCandidatePairs(sigs, bands = 3, rowsPerBand = 2)
-      val truth = Dedup.ngramJaccardPairsFromShingles(sh,
+      // ONE shared shingle explode feeds BOTH the approximate side (via the
+      // shared signatures) and the exact side (Jaccard) — the corpus-scale
+      // cost here IS the explode, identical across the two pair families
+      // being compared, and since r12 it is the family-wide docShingles3.
+      val cand = lshPairs(s, dir)
+      val truth = Dedup.ngramJaccardPairsFromShingles(docShingles3(s, dir),
         minJaccard = 0.5, maxShingleFreq = 1000000L).select("id_a", "id_b")
       Dedup.pairQuality(cand, truth)
         // "precision" is a type keyword in ANSI engines; _r suffixes keep the
@@ -2499,9 +2494,7 @@ object SparkEntry {
     // absent. Same oracle as d4 — two algorithms, one answer. See
     // Dedup.prefixFilteredJaccardPairs.
     "d18_prefix_jaccard" -> ((s, dir) => {
-      val sh = Dedup.shingleRows(spread(t(s, dir, "documents")), "doc_id", "text",
-        shingleSize = 3).distinct().localCheckpoint(true)
-      Dedup.prefixFilteredJaccardPairs(sh, minJaccard = 0.5)
+      Dedup.prefixFilteredJaccardPairs(docShingles3(s, dir), minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
     }),
     // G24 degree assortativity (Newman 2002): Pearson correlation of
@@ -2527,8 +2520,8 @@ object SparkEntry {
     // cut points from ONE exact-pair scan (the m6 sweep convention) — the
     // data that picks a near-dup threshold BEFORE committing a corpus run.
     "x33_dup_threshold_curve" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(spread(t(s, dir, "documents")),
-          "doc_id", "text", shingleSize = 3, minJaccard = 0.3)
+      val pairs = Dedup.ngramJaccardPairsFromShingles(docShingles3(s, dir),
+          minJaccard = 0.3, maxShingleFreq = 1000000L)
         .localCheckpoint(true) // read once per threshold branch
       val th = s.createDataFrame(
         Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8).map(Tuple1(_))).toDF("threshold")
@@ -2596,6 +2589,28 @@ object SparkEntry {
     * survivorship) whose whole point is what they each DO with one pair
     * graph. Same lifecycle discipline as [[lexTokens]]: dead-session
     * eviction, alive-checkpoint check, build-under-lock. */
+  private val docShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** The DISTINCT (id, sh) word-3-shingle frame over documents — the ONE
+    * corpus tokenize the whole dedup family reads (d4/d15/d17/d18/x33 exact
+    * pairs AND the MinHash signatures: min() is idempotent, so the distinct
+    * frame signs identically to the raw multiset). */
+  private[graft] def docShingles3(s: SparkSession, dir: String): DataFrame = {
+    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
+    docShingleCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(docShingleCache.remove)
+    docShingleCache.synchronized {
+      docShingleCache.get((s, dir)).filter(alive).getOrElse {
+        val fresh = Dedup.shingleRows(spread(t(s, dir, "documents")),
+          "doc_id", "text", shingleSize = 3)
+          .distinct()
+          .localCheckpoint(true)
+        docShingleCache((s, dir)) = fresh
+        fresh
+      }
+    }
+  }
+
   private val minhashSigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
@@ -2604,8 +2619,8 @@ object SparkEntry {
       .foreach(minhashSigCache.remove)
     minhashSigCache.synchronized {
       minhashSigCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = Dedup.minhashSignatures(spread(t(s, dir, "documents")),
-          "doc_id", "text", numHashes = 6, shingleSize = 3)
+        val fresh = Dedup
+          .minhashSignaturesFromShingles(docShingles3(s, dir), numHashes = 6)
           .localCheckpoint(true)
         minhashSigCache((s, dir)) = fresh
         fresh

@@ -384,10 +384,18 @@ object Dedup {
     * conservatively low otherwise — the safe direction for a dedup gate. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minContainment: Double = 0.0,
-      maxShingleFreq: Long = 1000000L): DataFrame = {
-    val docSh = shingleRows(df, idCol, textCol, shingleSize)
-      .distinct()
-      .localCheckpoint(true) // freq filter + both join sides + sizes
+      maxShingleFreq: Long = 1000000L): DataFrame =
+    containmentPairsFromShingles(
+      shingleRows(df, idCol, textCol, shingleSize)
+        .distinct()
+        .localCheckpoint(true), // freq filter + both join sides + sizes
+      minContainment, maxShingleFreq)
+
+  /** [[containmentPairs]] over a pre-built (id, sh) frame — the
+    * tokenize-once twin of [[ngramJaccardPairsFromShingles]], same CONTRACT:
+    * input DISTINCT per (id, sh) and already pinned. */
+  def containmentPairsFromShingles(docSh: DataFrame, minContainment: Double,
+      maxShingleFreq: Long): DataFrame = {
     val rare = docSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq).select("sh")
     val filtered = docSh.join(rare, Seq("sh"), "left_semi")
