@@ -47,9 +47,19 @@ object Bench {
     try SparkEntry.coLabels(spark, sfDir).count()
     catch { case NonFatal(e) => System.err.println(s"[bench] coLabels warm-up failed: $e") }
     // Shared MinHash signatures + LSH candidate pairs (sign-once
-    // infrastructure for d2/d8/d9/d13/x26/er3) — same cleanup contract.
+    // infrastructure for d2/d8/d9/d13/x26/er3; builds docShingles3 for
+    // d4/d15/d17/d18/x33 on the way) — same cleanup contract.
     try SparkEntry.lshPairs(spark, sfDir).count()
     catch { case NonFatal(e) => System.err.println(s"[bench] lshPairs warm-up failed: $e") }
+    // Shared BUILT BM25 index (b1/b4/b5) — buildFromTokens checkpoints
+    // eagerly; constructing it here makes its blocks pre-existing so the
+    // per-query cleanup keeps them (a mid-suite build would be unpersisted
+    // after its first consumer and every later row would rebuild).
+    try SparkEntry.lexIndex(spark, sfDir)
+    catch { case NonFatal(e) => System.err.println(s"[bench] lexIndex warm-up failed: $e") }
+    // Shared DSIR importance model (x23/x24) — same rationale.
+    try SparkEntry.dsirWeights(spark, sfDir).count()
+    catch { case NonFatal(e) => System.err.println(s"[bench] dsirWeights warm-up failed: $e") }
     // Optional args = query-name filter for fast single-query iteration;
     // the driver passes none and gets the full set. SPARK_GRAFT_BENCH_FIRST
     // hoists one query to the front of the sorted order (A/B accountability:
