@@ -92,7 +92,8 @@ object VectorSearch {
     * product here already relies on; ragged input fails in the dot, not
     * silently in the sketch. */
   private[operators] def headDim(df: DataFrame, vecCol: String): Option[Int] =
-    df.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+    df.filter(col(vecCol).isNotNull) // a NULL first vector must not NPE the probe
+      .select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
 
   /** The shared block-key column: hyperplane sign sketch when `blockBits > 0`
     * and the frame is non-empty, else the single block 0L. */

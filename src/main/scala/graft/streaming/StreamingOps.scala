@@ -48,11 +48,17 @@ object StreamingOps {
       val fs = p.getFileSystem(merged.sparkSession.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true)
       merged.write.mode("overwrite").parquet(tmp.toString) // live table still intact
+      // Hadoop rename returns FALSE on failure instead of throwing — an
+      // unchecked false here would silently drop state, the exact loss this
+      // helper exists to prevent.
+      def renameOrThrow(from: Path, to: Path): Unit =
+        if (!fs.rename(from, to)) throw new java.io.IOException(
+          s"StateTable: rename $from -> $to failed (state preserved at $from)")
       // `.old` is only displaced while a complete copy exists elsewhere: when
       // recovering from a crash that left ONLY `.old` (no `path`), it stays
       // put until the new `path` is established, then drops.
-      if (fs.exists(p)) { fs.delete(old, true); fs.rename(p, old) }
-      fs.rename(tmp, p)
+      if (fs.exists(p)) { fs.delete(old, true); renameOrThrow(p, old) }
+      renameOrThrow(tmp, p)
       fs.delete(old, true)
     }
   }
