@@ -2580,27 +2580,43 @@ object SparkEntry {
     * survivorship) whose whole point is what they each DO with one pair
     * graph. Same lifecycle discipline as [[lexTokens]]: dead-session
     * eviction, alive-checkpoint check, build-under-lock. */
+  /** The index-once cache discipline shared by every cross-query
+    * infrastructure frame (lexTokens / coPairs / coLabels / docShingles3 /
+    * minhashSigs / lshPairs / dsirWeights): evict dead-session keys (a JVM
+    * cycling SparkSessions must not pin each dead session's object graph
+    * through this object-level map), alive-check the checkpointed frame,
+    * and build UNDER the lock — two threads first-accessing the same
+    * (session, dir) must not both run the corpus-scale job; the loser's
+    * checkpoint blocks would be pinned with no owner. Holding the lock
+    * across the build serializes concurrent first-builders, which is the
+    * point. Single-threaded callers never contend. */
+  private def cachedFrame(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    cache.synchronized {
+      cache.get((s, dir)).filter(alive).getOrElse {
+        val fresh = build
+        cache((s, dir)) = fresh
+        fresh
+      }
+    }
+  }
+
   /** Shared DSIR log-weight frame (x23 weights read + x24 resampling
     * action): the hashed unigram+bigram LM passes are identical across the
     * two rows — train the importance model once, read it twice. */
   private val dsirWeightCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    dsirWeightCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(dsirWeightCache.remove)
-    dsirWeightCache.synchronized {
-      dsirWeightCache.get((s, dir)).filter(alive).getOrElse {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
-            (col("doc_id") % 10 === 0).as("is_target"))
-        val fresh = CorpusOps.dsirWeights(docs, "doc_id", "toks", "is_target",
-          buckets = 256).localCheckpoint(true)
-        dsirWeightCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(dsirWeightCache, s, dir) {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          (col("doc_id") % 10 === 0).as("is_target"))
+      CorpusOps.dsirWeights(docs, "doc_id", "toks", "is_target", buckets = 256)
+        .localCheckpoint(true)
     }
-  }
 
   /** Shared BUILT BM25 index over [[lexTokens]] (b1/b4/b5): the tf/dl
     * checkpoints inside buildFromTokens are identical across the lexical
@@ -2630,78 +2646,44 @@ object SparkEntry {
     * corpus tokenize the whole dedup family reads (d4/d15/d17/d18/x33 exact
     * pairs AND the MinHash signatures: min() is idempotent, so the distinct
     * frame signs identically to the raw multiset). */
-  private[graft] def docShingles3(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    docShingleCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(docShingleCache.remove)
-    docShingleCache.synchronized {
-      docShingleCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = Dedup.shingleRows(spread(t(s, dir, "documents")),
-          "doc_id", "text", shingleSize = 3)
-          .distinct()
-          .localCheckpoint(true)
-        docShingleCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def docShingles3(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(docShingleCache, s, dir) {
+      Dedup.shingleRows(spread(t(s, dir, "documents")),
+        "doc_id", "text", shingleSize = 3)
+        .distinct()
+        .localCheckpoint(true)
     }
-  }
 
   private val minhashSigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    minhashSigCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(minhashSigCache.remove)
-    minhashSigCache.synchronized {
-      minhashSigCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = Dedup
-          .minhashSignaturesFromShingles(docShingles3(s, dir), numHashes = 6)
-          .localCheckpoint(true)
-        minhashSigCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(minhashSigCache, s, dir) {
+      Dedup.minhashSignaturesFromShingles(docShingles3(s, dir), numHashes = 6)
+        .localCheckpoint(true)
     }
-  }
 
   private val lshPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    lshPairCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(lshPairCache.remove)
-    lshPairCache.synchronized {
-      lshPairCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = Dedup.lshCandidatePairs(minhashSigs(s, dir),
-          bands = 3, rowsPerBand = 2)
-          .localCheckpoint(true)
-        lshPairCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(lshPairCache, s, dir) {
+      Dedup.lshCandidatePairs(minhashSigs(s, dir), bands = 3, rowsPerBand = 2)
+        .localCheckpoint(true)
     }
-  }
 
   private val coPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    coPairCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(coPairCache.remove)
-    coPairCache.synchronized {
-      coPairCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = t(s, dir, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("_items"))
-          .select(explode(col("_items")).as("src"), col("_items"))
-          .select(col("src"), explode(col("_items")).as("dst"))
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("_m"))
-          .localCheckpoint(true)
-        coPairCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(coPairCache, s, dir) {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("_items"))
+        .select(explode(col("_items")).as("src"), col("_items"))
+        .select(col("src"), explode(col("_items")).as("dst"))
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("_m"))
+        .localCheckpoint(true)
     }
-  }
 
   /** Symmetric duplicate-free edge view of [[coPairs]] (optionally
     * sparsified to pairs sharing >= `minGroups` orders) — the
@@ -2724,44 +2706,20 @@ object SparkEntry {
     * transparently if a harness freed the blocks. */
   private val coLabelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def coLabels(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    coLabelCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(coLabelCache.remove)
-    coLabelCache.synchronized {
-      coLabelCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = LabelPropagation.run(coEdges(s, dir, minGroups = 2), rounds = 4)
-        coLabelCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def coLabels(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(coLabelCache, s, dir) {
+      LabelPropagation.run(coEdges(s, dir, minGroups = 2), rounds = 4)
     }
-  }
 
   private val lexTokenCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private[graft] def lexTokens(s: SparkSession, dir: String): DataFrame = {
-    val alive = org.apache.spark.sql.graft.Bridge.checkpointAlive _
-    // evict entries of stopped sessions — a JVM cycling SparkSessions must
-    // not pin each dead session's object graph through this object-level map
-    lexTokenCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(lexTokenCache.remove)
-    // The whole check-then-build is one synchronized compute: two threads
-    // first-accessing the same (session, dir) must not both run the
-    // corpus-scale tokenize — the loser's checkpoint blocks would be pinned
-    // with no owner. Holding the lock across the build serializes concurrent
-    // first-builders, which is the point (the second caller wants the first
-    // caller's frame, not a race). Single-threaded callers never contend.
-    lexTokenCache.synchronized {
-      lexTokenCache.get((s, dir)).filter(alive).getOrElse {
-        val fresh = spread(t(s, dir, "documents"))
-          .select(col("doc_id"), col("doc_id").cast("string").as("id"),
-            explode(Norm.normTokens(col("text"))).as("term"))
-          .localCheckpoint(true)
-        lexTokenCache((s, dir)) = fresh
-        fresh
-      }
+  private[graft] def lexTokens(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(lexTokenCache, s, dir) {
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("doc_id").cast("string").as("id"),
+          explode(Norm.normTokens(col("text"))).as("term"))
+        .localCheckpoint(true)
     }
-  }
 
   /** Fixed rank-ordered merge list shared by the bp2 query and its oracle:
     * corpus-frequent pairs plus two chained merges whose left components

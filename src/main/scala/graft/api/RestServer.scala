@@ -127,7 +127,9 @@ final class RestServer(spark: SparkSession, storeBase: String,
       val t = tIt.next()
       if (t.isArray && t.size() >= 3)
         ts += Triplet(t.get(0).asText(), t.get(1).asText(), t.get(2).asText())
-      else if (t.isObject) // the reference's AddDocumentsRequest object form
+      else if (t.isObject && t.has("subject") && t.has("predicate") &&
+          t.has("object")) // the reference's AddDocumentsRequest object form;
+        // malformed objects are skipped like short arrays, never an NPE
         ts += Triplet(t.get("subject").asText(), t.get("predicate").asText(),
           t.get("object").asText())
     }
@@ -138,9 +140,12 @@ final class RestServer(spark: SparkSession, storeBase: String,
     * `{id, text, triplets: [[s,p,o],…]}` and the reference's
     * /add_documents object `{documents: [text,…], ids?, triplets?}`
     * (api/app.py:379-421, triplets per-doc as [s,p,o] arrays or
-    * {subject,predicate,object} objects). Reference docs without ids get
-    * the deterministic md5(text) — the engine needs stable ids for
-    * upsert/delete and a random UUID would break replay. */
+    * {subject,predicate,object} objects). Docs beyond the `ids` array get
+    * generated ids — the REFERENCE does the same silent fallback for a short
+    * ids array (app.py:403-405 guards `i < len(request.ids)` and otherwise
+    * lets a UUID be assigned); ours is the deterministic md5(text), because
+    * the engine needs stable ids for upsert/delete and a random UUID would
+    * break replay. */
   private def parseDocs(node: JsonNode): Seq[Doc] = {
     val out = Seq.newBuilder[Doc]
     if (node.isObject && node.has("documents")) {
@@ -271,15 +276,22 @@ final class RestServer(spark: SparkSession, storeBase: String,
               error(ex, 404, s"graph $g not found")
             case Some(q) =>
               val k = topK.flatten.getOrElse(10)
-              val hits = rag(g, config.copy(finalTopK = k)).retrieveNaive(q)
+              // a cascade-emptied graph leaves unreadable-empty tables: a
+              // search over it finds nothing — not a 500 (same guard as the
+              // GET /graphs/{g}/documents/{id} route)
+              val hits = try rag(g, config.copy(finalTopK = k)).retrieveNaive(q)
+                catch { case _: org.apache.spark.sql.AnalysisException =>
+                  Seq.empty[graft.model.RetrievalHit] }
               // adjacency backfill for the reference's DocumentResponse shape
               // (id, text, entity_ids, relation_ids) — bounded: ≤ topK ids
-              val adj = store.table(g, "passages")
-                .filter(org.apache.spark.sql.functions.col("id")
-                  .isin(hits.map(_.id): _*))
-                .select("id", "entity_ids", "relation_ids").collect()
-                .map(r => r.getString(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
-                .toMap
+              val adj =
+                if (hits.isEmpty) Map.empty[String, (Seq[String], Seq[String])]
+                else store.table(g, "passages")
+                  .filter(org.apache.spark.sql.functions.col("id")
+                    .isin(hits.map(_.id): _*))
+                  .select("id", "entity_ids", "relation_ids").collect()
+                  .map(r => r.getString(0) -> (r.getSeq[String](1), r.getSeq[String](2)))
+                  .toMap
               val n = mapper.createObjectNode()
               val docsArr = n.putArray("documents")
               hits.foreach { h =>

@@ -63,9 +63,21 @@ object Evaluate {
       embedder = graft.functions.HashEmbedder(dim = 256),
       ner = CachedNerExtractor(nerCache))
 
-    // Skip-reindex probe (evaluate.py:343-371): existence check on the store.
+    // Skip-reindex probe (evaluate.py:343-371): existence check on the store —
+    // PLUS a dimension check, because querying a stored graph with a
+    // different-width embedder (e.g. a pre-r12 dim=64 store under today's
+    // dim=256 harness) would score garbage similarities and report them as
+    // recall. Mismatch fails loudly instead.
     val indexed =
       if (store.listGraphs().contains(graphName)) {
+        val storedDim = store.table(graphName, "entities")
+          .select(org.apache.spark.sql.functions.size(col("embedding")))
+          .limit(1).collect().headOption.map(_.getInt(0))
+        storedDim.filter(_ != rag.embedderDim).foreach { d =>
+          sys.error(s"[evaluate] graph '$graphName' in $storeDir was built with " +
+            s"embedding dim $d but this harness embeds at dim ${rag.embedderDim} — " +
+            "delete the store (or pass a fresh storeDir) to re-index")
+        }
         println(s"[evaluate] graph '$graphName' exists in $storeDir — skipping index build")
         false
       } else {

@@ -475,7 +475,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_nm", graft.functions.VectorFunctions.l2Norm(col("v")))
     val withBlock =
-      if (blockBits == 0) base.withColumn("blk", lit(0))
+      if (blockBits == 0) base.withColumn("blk", lit(0L))
       else {
         // sign sketch: the ONE shared md5-plane definition (the DuckDB
         // oracle re-derives these planes literally) — per row, no exchange.
@@ -484,7 +484,7 @@ object Dedup {
         graft.operators.VectorSearch.headDim(df, vecCol) match {
           case Some(dim) => base.withColumn("blk",
             VectorFunctions.hyperplaneSketch(col("v"), dim, blockBits))
-          case None => base.withColumn("blk", lit(0))
+          case None => base.withColumn("blk", lit(0L))
         }
       }
     val cosH = VectorFunctions.cosinePre(col("a.v"), col("a._nm"),

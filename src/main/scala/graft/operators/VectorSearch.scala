@@ -105,6 +105,17 @@ object VectorSearch {
       case None => lit(0L)
     }
 
+  /** The pair-scan block predicate. CRITICAL at scale: when `blockBits == 0`
+    * this must be `lit(true)`, NOT an equality on the constant block column —
+    * after the checkpoint the constant is opaque data, Spark would extract it
+    * as an equi-join key, and hash-partitioning on a constant sends EVERY row
+    * of both sides to one task, serializing the whole n² scan. With no
+    * equality in the condition the exact path keeps its partition-parallel
+    * nested-loop/cartesian plan. */
+  private def sameBlock(blockBits: Int): Column =
+    if (blockBits == 0) lit(true)
+    else col("a.__blk") === col("b.__blk")
+
   def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAggregator(k))
 
@@ -249,7 +260,7 @@ object VectorSearch {
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
     withBlock.as("a").join(withBlock.as("b"),
-        col("a.__blk") === col("b.__blk") &&
+        sameBlock(blockBits) &&
         col("a.__id") =!= col("b.__id") &&
         col("a.__lab") =!= col("b.__lab"))
       .select(col("a.__id").as("__anchor"), col("b.__id").as("__neg"),
@@ -306,7 +317,7 @@ object VectorSearch {
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
     base.as("a").join(base.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+        sameBlock(blockBits) && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
         col("b.__id").as("__nbr"), cos.as("__c"))
       .groupBy(col("__anchor"), col("__alab"))
@@ -389,7 +400,7 @@ object VectorSearch {
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
     val knn = base.as("a").join(base.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+        sameBlock(blockBits) && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__src"), col("b.__id").as("__dst"), cos.as("__c"))
       .groupBy(col("__src"))
       .agg(topk(col("__dst"), col("__c")).as("__top"))
@@ -492,7 +503,7 @@ object VectorSearch {
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
     base.as("a").join(base.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+        sameBlock(blockBits) && col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("b.__id").as("__nbr"), cos.as("__c"))
       .groupBy(col("__anchor"))
       .agg(topk(col("__nbr"), col("__c")).as("__top"))

@@ -71,6 +71,10 @@ final class GraphRag(
 
   import spark.implicits._
 
+  /** The dimension this engine embeds at — harness-visible so store reuse
+    * can validate a persisted graph was built with a compatible embedder. */
+  def embedderDim: Int = embedder.dim
+
   // ------------------------------------------------------------------ indexing
 
   /** §3.1 add_documents: extract triplets (X1) then index. Full-replace. */
