@@ -489,7 +489,13 @@ object Dedup {
       }
     val cosH = VectorFunctions.cosinePre(col("a.v"), col("a._nm"),
       col("b.v"), col("b._nm"))
-    withBlock.as("a").join(withBlock.as("b"),
+    // spread before the scan: with blockBits=0 the blk equality folds to a
+    // constant and the pair join runs nested-loop at the STREAMED side's
+    // partition count — a single-file corpus would scan on one task
+    // (VectorSearch.spreadScan has the full contract; both aliases read the
+    // same exchange via reuse)
+    val spreadB = VectorSearch.spreadScan(withBlock)
+    spreadB.as("a").join(spreadB.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosH.as("cosine"))

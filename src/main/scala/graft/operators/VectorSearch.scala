@@ -22,25 +22,39 @@ final case class ScoredId(id: String, score: Double)
   * Determinism: ties broken by id ascending (SURVEY §7.5 — Milvus ties are
   * unspecified; we pin them and encode the same tie-break in the DuckDB oracle).
   */
-class TopKAggregator(k: Int) extends Aggregator[ScoredId, ArrayBuffer[ScoredId], Seq[ScoredId]] {
+/** Mutable partial-aggregation state: the candidate buffer plus the current
+  * kth-best element once k candidates have been kept. `worst` is a PRUNING
+  * BOUND, not part of the result — any arriving candidate ranking at-or-after
+  * it can never enter the final top-k (the kept set only improves), so the
+  * hot reduce path rejects it with ONE comparison instead of an append plus
+  * its amortized share of the periodic sort-compact. Rebuilt by every
+  * compact; null until the buffer has filled to k. */
+final class TopKBuf[T](val items: ArrayBuffer[T] = new ArrayBuffer[T](8)) {
+  var worst: T = _
+}
+
+class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuf[ScoredId], Seq[ScoredId]] {
   private val ord: Ordering[ScoredId] =
     Ordering.by((s: ScoredId) => (-s.score, s.id))
 
   // Buffer holds at most 4k candidates; compacted to k on overflow/merge/finish.
-  private def compact(b: ArrayBuffer[ScoredId]): ArrayBuffer[ScoredId] = {
-    val kept = b.sorted(ord).take(k)
-    b.clear(); b ++= kept; b
+  private def compact(b: TopKBuf[ScoredId]): TopKBuf[ScoredId] = {
+    val kept = b.items.sorted(ord).take(k)
+    b.items.clear(); b.items ++= kept
+    b.worst = if (kept.length == k) kept.last else null
+    b
   }
 
-  override def zero: ArrayBuffer[ScoredId] = new ArrayBuffer[ScoredId](k + 1)
-  override def reduce(b: ArrayBuffer[ScoredId], a: ScoredId): ArrayBuffer[ScoredId] = {
-    b += a
-    if (b.length >= 4 * k + 4) compact(b) else b
+  override def zero: TopKBuf[ScoredId] = new TopKBuf[ScoredId]
+  override def reduce(b: TopKBuf[ScoredId], a: ScoredId): TopKBuf[ScoredId] = {
+    if (b.worst != null && ord.compare(a, b.worst) >= 0) return b // can't place
+    b.items += a
+    if (b.items.length >= 4 * k + 4) compact(b) else b
   }
-  override def merge(a: ArrayBuffer[ScoredId], b: ArrayBuffer[ScoredId]): ArrayBuffer[ScoredId] =
-    compact(a ++= b)
-  override def finish(b: ArrayBuffer[ScoredId]): Seq[ScoredId] = b.sorted(ord).take(k).toSeq
-  override def bufferEncoder: Encoder[ArrayBuffer[ScoredId]] = Encoders.kryo[ArrayBuffer[ScoredId]]
+  override def merge(a: TopKBuf[ScoredId], b: TopKBuf[ScoredId]): TopKBuf[ScoredId] =
+    compact { a.items ++= b.items; a }
+  override def finish(b: TopKBuf[ScoredId]): Seq[ScoredId] = b.items.sorted(ord).take(k).toSeq
+  override def bufferEncoder: Encoder[TopKBuf[ScoredId]] = Encoders.kryo[TopKBuf[ScoredId]]
   override def outputEncoder: Encoder[Seq[ScoredId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
 }
@@ -52,24 +66,27 @@ final case class ScoredRow(id: String, text: String, score: Double)
   * surviving rows WITH their texts in the same single aggregation job, instead
   * of a second broadcast-join+collect to fetch them. Buffer cost grows by the
   * text size — callers bound it (relation texts, threshold ≤ ~1000 rows). */
-class TopKRowAggregator(k: Int) extends Aggregator[ScoredRow, ArrayBuffer[ScoredRow], Seq[ScoredRow]] {
+class TopKRowAggregator(k: Int) extends Aggregator[ScoredRow, TopKBuf[ScoredRow], Seq[ScoredRow]] {
   private val ord: Ordering[ScoredRow] =
     Ordering.by((s: ScoredRow) => (-s.score, s.id))
 
-  private def compact(b: ArrayBuffer[ScoredRow]): ArrayBuffer[ScoredRow] = {
-    val kept = b.sorted(ord).take(k)
-    b.clear(); b ++= kept; b
+  private def compact(b: TopKBuf[ScoredRow]): TopKBuf[ScoredRow] = {
+    val kept = b.items.sorted(ord).take(k)
+    b.items.clear(); b.items ++= kept
+    b.worst = if (kept.length == k) kept.last else null
+    b
   }
 
-  override def zero: ArrayBuffer[ScoredRow] = new ArrayBuffer[ScoredRow](k + 1)
-  override def reduce(b: ArrayBuffer[ScoredRow], a: ScoredRow): ArrayBuffer[ScoredRow] = {
-    b += a
-    if (b.length >= 4 * k + 4) compact(b) else b
+  override def zero: TopKBuf[ScoredRow] = new TopKBuf[ScoredRow]
+  override def reduce(b: TopKBuf[ScoredRow], a: ScoredRow): TopKBuf[ScoredRow] = {
+    if (b.worst != null && ord.compare(a, b.worst) >= 0) return b // can't place
+    b.items += a
+    if (b.items.length >= 4 * k + 4) compact(b) else b
   }
-  override def merge(a: ArrayBuffer[ScoredRow], b: ArrayBuffer[ScoredRow]): ArrayBuffer[ScoredRow] =
-    compact(a ++= b)
-  override def finish(b: ArrayBuffer[ScoredRow]): Seq[ScoredRow] = b.sorted(ord).take(k).toSeq
-  override def bufferEncoder: Encoder[ArrayBuffer[ScoredRow]] = Encoders.kryo[ArrayBuffer[ScoredRow]]
+  override def merge(a: TopKBuf[ScoredRow], b: TopKBuf[ScoredRow]): TopKBuf[ScoredRow] =
+    compact { a.items ++= b.items; a }
+  override def finish(b: TopKBuf[ScoredRow]): Seq[ScoredRow] = b.items.sorted(ord).take(k).toSeq
+  override def bufferEncoder: Encoder[TopKBuf[ScoredRow]] = Encoders.kryo[TopKBuf[ScoredRow]]
   override def outputEncoder: Encoder[Seq[ScoredRow]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredRow]]()
 }
@@ -115,6 +132,21 @@ object VectorSearch {
   private def sameBlock(blockBits: Int): Column =
     if (blockBits == 0) lit(true)
     else col("a.__blk") === col("b.__blk")
+
+  /** The OTHER half of the exact-path parallelism contract ([[sameBlock]]):
+    * the nested-loop/cartesian pair scan runs at the STREAMED side's
+    * partition count, and the pinned base frame inherits its partitioning
+    * from the input — a small single-file parquet table arrives as ONE
+    * partition, so without this the whole n² scan would execute on one
+    * task no matter how many cores the cluster has (measured 2.8→0.6 s on
+    * the sf0.1 sim family). Spread up to defaultParallelism before
+    * pinning; at corpus scale the input already exceeds it and this is a
+    * no-op (no shuffle is ever REMOVED here — shrinking a wide input
+    * would serialize the scan the same way). */
+  private[operators] def spreadScan(df: DataFrame): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
 
   def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAggregator(k))
@@ -254,8 +286,8 @@ object VectorSearch {
     val base = df.select(col(idCol).cast("string").as("__id"),
       col(labelCol).as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-    val withBlock = base
-      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
+    val withBlock = spreadScan(base
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits)))
       .localCheckpoint(true)
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
@@ -308,11 +340,11 @@ object VectorSearch {
       labelCol: String, k: Int, blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"labelAgreement: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
-    val base = df.filter(col(labelCol).isNotNull)
+    val base = spreadScan(df.filter(col(labelCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits)))
       .localCheckpoint(true) // both pair-scan sides + the label join-back
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
@@ -393,9 +425,10 @@ object VectorSearch {
       blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"mutualKnn: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
-    val base = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+    val base = spreadScan(df
+      .select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits)))
       .localCheckpoint(true) // both self-join sides read it
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
@@ -437,10 +470,10 @@ object VectorSearch {
   def tripletMine(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val top1 = udaf(new TopKAggregator(1))
-    val base = df.filter(col(labelCol).isNotNull)
+    val base = spreadScan(df.filter(col(labelCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
-      .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
+      .withColumn("__nm", VectorFunctions.l2Norm(col("__v"))))
       .localCheckpoint(true) // both self-join sides read it
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
@@ -496,9 +529,10 @@ object VectorSearch {
       k: Int, blockBits: Int = 0): DataFrame = {
     require(k >= 1, s"knnDensity: k must be >= 1, got $k")
     val topk = udaf(new TopKAggregator(k))
-    val base = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+    val base = spreadScan(df
+      .select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
-      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits))
+      .withColumn("__blk", blockKey(df, vecCol, col("__v"), blockBits)))
       .localCheckpoint(true) // both self-join sides read it
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
