@@ -1542,6 +1542,14 @@ object SparkEntry {
         blockBits = 3)
         .select(col("id"), col("k_eff"), round(col("mean_cos"), 6).as("mean_cos_r"))
     }),
+    // SIM9 greedy k-center coreset (k=8): farthest-point traversal under
+    // cosine distance — the coverage-maximizing selection read (seed = min
+    // id, then always the point least covered by the picked set). max_cos_r
+    // is the nondecreasing coverage-radius curve. See VectorSearch.kCenter.
+    "sim9_kcenter_coreset" -> ((s, dir) => {
+      VectorSearch.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("rank"), col("pick_id"), round(col("max_cos"), 6).as("max_cos_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -1891,6 +1899,34 @@ object SparkEntry {
           .select(col("doc_id"), Norm.normTokens(col("text")).as("toks")),
         "doc_id", "toks")
         .select(col("doc_id"), round(col("logppl2"), 6).as("logppl2_r"))
+    }),
+
+    // X34 PMI collocation mining (minCount=5, top 30): which adjacent token
+    // pairs co-occur far beyond their marginals — multiword entities, domain
+    // terms, tokenizer-merge candidates. Log-space PMI (no BIGINT overflow
+    // bound), ranking by rounded score + pair tie-break. See
+    // CorpusOps.collocations.
+    "x34_collocations" -> ((s, dir) => {
+      CorpusOps.collocations(
+        spread(t(s, dir, "documents"))
+          .select(Norm.normTokens(col("text")).as("toks")),
+        "toks", minCount = 5L, topK = 30)
+        .select(col("pair"), col("pair_cnt"), round(col("pmi"), 6).as("pmi_r"))
+    }),
+    // X35 Stupid-Backoff trigram scoring: the held-out half of the corpus
+    // scored under the train half's counts (md5-bucket split — the CCNet
+    // quality-gate shape: fluency under a trusted corpus's n-gram model,
+    // with backoff for unseen trigrams/bigrams). Position-ordered fold on
+    // both engines. See CorpusOps.stupidBackoff.
+    "x35_backoff_score" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          CorpusOps.bucket10k(col("doc_id")).as("__b"))
+        .localCheckpoint(true) // tokenize once — both split halves read it
+      CorpusOps.stupidBackoff(
+        docs.filter(col("__b") < 5000), docs.filter(col("__b") >= 5000),
+        "doc_id", "toks")
+        .select(col("doc_id"), col("n_tri"), round(col("sb"), 6).as("sb_r"))
     }),
 
     // Z1 Z-order (Morton) layout key: bit-interleave (partkey, suppkey) so a
@@ -4283,6 +4319,56 @@ object SparkEntry {
            |SELECT bi.doc_id, round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 6) AS logppl2_r
            |FROM bi JOIN c2 USING (pair) JOIN c1 USING (lft) CROSS JOIN v
            |GROUP BY bi.doc_id""".stripMargin.replace("\n", " "),
+      // x34: same log-space PMI term order as CorpusOps.collocations (ln
+      // folds left-to-right → identical IEEE doubles), ranking by the
+      // ROUNDED score with the pair tie-break on both engines.
+      "x34_collocations" ->
+        s"""WITH d AS (SELECT $toksDoc AS toks FROM documents),
+           |tok AS (SELECT unnest(toks) AS t FROM d),
+           |c1 AS (SELECT t, count(*) AS c1 FROM tok GROUP BY 1),
+           |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM c1),
+           |bi AS (SELECT u['l'] AS lft, u['r'] AS rgt FROM (
+           |  SELECT unnest(list_transform(range(1, len(toks)), i -> {'l': toks[i], 'r': toks[i + 1]})) AS u FROM d) t),
+           |bp AS (SELECT lft, rgt, count(*) AS c2 FROM bi GROUP BY 1, 2),
+           |n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM bp)
+           |SELECT lft || ' ' || rgt AS pair, CAST(c2 AS BIGINT) AS pair_cnt,
+           |  round(ln(c2) + ln(n1.n1) + ln(n1.n1) - ln(n2.n2) - ln(a.c1) - ln(b.c1), 6) AS pmi_r
+           |FROM bp JOIN c1 a ON bp.lft = a.t JOIN c1 b ON bp.rgt = b.t CROSS JOIN n1 CROSS JOIN n2
+           |WHERE c2 >= 5
+           |ORDER BY round(ln(c2) + ln(n1.n1) + ln(n1.n1) - ln(n2.n2) - ln(a.c1) - ln(b.c1), 6) DESC, pair ASC
+           |LIMIT 30""".stripMargin.replace("\n", " "),
+      // x35: counts from the md5-bucket train half, scoring over the rest;
+      // CASE arms and α-product order mirror CorpusOps.stupidBackoff, and
+      // the per-doc mean folds in position order (ordered aggregate) to
+      // match Spark's sorted-array fold.
+      "x35_backoff_score" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS toks,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+           |  FROM documents),
+           |tr AS (SELECT toks FROM d WHERE b < 5000),
+           |sc AS (SELECT doc_id, toks FROM d WHERE b >= 5000),
+           |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tr) t GROUP BY 1),
+           |nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n, count(*) AS v FROM c1),
+           |c2 AS (SELECT b2, count(*) AS c2 FROM (
+           |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS b2 FROM tr) t GROUP BY 1),
+           |c3 AS (SELECT g, count(*) AS c3 FROM (
+           |  SELECT unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g FROM tr) t GROUP BY 1),
+           |tri AS (SELECT doc_id, u['i'] AS pos, u['w1'] AS w1, u['w2'] AS w2, u['w3'] AS w3
+           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+           |    i -> {'i': i, 'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]})) AS u FROM sc) t),
+           |j AS (SELECT tri.doc_id, tri.pos,
+           |    CASE WHEN c3.c3 IS NOT NULL THEN ln(CAST(c3.c3 AS DOUBLE) / c2a.c2)
+           |         WHEN c2b.c2 IS NOT NULL THEN ln(0.4 * (CAST(c2b.c2 AS DOUBLE) / c1a.c1))
+           |         ELSE ln(0.4 * 0.4 * (CAST(coalesce(c1b.c1, 0) + 1 AS DOUBLE) / (nv.n + nv.v))) END AS ls
+           |  FROM tri
+           |  LEFT JOIN c3 ON tri.w1 || ' ' || tri.w2 || ' ' || tri.w3 = c3.g
+           |  LEFT JOIN c2 c2a ON tri.w1 || ' ' || tri.w2 = c2a.b2
+           |  LEFT JOIN c2 c2b ON tri.w2 || ' ' || tri.w3 = c2b.b2
+           |  LEFT JOIN c1 c1a ON tri.w2 = c1a.w
+           |  LEFT JOIN c1 c1b ON tri.w3 = c1b.w
+           |  CROSS JOIN nv)
+           |SELECT doc_id, count(*) AS n_tri, round(sum(ls ORDER BY pos) / count(*), 6) AS sb_r
+           |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
       "z1_zorder" -> {
         // unrolled from the same bit-position rule as Layout.zorderKey: bit i
         // of column c lands at position i * nCols + c. BIGINT casts matter:
@@ -4744,6 +4830,29 @@ object SparkEntry {
            |SELECT aid AS id, count(*) AS k_eff,
            |  round(sum(c ORDER BY c DESC, bid ASC) / count(*), 6) AS mean_cos_r
            |FROM r WHERE rn <= 10 GROUP BY 1""".stripMargin.replace("\n", " "),
+      // sim9: v6's unrolled-round pattern — per round, the anti-joined
+      // survivors score max cosine to the selected set (fresh max ≡ Spark's
+      // running greatest: max is an exact compare over identical IEEE
+      // cosines) and the (mc ASC, id ASC) row_number pick mirrors the
+      // TakeOrdered. Seed = min VARCHAR id on both engines.
+      "sim9_kcenter_coreset" -> {
+        val rounds = (2 to 8).map { r =>
+          s"""sc$r AS (SELECT c.id, c.e, c.nm,
+             |    (SELECT max(list_dot_product(c.e, s.e) / (c.nm * s.nm)) FROM su${r - 1} s) AS mc
+             |  FROM v c ANTI JOIN su${r - 1} u ON c.id = u.id),
+             |sel$r AS (SELECT id, e, nm, mc FROM (
+             |    SELECT id, e, nm, mc, row_number() OVER (ORDER BY mc ASC, id ASC) AS rn FROM sc$r) t WHERE rn = 1),
+             |su$r AS (SELECT id, e, nm FROM su${r - 1} UNION ALL SELECT id, e, nm FROM sel$r)""".stripMargin
+        }.mkString(",\n")
+        val finals = (Seq("SELECT 1 AS rank, id AS pick_id, CAST(NULL AS DOUBLE) AS max_cos_r FROM su1") ++
+          (2 to 8).map(r => s"SELECT $r AS rank, id AS pick_id, round(mc, 6) AS max_cos_r FROM sel$r"))
+          .mkString(" UNION ALL ")
+        s"""WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e,
+           |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm FROM embeddings),
+           |su1 AS (SELECT id, e, nm FROM v ORDER BY id ASC LIMIT 1),
+           |$rounds
+           |$finals""".stripMargin.replace("\n", " ")
+      },
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

@@ -306,6 +306,119 @@ object CorpusOps {
         .as("logppl2"))
   }
 
+  /** PMI collocation mining — the phrase-discovery read over a corpus: which
+    * adjacent token pairs co-occur far beyond what their marginal frequencies
+    * predict (multiword entities, domain terms, tokenizer-merge candidates —
+    * the classic Church & Hanks 1990 association measure). Pointwise mutual
+    * information of adjacent pairs under the corpus's own unigram model:
+    *
+    *   pmi(a,b) = ln c(a,b) + ln N + ln N − ln N₂ − ln c(a) − ln c(b)
+    *
+    * kept in LOG SPACE term-by-term (fixed left-to-right fold, so both
+    * engines combine identical IEEE doubles) rather than as the integer
+    * ratio ln(c·N²/(N₂·c_a·c_b)) — the BIGINT product c·N² overflows past
+    * ~3e9 total tokens, and the log form has no bound, which is the form a
+    * 100 TB vocabulary pass needs. `minCount` floors the pair count BEFORE
+    * the joins (rare-pair PMI is degenerate: a pair seen once between two
+    * hapaxes maxes the score), so the joined frame is vocabulary-sized.
+    *
+    * Shape: one bigram + one unigram hash aggregate (both map-side
+    * combinable), two 1-row total broadcasts, two vocabulary-sized
+    * equi-joins on the filtered pair table, one bounded TakeOrdered — no
+    * windows, no pair scans. Ranking is by the ROUNDED score with the pair
+    * string as tie-break (the cross-engine float-ordering convention).
+    * Output: (pair, pair_cnt, pmi), topK rows. */
+  def collocations(df: DataFrame, toksCol: String, minCount: Long = 5L,
+      topK: Int = 30): DataFrame = {
+    require(minCount >= 1L, s"collocations: minCount must be >= 1, got $minCount")
+    // pin tokenization once — the unigram and bigram branches both read it
+    val base = df.select(col(toksCol).as("__t")).localCheckpoint(true)
+    val uni = base.select(explode(col("__t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    val bi = base.select(
+        explode(graft.functions.Norm.shingles(col("__t"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base)
+    // totals over the UNFILTERED counts (the model's normalizers), 1 row each
+    val n1 = broadcast(uni.agg(sum("c1").as("_n1")))
+    val n2 = broadcast(bi.agg(sum("c2").as("_n2")))
+    bi.filter(col("c2") >= minCount)
+      .withColumn("__l", substring_index(col("pair"), " ", 1))
+      .withColumn("__r", substring_index(col("pair"), " ", -1))
+      .join(uni.select(col("tok").as("__l"), col("c1").as("_ca")), "__l")
+      .join(uni.select(col("tok").as("__r"), col("c1").as("_cb")), "__r")
+      .crossJoin(n1).crossJoin(n2)
+      .select(col("pair"), col("c2").as("pair_cnt"),
+        (log(col("c2")) + log(col("_n1")) + log(col("_n1"))
+          - log(col("_n2")) - log(col("_ca")) - log(col("_cb"))).as("pmi"))
+      .orderBy(round(col("pmi"), 6).desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Stupid-Backoff trigram scoring (Brants et al. 2007 — the web-scale LM
+    * that drops normalization because at corpus size the backoff weight
+    * barely matters) of a held-out half under the train half's counts: the
+    * CCNet-shaped quality gate, where documents are ranked by how fluent
+    * they look to an n-gram model of a TRUSTED corpus. Per scored trigram:
+    *
+    *   S(w₃|w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)        trigram seen in train
+    *              = α · c₂(w₂w₃)/c₁(w₂)         else, if the bigram is seen
+    *              = α² · (c₁(w₃)+1)/(N+V)       else (add-one unigram floor,
+    *                                            defined even for unseen w₃)
+    *
+    * score(d) = mean ln S over d's trigram positions. Every division is
+    * exact-BIGINT-over-exact-BIGINT (one IEEE op), α products fold
+    * left-to-right, and the per-doc sum folds in POSITION order on both
+    * engines (sorted-array fold here, ordered aggregate in the oracle) so
+    * the float sum carries no partition-order noise.
+    *
+    * Shape: three train-corpus hash aggregates (uni/bi/trigram counts, all
+    * map-side combinable) + a 1-row (N, V) broadcast; the scored side is one
+    * trigram posexplode into five equi-joins on vocabulary-sized count
+    * tables (broadcastable at test scale; hash joins on string keys at
+    * corpus scale) and one per-doc aggregate. Docs with < 3 tokens are
+    * absent (nothing to score). Output: (idCol, n_tri, sb). */
+  def stupidBackoff(train: DataFrame, scored: DataFrame, idCol: String,
+      toksCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"stupidBackoff: alpha in (0,1], got $alpha")
+    val tb = train.select(col(toksCol).as("__t")).localCheckpoint(true)
+    val c1 = tb.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint(true)
+    val c2 = tb.select(explode(graft.functions.Norm.shingles(col("__t"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2")).localCheckpoint(true)
+    val c3 = tb.select(explode(graft.functions.Norm.shingles(col("__t"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3")).localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tb)
+    val nv = broadcast(c1.agg(sum("c1").as("_n"), count(lit(1)).as("_v")))
+    val tri = scored
+      .select(col(idCol), posexplode(graft.functions.Norm.shingles(col(toksCol), 3)))
+      .withColumn("__p", split(col("col"), " "))
+      .select(col(idCol), col("pos"), col("col").as("g"),
+        concat_ws(" ", col("__p")(0), col("__p")(1)).as("__b12"),
+        concat_ws(" ", col("__p")(1), col("__p")(2)).as("__b23"),
+        col("__p")(1).as("__w2"), col("__p")(2).as("__w3"))
+    val ls = when(col("c3").isNotNull, log(col("c3") / col("_c2a")))
+      .when(col("_c2b").isNotNull, log(lit(alpha) * (col("_c2b") / col("_c1a"))))
+      .otherwise(log(lit(alpha) * lit(alpha) *
+        ((coalesce(col("_c1b"), lit(0L)) + lit(1L)) / (col("_n") + col("_v")))))
+    tri
+      .join(c3, Seq("g"), "left")
+      .join(c2.select(col("b").as("__b12"), col("c2").as("_c2a")), Seq("__b12"), "left")
+      .join(c2.select(col("b").as("__b23"), col("c2").as("_c2b")), Seq("__b23"), "left")
+      .join(c1.select(col("w").as("__w2"), col("c1").as("_c1a")), Seq("__w2"), "left")
+      .join(c1.select(col("w").as("__w3"), col("c1").as("_c1b")), Seq("__w3"), "left")
+      .crossJoin(nv)
+      .select(col(idCol), col("pos"), ls.as("__ls"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__ls")))).as("__a"))
+      .select(col(idCol),
+        size(col("__a")).cast("long").as("n_tri"),
+        (aggregate(transform(col("__a"), t => t.getField("__ls")),
+          lit(0.0), (acc, x) => acc + x) / size(col("__a"))).as("sb"))
+  }
+
   /** Deterministic stratified downsampling that equalizes strata: every
     * stratum is sampled down to (about) the size of the smallest one, the
     * standard move for capping a dominant language/domain in a training mix.

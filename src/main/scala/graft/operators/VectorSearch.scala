@@ -547,6 +547,79 @@ object VectorSearch {
           lit(0.0), (acc, x) => acc + x) / size(col("__top"))).as("mean_cos"))
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal, Gonzalez
+    * 1985 — the 2-approximation every coverage-maximizing data-selection
+    * recipe builds on): pick the min-id seed, then k−1 rounds of "add the
+    * point whose maximum cosine to the already-selected set is SMALLEST"
+    * (the farthest point under cosine distance), ties to min id. The output
+    * is the diversity-ordered center list a curation pipeline uses to seed
+    * clustering, pick annotation batches, or cap near-duplicate regions —
+    * the complement of dedup: not "what repeats" but "what spans the space".
+    *
+    * Scale shape: k driver rounds; each joins the corpus against ONE
+    * broadcast center row (cosine via the codegen'd dot with hoisted norms),
+    * folds the running max into one double of per-row state, and reduces
+    * with a TakeOrdered(1) — never a global sort, never a pair scan. The
+    * state frame is re-pinned per round with its predecessor unpersisted,
+    * so lineage stays flat at any k; at 100 TB this is k linear passes with
+    * a one-vector broadcast each.
+    *
+    * Output (k rows, driver-bounded like the reference's assembly stage):
+    * (rank, pick_id, max_cos) where max_cos is the picked point's max cosine
+    * to the set selected BEFORE it (NULL for the seed). The sequence is
+    * monotonically nondecreasing — the coverage-radius curve that says when
+    * adding more centers stops buying diversity. */
+  def kCenter(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"kCenter: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = spreadScan(df
+      .select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nm", VectorFunctions.l2Norm(col("__v"))))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Option[Double])]
+    def centerOf(frame: DataFrame, id: String): DataFrame =
+      broadcast(frame.filter(col("__id") === id)
+        .select(col("__v").as("__cv"), col("__nm").as("__cnm")))
+    val seed = base.orderBy(col("__id").asc).select(col("__id")).take(1)
+    if (seed.isEmpty) { // empty input: zero rows, correct schema
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base)
+      return Seq.empty[(Int, String, Option[Double])].toDF("rank", "pick_id", "max_cos")
+    }
+    val seedId = seed.head.getString(0)
+    picks += ((1, seedId, None))
+    val cos = VectorFunctions.cosinePre(col("__v"), col("__nm"), col("__cv"), col("__cnm"))
+    // running state: survivors + their max cosine to the selected set so far
+    var state = base.crossJoin(centerOf(base, seedId))
+      .filter(col("__id") =!= seedId)
+      .select(col("__id"), col("__v"), col("__nm"), cos.as("__mc"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base)
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pick = state.orderBy(col("__mc").asc, col("__id").asc)
+        .select(col("__id"), col("__mc")).take(1)
+      if (pick.isEmpty) exhausted = true
+      else {
+        val (pid, pmc) = (pick.head.getString(0), pick.head.getDouble(1))
+        picks += ((r, pid, Some(pmc)))
+        if (r < k) {
+          val next = state.crossJoin(centerOf(state, pid))
+            .filter(col("__id") =!= pid)
+            .select(col("__id"), col("__v"), col("__nm"),
+              greatest(col("__mc"), cos).as("__mc"))
+            .localCheckpoint(true)
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(state)
+          state = next
+        }
+        r += 1
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(state)
+    picks.toSeq.toDF("rank", "pick_id", "max_cos")
+  }
+
   /** R7 point-lookup batch: `id IN (...)` as a semi-join. */
   def getByIds(table: DataFrame, ids: DataFrame, idCol: String = "id"): DataFrame =
     table.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")

@@ -78,6 +78,60 @@ class Round12OpsSpec extends SparkSpec {
     assert(row.getLong(0) == 0L && row.getLong(1) == 9000000000000000000L)
   }
 
+  test("kCenter: farthest-point order and nondecreasing coverage on a known set") {
+    // p1 seed (min id); p2 orthogonal to it; p4 on the diagonal; p3 nearly
+    // parallel to p1 — the greedy order must be p1, p2, p4, p3.
+    val pts = Seq(
+      ("p1", Array(1.0f, 0.0f)),
+      ("p2", Array(0.0f, 1.0f)),
+      ("p3", Array(1.0f, 0.05f)),
+      ("p4", Array(0.7f, 0.7f))).toDF("id", "v")
+    val out = VectorSearch.kCenter(pts, "id", "v", k = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.map(_._2).toSeq == Seq("p1", "p2", "p4", "p3"), out.toSeq)
+    assert(out.head._3.isEmpty)
+    val covs = out.tail.map(_._3.get)
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b },
+      s"coverage curve must be nondecreasing: ${covs.toSeq}")
+    assert(math.abs(covs.head - 0.0) < 1e-9) // p2 is orthogonal to the seed
+    // k beyond the corpus stops early; empty input yields the schema, no crash
+    assert(VectorSearch.kCenter(pts, "id", "v", k = 10).count() == 4)
+    val empty = Seq.empty[(String, Array[Float])].toDF("id", "v")
+    assert(VectorSearch.kCenter(empty, "id", "v", k = 3).count() == 0)
+  }
+
+  test("collocations: PMI of the only repeated pair matches the hand formula") {
+    import graft.operators.CorpusOps
+    val docs = Seq(
+      Tuple1(Seq("new", "york", "is", "big")),
+      Tuple1(Seq("new", "york", "wins")),
+      Tuple1(Seq("big", "apple"))).toDF("toks")
+    val out = CorpusOps.collocations(docs, "toks", minCount = 2L, topK = 10).collect()
+    assert(out.length == 1, out.toSeq) // only "new york" appears twice
+    assert(out.head.getString(0) == "new york" && out.head.getLong(1) == 2L)
+    // pmi = ln(c·N1²/(N2·ca·cb)) = ln(2·81/(6·2·2)) = ln 6.75
+    assert(math.abs(out.head.getDouble(2) - math.log(6.75)) < 1e-9)
+  }
+
+  test("stupidBackoff: each backoff arm reproduces the hand-computed score") {
+    import graft.operators.CorpusOps
+    val train = Seq(Tuple1(Seq("a", "b", "c", "a", "b", "d"))).toDF("toks")
+    // N = 6, V = 4; c1: a=2 b=2 c=1 d=1; c2: "a b"=2 "b c"=1 "c a"=1 "b d"=1
+    val scored = Seq(
+      ("t1", Seq("a", "b", "c")), // trigram seen: c3/c2 = 1/2
+      ("t2", Seq("x", "a", "b")), // trigram unseen, bigram "a b" seen: 0.4·(2/c1(a)=2)
+      ("t3", Seq("a", "b", "x")), // both unseen, x unseen: 0.4²·(0+1)/(6+4)
+      ("t4", Seq("a", "b"))) // too short: absent
+      .toDF("doc_id", "toks")
+    val out = CorpusOps.stupidBackoff(train, scored, "doc_id", "toks")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains("t4") && out.keySet == Set("t1", "t2", "t3"))
+    assert(out("t1")._1 == 1L && math.abs(out("t1")._2 - math.log(0.5)) < 1e-12)
+    assert(math.abs(out("t2")._2 - math.log(0.4 * 1.0)) < 1e-12)
+    assert(math.abs(out("t3")._2 - math.log(0.4 * 0.4 * 0.1)) < 1e-12)
+  }
+
   test("empty input: blockBits > 0 yields empty results, not a head() crash") {
     val empty = Seq.empty[(String, String, Array[Float])].toDF("id", "lab", "v")
     assert(VectorSearch.hardNegatives(empty, "id", "v", "lab", k = 3,
