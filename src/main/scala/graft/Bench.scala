@@ -225,6 +225,21 @@ object Bench {
           case (p, r) => f"nProbe=$p:$r%.3f" }.mkString(" "))
       } catch { case NonFatal(e) => System.err.println(s"[ivfpq-refine] failed: $e") }
     } catch { case NonFatal(e) => System.err.println(s"[ivfpq-recall] failed: $e") }
+    // NN-Descent kNN-GRAPH recall curve: the graph-construction scale path
+    // beside the exact sim6/sim8 rows — recall@10 vs wedge rounds (rounds=0
+    // is the hash-bucket init baseline), with wall time for the full sweep.
+    if (wanted.isEmpty) try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val curve = (0 to 3).map { r =>
+        val g = graft.operators.NnDescent.knnGraph(emb, "vec_id", "embedding",
+          k = 10, rounds = r)
+        r -> graft.operators.NnDescent.recallAtK(emb, "vec_id", "embedding", 10, g)
+      }
+      System.err.println("[nndescent-recall] k=10 " + curve.map {
+        case (r, v) => f"rounds=$r:$v%.3f" }.mkString(" ") +
+        f" (sweep ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    } catch { case NonFatal(e) => System.err.println(s"[nndescent-recall] failed: $e") }
     // Corpus-scale streaming maintenance demo: the LSH-dedup ingest path
     // (StreamingOps.lshDedupMaintain — sign once, pair intra-batch, pair
     // vs the SAVED signature table, append) over THIS bench corpus split

@@ -132,6 +132,30 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(out("t3")._2 - math.log(0.4 * 0.4 * 0.1)) < 1e-12)
   }
 
+  test("nnDescent: deterministic, degree-bounded, rounds improve recall to ~exact") {
+    import graft.operators.NnDescent
+    // 3 tight clusters × 40 points: big enough that the hash-bucket init
+    // (~32-node buckets) cannot be exact, so the wedge rounds must do the work
+    val pts = (for (c <- 0 until 3; i <- 0 until 40) yield {
+      val v = Array.fill(4)(0.0f); v(c) = 1.0f; v(3) = 0.001f * i
+      (f"c${c}p$i%02d", v)
+    }).toDF("id", "v")
+    def build(rounds: Int) = NnDescent.knnGraph(pts, "id", "v", k = 3, rounds = rounds)
+    val g1 = build(2).collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val g2 = build(2).collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(g1 == g2, "two builds must produce the identical graph")
+    assert(g1.toSeq.groupBy(_._1).values.forall(_.size <= 3), "degree must be <= k")
+    val recInit = NnDescent.recallAtK(pts, "id", "v", 3, build(0), sampleMod = 1)
+    val rec3 = NnDescent.recallAtK(pts, "id", "v", 3, build(3), sampleMod = 1)
+    assert(rec3 >= recInit, s"rounds must not lose recall: $recInit -> $rec3")
+    assert(rec3 >= 0.85, s"3 rounds on tight clusters should approach exact, got $rec3")
+    // empty input: schema'd empty frame, no count() crash
+    val empty = Seq.empty[(String, Array[Float])].toDF("id", "v")
+    assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
+  }
+
   test("empty input: blockBits > 0 yields empty results, not a head() crash") {
     val empty = Seq.empty[(String, String, Array[Float])].toDF("id", "lab", "v")
     assert(VectorSearch.hardNegatives(empty, "id", "v", "lab", k = 3,
