@@ -1550,6 +1550,17 @@ object SparkEntry {
       VectorSearch.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("rank"), col("pick_id"), round(col("max_cos"), 6).as("max_cos_r"))
     }),
+    // NN1 NN-Descent kNN graph (k=8, rounds=1): every moving part of the
+    // iterative construction — md5-bucket init, reverse hub cap, wedge
+    // join, seed-1 cross-bucket mixing, bounded rescoring — pinned
+    // edge-for-edge against an unrolled-CTE SQL twin. rounds=1 keeps the
+    // oracle one unroll deep; the recall-vs-rounds curve at full depth is
+    // the [nndescent-recall] bench line. See NnDescent.knnGraph.
+    "nn1_descent_graph" -> ((s, dir) => {
+      NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 1)
+        .select(col("id"), col("nbr_id"), round(col("cosine"), 6).as("cosine_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -4853,6 +4864,46 @@ object SparkEntry {
            |$rounds
            |$finals""".stripMargin.replace("\n", " ")
       },
+      // nn1: the rounds=1 NN-descent construction unrolled — seed-0 md5
+      // buckets scored to each src's top-8 (k0), reverse edges hub-capped
+      // at 8 by the pair hash (rc), wedges of the undirected adjacency,
+      // seed-1 bucket pairs mixed in, the union rescored to the final
+      // top-8. Hashes are the house md5 arithmetic; ranking ties are
+      // (cosine DESC, id ASC) = the TopKAggregator order.
+      "nn1_descent_graph" ->
+        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
+          |nb AS (SELECT greatest(1, count(*) // 32) AS n FROM v),
+          |b0 AS (SELECT id, e, CAST(('0x' || substr(md5('nnd|0|' || id), 1, 8)) AS BIGINT)
+          |    % (SELECT n FROM nb) AS blk FROM v),
+          |b1 AS (SELECT id, CAST(('0x' || substr(md5('nnd|1|' || id), 1, 8)) AS BIGINT)
+          |    % (SELECT n FROM nb) AS blk FROM v),
+          |p0 AS (SELECT a.id AS src, b.id AS dst,
+          |    list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+          |  FROM b0 a JOIN b0 b ON a.blk = b.blk AND a.id <> b.id),
+          |k0 AS (SELECT src, dst FROM (SELECT src, dst,
+          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM p0) t
+          |  WHERE rn <= 8),
+          |rc AS (SELECT rsrc AS src, rdst AS dst FROM (
+          |    SELECT dst AS rsrc, src AS rdst, row_number() OVER (PARTITION BY dst
+          |      ORDER BY CAST(('0x' || substr(md5(dst || '|' || src), 1, 8)) AS BIGINT) DESC, src ASC) AS rn
+          |    FROM k0) t WHERE rn <= 8),
+          |und AS (SELECT src, dst FROM k0 UNION SELECT src, dst FROM rc),
+          |w AS (SELECT x.dst AS src, y.dst AS dst
+          |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst),
+          |pb1 AS (SELECT a.id AS src, b.id AS dst FROM b1 a JOIN b1 b ON a.blk = b.blk AND a.id <> b.id),
+          |cand AS (SELECT DISTINCT src, dst FROM (
+          |    SELECT src, dst FROM k0 UNION ALL SELECT src, dst FROM w
+          |    UNION ALL SELECT dst AS src, src AS dst FROM w
+          |    UNION ALL SELECT src, dst FROM pb1) u WHERE src <> dst),
+          |sc AS (SELECT cand.src, cand.dst,
+          |    list_dot_product(a.e, b.e) /
+          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+          |  FROM cand JOIN v a ON cand.src = a.id JOIN v b ON cand.dst = b.id)
+          |SELECT src AS id, dst AS nbr_id, round(c, 6) AS cosine_r
+          |FROM (SELECT src, dst, c,
+          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM sc) t
+          |WHERE rn <= 8""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** NN-Descent approximate kNN-GRAPH construction (Dong, Charikar & Li,
@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * few rounds at O(n·k²) candidates per round.
   *
   * Determinism (the property every oracle-checked consumer upstream relies
-  * on): init candidates come from xxhash64 bucket co-residency, the hub cap
-  * samples reverse edges by a pair hash, and every reduction is the same
-  * bounded [[TopKAggregator]] the exact paths use (ties to min id) — two
-  * runs over any partitioning produce the identical graph.
+  * on): init candidates come from md5-bucket co-residency (the
+  * [[DatasetSplit.bucketOf]] arithmetic, so the whole construction is
+  * replicable as plain SQL in the DuckDB oracle — hashing is noise next to
+  * the cosine scans it gates), the hub cap samples reverse edges by a pair
+  * hash, and every reduction is the same bounded [[TopKAggregator]] the
+  * exact paths use (ties to min id) — two runs over any partitioning
+  * produce the identical graph, and the `nn1_descent_graph` board row
+  * pins rounds=1 edge-for-edge against an unrolled-CTE SQL twin.
   *
   * Shape per round: explode the n·k edge list, cap REVERSE degree at k by a
   * deterministic pair-hash top-k (the paper's ρ-sampling; without it a hub
@@ -46,6 +50,12 @@ import org.apache.spark.sql.functions._
   * through the wedge joins.
   */
 object NnDescent {
+
+  /** House md5-arithmetic hash (cf. [[DatasetSplit.bucketOf]]): first 8 md5
+    * hex chars as a BIGINT — 32 bits, always non-negative, replicable in
+    * any SQL engine (`CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`). */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Build the directed kNN graph: one row per (id, nbr_id, cosine), each
     * id carrying its approximate top-k by cosine. `rounds = 0` returns the
@@ -84,7 +94,7 @@ object NnDescent {
     val nBuckets = math.max(1L, n / 32L)
     def bucketPairs(seed: Int): DataFrame = {
       val bucketed = base.withColumn("__bkt",
-        pmod(xxhash64(col("__id"), lit(seed)), lit(nBuckets)))
+        md5Long(concat_ws("|", lit("nnd"), lit(seed), col("__id"))) % nBuckets)
       bucketed.as("a").join(bucketed.as("b"),
           col("a.__bkt") === col("b.__bkt") && col("a.__id") =!= col("b.__id"))
         .select(col("a.__id").as("__src"), col("b.__id").as("__dst"))
@@ -100,7 +110,7 @@ object NnDescent {
         .select(col("__dst").as("__rsrc"), col("__src").as("__rdst"))
         .groupBy(col("__rsrc"))
         .agg(topk(col("__rdst"),
-          pmod(xxhash64(col("__rsrc"), col("__rdst")), lit(1000000007L)).cast("double")).as("__rt"))
+          md5Long(concat_ws("|", col("__rsrc"), col("__rdst"))).cast("double")).as("__rt"))
         .select(col("__rsrc").as("__src"),
           explode(transform(col("__rt"), t => t.getField("id"))).as("__dst"))
       val undirected = edges.union(revCapped)
