@@ -2472,6 +2472,31 @@ object SparkEntry {
       val perQ = queries("m1_recall")(s, dir)
       graft.eval.Recall.bootstrapCi(perQ, "query_id", "recall_at_5", reps = 200)
     }),
+    // M12 paired sign-flip permutation test: does truncating embeddings to
+    // an 8-dim matryoshka prefix SIGNIFICANTLY hurt label-recall@5, or is
+    // the per-question delta coin-flip noise? Integer hit counts (not /5
+    // recalls) keep every permuted sum float-exact on both engines. See
+    // eval.Recall.pairedPermTest.
+    "m12_perm_test" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val c = emb.filter(col("vec_id") >= 20)
+      val qLab = q.select(col("vec_id").cast("string").as("query_id"),
+        col("label").as("q_label"))
+      val cLab = c.select(col("vec_id").cast("string").as("neighbor_id"),
+        col("label").as("n_label"))
+      def hitsOf(qv: DataFrame, cv: DataFrame, vecCol: String, out: String) =
+        VectorSearch.knnJoin(qv, cv, "vec_id", vecCol, "vec_id", vecCol, 5)
+          .join(qLab, Seq("query_id")).join(cLab, Seq("neighbor_id"))
+          .groupBy("query_id")
+          .agg(sum(when(col("q_label") === col("n_label"), 1).otherwise(0)).as(out))
+      val full = hitsOf(q, c, "embedding", "hits_full")
+      val trunc = hitsOf(
+        q.withColumn("pfx", slice(col("embedding"), 1, 8)),
+        c.withColumn("pfx", slice(col("embedding"), 1, 8)), "pfx", "hits_trunc")
+      graft.eval.Recall.pairedPermTest(full.join(trunc, Seq("query_id")),
+        "query_id", "hits_full", "hits_trunc", reps = 200)
+    }),
     // X32 signal-redundancy matrix: pairwise Pearson correlations of three
     // quality signals in ONE corpus pass (k²/2 built-in corr calls would
     // rescan per pair). See CorpusOps.pearsonMatrix.
@@ -5400,6 +5425,36 @@ object SparkEntry {
           |  round(quantile_cont(m, 0.025), 6) AS lo_r,
           |  round(quantile_cont(m, 0.975), 6) AS hi_r
           |FROM means""".stripMargin.replace("\n", " "),
+      // m12: both systems' top-5 by (dot DESC, id ASC), integer hit counts,
+      // md5-parity sign flips, integer-exact permuted sums, add-one p.
+      "m12_perm_test" ->
+        """WITH v AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS vid, label,
+          |    embedding::DOUBLE[] AS e, (embedding::DOUBLE[])[1:8] AS p FROM embeddings),
+          |q AS (SELECT vid AS qid, label AS ql, e AS qe, p AS qp FROM v WHERE vec_id < 20),
+          |c AS (SELECT vid AS cid, label AS cl, e AS ce, p AS cp FROM v WHERE vec_id >= 20),
+          |rf AS (SELECT qid, ql, cl, row_number() OVER (PARTITION BY qid
+          |    ORDER BY list_dot_product(qe, ce) DESC, cid ASC) AS rn FROM q, c),
+          |rt AS (SELECT qid, ql, cl, row_number() OVER (PARTITION BY qid
+          |    ORDER BY list_dot_product(qp, cp) DESC, cid ASC) AS rn FROM q, c),
+          |hf AS (SELECT qid, sum(CASE WHEN ql = cl THEN 1 ELSE 0 END) AS h
+          |  FROM rf WHERE rn <= 5 GROUP BY qid),
+          |ht AS (SELECT qid, sum(CASE WHEN ql = cl THEN 1 ELSE 0 END) AS h
+          |  FROM rt WHERE rn <= 5 GROUP BY qid),
+          |idx AS (SELECT CAST(hf.h AS DOUBLE) - CAST(ht.h AS DOUBLE) AS d,
+          |    row_number() OVER (ORDER BY hf.qid) - 1 AS rid
+          |  FROM hf JOIN ht ON hf.qid = ht.qid),
+          |nn AS (SELECT count(*) AS n FROM idx),
+          |obs AS (SELECT sum(d) AS s, avg(d) AS m FROM idx),
+          |draws AS (SELECT rs.r, js.j AS rid,
+          |    CASE WHEN CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || '-' || CAST(js.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+          |      THEN 1.0 ELSE -1.0 END AS sg
+          |  FROM (SELECT unnest(generate_series(0, 199)) AS r) rs,
+          |       (SELECT unnest(generate_series(0, (SELECT n FROM nn) - 1)) AS j) js),
+          |sums AS (SELECT d.r, sum(d.sg * i.d) AS s FROM draws d JOIN idx i ON d.rid = i.rid GROUP BY d.r)
+          |SELECT (SELECT n FROM nn) AS n_questions, count(*) AS n_reps,
+          |  round((SELECT m FROM obs), 6) AS mean_diff_r,
+          |  round((1.0 + sum(CASE WHEN abs(s) >= abs((SELECT s FROM obs)) THEN 1 ELSE 0 END)) / 201.0, 6) AS p_value_r
+          |FROM sums""".stripMargin.replace("\n", " "),
       // x32: the one-pass moment aggregate (n, Σx, Σx², Σxy) and the same
       // corr association on both engines; zero-variance pairs NULL.
       "x32_signal_corr" ->

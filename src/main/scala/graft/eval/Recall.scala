@@ -321,4 +321,62 @@ object Recall {
       .select(lit(n).as("n_questions"), col("n_reps"),
         col("mean_r"), col("lo_r"), col("hi_r"))
   }
+
+  /** Paired sign-flip permutation test: is system A actually better than
+    * system B, or is the observed per-question difference noise? The
+    * companion to [[bootstrapCi]] — a CI says how wide one system's number
+    * is; this says whether a DELTA between two systems survives the null
+    * hypothesis that each question's sign is a coin flip (Fisher's exact
+    * paired randomization test, the standard IR significance check —
+    * Smucker, Allan & Carterette, CIKM 2007 recommend exactly this over the
+    * t-test for retrieval metrics).
+    *
+    * Statistic = Σᵢ d_i with d_i = a_i − b_i (≡ the mean, same n every
+    * replicate); replicate r flips the sign of d_i iff md5(r ‖ "-" ‖ i) is
+    * odd — the m9 hash-deterministic convention, so any engine reproduces
+    * the identical permutation set with no RNG state. Two-sided p with
+    * add-one smoothing: (1 + #{r : |Σ_r| ≥ |Σ_obs|}) / (reps + 1), so p is
+    * never an impossible 0 from a finite sample.
+    *
+    * Float-exactness: pass INTEGER-scaled metrics (hit counts, not k-normal-
+    * ized recalls) and every permuted sum is integer-exact on any engine —
+    * the ≥ threshold can then never flip on partition-order float noise
+    * (a replicate that happens to flip only zero-valued d_i reproduces
+    * Σ_obs EXACTLY, so near-boundary comparisons are the common case here,
+    * not the corner case).
+    *
+    * Scale shape: the m9 shape — per-QUESTION frame numbered by one
+    * eval-sized window, a reps × n sign table from a `sequence` explode,
+    * one equi-join, two bounded aggregates; nothing driver-side but n.
+    *
+    * Output: one row (n_questions, n_reps, mean_diff_r, p_value_r). */
+  def pairedPermTest(perQuestion: DataFrame, idCol: String, aCol: String,
+      bCol: String, reps: Int = 200): DataFrame = {
+    require(reps > 0, s"pairedPermTest: reps must be > 0, got $reps")
+    import org.apache.spark.sql.expressions.Window
+    val rows = perQuestion
+      .select(col(idCol).as("_q"),
+        (col(aCol).cast("double") - col(bCol).cast("double")).as("_d"))
+      .withColumn("_rid",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("_q"))) - 1)
+      .select("_rid", "_d")
+      .localCheckpoint(true) // read by the count, the obs aggregate, the sign join
+    val n = rows.count()
+    require(n > 0, "pairedPermTest: empty per-question frame")
+    val obs = rows.agg(sum(col("_d")).as("_obs"), avg(col("_d")).as("_mean"))
+    val draws = rows.sparkSession.range(reps).toDF("_r")
+      .select(col("_r"), explode(sequence(lit(0), lit(n.toInt - 1))).as("_rid"))
+      .withColumn("_sign",
+        when(conv(substring(md5(concat_ws("-", col("_r"), col("_rid"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+    val sums = draws.join(rows, Seq("_rid"))
+      .groupBy("_r").agg(sum(col("_sign") * col("_d")).as("_s"))
+    sums.crossJoin(obs)
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("_s")) >= abs(col("_obs")), 1L).otherwise(0L)).as("_ge"),
+        min(col("_mean")).as("_mean")) // constant across rows; min = that value
+      .select(lit(n).as("n_questions"), col("n_reps"),
+        round(col("_mean"), 6).as("mean_diff_r"),
+        round((col("_ge") + lit(1.0)) / (lit(reps) + lit(1.0)), 6).as("p_value_r"))
+  }
 }

@@ -156,6 +156,32 @@ class Round12OpsSpec extends SparkSpec {
     assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
   }
 
+  test("pairedPermTest: null case, one-sided case, determinism") {
+    import graft.eval.Recall
+    def run(d: Seq[Int]) = {
+      val perQ = d.zipWithIndex.map { case (v, i) => (f"q$i%03d", v, 0) }
+        .toDF("qid", "a", "b")
+      Recall.pairedPermTest(perQ, "qid", "a", "b", reps = 200).collect().head
+    }
+    // all-zero deltas: every permuted sum equals the observed 0 -> p = 1
+    val z = run(Seq.fill(30)(0))
+    assert(z.getAs[Long]("n_questions") == 30L)
+    assert(z.getAs[Double]("p_value_r") == 1.0)
+    assert(z.getAs[Double]("mean_diff_r") == 0.0)
+    // uniformly one-sided (every d_i = +1, n = 30): only an all-heads
+    // replicate ties the observed sum, P ~ 200 * 2^-30 ~ 0 -> p = 1/201
+    val o = run(Seq.fill(30)(1))
+    assert(math.abs(o.getAs[Double]("p_value_r") - 1.0 / 201.0) < 1e-6,
+      s"one-sided p should be the add-one floor, got ${o.getAs[Double]("p_value_r")}")
+    assert(o.getAs[Double]("mean_diff_r") == 1.0)
+    // perfectly balanced +1/-1: the delta is sign-flip noise by construction
+    val b = run(Seq.tabulate(30)(i => if (i % 2 == 0) 1 else -1))
+    assert(b.getAs[Double]("p_value_r") > 0.5,
+      s"balanced deltas must not be significant, got ${b.getAs[Double]("p_value_r")}")
+    // hash-determinism: identical reruns
+    assert(run(Seq.tabulate(20)(i => i % 3 - 1)) == run(Seq.tabulate(20)(i => i % 3 - 1)))
+  }
+
   test("empty input: blockBits > 0 yields empty results, not a head() crash") {
     val empty = Seq.empty[(String, String, Array[Float])].toDF("id", "lab", "v")
     assert(VectorSearch.hardNegatives(empty, "id", "v", "lab", k = 3,
