@@ -1939,6 +1939,21 @@ object SparkEntry {
         "doc_id", "toks")
         .select(col("doc_id"), col("n_tri"), round(col("sb"), 6).as("sb_r"))
     }),
+    // X36 interpolated Kneser–Ney bigram scoring of the held-out half under
+    // the train half — x35's principled-discounting twin (continuation
+    // counts, not raw frequency, in the backoff distribution; the KenLM
+    // shape). Same md5 split, same ordered per-doc fold. See
+    // CorpusOps.kneserNeyBigram.
+    "x36_kneser_ney" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"),
+          CorpusOps.bucket10k(col("doc_id")).as("__b"))
+        .localCheckpoint(true) // tokenize once — both split halves read it
+      CorpusOps.kneserNeyBigram(
+        docs.filter(col("__b") < 5000), docs.filter(col("__b") >= 5000),
+        "doc_id", "toks")
+        .select(col("doc_id"), col("n_bi"), round(col("kn"), 6).as("kn_r"))
+    }),
 
     // Z1 Z-order (Morton) layout key: bit-interleave (partkey, suppkey) so a
     // zkey-sorted table keeps locality in BOTH dimensions — parquet min/max
@@ -4405,6 +4420,37 @@ object SparkEntry {
            |  CROSS JOIN nv)
            |SELECT doc_id, count(*) AS n_tri, round(sum(ls ORDER BY pos) / count(*), 6) AS sb_r
            |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
+      // x36: same split and ordered fold as x35; every probability term an
+      // integer count, division order mirrored expression-for-expression.
+      "x36_kneser_ney" ->
+        s"""WITH d AS (SELECT doc_id, $toksDoc AS toks,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+           |  FROM documents),
+           |tr AS (SELECT toks FROM d WHERE b < 5000),
+           |sc AS (SELECT doc_id, toks FROM d WHERE b >= 5000),
+           |vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tr) t),
+           |bi AS (SELECT u['v'] AS v, u['w'] AS w, count(*) AS c2 FROM (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> {'v': toks[i], 'w': toks[i + 1]})) AS u FROM tr) t GROUP BY 1, 2),
+           |nb AS (SELECT count(*) AS nb FROM bi),
+           |ctx AS (SELECT v, CAST(sum(c2) AS BIGINT) AS cv, count(*) AS n1f FROM bi GROUP BY 1),
+           |prd AS (SELECT w, count(*) AS n1p FROM bi GROUP BY 1),
+           |big AS (SELECT doc_id, u['i'] AS pos, u['v'] AS v, u['w'] AS w FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |    i -> {'i': i, 'v': toks[i], 'w': toks[i + 1]})) AS u FROM sc) t),
+           |j AS (SELECT big.doc_id, big.pos,
+           |    ln(CASE WHEN ctx.cv IS NOT NULL
+           |      THEN greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0) / ctx.cv
+           |        + 0.75 * ctx.n1f / ctx.cv *
+           |          (CAST(coalesce(prd.n1p, 0) + 1 AS DOUBLE) / (nb.nb + vv.v + 1))
+           |      ELSE CAST(coalesce(prd.n1p, 0) + 1 AS DOUBLE) / (nb.nb + vv.v + 1) END) AS ls
+           |  FROM big
+           |  LEFT JOIN bi ON big.v = bi.v AND big.w = bi.w
+           |  LEFT JOIN ctx ON big.v = ctx.v
+           |  LEFT JOIN prd ON big.w = prd.w
+           |  CROSS JOIN nb CROSS JOIN vv)
+           |SELECT doc_id, count(*) AS n_bi, round(sum(ls ORDER BY pos) / count(*), 6) AS kn_r
+           |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
       "z1_zorder" -> {
         // unrolled from the same bit-position rule as Layout.zorderKey: bit i
         // of column c lands at position i * nCols + c. BIGINT casts matter:
@@ -5453,7 +5499,7 @@ object SparkEntry {
           |sums AS (SELECT d.r, sum(d.sg * i.d) AS s FROM draws d JOIN idx i ON d.rid = i.rid GROUP BY d.r)
           |SELECT (SELECT n FROM nn) AS n_questions, count(*) AS n_reps,
           |  round((SELECT m FROM obs), 6) AS mean_diff_r,
-          |  round((1.0 + sum(CASE WHEN abs(s) >= abs((SELECT s FROM obs)) THEN 1 ELSE 0 END)) / 201.0, 6) AS p_value_r
+          |  round((1.0 + CAST(sum(CASE WHEN abs(s) >= abs((SELECT s FROM obs)) THEN 1 ELSE 0 END) AS BIGINT)) / 201.0, 6) AS p_value_r
           |FROM sums""".stripMargin.replace("\n", " "),
       // x32: the one-pass moment aggregate (n, Σx, Σx², Σxy) and the same
       // corr association on both engines; zero-variance pairs NULL.

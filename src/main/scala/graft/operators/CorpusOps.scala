@@ -419,6 +419,70 @@ object CorpusOps {
           lit(0.0), (acc, x) => acc + x) / size(col("__a"))).as("sb"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring of `scored` under `train`'s
+    * counts — the principled-discounting twin of [[stupidBackoff]] and the
+    * shape of the KenLM gate CCNet-style pipelines actually run: instead of
+    * backing off to RAW unigram frequency (which loves "francisco" — a word
+    * frequent only inside one bigram), the lower-order distribution is the
+    * CONTINUATION count N1+(·,w) — in how many distinct contexts does w
+    * start fresh? (Kneser & Ney 1995; Chen & Goodman 1999 eq. 18):
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v·) + D·N1+(v,·)/c(v·) · Pcont(w)
+    *   Pcont(w) = (N1+(·,w) + 1) / (N1+(·,·) + V + 1)
+    *
+    * with the +1/+V+1 an add-one floor on the continuation distribution
+    * (the x35 convention) so OOV words score instead of ln(0); an unseen
+    * CONTEXT v backs off to Pcont(w) entirely. Every term is an integer
+    * count, so both engines derive identical IEEE doubles; the per-doc mean
+    * is folded in POSITION order (sorted-array fold / DuckDB ordered
+    * aggregate) so the float sum carries no partition-order noise.
+    *
+    * Shape: one train bigram hash aggregate, two vocabulary-sized
+    * re-aggregations of it (left-context totals + distinct-follower counts;
+    * distinct-predecessor counts) and a 1-row (N1+(·,·), V) broadcast; the
+    * scored side is one bigram posexplode into three equi-joins on
+    * vocabulary-sized tables and one per-doc aggregate. Docs with < 2
+    * tokens are absent (nothing to score). Output: (idCol, n_bi, kn). */
+  def kneserNeyBigram(train: DataFrame, scored: DataFrame, idCol: String,
+      toksCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNeyBigram: discount in (0,1), got $discount")
+    val tb = train.select(col(toksCol).as("__t")).localCheckpoint(true)
+    val bi = tb.select(explode(graft.functions.Norm.shingles(col("__t"), 2)).as("b"))
+      .withColumn("__p", split(col("b"), " "))
+      .select(col("__p")(0).as("v"), col("__p")(1).as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c2")).localCheckpoint(true)
+    val vocab = tb.select(explode(col("__t")).as("w")).distinct()
+      .agg(count(lit(1)).as("_v"))
+    val scal = broadcast(bi.agg(count(lit(1)).as("_nb")).crossJoin(vocab)
+      .localCheckpoint(true))
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(tb)
+    val ctx = bi.groupBy("v").agg(sum("c2").as("cv"), count(lit(1)).as("n1f"))
+    val prd = bi.groupBy("w").agg(count(lit(1)).as("n1p"))
+    val big = scored
+      .select(col(idCol), posexplode(graft.functions.Norm.shingles(col(toksCol), 2)))
+      .withColumn("__p", split(col("col"), " "))
+      .select(col(idCol), col("pos"), col("__p")(0).as("v"), col("__p")(1).as("w"))
+    val pcont = (coalesce(col("n1p"), lit(0L)) + lit(1L)).cast("double") /
+      (col("_nb") + col("_v") + lit(1L))
+    val p = when(col("cv").isNotNull,
+        greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(discount), lit(0.0)) / col("cv")
+          + lit(discount) * col("n1f") / col("cv") * pcont)
+      .otherwise(pcont)
+    big
+      .join(bi, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(prd, Seq("w"), "left")
+      .crossJoin(scal)
+      .select(col(idCol), col("pos"), log(p).as("__ls"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__ls")))).as("__a"))
+      .select(col(idCol),
+        size(col("__a")).cast("long").as("n_bi"),
+        (aggregate(transform(col("__a"), t => t.getField("__ls")),
+          lit(0.0), (acc, x) => acc + x) / size(col("__a"))).as("kn"))
+  }
+
   /** Deterministic stratified downsampling that equalizes strata: every
     * stratum is sampled down to (about) the size of the smallest one, the
     * standard move for capping a dominant language/domain in a training mix.

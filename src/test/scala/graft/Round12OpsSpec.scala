@@ -156,6 +156,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
   }
 
+  test("kneserNeyBigram: every arm hand-computed on a 3-bigram corpus") {
+    // train bigrams: (a,b) (a,c) (b,c), each once
+    //   ctx: a -> cv=2, n1f=2 ; b -> cv=1, n1f=1
+    //   prd: b -> n1p=1 ; c -> n1p=2 ; N1+(..)=3 types, V=3
+    //   Pcont(w) = (n1p + 1) / (3 + 3 + 1)
+    val train = Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "c")).toDF("toks")
+      .withColumn("id", lit("t"))
+    val scored = Seq(("s1", Seq("a", "b", "d")), ("s2", Seq("d", "a")))
+      .toDF("id", "toks")
+    val out = graft.operators.CorpusOps.kneserNeyBigram(train, scored, "id", "toks")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pcont = (n1p: Int) => (n1p + 1.0) / 7.0
+    // s1: seen bigram (a,b): max(1-.75,0)/2 + .75*2/2*Pcont(b)
+    //     seen ctx, unseen bigram (b,d): 0/1 + .75*1/1*Pcont(d)
+    val p1 = 0.25 / 2 + 0.75 * 2 / 2 * pcont(1)
+    val p2 = 0.75 * 1 / 1 * pcont(0)
+    assert(out("s1")._1 == 2L)
+    assert(math.abs(out("s1")._2 - (math.log(p1) + math.log(p2)) / 2) < 1e-12)
+    // s2: unseen ctx (d,a): Pcont(a) with a never a continuation -> 1/7
+    assert(out("s2")._1 == 1L)
+    assert(math.abs(out("s2")._2 - math.log(1.0 / 7.0)) < 1e-12)
+    // the KN property: after "a", seen continuation b beats the OOV floor
+    assert(p1 > p2)
+  }
+
   test("pairedPermTest: null case, one-sided case, determinism") {
     import graft.eval.Recall
     def run(d: Seq[Int]) = {
