@@ -59,6 +59,20 @@ object SparkEntry {
       cust.join(victims, Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
+    // S11 corpus snapshot diff — the CDC read before a retrain: which docs
+    // were added / removed / content-changed between corpus v1 and v2
+    // (v2 built in-query: every 17th doc dropped, every 13th survivor's
+    // text bumped, every 29th re-added under a new id). Only (id, md5)
+    // pairs ride the full-outer join. See CorpusOps.snapshotDiff.
+    "s11_snapshot_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 29 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      CorpusOps.snapshotDiff(v1, v2, "doc_id", Seq("text", "source"))
+    }),
 
     // ------------------------------------------------------------- §2.2 text prep
     // T1 recursive chunker (loaders/chunker.py) — not SQL-expressible, rows check.
@@ -3014,6 +3028,23 @@ object SparkEntry {
           |SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal FROM customer WHERE c_custkey % 10 = 0""".stripMargin.replace("\n", " "),
       "s8_delete" ->
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 3",
+      // s11: the same in-query v2 perturbation, (id, md5) full-outer join,
+      // unchanged ids filtered before the final projection.
+      "s11_snapshot_diff" ->
+        """WITH v2 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, source
+          |  FROM documents WHERE doc_id % 17 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 29 = 0),
+          |o AS (SELECT doc_id, md5(coalesce(text, '') || '|' || coalesce(source, '')) AS fp FROM documents),
+          |n AS (SELECT doc_id, md5(coalesce(text, '') || '|' || coalesce(source, '')) AS fp FROM v2),
+          |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |    CASE WHEN o.doc_id IS NULL THEN 'added'
+          |         WHEN n.doc_id IS NULL THEN 'removed'
+          |         WHEN o.fp <> n.fp THEN 'changed' END AS change
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin.replace("\n", " "),
       // T1 twin of Chunker.chunkText(chunkSize=200, overlap=50): per-doc
       // first-present-separator cascade, split keeping the separator, greedy
       // repack as a recursive CTE (state = open-chunk number + buffer length,

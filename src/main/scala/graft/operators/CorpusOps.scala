@@ -1306,6 +1306,38 @@ object CorpusOps {
     *
     * Output: (cluster, n_members, <attr>... ) one row per cluster; an
     * attribute null in every member stays null. */
+  /** Corpus snapshot diff — the CDC read every retraining decision starts
+    * from: between corpus v1 and v2, which documents were ADDED, which
+    * REMOVED, and which ids survived with CHANGED content? (A version bump
+    * that "only" re-crawled 2% of a 100 TB corpus is a 2 TB delta — the
+    * diff decides between incremental index maintenance (s7/d13-style) and
+    * a full rebuild, and is the audit row for "why did the eval move".)
+    *
+    * Change detection hashes the named content columns (md5 of a
+    * "|"-joined concat, nulls coalesced to "" — a null column and an empty
+    * string compare equal, the documented tradeoff for a SQL-replicable
+    * fingerprint), so wide text never rides through the join — the shuffle
+    * moves (id, 32-byte hash) pairs. One full-outer
+    * equi-join on the id (both sides hash-partitioned the same way);
+    * unchanged ids are filtered out BEFORE the result materializes.
+    *
+    * Output: (idCol, change ∈ added | removed | changed), one row per
+    * differing id. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff: no content columns")
+    def fp(df: DataFrame) = df.select(col(idCol).as("__id"),
+      md5(concat_ws("|", contentCols.map(c =>
+        coalesce(col(c).cast("string"), lit(""))): _*)).as("__fp"))
+    fp(oldDf).as("o").join(fp(newDf).as("n"),
+        col("o.__id") === col("n.__id"), "full_outer")
+      .select(coalesce(col("o.__id"), col("n.__id")).as(idCol),
+        when(col("o.__id").isNull, "added")
+          .when(col("n.__id").isNull, "removed")
+          .when(col("o.__fp") =!= col("n.__fp"), "changed").as("change"))
+      .filter(col("change").isNotNull)
+  }
+
   def survivorship(records: DataFrame, clusterCol: String,
       idCol: String, attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "survivorship: no attributes")

@@ -156,6 +156,20 @@ class Round12OpsSpec extends SparkSpec {
     assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
   }
 
+  test("snapshotDiff: add/remove/change, unchanged filtered, null==empty documented") {
+    import graft.operators.CorpusOps
+    val v1 = Seq((1L, Option("a"), Option("s")), (2L, Option("b"), Option("s")),
+      (3L, Option("c"), Option("s")), (4L, None: Option[String], Option("s")))
+      .toDF("id", "text", "src")
+    val v2 = Seq((1L, Option("a"), Option("s")), (2L, Option("B"), Option("s")),
+      (5L, Option("e"), Option("s")), (4L, Option(""), Option("s")))
+      .toDF("id", "text", "src")
+    val out = CorpusOps.snapshotDiff(v1, v2, "id", Seq("text", "src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added"),
+      s"id 1 unchanged and id 4 null==empty must be absent, got $out")
+  }
+
   test("kneserNeyBigram: every arm hand-computed on a 3-bigram corpus") {
     // train bigrams: (a,b) (a,c) (b,c), each once
     //   ctx: a -> cv=2, n1f=2 ; b -> cv=1, n1f=1
