@@ -1564,12 +1564,14 @@ object SparkEntry {
       VectorSearch.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("rank"), col("pick_id"), round(col("max_cos"), 6).as("max_cos_r"))
     }),
-    // NN1 NN-Descent kNN graph (k=8, rounds=1): every moving part of the
+    // NN1 NN-Descent kNN graph (k=8, rounds=1, default oversample=2 →
+    // internal K=16 lists, final top-8 slice): every moving part of the
     // iterative construction — md5-bucket init, reverse hub cap, wedge
-    // join, seed-1 cross-bucket mixing, bounded rescoring — pinned
-    // edge-for-edge against an unrolled-CTE SQL twin. rounds=1 keeps the
-    // oracle one unroll deep; the recall-vs-rounds curve at full depth is
-    // the [nndescent-recall] bench line. See NnDescent.knnGraph.
+    // join, seed-1 cross-bucket mixing, bounded rescoring, K-vs-k
+    // oversampling — pinned edge-for-edge against an unrolled-CTE SQL
+    // twin. rounds=1 keeps the oracle one unroll deep; the recall-vs-
+    // rounds curve at full depth is the [nndescent-recall] bench line.
+    // See NnDescent.knnGraph.
     "nn1_descent_graph" -> ((s, dir) => {
       NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, rounds = 1)
@@ -4967,10 +4969,12 @@ object SparkEntry {
            |$finals""".stripMargin.replace("\n", " ")
       },
       // nn1: the rounds=1 NN-descent construction unrolled — seed-0 md5
-      // buckets scored to each src's top-8 (k0), reverse edges hub-capped
-      // at 8 by the pair hash (rc), wedges of the undirected adjacency,
-      // seed-1 bucket pairs mixed in, the union rescored to the final
-      // top-8. Hashes are the house md5 arithmetic; ranking ties are
+      // buckets scored to each src's INTERNAL top-16 (k0; K = oversample·k
+      // = 2·8), reverse edges hub-capped at 16 by the pair hash (rc),
+      // wedges of the undirected adjacency, seed-1 bucket pairs mixed in,
+      // the union rescored and the final projection sliced to top-8 (the
+      // internal list's first 8 = the candidate set's overall top-8).
+      // Hashes are the house md5 arithmetic; ranking ties are
       // (cosine DESC, id ASC) = the TopKAggregator order.
       "nn1_descent_graph" ->
         """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -4985,11 +4989,11 @@ object SparkEntry {
           |  FROM b0 a JOIN b0 b ON a.blk = b.blk AND a.id <> b.id),
           |k0 AS (SELECT src, dst FROM (SELECT src, dst,
           |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM p0) t
-          |  WHERE rn <= 8),
+          |  WHERE rn <= 16),
           |rc AS (SELECT rsrc AS src, rdst AS dst FROM (
           |    SELECT dst AS rsrc, src AS rdst, row_number() OVER (PARTITION BY dst
           |      ORDER BY CAST(('0x' || substr(md5(dst || '|' || src), 1, 8)) AS BIGINT) DESC, src ASC) AS rn
-          |    FROM k0) t WHERE rn <= 8),
+          |    FROM k0) t WHERE rn <= 16),
           |und AS (SELECT src, dst FROM k0 UNION SELECT src, dst FROM rc),
           |w AS (SELECT x.dst AS src, y.dst AS dst
           |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst),
