@@ -618,6 +618,19 @@ object SparkEntry {
             .as("harmonic_r"))
     }),
 
+    // G29 sampled bounded-hop Brandes betweenness over the g28 graph and
+    // seed set: the BRIDGE centrality (who do shortest paths flow through)
+    // beside PageRank's endorsement mass and g28's reachability. Integer
+    // path counts, successor-ordered dependency folds, 3-hop truncation.
+    // See ShortestPaths.betweennessBounded.
+    "g29_betweenness" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val seeds = edges.filter(col("src") % 500 === 0)
+        .select(col("src").as("node")).distinct()
+      ShortestPaths.betweennessBounded(edges, seeds, hops = 3)
+        .select(col("node"), col("n_seeds"), round(col("bc"), 6).as("bc_r"))
+    }),
+
     // ------------------------------------------------- §2.8 eviction/assembly (V)
     // V1 eviction with the id-sorted no-eviction path (retriever.py:232-285):
     // per customer: >20 orders ⇒ top-20 by totalprice; else ALL sorted by orderkey.
@@ -3771,6 +3784,45 @@ object SparkEntry {
           |SELECT seed, n_d1, n_d2, n_d3,
           |  round(n_d1 + n_d2 / 2.0 + n_d3 / 3.0, 6) AS harmonic_r
           |FROM cnt""".stripMargin.replace("\n", " "),
+      // g29: Brandes unrolled at 3 hops — BFS levels with INTEGER path
+      // counts (anti-joined against the visited set), then dependency
+      // accumulation deepest-level-up with every float sum ordered by the
+      // successor / seed id (the engine's sorted-array fold order).
+      "g29_betweenness" ->
+        """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |c0 AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |l0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma
+          |  FROM e WHERE src % 500 = 0),
+          |l1 AS MATERIALIZED (SELECT seed, node, sigma FROM (
+          |    SELECT l0.seed, e.dst AS node, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+          |    FROM l0 JOIN e ON e.src = l0.node GROUP BY 1, 2) c
+          |  ANTI JOIN l0 USING (seed, node)),
+          |l2 AS MATERIALIZED (SELECT seed, node, sigma FROM (
+          |    SELECT l1.seed, e.dst AS node, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+          |    FROM l1 JOIN e ON e.src = l1.node GROUP BY 1, 2) c
+          |  ANTI JOIN (SELECT seed, node FROM l0 UNION ALL SELECT seed, node FROM l1) vis
+          |  USING (seed, node)),
+          |l3 AS MATERIALIZED (SELECT seed, node, sigma FROM (
+          |    SELECT l2.seed, e.dst AS node, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+          |    FROM l2 JOIN e ON e.src = l2.node GROUP BY 1, 2) c
+          |  ANTI JOIN (SELECT seed, node FROM l0 UNION ALL SELECT seed, node FROM l1
+          |    UNION ALL SELECT seed, node FROM l2) vis USING (seed, node)),
+          |d2 AS MATERIALIZED (SELECT v.seed, v.node,
+          |    sum((CAST(v.sigma AS DOUBLE) / w.sigma) * (1.0 + 0.0) ORDER BY w.node) AS delta
+          |  FROM l2 v JOIN e ON e.src = v.node
+          |  JOIN l3 w ON w.seed = v.seed AND w.node = e.dst GROUP BY 1, 2),
+          |d1 AS MATERIALIZED (SELECT v.seed, v.node,
+          |    sum((CAST(v.sigma AS DOUBLE) / w.sigma) * (1.0 + coalesce(d2.delta, 0.0))
+          |      ORDER BY w.node) AS delta
+          |  FROM l1 v JOIN e ON e.src = v.node
+          |  JOIN l2 w ON w.seed = v.seed AND w.node = e.dst
+          |  LEFT JOIN d2 ON d2.seed = w.seed AND d2.node = w.node GROUP BY 1, 2),
+          |acc AS (SELECT seed, node, delta FROM d1 UNION ALL SELECT seed, node, delta FROM d2)
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+          |  round(sum(delta ORDER BY seed), 6) AS bc_r
+          |FROM acc GROUP BY 1""".stripMargin.replace("\n", " "),
       "g17_bounded_sssp" ->
         """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
           |    count(DISTINCT a.l_orderkey) AS m

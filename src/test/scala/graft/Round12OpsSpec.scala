@@ -156,6 +156,27 @@ class Round12OpsSpec extends SparkSpec {
     assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
   }
 
+  test("betweennessBounded: chain dependency, diamond path counts, multi-seed sum") {
+    import graft.operators.ShortestPaths
+    def sym(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // chain 1-2-3-4-5, seed 1, hops 3: delta(2) = 1*(1+delta(3)) = 2,
+    // delta(3) = 1, node 4 at the bound contributes nothing (truncated)
+    val chain = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out1 = ShortestPaths.betweennessBounded(chain,
+        Seq(1L).toDF("node"), hops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out1 == Map(2L -> (1L, 2.0), 3L -> (1L, 1.0)), s"chain: $out1")
+    // diamond 10-11-13 / 10-12-13: two shortest paths, sigma(13) = 2,
+    // so each middle node carries delta = 1/2 from seed 10; adding seed 13
+    // doubles it symmetrically -> bc = 1.0 from 2 seeds
+    val diamond = sym((10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L))
+    val out2 = ShortestPaths.betweennessBounded(diamond,
+        Seq(10L, 13L).toDF("node"), hops = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out2 == Map(11L -> (2L, 1.0), 12L -> (2L, 1.0)), s"diamond: $out2")
+  }
+
   test("snapshotDiff: add/remove/change, unchanged filtered, null==empty documented") {
     import graft.operators.CorpusOps
     val v1 = Seq((1L, Option("a"), Option("s")), (2L, Option("b"), Option("s")),
