@@ -235,11 +235,15 @@ object Bench {
     if (wanted.isEmpty) try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val t0 = System.nanoTime()
+      // ONE exact reference scan shared by every curve point
+      val exact = graft.operators.NnDescent.exactTopKEdges(
+        emb, "vec_id", "embedding", k = 10)
       val curve = Seq(0, 2, 4).map { r =>
         val g = graft.operators.NnDescent.knnGraph(emb, "vec_id", "embedding",
           k = 10, rounds = r, oversample = 3)
-        r -> graft.operators.NnDescent.recallAtK(emb, "vec_id", "embedding", 10, g)
+        r -> graft.operators.NnDescent.recallAgainst(exact, g)
       }
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(exact)
       System.err.println("[nndescent-recall] k=10 oversample=3 " + curve.map {
         case (r, v) => f"rounds=$r:$v%.3f" }.mkString(" ") +
         f" (sweep ${(System.nanoTime() - t0) / 1e9}%.1f s)")

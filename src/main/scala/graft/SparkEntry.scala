@@ -3052,8 +3052,8 @@ object SparkEntry {
           |  FROM documents WHERE doc_id % 17 <> 0
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 29 = 0),
-          |o AS (SELECT doc_id, md5(coalesce(text, '') || '|' || coalesce(source, '')) AS fp FROM documents),
-          |n AS (SELECT doc_id, md5(coalesce(text, '') || '|' || coalesce(source, '')) AS fp FROM v2),
+          |o AS (SELECT doc_id, md5(md5(coalesce(text, '')) || md5(coalesce(source, ''))) AS fp FROM documents),
+          |n AS (SELECT doc_id, md5(md5(coalesce(text, '')) || md5(coalesce(source, ''))) AS fp FROM v2),
           |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
           |    CASE WHEN o.doc_id IS NULL THEN 'added'
           |         WHEN n.doc_id IS NULL THEN 'removed'

@@ -293,25 +293,39 @@ object Recall {
     *
     * Output: one row (n_questions, n_reps, mean_r, lo_r, hi_r) — the mean of
     * replicate means and the exact interpolated interval, rounded 6. */
+  /** Shared scaffolding of the resampling stats (m9 bootstrap, m12
+    * permutation): the per-question frame numbered 0..n−1 by ONE eval-sized
+    * window over (id, value) — the value tiebreak pins the numbering even
+    * under duplicate ids, so the hash-keyed draws/signs are a pure function
+    * of the input multiset — checkpointed (read by the count + the draw
+    * join), plus the reps × n index grid from a `sequence` explode. The
+    * single-partition window is by design (a global numbering, eval-sized;
+    * the literal partition key silences WindowExec's warning). */
+  private def numberedRows(perQuestion: DataFrame, idCol: String,
+      value: org.apache.spark.sql.Column, caller: String,
+      reps: Int): (DataFrame, Long, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = perQuestion
+      .select(col(idCol).as("_q"), value.cast("double").as("_v"))
+      .withColumn("_rid",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("_q"), col("_v"))) - 1)
+      .select("_rid", "_v")
+      .localCheckpoint(true)
+    val n = rows.count()
+    require(n > 0, s"$caller: empty per-question frame")
+    val grid = rows.sparkSession.range(reps).toDF("_r")
+      .select(col("_r"), explode(sequence(lit(0), lit(n.toInt - 1))).as("_j"))
+    (rows, n, grid)
+  }
+
   def bootstrapCi(perQuestion: DataFrame, idCol: String, valueCol: String,
       reps: Int = 200, lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
     require(reps > 0 && lo >= 0 && hi <= 1 && lo < hi)
-    import org.apache.spark.sql.expressions.Window
-    // Single-partition by design (a global numbering) and eval-sized; the
-    // literal partition key silences WindowExec's warning (the aucRoc note).
-    val rows = perQuestion
-      .select(col(idCol).as("_q"), col(valueCol).cast("double").as("_v"))
-      .withColumn("_rid",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("_q"))) - 1)
-      .select("_rid", "_v")
-      .localCheckpoint(true) // read by the count and the draw join
-    val n = rows.count()
-    require(n > 0, "bootstrapCi: empty per-question frame")
-    val draws = rows.sparkSession.range(reps).toDF("_r")
-      .select(col("_r"), explode(sequence(lit(0), lit(n.toInt - 1))).as("_j"))
-      .select(col("_r"),
-        (conv(substring(md5(concat_ws("-", col("_r"), col("_j"))), 1, 8), 16, 10)
-          .cast("long") % n).as("_rid"))
+    val (rows, n, grid) = numberedRows(perQuestion, idCol, col(valueCol),
+      "bootstrapCi", reps)
+    val draws = grid.select(col("_r"),
+      (graft.functions.Hashing.md5Long(concat_ws("-", col("_r"), col("_j"))) % n).as("_rid"))
     val means = draws.join(rows, Seq("_rid")).groupBy("_r").agg(avg(col("_v")).as("_m"))
     means.agg(
         count(lit(1)).as("n_reps"),
@@ -353,24 +367,15 @@ object Recall {
   def pairedPermTest(perQuestion: DataFrame, idCol: String, aCol: String,
       bCol: String, reps: Int = 200): DataFrame = {
     require(reps > 0, s"pairedPermTest: reps must be > 0, got $reps")
-    import org.apache.spark.sql.expressions.Window
-    val rows = perQuestion
-      .select(col(idCol).as("_q"),
-        (col(aCol).cast("double") - col(bCol).cast("double")).as("_d"))
-      .withColumn("_rid",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("_q"))) - 1)
-      .select("_rid", "_d")
-      .localCheckpoint(true) // read by the count, the obs aggregate, the sign join
-    val n = rows.count()
-    require(n > 0, "pairedPermTest: empty per-question frame")
-    val obs = rows.agg(sum(col("_d")).as("_obs"), avg(col("_d")).as("_mean"))
-    val draws = rows.sparkSession.range(reps).toDF("_r")
-      .select(col("_r"), explode(sequence(lit(0), lit(n.toInt - 1))).as("_rid"))
+    val (rows, n, grid) = numberedRows(perQuestion, idCol,
+      col(aCol).cast("double") - col(bCol).cast("double"), "pairedPermTest", reps)
+    val obs = rows.agg(sum(col("_v")).as("_obs"), avg(col("_v")).as("_mean"))
+    val draws = grid.select(col("_r"), col("_j").as("_rid"))
       .withColumn("_sign",
-        when(conv(substring(md5(concat_ws("-", col("_r"), col("_rid"))), 1, 8), 16, 10)
-          .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+        when(graft.functions.Hashing.md5Long(concat_ws("-", col("_r"), col("_rid")))
+          % 2 === 0, 1.0).otherwise(-1.0))
     val sums = draws.join(rows, Seq("_rid"))
-      .groupBy("_r").agg(sum(col("_sign") * col("_d")).as("_s"))
+      .groupBy("_r").agg(sum(col("_sign") * col("_v")).as("_s"))
     sums.crossJoin(obs)
       .agg(count(lit(1)).as("n_reps"),
         sum(when(abs(col("_s")) >= abs(col("_obs")), 1L).otherwise(0L)).as("_ge"),

@@ -15,7 +15,7 @@ object CorpusOps {
   /** Hash bucket in [0, 10000) from the id's md5 — same arithmetic as the SQL
     * oracle `CAST(('0x' || substr(md5(id),1,8)) AS BIGINT) % 10000`. */
   def bucket10k(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+    graft.functions.Hashing.md5Long(id.cast("string")) % 10000
 
   /** Scale-correct global running sum of `_n` in `sortExprs` order.
     *
@@ -878,7 +878,7 @@ object CorpusOps {
     val feats = df.select(col(idCol).as("id"), col(isTargetCol).as("_t"),
         explode(concat(col(toksCol), graft.functions.Norm.shingles(col(toksCol), 2))).as("_f"))
       .select(col("id"), col("_t"),
-        (conv(substring(md5(col("_f")), 1, 8), 16, 10).cast("long") % buckets).as("_b"))
+        (graft.functions.Hashing.md5Long(col("_f")) % buckets).as("_b"))
     val global = feats.groupBy(col("_b"))
       .agg(sum(when(col("_t"), lit(1L)).otherwise(lit(0L))).as("_nt"),
         sum(when(!col("_t"), lit(1L)).otherwise(lit(0L))).as("_nr"))
@@ -1313,11 +1313,13 @@ object CorpusOps {
     * diff decides between incremental index maintenance (s7/d13-style) and
     * a full rebuild, and is the audit row for "why did the eval move".)
     *
-    * Change detection hashes the named content columns (md5 of a
-    * "|"-joined concat, nulls coalesced to "" — a null column and an empty
-    * string compare equal, the documented tradeoff for a SQL-replicable
-    * fingerprint), so wide text never rides through the join — the shuffle
-    * moves (id, 32-byte hash) pairs. One full-outer
+    * Change detection md5-hashes EACH content column, then md5s the
+    * concatenated per-column hashes — fixed-width inner hashes mean no
+    * separator can collide across column boundaries (("a|", "") vs
+    * ("a", "|") fingerprint differently). Nulls coalesce to "" before the
+    * inner hash — a null column and an empty string compare equal, the
+    * documented tradeoff for a SQL-replicable fingerprint. Wide text never
+    * rides through the join — the shuffle moves (id, 32-byte hash) pairs. One full-outer
     * equi-join on the id (both sides hash-partitioned the same way);
     * unchanged ids are filtered out BEFORE the result materializes.
     *
@@ -1327,8 +1329,8 @@ object CorpusOps {
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff: no content columns")
     def fp(df: DataFrame) = df.select(col(idCol).as("__id"),
-      md5(concat_ws("|", contentCols.map(c =>
-        coalesce(col(c).cast("string"), lit(""))): _*)).as("__fp"))
+      md5(concat(contentCols.map(c =>
+        md5(coalesce(col(c).cast("string"), lit("")))): _*)).as("__fp"))
     fp(oldDf).as("o").join(fp(newDf).as("n"),
         col("o.__id") === col("n.__id"), "full_outer")
       .select(coalesce(col("o.__id"), col("n.__id")).as(idCol),

@@ -12,10 +12,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object DatasetSplit {
 
-  /** Bucket in [0, 100) from the id's md5 (same arithmetic as a SQL oracle:
+  /** Bucket in [0, 100) from the id's md5 ([[graft.functions.Hashing.md5Long]];
     * `CAST(('0x' || substr(md5(id),1,8)) AS BIGINT) % 100`). */
   def bucketOf(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    graft.functions.Hashing.md5Long(id.cast("string")) % 100
 
   /** Adds a `split` column. `weights` are integer percentages summing to ≤ 100;
     * remainder falls into the last split. E.g. Seq("train"->80,"val"->10,"test"->10). */

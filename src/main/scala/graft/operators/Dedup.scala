@@ -303,7 +303,7 @@ object Dedup {
     * Hamming-close simhashes ⇒ near-duplicate documents. */
   def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
     require(nBits <= 32)
-    val tokHash = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val tokHash = graft.functions.Hashing.md5Long(col("tok"))
     // bit j of h via exact double arithmetic (h < 2^32): floor(h / 2^j) % 2
     val bit = (col("h") / pow(lit(2.0), col("j"))).cast("long") % 2
     df.select(col(idCol).as("id"), explode(Norm.normTokens(col(textCol))).as("tok"))

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.{Hashing, VectorFunctions}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** NN-Descent approximate kNN-GRAPH construction (Dong, Charikar & Li,
@@ -25,17 +25,18 @@ import org.apache.spark.sql.functions._
   * produce the identical graph, and the `nn1_descent_graph` board row
   * pins rounds=1 edge-for-edge against an unrolled-CTE SQL twin.
   *
-  * Shape per round: explode the n·k edge list, cap REVERSE degree at k by a
-  * deterministic pair-hash top-k (the paper's ρ-sampling; without it a hub
-  * node with huge in-degree makes its wedge join quadratic in that
-  * in-degree), wedge-join the ≤2k-degree adjacency on the shared anchor
-  * (≤ n·(2k choose 2) candidate pairs), distinct, two hash joins back to
-  * the pinned vector table, one bounded top-k aggregate. All equi-joins
-  * and map-side-combinable aggregates — no global sort, no n² anywhere.
-  * Between rounds the state is the n·k top-list frame, localCheckpoint-
-  * pinned with the predecessor unpersisted (flat lineage at any round
-  * count). Init is bucket-quadratic only WITHIN ~32-node buckets: ~32·n
-  * scored pairs, never n².
+  * Shape per round (K = oversample·k, the internal list length): explode
+  * the n·K edge list, cap REVERSE degree at K by a deterministic pair-hash
+  * top-K (the paper's ρ-sampling; without it a hub node with huge
+  * in-degree makes its wedge join quadratic in that in-degree), wedge-join
+  * the ≤2K-degree adjacency on the shared anchor (≤ n·(2K choose 2)
+  * candidate pairs — the oversample² cost term), distinct, two hash joins
+  * back to the pinned vector table, one bounded top-K aggregate. All
+  * equi-joins and map-side-combinable aggregates — no global sort, no n²
+  * anywhere. Between rounds the state is the n·K top-list frame,
+  * localCheckpoint-pinned with the predecessor unpersisted (flat lineage
+  * at any round count). Init is bucket-quadratic only WITHIN ~32-node
+  * buckets: ~32·n scored pairs, never n².
   *
   * Connectivity (why each round ALSO unions in a fresh seed-r bucketing):
   * a single hash bucketing is a disjoint union of cliques, and wedges of
@@ -50,12 +51,6 @@ import org.apache.spark.sql.functions._
   * through the wedge joins.
   */
 object NnDescent {
-
-  /** House md5-arithmetic hash (cf. [[DatasetSplit.bucketOf]]): first 8 md5
-    * hex chars as a BIGINT — 32 bits, always non-negative, replicable in
-    * any SQL engine (`CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`). */
-  private def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Build the directed kNN graph: one row per (id, nbr_id, cosine), each
     * id carrying its approximate top-k by cosine. `rounds = 0` returns the
@@ -104,7 +99,7 @@ object NnDescent {
     val nBuckets = math.max(1L, n / 32L)
     def bucketPairs(seed: Int): DataFrame = {
       val bucketed = base.withColumn("__bkt",
-        md5Long(concat_ws("|", lit("nnd"), lit(seed), col("__id"))) % nBuckets)
+        Hashing.md5Long(concat_ws("|", lit("nnd"), lit(seed), col("__id"))) % nBuckets)
       bucketed.as("a").join(bucketed.as("b"),
           col("a.__bkt") === col("b.__bkt") && col("a.__id") =!= col("b.__id"))
         .select(col("a.__id").as("__src"), col("b.__id").as("__dst"))
@@ -114,13 +109,13 @@ object NnDescent {
     for (r <- 1 to rounds) {
       val edges = top.select(col("__src"),
         explode(transform(col("__top"), t => t.getField("id"))).as("__dst"))
-      // hub cap: reverse edges per anchor sampled down to k by pair hash
-      // (deterministic ρ-sampling) so wedge fan-out stays ≤ (2k choose 2)
+      // hub cap: reverse edges per anchor sampled down to K by pair hash
+      // (deterministic ρ-sampling) so wedge fan-out stays ≤ (2K choose 2)
       val revCapped = edges
         .select(col("__dst").as("__rsrc"), col("__src").as("__rdst"))
         .groupBy(col("__rsrc"))
         .agg(topk(col("__rdst"),
-          md5Long(concat_ws("|", col("__rsrc"), col("__rdst"))).cast("double")).as("__rt"))
+          Hashing.md5Long(concat_ws("|", col("__rsrc"), col("__rdst"))).cast("double")).as("__rt"))
         .select(col("__rsrc").as("__src"),
           explode(transform(col("__rt"), t => t.getField("id"))).as("__dst"))
       val undirected = edges.union(revCapped)
@@ -138,17 +133,21 @@ object NnDescent {
       top = next
     }
     // internal lists are K = oversample·k long and already sorted by the
-    // aggregator's (-score, id) order; ship each node's first k
+    // aggregator's (-score, id) order; ship each node's first k. `top` is
+    // checkpointed, so `base` is no longer reachable from the result plan.
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base)
     top.select(col("__src").as("id"), explode(slice(col("__top"), 1, k)).as("t"))
       .select(col("id"), col("t.id").as("nbr_id"), col("t.score").as("cosine"))
   }
 
-  /** Recall@k of `graph` against the EXACT top-k, measured on a
-    * deterministic 1-in-`sampleMod` anchor sample (xxhash64 bucket): the
-    * exact side scans sample × corpus, so evaluation cost is n·|sample|,
-    * never n². Returns the fraction of exact top-k edges present. */
-  def recallAtK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      graph: DataFrame, sampleMod: Int = 12): Double = {
+  /** The EXACT top-k edge frame (src, dst per anchor) on a deterministic
+    * 1-in-`sampleMod` anchor sample (xxhash64 bucket): the exact side scans
+    * sample × corpus, so cost is n·|sample|, never n². Returned frame is
+    * localCheckpoint-pinned — callers comparing several graphs against the
+    * same reference compute it ONCE, then [[recallAgainst]] per graph, and
+    * unpersist when done (Bridge.unpersistCheckpoint). */
+  def exactTopKEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      sampleMod: Int = 12): DataFrame = {
     val topk = VectorSearch.topKUdaf(k)
     val base = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .withColumn("__nm", VectorFunctions.l2Norm(col("__v")))
@@ -164,10 +163,27 @@ object NnDescent {
         explode(transform(col("__top"), t => t.getField("id"))).as("__dst"))
       .localCheckpoint(true)
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(base)
+    exact
+  }
+
+  /** Fraction of `exact`'s edges present in `graph` (two bounded counts +
+    * one semi-join). NaN when the anchor sample is empty — "unmeasured",
+    * never "perfect". */
+  def recallAgainst(exact: DataFrame, graph: DataFrame): Double = {
     val got = graph.select(col("id").as("__src"), col("nbr_id").as("__dst"))
     val tot = exact.count()
     val hit = exact.join(got, Seq("__src", "__dst"), "left_semi").count()
+    if (tot == 0L) Double.NaN else hit.toDouble / tot
+  }
+
+  /** Recall@k of `graph` against the EXACT top-k on a 1-in-`sampleMod`
+    * anchor sample — one-shot convenience over [[exactTopKEdges]] +
+    * [[recallAgainst]]. NaN when the sample is empty. */
+  def recallAtK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      graph: DataFrame, sampleMod: Int = 12): Double = {
+    val exact = exactTopKEdges(df, idCol, vecCol, k, sampleMod)
+    val r = recallAgainst(exact, graph)
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(exact)
-    if (tot == 0L) 1.0 else hit.toDouble / tot
+    r
   }
 }

@@ -127,6 +127,10 @@ object ShortestPaths {
       delta = dl
       acc = if (acc == null) dl else acc.unionByName(dl)
     }
+    // the result plan reads only the checkpointed per-level delta frames;
+    // the edge list and forward frontiers are no longer reachable — free them
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(e)
+    lv.foreach(org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
     acc
       .groupBy("node")
       .agg(count(lit(1)).as("n_seeds"),
