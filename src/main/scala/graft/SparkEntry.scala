@@ -2509,6 +2509,20 @@ object SparkEntry {
         .select(col("event_type"), col("n_events"),
           round(col("decayed"), 6).as("decayed_r"))
     }),
+    // EV8 last-touch conversion attribution (3-day window): purchases
+    // credited to the last preceding click/view per user, organic bucket
+    // kept; revenue summed in exact integer cents. One user-partitioned
+    // window pass — the 100 TB clickstream shape. See
+    // EventAnalytics.lastTouchAttribution.
+    "ev8_attribution" -> ((s, dir) => {
+      EventAnalytics.lastTouchAttribution(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id", "value",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          windowNs = 3L * 86400L * 1000000000L)
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+    }),
     // M9 percentile-bootstrap CI for the m1 macro recall — hash-deterministic
     // resampling (md5(r‖j) mod n), so both engines draw the identical
     // multiset. See eval.Recall.bootstrapCi.
@@ -5158,6 +5172,23 @@ object SparkEntry {
           |UNION ALL SELECT 3, 'purchase', count(*) FROM u3""".stripMargin.replace("\n", " "),
       // ev2: integer day division (//) mirrors the Spark side's `div` —
       // a float path would mis-bucket epoch-ns values past 2^53.
+      // ev8: the pair-join + rank-1 twin of the window formulation — both
+      // pick the (ts, id)-max touch strictly before the conversion row.
+      "ev8_attribution" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type, value FROM events),
+          |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+          |tch AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+          |r AS (SELECT p.event_id AS pid, t.event_type AS touch_type,
+          |    row_number() OVER (PARTITION BY p.event_id
+          |      ORDER BY t.tns DESC, t.event_id DESC) AS rn
+          |  FROM p JOIN tch t ON t.user_id = p.user_id
+          |    AND (t.tns < p.tns OR (t.tns = p.tns AND t.event_id < p.event_id))
+          |    AND p.tns - t.tns <= 259200000000000),
+          |lt AS (SELECT pid, touch_type FROM r WHERE rn = 1)
+          |SELECT coalesce(lt.touch_type, 'none') AS touch_type,
+          |  count(*) AS n_conversions,
+          |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+          |FROM p LEFT JOIN lt ON lt.pid = p.event_id GROUP BY 1""".stripMargin.replace("\n", " "),
       "ev2_retention" ->
         """WITH act AS (SELECT DISTINCT user_id,
           |    epoch_ns(ts) // 86400000000000 AS day FROM events),

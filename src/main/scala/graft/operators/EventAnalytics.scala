@@ -254,4 +254,51 @@ object EventAnalytics {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("decayed"))
   }
+
+  /** Last-touch conversion attribution — which touch event (ad click, page
+    * view, …) gets credit for each conversion: the read behind every
+    * "which source drives purchases" decision, and in a training-data
+    * pipeline the same kernel attributes a downstream outcome (a label, a
+    * takedown, a complaint) to the last upstream pipeline event that
+    * touched the document. Credit goes to the LAST touch at-or-before the
+    * conversion (ties on timestamp broken by event id: only strictly
+    * earlier (ts, id) rows count) and only if it is within `windowNs`;
+    * conversions with no in-window touch surface with NULL touch columns
+    * (the "organic" bucket) rather than vanishing.
+    *
+    * Scale shape — the 100 TB clickstream pattern: ONE window over the
+    * user-partitioned event stream (`last(touch, ignoreNulls)` over rows
+    * up to the current one), so the whole attribution is a single shuffle
+    * on the user key and a per-partition sort — no conversions×touches
+    * join, no per-conversion scans. The oracle pins the equivalent
+    * bounded pair-join + rank-1 formulation; both pick the identical
+    * (ts, id)-max touch.
+    *
+    * Output: one row per conversion — (conv_id, user, conv_ts, value,
+    * touch_type, touch_id, touch_ts), touch columns NULL when organic. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsNsCol: String,
+      typeCol: String, idCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String, windowNs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouchAttribution: no touch types")
+    require(!touchTypes.contains(convType),
+      "lastTouchAttribution: conversion type cannot also be a touch type")
+    require(windowNs > 0, s"windowNs must be > 0, got $windowNs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = events
+      .filter(col(typeCol).isin((touchTypes :+ convType): _*))
+      .withColumn("__touch", when(col(typeCol) =!= convType,
+        struct(col(tsNsCol).as("t_ts"), col(idCol).as("t_id"),
+          col(typeCol).as("t_type"))))
+      .withColumn("__last", last(col("__touch"), ignoreNulls = true).over(w))
+    tagged.filter(col(typeCol) === convType)
+      .withColumn("__ok", col("__last").isNotNull &&
+        (col(tsNsCol) - col("__last.t_ts")) <= windowNs)
+      .select(col(idCol).as("conv_id"), col(userCol).as("user"),
+        col(tsNsCol).as("conv_ts"), col(valueCol).as("value"),
+        when(col("__ok"), col("__last.t_type")).as("touch_type"),
+        when(col("__ok"), col("__last.t_id")).as("touch_id"),
+        when(col("__ok"), col("__last.t_ts")).as("touch_ts"))
+  }
 }

@@ -156,6 +156,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
   }
 
+  test("lastTouchAttribution: last wins, window expiry, organic, same-ts tie by id") {
+    import graft.operators.EventAnalytics
+    val day = 86400000000000L
+    // (event_id, user, ts_ns, type, value)
+    val ev = Seq(
+      (1L, 1L, 0L, "click", 0.0), (2L, 1L, day, "view", 0.0),
+      (3L, 1L, day + 1, "purchase", 9.99),               // last touch = view(2)
+      (4L, 2L, 0L, "click", 0.0),
+      (5L, 2L, 5 * day, "purchase", 1.0),                // click too old -> organic
+      (6L, 3L, day, "purchase", 2.0), (7L, 3L, day, "click", 0.0),
+      (8L, 3L, day, "view", 0.0)                         // same ts: only id<6 counts
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "value",
+        Seq("click", "view"), "purchase", windowNs = 3 * day)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.toString), Option(r.get(5)).map(_.toString))).toMap
+    assert(out(3L) == (Some("view"), Some("2")), s"got ${out(3L)}")
+    assert(out(5L) == (None, None), "out-of-window touch must be organic")
+    // user 3: touches 7,8 share the purchase ts but have HIGHER ids -> organic
+    assert(out(6L) == (None, None), "same-ts later-id touches must not count")
+  }
+
   test("betweennessBounded: chain dependency, diamond path counts, multi-seed sum") {
     import graft.operators.ShortestPaths
     def sym(pairs: (Long, Long)*) =
