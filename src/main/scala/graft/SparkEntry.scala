@@ -2509,6 +2509,40 @@ object SparkEntry {
         .select(col("event_type"), col("n_events"),
           round(col("decayed"), 6).as("decayed_r"))
     }),
+    // X37 URL canonicalization: the pre-dedup normalization every web
+    // corpus runs (case, www, default ports, dup slashes, trailing slash,
+    // fragments, tracking params, param order) + the registrable domain
+    // (ccSLD-aware). URLs built in-query in three deterministic messy
+    // shapes so every normalization arm is exercised. See
+    // functions.UrlOps.
+    "x37_url_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+            lit(".CO.UK:443/a//b/"), (col("doc_id") % 5).cast("string"),
+            lit("/?utm_source=feed&z=2&a=1#sec")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+            lit(".com:80/p/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://News.example"),
+          (col("doc_id") % 7).cast("string"), lit(".com:8443/x/"),
+          (col("doc_id") % 5).cast("string"), lit("/")))
+      docs.withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          graft.functions.UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+          graft.functions.UrlOps.registeredDomain(
+            graft.functions.UrlOps.hostOf(col("url"))).as("domain"))
+    }),
+    // X38 per-domain cap over x37's domains (the C4 "max N pages per
+    // domain" rule): keep 10 per domain ranked by (md5(id), id) — a random
+    // but stable sample, unchanged by repartition/re-run. See
+    // CorpusOps.capPerKey.
+    "x38_domain_cap" -> ((s, dir) => {
+      val withDomain = queries("x37_url_canonicalize")(s, dir)
+        .select(col("doc_id"), col("domain"))
+      CorpusOps.capPerKey(withDomain, "domain", "doc_id", maxPerKey = 10)
+        .select(col("domain"), col("doc_id"))
+    }),
     // EV8 last-touch conversion attribution (3-day window): purchases
     // credited to the last preceding click/view per user, organic bucket
     // kept; revenue summed in exact integer cents. One user-partitioned
@@ -2914,6 +2948,38 @@ object SparkEntry {
          |  SELECT doc_id, unnest($toksDoc) AS word,
          |         generate_subscripts($toksDoc, 1) AS pos
          |  FROM documents) w""".stripMargin.replace("\n", " ")
+    // Shared by x37 (canonicalization) and x38 (domain cap): the in-query
+    // messy-URL construction and the UrlOps normalization pipeline,
+    // expression-for-expression (same RE2 regexes, same list sort).
+    val urlCtes =
+      """ud AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.CO.UK:443/a//b/' || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&z=2&a=1#sec'
+        |         WHEN doc_id % 3 = 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/p/' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'https://News.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x/' || CAST(doc_id % 5 AS VARCHAR) || '/' END AS url
+        |  FROM documents),
+        |up AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    lower(regexp_extract(url, '://([^/?#]*)', 1)) AS hp
+        |  FROM ud),
+        |uq AS (SELECT *,
+        |    regexp_replace(regexp_extract(hp, '^([^:]*)', 1), '^www\.', '') AS host,
+        |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_replace(regexp_extract(url, '://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g'), '/$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))) AS prm
+        |  FROM up),
+        |uc AS (SELECT doc_id, url, host,
+        |    sch || '://' || host ||
+        |    CASE WHEN port = '' OR (sch = 'http' AND port = '80') OR (sch = 'https' AND port = '443') THEN '' ELSE ':' || port END ||
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+        |    CASE WHEN len(prm) = 0 THEN '' ELSE '?' || array_to_string(prm, '&') END AS canon_url
+        |  FROM uq),
+        |udom AS (SELECT doc_id, url, canon_url,
+        |    CASE WHEN len(l) <= 2 THEN host
+        |         WHEN list_contains(['co.uk','org.uk','ac.uk','co.jp','co.in','co.nz','co.kr','com.au','com.br','com.cn','com.mx','com.tw'], l[len(l)-1] || '.' || l[len(l)])
+        |           THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]
+        |         ELSE l[len(l)-1] || '.' || l[len(l)] END AS domain
+        |  FROM (SELECT *, string_split(host, '.') AS l FROM uc))""".stripMargin
     // word 3-shingles per document (empty for docs with <3 tokens)
     val docShingles =
       s"""SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
@@ -5172,6 +5238,17 @@ object SparkEntry {
           |UNION ALL SELECT 3, 'purchase', count(*) FROM u3""".stripMargin.replace("\n", " "),
       // ev2: integer day division (//) mirrors the Spark side's `div` —
       // a float path would mis-bucket epoch-ns values past 2^53.
+      "x37_url_canonicalize" ->
+        s"""WITH $urlCtes
+           |SELECT doc_id, url, canon_url, domain FROM udom""".stripMargin.replace("\n", " "),
+      // x38: the same domain derivation capped at 10 per domain by
+      // (md5(id), id) rank — the engine's capPerKey order.
+      "x38_domain_cap" ->
+        s"""WITH $urlCtes,
+           |k AS (SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+           |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+           |  FROM udom)
+           |SELECT domain, doc_id FROM k WHERE rn <= 10""".stripMargin.replace("\n", " "),
       // ev8: the pair-join + rank-1 twin of the window formulation — both
       // pick the (ts, id)-max touch strictly before the conversion row.
       "ev8_attribution" ->

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the step every web-corpus pipeline (C4, CCNet,
+  * RefinedWeb) runs before URL-keyed dedup or per-domain caps: the same
+  * page arrives as `HTTPS://WWW.Site.com:443/a//b/?utm_source=f&z=2&a=1#s`
+  * and `https://site.com/a/b?a=1&z=2`, and a byte-equality key treats them
+  * as two documents. Canonical form: lowercase scheme + host, `www.`
+  * stripped, default port dropped (80/http, 443/https; others kept),
+  * duplicate slashes collapsed and the trailing slash stripped (root `/`
+  * kept; empty path becomes `/`), fragment dropped, tracking params
+  * (`utm_*`, `fbclid`, `gclid`) dropped, surviving query params SORTED.
+  *
+  * Everything is codegen'd built-ins (RE2-safe regex — the x28
+  * constraint), so the whole pipeline replays verbatim in the DuckDB
+  * oracle: same extracts, same replaces, same list sort. No UDF, no
+  * parser object per row. */
+object UrlOps {
+
+  private val tracking = "^(utm_[^=]*|fbclid|gclid)="
+
+  private def scheme(u: Column) =
+    lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+  private def hostPort(u: Column) =
+    lower(regexp_extract(u, "://([^/?#]*)", 1))
+
+  /** Lowercased host with any leading `www.` stripped. */
+  def hostOf(u: Column): Column =
+    regexp_replace(regexp_extract(hostPort(u), "^([^:]*)", 1), "^www\\.", "")
+
+  /** The full canonical URL (see object doc for the normalizations). */
+  def canonicalizeUrl(u: Column): Column = {
+    val sch = scheme(u)
+    val hp = hostPort(u)
+    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (sch === "http" && port === "80") ||
+        (sch === "https" && port === "443"), "")
+      .otherwise(concat(lit(":"), port))
+    val path1 = regexp_replace(
+      regexp_extract(u, "://[^/?#]*([^?#]*)", 1), "/{2,}", "/")
+    val pathStripped = regexp_replace(path1, "/$", "")
+    val path = when(pathStripped === "", "/").otherwise(pathStripped)
+    val params = sort_array(filter(
+      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(tracking)))
+    val qs = when(size(params) === 0, "")
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    concat(sch, lit("://"), hostOf(u), portPart, path, qs)
+  }
+
+  /** ccSLDs where the registrable domain is three labels, not two. A small
+    * built-in list, not the full Public Suffix List (zero-egress; the PSL
+    * would be a broadcast lookup table in production — same plan shape). */
+  private val ccSlds = Seq("co.uk", "org.uk", "ac.uk", "co.jp", "co.in",
+    "co.nz", "co.kr", "com.au", "com.br", "com.cn", "com.mx", "com.tw")
+
+  /** Registrable domain of a (canonical, `www.`-less) host: the last two
+    * labels, or three when the last two are a listed ccSLD — the grouping
+    * key for per-domain caps and domain-level dedup. Hosts with a single
+    * label (or none) pass through unchanged. */
+  def registeredDomain(host: Column): Column = {
+    val l = split(host, "\\.")
+    val n = size(l)
+    val last2 = concat_ws(".", element_at(l, -2), element_at(l, -1))
+    val last3 = concat_ws(".", element_at(l, -3), last2)
+    when(n <= 2, host)
+      .otherwise(when(last2.isin(ccSlds: _*), last3).otherwise(last2))
+  }
+}

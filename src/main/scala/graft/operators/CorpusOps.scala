@@ -1306,6 +1306,29 @@ object CorpusOps {
     *
     * Output: (cluster, n_members, <attr>... ) one row per cluster; an
     * attribute null in every member stays null. */
+  /** Deterministic per-key document cap — the C4/Gopher "at most N pages
+    * per domain" rule (one SEO-heavy domain must not dominate a web
+    * corpus), and the same kernel caps per-author, per-source, or
+    * per-dedup-cluster contributions. Keeps each key's `maxPerKey` rows
+    * ranked by (md5 of the id, id) — a "random but stable" sample: the
+    * kept set is a pure function of the ids, unchanged by repartitioning,
+    * re-runs, or the order the corpus arrived in, and incremental growth
+    * can only swap rows out, never churn the whole sample.
+    *
+    * Scale shape: one key-partitioned window (a single shuffle on the
+    * key); heavy keys cost their own partition sort, never a global one
+    * — for a key so hot its rows exceed one executor's sort budget, the
+    * documented upgrade is a two-phase rank (hash-bucket pre-rank, then
+    * rank the ≤ bucket·cap survivors). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, s"capPerKey: maxPerKey must be >= 1, got $maxPerKey")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(graft.functions.Hashing.md5Long(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey).drop("__rn")
+  }
+
   /** Corpus snapshot diff — the CDC read every retraining decision starts
     * from: between corpus v1 and v2, which documents were ADDED, which
     * REMOVED, and which ids survived with CHANGED content? (A version bump

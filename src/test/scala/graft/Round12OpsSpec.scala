@@ -156,6 +156,34 @@ class Round12OpsSpec extends SparkSpec {
     assert(NnDescent.knnGraph(empty, "id", "v", k = 3, rounds = 2).count() == 0)
   }
 
+  test("urlOps: every canonicalization arm + domain rules + capPerKey determinism") {
+    import graft.functions.UrlOps
+    val in = Seq(
+      "HTTPS://WWW.Ex.COM:443/a//b/?utm_source=x&z=2&a=1#f",
+      "http://ex.com:80",                    // empty path -> /
+      "https://ex.com:8443/p/",              // non-default port kept, slash stripped
+      "http://a.b.co.uk/x?fbclid=1&gclid=2", // all params tracking -> no query
+      "http://localhost/x",                  // single-label host
+      "https://ex.com/?a=1&a=0"              // duplicate keys survive, sorted
+    ).toDF("u")
+    val out = in.select(UrlOps.canonicalizeUrl(col("u")).as("c"),
+        UrlOps.registeredDomain(UrlOps.hostOf(col("u"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) == ("https://ex.com/a/b?a=1&z=2", "ex.com"))
+    assert(out(1) == ("http://ex.com/", "ex.com"))
+    assert(out(2) == ("https://ex.com:8443/p", "ex.com"))
+    assert(out(3) == ("http://a.b.co.uk/x", "b.co.uk"))
+    assert(out(4) == ("http://localhost/x", "localhost"))
+    assert(out(5) == ("https://ex.com/?a=0&a=1", "ex.com"))
+    // capPerKey: kept set is a pure function of ids (repartition-stable)
+    val rows = (1 to 50).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
+    import graft.operators.CorpusOps
+    val a = CorpusOps.capPerKey(rows, "k", "id", 5).collect().map(_.toString).sorted
+    val b = CorpusOps.capPerKey(rows.repartition(7), "k", "id", 5)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.length == 15)
+  }
+
   test("lastTouchAttribution: last wins, window expiry, organic, same-ts tie by id") {
     import graft.operators.EventAnalytics
     val day = 86400000000000L
