@@ -2957,16 +2957,19 @@ object SparkEntry {
         |         WHEN doc_id % 3 = 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/p/' || CAST(doc_id AS VARCHAR)
         |         ELSE 'https://News.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x/' || CAST(doc_id % 5 AS VARCHAR) || '/' END AS url
         |  FROM documents),
-        |up AS (SELECT doc_id, url,
+        |up AS (SELECT doc_id, url, regexp_extract(url, '^([^#]*)', 1) AS nf,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-        |    lower(regexp_extract(url, '://([^/?#]*)', 1)) AS hp
+        |    regexp_replace(lower(regexp_extract(regexp_extract(url, '^([^#]*)', 1), '://([^/?#]*)', 1)), '^[^@]*@', '') AS hp
         |  FROM ud),
         |uq AS (SELECT *,
-        |    regexp_replace(regexp_extract(hp, '^([^:]*)', 1), '^www\.', '') AS host,
-        |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
-        |    regexp_replace(regexp_replace(regexp_extract(url, '://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g'), '/$', '') AS path0,
-        |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))) AS prm
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN hp LIKE '[%' THEN regexp_extract(hp, '^(\[[^\]]*\])', 1)
+        |           ELSE regexp_extract(hp, '^([^:]*)', 1) END, '^www\.', ''), '\.$', '') AS host,
+        |    CASE WHEN hp LIKE '[%' THEN regexp_extract(hp, '\]:([0-9]+)$', 1)
+        |         ELSE regexp_extract(hp, '^[^:]*:([0-9]+)$', 1) END AS port,
+        |    regexp_replace(regexp_replace(regexp_extract(nf, '://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g'), '/$', '') AS path0,
+        |    list_sort(list_filter(string_split(regexp_extract(nf, '\?(.*)$', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(?i)(utm_[^=&]*|fbclid|gclid)(=|$)'))) AS prm
         |  FROM up),
         |uc AS (SELECT doc_id, url, host,
         |    sch || '://' || host ||
@@ -5236,8 +5239,7 @@ object SparkEntry {
           |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM u1
           |UNION ALL SELECT 2, 'click', count(*) FROM u2
           |UNION ALL SELECT 3, 'purchase', count(*) FROM u3""".stripMargin.replace("\n", " "),
-      // ev2: integer day division (//) mirrors the Spark side's `div` —
-      // a float path would mis-bucket epoch-ns values past 2^53.
+      // x37: the UrlOps pipeline replayed expression-for-expression.
       "x37_url_canonicalize" ->
         s"""WITH $urlCtes
            |SELECT doc_id, url, canon_url, domain FROM udom""".stripMargin.replace("\n", " "),
@@ -5266,6 +5268,8 @@ object SparkEntry {
           |  count(*) AS n_conversions,
           |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
           |FROM p LEFT JOIN lt ON lt.pid = p.event_id GROUP BY 1""".stripMargin.replace("\n", " "),
+      // ev2: integer day division (//) mirrors the Spark side's `div` —
+      // a float path would mis-bucket epoch-ns values past 2^53.
       "ev2_retention" ->
         """WITH act AS (SELECT DISTINCT user_id,
           |    epoch_ns(ts) // 86400000000000 AS day FROM events),

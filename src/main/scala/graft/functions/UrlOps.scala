@@ -19,32 +19,48 @@ import org.apache.spark.sql.functions._
   * parser object per row. */
 object UrlOps {
 
-  private val tracking = "^(utm_[^=]*|fbclid|gclid)="
+  // case-insensitive, and matches valueless params ('?fbclid') too
+  private val tracking = "^(?i)(utm_[^=&]*|fbclid|gclid)(=|$)"
+
+  /** Everything before the first '#': the fragment must go FIRST, or a '?'
+    * living inside the fragment ('/#/settings?tab=1') is parsed as a query. */
+  private def noFrag(u: Column) = regexp_extract(u, "^([^#]*)", 1)
 
   private def scheme(u: Column) =
     lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-  private def hostPort(u: Column) =
-    lower(regexp_extract(u, "://([^/?#]*)", 1))
 
-  /** Lowercased host with any leading `www.` stripped. */
-  def hostOf(u: Column): Column =
-    regexp_replace(regexp_extract(hostPort(u), "^([^:]*)", 1), "^www\\.", "")
+  /** Authority without userinfo: 'alice:pw@host:8080' → 'host:8080'. */
+  private def hostPort(u: Column) = regexp_replace(
+    lower(regexp_extract(noFrag(u), "://([^/?#]*)", 1)), "^[^@]*@", "")
+
+  /** Lowercased host: userinfo dropped, leading `www.` and any trailing
+    * FQDN dot stripped; a bracketed IPv6 literal passes through whole. */
+  def hostOf(u: Column): Column = {
+    val hp = hostPort(u)
+    val raw = when(hp.startsWith("["),
+        regexp_extract(hp, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(hp, "^([^:]*)", 1))
+    regexp_replace(regexp_replace(raw, "^www\\.", ""), "\\.$", "")
+  }
 
   /** The full canonical URL (see object doc for the normalizations). */
   def canonicalizeUrl(u: Column): Column = {
+    val nf = noFrag(u)
     val sch = scheme(u)
     val hp = hostPort(u)
-    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val port = when(hp.startsWith("["),
+        regexp_extract(hp, "\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(hp, "^[^:]*:([0-9]+)$", 1))
     val portPart = when(port === "" ||
         (sch === "http" && port === "80") ||
         (sch === "https" && port === "443"), "")
       .otherwise(concat(lit(":"), port))
     val path1 = regexp_replace(
-      regexp_extract(u, "://[^/?#]*([^?#]*)", 1), "/{2,}", "/")
+      regexp_extract(nf, "://[^/?#]*([^?#]*)", 1), "/{2,}", "/")
     val pathStripped = regexp_replace(path1, "/$", "")
     val path = when(pathStripped === "", "/").otherwise(pathStripped)
     val params = sort_array(filter(
-      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      split(regexp_extract(nf, "\\?(.*)$", 1), "&"),
       p => p =!= "" && !p.rlike(tracking)))
     val qs = when(size(params) === 0, "")
       .otherwise(concat(lit("?"), array_join(params, "&")))

@@ -1313,7 +1313,10 @@ object CorpusOps {
     * ranked by (md5 of the id, id) — a "random but stable" sample: the
     * kept set is a pure function of the ids, unchanged by repartitioning,
     * re-runs, or the order the corpus arrived in, and incremental growth
-    * can only swap rows out, never churn the whole sample.
+    * can only swap rows out, never churn the whole sample. CONTRACT: ids
+    * must be non-null and unique per row — a null or duplicated id makes
+    * the (md5, id) order non-total and the tie falls back to physical row
+    * order, which repartitioning CAN change.
     *
     * Scale shape: one key-partitioned window (a single shuffle on the
     * key); heavy keys cost their own partition sort, never a global one

@@ -164,7 +164,12 @@ class Round12OpsSpec extends SparkSpec {
       "https://ex.com:8443/p/",              // non-default port kept, slash stripped
       "http://a.b.co.uk/x?fbclid=1&gclid=2", // all params tracking -> no query
       "http://localhost/x",                  // single-label host
-      "https://ex.com/?a=1&a=0"              // duplicate keys survive, sorted
+      "https://ex.com/?a=1&a=0",             // duplicate keys survive, sorted
+      "https://app.ex.com/#/settings?tab=1", // '?' inside fragment != query
+      "http://alice:pw@ex.com/x",            // userinfo dropped
+      "https://[2001:db8::1]:8443/v",        // IPv6 literal + non-default port
+      "http://ex.com./x",                    // trailing-dot FQDN
+      "https://ex.com/a?UTM_Source=f&fbclid" // uppercase + valueless tracking
     ).toDF("u")
     val out = in.select(UrlOps.canonicalizeUrl(col("u")).as("c"),
         UrlOps.registeredDomain(UrlOps.hostOf(col("u"))).as("d"))
@@ -175,6 +180,11 @@ class Round12OpsSpec extends SparkSpec {
     assert(out(3) == ("http://a.b.co.uk/x", "b.co.uk"))
     assert(out(4) == ("http://localhost/x", "localhost"))
     assert(out(5) == ("https://ex.com/?a=0&a=1", "ex.com"))
+    assert(out(6) == ("https://app.ex.com/", "ex.com"))
+    assert(out(7) == ("http://ex.com/x", "ex.com"))
+    assert(out(8) == ("https://[2001:db8::1]:8443/v", "[2001:db8::1]"))
+    assert(out(9) == ("http://ex.com/x", "ex.com"))
+    assert(out(10) == ("https://ex.com/a", "ex.com"))
     // capPerKey: kept set is a pure function of ids (repartition-stable)
     val rows = (1 to 50).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "id")
     import graft.operators.CorpusOps
