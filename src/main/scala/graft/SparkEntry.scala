@@ -2189,8 +2189,9 @@ object SparkEntry {
     // The whole engine in one DataFrame program over the documents table:
     // G1-G7 graph build (triplets = consecutive token triples), E1 embedding,
     // R1-R3 seed KNN, P1-P4 expansion, V1 eviction, V4 passage assembly.
-    // Rows-only check (the composite is exercised piecewise by the oracle
-    // queries above and e2e by ScalaTest).
+    // Cross-engine checked end-to-end: oracleSql("rag_pipeline") replays the
+    // ENTIRE DAG — including the hash embedder — as one DuckDB CTE chain
+    // (r13; the RagPipelineGoldenSpec golden hashes additionally pin drift).
     "rag_pipeline" -> ((s, dir) => {
       import graft.functions.HashEmbedder
       // evalOnce = projection barrier: CollapseProject would otherwise inline
@@ -2517,16 +2518,33 @@ object SparkEntry {
     // functions.UrlOps.
     "x37_url_canonicalize" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val url = when(col("doc_id") % 3 === 0,
+      // Seven crawl shapes (r13 added 3-6): canonical-with-noise, default
+      // port, non-default port, scheme-less with www+ccSLD, protocol-
+      // relative, opaque mailto (pass-through), malformed port (pass-through).
+      val url = when(col("doc_id") % 7 === 0,
           concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
             lit(".CO.UK:443/a//b/"), (col("doc_id") % 5).cast("string"),
             lit("/?utm_source=feed&z=2&a=1#sec")))
-        .when(col("doc_id") % 3 === 1,
+        .when(col("doc_id") % 7 === 1,
           concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
             lit(".com:80/p/"), col("doc_id").cast("string")))
-        .otherwise(concat(lit("https://News.example"),
-          (col("doc_id") % 7).cast("string"), lit(".com:8443/x/"),
-          (col("doc_id") % 5).cast("string"), lit("/")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("https://News.example"),
+            (col("doc_id") % 7).cast("string"), lit(".com:8443/x/"),
+            (col("doc_id") % 5).cast("string"), lit("/")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("www.bare"), (col("doc_id") % 7).cast("string"),
+            lit(".co.uk/p//"), (col("doc_id") % 5).cast("string"),
+            lit("?b=2&utm_campaign=x")))
+        .when(col("doc_id") % 7 === 4,
+          concat(lit("//cdn.example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/lib/"), (col("doc_id") % 5).cast("string"), lit(".js")))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("mailto:user"), (col("doc_id") % 5).cast("string"),
+            lit("@example"), (col("doc_id") % 7).cast("string"), lit(".com")))
+        .otherwise(concat(lit("http://broken"),
+          (col("doc_id") % 7).cast("string"), lit(".com:8o80/x/"),
+          (col("doc_id") % 5).cast("string")))
       docs.withColumn("url", url)
         .select(col("doc_id"), col("url"),
           graft.functions.UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
@@ -2953,29 +2971,43 @@ object SparkEntry {
     // expression-for-expression (same RE2 regexes, same list sort).
     val urlCtes =
       """ud AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.CO.UK:443/a//b/' || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&z=2&a=1#sec'
-        |         WHEN doc_id % 3 = 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/p/' || CAST(doc_id AS VARCHAR)
-        |         ELSE 'https://News.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x/' || CAST(doc_id % 5 AS VARCHAR) || '/' END AS url
+        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.CO.UK:443/a//b/' || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&z=2&a=1#sec'
+        |         WHEN doc_id % 7 = 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/p/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 7 = 2 THEN 'https://News.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x/' || CAST(doc_id % 5 AS VARCHAR) || '/'
+        |         WHEN doc_id % 7 = 3 THEN 'www.bare' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk/p//' || CAST(doc_id % 5 AS VARCHAR) || '?b=2&utm_campaign=x'
+        |         WHEN doc_id % 7 = 4 THEN '//cdn.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/lib/' || CAST(doc_id % 5 AS VARCHAR) || '.js'
+        |         WHEN doc_id % 7 = 5 THEN 'mailto:user' || CAST(doc_id % 5 AS VARCHAR) || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |         ELSE 'http://broken' || CAST(doc_id % 7 AS VARCHAR) || '.com:8o80/x/' || CAST(doc_id % 5 AS VARCHAR) END AS url
         |  FROM documents),
-        |up AS (SELECT doc_id, url, regexp_extract(url, '^([^#]*)', 1) AS nf,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-        |    regexp_replace(lower(regexp_extract(regexp_extract(url, '^([^#]*)', 1), '://([^/?#]*)', 1)), '^[^@]*@', '') AS hp
+        |ue AS (SELECT doc_id, url,
+        |    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*:[^0-9/]') AND NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS opq,
+        |    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |           OR (regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*:[^0-9/]') AND NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')) THEN url
+        |         WHEN url LIKE '//%' THEN 'http:' || url
+        |         ELSE 'http://' || url END AS eff
         |  FROM ud),
+        |up AS (SELECT doc_id, url, opq, regexp_extract(eff, '^([^#]*)', 1) AS nf,
+        |    lower(regexp_extract(eff, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    regexp_replace(lower(regexp_extract(regexp_extract(eff, '^([^#]*)', 1), '://([^/?#]*)', 1)), '^[^@]*@', '') AS hp
+        |  FROM ue),
         |uq AS (SELECT *,
         |    regexp_replace(regexp_replace(
         |      CASE WHEN hp LIKE '[%' THEN regexp_extract(hp, '^(\[[^\]]*\])', 1)
         |           ELSE regexp_extract(hp, '^([^:]*)', 1) END, '^www\.', ''), '\.$', '') AS host,
         |    CASE WHEN hp LIKE '[%' THEN regexp_extract(hp, '\]:([0-9]+)$', 1)
         |         ELSE regexp_extract(hp, '^[^:]*:([0-9]+)$', 1) END AS port,
+        |    CASE WHEN hp LIKE '[%' THEN regexp_matches(hp, '\]:')
+        |         ELSE contains(hp, ':') END AS portmark,
         |    regexp_replace(regexp_replace(regexp_extract(nf, '://[^/?#]*([^?#]*)', 1), '/{2,}', '/', 'g'), '/$', '') AS path0,
         |    list_sort(list_filter(string_split(regexp_extract(nf, '\?(.*)$', 1), '&'),
         |      x -> x <> '' AND NOT regexp_matches(x, '^(?i)(utm_[^=&]*|fbclid|gclid)(=|$)'))) AS prm
         |  FROM up),
         |uc AS (SELECT doc_id, url, host,
-        |    sch || '://' || host ||
-        |    CASE WHEN port = '' OR (sch = 'http' AND port = '80') OR (sch = 'https' AND port = '443') THEN '' ELSE ':' || port END ||
-        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
-        |    CASE WHEN len(prm) = 0 THEN '' ELSE '?' || array_to_string(prm, '&') END AS canon_url
+        |    CASE WHEN opq OR host = '' OR (port = '' AND portmark) THEN url
+        |    ELSE sch || '://' || host ||
+        |      CASE WHEN port = '' OR (sch = 'http' AND port = '80') OR (sch = 'https' AND port = '443') THEN '' ELSE ':' || port END ||
+        |      CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+        |      CASE WHEN len(prm) = 0 THEN '' ELSE '?' || array_to_string(prm, '&') END END AS canon_url
         |  FROM uq),
         |udom AS (SELECT doc_id, url, canon_url,
         |    CASE WHEN len(l) <= 2 THEN host
@@ -3127,6 +3159,102 @@ object SparkEntry {
       "s8_delete" ->
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 7 <> 3",
       // s11: the same in-query v2 perturbation, (id, md5) full-outer join,
+      // FLAGSHIP composed oracle: the whole rag_pipeline DAG replayed as one
+      // DuckDB CTE chain — scan→tokenize→stride-3 triplets→graph build (g1-g6
+      // semantics: md5 content ids, distinct adjacency, sorted passage lists)
+      // →HashEmbedder(dim=32) re-derived generically (md5 bucket/sign sums,
+      // dense 32-vec, L2 normalize; ±1 integer sums make the vectors
+      // bit-identical to Spark's whatever the aggregation order)→seed word
+      // KNN top-5/score>0.5/dedup-union (r1-r3)→fused degree-1 expansion
+      // (p1-p4)→relation KNN over the expanded set→v4 first-seen passage
+      // assembly top-10. Scores never reach the output (passage_id, rank), so
+      // the hash compares orderings, which are bit-exact: DotProduct and
+      // list_dot_product are the same sequential left-to-right double fold.
+      "rag_pipeline" ->
+        """WITH docs AS (
+          |  SELECT CAST(doc_id AS VARCHAR) AS id,
+          |         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' '), x -> x <> '') AS toks
+          |  FROM documents WHERE n_chars > 0),
+          |trip AS (
+          |  SELECT id AS passage_id,
+          |         toks[i] AS subject, toks[i+1] AS predicate, toks[i+2] AS object,
+          |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS relation_text
+          |  FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - 2, 3)) AS i
+          |        FROM docs WHERE len(toks) >= 3) t),
+          |tr AS (
+          |  SELECT passage_id, subject, predicate, object, relation_text,
+          |         md5(relation_text) AS relation_id, md5(subject) AS subject_id, md5(object) AS object_id
+          |  FROM trip),
+          |ent AS (
+          |  SELECT DISTINCT entity_id AS id, name FROM (
+          |    SELECT subject_id AS entity_id, subject AS name FROM tr
+          |    UNION ALL SELECT object_id, object FROM tr) u),
+          |rel AS (SELECT DISTINCT relation_id AS id, relation_text AS text FROM tr),
+          |rp AS (SELECT DISTINCT relation_id, passage_id FROM tr),
+          |plist AS (
+          |  SELECT relation_id, passage_id,
+          |         CAST(row_number() OVER (PARTITION BY relation_id ORDER BY passage_id ASC) - 1 AS INTEGER) AS pos
+          |  FROM rp),
+          |er AS (
+          |  SELECT DISTINCT entity_id, relation_id FROM (
+          |    SELECT subject_id AS entity_id, relation_id FROM tr
+          |    UNION ALL SELECT object_id, relation_id FROM tr) u),
+          |texts AS (
+          |  SELECT 'e' AS kind, id AS key, name AS txt FROM ent
+          |  UNION ALL SELECT 'r', id, text FROM rel
+          |  UNION ALL SELECT 'q', 'q', 'the spark join order for big table scan'
+          |  UNION ALL SELECT 'w', w, w FROM (SELECT unnest(string_split('the spark join order for big table scan', ' ')) AS w) s),
+          |ttok AS (
+          |  SELECT kind, key, unnest(list_filter(string_split(trim(regexp_replace(lower(txt), '[^a-z0-9 ]', ' ', 'g')), ' '), x -> x <> '')) AS tok
+          |  FROM texts),
+          |bsum AS (
+          |  SELECT kind, key,
+          |         CAST(CAST(('0x' || substr(md5('graft42' || tok), 1, 8)) AS BIGINT) % 32 AS INTEGER) AS b,
+          |         sum(CASE WHEN CAST(('0x' || substr(md5('graft42' || tok), 9, 1)) AS BIGINT) >= 8 THEN -1.0 ELSE 1.0 END) AS v
+          |  FROM ttok GROUP BY 1, 2, 3),
+          |dense AS (
+          |  SELECT k.kind, k.key, g.j, coalesce(b.v, 0.0) AS v
+          |  FROM (SELECT DISTINCT kind, key FROM bsum) k
+          |  CROSS JOIN generate_series(0, 31) g(j)
+          |  LEFT JOIN bsum b ON b.kind = k.kind AND b.key = k.key AND b.b = g.j),
+          |rawvec AS (SELECT kind, key, list(v ORDER BY j) AS vr FROM dense GROUP BY 1, 2),
+          |vec AS (
+          |  SELECT kind, key,
+          |         CASE WHEN nrm = 0 THEN vr ELSE list_transform(vr, x -> x / nrm) END AS v
+          |  FROM (SELECT kind, key, vr, sqrt(list_dot_product(vr, vr)) AS nrm FROM rawvec) t),
+          |seedhits AS (
+          |  SELECT DISTINCT neighbor_id AS entity_id FROM (
+          |    SELECT w.key AS qtext, e.key AS neighbor_id,
+          |           list_dot_product(w.v, e.v) AS score,
+          |           row_number() OVER (PARTITION BY w.key ORDER BY list_dot_product(w.v, e.v) DESC, e.key ASC) AS rank
+          |    FROM (SELECT * FROM vec WHERE kind = 'w') w
+          |    CROSS JOIN (SELECT * FROM vec WHERE kind = 'e') e) t
+          |  WHERE rank <= 5 AND score > 0.5),
+          |r0 AS (SELECT DISTINCT relation_id FROM er WHERE entity_id IN (SELECT entity_id FROM seedhits)),
+          |e1 AS (SELECT DISTINCT entity_id FROM er
+          |       WHERE relation_id IN (SELECT relation_id FROM r0)
+          |         AND entity_id NOT IN (SELECT entity_id FROM seedhits)),
+          |r1 AS (SELECT DISTINCT relation_id FROM er
+          |       WHERE entity_id IN (SELECT entity_id FROM e1)
+          |         AND relation_id NOT IN (SELECT relation_id FROM r0)),
+          |subrels AS (SELECT relation_id FROM r0 UNION SELECT relation_id FROM r1),
+          |relhits AS (
+          |  SELECT relation_id, CAST(rank AS INTEGER) AS rel_rank FROM (
+          |    SELECT r.key AS relation_id,
+          |           row_number() OVER (ORDER BY list_dot_product(q.v, r.v) DESC, r.key ASC) AS rank
+          |    FROM (SELECT * FROM vec WHERE kind = 'q') q
+          |    CROSS JOIN (SELECT * FROM vec WHERE kind = 'r' AND key IN (SELECT relation_id FROM subrels)) r) t
+          |  WHERE rank <= 5),
+          |exploded AS (
+          |  SELECT h.rel_rank, p.pos, p.passage_id
+          |  FROM relhits h JOIN plist p ON h.relation_id = p.relation_id),
+          |fs AS (
+          |  SELECT *, row_number() OVER (PARTITION BY passage_id ORDER BY rel_rank ASC, pos ASC) AS rn
+          |  FROM exploded)
+          |SELECT passage_id, CAST(rank AS INTEGER) AS rank FROM (
+          |  SELECT passage_id, row_number() OVER (ORDER BY rel_rank ASC, pos ASC, passage_id ASC) AS rank
+          |  FROM fs WHERE rn = 1) z
+          |WHERE rank <= 10""".stripMargin.replace("\n", " "),
       // unchanged ids filtered before the final projection.
       "s11_snapshot_diff" ->
         """WITH v2 AS (

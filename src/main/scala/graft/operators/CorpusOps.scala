@@ -1316,7 +1316,10 @@ object CorpusOps {
     * can only swap rows out, never churn the whole sample. CONTRACT: ids
     * must be non-null and unique per row — a null or duplicated id makes
     * the (md5, id) order non-total and the tie falls back to physical row
-    * order, which repartitioning CAN change.
+    * order, which repartitioning CAN change. Null ids fail loudly (a
+    * lazily-evaluated raise_error in the sort key, zero extra jobs — the
+    * g19/modularity enforce-the-documented-bound pattern); duplicated-id
+    * detection is a whole extra aggregate, documented as the caller's cost.
     *
     * Scale shape: one key-partitioned window (a single shuffle on the
     * key); heavy keys cost their own partition sort, never a global one
@@ -1326,8 +1329,12 @@ object CorpusOps {
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       maxPerKey: Int): DataFrame = {
     require(maxPerKey >= 1, s"capPerKey: maxPerKey must be >= 1, got $maxPerKey")
+    val idChecked = when(col(idCol).isNull,
+      raise_error(lit(s"capPerKey: null id in '$idCol' — the (md5, id) sample " +
+        "order is only total over non-null unique ids; filter or synthesize " +
+        "ids upstream"))).otherwise(col(idCol).cast("string"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(graft.functions.Hashing.md5Long(col(idCol).cast("string")), col(idCol))
+      .orderBy(graft.functions.Hashing.md5Long(idChecked), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerKey).drop("__rn")
   }
