@@ -238,15 +238,44 @@ object Bench {
       // ONE exact reference scan shared by every curve point
       val exact = graft.operators.NnDescent.exactTopKEdges(
         emb, "vec_id", "embedding", k = 10)
+      var gLast: org.apache.spark.sql.DataFrame = null
       val curve = Seq(0, 2, 4).map { r =>
         val g = graft.operators.NnDescent.knnGraph(emb, "vec_id", "embedding",
           k = 10, rounds = r, oversample = 3)
+        if (r == 4) gLast = g.localCheckpoint(true) // reused by [nn-consumers]
         r -> graft.operators.NnDescent.recallAgainst(exact, g)
       }
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(exact)
       System.err.println("[nndescent-recall] k=10 oversample=3 " + curve.map {
         case (r, v) => f"rounds=$r:$v%.3f" }.mkString(" ") +
         f" (sweep ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      // The consumer end: the same approximate graph feeding the sim6/sim8
+      // family (mutualKnnFrom / knnDensityFrom) measured AGAINST the exact
+      // board rows — the published evidence that the sub-n² construction
+      // actually serves its consumers, not just its own recall metric.
+      val t1 = System.nanoTime()
+      val VS = graft.operators.VectorSearch
+      val exactMut = VS.mutualKnn(emb, "vec_id", "embedding", k = 10)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val approxMut = VS.mutualKnnFrom(gLast).select("id_a", "id_b")
+        .localCheckpoint(true)
+      val tot = exactMut.count()
+      val hit = exactMut.join(approxMut, Seq("id_a", "id_b"), "left_semi").count()
+      val extra = approxMut.join(exactMut, Seq("id_a", "id_b"), "left_anti").count()
+      val mae = VS.knnDensity(emb, "vec_id", "embedding", k = 10)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("mean_cos").as("e"))
+        .join(VS.knnDensityFrom(gLast)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("mean_cos").as("a")), "id")
+        .selectExpr("avg(abs(e - a)) AS mae").head().getDouble(0)
+      System.err.println(
+        f"[nn-consumers] k=10 rounds=4 oversample=3 recall=${curve.last._2}%.3f " +
+          f"mutual_agree=${if (tot == 0) Double.NaN else hit.toDouble / tot}%.3f " +
+          f"false_edges=$extra/$tot density_mae=$mae%.5f " +
+          f"(${(System.nanoTime() - t1) / 1e9}%.1f s; exact twins: sim6/sim8)")
+      Seq(gLast, exactMut, approxMut).foreach(
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
     } catch { case NonFatal(e) => System.err.println(s"[nndescent-recall] failed: $e") }
     // Corpus-scale streaming maintenance demo: the LSH-dedup ingest path
     // (StreamingOps.lshDedupMaintain — sign once, pair intra-batch, pair

@@ -34,6 +34,7 @@ import java.nio.charset.StandardCharsets
   *   GET    /graphs/{g}/health           → rows + files/bytes per table + index presence
   *   POST   /graphs/{g}/documents        ← [{id, text, triplets: [[s,p,o],...]}, ...]
   *   POST   /graphs/{g}/import           ← {path, chunk_size?, overlap?} (app.py:423-474)
+  *   POST   /upload                      ← multipart files + chunk/graph form fields (app.py:476-548)
   *   GET    /graphs/{g}/neighbors/{id}?limit=n (app.py:697-761)
   *   PUT    /graphs/{g}/documents/{id}   ← {text} — re-embeds on text change (app.py:765-820)
   *   DELETE /graphs/{g}/documents/{id}   — cascade (app.py:822-874)
@@ -119,6 +120,65 @@ final class RestServer(spark: SparkSession, storeBase: String,
 
   private def readBody(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  /** One multipart/form-data part: field name, filename (files only), bytes. */
+  private final case class Part(name: String, filename: Option[String],
+      data: Array[Byte])
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val limit = hay.length - needle.length
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** From-scratch byte-level multipart/form-data split (RFC 7578 shape: the
+    * JDK ships no parser and the zero-dependency contract holds). Binary-
+    * safe: part payloads are byte-range copies, never string round-trips —
+    * a PDF upload must survive untouched. Malformed parts (no header block,
+    * no name) are skipped, not errors: the route reports per-FILE failures
+    * through the conversion result instead. */
+  private def parseMultipart(body: Array[Byte], boundary: String): Seq[Part] = {
+    val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    val crlfcrlf = "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val parts = Seq.newBuilder[Part]
+    var pos = indexOfBytes(body, delim, 0)
+    var done = pos < 0
+    while (!done) {
+      var start = pos + delim.length
+      if (start + 1 < body.length && body(start) == '-' && body(start + 1) == '-')
+        done = true // terminal '--boundary--'
+      else {
+        if (start + 1 < body.length && body(start) == '\r' && body(start + 1) == '\n')
+          start += 2
+        val next = indexOfBytes(body, delim, start)
+        if (next < 0) done = true
+        else {
+          var end = next
+          if (end >= 2 && body(end - 2) == '\r' && body(end - 1) == '\n') end -= 2
+          val hEnd = indexOfBytes(body, crlfcrlf, start)
+          if (hEnd >= 0 && hEnd + 4 <= end) {
+            val headers = new String(body, start, hEnd - start, StandardCharsets.ISO_8859_1)
+            val disp = headers.linesIterator
+              .find(_.toLowerCase.startsWith("content-disposition")).getOrElse("")
+            def attr(k: String): Option[String] =
+              ("(?i)" + k + "=\"([^\"]*)\"").r.findFirstMatchIn(disp).map(_.group(1))
+            attr("name").foreach { nm =>
+              parts += Part(nm, attr("filename").filter(_.nonEmpty),
+                java.util.Arrays.copyOfRange(body, hEnd + 4, end))
+            }
+          }
+          pos = next
+        }
+      }
+    }
+    parts.result()
+  }
 
   private def parseTripletArray(node: JsonNode): Seq[Triplet] = {
     val ts = Seq.newBuilder[Triplet]
@@ -348,6 +408,86 @@ final class RestServer(spark: SparkSession, storeBase: String,
           val n = mapper.createObjectNode()
           stats.foreach { case (k, v) => n.put(k, v) }
           respond(ex, 200, n)
+        // POST /upload (api/app.py:476-548): multipart file upload → S2
+        // convert (PDF/DOCX via DocConverter, TXT/MD passthrough, HTML via
+        // HtmlExtract) → T1 chunk → the same full-replace indexing path as
+        // /import. Conversion runs driver-side because uploads are request-
+        // sized by nature; corpus-scale binary ingest is the distributed
+        // DocConverter.convertBinaryFrame surface. Response mirrors the
+        // reference's ImportResponse (success, num_* counts, errors[]), and
+        // per-file conversion failures land in errors[] without failing the
+        // batch — the reference's load_result.errors contract.
+        case ("POST", Seq("upload")) =>
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          val bnd = "(?i)boundary=\"?([^\";,]+)\"?".r.findFirstMatchIn(ct).map(_.group(1))
+          if (!ct.toLowerCase.startsWith("multipart/form-data") || bnd.isEmpty)
+            error(ex, 400, "expected multipart/form-data with a boundary")
+          else {
+            val parts = parseMultipart(ex.getRequestBody.readAllBytes(), bnd.get)
+            val form = parts.filter(_.filename.isEmpty)
+              .map(p => p.name -> new String(p.data, StandardCharsets.UTF_8)).toMap
+            val files = parts.filter(_.filename.nonEmpty)
+            val chunkDocs = form.get("chunk_documents")
+              .forall(v => Set("true", "True", "1").contains(v))
+            val chunkSize = form.get("chunk_size")
+              .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(1000)
+            val overlap = form.get("chunk_overlap")
+              .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
+            val g = form.get("graph_name")
+              .orElse(queryParams(ex).get("graph_name")).getOrElse("default")
+            val converted: Seq[Either[String, (String, String)]] = files.map { f =>
+              val nm = f.filename.get
+              val lower = nm.toLowerCase
+              if (lower.endsWith(".txt") || lower.endsWith(".md"))
+                Right(nm -> new String(f.data, StandardCharsets.UTF_8))
+              else if (lower.endsWith(".html") || lower.endsWith(".htm"))
+                graft.sources.HtmlExtract
+                  .toMarkdown(new String(f.data, StandardCharsets.UTF_8))
+                  .map(nm -> _)
+                  .toRight(s"Failed to convert $nm: no extractable text")
+              else graft.sources.DocConverter.convertBytes(nm, f.data)
+                .map(d => nm -> d.text)
+                .left.map(e => s"Failed to convert $nm: $e")
+            }
+            val docs = converted.collect { case Right(d) => d }
+            val errs = converted.collect { case Left(e) => e }
+            val n = mapper.createObjectNode()
+            val errArr = mapper.createArrayNode()
+            errs.foreach(errArr.add)
+            if (docs.isEmpty) {
+              if (errs.isEmpty) errArr.add("No documents loaded")
+              n.put("success", false)
+              n.put("num_sources", files.size)
+              n.put("num_documents", 0)
+              n.put("num_chunks", 0)
+              n.put("num_entities", 0)
+              n.put("num_relations", 0)
+              n.set("errors", errArr)
+              respond(ex, 200, n)
+            } else {
+              val docsDf0 = spark.createDataFrame(docs).toDF("id", "text")
+              val docsDf =
+                if (chunkDocs)
+                  graft.operators.Chunker
+                    .chunkDocuments(docsDf0, "id", "text", chunkSize, overlap)
+                    .select(
+                      org.apache.spark.sql.functions.concat_ws("#",
+                        org.apache.spark.sql.functions.col("id"),
+                        org.apache.spark.sql.functions.col("chunk_index")).as("id"),
+                      org.apache.spark.sql.functions.col("chunk").as("text"))
+                else docsDf0
+              val nChunks = docsDf.count()
+              val stats = rag(g).addDocumentsDf(docsDf)
+              n.put("success", true)
+              n.put("num_sources", files.size)
+              n.put("num_documents", docs.size)
+              n.put("num_chunks", nChunks)
+              n.put("num_entities", stats.getOrElse("entities", 0L))
+              n.put("num_relations", stats.getOrElse("relations", 0L))
+              n.set("errors", errArr)
+              respond(ex, 200, n)
+            }
+          }
         case ("POST", Seq("graphs", g, "import")) =>
           val body = readBody(ex)
           val chunkSize = if (body.has("chunk_size")) body.get("chunk_size").asInt() else 1000

@@ -56,6 +56,16 @@ object NnDescent {
     * id carrying its approximate top-k by cosine. `rounds = 0` returns the
     * bucket-init graph (useful as the recall baseline).
     *
+    * OMISSION NOTE (like labelAgreement's "anchors alone in their block
+    * drop out"): a node that never receives a candidate — alone in its
+    * seed-0 init bucket at rounds = 0, or alone in EVERY seed-0..r
+    * bucketing — gets no top-list row and is ABSENT from the output, not
+    * present with zero neighbors. Per-id consumers that must see every
+    * node left-join the base ids back (the
+    * [[VectorSearch.knnDensityFrom]] `allIds` parameter does exactly
+    * that); with ~32-node buckets a singleton bucket needs n < ~64 or a
+    * pathological id set, so at corpus scale this is a theoretical edge.
+    *
     * `oversample`: internal lists are K = oversample·k long, the final
     * projection keeps each node's top k — the paper's K-vs-k dial and the
     * lever that matters in HIGH INTRINSIC DIMENSION, where "my neighbor's

@@ -489,6 +489,52 @@ object VectorSearch {
         col("x.__c").as("cosine"))
   }
 
+  /** [[mutualKnn]] over a PREBUILT directed kNN graph (id, nbr_id, cosine)
+    * — the consumer end of [[NnDescent.knnGraph]]: past ~10⁷ rows the n²
+    * scan inside [[mutualKnn]] is unpayable, so build the approximate graph
+    * once (sub-n², shared by every graph consumer) and derive mutuality
+    * from it with ONE n·k self-join — no vector ever rides through this
+    * operator. Edge agreement with the exact operator is anchored by the
+    * graph's recall (a mutual edge survives iff BOTH directed edges were
+    * found; false edges additionally need reciprocation, which hub noise
+    * rarely gets) — Bench publishes the measured agreement-vs-recall pair.
+    * Nodes absent from the graph (see [[NnDescent.knnGraph]]'s omission
+    * note) contribute no edges. Output: (id_a, id_b, cosine), id_a < id_b. */
+  def mutualKnnFrom(graph: DataFrame): DataFrame = {
+    val knn = graph.select(col("id").as("__src"), col("nbr_id").as("__dst"),
+      col("cosine").as("__c"))
+    knn.as("x").join(knn.as("y"),
+        col("x.__src") === col("y.__dst") && col("x.__dst") === col("y.__src") &&
+        col("x.__src") < col("x.__dst"))
+      .select(col("x.__src").as("id_a"), col("x.__dst").as("id_b"),
+        col("x.__c").as("cosine"))
+  }
+
+  /** [[knnDensity]] over a PREBUILT kNN graph — same consumer rationale as
+    * [[mutualKnnFrom]]. The mean folds over the (cosine DESC, id ASC)
+    * sorted list, the exact operator's aggregation order, so on a
+    * recall-1.0 graph the scores are bit-identical. `allIds`: left-join
+    * the full id frame (first column, cast to string) so nodes MISSING
+    * from the graph surface as k_eff = 0 / null mean_cos instead of
+    * silently vanishing from a per-id join downstream.
+    * Output: (id, k_eff, mean_cos). */
+  def knnDensityFrom(graph: DataFrame, allIds: Option[DataFrame] = None): DataFrame = {
+    val d = graph.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct((-col("cosine")).as("s"),
+        col("nbr_id").as("i"), col("cosine").as("c")))).as("__l"))
+      .select(col("id"),
+        size(col("__l")).cast("long").as("k_eff"),
+        (aggregate(transform(col("__l"), t => t.getField("c")),
+          lit(0.0), (acc, x) => acc + x) / size(col("__l"))).as("mean_cos"))
+    allIds match {
+      case None => d
+      case Some(ids) =>
+        ids.select(col(ids.columns.head).cast("string").as("id")).distinct()
+          .join(d, Seq("id"), "left")
+          .na.fill(0L, Seq("k_eff"))
+    }
+  }
+
   /** TRIPLET MINING: per anchor, the HARDEST POSITIVE (same label,
     * lowest cosine — the in-class example the embedder currently pushes
     * away) and the HARDEST NEGATIVE (different label, highest cosine —

@@ -325,4 +325,68 @@ class RestServerSpec extends SparkSpec {
     assert(bad.statusCode() == 500)
     assert(bad.body().contains("error"))
   }
+
+  test("POST /upload: multipart DOCX+TXT converts, chunks, indexes; bad file -> errors[]") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // in-memory DOCX fixture (the ConverterSpec shape: one body paragraph)
+    val docXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body><w:p><w:r><w:t>Uploaded report about spark joins.</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val zbos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(zbos)
+    z.putNextEntry(new ZipEntry("word/document.xml"))
+    z.write(docXml.getBytes(UTF_8)); z.closeEntry(); z.close()
+    val docx = zbos.toByteArray
+
+    val boundary = "graftBoundary42"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(ISO_8859_1))
+    def filePart(name: String, bytes: Array[Byte]): Unit = {
+      w(s"--$boundary\r\n")
+      w(s"""Content-Disposition: form-data; name="files"; filename="$name"\r\n""")
+      w("Content-Type: application/octet-stream\r\n\r\n")
+      bos.write(bytes); w("\r\n")
+    }
+    def field(name: String, value: String): Unit = {
+      w(s"--$boundary\r\n")
+      w(s"""Content-Disposition: form-data; name="$name"\r\n\r\n""")
+      w(value); w("\r\n")
+    }
+    filePart("fixture.docx", docx)
+    filePart("note.txt", "A note mentioning kepler and planetary motion.".getBytes(UTF_8))
+    filePart("broken.pdf", "not really a pdf".getBytes(UTF_8)) // -> errors[]
+    field("graph_name", "upg")
+    field("chunk_size", "1000")
+    w(s"--$boundary--\r\n")
+
+    val resp = client.send(HttpRequest.newBuilder(URI.create(base + "/upload"))
+      .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, resp.body())
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+    assert(n.get("success").asBoolean(), resp.body())
+    assert(n.get("num_sources").asInt() == 3, resp.body())
+    assert(n.get("num_documents").asInt() == 2, resp.body()) // broken.pdf dropped
+    assert(n.get("num_chunks").asInt() >= 2, resp.body())
+    assert(n.get("errors").size() == 1 &&
+      n.get("errors").get(0).asText().contains("broken.pdf"), resp.body())
+    assert(n.get("num_entities").asInt() > 0, resp.body())
+
+    // round-trip: the uploaded DOCX chunk is retrievable from the graph
+    val hit = get("/documents?graph_name=upg&query=spark%20joins%20report&top_k=2")
+    assert(hit.statusCode() == 200, hit.body())
+    assert(hit.body().contains("fixture.docx#0"), hit.body())
+    assert(hit.body().contains("spark joins"), hit.body())
+
+    // non-multipart body is a 400, not a parse crash
+    val bad = client.send(HttpRequest.newBuilder(URI.create(base + "/upload"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() == 400, bad.body())
+  }
 }

@@ -49,6 +49,44 @@ class Round13OpsSpec extends SparkSpec {
     assert(keys.length == 4)
   }
 
+  test("nn-descent consumers: mutualKnnFrom/knnDensityFrom agree with exact at graph recall") {
+    import graft.operators.{NnDescent, VectorSearch}
+    // 12 points, 3 tight clusters; n < 32 puts everything in ONE init bucket,
+    // so the graph is exact by construction (recall 1.0) and the consumer
+    // outputs must be BIT-equal to the n²-scan operators.
+    val pts = Seq(
+      ("a1", Array(1.0f, 0.01f, 0f, 0f)), ("a2", Array(1.0f, 0.02f, 0f, 0f)),
+      ("a3", Array(1.0f, 0.03f, 0f, 0f)), ("a4", Array(1.0f, 0.04f, 0f, 0f)),
+      ("b1", Array(0f, 1.0f, 0.01f, 0f)), ("b2", Array(0f, 1.0f, 0.02f, 0f)),
+      ("b3", Array(0f, 1.0f, 0.03f, 0f)), ("b4", Array(0f, 1.0f, 0.04f, 0f)),
+      ("c1", Array(0f, 0f, 1.0f, 0.01f)), ("c2", Array(0f, 0f, 1.0f, 0.02f)),
+      ("c3", Array(0f, 0f, 1.0f, 0.03f)), ("c4", Array(0f, 0f, 1.0f, 0.04f))
+    ).toDF("id", "v")
+    val g = NnDescent.knnGraph(pts, "id", "v", k = 3, rounds = 2)
+      .localCheckpoint(true)
+    val rec = NnDescent.recallAtK(pts, "id", "v", 3, g, sampleMod = 1)
+    assert(rec == 1.0, s"single-bucket fixture must be exact, recall=$rec")
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val exactMut = edges(VectorSearch.mutualKnn(pts, "id", "v", 3))
+    val approxMut = edges(VectorSearch.mutualKnnFrom(g))
+    assert(exactMut.nonEmpty && approxMut == exactMut)
+    def dens(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val de = dens(VectorSearch.knnDensity(pts, "id", "v", 3))
+    val da = dens(VectorSearch.knnDensityFrom(g))
+    assert(da == de) // bit-equal: same lists, same sorted fold order
+    // allIds: a node missing from the graph surfaces as k_eff = 0, not a
+    // silently lost row
+    val surfaced = VectorSearch.knnDensityFrom(
+        g.filter(col("id") =!= "a1"), Some(pts.select("id")))
+      .filter(col("id") === "a1").collect()
+    assert(surfaced.length == 1 && surfaced(0).getLong(1) == 0L &&
+      surfaced(0).isNullAt(2))
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(g)
+  }
+
   test("capPerKey: null id fails loudly instead of sampling unstably") {
     import graft.operators.CorpusOps
     val rows = Seq(("k", java.lang.Long.valueOf(1L)), ("k", null.asInstanceOf[java.lang.Long]))
