@@ -31,10 +31,12 @@ final case class ConversionResult(
   *  - PDF text extraction decodes content streams (raw or /FlateDecode via
   *    java.util.zip.Inflater) and replays the text operators (Tj / TJ / ' /
   *    " between BT..ET), with PDF string-escape and hex-string handling.
-  *    Single-byte-encoded fonts only — composite /Type0 CID text is not
-  *    mapped (same class of limitation every lightweight extractor has);
-  *    bytes outside the printable range are dropped rather than emitted as
-  *    mojibake.
+  *    Composite /Type0 CID text decodes through the file's /ToUnicode
+  *    CMaps (bfchar + bfrange, both dst forms — r13): hex-string 2-byte
+  *    CIDs that resolve map to real Unicode, which is what every modern
+  *    embedded-Unicode-font writer emits; without a CMap (or for
+  *    unresolvable codes) the single-byte printable fallback applies and
+  *    non-printable bytes are dropped rather than emitted as mojibake.
   *
   * Defensive bounds follow [[graft.operators.Multimodal]]'s contract: a
   * header-declared size is never trusted — decompression is capped per
@@ -256,9 +258,64 @@ object DocConverter {
     out.result()
   }
 
+  /** Parse a /ToUnicode CMap stream: bfchar pairs and bfrange runs (both
+    * dst forms — incremented start code, or explicit array) into a CID →
+    * Unicode-string map. Dst hex is UTF-16BE, so 4-hex chunking yields the
+    * right chars including surrogate pairs. Bounded: a range wider than
+    * 64Ki codes is clamped (a real CMap never needs more; an adversarial
+    * one must not allocate unbounded memory). */
+  private[graft] def parseToUnicodeCMap(content: String): Map[Int, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    def utf16(hex: String): String =
+      hex.grouped(4).filter(_.length == 4)
+        .map(h => Integer.parseInt(h, 16).toChar).mkString
+    val bfchar = """(?s)beginbfchar(.*?)endbfchar""".r
+    val pair = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    for (m <- bfchar.findAllMatchIn(content);
+         p <- pair.findAllMatchIn(m.group(1))) {
+      val src = Integer.parseInt(p.group(1), 16)
+      if (!out.contains(src)) out(src) = utf16(p.group(2))
+    }
+    val bfrange = """(?s)beginbfrange(.*?)endbfrange""".r
+    val range = """(?s)<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[.*?\])""".r
+    for (m <- bfrange.findAllMatchIn(content);
+         r <- range.findAllMatchIn(m.group(1))) {
+      val lo = Integer.parseInt(r.group(1), 16)
+      val hi = math.min(Integer.parseInt(r.group(2), 16), lo + 0xFFFF)
+      val dst = r.group(3)
+      if (dst.startsWith("[")) {
+        val singles = """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(dst).toSeq
+        singles.zipWithIndex.foreach { case (d, idx) =>
+          val src = lo + idx
+          if (src <= hi && !out.contains(src)) out(src) = utf16(d.group(1))
+        }
+      } else {
+        val startHex = dst.substring(1, dst.length - 1)
+        val base = utf16(startHex)
+        if (base.nonEmpty) {
+          var c = lo
+          while (c <= hi) {
+            if (!out.contains(c)) {
+              // increment the LAST code unit (the spec's bfrange rule)
+              val inc = (base.last + (c - lo)).toChar
+              out(c) = base.dropRight(1) + inc
+            }
+            c += 1
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
   /** Replay the text operators of one decoded content stream. Strings
-    * accumulate through Tj / ' / " / TJ; Td, TD, T* and ET break lines. */
-  private def contentStreamText(content: String): String = {
+    * accumulate through Tj / ' / " / TJ; Td, TD, T* and ET break lines.
+    * `cmap`: the document's merged /ToUnicode map — hex strings whose
+    * 2-byte CID groups resolve through it decode to Unicode (the Type0/
+    * composite-font path); with no map, or when no group resolves, the
+    * single-byte printable fallback applies. */
+  private def contentStreamText(content: String,
+      cmap: Map[Int, String] = Map.empty): String = {
     if (!content.contains("BT")) return ""
     val out = new StringBuilder
     var i = 0
@@ -285,16 +342,28 @@ object DocConverter {
           pendingLine.append(unescapePdfString(sb.result()))
           i = j
         case '<' if i + 1 < content.length && content.charAt(i + 1) != '<' =>
-          // hex string: single-byte pairs (composite-font CIDs out of scope)
+          // hex string: 2-byte CIDs through the ToUnicode map when the
+          // groups resolve (Type0/composite fonts); single-byte printable
+          // pairs otherwise
           val j = content.indexOf('>', i)
           if (j > i) {
             val hex = content.substring(i + 1, j).filterNot(_.isWhitespace)
-            val padded = if (hex.length % 2 == 1) hex + "0" else hex
-            padded.grouped(2).foreach { h =>
-              try {
-                val v = Integer.parseInt(h, 16)
-                if (v >= 32 && v < 127) pendingLine.append(v.toChar)
-              } catch { case _: NumberFormatException => }
+            val cidGroups =
+              if (cmap.nonEmpty && hex.length % 4 == 0)
+                hex.grouped(4).flatMap { g =>
+                  try cmap.get(Integer.parseInt(g, 16))
+                  catch { case _: NumberFormatException => None }
+                }.toSeq
+              else Seq.empty
+            if (cidGroups.nonEmpty) cidGroups.foreach(pendingLine.append)
+            else {
+              val padded = if (hex.length % 2 == 1) hex + "0" else hex
+              padded.grouped(2).foreach { h =>
+                try {
+                  val v = Integer.parseInt(h, 16)
+                  if (v >= 32 && v < 127) pendingLine.append(v.toChar)
+                } catch { case _: NumberFormatException => }
+              }
             }
             i = j + 1
           } else i += 1
@@ -345,13 +414,22 @@ object DocConverter {
           new String(bytes, 0, 5, java.nio.charset.StandardCharsets.ISO_8859_1) != "%PDF-")
         Left("not a PDF (missing %PDF- header)")
       else {
-        val texts = pdfStreams(bytes).flatMap { case (dict, data) =>
-          val decoded =
-            if (dict.contains("/FlateDecode")) inflate(data).toOption
-            else Some(data)
-          decoded.map(d =>
-            contentStreamText(new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)))
-        }
+        val decodedStreams = pdfStreams(bytes).map { case (dict, data) =>
+          if (dict.contains("/FlateDecode")) inflate(data).toOption
+          else Some(data)
+        }.flatten.map(d =>
+          new String(d, java.nio.charset.StandardCharsets.ISO_8859_1))
+        // Merge every /ToUnicode CMap in the file (2-byte CID → Unicode).
+        // Lexical association: without replaying the xref/object graph we
+        // cannot tie each CMap to ITS font, so one merged map serves every
+        // hex string — exact for the overwhelmingly common one-CID-space
+        // writers (each font subset gets disjoint CIDs anyway), first map
+        // wins on a genuine collision.
+        val cmap = decodedStreams
+          .filter(s => s.contains("beginbfchar") || s.contains("beginbfrange"))
+          .foldLeft(Map.empty[Int, String])((acc, s) =>
+            acc ++ (parseToUnicodeCMap(s) -- acc.keySet))
+        val texts = decodedStreams.map(contentStreamText(_, cmap))
         val text = texts.filter(_.nonEmpty).mkString("\n").trim
         Right((pdfTitle(bytes), text))
       }

@@ -105,6 +105,95 @@ class ConverterSpec extends SparkSpec {
     }
   }
 
+  /** A Type0/CID PDF: content stream addresses glyphs by 2-byte CIDs in hex
+    * strings; the /ToUnicode CMap (optionally Flate-compressed, like real
+    * writers emit) carries bfchar pairs, an incremented bfrange, AND an
+    * array-form bfrange — all three dst shapes of the spec. */
+  private def pdfType0Bytes(flateCmap: Boolean): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <006C>
+        |endbfrange
+        |1 beginbfrange
+        |<0020> <0021> [<0057> <00E9>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end end""".stripMargin
+    val cmapRaw = cmap.getBytes(ISO_8859_1)
+    val cmapPayload =
+      if (!flateCmap) cmapRaw
+      else {
+        val d = new Deflater()
+        d.setInput(cmapRaw); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end(); out.toByteArray
+      }
+    // "Hello" = H e l l o? -> 0001 0002 0010 0010 ... 'o' missing; map via
+    // the incremented range instead: 0010->l 0011->m 0012->n. Use
+    // "Hel" + "W" + e-acute from the array range on a second line.
+    val content =
+      "BT /F1 12 Tf <000100020010> Tj T* <00200021> Tj " +
+        "<48692C20706C61696E> Tj ET" // odd group count % 4 != 0 -> single-byte path
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >>\nstream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fixture " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmapPayload.length}" +
+      s"${if (flateCmap) " /Filter /FlateDecode" else ""} >>\nstream\n")
+    bos.write(cmapPayload)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf: Type0/CID text decodes through the ToUnicode CMap (all dst forms)") {
+    for (flate <- Seq(false, true)) {
+      val Right((_, text)) = DocConverter.pdfText(pdfType0Bytes(flate))
+      val lines = text.split("\n").toSeq
+      // bfchar H,e + bfrange-incr l | array-form W + e-acute | single-byte
+      // fallback for the non-CID hex string in the same document
+      assert(lines == Seq("Hel", "WéHi, plain"), s"flateCmap=$flate got $lines")
+    }
+  }
+
+  test("pdf: bfrange parser bounds and precedence") {
+    val m = DocConverter.parseToUnicodeCMap(
+      """2 beginbfchar
+        |<0001> <0041>
+        |<0001> <0042>
+        |endbfchar
+        |1 beginbfrange
+        |<0001> <0003> <0061>
+        |endbfrange""".stripMargin)
+    assert(m(0x0001) == "A") // first mapping wins over later dupes/ranges
+    assert(m(0x0002) == "b" && m(0x0003) == "c")
+    // surrogate pair dst survives 4-hex chunking
+    val sp = DocConverter.parseToUnicodeCMap(
+      "1 beginbfchar\n<0005> <D83DDE00>\nendbfchar")
+    assert(sp(0x0005) == new String(Character.toChars(0x1F600)))
+  }
+
   test("pdf: /Title surfaces; non-PDF bytes are an error") {
     val Right((title, _)) = DocConverter.pdfText(pdfBytes(flate = true, title = Some("Doc Title")))
     assert(title.contains("Doc Title"))
