@@ -1590,6 +1590,23 @@ object SparkEntry {
         k = 8, rounds = 1)
         .select(col("id"), col("nbr_id"), round(col("cosine"), 6).as("cosine_r"))
     }),
+    // NN2/NN3 (r13): the CONSUMER end of the approximate graph — mutual-kNN
+    // edges and density scores derived from the same rounds=1 construction
+    // nn1 pins, with no pair scan anywhere (one n·k self-join / one grouped
+    // ordered fold). These are the rows that certify the sub-n² path
+    // actually replaces sim6/sim8 at scale, cross-engine.
+    "nn2_mutual_from_graph" -> ((s, dir) => {
+      VectorSearch.mutualKnnFrom(
+        NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 1))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }),
+    "nn3_density_from_graph" -> ((s, dir) => {
+      VectorSearch.knnDensityFrom(
+        NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, rounds = 1))
+        .select(col("id"), col("k_eff"), round(col("mean_cos"), 6).as("mean_cos_r"))
+    }),
     "sim1_sparse_cosine" -> ((s, dir) => {
       // evalOnce in its OWN aliased projection: the barrier stops
       // CollapseProject from inlining the tokenize into shingles' per-index
@@ -2561,6 +2578,18 @@ object SparkEntry {
       CorpusOps.capPerKey(withDomain, "domain", "doc_id", maxPerKey = 10)
         .select(col("domain"), col("doc_id"))
     }),
+    // X39 TextRank keywords (r13): per-document PageRank over the window-2
+    // word co-occurrence graph, 2 unrolled iterations, top-5 — the
+    // unsupervised topic-tag read. All (doc, word)-keyed equi-joins and
+    // ordered float folds; score_u = floor(score·1e6) because TextRank
+    // scores land exactly on .5 rounding boundaries where the two engines'
+    // round() disagree (see TextRank scaladoc). See operators.TextRank.
+    "x39_textrank" -> ((s, dir) => {
+      graft.operators.TextRank.keywords(
+        t(s, dir, "documents"), "doc_id", "text", topK = 5, iterations = 2)
+        .select(col("doc_id"), col("rank"), col("keyword"),
+          floor(col("score") * lit(1e6)).cast("long").as("score_u"))
+    }),
     // EV8 last-touch conversion attribution (3-day window): purchases
     // credited to the last preceding click/view per user, organic bucket
     // kept; revenue summed in exact integer cents. One user-partitioned
@@ -3055,6 +3084,44 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id, min(r) AS rep_id FROM reach GROUP BY id""".stripMargin.replace("\n", " ")
+    // Unrolled NN-descent rounds=1 twin (init bucket pairs → top-16 lists →
+    // ρ-sampled reverse cap → wedge join → seed-1 re-bucket → rescore →
+    // top-8), ending in `gk` (src, dst, c) — shared by nn1 (the graph
+    // itself) and its r13 consumers nn2 (mutual edges) / nn3 (density):
+    // three board rows, one construction, zero drift.
+    val nnGraphCtes =
+      """v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |nb AS (SELECT greatest(1, count(*) // 32) AS n FROM v),
+        |b0 AS (SELECT id, e, CAST(('0x' || substr(md5('nnd|0|' || id), 1, 8)) AS BIGINT)
+        |    % (SELECT n FROM nb) AS blk FROM v),
+        |b1 AS (SELECT id, CAST(('0x' || substr(md5('nnd|1|' || id), 1, 8)) AS BIGINT)
+        |    % (SELECT n FROM nb) AS blk FROM v),
+        |p0 AS (SELECT a.id AS src, b.id AS dst,
+        |    list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+        |  FROM b0 a JOIN b0 b ON a.blk = b.blk AND a.id <> b.id),
+        |k0 AS (SELECT src, dst FROM (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM p0) t
+        |  WHERE rn <= 16),
+        |rc AS (SELECT rsrc AS src, rdst AS dst FROM (
+        |    SELECT dst AS rsrc, src AS rdst, row_number() OVER (PARTITION BY dst
+        |      ORDER BY CAST(('0x' || substr(md5(dst || '|' || src), 1, 8)) AS BIGINT) DESC, src ASC) AS rn
+        |    FROM k0) t WHERE rn <= 16),
+        |und AS (SELECT src, dst FROM k0 UNION SELECT src, dst FROM rc),
+        |w AS (SELECT x.dst AS src, y.dst AS dst
+        |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst),
+        |pb1 AS (SELECT a.id AS src, b.id AS dst FROM b1 a JOIN b1 b ON a.blk = b.blk AND a.id <> b.id),
+        |cand AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM k0 UNION ALL SELECT src, dst FROM w
+        |    UNION ALL SELECT dst AS src, src AS dst FROM w
+        |    UNION ALL SELECT src, dst FROM pb1) u WHERE src <> dst),
+        |sc AS (SELECT cand.src, cand.dst,
+        |    list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+        |  FROM cand JOIN v a ON cand.src = a.id JOIN v b ON cand.dst = b.id),
+        |gk AS (SELECT src, dst, c FROM (SELECT src, dst, c,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM sc) t
+        |  WHERE rn <= 8)""".stripMargin
     val knnBase =
       """SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
         |       CAST(c.vec_id AS VARCHAR) AS neighbor_id,
@@ -5240,39 +5307,23 @@ object SparkEntry {
       // Hashes are the house md5 arithmetic; ranking ties are
       // (cosine DESC, id ASC) = the TopKAggregator order.
       "nn1_descent_graph" ->
-        """WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS e FROM embeddings),
-          |nb AS (SELECT greatest(1, count(*) // 32) AS n FROM v),
-          |b0 AS (SELECT id, e, CAST(('0x' || substr(md5('nnd|0|' || id), 1, 8)) AS BIGINT)
-          |    % (SELECT n FROM nb) AS blk FROM v),
-          |b1 AS (SELECT id, CAST(('0x' || substr(md5('nnd|1|' || id), 1, 8)) AS BIGINT)
-          |    % (SELECT n FROM nb) AS blk FROM v),
-          |p0 AS (SELECT a.id AS src, b.id AS dst,
-          |    list_dot_product(a.e, b.e) /
-          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
-          |  FROM b0 a JOIN b0 b ON a.blk = b.blk AND a.id <> b.id),
-          |k0 AS (SELECT src, dst FROM (SELECT src, dst,
-          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM p0) t
-          |  WHERE rn <= 16),
-          |rc AS (SELECT rsrc AS src, rdst AS dst FROM (
-          |    SELECT dst AS rsrc, src AS rdst, row_number() OVER (PARTITION BY dst
-          |      ORDER BY CAST(('0x' || substr(md5(dst || '|' || src), 1, 8)) AS BIGINT) DESC, src ASC) AS rn
-          |    FROM k0) t WHERE rn <= 16),
-          |und AS (SELECT src, dst FROM k0 UNION SELECT src, dst FROM rc),
-          |w AS (SELECT x.dst AS src, y.dst AS dst
-          |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst),
-          |pb1 AS (SELECT a.id AS src, b.id AS dst FROM b1 a JOIN b1 b ON a.blk = b.blk AND a.id <> b.id),
-          |cand AS (SELECT DISTINCT src, dst FROM (
-          |    SELECT src, dst FROM k0 UNION ALL SELECT src, dst FROM w
-          |    UNION ALL SELECT dst AS src, src AS dst FROM w
-          |    UNION ALL SELECT src, dst FROM pb1) u WHERE src <> dst),
-          |sc AS (SELECT cand.src, cand.dst,
-          |    list_dot_product(a.e, b.e) /
-          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
-          |  FROM cand JOIN v a ON cand.src = a.id JOIN v b ON cand.dst = b.id)
-          |SELECT src AS id, dst AS nbr_id, round(c, 6) AS cosine_r
-          |FROM (SELECT src, dst, c,
-          |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn FROM sc) t
-          |WHERE rn <= 8""".stripMargin.replace("\n", " "),
+        s"""WITH $nnGraphCtes
+           |SELECT src AS id, dst AS nbr_id, round(c, 6) AS cosine_r FROM gk""".stripMargin.replace("\n", " "),
+      // nn2: mutuality derived from the SAME rounds=1 graph (the
+      // mutualKnnFrom consumer) — one reversed-pair self-join on nn1's
+      // pinned edge set.
+      "nn2_mutual_from_graph" ->
+        s"""WITH $nnGraphCtes
+           |SELECT x.src AS id_a, x.dst AS id_b, round(x.c, 6) AS cosine_r
+           |FROM gk x JOIN gk y ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""".stripMargin.replace("\n", " "),
+      // nn3: density from the same graph (knnDensityFrom) — the mean folds
+      // in the aggregator's (cosine DESC, id ASC) order on BOTH engines
+      // (the sim8 ordered-aggregate convention).
+      "nn3_density_from_graph" ->
+        s"""WITH $nnGraphCtes
+           |SELECT src AS id, CAST(count(*) AS BIGINT) AS k_eff,
+           |  round(sum(c ORDER BY c DESC, dst ASC) / count(*), 6) AS mean_cos_r
+           |FROM gk GROUP BY src""".stripMargin.replace("\n", " "),
       "sim1_sparse_cosine" ->
         s"""WITH bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS t
@@ -5379,6 +5430,37 @@ object SparkEntry {
            |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
            |  FROM udom)
            |SELECT domain, doc_id FROM k WHERE rn <= 10""".stripMargin.replace("\n", " "),
+      // x39: the same two unrolled TextRank iterations — window-2 edges,
+      // degree, then (1−d) + d·Σ tr(u)/deg(u) with the float sum ORDERED by
+      // neighbor (the g29/x36 fold convention). Literals cast to DOUBLE so
+      // (1.0 − 0.85) produces the identical double as Spark's Scala
+      // subtraction (DuckDB's bare decimals would fold to a DIFFERENT
+      // 0.15). Ranking by the RAW score and a floor(·1e6) projection — the
+      // bit-identical doubles diverge under the two engines' round() at
+      // TextRank's exact .5 boundaries (1.0371875 → 88 vs 87).
+      "x39_textrank" ->
+        s"""WITH tok AS (SELECT doc_id, pos, word FROM ($docWords) t),
+           |h AS (SELECT DISTINCT a.doc_id, a.word AS u, b.word AS v
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.word <> b.word),
+           |e AS (SELECT doc_id, u, v FROM h UNION SELECT doc_id, v AS u, u AS v FROM h),
+           |deg AS (SELECT doc_id, u, count(*) AS d FROM e GROUP BY 1, 2),
+           |r0 AS (SELECT doc_id, u AS w, CAST(1.0 AS DOUBLE) AS tr FROM deg),
+           |r1 AS (SELECT e.doc_id, e.v AS w,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * sum(r.tr / deg.d ORDER BY e.u ASC) AS tr
+           |  FROM e JOIN r0 r ON e.doc_id = r.doc_id AND e.u = r.w
+           |  JOIN deg ON deg.doc_id = e.doc_id AND deg.u = e.u
+           |  GROUP BY 1, 2),
+           |r2 AS (SELECT e.doc_id, e.v AS w,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * sum(r.tr / deg.d ORDER BY e.u ASC) AS tr
+           |  FROM e JOIN r1 r ON e.doc_id = r.doc_id AND e.u = r.w
+           |  JOIN deg ON deg.doc_id = e.doc_id AND deg.u = e.u
+           |  GROUP BY 1, 2)
+           |SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS keyword,
+           |  CAST(floor(tr * 1e6) AS BIGINT) AS score_u
+           |FROM (SELECT doc_id, w, tr,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY tr DESC, w ASC) AS rank
+           |  FROM r2) z
+           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
       // ev8: the pair-join + rank-1 twin of the window formulation — both
       // pick the (ts, id)-max touch strictly before the conversion row.
       "ev8_attribution" ->

@@ -87,6 +87,26 @@ class Round13OpsSpec extends SparkSpec {
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(g)
   }
 
+  test("textRank: hand-computed two-iteration scores, rank order, dropouts") {
+    import graft.operators.TextRank
+    val docs = Seq(("d1", "a b a c"), ("d2", "solo"), ("d3", "")).toDF("id", "text")
+    val out = TextRank.keywords(docs, "id", "text", topK = 5, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // d1 graph: {a-b, a-c}; deg a=2, b=1, c=1. Hand-replay of the exact
+    // double arithmetic (init 1.0, ordered neighbor folds):
+    val d = 0.85
+    val tA1 = (1.0 - d) + d * (0.0 + 1.0 / 1 + 1.0 / 1) // nbrs b, c
+    val tB1 = (1.0 - d) + d * (0.0 + 1.0 / 2)           // nbr a
+    val tA2 = (1.0 - d) + d * (0.0 + tB1 / 1 + tB1 / 1)
+    val tB2 = (1.0 - d) + d * (0.0 + tA1 / 2)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("d1", 1, "a"), ("d1", 2, "b"), ("d1", 3, "c"))) // b before c on tie
+    assert(out(0)._4 == tA2 && out(1)._4 == tB2 && out(2)._4 == tB2)
+    // single-token and empty docs have no co-occurrence node: no rows, by doc
+    assert(!out.exists(t => t._1 == "d2" || t._1 == "d3"))
+  }
+
   test("capPerKey: null id fails loudly instead of sampling unstably") {
     import graft.operators.CorpusOps
     val rows = Seq(("k", java.lang.Long.valueOf(1L)), ("k", null.asInstanceOf[java.lang.Long]))
