@@ -1586,25 +1586,22 @@ object SparkEntry {
     // rounds curve at full depth is the [nndescent-recall] bench line.
     // See NnDescent.knnGraph.
     "nn1_descent_graph" -> ((s, dir) => {
-      NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, rounds = 1)
+      nnGraph1(s, dir)
         .select(col("id"), col("nbr_id"), round(col("cosine"), 6).as("cosine_r"))
     }),
     // NN2/NN3 (r13): the CONSUMER end of the approximate graph — mutual-kNN
     // edges and density scores derived from the same rounds=1 construction
     // nn1 pins, with no pair scan anywhere (one n·k self-join / one grouped
     // ordered fold). These are the rows that certify the sub-n² path
-    // actually replaces sim6/sim8 at scale, cross-engine.
+    // actually replaces sim6/sim8 at scale, cross-engine. All three rows
+    // read the ONE shared graph build (nnGraph1) — the build-once/
+    // consume-many shape the operator exists for.
     "nn2_mutual_from_graph" -> ((s, dir) => {
-      VectorSearch.mutualKnnFrom(
-        NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, rounds = 1))
+      VectorSearch.mutualKnnFrom(nnGraph1(s, dir))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
     }),
     "nn3_density_from_graph" -> ((s, dir) => {
-      VectorSearch.knnDensityFrom(
-        NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 8, rounds = 1))
+      VectorSearch.knnDensityFrom(nnGraph1(s, dir))
         .select(col("id"), col("k_eff"), round(col("mean_cos"), 6).as("mean_cos_r"))
     }),
     "sim1_sparse_cosine" -> ((s, dir) => {
@@ -2814,6 +2811,17 @@ object SparkEntry {
       }
     }
   }
+
+  /** Shared rounds=1 NN-descent graph (nn1 + its r13 consumers nn2/nn3):
+    * one construction, three readers — the build-once/consume-many shape
+    * the approximate graph exists for. */
+  private val nnGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def nnGraph1(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(nnGraphCache, s, dir) {
+      NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 1).localCheckpoint(true)
+    }
 
   /** Shared DSIR log-weight frame (x23 weights read + x24 resampling
     * action): the hashed unigram+bigram LM passes are identical across the
