@@ -2161,6 +2161,32 @@ object SparkEntry {
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_spans"))
     }),
+    // FI1 support-pruned frequent-pair mining (r13): part pairs co-ordered
+    // >= 2 times with exact integer lift_ppm — the A-priori level-2 pass
+    // whose quadratic within-basket join runs only AFTER the support prune.
+    // See FrequentItemsets.
+    "fi1_frequent_pairs" -> ((s, dir) => {
+      FrequentItemsets.frequentPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+    }),
+    // W2V1 skip-gram pair extraction (r13): the g16 walks turned into
+    // DeepWalk/node2vec (center, context, count) training rows — one
+    // walk_id band self-join + integer counts. See RandomWalk.skipGramPairs.
+    "w2v1_skipgram_pairs" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val seeds = edges.filter(col("src") % 100 === 0)
+        .select(col("src").as("node")).distinct()
+      RandomWalk.skipGramPairs(
+        RandomWalk.walks(edges, seeds, steps = 3), window = 2)
+    }),
+    // PCA1 quantized covariance moments (r13): the ONE distributed pass a
+    // PCA needs — O(d²) integer state per partition, map-side combined;
+    // fit/project are driver + broadcast consumers (spec-tested; eigen is
+    // not SQL-expressible). All BIGINT-exact. See operators.Pca.
+    "pca1_moments" -> ((s, dir) => {
+      Pca.momentSums(t(s, dir, "embeddings"), "embedding", dim = 64)
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads (rows-only check).
@@ -3225,6 +3251,33 @@ object SparkEntry {
          |      len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une'], t))),
          |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht'], t)))) AS m
          |  FROM (SELECT doc_id, $toksDoc AS toks FROM documents) t) s""".stripMargin.replace("\n", " ")
+    // Shared by g16 (walk rows) and w2v1 (skip-gram pairs): the md5-argmin
+    // next-hop replay, one row_number window per hop ordered by (md5 draw,
+    // candidate id) — the same total order as the Scala side's (hash, dst)
+    // struct-min — ending in a `wk(walk_id, step, node)` CTE.
+    val walkCtes =
+      """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+        |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e0 WHERE src % 100 = 0),
+        |s1 AS (SELECT walk_id, node FROM (
+        |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
+        |    ORDER BY md5(concat_ws('-', f.walk_id, '1', f.node, e.dst)), e.dst) AS rn
+        |  FROM s0 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
+        |s2 AS (SELECT walk_id, node FROM (
+        |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
+        |    ORDER BY md5(concat_ws('-', f.walk_id, '2', f.node, e.dst)), e.dst) AS rn
+        |  FROM s1 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
+        |s3 AS (SELECT walk_id, node FROM (
+        |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
+        |    ORDER BY md5(concat_ws('-', f.walk_id, '3', f.node, e.dst)), e.dst) AS rn
+        |  FROM s2 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
+        |wk AS (SELECT walk_id, 0 AS step, node FROM s0
+        |  UNION ALL SELECT walk_id, 1, node FROM s1
+        |  UNION ALL SELECT walk_id, 2, node FROM s2
+        |  UNION ALL SELECT walk_id, 3, node FROM s3)""".stripMargin.replace("\n", " ")
     Map(
       "s10_stats" -> statsUnion,
       "s7_upsert" ->
@@ -4015,32 +4068,45 @@ object SparkEntry {
           |  LEFT JOIN c0 k ON k.u = g.u AND k.v = g.v WHERE k.u IS NULL)
           |SELECT u AS src, v AS dst, common, round(aa, 6) AS aa_r FROM cand
           |ORDER BY aa_r DESC, src ASC, dst ASC LIMIT 50""".stripMargin.replace("\n", " "),
-      // g16: replay the hash-argmin next-hop choice step by step — one
-      // row_number window per hop ordered by (md5 draw, candidate id), the
-      // same total order as the Scala side's (hash, dst) struct-min.
+      // g16: the shared walkCtes replay, projected as walk rows.
       "g16_random_walks" ->
-        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-          |  FROM lineitem a JOIN lineitem b
-          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
-          |s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e0 WHERE src % 100 = 0),
-          |s1 AS (SELECT walk_id, node FROM (
-          |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
-          |    ORDER BY md5(concat_ws('-', f.walk_id, '1', f.node, e.dst)), e.dst) AS rn
-          |  FROM s0 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
-          |s2 AS (SELECT walk_id, node FROM (
-          |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
-          |    ORDER BY md5(concat_ws('-', f.walk_id, '2', f.node, e.dst)), e.dst) AS rn
-          |  FROM s1 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1),
-          |s3 AS (SELECT walk_id, node FROM (
-          |  SELECT f.walk_id, e.dst AS node, row_number() OVER (PARTITION BY f.walk_id
-          |    ORDER BY md5(concat_ws('-', f.walk_id, '3', f.node, e.dst)), e.dst) AS rn
-          |  FROM s2 f JOIN e0 e ON e.src = f.node) q WHERE rn = 1)
-          |SELECT walk_id, 0 AS step, node FROM s0
-          |UNION ALL SELECT walk_id, 1, node FROM s1
-          |UNION ALL SELECT walk_id, 2, node FROM s2
-          |UNION ALL SELECT walk_id, 3, node FROM s3""".stripMargin.replace("\n", " "),
+        s"$walkCtes SELECT walk_id, step, node FROM wk",
+      // w2v1: skip-gram pairs from the SAME walks — window-2 band self-join
+      // on walk_id, integer pair counts (order-free, exact).
+      "w2v1_skipgram_pairs" ->
+        (s"$walkCtes SELECT a.node AS center, b.node AS context, " +
+          "CAST(count(*) AS BIGINT) AS pair_count FROM wk a JOIN wk b " +
+          "ON a.walk_id = b.walk_id AND a.step <> b.step " +
+          "AND abs(a.step - b.step) <= 2 GROUP BY 1, 2"),
+      // fi1: A-priori level-2 replay — same prune, same pair join, same
+      // integer lift_ppm via DuckDB's floor-division `//`.
+      "fi1_frequent_pairs" ->
+        """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+          |ic AS (SELECT i, count(*) AS c FROM bi GROUP BY 1 HAVING count(*) >= 2),
+          |nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+          |pr AS (SELECT bi.b, bi.i FROM bi JOIN ic ON ic.i = bi.i),
+          |pairs AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS support
+          |  FROM pr a JOIN pr b2 ON a.b = b2.b AND a.i < b2.i
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
+          |  CAST(ca.c AS BIGINT) AS count_a, CAST(cb.c AS BIGINT) AS count_b,
+          |  CAST(nb.n AS BIGINT) AS n_baskets,
+          |  CAST((1000000 * p.support * nb.n) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+          |FROM pairs p JOIN ic ca ON ca.i = p.item_a
+          |JOIN ic cb ON cb.i = p.item_b CROSS JOIN nb""".stripMargin.replace("\n", " "),
+      // pca1: quantized integer moment sums — float32→double widening and
+      // ⌊x·10⁴⌋ are IEEE-identical across engines, integer sums order-free.
+      "pca1_moments" ->
+        """WITH q AS (SELECT list_transform(embedding,
+          |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv FROM embeddings),
+          |ij AS (SELECT a.i, b.j FROM (SELECT unnest(range(0, 64)) AS i) a
+          |  JOIN (SELECT unnest(range(0, 64)) AS j) b ON a.i <= b.j)
+          |SELECT CAST(ij.i AS INTEGER) AS i, CAST(ij.j AS INTEGER) AS j,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(q.qv[ij.i + 1]) AS BIGINT) AS sx,
+          |  CAST(sum(q.qv[ij.j + 1]) AS BIGINT) AS sy,
+          |  CAST(sum(q.qv[ij.i + 1] * q.qv[ij.j + 1]) AS BIGINT) AS sxy
+          |FROM q CROSS JOIN ij GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       // g17: three unrolled Bellman–Ford rounds — each a union of carry +
       // relax then a (seed, node) min, the identical float dataflow
       // (d_{k+1} = d_k + w, same candidate multiset per min).

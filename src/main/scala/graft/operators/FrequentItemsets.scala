@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Support-pruned frequent-pair / association mining — the A-priori level-2
+  * pass (Agrawal & Srikant 1994) over (basket, item) rows: which item pairs
+  * co-occur in at least `minSupport` baskets, and how much more often than
+  * independence predicts (lift). The training-data-pipeline uses are
+  * co-occurrence vocabularies (entity pairs that co-occur across documents
+  * — the corpus-level sibling of [[graft.functions.TextAnalysis]]'s
+  * within-window PMI collocations), template/boilerplate detection (line
+  * pairs that always ship together), and co-access mining over event logs.
+  * The reference has no co-occurrence mining; this is §2.11 scale-pipeline
+  * inventory.
+  *
+  * Scale shape (why this survives 100 TB while naive pair counting dies):
+  *  - the quadratic step — the within-basket self-join — runs AFTER the
+  *    A-priori prune: any pair with support ≥ s consists of two items each
+  *    with support ≥ s, so items below `minSupport` are dropped BEFORE the
+  *    join (one hash-agg + one equi-join). On Zipfian corpora this removes
+  *    the long tail, which is most of the item universe.
+  *  - pair counting is a hash aggregate with map-side partial combine: the
+  *    shuffle carries one row per distinct surviving pair per map task,
+  *    never the raw co-occurrence stream. Integer counts — order-free,
+  *    exact, cross-engine reproducible.
+  *  - fan-out is quadratic in BASKET size, not corpus size: b items in a
+  *    basket emit C(b,2) pairs. Bounded baskets (order lines, doc shingle
+  *    sets, session events) keep this a small constant. For melt-a-sorter
+  *    baskets (one basket with 10^6 items), the documented production
+  *    upgrade is the PCY hash-bucket prefilter (Park/Chen/Yu 1995: a first
+  *    pass counting pair-hash buckets, pairs in light buckets skipped) or a
+  *    hard basket-size cap — both compose in front of this operator without
+  *    changing its contract.
+  *  - lift is projected as an EXACT integer ratio in parts-per-million
+  *    (`lift_ppm = ⌊10^6·support·n_baskets / (count_a·count_b)⌋`, integer
+  *    DIV): no float fold anywhere, so the output hashes identically on any
+  *    engine/partitioning (the g19 lesson).
+  *
+  * Input rows are (basket, item) — duplicates tolerated (distinct'd: a
+  * basket contains an item or it does not; multiplicity is not support).
+  * Output: one row per unordered pair (item_a < item_b) with support ≥
+  * `minSupport`: (item_a, item_b, support, count_a, count_b, n_baskets,
+  * lift_ppm). lift_ppm > 10^6 means positive association.
+  */
+object FrequentItemsets {
+
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // Read three times (item counts, basket count, pair join) — pin once.
+    val bi = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct().localCheckpoint(true)
+    // Level-1: per-item basket counts; the A-priori prune keeps only items
+    // that could appear in a frequent pair.
+    val itemCounts = bi.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minSupport)
+      .localCheckpoint(true) // read 3x: prune join + two enrichment joins
+    // n_baskets over ALL baskets (lift's denominator is corpus-wide
+    // independence, not post-prune) — one row, broadcast into the output.
+    val nB = bi.select(count_distinct(col("_b")).as("n_baskets"))
+    val pruned = bi.join(itemCounts.select(col("_i")), Seq("_i"))
+    // Level-2: within-basket pair explosion (a < b once per unordered pair)
+    // + hash count. Equi-join on the basket key; AQE handles skewed baskets.
+    val pairs = pruned.select(col("_b"), col("_i").as("item_a"))
+      .join(pruned.select(col("_b").as("_b2"), col("_i").as("item_b")),
+        col("_b") === col("_b2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("_i").as("item_a"), col("_c").as("count_a")),
+        Seq("item_a"))
+      .join(itemCounts.select(col("_i").as("item_b"), col("_c").as("count_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("count_a"), col("count_b"), col("n_baskets"),
+        expr("(1000000 * support * n_baskets) DIV (count_a * count_b)")
+          .as("lift_ppm"))
+  }
+}

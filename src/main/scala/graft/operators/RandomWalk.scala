@@ -68,4 +68,37 @@ object RandomWalk {
     }
     out
   }
+
+  /** Skip-gram training pairs from [[walks]] output — the (center, context)
+    * multiset a DeepWalk/node2vec embedding actually trains on: every
+    * ordered pair of nodes co-occurring within `window` positions on the
+    * same walk, with its occurrence count (word2vec's positive-sample
+    * frequency). This is the missing half of the graph-embedding data
+    * pipeline: `walks` samples the corpus, this turns it into training rows.
+    *
+    * Scale shape: ONE self-equi-join on walk_id. A walk has at most
+    * (steps+1) rows, so the join fans out to ≤ (steps+1)·2·window rows per
+    * walk — a small constant per walk, linear in the walk count; the pair
+    * count aggregate partial-combines map-side, so the second shuffle
+    * carries one row per distinct (center, context) per map task, never the
+    * raw pair stream. Both shuffles are hash equi-joins/aggs — partitioned,
+    * codegen'd, AQE-planned; nothing is collected. Counts are integer sums:
+    * order-free, exact, cross-engine reproducible.
+    *
+    * Output: (center, context, pair_count), both directions present
+    * (skip-gram windows are symmetric), center ≠ context rows only when the
+    * walk visits distinct nodes — a revisited node CAN legitimately pair
+    * with itself (cycle of length ≤ window), matching word2vec, which does
+    * not special-case repeated tokens. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(
+      col("walk_id").as("_w"), col("step").as("_sa"), col("node").as("center"))
+    val b = walks.select(
+      col("walk_id").as("_wb"), col("step").as("_sb"), col("node").as("context"))
+    a.join(b, col("_w") === col("_wb") && col("_sb") =!= col("_sa") &&
+        abs(col("_sb") - col("_sa")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("pair_count"))
+  }
 }

@@ -118,4 +118,87 @@ class Round13OpsSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
     assert(messages(e).exists(m => m != null && m.contains("capPerKey: null id")))
   }
+
+  test("frequentPairs: supports, lift, and the A-priori prune") {
+    import graft.operators.FrequentItemsets
+    // baskets: {a,b,c} {a,b} {a,b,d} {c,d} {a,x} — x appears once (pruned),
+    // (a,b) support 3, (a,c)/(a,d)/(b,c)/(b,d)/(c,d) support 1.
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "d"), (3L, "d"), // dup (basket,item) row
+      (4L, "c"), (4L, "d"),
+      (5L, "a"), (5L, "x")).toDF("basket", "item")
+    val out = FrequentItemsets.frequentPairs(rows, "basket", "item", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // only (a,b) reaches pair support 2; counts a=4, b=3, n=5
+    assert(out.toSeq == Seq(("a", "b", 3L, 4L, 3L, 5L,
+      1000000L * 3 * 5 / (4 * 3))))
+    // lift > 1e6: a and b co-occur more than independence predicts
+    assert(out.head._7 == 1250000L)
+    // minSupport above max pair support -> empty, not an error
+    assert(FrequentItemsets.frequentPairs(rows, "basket", "item", 4L).count() == 0)
+  }
+
+  test("skipGramPairs: window band over hand-built walks") {
+    import graft.operators.RandomWalk
+    // walk 1: A B C D ; walk 2: A B (steps 0..n)
+    val walks = Seq(
+      (1L, 0, "A"), (1L, 1, "B"), (1L, 2, "C"), (1L, 3, "D"),
+      (2L, 0, "A"), (2L, 1, "B")).toDF("walk_id", "step", "node")
+    val out = RandomWalk.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // within window 2 on walk1: A-B A-C B-C B-D C-D; walk2 adds A-B.
+    // symmetric directions, counts: (A,B)=2 (both walks), others 1.
+    assert(out == Set(
+      ("A", "B", 2L), ("B", "A", 2L), ("A", "C", 1L), ("C", "A", 1L),
+      ("B", "C", 1L), ("C", "B", 1L), ("B", "D", 1L), ("D", "B", 1L),
+      ("C", "D", 1L), ("D", "C", 1L)))
+    // window 1 drops the distance-2 pairs
+    val w1 = RandomWalk.skipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!w1.contains(("A", "C")) && w1.contains(("A", "B")))
+  }
+
+  test("pca: moment sums match brute force; fit recovers the planted axis") {
+    import graft.operators.Pca
+    // 2-dim signal planted in 4 dims: x = t·(0.6, 0.8, 0, 0) + tiny noise
+    // on dim 2 — top PC must align with (0.6, 0.8, 0, 0).
+    val data = (0 until 40).map { k =>
+      val tt = (k % 21 - 10) / 10.0 // -1.0 .. 1.0
+      val noise = ((k * 7919) % 11 - 5) / 100.0
+      (k.toLong, Array((0.6 * tt).toFloat, (0.8 * tt).toFloat,
+        noise.toFloat, 0.0f))
+    }
+    val df = data.toDF("id", "vec")
+    val m = Pca.momentSums(df, "vec", dim = 4)
+    val rows = m.collect().map(r => ((r.getInt(0), r.getInt(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.size == 10) // 4*(4+1)/2 upper-triangle cells
+    // brute-force the same quantized sums for two cells
+    val q = data.map(_._2.map(x => math.floor(x.toDouble * 10000).toLong))
+    def cell(i: Int, j: Int) = (40L, q.map(_(i)).sum, q.map(_(j)).sum,
+      q.map(v => v(i) * v(j)).sum)
+    assert(rows((0, 1)) == cell(0, 1))
+    assert(rows((2, 3)) == cell(2, 3))
+    assert(rows((1, 1)) == cell(1, 1))
+    val model = Pca.fit(m, dim = 4)
+    // eigenvalues descending, components orthonormal
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    val c = model.components
+    for (a <- c.indices; b <- c.indices) {
+      val d = c(a).indices.map(i => c(a)(i) * c(b)(i)).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    // planted axis recovered (|cos| > 0.999); sign convention pins + lead
+    val cos = 0.6 * c(0)(0) + 0.8 * c(0)(1)
+    assert(math.abs(cos) > 0.999 && c(0).map(math.abs).max > 0)
+    // projection onto pc0 carries (nearly) all the variance
+    val proj = Pca.project(df, "id", "vec", model, k = 2)
+      .groupBy("pc").agg(round(var_samp(col("value")), 9).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(proj(0) > proj(1) * 50)
+    assert(math.abs(proj(0) - model.eigenvalues(0) * 40.0 / 39.0) < 1e-3)
+  }
 }
