@@ -158,6 +158,45 @@ object Pca {
       .select(col(idCol), col("_p.pc").as("pc"), col("_p.value").as("value"))
   }
 
+  /** All-but-the-top common-component removal (Mu & Viswanath 2018): center
+    * each vector and subtract its projection onto the top `k` principal
+    * axes — the standard post-processing that strips the corpus-wide
+    * "common direction" dominating contextual/averaged embeddings
+    * (Ethayarajh 2019) and measurably improves retrieval cosine quality.
+    * Composes [[fit]]'s model into a pure per-row map: the k axes and the
+    * mean ride in as literals (broadcast-by-construction), each row pays
+    * k+1 codegen'd dot products and one `zip_with` — no shuffle, no UDF,
+    * embarrassingly parallel at any scale.
+    *
+    * Output: input columns with `vecCol` replaced by the corrected vector
+    * (double array). Note ABTT does NOT re-add the mean (the paper's D=k
+    * post-processing): downstream cosine is computed on the centered,
+    * top-k-deflated residual. */
+  def removeTopComponents(df: DataFrame, vecCol: String,
+                          model: PcaModel, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.components.length,
+      s"k must be in [1, ${model.components.length}], got $k")
+    val meanLit = array(model.mean.toIndexedSeq.map(lit(_)): _*)
+    val vLits = (0 until k).map(p =>
+      array(model.components(p).toIndexedSeq.map(lit(_)): _*))
+    // Staged through named columns so the expression tree stays LINEAR in k:
+    // embedding each dot under the next zip_with would copy the centered
+    // subtree O(3^k) times through the fold.
+    val withC = df.withColumn("_abtt_c",
+      zip_with(col(vecCol).cast("array<double>"), meanLit, (x, m) => x - m))
+    // axes are orthonormal, so per-axis projections of the ORIGINAL centered
+    // vector subtract independently (no sequential deflation needed)
+    val withP = (0 until k).foldLeft(withC) { (d2, p) =>
+      d2.withColumn(s"_abtt_p$p",
+        graft.functions.VectorFunctions.dot(col("_abtt_c"), vLits(p)))
+    }
+    val corrected = (0 until k).foldLeft(col("_abtt_c")) { (acc, p) =>
+      zip_with(acc, vLits(p), (a, vv) => a - col(s"_abtt_p$p") * vv)
+    }
+    withP.withColumn(vecCol, corrected)
+      .drop("_abtt_c" +: (0 until k).map(p => s"_abtt_p$p"): _*)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
     * (eigenvalues desc, matching unit eigenvectors as rows). O(d³) per
     * sweep, converges quadratically; deterministic (fixed sweep order, no

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic random walks over a symmetric edge list — the sampling
@@ -62,6 +63,75 @@ object RandomWalk {
         .groupBy(col("walk_id"))
         .agg(min(col("_c")).as("_c")) // (hash, dst) struct min = hash argmin, id tiebreak
         .select(col("walk_id"), col("_c.dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(
+        frontier.select(col("walk_id"), lit(step).as("step"), col("node")))
+    }
+    out
+  }
+
+  /** Second-order biased walks — node2vec (Grover & Leskovec 2016): the
+    * next hop is drawn with weight `wReturn` for stepping BACK to the
+    * previous node, `wInner` for a candidate also adjacent to the previous
+    * node (staying in the triangle — BFS-ish), and `wOuter` for everything
+    * else (leaving the neighborhood — DFS-ish). node2vec's (1/p, 1, 1/q)
+    * triple scaled to a common integer denominator by the caller (e.g.
+    * p=4, q=2 → (1, 4, 2)); INTEGER weights are the determinism contract.
+    *
+    * Derandomized weighted choice, cross-engine exact: per (walk, step) the
+    * candidates are cum-summed in dst order (integer window sum), a draw is
+    * taken as `md5(walk‖step‖prev‖cur) mod total_weight` — an exact integer
+    * in [0, total) — and the chosen hop is the smallest dst whose running
+    * cum exceeds the draw (inverse-CDF sampling with an integer CDF). No
+    * float, no RNG stream: the same candidate multiset yields the same hop
+    * on any engine or partitioning, and the SQL twin replays it with two
+    * window sums per step. (The first hop has prev = seed = cur, making
+    * every candidate `wInner` — a uniform draw, node2vec's own start rule.)
+    *
+    * Scale shape: per step, ONE equi-join frontier⋈edges on the current
+    * node, ONE membership left-join against edges on (prev, dst) for the
+    * triangle test, two walk-partitioned window sums over candidate sets
+    * (bounded by max degree), and a per-walk min — state is one row per
+    * walk, checkpointed per step; the edge list is pinned once. Nothing is
+    * collected, nothing is quadratic.
+    *
+    * Output: (walk_id, step, node), step 0 = seed — the same schema as
+    * [[walks]], so [[skipGramPairs]] composes unchanged (the full node2vec
+    * training-data pipeline: biased walks → skip-gram pairs). */
+  def biasedWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
+                  wReturn: Long, wInner: Long, wOuter: Long): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(wReturn >= 1 && wInner >= 1 && wOuter >= 1,
+      s"integer weights must be >= 1, got ($wReturn, $wInner, $wOuter)")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val adj = e.select(col("src").as("_as"), col("dst").as("_ad"))
+    var frontier = seeds.select(col("node")).distinct()
+      .select(col("node").as("walk_id"), col("node").as("prev"), col("node"))
+      .localCheckpoint(true)
+    var out = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
+    val byWalk = Window.partitionBy(col("walk_id"))
+    val cumW = byWalk.orderBy(col("dst"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (step <- 1 to steps) {
+      val cand = frontier
+        .join(e, frontier("node") === e("src"))
+        .join(adj, col("_as") === col("prev") && col("_ad") === col("dst"),
+          "left")
+        .select(col("walk_id"), col("prev"), col("node"), col("dst"),
+          when(col("dst") === col("prev"), lit(wReturn))
+            .when(col("_ad").isNotNull, lit(wInner))
+            .otherwise(lit(wOuter)).as("_w"))
+      val drawn = cand
+        .withColumn("_cum", sum(col("_w")).over(cumW))
+        .withColumn("_draw", graft.functions.Hashing.md5Long(concat_ws("-",
+          col("walk_id").cast("string"), lit(step.toString),
+          col("prev").cast("string"), col("node").cast("string")))
+          % sum(col("_w")).over(byWalk))
+      frontier = drawn.filter(col("_cum") > col("_draw"))
+        // cum is strictly increasing in dst order (weights >= 1), so the
+        // min dst among crossings IS the inverse-CDF first crossing.
+        .groupBy(col("walk_id"))
+        .agg(min(col("node")).as("prev"), min(col("dst")).as("node"))
         .localCheckpoint(true)
       out = out.unionByName(
         frontier.select(col("walk_id"), lit(step).as("step"), col("node")))

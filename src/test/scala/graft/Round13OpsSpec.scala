@@ -119,6 +119,36 @@ class Round13OpsSpec extends SparkSpec {
     assert(messages(e).exists(m => m != null && m.contains("capPerKey: null id")))
   }
 
+  test("biasedWalks: weight classes steer second-order hops") {
+    import graft.operators.RandomWalk
+    // triangle 1-2-3 plus tail 3-4-5
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(3L).toDF("node")
+    // return weight dominant: step 2 must step BACK to the seed
+    val ret = RandomWalk.biasedWalks(edges, seeds, steps = 2,
+        wReturn = 1000000L, wInner = 1L, wOuter = 1L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(ret(0) == 3L && ret(2) == 3L && ret(1) != 3L)
+    // triangle weight dominant: a step-1 hop into the triangle must close
+    // it at step 2 (candidate adjacent to prev=3 ≫ return/outer)
+    val inn = RandomWalk.biasedWalks(edges, seeds, steps = 2,
+        wReturn = 1L, wInner = 1000000L, wOuter = 1L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    if (inn(1) == 1L) assert(inn(2) == 2L)
+    if (inn(1) == 2L) assert(inn(2) == 1L)
+    // deterministic: the same inputs reproduce the same walk exactly
+    val again = RandomWalk.biasedWalks(edges, seeds, steps = 2,
+        wReturn = 1L, wInner = 1000000L, wOuter = 1L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(again == inn)
+    // schema composes with skipGramPairs unchanged
+    val pairs = RandomWalk.skipGramPairs(
+      RandomWalk.biasedWalks(edges, seeds, steps = 3, 1L, 4L, 2L), window = 2)
+    assert(pairs.columns.toSeq == Seq("center", "context", "pair_count"))
+    assert(pairs.count() > 0)
+  }
+
   test("frequentPairs: supports, lift, and the A-priori prune") {
     import graft.operators.FrequentItemsets
     // baskets: {a,b,c} {a,b} {a,b,d} {c,d} {a,x} — x appears once (pruned),
@@ -200,5 +230,31 @@ class Round13OpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(proj(0) > proj(1) * 50)
     assert(math.abs(proj(0) - model.eigenvalues(0) * 40.0 / 39.0) < 1e-3)
+  }
+
+  test("pca removeTopComponents: residual is orthogonal to the removed axes") {
+    import graft.operators.Pca
+    val data = (0 until 30).map { k =>
+      val tt = (k % 15 - 7) / 7.0
+      (k.toLong, Array((0.8 * tt + 0.01 * (k % 3)).toFloat,
+        (0.6 * tt).toFloat, (0.05 * (k % 5 - 2)).toFloat, 0.1f))
+    }
+    val df = data.toDF("id", "vec")
+    val model = Pca.fit(Pca.momentSums(df, "vec", dim = 4), dim = 4)
+    val out = Pca.removeTopComponents(df, "vec", model, k = 1)
+      .orderBy("id").collect().map(_.getSeq[Double](1).toArray)
+    // every residual ⟂ pc0 (up to the 1e-4 moment quantization)
+    out.foreach { r =>
+      val d = r.indices.map(i => r(i) * model.components(0)(i)).sum
+      assert(math.abs(d) < 1e-3, s"residual not orthogonal: $d")
+    }
+    // matches the brute-force residual of the centered raw vector
+    val c0 = data.head._2.map(_.toDouble).zip(model.mean).map { case (x, m) => x - m }
+    val p0 = c0.indices.map(i => c0(i) * model.components(0)(i)).sum
+    val expect = c0.indices.map(i => c0(i) - p0 * model.components(0)(i))
+    out.head.indices.foreach(i => assert(math.abs(out.head(i) - expect(i)) < 1e-9))
+    // schema untouched: same columns, vec replaced
+    assert(Pca.removeTopComponents(df, "vec", model, 2).columns.toSeq
+      == Seq("id", "vec"))
   }
 }
