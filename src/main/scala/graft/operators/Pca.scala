@@ -138,21 +138,27 @@ object Pca {
   }
 
   /** Project each row onto the top-k principal axes: (id, pc, value) —
-    * value = (x − mean)·component_pc. The model rides into the plan as
-    * LITERAL arrays (k·d doubles — a broadcast-by-construction constant);
-    * per row this is k codegen'd dot products, no shuffle, no UDF. */
+    * value = (x − mean)·component_pc, divided by √eigenvalue when
+    * `whiten` (unit-variance components — the PCA-whitening preprocessing
+    * for downstream similarity/clustering). The model rides into the plan
+    * as LITERAL arrays (k·d doubles — a broadcast-by-construction
+    * constant); per row this is k codegen'd dot products, no shuffle, no
+    * UDF. */
   def project(df: DataFrame, idCol: String, vecCol: String,
-              model: PcaModel, k: Int): DataFrame = {
+              model: PcaModel, k: Int, whiten: Boolean = false): DataFrame = {
     require(k >= 1 && k <= model.components.length,
       s"k must be in [1, ${model.components.length}], got $k")
+    if (whiten) (0 until k).foreach(p => require(model.eigenvalues(p) > 0,
+      s"whiten: eigenvalue $p is ${model.eigenvalues(p)} (not positive)"))
     val comps = (0 until k).map { p =>
       val v = model.components(p)
+      val scaleBy = if (whiten) 1.0 / math.sqrt(model.eigenvalues(p)) else 1.0
       // (x − mean)·v = x·v − mean·v: fold the constant half on the driver.
       val bias = v.indices.map(i => v(i) * model.mean(i)).sum
       val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
       struct(lit(p).as("pc"),
-        (graft.functions.VectorFunctions.dot(col(vecCol), vLit) - bias)
-          .as("value"))
+        ((graft.functions.VectorFunctions.dot(col(vecCol), vLit) - bias)
+          * scaleBy).as("value"))
     }
     df.select(col(idCol), explode(array(comps: _*)).as("_p"))
       .select(col(idCol), col("_p.pc").as("pc"), col("_p.value").as("value"))

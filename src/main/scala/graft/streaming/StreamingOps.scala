@@ -125,6 +125,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental covariance-moment maintenance — streaming PCA the
+    * mergeable-moments way: each micro-batch's quantized integer moment
+    * rows ([[graft.operators.Pca.momentSums]]) SUM-merge into a saved
+    * moments table, so the running d×d covariance state of an unbounded
+    * embedding stream stays O(d²) ROWS (d(d+1)/2 upper-triangle cells),
+    * never re-reads history, and [[graft.operators.Pca.fit]] reads the
+    * state at any time for a fresh model (drift-tracked whitening/ABTT
+    * without a corpus re-scan). Integer sums are associative and
+    * commutative, so state after N batches is BIT-EQUAL to a one-shot
+    * `momentSums` over the union of all batches — Round13OpsSpec pins it;
+    * that is also why the same fold works shard-parallel. */
+  def momentsMaintain(stream: DataFrame, vecCol: String, dim: Int,
+      statePath: String, scale: Long = 10000L): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Pca.momentSums(batch, vecCol, dim, scale)
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
+            .groupBy(col("i"), col("j"))
+            .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+              sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, statePath)
+        ()
+      }
+      .start()
+
   /** Streaming near-dup detection against a growing corpus: each micro-batch
     * of documents is minhash-signed once, paired WITHIN itself
     * ([[graft.operators.Dedup.lshCandidatePairs]]) and against the SAVED

@@ -230,6 +230,37 @@ class Round13OpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(proj(0) > proj(1) * 50)
     assert(math.abs(proj(0) - model.eigenvalues(0) * 40.0 / 39.0) < 1e-3)
+    // whitening: every component's variance normalizes to ~1 (n/(n-1) bias)
+    val white = Pca.project(df, "id", "vec", model, k = 2, whiten = true)
+      .groupBy("pc").agg(var_samp(col("value")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(white(0) - 40.0 / 39.0) < 0.01)
+    assert(math.abs(white(1) - 40.0 / 39.0) < 0.05)
+  }
+
+  test("streaming moments maintenance: merged state == one-shot momentSums") {
+    import graft.operators.Pca
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("stream_pca").toString
+    val all = (0 until 30).map { k =>
+      (k.toLong, Array((0.1 * (k % 7 - 3)).toFloat, (0.05 * (k % 4)).toFloat,
+        (-0.2 + 0.01 * k).toFloat))
+    }.toDF("id", "vec")
+    all.filter($"id" < 10).write.parquet(s"$dir/in/a")
+    all.filter($"id" >= 10 && $"id" < 20).write.parquet(s"$dir/in/b")
+    all.filter($"id" >= 20).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.momentsMaintain(stream, "vec", dim = 3, s"$dir/state")
+    q.processAllAvailable(); q.stop()
+    val cell = (df: org.apache.spark.sql.DataFrame) => df
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSet
+    val streamed = cell(spark.read.parquet(s"$dir/state"))
+    val oneShot = cell(Pca.momentSums(all, "vec", dim = 3))
+    assert(streamed == oneShot) // bit-equal mergeability
+    // the saved state is directly fit-able
+    val model = Pca.fit(spark.read.parquet(s"$dir/state"), dim = 3)
+    assert(model.n == 30L && model.eigenvalues.length == 3)
   }
 
   test("pca removeTopComponents: residual is orthogonal to the removed axes") {
