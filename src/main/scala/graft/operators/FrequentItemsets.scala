@@ -45,9 +45,20 @@ import org.apache.spark.sql.functions._
   */
 object FrequentItemsets {
 
+  /** `maxBasketSize`: the melt-a-sorter guard — baskets with more than this
+    * many distinct (post-prune) items are EXCLUDED from pair counting (one
+    * integer window count, no extra shuffle: the count rides the same
+    * basket partitioning the join needs anyway). A 10⁶-item basket emits
+    * 5·10¹¹ pairs and is boilerplate/spam by construction (the C4 rationale
+    * for its per-domain cap); real pipelines skip it, and excluding it
+    * changes `support` only for pairs that basket touched — the documented
+    * contract. None = exact (the oracle-checked default). */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
-                    minSupport: Long): DataFrame = {
+                    minSupport: Long,
+                    maxBasketSize: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    maxBasketSize.foreach(m => require(m >= 2,
+      s"maxBasketSize must be >= 2 (a 1-item basket has no pairs), got $m"))
     // Read three times (item counts, basket count, pair join) — pin once.
     val bi = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct().localCheckpoint(true)
@@ -59,7 +70,15 @@ object FrequentItemsets {
     // n_baskets over ALL baskets (lift's denominator is corpus-wide
     // independence, not post-prune) — one row, broadcast into the output.
     val nB = bi.select(count_distinct(col("_b")).as("n_baskets"))
-    val pruned = bi.join(itemCounts.select(col("_i")), Seq("_i"))
+    val prunedAll = bi.join(itemCounts.select(col("_i")), Seq("_i"))
+    // Hot-basket exclusion BEFORE the quadratic join (see maxBasketSize).
+    val pruned = maxBasketSize match {
+      case Some(m) => prunedAll
+        .withColumn("_bs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_b"))))
+        .filter(col("_bs") <= m).drop("_bs")
+      case None => prunedAll
+    }
     // Level-2: within-basket pair explosion (a < b once per unordered pair)
     // + hash count. Equi-join on the basket key; AQE handles skewed baskets.
     val pairs = pruned.select(col("_b"), col("_i").as("item_a"))

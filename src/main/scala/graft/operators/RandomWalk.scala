@@ -97,13 +97,24 @@ object RandomWalk {
     *
     * Output: (walk_id, step, node), step 0 = seed — the same schema as
     * [[walks]], so [[skipGramPairs]] composes unchanged (the full node2vec
-    * training-data pipeline: biased walks → skip-gram pairs). */
+    * training-data pipeline: biased walks → skip-gram pairs).
+    *
+    * `edgeWeightCol`: optional INTEGER edge multiplicity/weight column on
+    * `edges` (e.g. co-occurrence counts) — the hop probability becomes
+    * bias-class-weight × edge-weight, node2vec's weighted-graph form
+    * (π = α_pq(t,x)·w_tx). Stays all-integer, so the determinism and
+    * SQL-replay contracts are unchanged. Weights must be >= 1 by caller
+    * contract (0 makes the edge unpickable -- the cum never crosses on
+    * it; negatives are undefined). */
   def biasedWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
-                  wReturn: Long, wInner: Long, wOuter: Long): DataFrame = {
+                  wReturn: Long, wInner: Long, wOuter: Long,
+                  edgeWeightCol: Option[String] = None): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     require(wReturn >= 1 && wInner >= 1 && wOuter >= 1,
       s"integer weights must be >= 1, got ($wReturn, $wInner, $wOuter)")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src") +: col("dst") +:
+        edgeWeightCol.map(c => col(c).cast("long").as("_ew")).toSeq: _*)
+      .localCheckpoint(true)
     val adj = e.select(col("src").as("_as"), col("dst").as("_ad"))
     var frontier = seeds.select(col("node")).distinct()
       .select(col("node").as("walk_id"), col("node").as("prev"), col("node"))
@@ -118,9 +129,10 @@ object RandomWalk {
         .join(adj, col("_as") === col("prev") && col("_ad") === col("dst"),
           "left")
         .select(col("walk_id"), col("prev"), col("node"), col("dst"),
-          when(col("dst") === col("prev"), lit(wReturn))
+          (when(col("dst") === col("prev"), lit(wReturn))
             .when(col("_ad").isNotNull, lit(wInner))
-            .otherwise(lit(wOuter)).as("_w"))
+            .otherwise(lit(wOuter)) *
+            (if (edgeWeightCol.isDefined) col("_ew") else lit(1L))).as("_w"))
       val drawn = cand
         .withColumn("_cum", sum(col("_w")).over(cumW))
         .withColumn("_draw", graft.functions.Hashing.md5Long(concat_ws("-",

@@ -147,6 +147,14 @@ class Round13OpsSpec extends SparkSpec {
       RandomWalk.biasedWalks(edges, seeds, steps = 3, 1L, 4L, 2L), window = 2)
     assert(pairs.columns.toSeq == Seq("center", "context", "pair_count"))
     assert(pairs.count() > 0)
+    // weighted form: a dominant edge multiplicity wins the uniform draw
+    val wEdges = (und ++ und.map(_.swap)).map { case (s2, d2) =>
+      (s2, d2, if (Set(s2, d2) == Set(3L, 1L)) 1000000L else 1L)
+    }.toDF("src", "dst", "w")
+    val wz = RandomWalk.biasedWalks(wEdges, seeds, steps = 1,
+        1L, 1L, 1L, edgeWeightCol = Some("w"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(wz(1) == 1L)
   }
 
   test("frequentPairs: supports, lift, and the A-priori prune") {
@@ -169,6 +177,13 @@ class Round13OpsSpec extends SparkSpec {
     assert(out.head._7 == 1250000L)
     // minSupport above max pair support -> empty, not an error
     assert(FrequentItemsets.frequentPairs(rows, "basket", "item", 4L).count() == 0)
+    // hot-basket guard: capping at 2 drops basket 1 ({a,b,c}) and basket 3
+    // ({a,b,d}) from pair counting -> (a,b) support falls to 1 -> no rows
+    assert(FrequentItemsets.frequentPairs(rows, "basket", "item", 2L,
+      maxBasketSize = Some(2L)).count() == 0)
+    // a cap wide enough to keep every basket is a no-op
+    assert(FrequentItemsets.frequentPairs(rows, "basket", "item", 2L,
+      maxBasketSize = Some(10L)).collect().map(_.getLong(2)).toSeq == Seq(3L))
   }
 
   test("skipGramPairs: window band over hand-built walks") {
