@@ -2199,6 +2199,24 @@ object SparkEntry {
     "pca1_moments" -> ((s, dir) => {
       Pca.momentSums(t(s, dir, "embeddings"), "embedding", dim = 64)
     }),
+    // DV1 data-quality validation report (r13): the Deequ-shaped constraint
+    // gate — every row-local + uniqueness check folds into ONE aggregation
+    // pass, FK integrity is one anti-join; exact integer ppm ratios. Checks
+    // chosen to exercise BOTH outcomes (clean and violated) so the counts
+    // discriminate. See operators.DataValidation.
+    "dv1_validation_report" -> ((s, dir) => {
+      import DataValidation._
+      DataValidation.report(t(s, dir, "lineitem"), Seq(
+        NotNull("quantity_not_null", "l_quantity"),
+        InRange("quantity_1_30", "l_quantity", 1.0, 30.0),
+        InRange("discount_0_10pct", "l_discount", 0.0, 0.1),
+        InSet("returnflag_A_N", "l_returnflag", Seq("A", "N")),
+        Matches("linestatus_upper", "l_linestatus", "^[A-Z]$"),
+        Unique("order_line_unique", Seq("l_orderkey", "l_linenumber")),
+        Unique("partkey_unique", Seq("l_partkey")),
+        RefIntegrity("orderkey_fk", "l_orderkey",
+          t(s, dir, "orders").select(col("o_orderkey")), "o_orderkey")))
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads (rows-only check).
@@ -4163,6 +4181,31 @@ object SparkEntry {
           |  CAST(sum(q.qv[ij.j + 1]) AS BIGINT) AS sy,
           |  CAST(sum(q.qv[ij.i + 1] * q.qv[ij.j + 1]) AS BIGINT) AS sxy
           |FROM q CROSS JOIN ij GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // dv1: each check replayed as a FILTER count / distinct-count /
+      // NOT-IN-subquery count; integer ppm via floor division.
+      "dv1_validation_report" ->
+        """WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+          |v AS (
+          |  SELECT 'quantity_not_null' AS check_name,
+          |    count(*) FILTER (WHERE l_quantity IS NULL) AS violations FROM lineitem
+          |  UNION ALL SELECT 'quantity_1_30', count(*) FILTER (WHERE l_quantity IS NOT NULL
+          |    AND (l_quantity < 1.0 OR l_quantity > 30.0)) FROM lineitem
+          |  UNION ALL SELECT 'discount_0_10pct', count(*) FILTER (WHERE l_discount IS NOT NULL
+          |    AND (l_discount < 0.0 OR l_discount > 0.1)) FROM lineitem
+          |  UNION ALL SELECT 'returnflag_A_N', count(*) FILTER (WHERE l_returnflag IS NOT NULL
+          |    AND l_returnflag NOT IN ('A', 'N')) FROM lineitem
+          |  UNION ALL SELECT 'linestatus_upper', count(*) FILTER (WHERE l_linestatus IS NOT NULL
+          |    AND NOT regexp_matches(l_linestatus, '^[A-Z]$')) FROM lineitem
+          |  UNION ALL SELECT 'order_line_unique',
+          |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+          |  UNION ALL SELECT 'partkey_unique',
+          |    count(*) - count(DISTINCT l_partkey) FROM lineitem
+          |  UNION ALL SELECT 'orderkey_fk', count(*) FILTER (WHERE l_orderkey IS NOT NULL
+          |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) FROM lineitem)
+          |SELECT v.check_name, CAST(v.violations AS BIGINT) AS violations,
+          |  CAST(n.n_rows AS BIGINT) AS n_rows,
+          |  CAST((1000000 * v.violations) // n.n_rows AS BIGINT) AS violation_ppm
+          |FROM v CROSS JOIN n""".stripMargin.replace("\n", " "),
       // g17: three unrolled Bellman–Ford rounds — each a union of carry +
       // relax then a (seed, node) min, the identical float dataflow
       // (d_{k+1} = d_k + w, same candidate multiset per min).

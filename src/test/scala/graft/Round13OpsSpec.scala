@@ -206,6 +206,41 @@ class Round13OpsSpec extends SparkSpec {
     assert(!w1.contains(("A", "C")) && w1.contains(("A", "B")))
   }
 
+  test("dataValidation: every check kind counts exactly its own failures") {
+    import graft.operators.DataValidation
+    import graft.operators.DataValidation._
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), "a@x.com", "US", 10.0),
+      (java.lang.Long.valueOf(1L), "b@y.org", "DE", 200.0), // dup id, range viol
+      (java.lang.Long.valueOf(2L), "not-an-email", "US", 50.0), // regex viol
+      (null.asInstanceOf[java.lang.Long], null, "XX", -5.0) // null id+email, set+range viol
+    ).toDF("id", "email", "country", "amount")
+    val ref = Seq("US", "DE", "FR").toDF("code")
+    val rep = DataValidation.report(rows, Seq(
+        NotNull("id_not_null", "id"),
+        NotNull("email_not_null", "email"),
+        InRange("amount_0_100", "amount", 0.0, 100.0),
+        Matches("email_shape", "email", "^[^@]+@[^@]+$"),
+        InSet("country_known", "country", Seq("US", "DE", "FR")),
+        Unique("id_unique", Seq("id")),
+        RefIntegrity("country_fk", "country", ref, "code")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("id_not_null") == ((1L, 4L, 250000L)))
+    assert(rep("email_not_null") == ((1L, 4L, 250000L)))
+    assert(rep("amount_0_100") == ((2L, 4L, 500000L)))
+    // null email is NOT a regex violation (NotNull's job)
+    assert(rep("email_shape") == ((1L, 4L, 250000L)))
+    assert(rep("country_known") == ((1L, 4L, 250000L)))
+    // ids: (1, 1, 2, null) -> 4 rows, 3 distinct tuples -> 1 surplus
+    assert(rep("id_unique")._1 == 1L)
+    assert(rep("country_fk") == ((1L, 4L, 250000L)))
+    assert(rep.size == 7)
+    // duplicate names fail fast
+    intercept[IllegalArgumentException] {
+      DataValidation.report(rows, Seq(NotNull("x", "id"), NotNull("x", "email")))
+    }
+  }
+
   test("pca: moment sums match brute force; fit recovers the planted axis") {
     import graft.operators.Pca
     // 2-dim signal planted in 4 dims: x = t·(0.6, 0.8, 0, 0) + tiny noise
