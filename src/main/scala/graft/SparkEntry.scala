@@ -2217,6 +2217,15 @@ object SparkEntry {
         RefIntegrity("orderkey_fk", "l_orderkey",
           t(s, dir, "orders").select(col("o_orderkey")), "o_orderkey")))
     }),
+    // DV2 column profiling (r13): the discovery half of the validation
+    // stage — ONE aggregation pass for all columns' null/distinct/min/max,
+    // fractional min/max through DECIMAL(18,6) fixed point (the
+    // cross-engine serialization rule). See DataValidation.profile.
+    "dv2_column_profile" -> ((s, dir) => {
+      DataValidation.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus"))
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads (rows-only check).
@@ -4206,6 +4215,34 @@ object SparkEntry {
           |  CAST(n.n_rows AS BIGINT) AS n_rows,
           |  CAST((1000000 * v.violations) // n.n_rows AS BIGINT) AS violation_ppm
           |FROM v CROSS JOIN n""".stripMargin.replace("\n", " "),
+      // dv2: per-column profile rows; fractional min/max through
+      // DECIMAL(18,6) (same fixed-point serialization as sim5).
+      "dv2_column_profile" ->
+        """SELECT 'l_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_null,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+          |  CAST(min(l_orderkey) AS VARCHAR) AS min_value, CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+          |UNION ALL SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT),
+          |  CAST(count(DISTINCT l_partkey) AS BIGINT),
+          |  CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+          |UNION ALL SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE l_linenumber IS NULL) AS BIGINT),
+          |  CAST(count(DISTINCT l_linenumber) AS BIGINT),
+          |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+          |UNION ALL SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT),
+          |  CAST(count(DISTINCT l_quantity) AS BIGINT),
+          |  CAST(CAST(min(l_quantity) AS DECIMAL(18,6)) AS VARCHAR),
+          |  CAST(CAST(max(l_quantity) AS DECIMAL(18,6)) AS VARCHAR) FROM lineitem
+          |UNION ALL SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT),
+          |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+          |  min(l_returnflag), max(l_returnflag) FROM lineitem
+          |UNION ALL SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE l_linestatus IS NULL) AS BIGINT),
+          |  CAST(count(DISTINCT l_linestatus) AS BIGINT),
+          |  min(l_linestatus), max(l_linestatus) FROM lineitem""".stripMargin.replace("\n", " "),
       // g17: three unrolled Bellman–Ford rounds — each a union of carry +
       // relax then a (seed, node) min, the identical float dataflow
       // (d_{k+1} = d_k + w, same candidate multiset per min).

@@ -96,4 +96,39 @@ object DataValidation {
     full.select(col("check_name"), col("violations"), col("n_rows"),
       expr("(1000000 * violations) DIV n_rows").as("violation_ppm"))
   }
+
+  /** Column profiling — the discovery half of the Deequ stage (per-column
+    * null count, distinct count, min, max), the summary a pipeline reads
+    * BEFORE authoring [[report]] constraints. Same scale shape: one
+    * aggregation pass total (4 aggregate columns per profiled column),
+    * unpivoted to one report row per column; O(#columns) output.
+    *
+    * min/max serialize as strings so heterogeneous column types share one
+    * report schema; fractional types route through DECIMAL(18,6) fixed
+    * point (raw double→string formatting differs across engines — the
+    * repo-wide serialization rule), integers and strings cast directly. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile: empty column list")
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val fractional = df.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      .map(_.name).toSet
+    def asStr(c: Column, name: String): Column =
+      if (fractional(name)) c.cast("decimal(18,6)").cast("string")
+      else c.cast("string")
+    val aggCols = columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        asStr(min(col(c)), c).as(s"mn_$c"),
+        asStr(max(col(c)), c).as(s"mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(columns.map { c =>
+          struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
+            col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_value"),
+            col(s"mx_$c").as("max_value"))
+        }: _*)).as("r"), col("__n").as("n_rows"))
+      .select(col("r.column_name"), col("n_rows"), col("r.n_null"),
+        col("r.n_distinct"), col("r.min_value"), col("r.max_value"))
+  }
 }

@@ -239,6 +239,14 @@ class Round13OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DataValidation.report(rows, Seq(NotNull("x", "id"), NotNull("x", "email")))
     }
+    // profile: one row per column, nulls/distinct/min/max; fractional
+    // min/max in fixed point
+    val prof = DataValidation.profile(rows, Seq("id", "country", "amount"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(prof("id") == ((4L, 1L, 2L, "1", "2")))
+    assert(prof("country") == ((4L, 0L, 3L, "DE", "XX")))
+    assert(prof("amount") == ((4L, 0L, 4L, "-5.000000", "200.000000")))
   }
 
   test("pca: moment sums match brute force; fit recovers the planted axis") {
