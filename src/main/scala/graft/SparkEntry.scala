@@ -2217,6 +2217,18 @@ object SparkEntry {
         RefIntegrity("orderkey_fk", "l_orderkey",
           t(s, dir, "orders").select(col("o_orderkey")), "o_orderkey")))
     }),
+    // PV1/PV2 re-identification-risk audits (r13): k-anonymity class-size
+    // histogram and l-diversity histogram over quasi-identifiers — the
+    // governance gate beside PII masking (x7). Two map-combined hash aggs
+    // each, all-integer. See operators.Privacy.
+    "pv1_kanonymity" -> ((s, dir) => {
+      Privacy.kAnonymityHistogram(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity"))
+    }),
+    "pv2_ldiversity" -> ((s, dir) => {
+      Privacy.lDiversityHistogram(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity"), "l_partkey")
+    }),
     // DV2 column profiling (r13): the discovery half of the validation
     // stage — ONE aggregation pass for all columns' null/distinct/min/max,
     // fractional min/max through DECIMAL(18,6) fixed point (the
@@ -4215,6 +4227,17 @@ object SparkEntry {
           |  CAST(n.n_rows AS BIGINT) AS n_rows,
           |  CAST((1000000 * v.violations) // n.n_rows AS BIGINT) AS violation_ppm
           |FROM v CROSS JOIN n""".stripMargin.replace("\n", " "),
+      // pv1/pv2: equivalence classes then histogram — two GROUP BYs each.
+      "pv1_kanonymity" ->
+        """WITH ec AS (SELECT l_returnflag, l_linestatus, l_quantity, count(*) AS sz
+          |  FROM lineitem GROUP BY 1, 2, 3)
+          |SELECT CAST(sz AS BIGINT) AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(sz * count(*) AS BIGINT) AS n_rows FROM ec GROUP BY sz""".stripMargin.replace("\n", " "),
+      "pv2_ldiversity" ->
+        """WITH ec AS (SELECT l_returnflag, l_linestatus, l_quantity,
+          |    count(DISTINCT l_partkey) AS l FROM lineitem GROUP BY 1, 2, 3)
+          |SELECT CAST(l AS BIGINT) AS l_distinct, CAST(count(*) AS BIGINT) AS n_classes
+          |FROM ec GROUP BY l""".stripMargin.replace("\n", " "),
       // dv2: per-column profile rows; fractional min/max through
       // DECIMAL(18,6) (same fixed-point serialization as sim5).
       "dv2_column_profile" ->

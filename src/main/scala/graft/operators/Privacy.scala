@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk audits — k-anonymity (Sweeney 2002) and
+  * l-diversity (Machanavalli et al. 2007) over quasi-identifier columns:
+  * the governance gate a training-data pipeline runs beside PII MASKING
+  * (x7 masks direct identifiers; these quantify what the remaining
+  * quasi-identifiers still leak). A release is k-anonymous when every
+  * quasi-identifier combination is shared by ≥ k rows, and l-diverse when
+  * every such equivalence class carries ≥ l distinct sensitive values —
+  * the two standard pre-release checks for tabular/metadata sidecars of a
+  * training corpus.
+  *
+  * Both audits are two hash aggregations (rows → equivalence classes →
+  * histogram), fully map-side-combined, all-integer output — no pair scan,
+  * no collect, O(distinct class sizes) report rows. At 100 TB the first
+  * groupBy is the same shuffle any dedup does; skewed quasi-identifier
+  * combinations are single hot GROUPS (one row out), not hot joins, so no
+  * salting is needed.
+  *
+  * The reports are HISTOGRAMS, not just the min: the shape (how many rows
+  * sit in classes of size 1, 2, …) is what decides whether to generalize,
+  * suppress, or drop — a bare k tells you only that one cell is bad. */
+object Privacy {
+
+  /** Equivalence-class-size histogram over the quasi-identifier columns:
+    * (class_size, n_classes, n_rows) — `k` = the smallest class_size row;
+    * rows in class_size 1 are unique records (directly re-identifiable).
+    * Null quasi-identifier values form their own classes (SQL GROUP BY
+    * semantics — a null ZIP is still a linkable value in a release). */
+  def kAnonymityHistogram(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityHistogram: empty quasi-identifier list")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"))
+  }
+
+  /** Distinct-sensitive-value histogram per equivalence class:
+    * (l_distinct, n_classes) — `l` = the smallest l_distinct row; classes
+    * with l_distinct 1 leak their sensitive attribute outright (everyone
+    * in the class shares it). */
+  def lDiversityHistogram(df: DataFrame, quasiCols: Seq[String],
+                          sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityHistogram: empty quasi-identifier list")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count_distinct(col(sensitiveCol)).as("_l"))
+      .groupBy(col("_l").as("l_distinct"))
+      .agg(count(lit(1)).as("n_classes"))
+  }
+}

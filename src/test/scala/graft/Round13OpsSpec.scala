@@ -249,6 +249,26 @@ class Round13OpsSpec extends SparkSpec {
     assert(prof("amount") == ((4L, 0L, 4L, "-5.000000", "200.000000")))
   }
 
+  test("privacy: k-anonymity and l-diversity histograms on a known table") {
+    import graft.operators.Privacy
+    // quasi (zip, age): classes AA:3 rows, BB:2, CC:1 -> k = 1
+    val rows = Seq(
+      ("10001", 30, "flu"), ("10001", 30, "flu"), ("10001", 30, "cold"),
+      ("10002", 40, "flu"), ("10002", 40, "ulcer"),
+      ("10003", 50, "cold")).toDF("zip", "age", "diagnosis")
+    val k = Privacy.kAnonymityHistogram(rows, Seq("zip", "age"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k == Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 1L, 1L)))
+    // l-diversity of diagnosis: AA has 2 distinct, BB 2, CC 1
+    val l = Privacy.lDiversityHistogram(rows, Seq("zip", "age"), "diagnosis")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l == Set((2L, 2L), (1L, 1L)))
+    // a fully generalized quasi-id collapses to one k=n class
+    val k1 = Privacy.kAnonymityHistogram(rows.withColumn("zip", lit("1000*")),
+        Seq("zip")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == Set((6L, 1L)))
+  }
+
   test("pca: moment sums match brute force; fit recovers the planted axis") {
     import graft.operators.Pca
     // 2-dim signal planted in 4 dims: x = t·(0.6, 0.8, 0, 0) + tiny noise
