@@ -593,6 +593,18 @@ object SparkEntry {
       RandomWalk.biasedWalks(edges, seeds, steps = 3,
         wReturn = 1L, wInner = 4L, wOuter = 2L)
     }),
+    // W2V2 the FULL node2vec training-data pipeline as one cross-engine
+    // row (r13): skip-gram pairs over the SAME second-order biased walks
+    // g30 pins — biasedWalks → skipGramPairs, the composition the two
+    // operators exist for.
+    "w2v2_node2vec_pairs" -> ((s, dir) => {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val seeds = edges.filter(col("src") % 100 === 0)
+        .select(col("src").as("node")).distinct()
+      RandomWalk.skipGramPairs(
+        RandomWalk.biasedWalks(edges, seeds, steps = 3,
+          wReturn = 1L, wInner = 4L, wOuter = 2L), window = 2)
+    }),
     // G17 bounded-hop multi-source shortest paths: Bellman–Ford relaxation
     // with edges weighted 1/co-occurrence-multiplicity (distance prefers
     // strongly co-occurring paths). See ShortestPaths.
@@ -3329,6 +3341,50 @@ object SparkEntry {
         |  UNION ALL SELECT walk_id, 1, node FROM s1
         |  UNION ALL SELECT walk_id, 2, node FROM s2
         |  UNION ALL SELECT walk_id, 3, node FROM s3)""".stripMargin.replace("\n", " ")
+    // Shared by g30 (walk rows) and w2v2 (node2vec skip-gram pairs): the
+    // three unrolled second-order steps ending in a
+    // `wk2(walk_id, step, node)` CTE.
+    val n2vCtes =
+      """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
+          |f0 AS (SELECT DISTINCT src AS walk_id, src AS prev, src AS node FROM e0 WHERE src % 100 = 0),
+          |c1 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
+          |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
+          |  FROM f0 f JOIN e0 e ON e.src = f.node
+          |  LEFT JOIN e0 a ON a.src = f.prev AND a.dst = e.dst),
+          |w1 AS (SELECT walk_id, prev, node, dst,
+          |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c1),
+          |f1 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w1
+          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '1', prev, node)), 1, 8)) AS BIGINT) % tot
+          |  GROUP BY walk_id),
+          |c2 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
+          |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
+          |  FROM f1 f JOIN e0 e ON e.src = f.node
+          |  LEFT JOIN e0 a ON a.src = f.prev AND a.dst = e.dst),
+          |w2 AS (SELECT walk_id, prev, node, dst,
+          |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c2),
+          |f2 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w2
+          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '2', prev, node)), 1, 8)) AS BIGINT) % tot
+          |  GROUP BY walk_id),
+          |c3 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
+          |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
+          |  FROM f2 f JOIN e0 e ON e.src = f.node
+          |  LEFT JOIN e0 a ON a.src = f.prev AND a.dst = e.dst),
+          |w3 AS (SELECT walk_id, prev, node, dst,
+          |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c3),
+          |f3 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w3
+          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '3', prev, node)), 1, 8)) AS BIGINT) % tot
+          |  GROUP BY walk_id),
+        |wk2 AS (SELECT walk_id, 0 AS step, node FROM f0
+        |  UNION ALL SELECT walk_id, 1, node FROM f1
+        |  UNION ALL SELECT walk_id, 2, node FROM f2
+        |  UNION ALL SELECT walk_id, 3, node FROM f3)""".stripMargin.replace("\n", " ")
     Map(
       "s10_stats" -> statsUnion,
       "s7_upsert" ->
@@ -4133,46 +4189,14 @@ object SparkEntry {
       // + CASE weights, two window sums (integer CDF), md5-mod draw, first
       // crossing by min dst. Exactly the Scala dataflow, all integers.
       "g30_node2vec_walks" ->
-        """WITH c0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-          |  FROM lineitem a JOIN lineitem b
-          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-          |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM c0 UNION ALL SELECT v, u FROM c0),
-          |f0 AS (SELECT DISTINCT src AS walk_id, src AS prev, src AS node FROM e0 WHERE src % 100 = 0),
-          |c1 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
-          |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
-          |  FROM f0 f JOIN e0 e ON e.src = f.node
-          |  LEFT JOIN e0 a ON a.src = f.prev AND a.dst = e.dst),
-          |w1 AS (SELECT walk_id, prev, node, dst,
-          |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-          |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c1),
-          |f1 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w1
-          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '1', prev, node)), 1, 8)) AS BIGINT) % tot
-          |  GROUP BY walk_id),
-          |c2 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
-          |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
-          |  FROM f1 f JOIN e0 e ON e.src = f.node
-          |  LEFT JOIN e0 a ON a.src = f.prev AND a.dst = e.dst),
-          |w2 AS (SELECT walk_id, prev, node, dst,
-          |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-          |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c2),
-          |f2 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w2
-          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '2', prev, node)), 1, 8)) AS BIGINT) % tot
-          |  GROUP BY walk_id),
-          |c3 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
-          |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
-          |  FROM f2 f JOIN e0 e ON e.src = f.node
-          |  LEFT JOIN e0 a ON a.src = f.prev AND a.dst = e.dst),
-          |w3 AS (SELECT walk_id, prev, node, dst,
-          |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-          |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c3),
-          |f3 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w3
-          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '3', prev, node)), 1, 8)) AS BIGINT) % tot
-          |  GROUP BY walk_id)
-          |SELECT walk_id, 0 AS step, node FROM f0
-          |UNION ALL SELECT walk_id, 1, node FROM f1
-          |UNION ALL SELECT walk_id, 2, node FROM f2
-          |UNION ALL SELECT walk_id, 3, node FROM f3""".stripMargin.replace("\n", " "),
+        s"$n2vCtes SELECT walk_id, step, node FROM wk2",
+      // w2v2: the FULL node2vec pipeline cross-engine — skip-gram window-2
+      // pairs over the SAME biased walks (band self-join, integer counts).
+      "w2v2_node2vec_pairs" ->
+        (s"$n2vCtes SELECT a.node AS center, b.node AS context, " +
+          "CAST(count(*) AS BIGINT) AS pair_count FROM wk2 a JOIN wk2 b " +
+          "ON a.walk_id = b.walk_id AND a.step <> b.step " +
+          "AND abs(a.step - b.step) <= 2 GROUP BY 1, 2"),
       // fi1: A-priori level-2 replay — same prune, same pair join, same
       // integer lift_ppm via DuckDB's floor-division `//`.
       "fi1_frequent_pairs" ->
