@@ -3359,7 +3359,7 @@ object SparkEntry {
           |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
           |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c1),
           |f1 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w1
-          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '1', prev, node)), 1, 8)) AS BIGINT) % tot
+          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '1', prev, node)), 1, 15)) AS BIGINT) % tot
           |  GROUP BY walk_id),
           |c2 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
           |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
@@ -3369,7 +3369,7 @@ object SparkEntry {
           |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
           |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c2),
           |f2 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w2
-          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '2', prev, node)), 1, 8)) AS BIGINT) % tot
+          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '2', prev, node)), 1, 15)) AS BIGINT) % tot
           |  GROUP BY walk_id),
           |c3 AS (SELECT f.walk_id, f.prev, f.node, e.dst,
           |    CASE WHEN e.dst = f.prev THEN 1 WHEN a.src IS NOT NULL THEN 4 ELSE 2 END AS w
@@ -3379,7 +3379,7 @@ object SparkEntry {
           |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
           |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM c3),
           |f3 AS (SELECT walk_id, min(node) AS prev, min(dst) AS node FROM w3
-          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '3', prev, node)), 1, 8)) AS BIGINT) % tot
+          |  WHERE cum > CAST(('0x' || substr(md5(concat_ws('-', walk_id, '3', prev, node)), 1, 15)) AS BIGINT) % tot
           |  GROUP BY walk_id),
         |wk2 AS (SELECT walk_id, 0 AS step, node FROM f0
         |  UNION ALL SELECT walk_id, 1, node FROM f1
@@ -4210,7 +4210,7 @@ object SparkEntry {
           |SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
           |  CAST(ca.c AS BIGINT) AS count_a, CAST(cb.c AS BIGINT) AS count_b,
           |  CAST(nb.n AS BIGINT) AS n_baskets,
-          |  CAST((1000000 * p.support * nb.n) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+          |  CAST((1000000::HUGEINT * p.support * nb.n) // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_ppm
           |FROM pairs p JOIN ic ca ON ca.i = p.item_a
           |JOIN ic cb ON cb.i = p.item_b CROSS JOIN nb""".stripMargin.replace("\n", " "),
       // pca1: quantized integer moment sums — float32→double widening and

@@ -476,8 +476,11 @@ final class RestServer(spark: SparkSession, storeBase: String,
                         org.apache.spark.sql.functions.col("chunk_index")).as("id"),
                       org.apache.spark.sql.functions.col("chunk").as("text"))
                 else docsDf0
-              val nChunks = docsDf.count()
-              val stats = rag(g).addDocumentsDf(docsDf)
+              // Pinned: counted for the response AND re-read by the build —
+              // an unpinned plan would run the converter+chunker job twice.
+              val docsDfP = docsDf.localCheckpoint(true)
+              val nChunks = docsDfP.count()
+              val stats = rag(g).addDocumentsDf(docsDfP)
               n.put("success", true)
               n.put("num_sources", files.size)
               n.put("num_documents", docs.size)

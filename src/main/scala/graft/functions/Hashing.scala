@@ -19,4 +19,13 @@ object Hashing {
     * calling so the SQL twin's CAST matches the Spark cast). */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit variant (first 15 md5 hex chars) for draws taken MODULO a
+    * runtime total — `md5Long % tot` silently stops reaching values above
+    * 2³² once tot exceeds 2³² (every high-cumulative candidate becomes
+    * unpickable), so weighted inverse-CDF sampling (biasedWalks) draws from
+    * 60 bits instead. SQL twin:
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`. */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -78,11 +78,18 @@ object DataValidation {
     // ONE row; pinned so the FK branches below read n_rows without
     // re-running the corpus scan per constraint.
     val one = df.agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
-    val localReport = one.select(explode(array(
-        (rowLocal ++ uniques).map { case (n, _) =>
-          struct(lit(n).as("check_name"), col(s"v_$n").as("violations"))
-        }: _*)).as("r"), col("__n").as("n_rows"))
-      .select(col("r.check_name"), col("r.violations"), col("n_rows"))
+    val localChecks = rowLocal ++ uniques
+    // explode(array()) has element type NULL and the struct-field reads
+    // below fail analysis — an all-FK check list skips the unpivot entirely.
+    val localReport =
+      if (localChecks.isEmpty)
+        one.select(lit("").as("check_name"), lit(0L).as("violations"),
+          col("__n").as("n_rows")).limit(0)
+      else one.select(explode(array(
+          localChecks.map { case (n, _) =>
+            struct(lit(n).as("check_name"), col(s"v_$n").as("violations"))
+          }: _*)).as("r"), col("__n").as("n_rows"))
+        .select(col("r.check_name"), col("r.violations"), col("n_rows"))
     // …then one anti-join per foreign-key constraint.
     val fkReports: Seq[DataFrame] = checks.collect {
       case RefIntegrity(n, c, ref, rc) =>

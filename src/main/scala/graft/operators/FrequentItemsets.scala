@@ -95,7 +95,12 @@ object FrequentItemsets {
       .crossJoin(broadcast(nB))
       .select(col("item_a"), col("item_b"), col("support"),
         col("count_a"), col("count_b"), col("n_baskets"),
-        expr("(1000000 * support * n_baskets) DIV (count_a * count_b)")
+        // numerator widened to DECIMAL(38,0): 10⁶·support·n_baskets passes
+        // Long.Max once n_baskets·support > 9.2·10¹² — reachable at the
+        // corpus sizes this operator is for. The quotient is ≤ n_baskets
+        // (support ≤ min(count)), so the final BIGINT cast is safe.
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * support * n_baskets) " +
+          "DIV (CAST(count_a AS DECIMAL(38,0)) * count_b) AS BIGINT)")
           .as("lift_ppm"))
   }
 }

@@ -80,7 +80,7 @@ object RandomWalk {
     *
     * Derandomized weighted choice, cross-engine exact: per (walk, step) the
     * candidates are cum-summed in dst order (integer window sum), a draw is
-    * taken as `md5(walk‖step‖prev‖cur) mod total_weight` — an exact integer
+    * taken as `md5_60bit(walk‖step‖prev‖cur) mod total_weight` — an exact integer (60 draw bits so totals beyond 2³² stay reachable)
     * in [0, total) — and the chosen hop is the smallest dst whose running
     * cum exceeds the draw (inverse-CDF sampling with an integer CDF). No
     * float, no RNG stream: the same candidate multiset yields the same hop
@@ -135,7 +135,7 @@ object RandomWalk {
             (if (edgeWeightCol.isDefined) col("_ew") else lit(1L))).as("_w"))
       val drawn = cand
         .withColumn("_cum", sum(col("_w")).over(cumW))
-        .withColumn("_draw", graft.functions.Hashing.md5Long(concat_ws("-",
+        .withColumn("_draw", graft.functions.Hashing.md5Long60(concat_ws("-",
           col("walk_id").cast("string"), lit(step.toString),
           col("prev").cast("string"), col("node").cast("string")))
           % sum(col("_w")).over(byWalk))

@@ -34,9 +34,13 @@ final case class ConversionResult(
   *    Composite /Type0 CID text decodes through the file's /ToUnicode
   *    CMaps (bfchar + bfrange, both dst forms — r13): hex-string 2-byte
   *    CIDs that resolve map to real Unicode, which is what every modern
-  *    embedded-Unicode-font writer emits; without a CMap (or for
-  *    unresolvable codes) the single-byte printable fallback applies and
-  *    non-printable bytes are dropped rather than emitted as mojibake.
+  *    embedded-Unicode-font writer emits. Mixed-font disambiguation: a
+  *    hex string whose every byte is printable ASCII is read as a
+  *    SIMPLE-font string (byte read beats a wide-bfrange CMap — else
+  *    "Hello" turns CJK); in a CMap'd string, an individual unmapped CID
+  *    degrades to its printable bytes instead of vanishing; without a
+  *    CMap the single-byte printable fallback applies and non-printable
+  *    bytes are dropped rather than emitted as mojibake.
   *
   * Defensive bounds follow [[graft.operators.Multimodal]]'s contract: a
   * header-declared size is never trusted — decompression is capped per
@@ -312,9 +316,11 @@ object DocConverter {
     * accumulate through Tj / ' / " / TJ; Td, TD, T* and ET break lines.
     * `cmap`: the document's merged /ToUnicode map — hex strings whose
     * 2-byte CID groups resolve through it decode to Unicode (the Type0/
-    * composite-font path); with no map, or when no group resolves, the
-    * single-byte printable fallback applies. */
-  private def contentStreamText(content: String,
+    * composite-font path) with per-group printable-byte degradation for
+    * unmapped CIDs; an all-printable-byte hex string reads as a simple-font
+    * byte string even when a CMap exists (mixed-font disambiguation); with
+    * no map the single-byte printable fallback applies. */
+  private[graft] def contentStreamText(content: String,
       cmap: Map[Int, String] = Map.empty): String = {
     if (!content.contains("BT")) return ""
     val out = new StringBuilder
@@ -348,21 +354,35 @@ object DocConverter {
           val j = content.indexOf('>', i)
           if (j > i) {
             val hex = content.substring(i + 1, j).filterNot(_.isWhitespace)
-            val cidGroups =
-              if (cmap.nonEmpty && hex.length % 4 == 0)
-                hex.grouped(4).flatMap { g =>
-                  try cmap.get(Integer.parseInt(g, 16))
-                  catch { case _: NumberFormatException => None }
-                }.toSeq
-              else Seq.empty
-            if (cidGroups.nonEmpty) cidGroups.foreach(pendingLine.append)
-            else {
+            def byteVal(h: String): Option[Int] =
+              try Some(Integer.parseInt(h, 16))
+              catch { case _: NumberFormatException => None }
+            // An entirely printable-ASCII byte sequence is a SIMPLE-font
+            // string ("Hello" = <48656C6C6F>) — decoding it through a
+            // merged CMap with a wide bfrange would turn it into CJK
+            // mojibake (the mixed-font file case), so the byte read wins.
+            val allPrintable = hex.nonEmpty && hex.length % 2 == 0 &&
+              hex.grouped(2).forall(byteVal(_).exists(v => v >= 32 && v < 127))
+            if (allPrintable)
+              hex.grouped(2).foreach(h => pendingLine.append(byteVal(h).get.toChar))
+            else if (cmap.nonEmpty && hex.length % 4 == 0 &&
+                hex.grouped(4).exists(g =>
+                  byteVal(g).exists(cmap.contains))) {
+              // composite-font string: CMap per 2-byte CID; an UNMAPPED CID
+              // degrades to its printable bytes instead of vanishing
+              hex.grouped(4).foreach { g =>
+                cmap.get(byteVal(g).getOrElse(-1)) match {
+                  case Some(u) => pendingLine.append(u)
+                  case None => g.grouped(2).foreach(h =>
+                    byteVal(h).filter(v => v >= 32 && v < 127)
+                      .foreach(v => pendingLine.append(v.toChar)))
+                }
+              }
+            } else {
               val padded = if (hex.length % 2 == 1) hex + "0" else hex
               padded.grouped(2).foreach { h =>
-                try {
-                  val v = Integer.parseInt(h, 16)
-                  if (v >= 32 && v < 127) pendingLine.append(v.toChar)
-                } catch { case _: NumberFormatException => }
+                byteVal(h).filter(v => v >= 32 && v < 127)
+                  .foreach(v => pendingLine.append(v.toChar))
               }
             }
             i = j + 1

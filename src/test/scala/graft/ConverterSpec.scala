@@ -177,6 +177,27 @@ class ConverterSpec extends SparkSpec {
     }
   }
 
+  test("pdf: mixed-font hex strings — printable bytes beat a wide bfrange; unmapped CIDs degrade") {
+    // identity-style wide bfrange (maps EVERY 2-byte code, incl. 0x4865):
+    // the mixed-font hazard — a simple-font ASCII hex string must NOT
+    // decode through it into CJK
+    val wide = DocConverter.parseToUnicodeCMap(
+      "1 beginbfrange\n<0100> <FFFF> <0100>\nendbfrange")
+    assert(wide.contains(0x4865))
+    val ascii = DocConverter.contentStreamText(
+      "BT <48656C6C6F> Tj ET", wide) // "Hello" as bytes
+    assert(ascii.trim == "Hello", s"got '$ascii'")
+    // genuine CID text (0x00 high bytes -> not printable-as-bytes) still
+    // routes through the map
+    val cid = DocConverter.parseToUnicodeCMap(
+      "2 beginbfchar\n<0001> <0041>\n<0002> <0042>\nendbfchar")
+    assert(DocConverter.contentStreamText("BT <00010002> Tj ET", cid).trim == "AB")
+    // an unmapped CID inside a mapped string degrades to its printable
+    // bytes instead of silently vanishing
+    val part = DocConverter.contentStreamText("BT <00014142> Tj ET", cid)
+    assert(part.trim == "AAB", s"got '$part'") // 0x0001->A, 0x4142->'AB' bytes
+  }
+
   test("pdf: bfrange parser bounds and precedence") {
     val m = DocConverter.parseToUnicodeCMap(
       """2 beginbfchar

@@ -239,6 +239,12 @@ class Round13OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DataValidation.report(rows, Seq(NotNull("x", "id"), NotNull("x", "email")))
     }
+    // an all-FK check list must produce the FK rows, not crash on the
+    // empty unpivot
+    val fkOnly = DataValidation.report(rows,
+        Seq(RefIntegrity("country_fk2", "country", ref, "code")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fkOnly.toSeq == Seq(("country_fk2", 1L, 4L)))
     // profile: one row per column, nulls/distinct/min/max; fractional
     // min/max in fixed point
     val prof = DataValidation.profile(rows, Seq("id", "country", "amount"))
