@@ -56,6 +56,9 @@ object Bench {
     // pre-exists the query loop and all three rows read it.
     try SparkEntry.nnGraph1(spark, sfDir).count()
     catch { case NonFatal(e) => System.err.println(s"[bench] nnGraph1 warm-up failed: $e") }
+    // Shared node2vec biased-walk frame (g30/w2v2) — same cleanup contract.
+    try SparkEntry.n2vWalks(spark, sfDir).count()
+    catch { case NonFatal(e) => System.err.println(s"[bench] n2vWalks warm-up failed: $e") }
     // Shared BUILT BM25 index (b1/b4/b5) — buildFromTokens checkpoints
     // eagerly; constructing it here makes its blocks pre-existing so the
     // per-query cleanup keeps them (a mid-suite build would be unpersisted

@@ -586,25 +586,13 @@ object SparkEntry {
     // integer inverse-CDF over md5, replayed in SQL by two window sums per
     // step. Composes with skipGramPairs for the full node2vec training
     // pipeline. See RandomWalk.biasedWalks.
-    "g30_node2vec_walks" -> ((s, dir) => {
-      val edges = coEdges(s, dir, minGroups = 2)
-      val seeds = edges.filter(col("src") % 100 === 0)
-        .select(col("src").as("node")).distinct()
-      RandomWalk.biasedWalks(edges, seeds, steps = 3,
-        wReturn = 1L, wInner = 4L, wOuter = 2L)
-    }),
+    "g30_node2vec_walks" -> ((s, dir) => n2vWalks(s, dir)),
     // W2V2 the FULL node2vec training-data pipeline as one cross-engine
     // row (r13): skip-gram pairs over the SAME second-order biased walks
     // g30 pins — biasedWalks → skipGramPairs, the composition the two
     // operators exist for.
-    "w2v2_node2vec_pairs" -> ((s, dir) => {
-      val edges = coEdges(s, dir, minGroups = 2)
-      val seeds = edges.filter(col("src") % 100 === 0)
-        .select(col("src").as("node")).distinct()
-      RandomWalk.skipGramPairs(
-        RandomWalk.biasedWalks(edges, seeds, steps = 3,
-          wReturn = 1L, wInner = 4L, wOuter = 2L), window = 2)
-    }),
+    "w2v2_node2vec_pairs" -> ((s, dir) =>
+      RandomWalk.skipGramPairs(n2vWalks(s, dir), window = 2)),
     // G17 bounded-hop multi-source shortest paths: Bellman–Ford relaxation
     // with edges weighted 1/co-occurrence-multiplicity (distance prefers
     // strongly co-occurring paths). See ShortestPaths.
@@ -2241,6 +2229,19 @@ object SparkEntry {
       Privacy.lDiversityHistogram(t(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus", "l_quantity"), "l_partkey")
     }),
+    // PV3 generalization-ladder decision table (r13): per-level min class
+    // size / class count / unique rows — release at the first level whose
+    // min >= k; the full ladder shows each step's utility cost. One
+    // bounded agg pair per level. See Privacy.generalizationLadder.
+    "pv3_generalization_ladder" -> ((s, dir) => {
+      Privacy.generalizationLadder(t(s, dir, "lineitem"), Seq(
+        "raw" -> Seq("rf" -> col("l_returnflag"), "ls" -> col("l_linestatus"),
+          "q" -> col("l_quantity")),
+        "qty_bucket5" -> Seq("rf" -> col("l_returnflag"),
+          "ls" -> col("l_linestatus"), "qb" -> floor(col("l_quantity") / 5)),
+        "flags_only" -> Seq("rf" -> col("l_returnflag"),
+          "ls" -> col("l_linestatus"))))
+    }),
     // DV2 column profiling (r13): the discovery half of the validation
     // stage — ONE aggregation pass for all columns' null/distinct/min/max,
     // fractional min/max through DECIMAL(18,6) fixed point (the
@@ -2910,6 +2911,19 @@ object SparkEntry {
     cachedFrame(nnGraphCache, s, dir) {
       NnDescent.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, rounds = 1).localCheckpoint(true)
+    }
+
+  /** Shared node2vec biased-walk frame (g30 walk rows + w2v2 skip-gram
+    * pairs): one second-order walk build, two readers. */
+  private val n2vWalkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def n2vWalks(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(n2vWalkCache, s, dir) {
+      val edges = coEdges(s, dir, minGroups = 2)
+      val seeds = edges.filter(col("src") % 100 === 0)
+        .select(col("src").as("node")).distinct()
+      RandomWalk.biasedWalks(edges, seeds, steps = 3,
+        wReturn = 1L, wInner = 4L, wOuter = 2L).localCheckpoint(true)
     }
 
   /** Shared DSIR log-weight frame (x23 weights read + x24 resampling
@@ -4262,6 +4276,17 @@ object SparkEntry {
           |    count(DISTINCT l_partkey) AS l FROM lineitem GROUP BY 1, 2, 3)
           |SELECT CAST(l AS BIGINT) AS l_distinct, CAST(count(*) AS BIGINT) AS n_classes
           |FROM ec GROUP BY l""".stripMargin.replace("\n", " "),
+      "pv3_generalization_ladder" ->
+        """WITH l0 AS (SELECT count(*) AS sz FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity),
+          |l1 AS (SELECT count(*) AS sz FROM lineitem GROUP BY l_returnflag, l_linestatus, floor(l_quantity / 5)),
+          |l2 AS (SELECT count(*) AS sz FROM lineitem GROUP BY l_returnflag, l_linestatus)
+          |SELECT CAST(0 AS BIGINT) AS level, 'raw' AS level_name,
+          |  CAST(min(sz) AS BIGINT) AS min_class_size, CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(count(*) FILTER (WHERE sz = 1) AS BIGINT) AS n_unique_rows FROM l0
+          |UNION ALL SELECT 1, 'qty_bucket5', CAST(min(sz) AS BIGINT), CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE sz = 1) AS BIGINT) FROM l1
+          |UNION ALL SELECT 2, 'flags_only', CAST(min(sz) AS BIGINT), CAST(count(*) AS BIGINT),
+          |  CAST(count(*) FILTER (WHERE sz = 1) AS BIGINT) FROM l2""".stripMargin.replace("\n", " "),
       // dv2: per-column profile rows; fractional min/max through
       // DECIMAL(18,6) (same fixed-point serialization as sim5).
       "dv2_column_profile" ->

@@ -40,6 +40,34 @@ object Privacy {
         (col("class_size") * col("n_classes")).as("n_rows"))
   }
 
+  /** Generalization-ladder diagnostics — the DECISION TABLE for k-anonymity
+    * enforcement: for each proposed generalization level (a list of
+    * (name, expression) quasi-identifier columns, typically coarsening step
+    * by step: raw value → bucket → suppressed), one summary row with the
+    * minimum equivalence-class size, class count, and unique-row count.
+    * The caller releases at the FIRST level whose min_class_size ≥ k —
+    * returning the whole ladder (rather than just the pick) shows the
+    * utility cost of each step, which is what decides generalize vs
+    * suppress vs drop.
+    *
+    * One hash-aggregation pair per level — L levels = L bounded passes, a
+    * driver loop over frames (never rows); each pass is the same shuffle
+    * shape as [[kAnonymityHistogram]]. */
+  def generalizationLadder(df: DataFrame,
+      levels: Seq[(String, Seq[(String, org.apache.spark.sql.Column)])]): DataFrame = {
+    require(levels.nonEmpty, "generalizationLadder: empty ladder")
+    levels.zipWithIndex.map { case ((label, quasi), idx) =>
+      require(quasi.nonEmpty, s"generalizationLadder: level '$label' has no columns")
+      df.groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+        .agg(count(lit(1)).as("_sz"))
+        .agg(min(col("_sz")).as("min_class_size"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("_sz") === 1, 1L).otherwise(0L)).as("n_unique_rows"))
+        .select(lit(idx.toLong).as("level"), lit(label).as("level_name"),
+          col("min_class_size"), col("n_classes"), col("n_unique_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Distinct-sensitive-value histogram per equivalence class:
     * (l_distinct, n_classes) — `l` = the smallest l_distinct row; classes
     * with l_distinct 1 leak their sensitive attribute outright (everyone

@@ -273,6 +273,16 @@ class Round13OpsSpec extends SparkSpec {
     val k1 = Privacy.kAnonymityHistogram(rows.withColumn("zip", lit("1000*")),
         Seq("zip")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(k1 == Set((6L, 1L)))
+    // ladder: raw (k=1, one unique row) -> 4-digit zip prefix (all share
+    // "1000" -> one k=6 class) -> suppressed (same)
+    val lad = Privacy.generalizationLadder(rows, Seq(
+        "raw" -> Seq("zip" -> col("zip"), "age" -> col("age")),
+        "zip3" -> Seq("zip3" -> substring(col("zip"), 1, 4)),
+        "suppressed" -> Seq("all" -> lit("*"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(lad.toSeq == Seq((0L, "raw", 1L, 3L, 1L),
+      (1L, "zip3", 6L, 1L, 0L), (2L, "suppressed", 6L, 1L, 0L)))
   }
 
   test("pca: moment sums match brute force; fit recovers the planted axis") {
