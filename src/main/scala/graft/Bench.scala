@@ -30,44 +30,41 @@ object Bench {
         emb.limit(2), emb, "vec_id", "embedding", "vec_id", "embedding", 3).count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case NonFatal(_) => () }
-    // Shared lexical tokenization (index-once infrastructure for b1/b2/tf1):
-    // built here so it pre-exists the query loop — the per-query cleanup
-    // keeps pre-existing RDDs, so the lexical family shares one tokenize the
-    // way a real engine shares one index build across queries. Own try block:
-    // an unrelated warm-up failure must not silently revert b1/b2/tf1 to
-    // per-query re-tokenization.
-    try SparkEntry.lexTokens(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] lexTokens warm-up failed: $e") }
-    // Shared co-occurrence pair table (build-the-graph-once infrastructure
-    // for pr1/pr2/g12/g13) — same rationale and cleanup contract as above.
-    try SparkEntry.coPairs(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] coPairs warm-up failed: $e") }
-    // Shared LPA community labels (detect-once-grade-many for
-    // g13/g19/g23/g25/g26) — same rationale and cleanup contract.
-    try SparkEntry.coLabels(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] coLabels warm-up failed: $e") }
-    // Shared MinHash signatures + LSH candidate pairs (sign-once
-    // infrastructure for d2/d8/d9/d13/x26/er3; builds docShingles3 for
-    // d4/d15/d17/d18/x33 on the way) — same cleanup contract.
-    try SparkEntry.lshPairs(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] lshPairs warm-up failed: $e") }
-    // Shared rounds=1 NN-descent graph (build-once infrastructure for
-    // nn1/nn2/nn3) — same cleanup contract: built here so the checkpoint
-    // pre-exists the query loop and all three rows read it.
-    try SparkEntry.nnGraph1(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] nnGraph1 warm-up failed: $e") }
-    // Shared node2vec biased-walk frame (g30/w2v2) — same cleanup contract.
-    try SparkEntry.n2vWalks(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] n2vWalks warm-up failed: $e") }
-    // Shared BUILT BM25 index (b1/b4/b5) — buildFromTokens checkpoints
-    // eagerly; constructing it here makes its blocks pre-existing so the
-    // per-query cleanup keeps them (a mid-suite build would be unpersisted
-    // after its first consumer and every later row would rebuild).
-    try SparkEntry.lexIndex(spark, sfDir)
-    catch { case NonFatal(e) => System.err.println(s"[bench] lexIndex warm-up failed: $e") }
-    // Shared DSIR importance model (x23/x24) — same rationale.
-    try SparkEntry.dsirWeights(spark, sfDir).count()
-    catch { case NonFatal(e) => System.err.println(s"[bench] dsirWeights warm-up failed: $e") }
+    // Shared index-once infrastructure, built here so it pre-exists the query
+    // loop — the per-query cleanup keeps pre-existing RDDs, so each family
+    // shares one build the way a real engine shares one index across queries.
+    // Each build runs in its own try block (an unrelated warm-up failure must
+    // not silently revert its consumers to per-query rebuilds) and is TIMED:
+    // per-query numbers then honestly read as "amortized-index read cost",
+    // with the one-time build cost published beside them in the
+    // [shared-builds] line and the JSON payload's "shared_builds" map.
+    val sharedBuilds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def sharedBuild(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { body; sharedBuilds(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] $name warm-up failed: $e") }
+    }
+    // lexical tokenization (b1/b2/tf1 and the x-family text reads)
+    sharedBuild("lexTokens") { SparkEntry.lexTokens(spark, sfDir).count() }
+    // co-occurrence pair table (pr1/pr2/g12/g13)
+    sharedBuild("coPairs") { SparkEntry.coPairs(spark, sfDir).count() }
+    // LPA community labels (g13/g19/g23/g25/g26)
+    sharedBuild("coLabels") { SparkEntry.coLabels(spark, sfDir).count() }
+    // MinHash signatures + LSH candidate pairs (d2/d8/d9/d13/x26/er3;
+    // builds docShingles3 for d4/d15/d17/d18/x33 on the way)
+    sharedBuild("lshPairs") { SparkEntry.lshPairs(spark, sfDir).count() }
+    // rounds=1 NN-descent graph (nn1/nn2/nn3)
+    sharedBuild("nnGraph1") { SparkEntry.nnGraph1(spark, sfDir).count() }
+    // node2vec biased-walk frame (g30/w2v2)
+    sharedBuild("n2vWalks") { SparkEntry.n2vWalks(spark, sfDir).count() }
+    // BUILT BM25 index (b1/b4/b5) — buildFromTokens checkpoints eagerly
+    sharedBuild("lexIndex") { SparkEntry.lexIndex(spark, sfDir) }
+    // DSIR importance model (x23/x24)
+    sharedBuild("dsirWeights") { SparkEntry.dsirWeights(spark, sfDir).count() }
+    System.err.println("[shared-builds] one-time costs amortized across the suite: " +
+      sharedBuilds.map { case (n, s) => f"$n=$s%.2fs" }.mkString(" ") +
+      f" (total ${sharedBuilds.values.sum}%.2fs; consumers' per-query times are read cost)")
     // Optional args = query-name filter for fast single-query iteration;
     // the driver passes none and gets the full set. SPARK_GRAFT_BENCH_FIRST
     // hoists one query to the front of the sorted order (A/B accountability:
@@ -179,7 +176,9 @@ object Bench {
       }
       twins.mkString(""","warm":{""", ",", "}")
     } else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm,"sf":"$sfDir"}"""
+    val sb = sharedBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString(""","shared_builds":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm$sb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout through a bounded tail window; one long line
     // can be truncated mid-JSON. Persist the same object so the per-query map
@@ -313,5 +312,12 @@ object Bench {
           f"total=${durs.sum}%.2fs (batch twin: d2_lsh_pairs)")
     } catch { case NonFatal(e) => System.err.println(s"[st-lsh-maintenance] failed: $e") }
     spark.stop()
+    // Re-print the metric payload as the FINAL stdout line, after every
+    // diagnostic section and the Spark shutdown: the driver reads a bounded
+    // tail of the log, and since r11 that tail has been all streaming-
+    // shutdown warnings — the early println above keeps legacy behavior,
+    // this one is the line the tail window actually sees.
+    println(line)
+    System.out.flush()
   }
 }

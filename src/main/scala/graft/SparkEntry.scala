@@ -958,7 +958,8 @@ object SparkEntry {
     // the cluster-bounded twin of d5's exact pair scan.
     "d14_semdedup" -> ((s, dir) => {
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nClusters = 8, tau = 0.35)
+          nClusters = 8, tau = 0.35)
+        .withColumn("vec_id", col("vec_id").cast("long"))
     }),
     // G5-salted: skew-safe adjacency aggregation (two-phase salted collect_set)
     // must equal the direct aggregate. Array serialized to string for the
@@ -1040,7 +1041,8 @@ object SparkEntry {
         ("q1", "spark window agg"),
         ("q2", "customer order join"))).toDF("qid", "qtext")
       Bm25.score(idx, queries, "qid", "qtext", k = 5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
+        .select(col("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // B3 exact-phrase search over positional postings — adjacency-aware
@@ -1063,7 +1065,8 @@ object SparkEntry {
         ("q1", "spark window agg"),
         ("q2", "customer order join"))).toDF("qid", "qtext")
       QueryLikelihood.score(idx, queries, "qid", "qtext", mu = 300.0, k = 5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
+        .select(col("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // B5 RM3-style pseudo-relevance feedback on the b1 queries: first-pass
@@ -1078,7 +1081,8 @@ object SparkEntry {
         ("q2", "customer order join"))).toDF("qid", "qtext")
       Bm25.prfScore(idx, queries, "qid", "qtext", k = 5,
           fbDocs = 5, fbTerms = 3, lambda = 0.5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
+        .select(col("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // B6 best-window snippet extraction: per (query, matching doc) the
@@ -1125,7 +1129,8 @@ object SparkEntry {
         "doc_id", "text", k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"))
       HybridFusion.rrf(Seq(dense, sparse), k = 5)
-        .select(col("query_id"), col("rank"), col("doc_id"),
+        .select(col("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // TF1 tf-idf vector-space retrieval (SMART ntc.nnn): doc weights raw-tf·idf
@@ -1138,6 +1143,7 @@ object SparkEntry {
         lexTokens(s, dir).select("id", "term"),
         docs.agg(count(lit(1)).cast("double").as("n")))
       TfIdf.topK(w, docs.filter(col("doc_id") < 5), "doc_id", "text", k = 10)
+        .withColumn("doc_id", col("doc_id").cast("long"))
     }),
     // MV1 late-interaction MaxSim (ColBERT-style): multi-vector "docs" are
     // embedding rows grouped by vec_id%100, queries two 5-token bags. Plan:
@@ -1151,7 +1157,8 @@ object SparkEntry {
         .select((col("vec_id") % 100).as("did"), col("embedding"))
       MultiVector.maxSimTopK(qToks, dToks,
           "qid", "tok", "embedding", "did", "embedding", k = 10)
-        .select(col("query_id"), col("rank"), col("doc_id"),
+        .select(col("query_id"), col("rank"),
+          col("doc_id").cast("long").as("doc_id"),
           col("score").as("maxsim_r"))
     }),
 
@@ -2625,29 +2632,32 @@ object SparkEntry {
       // Seven crawl shapes (r13 added 3-6): canonical-with-noise, default
       // port, non-default port, scheme-less with www+ccSLD, protocol-
       // relative, opaque mailto (pass-through), malformed port (pass-through).
+      // Host digit is doc_id % 11 — coprime with the 7-way shape selector,
+      // so every shape cycles through 11 distinct hosts instead of one
+      // (r13's % 7 digit was constant within each branch).
       val url = when(col("doc_id") % 7 === 0,
-          concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+          concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 11).cast("string"),
             lit(".CO.UK:443/a//b/"), (col("doc_id") % 5).cast("string"),
             lit("/?utm_source=feed&z=2&a=1#sec")))
         .when(col("doc_id") % 7 === 1,
-          concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+          concat(lit("http://site"), (col("doc_id") % 11).cast("string"),
             lit(".com:80/p/"), col("doc_id").cast("string")))
         .when(col("doc_id") % 7 === 2,
           concat(lit("https://News.example"),
-            (col("doc_id") % 7).cast("string"), lit(".com:8443/x/"),
+            (col("doc_id") % 11).cast("string"), lit(".com:8443/x/"),
             (col("doc_id") % 5).cast("string"), lit("/")))
         .when(col("doc_id") % 7 === 3,
-          concat(lit("www.bare"), (col("doc_id") % 7).cast("string"),
+          concat(lit("www.bare"), (col("doc_id") % 11).cast("string"),
             lit(".co.uk/p//"), (col("doc_id") % 5).cast("string"),
             lit("?b=2&utm_campaign=x")))
         .when(col("doc_id") % 7 === 4,
-          concat(lit("//cdn.example"), (col("doc_id") % 7).cast("string"),
+          concat(lit("//cdn.example"), (col("doc_id") % 11).cast("string"),
             lit(".com/lib/"), (col("doc_id") % 5).cast("string"), lit(".js")))
         .when(col("doc_id") % 7 === 5,
           concat(lit("mailto:user"), (col("doc_id") % 5).cast("string"),
-            lit("@example"), (col("doc_id") % 7).cast("string"), lit(".com")))
+            lit("@example"), (col("doc_id") % 11).cast("string"), lit(".com")))
         .otherwise(concat(lit("http://broken"),
-          (col("doc_id") % 7).cast("string"), lit(".com:8o80/x/"),
+          (col("doc_id") % 11).cast("string"), lit(".com:8o80/x/"),
           (col("doc_id") % 5).cast("string")))
       docs.withColumn("url", url)
         .select(col("doc_id"), col("url"),
@@ -3111,13 +3121,13 @@ object SparkEntry {
     // expression-for-expression (same RE2 regexes, same list sort).
     val urlCtes =
       """ud AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.CO.UK:443/a//b/' || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&z=2&a=1#sec'
-        |         WHEN doc_id % 7 = 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/p/' || CAST(doc_id AS VARCHAR)
-        |         WHEN doc_id % 7 = 2 THEN 'https://News.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x/' || CAST(doc_id % 5 AS VARCHAR) || '/'
-        |         WHEN doc_id % 7 = 3 THEN 'www.bare' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk/p//' || CAST(doc_id % 5 AS VARCHAR) || '?b=2&utm_campaign=x'
-        |         WHEN doc_id % 7 = 4 THEN '//cdn.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/lib/' || CAST(doc_id % 5 AS VARCHAR) || '.js'
-        |         WHEN doc_id % 7 = 5 THEN 'mailto:user' || CAST(doc_id % 5 AS VARCHAR) || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
-        |         ELSE 'http://broken' || CAST(doc_id % 7 AS VARCHAR) || '.com:8o80/x/' || CAST(doc_id % 5 AS VARCHAR) END AS url
+        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 11 AS VARCHAR) || '.CO.UK:443/a//b/' || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&z=2&a=1#sec'
+        |         WHEN doc_id % 7 = 1 THEN 'http://site' || CAST(doc_id % 11 AS VARCHAR) || '.com:80/p/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 7 = 2 THEN 'https://News.example' || CAST(doc_id % 11 AS VARCHAR) || '.com:8443/x/' || CAST(doc_id % 5 AS VARCHAR) || '/'
+        |         WHEN doc_id % 7 = 3 THEN 'www.bare' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk/p//' || CAST(doc_id % 5 AS VARCHAR) || '?b=2&utm_campaign=x'
+        |         WHEN doc_id % 7 = 4 THEN '//cdn.example' || CAST(doc_id % 11 AS VARCHAR) || '.com/lib/' || CAST(doc_id % 5 AS VARCHAR) || '.js'
+        |         WHEN doc_id % 7 = 5 THEN 'mailto:user' || CAST(doc_id % 5 AS VARCHAR) || '@example' || CAST(doc_id % 11 AS VARCHAR) || '.com'
+        |         ELSE 'http://broken' || CAST(doc_id % 11 AS VARCHAR) || '.com:8o80/x/' || CAST(doc_id % 5 AS VARCHAR) END AS url
         |  FROM documents),
         |ue AS (SELECT doc_id, url,
         |    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*:[^0-9/]') AND NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS opq,
@@ -3721,7 +3731,7 @@ object SparkEntry {
              "SELECT 'q0' AS query_id, 'fast vector scan' AS qtext " +
                "UNION ALL SELECT 'q1', 'spark window agg' " +
                "UNION ALL SELECT 'q2', 'customer order join'")}
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
            |FROM (SELECT query_id, id AS doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc) r
@@ -3759,7 +3769,7 @@ object SparkEntry {
            |  GROUP BY 1, 2, 3),
            |fin AS (SELECT query_id, id, s1 + ql.qlen * ln(300.0 / (dl + 300.0)) AS score
            |  FROM sc JOIN ql USING (query_id))
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
            |FROM (SELECT query_id, id AS doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM fin) r
@@ -3807,7 +3817,7 @@ object SparkEntry {
            |  sum(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) * qw.qw) AS score
            |  FROM qw JOIN tf ON qw.term = tf.term JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.id = dl.id CROSS JOIN st
            |  GROUP BY 1, 2)
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
            |FROM (SELECT query_id, id AS doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc2) r
@@ -3869,7 +3879,7 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sparse WHERE rank <= 10),
            |fused AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2)
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, round(score, 6) AS score_r
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
            |FROM (SELECT query_id, doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
            |      FROM fused) z
@@ -3888,7 +3898,7 @@ object SparkEntry {
            |  FROM (SELECT doc_id, unnest($toksDoc) AS t FROM documents WHERE doc_id < 5) u GROUP BY 1, 2),
            |sc AS (SELECT query_id, wn.id, round(sum(wn.w * q.qtf), 6) AS score
            |  FROM wn JOIN q USING (term) GROUP BY 1, 2)
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, id AS doc_id, score AS sim_r
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(id AS BIGINT) AS doc_id, score AS sim_r
            |FROM (SELECT query_id, id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc) z
@@ -3903,7 +3913,7 @@ object SparkEntry {
           |  FROM q, d GROUP BY 1, 2, 3),
           |sc AS (SELECT qid AS query_id, did, round(sum(m), 6) AS score
           |  FROM mx GROUP BY 1, 2)
-          |SELECT query_id, CAST(rank AS INTEGER) AS rank, did AS doc_id, score AS maxsim_r
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(did AS BIGINT) AS doc_id, score AS maxsim_r
           |FROM (SELECT query_id, did, score,
           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, did ASC) AS rank
           |      FROM sc) z
@@ -4730,7 +4740,7 @@ object SparkEntry {
           |  ON a.centroid_id = b.centroid_id AND b.id < a.id
           |  WHERE list_dot_product(a.v, b.v)
           |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35)
-          |SELECT a.id AS vec_id, a.centroid_id AS cell, (d.id IS NULL) AS keep
+          |SELECT CAST(a.id AS BIGINT) AS vec_id, a.centroid_id AS cell, (d.id IS NULL) AS keep
           |FROM assign a LEFT JOIN drp d ON a.id = d.id""".stripMargin.replace("\n", " "),
       "d6_neardup_blocked" -> {
         // Re-derive the exact hyperplanes used by Dedup.embeddingNearDupPairs

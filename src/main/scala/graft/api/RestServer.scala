@@ -144,36 +144,61 @@ final class RestServer(spark: SparkSession, storeBase: String,
     * no name) are skipped, not errors: the route reports per-FILE failures
     * through the conversion result instead. */
   private def parseMultipart(body: Array[Byte], boundary: String): Seq[Part] = {
-    val delim = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    // RFC 2046: the delimiter is CRLF + "--" + boundary at a LINE START — a
+    // payload that merely CONTAINS the dash-boundary bytes mid-line must not
+    // truncate its part. Only the very first delimiter may omit the leading
+    // CRLF (start-of-body is a line start). The CRLF before each delimiter
+    // belongs to the delimiter, not the part content.
+    val lead = ("\r\n--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
+    val bare = ("--" + boundary).getBytes(StandardCharsets.ISO_8859_1)
     val crlfcrlf = "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    def startsWithAt(at: Int, p: Array[Byte]): Boolean = {
+      if (at + p.length > body.length) false
+      else {
+        var j = 0
+        while (j < p.length && body(at + j) == p(j)) j += 1
+        j == p.length
+      }
+    }
+    // -> (delimiter start, index just past the boundary bytes), or (-1, -1)
+    def findDelim(from: Int): (Int, Int) =
+      if (from == 0 && startsWithAt(0, bare)) (0, bare.length)
+      else {
+        val i = indexOfBytes(body, lead, from)
+        if (i < 0) (-1, -1) else (i, i + lead.length)
+      }
     val parts = Seq.newBuilder[Part]
-    var pos = indexOfBytes(body, delim, 0)
-    var done = pos < 0
+    var (at, after) = findDelim(0)
+    var done = at < 0
     while (!done) {
-      var start = pos + delim.length
-      if (start + 1 < body.length && body(start) == '-' && body(start + 1) == '-')
+      if (after + 1 < body.length && body(after) == '-' && body(after + 1) == '-')
         done = true // terminal '--boundary--'
       else {
+        var start = after
         if (start + 1 < body.length && body(start) == '\r' && body(start + 1) == '\n')
           start += 2
-        val next = indexOfBytes(body, delim, start)
-        if (next < 0) done = true
+        val (nextAt, nextAfter) = findDelim(start)
+        if (nextAt < 0) done = true
         else {
-          var end = next
-          if (end >= 2 && body(end - 2) == '\r' && body(end - 1) == '\n') end -= 2
+          val end = nextAt // the preceding CRLF is the delimiter's, not content
           val hEnd = indexOfBytes(body, crlfcrlf, start)
           if (hEnd >= 0 && hEnd + 4 <= end) {
             val headers = new String(body, start, hEnd - start, StandardCharsets.ISO_8859_1)
             val disp = headers.linesIterator
               .find(_.toLowerCase.startsWith("content-disposition")).getOrElse("")
+            // anchored at start-of-header or ';' so name="..." never reads
+            // the substring inside filename="..." — RFC 7578 does not
+            // mandate parameter order
             def attr(k: String): Option[String] =
-              ("(?i)" + k + "=\"([^\"]*)\"").r.findFirstMatchIn(disp).map(_.group(1))
+              ("(?i)(?:^|;\\s*)" + k + "=\"([^\"]*)\"").r
+                .findFirstMatchIn(disp).map(_.group(1))
             attr("name").foreach { nm =>
               parts += Part(nm, attr("filename").filter(_.nonEmpty),
                 java.util.Arrays.copyOfRange(body, hEnd + 4, end))
             }
           }
-          pos = next
+          at = nextAt
+          after = nextAfter
         }
       }
     }

@@ -56,6 +56,66 @@ object FrequentItemsets {
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
                     minSupport: Long,
                     maxBasketSize: Option[Long] = None): DataFrame = {
+    val (itemCounts, nB, pruned) =
+      prunedBasketItems(baskets, basketCol, itemCol, minSupport, maxBasketSize)
+    // Level-2: within-basket pair explosion (a < b once per unordered pair)
+    // + hash count. Equi-join on the basket key; AQE handles skewed baskets.
+    val pairs = candidatePairs(pruned)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    enrich(pairs, itemCounts, nB)
+  }
+
+  /** The PCY upgrade (Park/Chen/Yu 1995, documented above as the
+    * melt-a-basket path): a first pass counts PAIR-HASH BUCKETS — the
+    * within-basket join's output folds straight into ≤ `nBuckets` counter
+    * rows per map task (map-side combine; the shuffle carries buckets, not
+    * pairs) — then only pairs landing in HEAVY buckets (bucket count ≥
+    * `minSupport`) enter the pair-count shuffle, via one broadcast
+    * semi-join. A bucket's count bounds every resident pair's support from
+    * above, so no frequent pair is lost: the output is EXACTLY
+    * [[frequentPairs]]' output; what changes is the second pass's shuffle,
+    * which drops the long tail of hapax pairs (most of any Zipfian pair
+    * stream) before it moves. The candidate join runs twice — at corpus
+    * scale recomputing the explode is deliberate: compute is cheaper than
+    * materializing the full pair stream, which is exactly what PCY exists
+    * to avoid.
+    *
+    * The bucket hash is the house oracle-replicable md5 arithmetic
+    * ([[graft.functions.Hashing.md5Long]] mod `nBuckets`), so a SQL twin
+    * replays the prune decision bucket-for-bucket. Size `nBuckets` so the
+    * EXPECTED bucket load (candidate pairs / nBuckets) sits well below
+    * `minSupport` — an undersized table makes every bucket heavy and the
+    * prune a no-op. */
+  def pcyFrequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long, nBuckets: Int = 1 << 20,
+                       maxBasketSize: Option[Long] = None): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val (itemCounts, nB, pruned) =
+      prunedBasketItems(baskets, basketCol, itemCol, minSupport, maxBasketSize)
+    def withBucket(cand: DataFrame): DataFrame = cand.withColumn("_bkt",
+      graft.functions.Hashing.md5Long(concat_ws("|",
+        col("item_a"), col("item_b"))) % nBuckets) // md5Long is non-negative
+    // Pass 1: bucket counts (map-side combined to <= nBuckets rows/task).
+    val heavy = withBucket(candidatePairs(pruned))
+      .groupBy(col("_bkt")).agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") >= minSupport)
+      .select(col("_bkt"))
+    // Pass 2: only heavy-bucket pairs reach the pair-count shuffle.
+    val pairs = withBucket(candidatePairs(pruned))
+      .join(broadcast(heavy), Seq("_bkt"), "left_semi")
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    enrich(pairs, itemCounts, nB)
+  }
+
+  /** Shared A-priori front: distinct (basket, item), level-1 support prune,
+    * corpus basket count, optional hot-basket exclusion. */
+  private def prunedBasketItems(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long, maxBasketSize: Option[Long])
+      : (DataFrame, DataFrame, DataFrame) = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     maxBasketSize.foreach(m => require(m >= 2,
       s"maxBasketSize must be >= 2 (a 1-item basket has no pairs), got $m"))
@@ -79,14 +139,19 @@ object FrequentItemsets {
         .filter(col("_bs") <= m).drop("_bs")
       case None => prunedAll
     }
-    // Level-2: within-basket pair explosion (a < b once per unordered pair)
-    // + hash count. Equi-join on the basket key; AQE handles skewed baskets.
-    val pairs = pruned.select(col("_b"), col("_i").as("item_a"))
+    (itemCounts, nB, pruned)
+  }
+
+  /** Unordered within-basket candidate pairs (item_a < item_b). */
+  private def candidatePairs(pruned: DataFrame): DataFrame =
+    pruned.select(col("_b"), col("_i").as("item_a"))
       .join(pruned.select(col("_b").as("_b2"), col("_i").as("item_b")),
         col("_b") === col("_b2") && col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+      .select(col("item_a"), col("item_b"))
+
+  /** Attach per-item counts, corpus size, and the exact integer lift. */
+  private def enrich(pairs: DataFrame, itemCounts: DataFrame,
+                     nB: DataFrame): DataFrame =
     pairs
       .join(itemCounts.select(col("_i").as("item_a"), col("_c").as("count_a")),
         Seq("item_a"))
@@ -102,5 +167,4 @@ object FrequentItemsets {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * support * n_baskets) " +
           "DIV (CAST(count_a AS DECIMAL(38,0)) * count_b) AS BIGINT)")
           .as("lift_ppm"))
-  }
 }

@@ -17,13 +17,21 @@ class MomentAggregator(dim: Int)
     extends Aggregator[Array[Long], MomentBuf, MomentBuf] {
   private val tri = dim * (dim + 1) / 2
   def zero: MomentBuf = MomentBuf(0L, new Array[Long](dim), new Array[Long](tri))
+  // All arithmetic is *Exact: a quantized component of |x|·scale ~ 10⁷
+  // (|x| ~ 10³ at the default scale) gives per-row products ~ 10¹⁴ and a
+  // silent Long wrap after ~10⁵ rows — unnormalized inputs must fail
+  // LOUDLY (ArithmeticException surfaces as a task failure), never return
+  // a wrong covariance. The exact intrinsics cost nothing on the hot path.
   def reduce(b: MomentBuf, q: Array[Long]): MomentBuf = {
     require(q.length == dim, s"vector dim ${q.length} != configured $dim")
     var i = 0; var t = 0
     while (i < dim) {
-      b.s1(i) += q(i)
+      b.s1(i) = Math.addExact(b.s1(i), q(i))
       var j = i
-      while (j < dim) { b.s2(t) += q(i) * q(j); t += 1; j += 1 }
+      while (j < dim) {
+        b.s2(t) = Math.addExact(b.s2(t), Math.multiplyExact(q(i), q(j)))
+        t += 1; j += 1
+      }
       i += 1
     }
     b.n += 1
@@ -31,9 +39,9 @@ class MomentAggregator(dim: Int)
   }
   def merge(a: MomentBuf, b: MomentBuf): MomentBuf = {
     var i = 0
-    while (i < dim) { a.s1(i) += b.s1(i); i += 1 }
+    while (i < dim) { a.s1(i) = Math.addExact(a.s1(i), b.s1(i)); i += 1 }
     var t = 0
-    while (t < tri) { a.s2(t) += b.s2(t); t += 1 }
+    while (t < tri) { a.s2(t) = Math.addExact(a.s2(t), b.s2(t)); t += 1 }
     a.n += b.n
     a
   }
@@ -73,7 +81,14 @@ object Pca {
 
   /** Quantized first/second moment sums, one output row per upper-triangle
     * (i, j), i ≤ j: (i, j, n, sx, sy, sxy) — everything a covariance needs,
-    * all BIGINT-exact. cov(i,j) = (sxy/n − sx·sy/n²)/scale². */
+    * all BIGINT-exact. cov(i,j) = (sxy/n − sx·sy/n²)/scale².
+    *
+    * Overflow contract: per-row products are (|x|·scale)² — Long holds
+    * Σ over n rows while n · (max|x| · scale)² < 2⁶³ (e.g. unit-normalized
+    * inputs at the default scale leave headroom for ~10⁵⁰ rows; |x| ~ 10³
+    * overflows after ~10⁵). The aggregator uses Math.addExact/multiplyExact
+    * throughout, so breaching the bound throws instead of silently
+    * wrapping to a wrong covariance. */
   def momentSums(df: DataFrame, vecCol: String, dim: Int,
                  scale: Long = 10000L): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")

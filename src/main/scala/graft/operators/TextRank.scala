@@ -43,6 +43,10 @@ object TextRank {
       topK: Int = 5, iterations: Int = 2, damping: Double = 0.85): DataFrame = {
     require(topK >= 1, s"keywords: topK must be >= 1, got $topK")
     require(iterations >= 1, s"keywords: iterations must be >= 1, got $iterations")
+    // the id is carried as string through the joins (one canonical grouping
+    // key type) but the OUTPUT projection restores the caller's dtype — a
+    // BIGINT doc_id in must be a BIGINT doc_id out
+    val idType = docs.schema(idCol).dataType
     val toks = docs
       .select(col(idCol).cast("string").as("doc"),
         posexplode(Norm.normTokens(col(textCol))).as(Seq("pos", "w")))
@@ -75,7 +79,7 @@ object TextRank {
       .orderBy(col("tr").desc, col("w").asc)
     ranks.withColumn("rank", row_number().over(byDoc))
       .filter(col("rank") <= topK)
-      .select(col("doc").as(idCol), col("rank").cast("int").as("rank"),
+      .select(col("doc").cast(idType).as(idCol), col("rank").cast("int").as("rank"),
         col("w").as("keyword"), col("tr").as("score"))
   }
 }

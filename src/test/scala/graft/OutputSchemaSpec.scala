@@ -36,4 +36,29 @@ class OutputSchemaSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // The driver's hash is dtype-sensitive: a STRING doc_id against a BIGINT
+  // oracle column hash-mismatches even when every cell prints identically
+  // (the r13 x39 red). Guard: any output column that NAMES a source-table id
+  // column must keep that source column's exact type.
+  test("board rows keep source id-column types") {
+    val dir = "/root/testdata/sf0.001"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val idTypes: Map[String, DataType] = tables.flatMap { t =>
+      spark.read.parquet(s"$dir/$t.parquet").schema.fields.collect {
+        case f if f.name.endsWith("_id") || f.name.endsWith("key") =>
+          f.name -> f.dataType
+      }
+    }.toMap
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).schema.fields.collect {
+          case f if idTypes.get(f.name).exists(_ != f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString} != source " +
+              idTypes(f.name).simpleString
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

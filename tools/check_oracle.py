@@ -18,8 +18,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def kinds(df: pd.DataFrame) -> list:
+    """Unified per-column dtype kinds. int/float widths unify to 'num' (DuckDB
+    fetchdf and pyarrow both float-promote nullable ints), but numeric vs
+    string vs time NEVER unify — the driver's hash is dtype-sensitive, and a
+    STRING doc_id against a BIGINT oracle must FAIL here like it fails there."""
+    out = []
+    for c in df.columns:
+        dt = df[c].dtype
+        if pd.api.types.is_bool_dtype(dt):
+            out.append("bool")
+        elif pd.api.types.is_numeric_dtype(dt):
+            out.append("num")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            out.append("time")
+        else:
+            out.append("obj")
+    return out
+
+
+def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
+    ks = kinds(df)
 
     def cell(v):
         if isinstance(v, (list, tuple)) or str(type(v)).endswith("ndarray'>"):
@@ -33,7 +53,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         return str(v)
 
     out = df.apply(lambda c: c.map(cell))
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    # typed sort: numeric/bool/time columns order by their native values (so
+    # 2 < 10, not "10" < "2"); only genuinely-object columns sort stringified
+    sort_df = pd.DataFrame({
+        c: (df[c] if k in ("num", "bool", "time") else out[c])
+        for c, k in zip(df.columns, ks)})
+    order = sort_df.sort_values(by=list(sort_df.columns), kind="mergesort").index
+    return ks, out.loc[order].reset_index(drop=True)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -45,18 +71,22 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = canon(con.execute(sql).fetchdf())
+            want_kinds, want = canon(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            got_kinds, got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             n_fail += 1
             continue
-        if list(got.columns) != list(want.columns):
+        if got_kinds != want_kinds and len(got) and len(want):
+            print(f"FAIL {name}: dtypes {dict(zip(got.columns, got_kinds))} != "
+                  f"{dict(zip(want.columns, want_kinds))}")
+            n_fail += 1
+        elif list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
         elif len(got) != len(want):
