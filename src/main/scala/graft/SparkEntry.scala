@@ -2189,6 +2189,19 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", minSupport = 2L)
     }),
+    // FI2 PCY bucket-pruned frequent pairs (r14): the same output as fi1,
+    // reached through the Park/Chen/Yu pair-hash-bucket prune — pass 1
+    // folds the candidate stream into <= nBuckets counter rows (map-side
+    // combine), pass 2 lets only heavy-bucket pairs into the pair-count
+    // shuffle (broadcast semi-join). nBuckets = 2^20 so expected bucket
+    // load << minSupport and the prune actually drops the hapax tail.
+    // Bucket hash = the house md5 arithmetic, replayed in SQL. See
+    // FrequentItemsets.pcyFrequentPairs.
+    "fi2_pcy_pairs" -> ((s, dir) => {
+      FrequentItemsets.pcyFrequentPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, nBuckets = 1 << 20)
+    }),
     // W2V1 skip-gram pair extraction (r13): the g16 walks turned into
     // DeepWalk/node2vec (center, context, count) training rows — one
     // walk_id band self-join + integer counts. See RandomWalk.skipGramPairs.
@@ -2687,6 +2700,26 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"), col("keyword"),
           floor(col("score") * lit(1e6)).cast("long").as("score_u"))
     }),
+    // PIPE3 topic-labeled dedup clusters (r14): x39's consumer — exact-dedup
+    // clusters get their REPRESENTATIVE's rank-1 TextRank keyword as the
+    // cluster topic label (the curation read: which topics is the corpus
+    // duplicating?). TextRank runs on cluster reps ONLY (a left-semi join
+    // before the per-doc graph work — at 30% dup rate that is 30% less of
+    // the pipeline's most expensive stage); clusters whose rep yields no
+    // keyword (empty/single-token docs) land in '(none)', never dropped.
+    "pipe3_topic_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id"), col("n_dups"))
+      val reps = docs.join(clusters.select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val kw = graft.operators.TextRank.keywords(
+          reps, "doc_id", "text", topK = 1, iterations = 2)
+        .select(col("doc_id").as("keep_id"), col("keyword"))
+      clusters.join(kw, Seq("keep_id"), "left")
+        .groupBy(coalesce(col("keyword"), lit("(none)")).as("topic"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"))
+    }),
     // EV8 last-touch conversion attribution (3-day window): purchases
     // credited to the last preceding click/view per user, organic bucket
     // kept; revenue summed in exact integer cents. One user-partitioned
@@ -3119,6 +3152,30 @@ object SparkEntry {
     // Shared by x37 (canonicalization) and x38 (domain cap): the in-query
     // messy-URL construction and the UrlOps normalization pipeline,
     // expression-for-expression (same RE2 regexes, same list sort).
+    // Shared by x39 (per-doc keyword rows) and pipe3 (cluster topic labels):
+    // the two unrolled TextRank iterations over window-2 co-occurrence, the
+    // float sum ORDERED by neighbor (the g29/x36 fold convention), literals
+    // cast to DOUBLE so (1.0 − 0.85) is the identical double as Scala's.
+    val textrankCtes =
+      s"""tok AS (SELECT doc_id, pos, word FROM ($docWords) t),
+         |h AS (SELECT DISTINCT a.doc_id, a.word AS u, b.word AS v
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.word <> b.word),
+         |e AS (SELECT doc_id, u, v FROM h UNION SELECT doc_id, v AS u, u AS v FROM h),
+         |deg AS (SELECT doc_id, u, count(*) AS d FROM e GROUP BY 1, 2),
+         |r0 AS (SELECT doc_id, u AS w, CAST(1.0 AS DOUBLE) AS tr FROM deg),
+         |r1 AS (SELECT e.doc_id, e.v AS w,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * sum(r.tr / deg.d ORDER BY e.u ASC) AS tr
+         |  FROM e JOIN r0 r ON e.doc_id = r.doc_id AND e.u = r.w
+         |  JOIN deg ON deg.doc_id = e.doc_id AND deg.u = e.u
+         |  GROUP BY 1, 2),
+         |r2 AS (SELECT e.doc_id, e.v AS w,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * sum(r.tr / deg.d ORDER BY e.u ASC) AS tr
+         |  FROM e JOIN r1 r ON e.doc_id = r.doc_id AND e.u = r.w
+         |  JOIN deg ON deg.doc_id = e.doc_id AND deg.u = e.u
+         |  GROUP BY 1, 2),
+         |kw AS (SELECT doc_id, w, tr,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tr DESC, w ASC) AS rank
+         |  FROM r2)""".stripMargin
     val urlCtes =
       """ud AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 11 AS VARCHAR) || '.CO.UK:443/a//b/' || CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&z=2&a=1#sec'
@@ -4230,6 +4287,28 @@ object SparkEntry {
           |pr AS (SELECT bi.b, bi.i FROM bi JOIN ic ON ic.i = bi.i),
           |pairs AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS support
           |  FROM pr a JOIN pr b2 ON a.b = b2.b AND a.i < b2.i
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
+          |  CAST(ca.c AS BIGINT) AS count_a, CAST(cb.c AS BIGINT) AS count_b,
+          |  CAST(nb.n AS BIGINT) AS n_baskets,
+          |  CAST((1000000::HUGEINT * p.support * nb.n) // (ca.c::HUGEINT * cb.c) AS BIGINT) AS lift_ppm
+          |FROM pairs p JOIN ic ca ON ca.i = p.item_a
+          |JOIN ic cb ON cb.i = p.item_b CROSS JOIN nb""".stripMargin.replace("\n", " "),
+      // fi2: the PCY prune replayed bucket-for-bucket — same CTE front as
+      // fi1, then the md5 bucket hash, the heavy-bucket HAVING, and the
+      // semi-join before the pair count. Output must equal fi1 exactly
+      // (a bucket's count bounds every resident pair's support).
+      "fi2_pcy_pairs" ->
+        """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+          |ic AS (SELECT i, count(*) AS c FROM bi GROUP BY 1 HAVING count(*) >= 2),
+          |nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+          |pr AS (SELECT bi.b, bi.i FROM bi JOIN ic ON ic.i = bi.i),
+          |cand AS (SELECT a.i AS item_a, b2.i AS item_b,
+          |    CAST(('0x' || substr(md5(CAST(a.i AS VARCHAR) || '|' || CAST(b2.i AS VARCHAR)), 1, 8)) AS BIGINT) % 1048576 AS bk
+          |  FROM pr a JOIN pr b2 ON a.b = b2.b AND a.i < b2.i),
+          |hb AS (SELECT bk FROM cand GROUP BY 1 HAVING count(*) >= 2),
+          |pairs AS (SELECT item_a, item_b, count(*) AS support
+          |  FROM cand JOIN hb USING (bk)
           |  GROUP BY 1, 2 HAVING count(*) >= 2)
           |SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
           |  CAST(ca.c AS BIGINT) AS count_a, CAST(cb.c AS BIGINT) AS count_b,
@@ -5731,28 +5810,23 @@ object SparkEntry {
       // bit-identical doubles diverge under the two engines' round() at
       // TextRank's exact .5 boundaries (1.0371875 → 88 vs 87).
       "x39_textrank" ->
-        s"""WITH tok AS (SELECT doc_id, pos, word FROM ($docWords) t),
-           |h AS (SELECT DISTINCT a.doc_id, a.word AS u, b.word AS v
-           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.word <> b.word),
-           |e AS (SELECT doc_id, u, v FROM h UNION SELECT doc_id, v AS u, u AS v FROM h),
-           |deg AS (SELECT doc_id, u, count(*) AS d FROM e GROUP BY 1, 2),
-           |r0 AS (SELECT doc_id, u AS w, CAST(1.0 AS DOUBLE) AS tr FROM deg),
-           |r1 AS (SELECT e.doc_id, e.v AS w,
-           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * sum(r.tr / deg.d ORDER BY e.u ASC) AS tr
-           |  FROM e JOIN r0 r ON e.doc_id = r.doc_id AND e.u = r.w
-           |  JOIN deg ON deg.doc_id = e.doc_id AND deg.u = e.u
-           |  GROUP BY 1, 2),
-           |r2 AS (SELECT e.doc_id, e.v AS w,
-           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * sum(r.tr / deg.d ORDER BY e.u ASC) AS tr
-           |  FROM e JOIN r1 r ON e.doc_id = r.doc_id AND e.u = r.w
-           |  JOIN deg ON deg.doc_id = e.doc_id AND deg.u = e.u
-           |  GROUP BY 1, 2)
+        s"""WITH $textrankCtes
            |SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS keyword,
            |  CAST(floor(tr * 1e6) AS BIGINT) AS score_u
-           |FROM (SELECT doc_id, w, tr,
-           |    row_number() OVER (PARTITION BY doc_id ORDER BY tr DESC, w ASC) AS rank
-           |  FROM r2) z
-           |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+           |FROM kw WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // pipe3: exact-dedup clusters labeled by their representative's rank-1
+      // TextRank keyword — the kw CTE is per-document independent, so
+      // computing it corpus-wide and joining reps equals the Spark side's
+      // reps-only run row-for-row.
+      "pipe3_topic_dedup" ->
+        s"""WITH $textrankCtes,
+           |cl AS (SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+           |  FROM documents GROUP BY $normDoc),
+           |top AS (SELECT doc_id, w AS keyword FROM kw WHERE rank = 1)
+           |SELECT coalesce(t.keyword, '(none)') AS topic,
+           |  count(*) AS n_clusters, CAST(sum(cl.n_dups) AS BIGINT) AS n_docs
+           |FROM cl LEFT JOIN top t ON t.doc_id = cl.keep_id
+           |GROUP BY 1""".stripMargin.replace("\n", " "),
       // ev8: the pair-join + rank-1 twin of the window formulation — both
       // pick the (ts, id)-max touch strictly before the conversion row.
       "ev8_attribution" ->
