@@ -24,6 +24,15 @@ import java.nio.file.{Files, Paths}
   */
 object Evaluate {
 
+  /** Stopwords the eval harness drops before hash-embedding (HashEmbedder's
+    * `stopwords` dial — see its scaladoc for why a weight-2 function-word
+    * bucket turns one collision into a false top seed). Semantic embedders
+    * down-weight these implicitly; the deterministic double needs the list. */
+  val evalStopwords: Set[String] = Set("the", "a", "an", "of", "in", "on",
+    "is", "was", "were", "to", "and", "or", "that", "which", "who", "whom",
+    "did", "does", "do", "for", "with", "by", "at", "it", "its", "his",
+    "her", "their")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: Evaluate <corpus.json> <questions.json> <openie.json> <nerCache.tsv> [outJson] [storeDir]")
@@ -52,15 +61,24 @@ object Evaluate {
     val graphName = "eval"
     // Retrieval depth must cover the whole recall grid: recall_at_k for
     // k > finalTopK would otherwise silently clamp to recall_at_finalTopK.
-    // dim=256: at the fixture's ~400 entities / ~200 relations the 64-dim
-    // default's one-bucket hash collisions reach the same cosine tier as a
-    // genuine single-token overlap (measured r12: junk relations at 0.38-0.57
-    // vs signal 0.38); 256 buckets push collision noise under the two-token
-    // signal. The reference's real embedders are 1024-dim — a non-toy eval
-    // deserves a non-toy width.
+    // dim=1024: hash-bucket collisions must stay under the two-token signal
+    // tier (the r12 lesson: junk relations at 0.38-0.57 vs signal 0.38 at
+    // dim 64). r12's 256 sufficed for ~400 entities; the r14 fixture's ~800
+    // distinct invented tokens put ~4 tokens in every 256-wide bucket, so
+    // the width steps up to the reference's own embedder width (1024).
+    // entitySimilarityThreshold = 0.55: every chain's relic entity shares
+    // the literal token 'relic' with every other chain's, tying at cosine
+    // 0.5 exactly — the threshold must sit ABOVE the one-shared-token tier
+    // or 144 relics flood the seed set (NER seeds match exactly at 1.0).
+    // The r14 3-hop family (t0-t35) is the P2/P3 loop doing real work: the
+    // warden relation shares NO token with its question (score 0.000) and
+    // enters the candidate set only through relation->entity->relation
+    // expansion from the relic seed - default degree 1 covers a 3-passage
+    // chain because the seed's own relations are hop zero.
     val rag = new GraphRag(spark, store, graphName,
-      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = Recall.kGrid.max),
-      embedder = graft.functions.HashEmbedder(dim = 256),
+      config = RagConfig(entitySimilarityThreshold = 0.55,
+        relationSimilarityThreshold = 0.3, finalTopK = Recall.kGrid.max),
+      embedder = graft.functions.HashEmbedder(dim = 1024, stopwords = evalStopwords),
       ner = CachedNerExtractor(nerCache))
 
     // Skip-reindex probe (evaluate.py:343-371): existence check on the store —

@@ -1,5 +1,6 @@
 package graft
 
+import graft.eval.Evaluate.evalStopwords
 import graft.eval.Recall
 import graft.model.{Doc, Triplet}
 import graft.rag.{CachedNerExtractor, GraphRag, RagConfig}
@@ -20,8 +21,10 @@ class EvalSpec extends SparkSpec {
   private lazy val questions = Loaders.readJsonCorpus(spark, res("test_questions.json"))
   private lazy val openie = Loaders.readExtractedTriplets(spark, res("openie_results.json"))
 
+  private lazy val store =
+    new GraphStore(spark, Files.createTempDirectory("evalstore").toString)
+
   private lazy val rag: GraphRag = {
-    val store = new GraphStore(spark, Files.createTempDirectory("evalstore").toString)
     val docs = openie.collect().map { r =>
       val title = r.getString(0)
       val passage = r.getString(1)
@@ -29,11 +32,14 @@ class EvalSpec extends SparkSpec {
         .map(t => Triplet(t(0), t(1), t(2))).toSeq
       Doc(title, passage, triples)
     }.toSeq
-    // dim=256 matches eval.Evaluate: at the multi-hop fixture's ~400
-    // entities the 64-dim default's hash collisions reach the signal tier
+    // dim=1024 matches eval.Evaluate: the r14 fixture carries ~800 distinct
+    // invented tokens — at 256 buckets that is ~4 tokens/bucket and
+    // collision noise reaches the two-token signal tier (the r12 lesson,
+    // one scale-up later); 1024 is also the reference's real embedder width
     val g = new GraphRag(spark, store, "eval",
-      config = RagConfig(entitySimilarityThreshold = 0.5, finalTopK = 5),
-      embedder = graft.functions.HashEmbedder(dim = 256),
+      config = RagConfig(entitySimilarityThreshold = 0.55,
+        relationSimilarityThreshold = 0.3, finalTopK = 5),
+      embedder = graft.functions.HashEmbedder(dim = 1024, stopwords = evalStopwords),
       ner = CachedNerExtractor(nerCache))
     g.addDocumentsWithTriplets(docs)
     g
@@ -46,9 +52,9 @@ class EvalSpec extends SparkSpec {
     .filter(col("_id").isin("q1", "q2", "q3", "q4", "q5", "q6", "mh0", "mh30"))
 
   test("loaders parse corpus, questions, OpenIE docs and NER TSV (S4/S5)") {
-    assert(Loaders.readJsonCorpus(spark, res("test_corpus.json")).count() == 208)
-    assert(questions.count() == 56)
-    assert(openie.count() == 208)
+    assert(Loaders.readJsonCorpus(spark, res("test_corpus.json")).count() == 468)
+    assert(questions.count() == 150)
+    assert(openie.count() == 468)
     assert(nerCache("When did Albert Einstein publish his theory of relativity?") ==
       Seq("albert einstein", "theory of relativity"))
     // triples are arity-filtered arrays: every doc keeps at least one, the
@@ -138,6 +144,30 @@ class EvalSpec extends SparkSpec {
     assert(!naiveIds.take(5).contains("Chamber 0"),
       "naive unexpectedly found the hidden passage: " + naiveIds.mkString(", "))
     assert(naiveIds.take(5).contains("Quillon0"), naiveIds.mkString(", "))
+  }
+
+  test("3-hop bridge: expansion reaches the warden passage, naive cannot") {
+    // Chain t0 (3 gold passages): the question names only the relic; the
+    // warden relation shares NO token with it (score 0.000 — its text names
+    // neither the relic nor the vault), so Watch 0 enters the candidate set
+    // only through the P2/P3 loop (relic -> doomvault0 -> warden relation).
+    // Naive shares tokens only with the A-passage.
+    val q = "Who guards the vault that holds the relic skarnite0?"
+    val ids = rag.retrieve(q).passages.map(_.id)
+    assert(ids.take(5).contains("Vandrel0"), ids.mkString(", "))
+    assert(ids.take(5).contains("Crypt 0"), ids.mkString(", "))
+    assert(ids.take(5).contains("Watch 0"), ids.mkString(", "))
+    val naive = rag.retrieveNaive(q).map(_.id)
+    assert(!naive.take(5).contains("Watch 0") && !naive.take(5).contains("Crypt 0"),
+      "naive unexpectedly found a hidden passage: " + naive.mkString(", "))
+    // vault-hidden family: the question names an entity the passage TEXT
+    // never contains — entity-linking retrieval only
+    val qv = "Who keeps watch over doomvault40?"
+    val gv = rag.retrieve(qv).passages.map(_.id)
+    assert(gv.take(5).contains("Watch 40"), gv.mkString(", "))
+    val nv = rag.retrieveNaive(qv).map(_.id)
+    assert(!nv.take(5).contains("Watch 40"),
+      "naive unexpectedly found the vault-hidden passage: " + nv.mkString(", "))
   }
 
   test("ndcgAtK: hand-computed DCG/IDCG, perfect ranking = 1, zero retrieval = 0") {

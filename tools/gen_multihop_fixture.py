@@ -4,7 +4,8 @@
 graph-RAG structurally beats naive dense retrieval — mirroring the direction
 of the reference's published HotpotQA gap (87.8% graph vs 73.4% naive).
 
-The synthetic design (50 chains, 100 chain passages, 100 distractors):
+The synthetic design (r14: 72 two-hop chains + 72 three-hop chains + 100
+distractors -> 150 questions over 468 passages; families below):
   chain i:  passage A_i (title Quillon{i}):  "Quillon{i} unearthed the
             relic oblidor{i} ..."  triple (Quillon{i}, unearthed, relic oblidor{i})
             passage B_i (title Chamber {i}): "The recovered artifact now
@@ -74,8 +75,10 @@ LEGACY_OPENIE = [
     {"title": "Nikola Tesla", "passage": "Nikola Tesla\nNikola Tesla developed the alternating current induction motor.", "extracted_entities": ["Nikola Tesla", "alternating current"], "extracted_triples": [["Nikola Tesla", "developed", "induction motor"], ["induction motor", "uses", "alternating current"]]},
 ]
 
-N_CHAINS = 50
-N_HIDDEN = 25
+N_CHAINS = 72      # 2-hop chains (A: explorer->relic, B: relic->vault)
+N_HIDDEN = 36      # first half ask the coref-hidden bridge question
+N_CHAINS3 = 72     # 3-hop chains (A: explorer->relic, B: relic->vault, C: vault->warden)
+N_HIDDEN3 = 36     # first half ask the full 3-hop question (gold = A,B,C)
 N_DISTRACTORS = 100
 
 # A-passage wording variants (deterministic by i) — the explorer/relic hop.
@@ -132,6 +135,62 @@ def main():
                               "answer": exp,
                               "supporting_facts": [[a_title, 0]]})
             ner.append((qid, q, exp, [relic]))
+
+    # 3-hop chains (r14): a third passage C names the WARDEN of the vault,
+    # but C's text never names the vault ("the buried strongroom") — the
+    # vault name rides only in C's triple, like B's relic. So:
+    #   3-hop question (i < N_HIDDEN3): "Who guards the vault that holds the
+    #     relic skarniteN?"  gold = [A, B, C]; naive shares tokens only with
+    #     A; the graph path needs TWO entity hops (relic -> vault -> warden),
+    #     i.e. expansionDegree >= 2.
+    #   vault-hidden question (i >= N_HIDDEN3): "Who keeps watch over
+    #     doomvaultN?"  gold = [C]; the question names an entity that C's
+    #     TEXT never contains — pure entity-linking retrieval, naive has no
+    #     lexical handle at all.
+    # Distinct invented vocab (vandrel/skarnite/doomvault/greyfell) so the
+    # two chain families cannot hash-collide into each other's questions.
+    C_TEMPLATES = [
+        "Warden greyfell{i} keeps watch over the buried strongroom day and night.",
+        "The buried strongroom has been patrolled by warden greyfell{i} for decades.",
+        "Every dawn warden greyfell{i} inspects the seals of the buried strongroom.",
+    ]
+    for i in range(N_CHAINS3):
+        exp, relic = f"Vandrel{i}", f"relic skarnite{i}"
+        vault, warden = f"doomvault{i}", f"warden greyfell{i}"
+        a_title, b_title, c_title = f"Vandrel{i}", f"Crypt {i}", f"Watch {i}"
+        a_text = A_TEMPLATES[i % len(A_TEMPLATES)].format(exp=exp, relic=relic)
+        b_text = B_TEMPLATES[i % len(B_TEMPLATES)].format(vault=vault)
+        c_text = C_TEMPLATES[i % len(C_TEMPLATES)].format(i=i)
+        corpus.append({"title": a_title, "text": a_text})
+        corpus.append({"title": b_title, "text": b_text})
+        corpus.append({"title": c_title, "text": c_text})
+        openie.append({
+            "title": a_title, "passage": f"{a_title}\n{a_text}",
+            "extracted_entities": [exp, relic],
+            "extracted_triples": [[exp, "unearthed", relic]]})
+        openie.append({
+            "title": b_title, "passage": f"{b_title}\n{b_text}",
+            "extracted_entities": [relic, vault],
+            "extracted_triples": [[relic, "sealed within", vault]]})
+        openie.append({
+            "title": c_title, "passage": f"{c_title}\n{c_text}",
+            "extracted_entities": [vault, warden],
+            "extracted_triples": [[vault, "guarded by", warden]]})
+        if i < N_HIDDEN3:
+            qid = f"t{i}"
+            q = f"Who guards the vault that holds the {relic}?"
+            questions.append({"_id": qid, "type": "bridge", "question": q,
+                              "answer": warden,
+                              "supporting_facts": [[a_title, 0], [b_title, 0],
+                                                   [c_title, 0]]})
+            ner.append((qid, q, warden, [relic]))
+        else:
+            qid = f"v{i}"
+            q = f"Who keeps watch over {vault}?"
+            questions.append({"_id": qid, "type": "bridge", "question": q,
+                              "answer": warden,
+                              "supporting_facts": [[c_title, 0]]})
+            ner.append((qid, q, warden, [vault]))
 
     for j in range(N_DISTRACTORS):
         title = f"Ledger {j}"
