@@ -2720,6 +2720,38 @@ object SparkEntry {
         .groupBy(coalesce(col("keyword"), lit("(none)")).as("topic"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"))
     }),
+    // X40 PSL registrable domains (r14): functions.Psl over eight in-query
+    // host shapes exercising every rule family — plain gTLD, ccSLD,
+    // private suffix (github.io), wildcard (*.ck at depth 4), exception
+    // (!www.ck under a subdomain), wildcard+exception (city.kawasaki.jp),
+    // unknown TLD (implicit '*'), and a bare public suffix (NULL). Host
+    // digit = doc_id % 9, coprime with the 8-way selector. The oracle
+    // replays the prevailing-rule algorithm (exception > most labels >
+    // implicit '*') against the SAME snapshot rules inlined as VALUES —
+    // one source of truth, no drift. See functions.Psl.
+    "x40_psl_domain" -> ((s, dir) => {
+      val d9 = (col("doc_id") % 9).cast("string")
+      val host = when(col("doc_id") % 8 === 0,
+          concat(lit("sub"), d9, lit(".example"), d9, lit(".com")))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("shop"), d9, lit(".brand"), d9, lit(".co.uk")))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("user"), d9, lit(".github.io")))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("a"), d9, lit(".foo"), d9, lit(".bar"), d9, lit(".ck")))
+        .when(col("doc_id") % 8 === 4,
+          concat(lit("sub"), d9, lit(".www.ck")))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("x"), d9, lit(".city.kawasaki.jp")))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("a"), d9, lit(".example"), d9, lit(".zz"), d9))
+        .otherwise(lit("co.uk"))
+      graft.functions.Psl.registeredDomain(
+        t(s, dir, "documents").select(col("doc_id")).withColumn("host", host),
+        "host",
+        graft.functions.Psl.rulesDf(s, graft.functions.Psl.snapshotRules()),
+        "psl_domain")
+    }),
     // EV8 last-touch conversion attribution (3-day window): purchases
     // credited to the last preceding click/view per user, organic bucket
     // kept; revenue summed in exact integer cents. One user-partitioned
@@ -5827,6 +5859,45 @@ object SparkEntry {
            |  count(*) AS n_clusters, CAST(sum(cl.n_dups) AS BIGINT) AS n_docs
            |FROM cl LEFT JOIN top t ON t.doc_id = cl.keep_id
            |GROUP BY 1""".stripMargin.replace("\n", " "),
+      // x40: the PSL prevailing-rule algorithm replayed — candidate suffix
+      // explode (exact k-tails + wildcard forms), join the SAME snapshot
+      // rules (inlined VALUES from Psl.snapshotRules — one source of
+      // truth), max(exc·100 + nlab) = (exception, most-labels) lexicographic
+      // order since nlab <= 8, exception drops its leftmost label, no match
+      // = the implicit '*' (ps = 1), host == suffix -> NULL.
+      "x40_psl_domain" -> {
+        val rulesValues = graft.functions.Psl.snapshotRules()
+          .map(r => s"('${r.rule}',${r.nlab},${if (r.exc) 1 else 0})")
+          .mkString(",")
+        s"""WITH rules(rule, nlab, exc) AS (VALUES $rulesValues),
+           |h AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 8 = 0 THEN 'sub' || CAST(doc_id % 9 AS VARCHAR) || '.example' || CAST(doc_id % 9 AS VARCHAR) || '.com'
+           |         WHEN doc_id % 8 = 1 THEN 'shop' || CAST(doc_id % 9 AS VARCHAR) || '.brand' || CAST(doc_id % 9 AS VARCHAR) || '.co.uk'
+           |         WHEN doc_id % 8 = 2 THEN 'user' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+           |         WHEN doc_id % 8 = 3 THEN 'a' || CAST(doc_id % 9 AS VARCHAR) || '.foo' || CAST(doc_id % 9 AS VARCHAR) || '.bar' || CAST(doc_id % 9 AS VARCHAR) || '.ck'
+           |         WHEN doc_id % 8 = 4 THEN 'sub' || CAST(doc_id % 9 AS VARCHAR) || '.www.ck'
+           |         WHEN doc_id % 8 = 5 THEN 'x' || CAST(doc_id % 9 AS VARCHAR) || '.city.kawasaki.jp'
+           |         WHEN doc_id % 8 = 6 THEN 'a' || CAST(doc_id % 9 AS VARCHAR) || '.example' || CAST(doc_id % 9 AS VARCHAR) || '.zz' || CAST(doc_id % 9 AS VARCHAR)
+           |         ELSE 'co.uk' END AS host
+           |  FROM documents),
+           |hl AS (SELECT doc_id, host, string_split(host, '.') AS l,
+           |    len(string_split(host, '.')) AS n FROM h),
+           |ks AS (SELECT doc_id, host, l, n,
+           |    unnest(generate_series(1, least(n, 8))) AS k FROM hl),
+           |cand AS (
+           |  SELECT doc_id, array_to_string(l[n-k+1:n], '.') AS cand FROM ks
+           |  UNION ALL
+           |  SELECT doc_id, CASE WHEN k = 1 THEN '*'
+           |    ELSE '*.' || array_to_string(l[n-k+2:n], '.') END FROM ks),
+           |m AS (SELECT doc_id, max(exc * 100 + nlab) AS mm
+           |  FROM cand JOIN rules ON cand.cand = rules.rule GROUP BY 1),
+           |ps AS (SELECT hl.doc_id, hl.host, hl.l, hl.n,
+           |    COALESCE(CASE WHEN mm >= 100 THEN mm - 101 ELSE mm END, 1) AS ps
+           |  FROM hl LEFT JOIN m USING (doc_id))
+           |SELECT doc_id, host,
+           |  CASE WHEN n > ps THEN array_to_string(l[n-ps:n], '.') ELSE NULL END AS psl_domain
+           |FROM ps""".stripMargin.replace("\n", " ")
+      },
       // ev8: the pair-join + rank-1 twin of the window formulation — both
       // pick the (ts, id)-max touch strictly before the conversion row.
       "ev8_attribution" ->
