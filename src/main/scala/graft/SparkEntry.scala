@@ -959,7 +959,6 @@ object SparkEntry {
     "d14_semdedup" -> ((s, dir) => {
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           nClusters = 8, tau = 0.35)
-        .withColumn("vec_id", col("vec_id").cast("long"))
     }),
     // G5-salted: skew-safe adjacency aggregation (two-phase salted collect_set)
     // must equal the direct aggregate. Array serialized to string for the
@@ -1157,8 +1156,7 @@ object SparkEntry {
         .select((col("vec_id") % 100).as("did"), col("embedding"))
       MultiVector.maxSimTopK(qToks, dToks,
           "qid", "tok", "embedding", "did", "embedding", k = 10)
-        .select(col("query_id"), col("rank"),
-          col("doc_id").cast("long").as("doc_id"),
+        .select(col("query_id"), col("rank"), col("doc_id"),
           col("score").as("maxsim_r"))
     }),
 

@@ -68,15 +68,19 @@ object Psl {
   private val MaxLabels = 8 // longest upstream rules have 5 labels
 
   /** Adds `outCol` = PSL registrable domain of `hostCol` (NULL when the
-    * host is itself a public suffix, empty, or null). Matching is
+    * host is itself a public suffix, empty, null, or malformed — an empty
+    * label anywhere, e.g. `a..com` or `.com`, must never classify as a
+    * bogus implicit-`*` suffix). One trailing dot is DNS root notation
+    * (`example.com.`) and classifies as its dotless form. Matching is
     * case-insensitive; the original column is untouched. */
   def registeredDomain(df: DataFrame, hostCol: String, rules: DataFrame,
                        outCol: String = "psl_domain"): DataFrame = {
     val hosts = df.select(lower(col(hostCol)).as("__host"))
       .where(col("__host").isNotNull && col("__host") =!= "")
       .distinct()
-      .withColumn("__l", split(col("__host"), "\\."))
+      .withColumn("__l", split(regexp_replace(col("__host"), "\\.$", ""), "\\."))
       .withColumn("__n", size(col("__l")))
+      .withColumn("__bad", exists(col("__l"), t => t === ""))
     // Candidate suffix strings per host: the k-label tail for k = 1..K and
     // its wildcard form ('*' replacing the tail's leftmost label).
     val ks = sequence(lit(1), least(col("__n"), lit(MaxLabels)))
@@ -84,7 +88,7 @@ object Psl {
     val wilds = transform(ks, k =>
       when(k === 1, lit("*")).otherwise(
         concat(lit("*."), array_join(slice(col("__l"), -(k - 1), k - 1), "."))))
-    val cands = hosts.select(col("__host"),
+    val cands = hosts.filter(!col("__bad")).select(col("__host"),
         explode(concat(exacts, wilds)).as("rule"))
     // Prevailing rule per host: exceptions beat everything, then most
     // labels; ps = public-suffix label count (exception drops its leftmost
@@ -97,7 +101,7 @@ object Psl {
     val mapping = hosts.join(best, Seq("__host"), "left")
       .withColumn("__ps", coalesce(col("__ps"), lit(1)))
       .select(col("__host"),
-        when(col("__n") > col("__ps"),
+        when(!col("__bad") && col("__n") > col("__ps"),
           array_join(slice(col("__l"), -(col("__ps") + 1), col("__ps") + 1), "."))
           .as(outCol))
     df.join(mapping, lower(col(hostCol)) === col("__host"), "left")

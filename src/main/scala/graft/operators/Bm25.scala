@@ -108,7 +108,13 @@ object Bm25 {
   /** Top-k docs per query by BM25. `queries(qId, qText)` must be
     * broadcast-small (the [[VectorSearch.knnJoin]] contract). Query term
     * frequency is ignored (distinct terms), the common Okapi practice.
-    * Output: (query_id, rank, doc_id, score); ties pinned by doc id ASC. */
+    * Output: (query_id, rank, doc_id, score); ties pinned by doc id ASC. *
+    *
+    * NOTE (id dtype contract): doc ids return as the INDEX's string keys —
+    * the source id dtype is erased when the index/run frame is built (it
+    * persists to parquet with string ids), so this operator cannot restore
+    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
+    * board projections are the reference pattern. */
   def score(index: Index, queries: DataFrame, qId: String, qText: String,
       k: Int, params: Params = Params()): DataFrame = {
     val qterms = queries.select(col(qId).cast("string").as("query_id"),

@@ -523,6 +523,9 @@ object Dedup {
     * Output: (vec_id, cell, keep) — every input row, survivors flagged true. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, tau: Double, iters: Int = 0): DataFrame = {
+    // ids ride the index as strings (keep-min and tie-breaks are string-
+    // ordered, the oracle contract); the OUTPUT restores the caller's dtype
+    val idType = df.schema(idCol).dataType
     val inv = IvfIndex.build(df, idCol, vecCol, nClusters, iters)
       .assignments
       .withColumn("_nm", VectorFunctions.l2Norm(col("v"))) // hoisted norm
@@ -535,7 +538,7 @@ object Dedup {
       .select(col("a.id").as("id")).distinct()
     inv.select(col("id"), col("centroid_id"))
       .join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
-      .select(col("id").as("vec_id"), col("centroid_id").as("cell"),
+      .select(col("id").cast(idType).as("vec_id"), col("centroid_id").as("cell"),
         coalesce(!col("_drop"), lit(true)).as("keep"))
   }
 

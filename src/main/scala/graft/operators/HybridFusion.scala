@@ -21,7 +21,13 @@ object HybridFusion {
   /** Fuse `runs`, each with columns (query_id, rank, doc_id) — top-k-bounded
     * retrieval outputs. A doc missing from a run simply contributes nothing
     * for that run (the standard RRF treatment). Ties pinned by doc id ASC.
-    * Output: (query_id, rank, doc_id, score). */
+    * Output: (query_id, rank, doc_id, score).
+    *
+    * NOTE (id dtype contract): doc ids return as the INDEX's string keys —
+    * the source id dtype is erased when the index/run frame is built (it
+    * persists to parquet with string ids), so this operator cannot restore
+    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
+    * board projections are the reference pattern. */
   def rrf(runs: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
     require(runs.nonEmpty, "rrf needs at least one run")
     val contribs = runs.map(_.select(

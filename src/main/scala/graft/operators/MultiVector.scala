@@ -37,6 +37,9 @@ object MultiVector {
   def maxSimTopK(queryToks: DataFrame, docToks: DataFrame,
       qId: String, qTok: String, qVec: String,
       dId: String, dVec: String, k: Int): DataFrame = {
+    // doc ids rank with string tie-breaks internally (the oracle contract);
+    // the output projection restores the caller's doc-id dtype
+    val dType = docToks.schema(dId).dataType
     val q = queryToks.select(col(qId).cast("string").as("query_id"),
       col(qTok).cast("string").as("_qtok"), col(qVec).as("_qv"))
     val topk = VectorSearch.topKUdaf(k)
@@ -52,6 +55,6 @@ object MultiVector {
       .agg(topk(col("doc_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").as("score"))
+        col("col.id").cast(dType).as("doc_id"), col("col.score").as("score"))
   }
 }

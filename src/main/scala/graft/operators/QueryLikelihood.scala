@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object QueryLikelihood {
 
+  /** NOTE (id dtype contract): doc ids return as the INDEX's string keys —
+    * the source id dtype is erased when the index/run frame is built (it
+    * persists to parquet with string ids), so this operator cannot restore
+    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
+    * board projections are the reference pattern. */
   def score(index: Bm25.Index, queries: DataFrame, qId: String, qText: String,
       mu: Double, k: Int): DataFrame = {
     require(mu > 0, s"mu must be positive, got $mu")

@@ -76,7 +76,13 @@ object TfIdf {
     * engine-wide query-side contract). Ranking uses the ROUNDED score (6 dp)
     * with doc-id tie-break so exact-duplicate docs — mathematically tied,
     * floating-point-ambiguous — order deterministically.
-    * Output: (query_id, rank, doc_id, sim_r). */
+    * Output: (query_id, rank, doc_id, sim_r).
+    *
+    * NOTE (id dtype contract): doc ids return as the INDEX's string keys —
+    * the source id dtype is erased when the index/run frame is built (it
+    * persists to parquet with string ids), so this operator cannot restore
+    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
+    * board projections are the reference pattern. */
   def topK(corpusWeights: DataFrame, queries: DataFrame,
       qId: String, qText: String, k: Int): DataFrame = {
     val qtf = queries

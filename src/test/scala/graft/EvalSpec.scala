@@ -162,7 +162,7 @@ class EvalSpec extends SparkSpec {
       "naive unexpectedly found a hidden passage: " + naive.mkString(", "))
     // vault-hidden family: the question names an entity the passage TEXT
     // never contains — entity-linking retrieval only
-    val qv = "Who keeps watch over doomvault40?"
+    val qv = "Who is responsible for doomvault40?"
     val gv = rag.retrieve(qv).passages.map(_.id)
     assert(gv.take(5).contains("Watch 40"), gv.mkString(", "))
     val nv = rag.retrieveNaive(qv).map(_.id)

@@ -23,11 +23,20 @@ class OutputSchemaSpec extends SparkSpec {
     case _ => true
   }
 
+  private val dir = "/root/testdata/sf0.001"
+
+  // Built ONCE and shared by both tests: constructing a board plan is not
+  // free (collect-backed literals, index/codebook training run eagerly), so
+  // each query's schema is resolved a single time per suite execution.
+  private lazy val schemas: Seq[(String, org.apache.spark.sql.types.StructType)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> fn(spark, dir).schema
+    }
+
   test("every board query's final projection is scalar-only") {
-    val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val bad = fn(spark, dir).schema.fields.collect {
+    val offenders = schemas.flatMap {
+      case (name, schema) =>
+        val bad = schema.fields.collect {
           case f if !isScalar(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
         }
         if (bad.isEmpty) None
@@ -42,7 +51,6 @@ class OutputSchemaSpec extends SparkSpec {
   // (the r13 x39 red). Guard: any output column that NAMES a source-table id
   // column must keep that source column's exact type.
   test("board rows keep source id-column types") {
-    val dir = "/root/testdata/sf0.001"
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val idTypes: Map[String, DataType] = tables.flatMap { t =>
@@ -51,9 +59,9 @@ class OutputSchemaSpec extends SparkSpec {
           f.name -> f.dataType
       }
     }.toMap
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        fn(spark, dir).schema.fields.collect {
+    val offenders = schemas.flatMap {
+      case (name, schema) =>
+        schema.fields.collect {
           case f if idTypes.get(f.name).exists(_ != f.dataType) =>
             s"$name.${f.name}: ${f.dataType.simpleString} != source " +
               idTypes(f.name).simpleString

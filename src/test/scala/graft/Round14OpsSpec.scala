@@ -68,7 +68,10 @@ class Round14OpsSpec extends SparkSpec {
       "co.uk",                  // host IS a public suffix -> NULL
       "github.io",              // private suffix itself -> NULL
       "zz",                     // single label, implicit '*' -> NULL
-      "EXAMPLE.Co.Uk"           // case-insensitive matching
+      "EXAMPLE.Co.Uk",          // case-insensitive matching
+      "example.com.",           // FQDN trailing dot -> example.com
+      "a..com",                 // empty label: malformed -> NULL
+      ".com"                    // leading empty label: malformed -> NULL
     ).toDF("host")
     val out = Psl.registeredDomain(hosts, "host", rules, "dom")
       .as[(String, Option[String])].collect().toMap
@@ -92,6 +95,9 @@ class Round14OpsSpec extends SparkSpec {
     assert(out("github.io").isEmpty)
     assert(out("zz").isEmpty)
     assert(out("EXAMPLE.Co.Uk") == Some("example.co.uk"))
+    assert(out("example.com.") == Some("example.com"))
+    assert(out("a..com").isEmpty)
+    assert(out(".com").isEmpty)
     // agreement with the inline default on its own ccSLD list: every host
     // the small list classifies, the PSL table classifies the same way
     import graft.functions.UrlOps

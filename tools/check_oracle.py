@@ -82,7 +82,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: spark result missing: {e}")
             n_fail += 1
             continue
-        if got_kinds != want_kinds and len(got) and len(want):
+        # no empty-result exemption: DuckDB fetchdf and pyarrow both carry
+        # real dtypes on zero-row frames, so dtype drift on a row-less board
+        # query must fail here like it fails the driver's hash
+        if got_kinds != want_kinds:
             print(f"FAIL {name}: dtypes {dict(zip(got.columns, got_kinds))} != "
                   f"{dict(zip(want.columns, want_kinds))}")
             n_fail += 1

@@ -143,10 +143,14 @@ def main():
     #     relic skarniteN?"  gold = [A, B, C]; naive shares tokens only with
     #     A; the graph path needs TWO entity hops (relic -> vault -> warden),
     #     i.e. expansionDegree >= 2.
-    #   vault-hidden question (i >= N_HIDDEN3): "Who keeps watch over
+    #   vault-hidden question (i >= N_HIDDEN3): "Who is responsible for
     #     doomvaultN?"  gold = [C]; the question names an entity that C's
-    #     TEXT never contains — pure entity-linking retrieval, naive has no
-    #     lexical handle at all.
+    #     TEXT never contains AND shares zero content tokens with ANY
+    #     C-template wording ('responsible' appears in none of them) — pure
+    #     entity-linking retrieval, naive has no lexical handle at all.
+    #     (r14 review catch: the original "Who keeps watch over X?" shared
+    #     keeps/watch/over with C_TEMPLATES[0], handing naive a lexical
+    #     handle on a third of the family.)
     # Distinct invented vocab (vandrel/skarnite/doomvault/greyfell) so the
     # two chain families cannot hash-collide into each other's questions.
     C_TEMPLATES = [
@@ -186,7 +190,7 @@ def main():
             ner.append((qid, q, warden, [relic]))
         else:
             qid = f"v{i}"
-            q = f"Who keeps watch over {vault}?"
+            q = f"Who is responsible for {vault}?"
             questions.append({"_id": qid, "type": "bridge", "question": q,
                               "answer": warden,
                               "supporting_facts": [[c_title, 0]]})
