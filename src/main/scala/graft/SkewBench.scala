@@ -157,7 +157,18 @@ object SkewBench {
           b, "l_orderkey", "l_partkey", minSupport = 2L).count())
         val (t2, n2) = median3(FrequentItemsets.pcyFrequentPairs(
           b, "l_orderkey", "l_partkey", minSupport = 2L).count())
-        require(n1 == n2, s"answer mismatch: fi1=$n1 fi2=$n2") // one answer
+        // One answer — content-equal, not merely count-equal: an order-free
+        // bit_xor over a row hash of every output column catches equal
+        // cardinality with different pairs (or supports), which a bare
+        // count comparison would wave through.
+        def chk(df: DataFrame): Long = df.selectExpr(
+          "bit_xor(xxhash64(item_a, item_b, support)) AS c").head().getLong(0)
+        val c1 = chk(FrequentItemsets.frequentPairs(
+          b, "l_orderkey", "l_partkey", minSupport = 2L))
+        val c2 = chk(FrequentItemsets.pcyFrequentPairs(
+          b, "l_orderkey", "l_partkey", minSupport = 2L))
+        require(n1 == n2 && c1 == c2,
+          s"answer mismatch: fi1=($n1, $c1) fi2=($n2, $c2)")
         println(f"""{"corpus": "$name", "hot_basket_rows": $hotSize, """ +
           f""""fi1_sec": $t1%.2f, "fi2_sec": $t2%.2f, "n_pairs": $n1}""")
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(b)

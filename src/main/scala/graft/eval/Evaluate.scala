@@ -86,8 +86,26 @@ object Evaluate {
     // different-width embedder (e.g. a pre-r12 dim=64 store under today's
     // dim=256 harness) would score garbage similarities and report them as
     // recall. Mismatch fails loudly instead.
+    // Full-identity check first: the fingerprint persisted at index time
+    // catches SAME-dim embedder changes (seed / stopword-set edits) that the
+    // dim probe below would wave through — those reuse a stale store and
+    // report garbage recall as if real. The dim probe stays as the fallback
+    // for pre-r15 stores that carry no fingerprint file.
+    val fpPath = java.nio.file.Paths.get(storeDir, s"$graphName.embedder_fp")
     val indexed =
       if (store.listGraphs().contains(graphName)) {
+        if (java.nio.file.Files.exists(fpPath)) {
+          val stored = new String(
+            java.nio.file.Files.readAllBytes(fpPath), "UTF-8").trim
+          if (stored != rag.embedderFingerprint) sys.error(
+            s"[evaluate] graph '$graphName' in $storeDir was built with " +
+              s"embedder [$stored] but this harness embeds with " +
+              s"[${rag.embedderFingerprint}] — delete the store (or pass a " +
+              "fresh storeDir) to re-index")
+        } else {
+          System.err.println(s"[evaluate] WARNING: $fpPath missing " +
+            "(pre-fingerprint store) — only the embedding dim can be checked")
+        }
         val storedDim = store.table(graphName, "entities")
           .select(org.apache.spark.sql.functions.size(col("embedding")))
           .limit(1).collect().headOption.map(_.getInt(0))
@@ -106,6 +124,8 @@ object Evaluate {
               element_at(t, 2).as("predicate"),
               element_at(t, 3).as("obj"))).as("triplets"))
         val stats = rag.addDocumentsDf(docsDf)
+        java.nio.file.Files.write(fpPath,
+          rag.embedderFingerprint.getBytes("UTF-8"))
         println(s"[evaluate] indexed: $stats")
         true
       }

@@ -92,6 +92,16 @@ object FrequentItemsets {
                        minSupport: Long, nBuckets: Int = 1 << 20,
                        maxBasketSize: Option[Long] = None): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    // The heavy-bucket table is force-broadcast below and can hold up to
+    // nBuckets rows (every bucket heavy when the table is undersized or
+    // minSupport tiny). Cap it so an oversized request fails loudly here
+    // instead of OOMing the broadcast: 2^24 longs is ~128 MB of keys
+    // (~5x that as a HashedRelation) — already past where a sane PCY
+    // config lives, since the prune only bites when candidate-pairs /
+    // nBuckets << minSupport.
+    require(nBuckets <= (1 << 24),
+      s"nBuckets must be <= ${1 << 24} (broadcast heavy-bucket table " +
+        s"bound), got $nBuckets")
     val (itemCounts, nB, pruned) =
       prunedBasketItems(baskets, basketCol, itemCol, minSupport, maxBasketSize)
     def withBucket(cand: DataFrame): DataFrame = cand.withColumn("_bkt",

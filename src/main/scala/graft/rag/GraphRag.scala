@@ -75,6 +75,12 @@ final class GraphRag(
     * can validate a persisted graph was built with a compatible embedder. */
   def embedderDim: Int = embedder.dim
 
+  /** Full embedder identity (dim + every other vector-affecting parameter) —
+    * the store-reuse check that catches same-dim embedder changes the bare
+    * dimension probe cannot (a seed or stopword edit produces an
+    * incomparable vector space at the SAME width). */
+  def embedderFingerprint: String = embedder.fingerprint
+
   // ------------------------------------------------------------------ indexing
 
   /** §3.1 add_documents: extract triplets (X1) then index. Full-replace. */
