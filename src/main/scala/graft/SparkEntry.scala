@@ -2916,6 +2916,95 @@ object SparkEntry {
         .select(col("asset_id"), col("decoded"),
           col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+    }),
+    // NB1 multinomial Naive Bayes model (r15): the trained lang classifier
+    // as integer counts — one map-combined aggregation over exploded
+    // (label, token) rows; board row is the top-5 tokens per label. See
+    // operators.NaiveBayes.
+    "nb1_nb_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", Norm.normTokens(col("text")))
+      val m = NaiveBayes.model(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "toks")
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cnt").desc, col("token").asc)
+      m.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("label"), col("token"), col("cnt"),
+          col("label_tokens"), col("vocab"), col("rnk"))
+    }),
+    // NB2 Naive Bayes prediction (r15): 80/20 doc_id-hash split, classify
+    // the held-out fifth on its first-40-token prefix. Scores are ordered
+    // products of exact divisions — bit-identical across engines (the SQL
+    // twin folds with product(term ORDER BY pos)); output is all-integer/
+    // string. Measured accuracy is published in Round15OpsSpec, honestly:
+    // the synthetic langs share one vocabulary, so the classifier has only
+    // mild frequency signal to work with. See operators.NaiveBayes.predict.
+    "nb2_nb_predict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", Norm.normTokens(col("text")))
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      NaiveBayes.predict(docs.filter(col("doc_id") % 5 =!= 0), test,
+          "lang", "toks", "doc_id", maxTokens = 40)
+        .join(test.select(col("doc_id").as("id"), col("lang").as("actual")),
+          Seq("id"))
+        .select(col("id").as("doc_id"), col("actual"), col("pred"),
+          when(col("pred") === col("actual"), 1L).otherwise(0L).as("correct"))
+    }),
+    // NB3 confusion matrix (r15): nb2's consumer — per (actual, pred) cell
+    // counts, the eval artifact a classifier gate publishes.
+    "nb3_confusion" -> ((s, dir) => {
+      queries("nb2_nb_predict")(s, dir)
+        .groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+    }),
+    // BT1 Bradley-Terry preference strengths (r15): pairwise wins derived
+    // from the order log (within each order, the larger-quantity line's
+    // brand beats the smaller's), reduced ONCE to a 25x25 win matrix, then
+    // 3 MM rounds with j-ordered float folds — strengths bit-identical to
+    // the SQL twin's unrolled CTEs; board row projects floor(p*1e6) and
+    // ranks by the RAW double (r13 convention). See
+    // operators.Preference.bradleyTerry.
+    "bt1_bradley_terry" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+          col("p_brand").as("b"), col("l_quantity").as("q"))
+      val lA = li.select(col("k"), col("ln").as("ln_a"),
+        col("b").as("b_a"), col("q").as("q_a"))
+      val lB = li.select(col("k"), col("ln").as("ln_b"),
+        col("b").as("b_b"), col("q").as("q_b"))
+      val wins = lA.join(lB, Seq("k"))
+        .filter(col("ln_a") < col("ln_b") && col("q_a") =!= col("q_b") &&
+          col("b_a") =!= col("b_b"))
+        .select(
+          when(col("q_a") > col("q_b"), col("b_a")).otherwise(col("b_b"))
+            .as("win"),
+          when(col("q_a") > col("q_b"), col("b_b")).otherwise(col("b_a"))
+            .as("lose"))
+        .groupBy("win", "lose").agg(count(lit(1)).as("n"))
+      Preference.bradleyTerry(wins, "win", "lose", "n", iters = 3)
+        .select(col("item").as("brand"), col("w").as("wins"),
+          floor(col("strength") * lit(1e6)).cast("long").as("strength_micro"),
+          row_number().over(Window.orderBy(col("strength").desc,
+            col("item").asc)).cast("long").as("rnk"))
+    }),
+    // BF1 bloom-prefiltered semi-join (r15): output-identical to the plain
+    // left-semi join (the oracle), with the probe side pruned by a
+    // broadcast Bloom sketch BEFORE its shuffle — the shuffle-bytes cut for
+    // key sides too big to broadcast exactly. ~2%-selective key set here;
+    // pass-rate measured in Round15OpsSpec. See operators.BloomJoin.
+    "bf1_bloom_semijoin" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"))
+      BloomJoin.semiJoin(t(s, dir, "lineitem"), keys,
+          "l_orderkey", "o_orderkey",
+          expectedKeys = math.max(1024L, keys.count()), fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
     })
   )
 
@@ -3156,6 +3245,42 @@ object SparkEntry {
     }
     val normDoc = normE("text")
     val toksDoc = s"list_filter(string_split($normDoc, ' '), x -> x <> '')"
+    // Shared by nb2 (predictions) and nb3 (confusion matrix): the full
+    // Naive Bayes train-then-classify chain. Scores are ordered PRODUCTS of
+    // exact divisions — product(term ORDER BY pos) is DuckDB's left fold,
+    // matching the Spark side's sort_array+aggregate left fold factor for
+    // factor (no ln(): log-space scoring would tie the twin to libm).
+    val nbPredictSql =
+      s"""WITH tr AS MATERIALIZED (SELECT lang, unnest($toksDoc) AS token
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |cnts AS MATERIALIZED (SELECT lang AS label, token, count(*) AS cnt
+         |  FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT lang AS label, count(*) AS tot FROM tr GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT token) AS v FROM tr),
+         |pri AS (SELECT lang AS label, count(*) AS dc FROM documents
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |dt AS (SELECT count(*) AS d FROM documents WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, lang AS actual, list_slice($toksDoc, 1, 40) AS tk
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |tt AS (SELECT doc_id, unnest(tk) AS token,
+         |  generate_subscripts(tk, 1) AS pos FROM te),
+         |terms AS (SELECT tt.doc_id, l.label, tt.pos,
+         |    CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) /
+         |      CAST(l.tot + v.v AS DOUBLE) AS term
+         |  FROM tt CROSS JOIN tot l CROSS JOIN voc v
+         |  LEFT JOIN cnts c ON c.label = l.label AND c.token = tt.token),
+         |prods AS (SELECT doc_id, label, product(term ORDER BY pos) AS prod
+         |  FROM terms GROUP BY 1, 2),
+         |sc AS (SELECT te.doc_id, te.actual, p.label,
+         |    coalesce(pr.prod, CAST(1.0 AS DOUBLE)) *
+         |      (CAST(p.dc AS DOUBLE) / CAST(dt.d AS DOUBLE)) AS score
+         |  FROM te CROSS JOIN pri p CROSS JOIN dt
+         |  LEFT JOIN prods pr ON pr.doc_id = te.doc_id AND pr.label = p.label)
+         |SELECT doc_id, actual, label AS pred,
+         |  CAST(CASE WHEN label = actual THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, label ASC) = 1""".stripMargin.replace("\n", " ")
     // Shared by x23 (weights) and x24 (resampling action): the DSIR hashed
     // unigram+bigram LM CTE chain ending in per-doc log-ratio sums `sc`.
     val dsirCtes =
@@ -6489,7 +6614,81 @@ object SparkEntry {
           |SELECT asset_id, false AS decoded,
           |  coalesce(CAST(sum(CASE WHEN b = 1 AND cell < 32 THEN CAST(pow(2, cell) AS BIGINT) END) AS BIGINT), 0) AS ahash_lo,
           |  coalesce(CAST(sum(CASE WHEN b = 1 AND cell >= 32 THEN CAST(pow(2, cell - 32) AS BIGINT) END) AS BIGINT), 0) AS ahash_hi
-          |FROM bits GROUP BY 1""".stripMargin.replace("\n", " ")
+          |FROM bits GROUP BY 1""".stripMargin.replace("\n", " "),
+      // nb1: the model IS counts — everything integer, hash-exact.
+      "nb1_nb_model" ->
+        s"""WITH tr AS (SELECT lang, unnest($toksDoc) AS token
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           |cnts AS (SELECT lang AS label, token, count(*) AS cnt
+           |  FROM tr GROUP BY 1, 2),
+           |tot AS (SELECT lang AS label, count(*) AS label_tokens
+           |  FROM tr GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT token) AS vocab FROM tr)
+           |SELECT c.label, c.token, c.cnt, t.label_tokens, v.vocab,
+           |  CAST(row_number() OVER (PARTITION BY c.label
+           |    ORDER BY c.cnt DESC, c.token ASC) AS BIGINT) AS rnk
+           |FROM cnts c JOIN tot t ON t.label = c.label CROSS JOIN voc v
+           |QUALIFY rnk <= 5""".stripMargin.replace("\n", " "),
+      "nb2_nb_predict" -> nbPredictSql,
+      "nb3_confusion" ->
+        s"""SELECT actual, pred, count(*) AS n FROM ($nbPredictSql) q
+           |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      // bt1: the 3 MM rounds unrolled as CTEs; the Σ_j fold is
+      // sum(x ORDER BY j) — DuckDB's ordered-aggregate left fold, matching
+      // the Spark side's sort_array+aggregate fold term for term, so the
+      // strengths are bit-identical and floor(p*1e6) is safe to compare.
+      "bt1_bradley_terry" ->
+        """WITH li AS MATERIALIZED (SELECT l.l_orderkey AS k,
+          |    l.l_linenumber AS ln, p.p_brand AS b, l.l_quantity AS q
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |cmp AS (SELECT CASE WHEN a.q > x.q THEN a.b ELSE x.b END AS win,
+          |    CASE WHEN a.q > x.q THEN x.b ELSE a.b END AS lose
+          |  FROM li a JOIN li x ON a.k = x.k AND a.ln < x.ln
+          |  WHERE a.q <> x.q AND a.b <> x.b),
+          |wins AS MATERIALIZED (SELECT win, lose, count(*) AS n
+          |  FROM cmp GROUP BY 1, 2),
+          |wtot AS (SELECT win AS item, CAST(sum(n) AS BIGINT) AS w
+          |  FROM wins GROUP BY 1),
+          |pairs AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij
+          |  FROM (SELECT win AS i, lose AS j, n FROM wins
+          |    UNION ALL SELECT lose AS i, win AS j, n FROM wins) u
+          |  GROUP BY 1, 2),
+          |p0 AS (SELECT it.item, coalesce(w.w, 0) AS w,
+          |    CAST(1.0 AS DOUBLE) AS p
+          |  FROM (SELECT DISTINCT i AS item FROM pairs) it
+          |  LEFT JOIN wtot w ON w.item = it.item),
+          |s1 AS (SELECT pr.i AS item,
+          |    sum(CAST(pr.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY pr.j) AS s
+          |  FROM pairs pr JOIN p0 pi ON pi.item = pr.i
+          |  JOIN p0 pj ON pj.item = pr.j GROUP BY 1),
+          |p1 AS (SELECT p0.item, p0.w, CAST(p0.w AS DOUBLE) / s1.s AS p
+          |  FROM p0 JOIN s1 ON s1.item = p0.item),
+          |s2 AS (SELECT pr.i AS item,
+          |    sum(CAST(pr.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY pr.j) AS s
+          |  FROM pairs pr JOIN p1 pi ON pi.item = pr.i
+          |  JOIN p1 pj ON pj.item = pr.j GROUP BY 1),
+          |p2 AS (SELECT p1.item, p1.w, CAST(p1.w AS DOUBLE) / s2.s AS p
+          |  FROM p1 JOIN s2 ON s2.item = p1.item),
+          |s3 AS (SELECT pr.i AS item,
+          |    sum(CAST(pr.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY pr.j) AS s
+          |  FROM pairs pr JOIN p2 pi ON pi.item = pr.i
+          |  JOIN p2 pj ON pj.item = pr.j GROUP BY 1),
+          |p3 AS (SELECT p2.item, p2.w, CAST(p2.w AS DOUBLE) / s3.s AS p
+          |  FROM p2 JOIN s3 ON s3.item = p2.item)
+          |SELECT item AS brand, w AS wins,
+          |  CAST(floor(p * 1e6) AS BIGINT) AS strength_micro,
+          |  CAST(row_number() OVER (ORDER BY p DESC, item ASC) AS BIGINT)
+          |    AS rnk
+          |FROM p3""".stripMargin.replace("\n", " "),
+      // bf1: the Bloom prefilter is invisible in the answer by design —
+      // the oracle is the plain semi-join the operator must equal.
+      "bf1_bloom_semijoin" ->
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem WHERE l_orderkey IN (
+          |  SELECT o_orderkey FROM orders
+          |  WHERE o_orderpriority = '1-URGENT' AND o_custkey % 10 = 0)
+          |GROUP BY 1""".stripMargin.replace("\n", " ")
     )
   }
 }
