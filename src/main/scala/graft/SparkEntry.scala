@@ -3005,6 +3005,34 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+    // PV4 randomized response (r15): local-DP count of users with >= 1
+    // purchase — bit flipped at p=1/4 (ε = ln 3) via the house md5 draw so
+    // the twin replays the MECHANISM, debiased estimate as an exact BIGINT
+    // rational beside the true count. See Privacy.randomizedResponse.
+    "pv4_randomized_response" -> ((s, dir) => {
+      val bits = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("bit"))
+      Privacy.randomizedResponse(bits, "user_id", "bit")
+    }),
+    // BP3 tokenizer-efficiency report (r15): bp2's consumer — per-source
+    // chars-per-subword under the learned merge list (the compression read
+    // a tokenizer-training pipeline publishes per corpus slice; a slice
+    // whose ratio trails the corpus needs its own merges). Integer counts,
+    // one exact division floored to micro. Shares bp2's encoder and the
+    // oracle's single-regexp-replay encode chain.
+    "bp3_tokenizer_eval" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("source"), Norm.normTokens(col("text")).as("toks"))
+      Bpe.encode(docs, "toks", "sub", bp2Merges)
+        .select(col("source"), explode(col("sub")).as("subword"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_subwords"),
+          sum(length(col("subword"))).as("n_chars"))
+        .withColumn("cps_micro",
+          floor(col("n_chars").cast("double") * lit(1e6) /
+            col("n_subwords").cast("double")).cast("long"))
     })
   )
 
@@ -3281,6 +3309,11 @@ object SparkEntry {
          |FROM sc
          |QUALIFY row_number() OVER (PARTITION BY doc_id
          |  ORDER BY score DESC, label ASC) = 1""".stripMargin.replace("\n", " ")
+    // Shared by bp2 (subword counts) and bp3 (per-source efficiency): the
+    // single-replace-per-rank BPE encode chain over a '|sym|'-fenced word.
+    val bpeEncExpr = bp2Merges.foldLeft(raw"regexp_replace(w, '(.)', '|\1|', 'g')") {
+      case (e, (a, b)) => s"replace($e, '|$a||$b|', '|$a$b|')"
+    }
     // Shared by x23 (weights) and x24 (resampling action): the DSIR hashed
     // unigram+bigram LM CTE chain ending in per-doc log-ratio sums `sc`.
     val dsirCtes =
@@ -5226,26 +5259,24 @@ object SparkEntry {
            |  FROM w) t)
            |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1, 2
            |ORDER BY cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin.replace("\n", " "),
-      "bp2_bpe_encode" -> {
-        // Each symbol wrapped '|sym|' and concatenated (DOUBLE '||' between
-        // neighbors), so each merge is one plain (global, leftmost,
-        // non-overlapping) replace of '|a||b|' → '|ab|'. The double delimiter
-        // matters: with single '|' separators two ADJACENT occurrences of a
-        // pair share a delimiter char, the first match consumes it, and the
-        // replace skips the second ("mining" → [m,in,i,n,g]); with each
-        // symbol owning both its fences, one replace pass IS leftmost-greedy
-        // mergeOnce exactly (verified against the iterative encoder on
-        // mining/training/ininin/thethe/…). One pass per rank then equals
-        // the min-rank encoder — see the query comment.
-        val encExpr = bp2Merges.foldLeft(raw"regexp_replace(w, '(.)', '|\1|', 'g')") {
-          case (e, (a, b)) => s"replace($e, '|$a||$b|', '|$a$b|')"
-        }
+      // Each symbol wrapped '|sym|' and concatenated (DOUBLE '||' between
+      // neighbors), so each merge is one plain (global, leftmost,
+      // non-overlapping) replace of '|a||b|' → '|ab|'. The double delimiter
+      // matters: with single '|' separators two ADJACENT occurrences of a
+      // pair share a delimiter char, the first match consumes it, and the
+      // replace skips the second ("mining" → [m,in,i,n,g]); with each
+      // symbol owning both its fences, one replace pass IS leftmost-greedy
+      // mergeOnce exactly (verified against the iterative encoder on
+      // mining/training/ininin/thethe/…). One pass per rank then equals
+      // the min-rank encoder — see the query comment. The encode chain
+      // (bpeEncExpr, factored above the Map) is shared with bp3's
+      // per-source efficiency report.
+      "bp2_bpe_encode" ->
         s"""WITH tok AS (SELECT unnest($toksDoc) AS w FROM documents),
-           |enc AS (SELECT replace($encExpr, '||', '|') AS s FROM tok),
+           |enc AS (SELECT replace($bpeEncExpr, '||', '|') AS s FROM tok),
            |sub AS (SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS subword FROM enc)
            |SELECT subword, count(*) AS cnt FROM sub GROUP BY 1
-           |ORDER BY cnt DESC, subword ASC LIMIT 30""".stripMargin.replace("\n", " ")
-      },
+           |ORDER BY cnt DESC, subword ASC LIMIT 30""".stripMargin.replace("\n", " "),
       "x18_bigram_logppl" ->
         s"""WITH d AS (SELECT doc_id, $toksDoc AS toks FROM documents),
            |tok AS (SELECT unnest(toks) AS lft FROM d),
@@ -6688,7 +6719,34 @@ object SparkEntry {
           |FROM lineitem WHERE l_orderkey IN (
           |  SELECT o_orderkey FROM orders
           |  WHERE o_orderpriority = '1-URGENT' AND o_custkey % 10 = 0)
-          |GROUP BY 1""".stripMargin.replace("\n", " ")
+          |GROUP BY 1""".stripMargin.replace("\n", " "),
+      // pv4: the mechanism replayed flip-for-flip (house md5 draw), the
+      // estimate as the exact rational (4·obs − n)/2 — zero float surface.
+      "pv4_randomized_response" ->
+        """WITH bits AS (SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bit
+          |  FROM events GROUP BY 1),
+          |rep AS (SELECT bit,
+          |    CASE WHEN CAST(('0x' || substr(md5('rr|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 < 1
+          |      THEN 1 - bit ELSE bit END AS r
+          |  FROM bits)
+          |SELECT count(*) AS n, CAST(sum(r) AS BIGINT) AS observed,
+          |  CAST(4 * sum(r) - count(*) AS BIGINT) AS est_num,
+          |  CAST(2 AS BIGINT) AS est_den,
+          |  CAST(sum(bit) AS BIGINT) AS true_cnt
+          |FROM rep""".stripMargin.replace("\n", " "),
+      // bp3: bp2's encode chain with source carried through; one exact
+      // division floored to micro (multiply THEN divide, same order as the
+      // Spark side — both exact IEEE ops on integer-derived doubles).
+      "bp3_tokenizer_eval" ->
+        s"""WITH tok AS (SELECT source, unnest($toksDoc) AS w FROM documents),
+           |enc AS (SELECT source, replace($bpeEncExpr, '||', '|') AS s FROM tok),
+           |sub AS (SELECT source, unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS subword FROM enc)
+           |SELECT source, count(*) AS n_subwords,
+           |  CAST(sum(length(subword)) AS BIGINT) AS n_chars,
+           |  CAST(floor(CAST(sum(length(subword)) AS DOUBLE) * 1e6 /
+           |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS cps_micro
+           |FROM sub GROUP BY 1""".stripMargin.replace("\n", " ")
     )
   }
 }

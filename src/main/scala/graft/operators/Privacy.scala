@@ -80,4 +80,42 @@ object Privacy {
       .groupBy(col("_l").as("l_distinct"))
       .agg(count(lit(1)).as("n_classes"))
   }
+
+  /** Randomized response (Warner 1965 / the RAPPOR one-bit core) — LOCAL
+    * differential privacy for a per-subject boolean: each subject's bit is
+    * flipped with probability num/den BEFORE aggregation, so the collector
+    * never holds a truthful row, yet the population count debiases exactly:
+    *   E[obs] = (1-p)·t + p·(n-t)  ⇒  t̂ = (obs - p·n)/(1 - 2p).
+    * Privacy: ε = ln((1-p)/p) (p=1/4 ⇒ ε = ln 3).
+    *
+    * The flip draw is the house oracle-replicable hash
+    * ([[graft.functions.Hashing.md5Long]] of salt‖id, mod den) — a
+    * deterministic mechanism is NOT private in production (an adversary
+    * replays the hash; swap in a real RNG there), but it is what lets the
+    * SQL twin replay the mechanism bit-for-bit, which is the property the
+    * board row pins. The debiased estimate ships as an EXACT BIGINT
+    * rational: est = (den·obs − num·n) / (den − 2·num) — zero float
+    * surface. One aggregation pass, map-side combined; the true count
+    * rides along because the pre-randomization frame is in hand anyway
+    * (it is what the estimate is validated against).
+    *
+    * Returns one row: (n, observed, est_num, est_den, true_cnt). */
+  def randomizedResponse(df: DataFrame, idCol: String, bitCol: String,
+                         flipNum: Int = 1, flipDen: Int = 4,
+                         salt: String = "rr"): DataFrame = {
+    require(flipNum >= 1 && flipDen > 2 * flipNum,
+      s"flip probability num/den must be in (0, 1/2), got $flipNum/$flipDen")
+    val flip = graft.functions.Hashing.md5Long(
+      concat(lit(salt + "|"), col(idCol).cast("string"))) % flipDen < flipNum
+    val reported = when(flip, lit(1L) - col(bitCol).cast("long"))
+      .otherwise(col(bitCol).cast("long"))
+    df.agg(count(lit(1)).as("n"),
+        sum(reported).as("observed"),
+        sum(col(bitCol).cast("long")).as("true_cnt"))
+      .select(col("n"), col("observed"),
+        (lit(flipDen.toLong) * col("observed") - lit(flipNum.toLong) * col("n"))
+          .as("est_num"),
+        lit((flipDen - 2L * flipNum)).as("est_den"),
+        col("true_cnt"))
+  }
 }

@@ -97,6 +97,51 @@ class Round15OpsSpec extends SparkSpec {
     info(f"bloom passRate=$rate%.4f at 5%% true match rate, fpp=0.01")
   }
 
+  test("Privacy.randomizedResponse: flip rate, exact estimator identity") {
+    import graft.operators.Privacy
+    // 1000 subjects, all bit=1: observed = n - flips, so the flip count is
+    // directly readable and the estimator identity is checkable exactly
+    val allOnes = (0L until 1000L).map(i => (i, 1L)).toDF("id", "bit")
+    val r = Privacy.randomizedResponse(allOnes, "id", "bit")
+      .select("n", "observed", "est_num", "est_den", "true_cnt")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (n, obs, num, den, truth) = r
+    assert(n == 1000L && truth == 1000L && den == 2L)
+    assert(num == 4L * obs - n) // the exact rational the twin replays
+    val flips = n - obs
+    assert(flips > 150 && flips < 350, s"p=1/4 draw wildly off: $flips/1000")
+    // debiased estimate recovers the truth within sampling noise
+    // (sd = sqrt(n·p·(1−p))/(1−2p) ≈ 27.4 here; 5σ ≈ 137)
+    val est = num.toDouble / den
+    assert(math.abs(est - truth) < 140, s"est=$est truth=$truth")
+    // mechanism is deterministic (the twin-replay property)
+    val r2 = Privacy.randomizedResponse(allOnes, "id", "bit")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r2 == r)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(allOnes, "id", "bit", flipNum = 1, flipDen = 2)
+    }
+  }
+
+  test("bp3 semantics: subwords partition chars; cps_micro >= 1e6") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val rep = SparkEntry.queries("bp3_tokenizer_eval")(spark, dir)
+      .select("source", "n_subwords", "n_chars", "cps_micro")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rep.nonEmpty)
+    // BPE only merges: total chars are conserved and every subword has >= 1
+    // char, so chars-per-subword is >= 1 exactly
+    rep.foreach { case (src, nSub, nCh, cps) =>
+      assert(nCh >= nSub && cps >= 1000000L, s"$src: $nSub $nCh $cps")
+    }
+    // chars equal the normalized token mass (encode is a partition of it)
+    val tokChars = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.functions.Norm.normTokens(col("text"))).as("t"))
+      .agg(sum(length(col("t")))).head().getLong(0)
+    assert(rep.map(_._3).sum == tokChars)
+  }
+
   test("board rows on real data: nb2 accuracy + bf1 prune rate, published") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory)
