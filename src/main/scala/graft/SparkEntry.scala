@@ -2509,6 +2509,45 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+    // Q8 national market share (r15): NATION_6's share of ECONOMY-part
+    // volume sold into AMERICA, per order year — the 7-table classic.
+    // Dimension chains (region→nation→customer keys, supplier→nation
+    // names) broadcast; the one genuine shuffle is lineitem⋈orders on
+    // orderkey. Numerator and denominator published as separate rounded
+    // revenues (q7's proven float convention) rather than a fragile
+    // rounded ratio.
+    "q8_market_share" -> ((s, dir) => {
+      val americaKeys = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(americaKeys), col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val eco = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      t(s, dir, "lineitem")
+        .join(eco, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("volume",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_6", col("volume"))
+            .otherwise(lit(0.0))), 2).as("nation_revenue"),
+          round(sum(col("volume")), 2).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
 
     // ------------------------------------------------------- round-10 additions
     // G22 neighbor-overlap link prediction beside g15's Adamic-Adar: Jaccard
@@ -6267,6 +6306,27 @@ object SparkEntry {
           |    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
           |    AND l.l_shipdate < TIMESTAMP '1997-01-01') t
           |GROUP BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", " "),
+      // q8: numerator (CASE-summed with an exact +0.0 else-arm) and
+      // denominator published separately under q7's rounded-sum convention.
+      "q8_market_share" ->
+        """SELECT o_year,
+          |  round(sum(CASE WHEN supp_nation = 'NATION_6' THEN volume
+          |    ELSE CAST(0 AS DOUBLE) END), 2) AS nation_revenue,
+          |  round(sum(volume), 2) AS total_revenue, count(*) AS n_items
+          |FROM (
+          |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+          |    n1.n_name AS supp_nation,
+          |    l.l_extendedprice * (1 - l.l_discount) AS volume
+          |  FROM lineitem l
+          |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          |  JOIN region r ON n2.n_regionkey = r.r_regionkey
+          |    AND r.r_name = 'AMERICA') t
+          |GROUP BY 1""".stripMargin.replace("\n", " "),
 
       // ----------------------------------------------------- round-10 additions
       // g22: g15's wedge CTEs with the Jaccard numerator/denominator —
