@@ -1040,8 +1040,7 @@ object SparkEntry {
         ("q1", "spark window agg"),
         ("q2", "customer order join"))).toDF("qid", "qtext")
       Bm25.score(idx, queries, "qid", "qtext", k = 5)
-        .select(col("query_id"), col("rank"),
-          col("doc_id").cast("long").as("doc_id"),
+        .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // B3 exact-phrase search over positional postings — adjacency-aware
@@ -1064,8 +1063,7 @@ object SparkEntry {
         ("q1", "spark window agg"),
         ("q2", "customer order join"))).toDF("qid", "qtext")
       QueryLikelihood.score(idx, queries, "qid", "qtext", mu = 300.0, k = 5)
-        .select(col("query_id"), col("rank"),
-          col("doc_id").cast("long").as("doc_id"),
+        .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // B5 RM3-style pseudo-relevance feedback on the b1 queries: first-pass
@@ -1080,8 +1078,7 @@ object SparkEntry {
         ("q2", "customer order join"))).toDF("qid", "qtext")
       Bm25.prfScore(idx, queries, "qid", "qtext", k = 5,
           fbDocs = 5, fbTerms = 3, lambda = 0.5)
-        .select(col("query_id"), col("rank"),
-          col("doc_id").cast("long").as("doc_id"),
+        .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // B6 best-window snippet extraction: per (query, matching doc) the
@@ -1118,18 +1115,23 @@ object SparkEntry {
     "b2_rrf_hybrid" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val docs = t(s, dir, "documents")
+      val toks = lexTokens(s, dir)
+      // knnJoin's contract is string ids; align the dense run to the corpus's
+      // native BIGINT keys so rrf (which requires dtype agreement across
+      // runs) restores BIGINT ids end to end.
       val dense = VectorSearch.knnJoin(
         emb.filter(col("vec_id") < 4), emb.filter(col("vec_id") >= 4),
         "vec_id", "embedding", "vec_id", "embedding", 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+        .select(col("query_id").cast("long").as("query_id"), col("rank"),
+          col("neighbor_id").cast("long").as("doc_id"))
       val idx = Bm25.buildFromTokens(
-        lexTokens(s, dir).filter(col("doc_id") >= 4).select("id", "term"))
+        toks.filter(col("doc_id") >= 4).select("id", "term"),
+        idType = Some(toks.schema("doc_id").dataType))
       val sparse = Bm25.score(idx, docs.filter(col("doc_id") < 4),
         "doc_id", "text", k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"))
       HybridFusion.rrf(Seq(dense, sparse), k = 5)
-        .select(col("query_id"), col("rank"),
-          col("doc_id").cast("long").as("doc_id"),
+        .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 6).as("score_r"))
     }),
     // TF1 tf-idf vector-space retrieval (SMART ntc.nnn): doc weights raw-tf·idf
@@ -1139,10 +1141,9 @@ object SparkEntry {
     "tf1_tfidf_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val w = TfIdf.weightsFromTokens(
-        lexTokens(s, dir).select("id", "term"),
+        lexTokens(s, dir).select(col("doc_id").as("id"), col("term")),
         docs.agg(count(lit(1)).cast("double").as("n")))
       TfIdf.topK(w, docs.filter(col("doc_id") < 5), "doc_id", "text", k = 10)
-        .withColumn("doc_id", col("doc_id").cast("long"))
     }),
     // MV1 late-interaction MaxSim (ColBERT-style): multi-vector "docs" are
     // embedding rows grouped by vec_id%100, queries two 5-token bags. Plan:
@@ -3184,7 +3185,9 @@ object SparkEntry {
       lexIndexCache.get((s, dir))
         .filter(ix => ix.parts.exists(p => alive(p._1) && alive(p._3)))
         .getOrElse {
-          val fresh = Bm25.buildFromTokens(lexTokens(s, dir).select("id", "term"))
+          val toks = lexTokens(s, dir)
+          val fresh = Bm25.buildFromTokens(toks.select("id", "term"),
+            idType = Some(toks.schema("doc_id").dataType))
           lexIndexCache((s, dir)) = fresh
           fresh
         }
@@ -4163,7 +4166,7 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sparse WHERE rank <= 10),
            |fused AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2)
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score_r
            |FROM (SELECT query_id, doc_id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
            |      FROM fused) z
@@ -4182,7 +4185,7 @@ object SparkEntry {
            |  FROM (SELECT doc_id, unnest($toksDoc) AS t FROM documents WHERE doc_id < 5) u GROUP BY 1, 2),
            |sc AS (SELECT query_id, wn.id, round(sum(wn.w * q.qtf), 6) AS score
            |  FROM wn JOIN q USING (term) GROUP BY 1, 2)
-           |SELECT query_id, CAST(rank AS INTEGER) AS rank, CAST(id AS BIGINT) AS doc_id, score AS sim_r
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank, CAST(id AS BIGINT) AS doc_id, score AS sim_r
            |FROM (SELECT query_id, id, score,
            |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
            |      FROM sc) z

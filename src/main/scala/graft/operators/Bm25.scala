@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Norm
 import graft.sources.BucketedTable
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** BM25 sparse (lexical) retrieval — the keyword-side complement of the dense
@@ -36,9 +37,15 @@ object Bm25 {
     * scoring folds the stats in as a 1-row broadcast. `parts` (set by
     * [[build]]) keeps the un-denormalized (tf, df, dl) frames so scoring can
     * semi-join the query's terms against tf BEFORE attaching df/dl — a loaded
-    * or pruned index has only the denormalized postings and leaves it None. */
+    * or pruned index has only the denormalized postings and leaves it None.
+    * `idType` is the SOURCE id column's dtype, captured at build and persisted
+    * in the stats marker: postings canonicalize ids to string (one grouping
+    * key type, VARCHAR tie semantics shared with the SQL twins), and every
+    * scorer's output projection restores this dtype — a BIGINT doc id in is a
+    * BIGINT doc id out (the TextRank restore pattern). */
   final case class Index(postings: DataFrame, stats: DataFrame,
-      parts: Option[(DataFrame, DataFrame, DataFrame)] = None) {
+      parts: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      idType: DataType = StringType) {
     private lazy val statsRow = stats.collect()(0)
     /** Collected corpus scalars — one tiny job, used by tests/persistence. */
     def nDocs: Long = statsRow.getDouble(0).toLong
@@ -71,7 +78,8 @@ object Bm25 {
     val exploded = share(docs
       .select(col(idCol).cast("string").as("id"),
         explode(Norm.normTokens(col(textCol))).as("term")))
-    val idx = buildFromTokens(exploded, materialize)
+    val idx = buildFromTokens(exploded, materialize,
+      idType = Some(docs.schema(idCol).dataType))
     // tf and dl are materialized — the exploded token frame (the corpus-sized
     // one) is now dead; free its blocks instead of pinning them for the
     // index's lifetime. tf/dl stay cached: they ARE the in-memory index.
@@ -84,8 +92,12 @@ object Bm25 {
     * tokenize is the dominant index-build cost and is identical across the
     * lexical retrieval family (BM25, TF-IDF, hybrid), so tokenize once and
     * build each model from the same frame. The caller owns `tokens`'
-    * lifecycle (this function never unpersists it). */
-  def buildFromTokens(tokens: DataFrame, materialize: Boolean = true): Index = {
+    * lifecycle (this function never unpersists it). `idType` records the
+    * SOURCE id dtype the scorers restore at output; None derives it from the
+    * tokens frame's `id` column (callers whose shared token frame already
+    * canonicalized ids to string pass the original dtype explicitly). */
+  def buildFromTokens(tokens: DataFrame, materialize: Boolean = true,
+      idType: Option[DataType] = None): Index = {
     val share: DataFrame => DataFrame =
       d => if (materialize) d.localCheckpoint(true) else d
     // tf feeds df AND the postings join; dl feeds stats AND the postings
@@ -97,8 +109,15 @@ object Bm25 {
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       coalesce(avg("dl"), lit(0.0)).as("avgdl"))
-    Index(tf.join(df, "term").join(dl, "id"), stats, Some((tf, df, dl)))
+    Index(tf.join(df, "term").join(dl, "id"), stats, Some((tf, df, dl)),
+      idType.getOrElse(tokens.schema("id").dataType))
   }
+
+  /** The output-boundary dtype restore (TextRank pattern): internal keys are
+    * canonical strings, the projection hands back the CALLER's id dtypes. */
+  private def restoreIds(out: DataFrame, qType: DataType, dType: DataType): DataFrame =
+    out.withColumn("query_id", col("query_id").cast(qType))
+      .withColumn("doc_id", col("doc_id").cast(dType))
 
   /** Robertson/Sparck-Jones idf with the +1 floor (never negative):
     * ln(1 + (n - df + 0.5) / (df + 0.5)); `n` from the folded-in stats row. */
@@ -108,18 +127,16 @@ object Bm25 {
   /** Top-k docs per query by BM25. `queries(qId, qText)` must be
     * broadcast-small (the [[VectorSearch.knnJoin]] contract). Query term
     * frequency is ignored (distinct terms), the common Okapi practice.
-    * Output: (query_id, rank, doc_id, score); ties pinned by doc id ASC. *
-    *
-    * NOTE (id dtype contract): doc ids return as the INDEX's string keys —
-    * the source id dtype is erased when the index/run frame is built (it
-    * persists to parquet with string ids), so this operator cannot restore
-    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
-    * board projections are the reference pattern. */
+    * Output: (query_id, rank, doc_id, score); ties pinned by doc id ASC
+    * (canonical STRING key order, shared with the SQL twins). Id dtypes
+    * round-trip: query_id returns in `queries(qId)`'s dtype, doc_id in the
+    * index's recorded source dtype. */
   def score(index: Index, queries: DataFrame, qId: String, qText: String,
       k: Int, params: Params = Params()): DataFrame = {
     val qterms = queries.select(col(qId).cast("string").as("query_id"),
       explode(array_distinct(Norm.normTokens(col(qText)))).as("term"))
-    scoreTerms(index, qterms, k, params)
+    restoreIds(scoreTerms(index, qterms, k, params),
+      queries.schema(qId).dataType, index.idType)
   }
 
   /** Pseudo-relevance feedback (RM3-style): run the query, treat its top
@@ -172,7 +189,8 @@ object Bm25 {
       .filter(col("_rn") <= fbTerms)
       .select(col("query_id"), col("term"), lit(lambda).as("qw"))
     val expanded = qterms.withColumn("qw", lit(1.0)).unionByName(expansion)
-    scoreWeightedTerms(index, expanded, k, params)
+    restoreIds(scoreWeightedTerms(index, expanded, k, params),
+      queries.schema(qId).dataType, index.idType)
   }
 
   private def scoreTerms(index: Index, qterms: DataFrame, k: Int,
@@ -229,24 +247,27 @@ object Bm25 {
     // carries it so incremental maintenance stays integer-exact.
     BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
       s"${index.nDocs} ${index.avgdl} $nBuckets " +
-        s"${Math.round(index.nDocs * index.avgdl)}")
+        s"${Math.round(index.nDocs * index.avgdl)} ${index.idType.catalogString}")
   }
 
-  /** Parsed stats marker; legacy 3-field markers derive the token total. */
-  private def readStats(spark: SparkSession, dir: String): (Long, Double, Int, Long) = {
+  /** Parsed stats marker; legacy 3-field markers derive the token total,
+    * legacy 4-field markers (pre-dtype) default the id dtype to string. */
+  private def readStats(spark: SparkSession,
+      dir: String): (Long, Double, Int, Long, DataType) = {
     val parts = BucketedTable.readMarker(spark, s"$dir/$StatsMarker").get.split(" ")
     val (n, avgdl, nb) = (parts(0).toLong, parts(1).toDouble, parts(2).toInt)
     val sumdl = parts.lift(3).map(_.toLong).getOrElse(Math.round(n * avgdl))
-    (n, avgdl, nb, sumdl)
+    val idType = parts.lift(4).map(DataType.fromDDL).getOrElse(StringType)
+    (n, avgdl, nb, sumdl, idType)
   }
 
   private def statsDf(spark: SparkSession, n: Double, avgdl: Double): DataFrame =
     spark.range(1).select(lit(n).as("n"), lit(avgdl).as("avgdl"))
 
   def load(spark: SparkSession, dir: String): Index = {
-    val (n, avgdl, _, _) = readStats(spark, dir)
+    val (n, avgdl, _, _, idType) = readStats(spark, dir)
     Index(BucketedTable.read(spark, s"$dir/postings.parquet").drop("_bucket"),
-      statsDf(spark, n.toDouble, avgdl))
+      statsDf(spark, n.toDouble, avgdl), idType = idType)
   }
 
   /** Incrementally ADD documents to a SAVED index, bit-identical to a full
@@ -261,7 +282,7 @@ object Bm25 {
     * amplification is bounded by the delta's vocabulary, never the index. */
   def addSavedDocs(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val (n, _, nb, sumdl) = readStats(spark, dir)
+    val (n, _, nb, sumdl, idType) = readStats(spark, dir)
     val ppath = s"$dir/postings.parquet"
     val delta = docs.select(col(idCol).cast("string").as("id"),
         explode(Norm.normTokens(col(textCol))).as("term"))
@@ -303,7 +324,7 @@ object Bm25 {
         val n2 = n + freshIds.size
         val avg2 = if (n2 == 0) 0.0 else (sumdl + addedTokens).toDouble / n2
         BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
-          s"$n2 $avg2 $nb ${sumdl + addedTokens}")
+          s"$n2 $avg2 $nb ${sumdl + addedTokens} ${idType.catalogString}")
       } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dfD)
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(delta)
   }
@@ -317,7 +338,7 @@ object Bm25 {
     * left (df reaches 0 with them). */
   def deleteSavedDocs(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val (n, _, nb, sumdl) = readStats(spark, dir)
+    val (n, _, nb, sumdl, idType) = readStats(spark, dir)
     val ppath = s"$dir/postings.parquet"
     val delta = docs.select(col(idCol).cast("string").as("id"),
         explode(Norm.normTokens(col(textCol))).as("term"))
@@ -348,7 +369,7 @@ object Bm25 {
         val n2 = n - present.size
         val avg2 = if (n2 == 0) 0.0 else (sumdl - removedTokens).toDouble / n2
         BucketedTable.writeMarker(spark, s"$dir/$StatsMarker",
-          s"$n2 $avg2 $nb ${sumdl - removedTokens}")
+          s"$n2 $avg2 $nb ${sumdl - removedTokens} ${idType.catalogString}")
       } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(dfD)
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(delta)
   }
@@ -359,7 +380,7 @@ object Bm25 {
     * the index is never scanned. */
   def scoreSaved(spark: SparkSession, dir: String, queries: DataFrame,
       qId: String, qText: String, k: Int, params: Params = Params()): DataFrame = {
-    val (n, avgdl, nb, _) = readStats(spark, dir)
+    val (n, avgdl, nb, _, idType) = readStats(spark, dir)
     val qterms = queries.select(col(qId).cast("string").as("query_id"),
       explode(array_distinct(Norm.normTokens(col(qText)))).as("term"))
       .localCheckpoint(true) // tiny; reused for bucket probe + scoring join
@@ -367,7 +388,7 @@ object Bm25 {
       .map(r => BucketedTable.bucketOf(r.getString(0), nb)).distinct.toSeq
     val pruned = BucketedTable.read(spark, s"$dir/postings.parquet")
       .filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
-    scoreTerms(Index(pruned, statsDf(spark, n.toDouble, avgdl)),
-      qterms, k, params)
+    restoreIds(scoreTerms(Index(pruned, statsDf(spark, n.toDouble, avgdl)),
+      qterms, k, params), queries.schema(qId).dataType, idType)
   }
 }

@@ -20,16 +20,26 @@ object HybridFusion {
 
   /** Fuse `runs`, each with columns (query_id, rank, doc_id) — top-k-bounded
     * retrieval outputs. A doc missing from a run simply contributes nothing
-    * for that run (the standard RRF treatment). Ties pinned by doc id ASC.
-    * Output: (query_id, rank, doc_id, score).
-    *
-    * NOTE (id dtype contract): doc ids return as the INDEX's string keys —
-    * the source id dtype is erased when the index/run frame is built (it
-    * persists to parquet with string ids), so this operator cannot restore
-    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
-    * board projections are the reference pattern. */
+    * for that run (the standard RRF treatment). Ties pinned by doc id ASC
+    * (canonical STRING key order, shared with the SQL twins).
+    * Output: (query_id, rank, doc_id, score). Id dtypes round-trip (the
+    * TextRank restore pattern): the output carries the RUNS' id dtypes, which
+    * must agree across runs — a silent cast between disagreeing runs could
+    * merge distinct keys, so disagreement fails loudly and the caller aligns
+    * (e.g. a [[VectorSearch.knnJoin]] run, whose contract is string ids, fused
+    * with a native-keyed [[Bm25.score]] run). */
   def rrf(runs: Seq[DataFrame], k: Int, kConst: Int = 60): DataFrame = {
     require(runs.nonEmpty, "rrf needs at least one run")
+    val qType = runs.head.schema("query_id").dataType
+    val dType = runs.head.schema("doc_id").dataType
+    runs.zipWithIndex.foreach { case (r, i) =>
+      require(r.schema("query_id").dataType == qType &&
+        r.schema("doc_id").dataType == dType,
+        s"rrf: run $i id dtypes (${r.schema("query_id").dataType.simpleString}, " +
+          s"${r.schema("doc_id").dataType.simpleString}) disagree with run 0's " +
+          s"(${qType.simpleString}, ${dType.simpleString}); align the runs' " +
+          "query_id/doc_id types before fusing")
+    }
     val contribs = runs.map(_.select(
       col("query_id").cast("string").as("query_id"),
       col("doc_id").cast("string").as("id"),
@@ -42,7 +52,8 @@ object HybridFusion {
       .groupBy("query_id")
       .agg(topk(col("id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .select(col("query_id").cast(qType).as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").cast(dType).as("doc_id"), col("col.score").as("score"))
   }
 }

@@ -32,11 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object QueryLikelihood {
 
-  /** NOTE (id dtype contract): doc ids return as the INDEX's string keys —
-    * the source id dtype is erased when the index/run frame is built (it
-    * persists to parquet with string ids), so this operator cannot restore
-    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
-    * board projections are the reference pattern. */
+  /** Id dtypes round-trip (the TextRank restore pattern): query_id returns
+    * in `queries(qId)`'s dtype, doc_id in the index's recorded source dtype
+    * — internal keys stay canonical strings (VARCHAR tie semantics shared
+    * with the SQL twins). */
   def score(index: Bm25.Index, queries: DataFrame, qId: String, qText: String,
       mu: Double, k: Int): DataFrame = {
     require(mu > 0, s"mu must be positive, got $mu")
@@ -70,8 +69,9 @@ object QueryLikelihood {
       .groupBy("query_id")
       .agg(topk(col("id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .select(col("query_id").cast(queries.schema(qId).dataType).as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").cast(index.idType).as("doc_id"), col("col.score").as("score"))
     out
   }
 }

@@ -27,7 +27,9 @@ object TfIdf {
   def weights(docs: DataFrame, idCol: String, textCol: String,
       maxDfFraction: Double = 1.0, materialize: Boolean = true): DataFrame =
     weightsFromTokens(
-      docs.select(col(idCol).cast("string").as("id"),
+      // the id keeps the CALLER's dtype — the weight table doubles as the
+      // retrieval index, and its schema is what lets topK restore doc ids
+      docs.select(col(idCol).as("id"),
         explode(Norm.normTokens(col(textCol))).as("term")),
       // n counts ALL docs (zero-token ones included) — not derivable from
       // the exploded frame, so it rides in as its own 1-row aggregate
@@ -76,15 +78,13 @@ object TfIdf {
     * engine-wide query-side contract). Ranking uses the ROUNDED score (6 dp)
     * with doc-id tie-break so exact-duplicate docs — mathematically tied,
     * floating-point-ambiguous — order deterministically.
-    * Output: (query_id, rank, doc_id, sim_r).
-    *
-    * NOTE (id dtype contract): doc ids return as the INDEX's string keys —
-    * the source id dtype is erased when the index/run frame is built (it
-    * persists to parquet with string ids), so this operator cannot restore
-    * it. Numeric-keyed callers cast at the boundary; the b1/b4/b5/tf1/b2
-    * board projections are the reference pattern. */
+    * Output: (query_id, rank, doc_id, sim_r). Id dtypes round-trip (the
+    * TextRank restore pattern): doc_id returns in `corpusWeights`' id dtype,
+    * query_id in `queries(qId)`'s — ties still break on the canonical STRING
+    * key (the VARCHAR order shared with the SQL twins). */
   def topK(corpusWeights: DataFrame, queries: DataFrame,
       qId: String, qText: String, k: Int): DataFrame = {
+    val docIdType = corpusWeights.schema("id").dataType
     val qtf = queries
       .select(col(qId).cast("string").as("query_id"),
         explode(Norm.normTokens(col(qText))).as("term"))
@@ -92,13 +92,15 @@ object TfIdf {
       .agg(count(lit(1)).cast("double").as("qtf"))
     val topk = VectorSearch.topKUdaf(k)
     corpusWeights.join(broadcast(qtf), Seq("term"))
-      .select(col("query_id"), col("id"), (col("w") * col("qtf")).as("contrib"))
+      .select(col("query_id"), col("id").cast("string").as("id"),
+        (col("w") * col("qtf")).as("contrib"))
       .groupBy("query_id", "id")
       .agg(round(sum("contrib"), 6).as("score"))
       .groupBy("query_id")
       .agg(topk(col("id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").as("sim_r"))
+      .select(col("query_id").cast(queries.schema(qId).dataType).as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").cast(docIdType).as("doc_id"), col("col.score").as("sim_r"))
   }
 }

@@ -112,10 +112,13 @@ class Bm25Spec extends SparkSpec {
   test("rrf: single-doc tie pinned by id; matches dense+sparse end-to-end shape") {
     val emb = spark.read.parquet(sf("embeddings"))
     val docs = spark.read.parquet(sf("documents"))
+    // knnJoin's contract is string ids; the BM25 run restores the corpus's
+    // native BIGINT keys, and rrf requires dtype agreement — align dense.
     val dense = VectorSearch.knnJoin(
       emb.filter(col("vec_id") < 2), emb.filter(col("vec_id") >= 2),
       "vec_id", "embedding", "vec_id", "embedding", 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("neighbor_id").cast("long").as("doc_id"))
     val idx = Bm25.build(docs.filter(col("doc_id") >= 2), "doc_id", "text")
     val sparse = Bm25.score(idx, docs.filter(col("doc_id") < 2), "doc_id", "text", 5)
       .select("query_id", "rank", "doc_id")
@@ -125,9 +128,16 @@ class Bm25Spec extends SparkSpec {
     assert(perQ.nonEmpty && perQ.forall(_ <= 3))
     // every fused rank sequence is 1..n
     val ranks = fused.orderBy("query_id", "rank")
-      .select("query_id", "rank").as[(String, Int)].collect()
+      .select("query_id", "rank").as[(Long, Int)].collect()
       .groupBy(_._1).values.map(_.map(_._2).toSeq)
     ranks.foreach(r => assert(r == (1 to r.length)))
+    // rrf refuses disagreeing run dtypes instead of silently casting
+    val err = intercept[IllegalArgumentException] {
+      HybridFusion.rrf(Seq(dense, sparse.select(
+        col("query_id").cast("string").as("query_id"),
+        col("rank"), col("doc_id"))), k = 3)
+    }
+    assert(err.getMessage.contains("align the runs"))
   }
 
   test("lexTokens survives its blocks being freed (rebuild, not crash)") {

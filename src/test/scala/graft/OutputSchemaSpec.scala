@@ -69,4 +69,53 @@ class OutputSchemaSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // BIGINT ids must round-trip through every index-keyed scorer: the index
+  // canonicalizes keys to string internally, but the OUTPUT restores the
+  // source dtype (the TextRank pattern) — no call-site casts needed. Covers
+  // the built index, the SAVED index (dtype rides the stats marker), and all
+  // four scorers the r14 carve-out used to exempt.
+  test("BIGINT ids round-trip through Bm25/QueryLikelihood/TfIdf/HybridFusion") {
+    import graft.operators.{Bm25, HybridFusion, QueryLikelihood, TfIdf}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((10L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (7L, "gamma delta alpha")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha delta"), (2L, "beta")).toDF("qid", "qtext")
+    def idTypes(df: org.apache.spark.sql.DataFrame): (DataType, DataType) =
+      (df.schema("query_id").dataType, df.schema("doc_id").dataType)
+
+    val idx = Bm25.build(docs, "doc_id", "text")
+    val bm = Bm25.score(idx, queries, "qid", "qtext", k = 3)
+    assert(idTypes(bm) == (LongType, LongType), s"Bm25.score: ${bm.schema}")
+    assert(bm.select("doc_id").as[Long].collect().toSet.subsetOf(Set(10L, 2L, 7L)))
+
+    val ql = QueryLikelihood.score(idx, queries, "qid", "qtext", mu = 10.0, k = 3)
+    assert(idTypes(ql) == (LongType, LongType), s"QueryLikelihood: ${ql.schema}")
+
+    val w = TfIdf.weights(docs, "doc_id", "text")
+    assert(w.schema("id").dataType == LongType, "weights erase the id dtype")
+    val tf = TfIdf.topK(w, queries, "qid", "qtext", k = 3)
+    assert(idTypes(tf) == (LongType, LongType), s"TfIdf.topK: ${tf.schema}")
+
+    val fused = HybridFusion.rrf(Seq(
+      bm.select("query_id", "rank", "doc_id"),
+      tf.select("query_id", "rank", "doc_id")), k = 3)
+    assert(idTypes(fused) == (LongType, LongType), s"rrf: ${fused.schema}")
+
+    // persisted index: the dtype survives save/load and scoreSaved
+    val dir = java.nio.file.Files.createTempDirectory("bm25dtype").toString
+    Bm25.save(idx, dir)
+    assert(Bm25.load(spark, dir).idType == LongType)
+    val sv = Bm25.scoreSaved(spark, dir, queries, "qid", "qtext", k = 3)
+    assert(idTypes(sv) == (LongType, LongType), s"scoreSaved: ${sv.schema}")
+    // and maintenance rewrites preserve it
+    Bm25.addSavedDocs(spark, dir, Seq((99L, "epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Bm25.load(spark, dir).idType == LongType)
+    // prfScore restores too (fb loop runs on the raw string kernel internally)
+    val prf = Bm25.prfScore(idx, queries, "qid", "qtext", k = 3,
+      fbDocs = 2, fbTerms = 2)
+    assert(idTypes(prf) == (LongType, LongType), s"prfScore: ${prf.schema}")
+  }
 }
