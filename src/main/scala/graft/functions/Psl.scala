@@ -72,10 +72,13 @@ object Psl {
     * label anywhere, e.g. `a..com` or `.com`, must never classify as a
     * bogus implicit-`*` suffix). One trailing dot is DNS root notation
     * (`example.com.`) and classifies as its dotless form. Matching is
-    * case-insensitive; the original column is untouched. */
+    * case-insensitive; the original column is untouched. Raw-Unicode (IDN)
+    * hosts are punycode-normalized first ([[UrlOps.idnToAscii]] — the PSL's
+    * canonical rule form is ACE), a byte-identity no-op on ASCII hosts. */
   def registeredDomain(df: DataFrame, hostCol: String, rules: DataFrame,
                        outCol: String = "psl_domain"): DataFrame = {
-    val hosts = df.select(lower(col(hostCol)).as("__host"))
+    val hostKey = UrlOps.idnToAscii(lower(col(hostCol)))
+    val hosts = df.select(hostKey.as("__host"))
       .where(col("__host").isNotNull && col("__host") =!= "")
       .distinct()
       .withColumn("__l", split(regexp_replace(col("__host"), "\\.$", ""), "\\."))
@@ -104,7 +107,7 @@ object Psl {
         when(!col("__bad") && col("__n") > col("__ps"),
           array_join(slice(col("__l"), -(col("__ps") + 1), col("__ps") + 1), "."))
           .as(outCol))
-    df.join(mapping, lower(col(hostCol)) === col("__host"), "left")
+    df.join(mapping, hostKey === col("__host"), "left")
       .drop("__host")
   }
 }

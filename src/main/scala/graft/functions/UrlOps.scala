@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   * hostless refs, which callers can filter).
   *
   * Everything is codegen'd built-ins (RE2-safe regex — the x28
-  * constraint, so no lookahead anywhere), and the whole pipeline replays
-  * verbatim in the DuckDB oracle: same extracts, same replaces, same
-  * list sort. No UDF, no parser object per row. */
+  * constraint, so no lookahead anywhere) plus the native codegen'd
+  * [[org.apache.spark.sql.graft.IdnToAscii]] expression, and the whole
+  * pipeline replays verbatim in the DuckDB oracle: same extracts, same
+  * replaces, same list sort — IDN punycode encoding is byte-identity on
+  * all-ASCII hosts ([[IdnCodec]] contract), so the ASCII-corpus twins need
+  * no IDN arm. No UDF, no parser object per row. */
 object UrlOps {
 
   // case-insensitive, and matches valueless params ('?fbclid') too
@@ -70,8 +73,20 @@ object UrlOps {
     val raw = when(hp.startsWith("["),
         regexp_extract(hp, "^(\\[[^\\]]*\\])", 1))
       .otherwise(regexp_extract(hp, "^([^:]*)", 1))
-    regexp_replace(regexp_replace(raw, "^www\\.", ""), "\\.$", "")
+    idnToAscii(
+      regexp_replace(regexp_replace(raw, "^www\\.", ""), "\\.$", ""))
   }
+
+  /** IDN host → punycode ASCII (RFC 3492; `bücher.de` →
+    * `xn--bcher-kva.de`), BYTE-IDENTITY on all-ASCII hosts — see
+    * [[IdnCodec]]. Real crawls carry raw-Unicode hosts; the PSL's canonical
+    * rule form is punycode, so this runs in front of every host-keyed step
+    * (it is already composed into [[hostOf]]/[[canonicalizeUrl]] and
+    * [[Psl.registeredDomain]]). */
+  def idnToAscii(host: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.IdnToAscii(
+        org.apache.spark.sql.graft.Bridge.expression(host)))
 
   /** Lowercased host: userinfo dropped, leading `www.` and any trailing
     * FQDN dot stripped; a bracketed IPv6 literal passes through whole.
