@@ -141,6 +141,33 @@ object SkewBench {
       import graft.operators.FrequentItemsets
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
+      // Shuffle accountant: PCY optimizes shuffle VOLUME (the candidate
+      // pairs that never reach the pair-count exchange), not single-JVM
+      // seconds — so the adjudication reports the metric the algorithm
+      // actually targets, measured from task shuffle-write metrics, beside
+      // the honest wall-time numbers.
+      val tally = new org.apache.spark.scheduler.SparkListener {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val records = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(tally)
+      // One measured run of `f`'s shuffle writes: reset, run, drain the
+      // async listener bus so every task's metrics have landed, read.
+      def shuffleOf(f: => Long): (Long, Long) = {
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
+        tally.bytes.set(0L); tally.records.set(0L)
+        f
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
+        (tally.bytes.get(), tally.records.get())
+      }
       def runFi(name: String, bk: DataFrame): Unit = {
         val b = bk.localCheckpoint(true)
         val hotSize = b.groupBy("l_orderkey").count().agg(max("count"))
@@ -169,8 +196,32 @@ object SkewBench {
           b, "l_orderkey", "l_partkey", minSupport = 2L))
         require(n1 == n2 && c1 == c2,
           s"answer mismatch: fi1=($n1, $c1) fi2=($n2, $c2)")
+        // Surgical shuffle metering: the shared A-priori front (distinct +
+        // level-1 prune) is identical infrastructure — materialize it ONCE
+        // outside the meter, then measure each algorithm's kernel alone.
+        // fi1's kernel shuffle = candidate join + the pair-count exchange;
+        // fi2's = the same join TWICE + the bucket exchange + the pruned
+        // pair exchange. The candidate-drop%% is what the semi-join removes
+        // from the pair exchange — PCY's actual target.
+        val (ic, nBf, prunedRaw) = FrequentItemsets.prunedBasketItems(
+          b, "l_orderkey", "l_partkey", 2L, None)
+        val pruned = prunedRaw.localCheckpoint(true)
+        val (b1, r1) = shuffleOf(
+          FrequentItemsets.pairCount(pruned, 2L).count())
+        val (b2, r2) = shuffleOf(
+          FrequentItemsets.pcyPairCount(pruned, 2L, 1 << 20).count())
+        val candTotal = FrequentItemsets.candidatePairs(pruned).count()
+        val candKept = FrequentItemsets.pcyCandidates(pruned, 2L, 1 << 20).count()
+        val dropPct = if (candTotal == 0) 0.0
+          else 100.0 * (candTotal - candKept) / candTotal
+        nBf.unpersist() // no-op (lazy aggregate); silences the unused warning
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(pruned)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(ic)
         println(f"""{"corpus": "$name", "hot_basket_rows": $hotSize, """ +
-          f""""fi1_sec": $t1%.2f, "fi2_sec": $t2%.2f, "n_pairs": $n1}""")
+          f""""fi1_sec": $t1%.2f, "fi2_sec": $t2%.2f, "n_pairs": $n1, """ +
+          f""""fi1_shuffle_mb": ${b1 / 1048576.0}%.2f, "fi2_shuffle_mb": ${b2 / 1048576.0}%.2f, """ +
+          f""""fi1_shuffle_records": $r1, "fi2_shuffle_records": $r2, """ +
+          f""""candidates": $candTotal, "pcy_candidate_drop_pct": $dropPct%.1f}""")
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(b)
         System.gc()
       }

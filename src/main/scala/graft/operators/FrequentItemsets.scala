@@ -58,14 +58,20 @@ object FrequentItemsets {
                     maxBasketSize: Option[Long] = None): DataFrame = {
     val (itemCounts, nB, pruned) =
       prunedBasketItems(baskets, basketCol, itemCol, minSupport, maxBasketSize)
-    // Level-2: within-basket pair explosion (a < b once per unordered pair)
-    // + hash count. Equi-join on the basket key; AQE handles skewed baskets.
-    val pairs = candidatePairs(pruned)
+    enrich(pairCount(pruned, minSupport), itemCounts, nB)
+  }
+
+  /** The level-2 kernel over an already-pruned (basket, item) frame:
+    * within-basket pair explosion (a < b once per unordered pair) + hash
+    * count (equi-join on the basket key; AQE handles skewed baskets).
+    * package-private so [[graft.SkewBench]] can meter exactly this
+    * exchange — the shuffle PCY targets — with the shared A-priori front
+    * materialized OUTSIDE the measurement. */
+  private[graft] def pairCount(pruned: DataFrame, minSupport: Long): DataFrame =
+    candidatePairs(pruned)
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    enrich(pairs, itemCounts, nB)
-  }
 
   /** The PCY upgrade (Park/Chen/Yu 1995, documented above as the
     * melt-a-basket path): a first pass counts PAIR-HASH BUCKETS — the
@@ -104,6 +110,24 @@ object FrequentItemsets {
         s"bound), got $nBuckets")
     val (itemCounts, nB, pruned) =
       prunedBasketItems(baskets, basketCol, itemCol, minSupport, maxBasketSize)
+    enrich(pcyPairCount(pruned, minSupport, nBuckets), itemCounts, nB)
+  }
+
+  /** The PCY two-pass kernel over an already-pruned frame — the
+    * [[pairCount]] twin ([[graft.SkewBench]] meters them against each
+    * other on one shared materialized front). */
+  private[graft] def pcyPairCount(pruned: DataFrame, minSupport: Long,
+      nBuckets: Int): DataFrame =
+    pcyCandidates(pruned, minSupport, nBuckets)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+
+  /** The PCY candidate stream AFTER the heavy-bucket prune — exactly the
+    * rows that enter pass 2's pair-count exchange (package-private: the
+    * SkewBench meter counts them to publish the candidate-drop rate). */
+  private[graft] def pcyCandidates(pruned: DataFrame, minSupport: Long,
+      nBuckets: Int): DataFrame = {
     def withBucket(cand: DataFrame): DataFrame = cand.withColumn("_bkt",
       graft.functions.Hashing.md5Long(concat_ws("|",
         col("item_a"), col("item_b"))) % nBuckets) // md5Long is non-negative
@@ -113,17 +137,14 @@ object FrequentItemsets {
       .filter(col("_bc") >= minSupport)
       .select(col("_bkt"))
     // Pass 2: only heavy-bucket pairs reach the pair-count shuffle.
-    val pairs = withBucket(candidatePairs(pruned))
+    withBucket(candidatePairs(pruned))
       .join(broadcast(heavy), Seq("_bkt"), "left_semi")
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
-    enrich(pairs, itemCounts, nB)
   }
 
   /** Shared A-priori front: distinct (basket, item), level-1 support prune,
-    * corpus basket count, optional hot-basket exclusion. */
-  private def prunedBasketItems(baskets: DataFrame, basketCol: String,
+    * corpus basket count, optional hot-basket exclusion. package-private
+    * for the SkewBench shuffle meter (see [[pairCount]]). */
+  private[graft] def prunedBasketItems(baskets: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long, maxBasketSize: Option[Long])
       : (DataFrame, DataFrame, DataFrame) = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
@@ -153,7 +174,7 @@ object FrequentItemsets {
   }
 
   /** Unordered within-basket candidate pairs (item_a < item_b). */
-  private def candidatePairs(pruned: DataFrame): DataFrame =
+  private[graft] def candidatePairs(pruned: DataFrame): DataFrame =
     pruned.select(col("_b"), col("_i").as("item_a"))
       .join(pruned.select(col("_b").as("_b2"), col("_i").as("item_b")),
         col("_b") === col("_b2") && col("item_a") < col("item_b"))
