@@ -2272,13 +2272,15 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------------- multimodal plumbing
-    // MM1 video frame sampling over binary payloads (rows-only check).
+    // MM1 video frame sampling over binary payloads: REAL MJPEG-in-AVI
+    // decode when the payload parses as one (RIFF walk + JDK JPEG decode —
+    // spec-pinned on a fixture AVI), byte-window fallback flagged
+    // decoded=false otherwise. The corpus's text bytes are never AVIs, so
+    // the oracle replays the fallback arm with constant flags.
     "mm1_frames" -> ((s, dir) => {
       val assets = Multimodal.toAssets(
         t(s, dir, "documents").filter(col("n_chars") > 0), "doc_id", "text", "video")
-      Multimodal.sampleFrames(assets, frameBytes = 64, stride = 2)
-        .select(col("asset_id"), col("frame_index"), col("byte_offset"),
-          length(col("frame_payload")).as("frame_len"))
+      Multimodal.videoFrames(assets, frameBytes = 64, stride = 2)
     }),
     // MM2 feature extraction: partition-batched decode (stubbed) → stats.
     "mm2_features" -> ((s, dir) => {
@@ -6226,7 +6228,8 @@ object SparkEntry {
           |f AS (SELECT asset_id, n, unnest(range(0, greatest(n // 128, 1))) AS i FROM d)
           |SELECT asset_id, CAST(i AS INTEGER) AS frame_index,
           |  CAST(i * 128 AS BIGINT) AS byte_offset,
-          |  CAST(least(64, n - i * 128) AS INTEGER) AS frame_len
+          |  CAST(least(64, n - i * 128) AS INTEGER) AS frame_len,
+          |  false AS decoded, CAST(-1 AS INTEGER) AS width, CAST(-1 AS INTEGER) AS height
           |FROM f""".stripMargin.replace("\n", " "),
       "mm2_features" ->
         """SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'image' AS modality,

@@ -308,6 +308,126 @@ object Multimodal {
     }(enc)
   }
 
+  // ====================== REAL video decode: MJPEG-in-AVI ======================
+
+  /** Chunk-scan cap: a RIFF file is a flat/nested chunk list, and each chunk
+    * header is read before its size is trusted — bound the walk so a
+    * malformed size chain can't spin a task (64k chunks ≈ 36 min of 30fps
+    * video, far past any fixture need; longer files decode their prefix). */
+  private val MaxRiffChunks = 65536
+
+  /** Parse an AVI (RIFF) container and return the MJPEG frame locations:
+    * (byteOffset, length) of each video frame chunk whose payload is a JPEG
+    * (SOI marker 0xFFD8) — MJPEG is exactly "every frame is a standalone
+    * JPEG", which `javax.imageio` already decodes, so a from-scratch
+    * container walk + the JDK codec gives REAL video frame decode with zero
+    * new dependencies (the [[graft.sources.DocConverter]] precedent).
+    *
+    * RIFF structure walked: `RIFF <size> AVI ` at the top, then a chunk
+    * sequence where `LIST <size> <type>` nests (the `movi` list holds the
+    * frames) and every other chunk is `<fourcc> <size> <data>` with WORD
+    * padding. Frame chunks are `##dc`/`##db` (compressed/uncompressed video
+    * for stream ##). Anything structurally off — short header, size past
+    * EOF, non-JPEG frame payloads — returns None and the caller falls back
+    * to the byte-window stub, flagged `decoded=false` (other codecs keep
+    * the documented fallback). */
+  private[operators] def aviMjpegFrames(payload: Array[Byte]): Option[Seq[(Long, Int)]] = {
+    if (payload == null || payload.length < 12) return None
+    def fourcc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val end = math.min(payload.length.toLong, 8L + u32(4))
+    val frames = Seq.newBuilder[(Long, Int)]
+    var sawMovi = false
+    var chunks = 0
+    def walk(from: Long, to: Long, inMovi: Boolean): Boolean = { // false = malformed
+      var o = from
+      while (o + 8 <= to) {
+        chunks += 1
+        if (chunks > MaxRiffChunks) return true // prefix decode, not failure
+        val id = fourcc(o.toInt)
+        val sz = u32(o.toInt + 4)
+        val dataOfs = o + 8
+        if (dataOfs + sz > to) return false // size chain runs past the container
+        if (id == "LIST" || id == "RIFF") {
+          if (sz < 4) return false
+          val listType = fourcc(dataOfs.toInt)
+          if (listType == "movi") sawMovi = true
+          if (!walk(dataOfs + 4, dataOfs + sz, inMovi || listType == "movi"))
+            return false
+        } else if (inMovi && sz >= 2 &&
+            id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          // a video frame chunk; MJPEG ⇔ the payload is a standalone JPEG
+          if ((payload(dataOfs.toInt) & 0xff) == 0xff &&
+              (payload(dataOfs.toInt + 1) & 0xff) == 0xd8)
+            frames += ((dataOfs, sz.toInt))
+          else return false // a non-JPEG codec: whole file takes the fallback
+        }
+        o = dataOfs + sz + (sz & 1) // WORD-aligned chunks
+      }
+      true
+    }
+    val out = if (walk(12, end, inMovi = false)) frames.result() else Seq.empty
+    if (sawMovi && out.nonEmpty) Some(out) else None
+  }
+
+  /** REAL frame sampling for video assets: AVI payloads whose frames are
+    * MJPEG decode for real — every `stride`-th frame chunk is located by
+    * the RIFF walk ([[aviMjpegFrames]]) and its JPEG decoded by the JDK
+    * ([[decodeImage]]), yielding true (width, height) and `decoded=true`;
+    * anything else (other containers/codecs, malformed files, the corpus
+    * fixture's text bytes) keeps the byte-window fallback shape of
+    * [[sampleFrames]] with `decoded=false` and −1 dimensions — same
+    * explode/partitioning plumbing either way, so the DuckDB twin replays
+    * the fallback arm and the spec pins the decoded arm on a fixture AVI.
+    *
+    * Output: (asset_id, frame_index, byte_offset, frame_len, decoded,
+    * width, height) — frame_index counts SAMPLED frames (stride applied). */
+  def videoFrames(assets: DataFrame, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("frame_len", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.filter(col("modality") === "video")
+      .select("asset_id", "payload").mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getString(0)
+          val payload = r.getAs[Array[Byte]]("payload")
+          aviMjpegFrames(payload) match {
+            case Some(chunks) =>
+              chunks.zipWithIndex.collect {
+                case ((ofs, len), i) if i % stride == 0 =>
+                  val jpeg = java.util.Arrays.copyOfRange(
+                    payload, ofs.toInt, ofs.toInt + len)
+                  val img = decodeImage(jpeg)
+                  Row(id, i / stride, ofs, len, img.isDefined,
+                    img.map(_.getWidth).getOrElse(-1),
+                    img.map(_.getHeight).getOrElse(-1))
+              }
+            case None =>
+              // byte-window fallback — the sampleFrames shape, flagged
+              val n = if (payload == null) 0 else payload.length
+              val nWin = math.max(n / (frameBytes * stride), 1)
+              (0 until nWin).map { i =>
+                val ofs = i.toLong * stride * frameBytes
+                val len = math.max(0, math.min(frameBytes, n - ofs.toInt))
+                Row(id, i, ofs, len, false, -1, -1)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling shape for video: emit every `stride`-th "frame" (here: fixed-
     * size byte windows of the payload — the real impl swaps the window iterator
     * for a codec's frame iterator; partitioning/explode shape is identical). */

@@ -173,6 +173,86 @@ class MultimodalSpec extends SparkSpec {
     assert(md5 == "b4dd7e9feb27e6d88e23b55a6705c4c8", s"rows=${frames.linesIterator.size} md5=$md5")
   }
 
+  // ----------------------------------------------------- MJPEG-in-AVI decode
+
+  /** Little-endian u32. */
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** One RIFF chunk: fourcc + LE size + data + WORD pad. */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(listType: String, content: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ content)
+
+  /** A minimal structurally-valid AVI whose movi list holds the given
+    * frame payloads as 00dc chunks (MJPEG = each frame a standalone JPEG). */
+  private def makeAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val hdrl = riffList("hdrl", riffChunk("avih", new Array[Byte](56)))
+    val movi = riffList("movi",
+      frames.map(riffChunk("00dc", _)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def jpegOf(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  test("videoFrames: real MJPEG-in-AVI decode; fallback keeps the byte-window shape") {
+    val jpegs = (0 until 6).map(i => jpegOf(testImage(16 + i, 12)))
+    val avi = makeAvi(jpegs)
+    // a "video" whose frames use some other codec: 00dc payloads not JPEG
+    val foreign = makeAvi(Seq.empty) // valid container, no JPEG frames
+    val rows = Seq(
+      ("avi", avi),
+      ("txt", ("not a video at all " * 20).getBytes("UTF-8")),
+      ("bad", avi.take(40).toArray), // truncated: size chain past EOF
+      ("oth", foreign)).toDF("id", "payload")
+    val assets = rows.select(col("id").as("asset_id"),
+      lit("video").as("modality"), col("payload"))
+    val got = Multimodal.videoFrames(assets, frameBytes = 64, stride = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4), r.getInt(5), r.getInt(6)))
+      .groupBy(_._1)
+
+    // the AVI decodes for real: every 2nd of 6 frames, true dimensions
+    val decoded = got("avi").sortBy(_._2)
+    assert(decoded.length == 3 && decoded.forall(_._5),
+      s"expected 3 decoded frames, got ${decoded.toSeq}")
+    assert(decoded.map(_._2).toSeq == Seq(0, 1, 2))
+    // frame i of the sample = source frame 2i, whose width is 16 + 2i
+    assert(decoded.map(f => (f._6, f._7)).toSeq ==
+      Seq((16, 12), (18, 12), (20, 12)))
+    // byte offsets strictly increase and frame_len matches the JPEG sizes
+    assert(decoded.map(_._3).toSeq == decoded.map(_._3).sorted.toSeq)
+    assert(decoded.map(_._4).toSeq == Seq(jpegs(0).length, jpegs(2).length, jpegs(4).length))
+    // the JPEG bytes at the reported offsets really are the frames
+    decoded.zip(Seq(0, 2, 4)).foreach { case ((_, _, ofs, len, _, _, _), src) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, ofs.toInt, ofs.toInt + len),
+        jpegs(src)), s"offset $ofs does not hold source frame $src")
+    }
+
+    // non-AVI, truncated-AVI and frameless-AVI all take the flagged fallback
+    for (k <- Seq("txt", "bad", "oth")) {
+      val fb = got(k)
+      assert(fb.forall(f => !f._5 && f._6 == -1 && f._7 == -1),
+        s"$k must take the decoded=false fallback: ${fb.toSeq}")
+    }
+    // and the fallback's window arithmetic matches sampleFrames exactly
+    val n = ("not a video at all " * 20).getBytes("UTF-8").length
+    val fbTxt = got("txt").sortBy(_._2)
+    assert(fbTxt.length == math.max(n / 128, 1))
+    assert(fbTxt.forall(f => f._3 == f._2.toLong * 128 &&
+      f._4 == math.min(64, n - f._3).max(0)))
+  }
+
   test("imageAHash: real pixels (PNG == BMP), byte fallback, bright-half bits") {
     // left half black, right half white: cells 0-3 of each grid row dark,
     // cells 4-7 bright -> exactly the bright-half bits set in every row
