@@ -73,6 +73,13 @@ object Bench {
     val wanted = args.toSet
     val first = sys.env.get("SPARK_GRAFT_BENCH_FIRST")
     val debug = sys.env.get("SPARK_GRAFT_BENCH_DEBUG").contains("1")
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the timed loop in reverse
+    // alphabetical order — the position-effect A/B: a query whose time
+    // tracks its POSITION (late in both orders ⇒ slow in both) indicts
+    // session-state accumulation; a query slow in only one order indicts
+    // the query (or its neighbors). The warm-up pass stays alphabetical so
+    // both orders start from the same compiled state.
+    val reverse = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")
     // Steady-state warm-up: run every query once against the SMALLEST scale
     // factor before timing anything. Profiling (round 9) showed the suite's
     // cost is dominated by one-time driver-side work — Catalyst analysis,
@@ -104,8 +111,9 @@ object Bench {
       System.err.println(
         f"[bench-warmpass] sf0.001 pass done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val results = SparkEntry.queries.toSeq
+    val ordered = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (if (first.contains(n)) 0 else 1, n) }
+    val results = (if (reverse) ordered.reverse else ordered)
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .map { case (name, fn) =>
       // Snapshot so cleanup below touches only RDDs this query created: a
@@ -116,7 +124,7 @@ object Bench {
       if (debug) System.err.println(
         s"[bench-state] pre $name ${org.apache.spark.sql.graft.Bridge.benchState(spark.sparkContext)}")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
+      val rows = try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       // Operators localCheckpoint eagerly (correct per-query), but the
       // checkpointed blocks outlive the query; across an 85-query suite they
@@ -132,11 +140,11 @@ object Bench {
       // vs ~4 s isolated purely from this accumulation. The GC runs outside
       // the timed window, so it costs suite wall-clock, not query seconds.
       System.gc()
-      name -> sec
+      name -> (sec, rows)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Artifact accountability: the flagship's in-suite number lands wherever
     // the alphabetical loop puts it, historically 2-3x inflated when the
     // round's stamping run happens last on an exhausted box (r6: 16.3 s vs
@@ -156,25 +164,39 @@ object Bench {
       // confusion this cross-check exists to remove. All-failed → -1
       // (visible, not silently absent-but-plausible).
       val suspects = "rag_pipeline" +:
-        results.filterNot(_._1 == "rag_pipeline").toSeq.sortBy(-_._2).take(3).map(_._1)
+        results.filterNot(_._1 == "rag_pipeline").toSeq
+          .sortBy { case (_, (sec, _)) => -sec }.take(3).map(_._1)
       val twins = suspects.map { name =>
         val fn = SparkEntry.queries(name)
-        val secs = (1 to 2).flatMap { _ =>
+        val runs = (1 to 2).flatMap { _ =>
           val pre = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
+          val n = try { Some(fn(spark, sfDir).count()) }
           catch { case NonFatal(e) =>
-            System.err.println(s"[bench-warm] $name re-run failed: $e"); false }
+            System.err.println(s"[bench-warm] $name re-run failed: $e"); None }
           val s = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.getPersistentRDDs
             .filterNot { case (id, _) => pre.contains(id) }
             .values.foreach(_.unpersist(blocking = false))
           System.gc()
-          if (ok) Some(s) else None
+          n.map(rows => (s, rows))
         }
-        s"\"$name\":${if (secs.nonEmpty) secs.min else -1}"
+        // A warm twin only certifies the in-suite number if it ran the SAME
+        // plan: publish both row counts in the payload's "warm_rows" map so
+        // the local gate (check_oracle.py) verifies twin == suite — the
+        // silent-filter-divergence check — and flag any mismatch here too.
+        val suiteRows = results(name)._2
+        runs.find(_._2 != suiteRows).foreach { case (_, warmRows) =>
+          System.err.println(s"[bench-warm] $name ROW-COUNT DIVERGENCE: " +
+            s"in-suite $suiteRows vs warm twin $warmRows — the twin is not " +
+            "certifying the same plan")
+        }
+        val warmRows = runs.headOption.map(_._2).getOrElse(-1L)
+        (s"\"$name\":${if (runs.nonEmpty) runs.map(_._1).min else -1}",
+          s"\"$name\":{\"suite\":$suiteRows,\"warm\":$warmRows}")
       }
-      twins.mkString(""","warm":{""", ",", "}")
+      twins.map(_._1).mkString(""","warm":{""", ",", "}") +
+        twins.map(_._2).mkString(""","warm_rows":{""", ",", "}")
     } else ""
     val sb = sharedBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(""","shared_builds":{""", ",", "}")
@@ -328,7 +350,8 @@ object Bench {
       "pr1_pagerank", "g30_node2vec_walks", "x39_textrank", "fi2_pcy_pairs",
       "pipe3_topic_dedup", "st3_interval_join", "mm2_features",
       "cs3_hll_distinct", "m1_recall")
-    val qsHead = headline.flatMap(n => results.get(n).map(v => s"\"$n\":$v"))
+    val qsHead = headline.flatMap(n => results.get(n).map {
+        case (sec, _) => s"\"$n\":$sec" })
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead""" +
       s""","n_queries":${results.size},"detail":"target/bench_queries.json","sf":"$sfDir"}""")

@@ -105,8 +105,39 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
         else:
             print(f"OK   {name} ({len(got)} rows)")
+    n_fail += check_warm_twins()
     print(f"{'PASS' if n_fail == 0 else 'FAIL'}: {len(oracle) - n_fail}/{len(oracle)}")
     return 1 if n_fail else 0
+
+
+def check_warm_twins() -> int:
+    """Cross-check the bench's warm-twin row counts against their in-suite
+    counts (from target/bench_queries.json's "warm_rows" map). A warm twin's
+    timing only certifies its in-suite number if it ran the SAME plan; a
+    silent filter divergence between the paths would show up as a row-count
+    mismatch here. Skipped quietly when no bench payload exists."""
+    import os
+    path = "target/bench_queries.json"
+    if not os.path.exists(path):
+        return 0
+    try:
+        payload = json.load(open(path))
+    except Exception as e:
+        print(f"TWIN FAIL: unreadable {path}: {e}")
+        return 1
+    warm_rows = payload.get("warm_rows")
+    if not warm_rows:
+        return 0
+    n_fail = 0
+    for name, counts in sorted(warm_rows.items()):
+        suite, warm = counts.get("suite"), counts.get("warm")
+        if suite == warm and suite is not None and suite >= 0:
+            print(f"TWIN OK   {name} (suite == warm == {suite} rows)")
+        else:
+            print(f"TWIN FAIL {name}: in-suite {suite} rows vs warm twin "
+                  f"{warm} — the twin did not run the same plan")
+            n_fail += 1
+    return n_fail
 
 
 if __name__ == "__main__":
