@@ -1322,6 +1322,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos_r"),
           col("keep"))
     }),
+    // MK1 min-k% probability membership (Shi et al. 2024): the
+    // probability-outlier contamination read beyond x9/x14/x25 — eval docs
+    // (doc_id % 5 = 0) scored under the train slice's add-1 unigram LM by
+    // the mean log-prob of their 20% least-probable tokens. See
+    // CorpusOps.minKProbMembership.
+    "mk1_mink_prob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Norm.normTokens(col("text")).as("toks"))
+      CorpusOps.minKProbMembership(
+        docs.filter(col("doc_id") % 5 =!= 0), "toks",
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "toks", kFrac = 0.2)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mink_logprob"), 6).as("mink_logprob_r"))
+    }),
 
     // X26 leakage-safe (cluster-aware) split: near-dup clusters from the d8
     // LSH pipeline hash through their cluster REPRESENTATIVE, so no cluster
@@ -5517,6 +5531,23 @@ object SparkEntry {
           |                  / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(t.e, t.e))) END) AS mc
           |  FROM c CROSS JOIN tset t GROUP BY c.vec_id)
           |SELECT vec_id, round(mc, 6) AS max_cos_r, mc < 0.35 AS keep FROM m""".stripMargin.replace("\n", " "),
+      // mk1: the add-1 unigram LM of the train slice, eval tokens scored
+      // left-join (OOV -> smoothed floor), per-doc ascending rank window,
+      // mean over the rn <= ceil(0.2 n) tail — x12's float conventions
+      // (double ln + round 6; equal-lp boundary ties are value-identical).
+      "mk1_mink_prob" ->
+        s"""WITH ref AS (SELECT unnest($toksDoc) AS term FROM documents WHERE doc_id % 5 <> 0),
+           |freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM ref GROUP BY 1),
+           |st AS (SELECT CAST(sum(c) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM freq),
+           |tok AS (SELECT doc_id, unnest($toksDoc) AS term FROM documents WHERE doc_id % 5 = 0),
+           |lp AS (SELECT doc_id, ln((coalesce(freq.c, 0.0) + 1.0) / (st.t + st.v)) AS lp
+           |  FROM tok LEFT JOIN freq USING (term) CROSS JOIN st),
+           |r AS (SELECT doc_id, lp,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY lp ASC) AS rn,
+           |    count(*) OVER (PARTITION BY doc_id) AS n FROM lp)
+           |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+           |  round(avg(lp), 6) AS mink_logprob_r
+           |FROM r WHERE rn <= ceil(n * 0.2) GROUP BY doc_id""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram
@@ -6797,7 +6828,7 @@ object SparkEntry {
           |      THEN 1 - bit ELSE bit END AS r
           |  FROM bits)
           |SELECT count(*) AS n, CAST(sum(r) AS BIGINT) AS observed,
-          |  CAST(4 * sum(r) - count(*) AS BIGINT) AS est_num,
+          |  CAST(4 * CAST(sum(r) AS BIGINT) - count(*) AS BIGINT) AS est_num,
           |  CAST(2 AS BIGINT) AS est_den,
           |  CAST(sum(bit) AS BIGINT) AS true_cnt
           |FROM rep""".stripMargin.replace("\n", " "),

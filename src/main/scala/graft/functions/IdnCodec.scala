@@ -50,7 +50,7 @@ object IdnCodec {
   /** RFC 3492 §6.3 encode of one label (no ACE prefix). Labels longer than
     * 256 code points return null (encoded forms would exceed DNS's 63-octet
     * label bound anyway); the caller passes the original through. */
-  private[functions] def encodeLabel(label: String): String = {
+  private[graft] def encodeLabel(label: String): String = {
     val cps = label.codePoints().toArray
     if (cps.length > 256) return null
     val out = new java.lang.StringBuilder
@@ -95,6 +95,56 @@ object IdnCodec {
       n += 1
     }
     out.toString
+  }
+
+  /** RFC 3492 §6.2 decode of one punycode label (no ACE prefix) — the
+    * encoder's inverse, kept primarily as the round-trip correctness guard
+    * (Round15OpsSpec property: decode(encode(l)) == l for arbitrary
+    * lowercase labels). Returns null on malformed input (bad digit,
+    * overflow) — total, like [[toAscii]]. */
+  private[graft] def decodeLabel(label: String): String = {
+    val d = label.lastIndexOf('-')
+    val basic = if (d > 0) label.substring(0, d) else ""
+    if (basic.exists(_ >= 0x80)) return null
+    val ext = if (d >= 0) label.substring(d + 1) else label
+    val out = new java.util.ArrayList[Integer]()
+    basic.foreach(c => out.add(c.toInt))
+    var n = InitialN.toLong
+    var i = 0L
+    var bias = InitialBias
+    var p = 0
+    while (p < ext.length) {
+      val oldi = i
+      var w = 1L
+      var k = Base
+      var done = false
+      while (!done) {
+        if (p >= ext.length) return null // truncated variable-length integer
+        val c = ext.charAt(p); p += 1
+        val digit = if (c >= 'a' && c <= 'z') c - 'a'
+          else if (c >= '0' && c <= '9') c - '0' + 26
+          else if (c >= 'A' && c <= 'Z') c - 'A'
+          else return null
+        i += digit * w
+        if (i > Int.MaxValue) return null
+        val t = if (k <= bias) TMin else if (k >= bias + TMax) TMax else k - bias
+        if (digit < t) done = true
+        else {
+          w *= Base - t
+          if (w > Int.MaxValue) return null
+          k += Base
+        }
+      }
+      bias = adapt(i - oldi, out.size + 1, oldi == 0)
+      n += i / (out.size + 1)
+      if (n > 0x10FFFF) return null
+      i %= out.size + 1
+      out.add(i.toInt, n.toInt)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    out.forEach(cp => sb.appendCodePoint(cp))
+    sb.toString
   }
 
   /** ASCII form of `host`: identity when already all-ASCII (byte-identical

@@ -763,6 +763,53 @@ object CorpusOps {
     corpus.filter(!might).unionByName(candidates.select(corpus.columns.map(col): _*))
   }
 
+  /** Min-k% probability membership score (Shi et al. 2024, "Detecting
+    * Pretraining Data from Large Language Models") — the probability-outlier
+    * read of the decontamination family, catching what key/shingle overlap
+    * cannot: a document whose EVERY token is suspiciously well-predicted by
+    * a reference corpus's language model was plausibly in it (or in its
+    * duplicates), even when no 8-gram matches. Score = mean log-probability
+    * of the ⌈k·n⌉ LEAST-probable tokens (the rare-token tail is where
+    * members and non-members separate; the common-token mass looks alike
+    * for everyone). Higher (closer to 0) ⇒ more member-like. The paper
+    * scores under the trained LLM; the engine-native stand-in is the add-1
+    * unigram LM of the reference slice itself ([[unigramLogPerplexity]]'s
+    * model with OOV smoothing) — same operator shape, model swappable.
+    *
+    * Scale shape: LM = one token-count aggregate over the reference (the
+    * model is vocabulary-sized, never corpus-sized); scoring = one equi-join
+    * of the docs' tokens against it (left: OOV tokens take the smoothed
+    * floor 1/(T+V)) + one per-doc window rank + one hash aggregate. The
+    * rank window partitions by document, so no global sort anywhere.
+    * Boundary ties (equal log-probs at the k-cut) pick interchangeable
+    * equal VALUES — the mean is tie-order-invariant by construction.
+    * Token-less docs emit no row (nothing to score).
+    *
+    * Output: (idCol, n_tokens, mink_logprob — raw double, callers round). */
+  def minKProbMembership(reference: DataFrame, refToksCol: String,
+      docs: DataFrame, idCol: String, toksCol: String,
+      kFrac: Double = 0.2): DataFrame = {
+    require(kFrac > 0 && kFrac <= 1, s"kFrac must be in (0,1], got $kFrac")
+    val freq = reference.select(explode(col(refToksCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("_c"))
+      .localCheckpoint(true) // feeds the scalar aggregate AND the scoring join
+    val stats = freq.agg(sum("_c").as("_t"), count(lit(1)).cast("double").as("_v"))
+    val lp = docs.select(col(idCol), explode(col(toksCol)).as("term"))
+      .join(freq, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        log((coalesce(col("_c"), lit(0.0)) + lit(1.0)) /
+          (col("_t") + col("_v"))).as("_lp"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val ranked = lp
+      .withColumn("_rn", row_number().over(byDoc.orderBy(col("_lp").asc)))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+    ranked.filter(col("_rn") <= ceil(col("_n") * lit(kFrac)))
+      .groupBy(col(idCol))
+      .agg(max(col("_n")).cast("long").as("n_tokens"),
+        avg(col("_lp")).as("mink_logprob"))
+  }
+
   /** Semantic (embedding-cosine) decontamination — the fuzzy twin of
     * [[bloomDecontaminate]]: where the bloom path removes corpus rows whose
     * KEY exactly matches a benchmark row, this removes rows whose EMBEDDING

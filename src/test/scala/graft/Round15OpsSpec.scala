@@ -282,4 +282,76 @@ class Round15OpsSpec extends SparkSpec {
     assert(fromSnapshot("site.org.xn--p1ai") == "org.xn--p1ai",
       "snapshot (no org.xn--p1ai rule) must fall back to the implicit *")
   }
+
+  test("punycode encode/decode round-trip on arbitrary labels (RFC 3492 property)") {
+    import graft.functions.IdnCodec
+    import org.scalacheck.Gen
+    // labels over a mix of ASCII letters, Latin-1 accents, CJK, and astral
+    // code points — lowercase (the encoder's input contract after casefold)
+    val cpGen = Gen.frequency(
+      4 -> Gen.chooseNum('a'.toInt, 'z'.toInt),
+      2 -> Gen.chooseNum(0xe0, 0xff), // accented latin, lowercase range
+      2 -> Gen.chooseNum(0x4e00, 0x4fff), // CJK
+      1 -> Gen.const('-'.toInt),
+      1 -> Gen.chooseNum(0x1f300, 0x1f3ff)) // astral (emoji block)
+    val labelGen = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n, cpGen))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    var checked = 0
+    Iterator.continually(labelGen.sample).flatten.take(500).foreach { label =>
+      val enc = IdnCodec.encodeLabel(label)
+      assert(enc != null, s"encode failed on $label")
+      assert(enc.forall(_ < 0x80), s"encoded form not ASCII: $label -> $enc")
+      val dec = IdnCodec.decodeLabel(enc)
+      assert(dec == label,
+        s"round-trip broke: '$label' -> '$enc' -> '$dec'")
+      checked += 1
+    }
+    assert(checked == 500)
+    // the RFC's own Appendix-A sample: mixed-case annotation normalized to
+    // lowercase (our casefold contract)
+    assert(IdnCodec.decodeLabel("bcher-kva") == "bücher")
+    assert(IdnCodec.decodeLabel("tda") == "ü")
+    // malformed punycode decodes to null, never throws: non-ASCII in the
+    // basic part, delta overflow, an invalid digit character
+    assert(IdnCodec.decodeLabel("abéc-kva") == null)
+    assert(IdnCodec.decodeLabel("99999999999") == null)
+    assert(IdnCodec.decodeLabel("x~y") == null)
+  }
+
+  test("minKProbMembership: hand-computed tail means; OOV floor; k-cut arithmetic") {
+    import graft.operators.CorpusOps
+    // reference LM: tokens {a:2, b:1} -> T=3, V=2; add-1 probs:
+    // P(a)=3/5, P(b)=2/5, OOV=1/5
+    val ref = Seq(Seq("a", "a", "b")).toDF("toks")
+    val docs = Seq(
+      ("d1", Seq("a", "b", "z", "a", "a")), // lps: 3*ln.6, ln.4, ln.2
+      ("d2", Seq("a", "a")),                // lps: 2*ln.6
+      ("d3", Seq.empty[String])             // token-less: absent
+    ).toDF("id", "toks")
+    def run(k: Double) = CorpusOps.minKProbMembership(ref, "toks",
+        docs, "id", "toks", kFrac = k)
+      .select("id", "n_tokens", "mink_logprob")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val g1 = run(0.2)
+    // d1: ceil(0.2*5)=1 -> the single lowest lp = ln(1/5)
+    assert(g1("d1")._1 == 5L)
+    assert(math.abs(g1("d1")._2 - math.log(0.2)) < 1e-12)
+    // d2: ceil(0.2*2)=1 -> ln(3/5)
+    assert(math.abs(g1("d2")._2 - math.log(0.6)) < 1e-12)
+    assert(!g1.contains("d3"), "token-less docs emit no row")
+    // k=0.4 on d1: ceil(2)=2 -> mean(ln .2, ln .4)
+    val g2 = run(0.4)
+    assert(math.abs(g2("d1")._2 - (math.log(0.2) + math.log(0.4)) / 2) < 1e-12)
+    // k=1 degenerates to the full-doc mean (= -unigram logppl of the ref LM)
+    val g3 = run(1.0)
+    val full = (3 * math.log(0.6) + math.log(0.4) + math.log(0.2)) / 5
+    assert(math.abs(g3("d1")._2 - full) < 1e-12)
+    // membership separation on the board shape: a doc OF the reference
+    // scores higher (more member-like) than an all-OOV doc
+    val sep = CorpusOps.minKProbMembership(ref, "toks",
+        Seq(("m", Seq("a", "b", "a")), ("o", Seq("q", "r", "s")))
+          .toDF("id", "toks"), "id", "toks", kFrac = 0.5)
+      .select("id", "mink_logprob").as[(String, Double)].collect().toMap
+    assert(sep("m") > sep("o"))
+  }
 }
