@@ -2284,6 +2284,24 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
           "l_returnflag", "l_linestatus"))
     }),
+    // DV3 two-sample KS distribution drift (exact integer cross-product
+    // form, ppm-floored): did the even-id half's length DISTRIBUTION move
+    // vs the odd half — the shape check dv1's range rules can't express.
+    // See DataValidation.ksDrift.
+    "dv3_ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataValidation.ksDrift(
+        docs.filter(col("doc_id") % 2 === 0), "n_chars",
+        docs.filter(col("doc_id") % 2 === 1), "n_chars")
+    }),
+    // CS10 AMS F2 self-join-size sketch (Alon–Matias–Szegedy): the join-size
+    // estimate the salting/broadcast decision needs, from 16 integer counter
+    // rows; exact F2 published beside it with the floored-ppm error. See
+    // CorpusOps.amsSelfJoinSize.
+    "cs10_ams_join_size" -> ((s, dir) => {
+      CorpusOps.amsSelfJoinSize(t(s, dir, "lineitem"), "l_partkey",
+        nSketches = 16)
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads: REAL MJPEG-in-AVI
@@ -5548,6 +5566,34 @@ object SparkEntry {
            |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
            |  round(avg(lp), 6) AS mink_logprob_r
            |FROM r WHERE rn <= ceil(n * 0.2) GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      // dv3: per-side value counts, full-outer merge, inclusive window
+      // cumsums, exact integer cross-product |cumA·nB - cumB·nA| maxed with
+      // the smallest-value tie pin; only the final ppm divides (floored).
+      "dv3_ks_drift" ->
+        """WITH ca AS (SELECT n_chars AS v, count(*) AS fa FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          |cb AS (SELECT n_chars AS v, count(*) AS fb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+          |m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(fa, 0) AS fa, coalesce(fb, 0) AS fb
+          |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+          |t AS (SELECT CAST(sum(fa) AS BIGINT) AS ta, CAST(sum(fb) AS BIGINT) AS tb FROM m),
+          |c AS (SELECT v, sum(fa) OVER (ORDER BY v) AS cfa, sum(fb) OVER (ORDER BY v) AS cfb FROM m),
+          |d AS (SELECT v, abs(cfa * t.tb - cfb * t.ta) AS dd FROM c, t)
+          |SELECT t.ta AS n_a, t.tb AS n_b,
+          |  CAST((CAST(1000000 AS DECIMAL(38,0)) * dd) // (CAST(greatest(t.ta, 1) AS DECIMAL(38,0)) * greatest(t.tb, 1)) AS BIGINT) AS ks_ppm,
+          |  CAST(v AS BIGINT) AS at_value
+          |FROM d, t ORDER BY dd DESC, v ASC LIMIT 1""".stripMargin.replace("\n", " "),
+      // cs10: the AMS signs replayed from the house md5 arithmetic; every
+      // aggregate integer/decimal, the estimate and error integer-DIV'd.
+      "cs10_ams_join_size" ->
+        """WITH f AS (SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS f FROM lineitem GROUP BY 1),
+          |ex AS (SELECT CAST(sum(CAST(f AS DECIMAL(38,0)) * f) AS BIGINT) AS exact_f2, count(*) AS n_keys FROM f),
+          |sk AS (SELECT unnest(generate_series(0, 15)) AS i),
+          |z AS (SELECT i, sum(f * (CAST(('0x' || substr(md5('ams|' || i || '|' || k), 1, 8)) AS BIGINT) % 2 * 2 - 1)) AS z
+          |  FROM f, sk GROUP BY 1),
+          |e AS (SELECT CAST(least(sum(CAST(z AS DECIMAL(38,0)) * z), CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT) AS sumsq FROM z)
+          |SELECT 16 AS n_sketches, n_keys, exact_f2,
+          |  sumsq // 16 AS est_f2,
+          |  least(abs(sumsq // 16 - exact_f2), 9000000000000) * 1000000 // greatest(exact_f2, 1) AS err_ppm
+          |FROM e, ex""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram

@@ -31,6 +31,13 @@ object CorpusOps {
     * `df` must carry a long `_n` column; adds `<outCol>` = sum of `_n` over
     * all STRICTLY PRECEDING rows (exclusive prefix sum). */
   private def withPrefixSum(df: DataFrame, sortExprs: Seq[Column],
+      outCol: String): DataFrame = prefixSum(df, sortExprs, outCol)
+
+  /** [[withPrefixSum]], package-visible: the scale-correct global running
+    * sum of `_n` in `sortExprs` order (two-phase: per-partition window +
+    * broadcast partition bases) — shared with [[DataValidation.ksDrift]]'s
+    * CDF construction. */
+  private[operators] def prefixSum(df: DataFrame, sortExprs: Seq[Column],
       outCol: String): DataFrame = {
     val spark = df.sparkSession
     // Materialized eagerly: _pid must be identical for the per-partition sums
@@ -1047,6 +1054,59 @@ object CorpusOps {
     * space; the estimate join touches depth×|probes| rows against a
     * broadcastable cell table. Deterministic md5 bucket hashes, so a SQL
     * oracle rebuilds the identical sketch. Output: (<probeCol>, cms_est). */
+  /** AMS F₂ / self-join-size sketch (Alon, Matias & Szegedy 1996) — the
+    * JOIN-SIZE estimator that complements [[skewReport]]'s per-key view:
+    * Σ_k f_k² IS the self-join row count on the key, the number the
+    * salting/broadcast decision actually needs, and the AMS estimate gets
+    * it from s counter rows instead of a second corpus pass at planning
+    * time. Estimator: Z_i = Σ_k f_k·h_i(k) with 4-wise-ish ±1 signs (the
+    * house md5 arithmetic, so the SQL twin replays every sign), estimate =
+    * mean(Z_i²); E[Z²] = F₂ exactly, Var ≤ 2F₂²/s.
+    *
+    * Everything stays INTEGER: signs are ±1, Z_i is a long, Z² sums in
+    * DECIMAL(38,0), the estimate is an integer DIV, and the published
+    * relative error is a floored ppm — order-free, engine-exact. The exact
+    * F₂ is computed beside the estimate from the same counts frame (one
+    * vocabulary-sized aggregate — this operator's honest self-check; a
+    * planning-time caller at 100 TB reads only `est_f2`).
+    *
+    * Output: ONE row (n_sketches, n_keys, exact_f2, est_f2, err_ppm). */
+  def amsSelfJoinSize(df: DataFrame, keyCol: String,
+      nSketches: Int = 16): DataFrame = {
+    require(nSketches >= 1, s"nSketches must be >= 1, got $nSketches")
+    val counts = df.groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_f"))
+      .localCheckpoint(true) // feeds the exact F2 aggregate AND the sketch explode
+    val exact = counts.agg(
+      sum(col("_f").cast("decimal(38,0)") * col("_f")).as("_exact"),
+      count(lit(1)).as("_keys"))
+    val est = counts
+      .select(col("_k"), col("_f"),
+        explode(sequence(lit(0), lit(nSketches - 1))).as("_i"))
+      .withColumn("_sign",
+        graft.functions.Hashing.md5Long(
+          concat_ws("|", lit("ams"), col("_i"), col("_k"))) % 2 * 2 - 1)
+      .groupBy("_i").agg(sum(col("_f") * col("_sign")).as("_z"))
+      .agg(sum(col("_z").cast("decimal(38,0)") * col("_z")).as("_sumsq"))
+    // Integer-only reporting after the decimal sums: decimal DIVISION
+    // semantics differ between engines (scale/rounding of DECIMAL DIV vs
+    // DuckDB's //), so both the estimate mean and the error ppm divide in
+    // BIGINT, with saturation guards in place of silent overflow (sumsq
+    // saturates at Long.Max — reachable only past ~7.6e8 rows per key
+    // stream; the error numerator caps |diff| at 9e12, where err_ppm is
+    // already astronomically past "wrong").
+    est.crossJoin(broadcast(exact)).select(
+      lit(nSketches).as("n_sketches"),
+      col("_keys").as("n_keys"),
+      col("_exact").cast("long").as("exact_f2"),
+      expr(s"CAST(least(_sumsq, CAST(${Long.MaxValue} AS DECIMAL(38,0))) " +
+        s"AS BIGINT) DIV $nSketches").as("est_f2"),
+      expr(s"least(abs(CAST(least(_sumsq, CAST(${Long.MaxValue} AS " +
+        s"DECIMAL(38,0))) AS BIGINT) DIV $nSketches - CAST(_exact AS BIGINT)), " +
+        s"9000000000000L) * 1000000L DIV greatest(CAST(_exact AS BIGINT), 1)")
+        .as("err_ppm"))
+  }
+
   def countMinEstimate(df: DataFrame, valueCol: String,
       probes: DataFrame, probeCol: String,
       depth: Int = 4, width: Int = 128): DataFrame = {

@@ -138,4 +138,55 @@ object DataValidation {
       .select(col("r.column_name"), col("n_rows"), col("r.n_null"),
         col("r.n_distinct"), col("r.min_value"), col("r.max_value"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distribution drift over a NUMERIC column
+    * — the distribution-shape sibling of [[profile]]'s min/max and
+    * [[graft.operators.CorpusOps.unigramDrift]]'s token-level JS: did the
+    * new snapshot's length (score, latency, …) DISTRIBUTION move, even when
+    * every row passes its range checks? KS statistic = max over values of
+    * |F_a(v) − F_b(v)|, computed EXACTLY in integer arithmetic: the CDFs'
+    * difference at v is |cumA(v)·nB − cumB(v)·nA| / (nA·nB), so the max is
+    * found on integer cross-products and only the final report divides
+    * (floored to ppm) — no float comparison anywhere, any engine agrees.
+    *
+    * Scale shape: per-side value-count aggregates (map-combined; ties
+    * collapse here, which is also the correct KS treatment of ties), one
+    * full-outer merge on value, and the house two-phase prefix sum over
+    * DISTINCT values for the running counts — no corpus-wide single
+    * partition window, no collect beyond the per-partition base sums.
+    *
+    * Output: ONE row (n_a, n_b, ks_ppm, at_value) — at_value is the
+    * smallest value attaining the max (deterministic tie pin). Empty side
+    * ⇒ ks_ppm = 1000000 against any non-empty other side. */
+  def ksDrift(a: DataFrame, aValCol: String,
+              b: DataFrame, bValCol: String): DataFrame = {
+    val ca = a.groupBy(col(aValCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_na"))
+    val cb = b.groupBy(col(bValCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_nb"))
+    val merged = ca.join(cb, Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_na"), lit(0L)).as("_fa"),
+        coalesce(col("_nb"), lit(0L)).as("_fb"))
+      .localCheckpoint(true) // read by totals + both prefix-sum passes
+    val totals = merged.agg(sum("_fa").as("_ta"), sum("_fb").as("_tb"))
+    // inclusive running counts: exclusive prefix + the value's own count
+    val cumA = CorpusOps.prefixSum(
+      merged.withColumn("_n", col("_fa")), Seq(col("_v")), "_pa")
+      .withColumn("_ca", col("_pa") + col("_fa"))
+    val cum = CorpusOps.prefixSum(
+      cumA.withColumn("_n", col("_fb")), Seq(col("_v")), "_pb")
+      .withColumn("_cb", col("_pb") + col("_fb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("_v"), col("_ta"), col("_tb"),
+        abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")).as("_d"))
+      // max diff with smallest-value tie pin, driver-free: one max over a
+      // (diff, negated value) struct
+      .agg(max(struct(col("_d"), (-col("_v")).as("_nv"))).as("_m"),
+        first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _m._d) DIV " +
+          "(CAST(greatest(n_a, 1) AS DECIMAL(38,0)) * greatest(n_b, 1)) AS BIGINT)")
+          .as("ks_ppm"),
+        (-col("_m._nv")).as("at_value"))
+  }
 }

@@ -354,4 +354,45 @@ class Round15OpsSpec extends SparkSpec {
       .select("id", "mink_logprob").as[(String, Double)].collect().toMap
     assert(sep("m") > sep("o"))
   }
+
+  test("ksDrift: hand-computed integer cross-products, tie pin, identity zero") {
+    import graft.operators.DataValidation
+    def ks(a: Seq[Long], b: Seq[Long]) = DataValidation.ksDrift(
+        a.toDF("v"), "v", b.toDF("v"), "v")
+      .select("n_a", "n_b", "ks_ppm", "at_value")
+      .as[(Long, Long, Long, Long)].head()
+    // A=[1,1,2,5] B=[1,3,3]: diffs |cA*3 - cB*4| over v = (2,5,3,0);
+    // max 5 at v=2; KS = 5/12 -> 416666 ppm floored
+    assert(ks(Seq(1L, 1L, 2L, 5L), Seq(1L, 3L, 3L)) == (4L, 3L, 416666L, 2L))
+    // identical samples: zero drift
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))._3 == 0L)
+    // interleaved A=[1,3] B=[2,4]: max diff 2/4 attained at v=1 AND v=3 ->
+    // smallest value pins the tie
+    assert(ks(Seq(1L, 3L), Seq(2L, 4L)) == (2L, 2L, 500000L, 1L))
+    // disjoint supports: KS = 1
+    assert(ks(Seq(1L, 1L), Seq(9L, 9L))._3 == 1000000L)
+  }
+
+  test("amsSelfJoinSize: exact on single-key input; estimate/error arithmetic") {
+    import graft.operators.CorpusOps
+    // one key: Z_i = ±f exactly, so every sketch gives f^2 -> est == exact
+    val one = CorpusOps.amsSelfJoinSize(
+        Seq.fill(7)("k").toDF("key"), "key", nSketches = 8)
+      .select("n_sketches", "n_keys", "exact_f2", "est_f2", "err_ppm")
+      .as[(Int, Long, Long, Long, Long)].head()
+    assert(one == (8, 1L, 49L, 49L, 0L))
+    // multi-key: exact F2 by hand (a:3, b:2, c:1 -> 9+4+1=14); the estimate
+    // is md5-deterministic (same value on re-run) and the published error
+    // is exactly |est-exact| ppm-floored
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("key")
+    val g1 = CorpusOps.amsSelfJoinSize(df, "key", nSketches = 16)
+      .select("n_keys", "exact_f2", "est_f2", "err_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    val g2 = CorpusOps.amsSelfJoinSize(df, "key", nSketches = 16)
+      .select("n_keys", "exact_f2", "est_f2", "err_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(g1 == g2, "md5-sign estimate must be deterministic")
+    assert(g1._1 == 3L && g1._2 == 14L)
+    assert(g1._4 == math.abs(g1._3 - 14L) * 1000000L / 14L)
+  }
 }
