@@ -1080,14 +1080,8 @@ object CorpusOps {
     val exact = counts.agg(
       sum(col("_f").cast("decimal(38,0)") * col("_f")).as("_exact"),
       count(lit(1)).as("_keys"))
-    val est = counts
-      .select(col("_k"), col("_f"),
-        explode(sequence(lit(0), lit(nSketches - 1))).as("_i"))
-      .withColumn("_sign",
-        graft.functions.Hashing.md5Long(
-          concat_ws("|", lit("ams"), col("_i"), col("_k"))) % 2 * 2 - 1)
-      .groupBy("_i").agg(sum(col("_f") * col("_sign")).as("_z"))
-      .agg(sum(col("_z").cast("decimal(38,0)") * col("_z")).as("_sumsq"))
+    val est = amsZFromCounts(counts, nSketches)
+      .agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("_sumsq"))
     // Integer-only reporting after the decimal sums: decimal DIVISION
     // semantics differ between engines (scale/rounding of DECIMAL DIV vs
     // DuckDB's //), so both the estimate mean and the error ppm divide in
@@ -1106,6 +1100,38 @@ object CorpusOps {
         s"9000000000000L) * 1000000L DIV greatest(CAST(_exact AS BIGINT), 1)")
         .as("err_ppm"))
   }
+
+  /** The AMS sketch itself: per-sketch signed counter rows (i, z) with
+    * z_i = Σ_k f_k·sign_i(k) over the given (_k, _f) counts frame. Signs are
+    * per-(sketch, key) CONSTANTS (house md5), so z is ADDITIVE across
+    * disjoint row batches — the property that makes the sketch
+    * streaming-maintainable ([[graft.streaming.StreamingOps.amsMaintain]]:
+    * per-batch z rows sum into a state table, bit-equal to one shot). */
+  private[graft] def amsZFromCounts(counts: DataFrame, nSketches: Int): DataFrame =
+    counts
+      .select(col("_k"), col("_f"),
+        explode(sequence(lit(0), lit(nSketches - 1))).as("i"))
+      .withColumn("_sign",
+        graft.functions.Hashing.md5Long(
+          concat_ws("|", lit("ams"), col("i"), col("_k"))) % 2 * 2 - 1)
+      .groupBy("i").agg(sum(col("_f") * col("_sign")).as("z"))
+
+  /** [[amsZFromCounts]] straight from a row frame (the per-batch entry). */
+  private[graft] def amsZ(df: DataFrame, keyCol: String,
+      nSketches: Int): DataFrame =
+    amsZFromCounts(
+      df.groupBy(col(keyCol).cast("string").as("_k"))
+        .agg(count(lit(1)).as("_f")), nSketches)
+
+  /** F₂ estimate from a SAVED (i, z) sketch state — the read side of
+    * [[graft.streaming.StreamingOps.amsMaintain]], same saturated BIGINT
+    * arithmetic as [[amsSelfJoinSize]]'s est_f2. ONE row (n_sketches,
+    * est_f2). */
+  def amsF2FromState(state: DataFrame, nSketches: Int): DataFrame =
+    state.agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("_sumsq"))
+      .select(lit(nSketches).as("n_sketches"),
+        expr(s"CAST(least(_sumsq, CAST(${Long.MaxValue} AS DECIMAL(38,0))) " +
+          s"AS BIGINT) DIV $nSketches").as("est_f2"))
 
   def countMinEstimate(df: DataFrame, valueCol: String,
       probes: DataFrame, probeCol: String,

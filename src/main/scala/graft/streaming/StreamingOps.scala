@@ -155,6 +155,32 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming AMS F₂ (self-join-size) sketch maintenance: each micro-batch's
+    * signed counter contributions ([[graft.operators.CorpusOps.amsZ]] — signs
+    * are per-(sketch, key) constants, so z is ADDITIVE across batches) sum
+    * into the (i, z) state table; the estimate is read any time via
+    * [[graft.operators.CorpusOps.amsF2FromState]]. State is nSketches rows
+    * REGARDLESS of stream size — the join-size planning signal stays warm on
+    * an unbounded key stream for the cost of a per-batch aggregate.
+    * Bit-exactness (StreamingSpec): merged state == one-shot [[amsZ]] over
+    * the union of all batches, hence so does the estimate. */
+  def amsMaintain(stream: DataFrame, keyCol: String, statePath: String,
+      nSketches: Int = 16): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.CorpusOps.amsZ(batch, keyCol, nSketches)
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
+            .groupBy(col("i")).agg(sum(col("z")).as("z"))
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, statePath)
+        ()
+      }
+      .start()
+
   /** Streaming near-dup detection against a growing corpus: each micro-batch
     * of documents is minhash-signed once, paired WITHIN itself
     * ([[graft.operators.Dedup.lshCandidatePairs]]) and against the SAVED

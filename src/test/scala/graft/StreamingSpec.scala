@@ -317,6 +317,33 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming AMS sketch maintenance: summed state == one-shot z, exactly") {
+    import graft.operators.CorpusOps
+    val dir = Files.createTempDirectory("stream_ams").toString
+    val statePath = s"$dir/state"
+    val all = (0L until 4000L).map(i => i % 37).toDF("key")
+    all.filter($"key" < 11).write.parquet(s"$dir/in/a")
+    all.filter($"key" >= 11 && $"key" < 25).write.parquet(s"$dir/in/b")
+    all.filter($"key" >= 25).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.amsMaintain(stream, "key", statePath, nSketches = 8)
+    q.processAllAvailable(); q.stop()
+    // z is additive across batches (constant signs), so the merged state is
+    // BIT-EQUAL to the one-shot sketch — integers, not approximately
+    val streamed = spark.read.parquet(statePath)
+      .as[(Int, Long)].collect().toMap
+    val oneShot = CorpusOps.amsZ(all, "key", 8)
+      .as[(Int, Long)].collect().toMap
+    assert(streamed == oneShot && streamed.size == 8)
+    // and therefore the estimate read from state equals the batch operator's
+    val estS = CorpusOps.amsF2FromState(spark.read.parquet(statePath), 8)
+      .select("est_f2").as[Long].head()
+    val estB = CorpusOps.amsSelfJoinSize(all, "key", 8)
+      .select("est_f2").as[Long].head()
+    assert(estS == estB)
+  }
+
   test("streaming LSH dedup maintenance: union of emitted pairs == one-shot batch pairs") {
     import graft.operators.Dedup
     val dir = Files.createTempDirectory("stream_lsh").toString
