@@ -318,6 +318,66 @@ class Round15OpsSpec extends SparkSpec {
     assert(IdnCodec.decodeLabel("x~y") == null)
   }
 
+  test("IdnCodec.toAscii agrees with java.net.IDN on valid BMP labels") {
+    // independent reference implementation: the JDK's IDNA encoder. Gen is
+    // restricted to ranges where IDNA2003 nameprep is the identity after
+    // lowercasing (lowercase ASCII, lowercase Latin-1 accents, CJK) — the
+    // regimes real hostnames live in; our encoder's wider totality (astral
+    // code points, malformed labels pass through) is covered by the
+    // round-trip property above.
+    import graft.functions.IdnCodec
+    import org.scalacheck.Gen
+    val cpGen = Gen.frequency(
+      4 -> Gen.chooseNum('a'.toInt, 'z'.toInt),
+      2 -> Gen.oneOf(0xe0 to 0xf6), // à..ö (skips ÷)
+      2 -> Gen.chooseNum(0x4e00, 0x4fff))
+    val labelGen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, cpGen))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    var agreed = 0
+    Iterator.continually(labelGen.sample).flatten.take(300).foreach { label =>
+      val jdk = try Some(java.net.IDN.toASCII(label))
+        catch { case _: IllegalArgumentException => None }
+      jdk.foreach { expected =>
+        assert(IdnCodec.toAscii(label) == expected,
+          s"disagrees with java.net.IDN on '$label': " +
+            s"ours=${IdnCodec.toAscii(label)} jdk=$expected")
+        agreed += 1
+      }
+    }
+    assert(agreed >= 250, s"too few JDK-valid samples: $agreed")
+  }
+
+  test("canonicalizeUrl is idempotent on generated messy URLs") {
+    import graft.functions.UrlOps
+    import org.scalacheck.Gen
+    // generator spans every classified shape: scheme'd, scheme-less,
+    // protocol-relative, opaque, userinfo, ports (good and bad), dup
+    // slashes, trailing slash, fragments, tracking + real params, IDN hosts
+    val hostGen = Gen.oneOf("WWW.Site7.CO.UK", "example.com", "bücher.de",
+      "a.b.c.example.org", "[2001:db8::1]", "example.com.")
+    val urlGen = for {
+      scheme <- Gen.oneOf("https://", "http://", "HTTPS://", "", "//")
+      user <- Gen.oneOf("", "alice:pw@")
+      host <- hostGen
+      port <- Gen.oneOf("", ":443", ":80", ":8443", ":8o80", ":")
+      path <- Gen.oneOf("", "/", "/a//b/", "/p/q", "//x///y//")
+      qs <- Gen.oneOf("", "?utm_source=f&z=2&a=1", "?b=2&a=1&fbclid",
+        "?z=1&z=0&utm_campaign")
+      frag <- Gen.oneOf("", "#sec", "#/settings?tab=1")
+    } yield s"$scheme$user$host$port$path$qs$frag"
+    val opaque = Gen.oneOf("mailto:a@b.com", "tel:+15551212", "data:text/plain,x")
+    val gen = Gen.frequency(9 -> urlGen, 1 -> opaque)
+    val urls = Iterator.continually(gen.sample).flatten.take(400).toSeq
+    val df = urls.toDF("u")
+      .select(col("u"), UrlOps.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("u"), col("c1"), UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+    val broken = df.filter(col("c1") =!= col("c2"))
+      .select("u", "c1", "c2").collect()
+    assert(broken.isEmpty, "canonicalization not idempotent:\n" +
+      broken.take(5).map(r => s"  ${r.getString(0)} -> ${r.getString(1)} -> ${r.getString(2)}")
+        .mkString("\n"))
+  }
+
   test("minKProbMembership: hand-computed tail means; OOV floor; k-cut arithmetic") {
     import graft.operators.CorpusOps
     // reference LM: tokens {a:2, b:1} -> T=3, V=2; add-1 probs:
