@@ -309,6 +309,27 @@ object Bench {
       Seq(gLast, exactMut, approxMut).foreach(
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
     } catch { case NonFatal(e) => System.err.println(s"[nndescent-recall] failed: $e") }
+    // AMS F2 accuracy dial: estimate error vs sketch count on this bench
+    // corpus's l_partkey stream (the cs10 operator's one tunable — variance
+    // is 2F2²/s, so error should shrink ~1/sqrt(s)); stderr only.
+    if (wanted.isEmpty) try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_partkey").localCheckpoint(true)
+      // mean |rel error| over 5 independent sign families per sketch count —
+      // one deterministic draw per s is just noise; the averaged curve is
+      // what actually demonstrates the 1/sqrt(s) convergence of cs10's dial
+      val pts = Seq(4, 16, 64).map { s0 =>
+        val errs = (0 until 5).map { sd =>
+          graft.operators.CorpusOps.amsSelfJoinSize(li, "l_partkey", s0,
+            seed = s"ams$sd").select("err_ppm").head().getLong(0)
+        }
+        f"s=$s0:${errs.sum / errs.size / 10000.0}%.2f%%"
+      }
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(li)
+      System.err.println("[ams-error] lineitem.l_partkey F2 mean |rel error| " +
+        "over 5 sign families " + pts.mkString(" ") +
+        " (cs10's dial; Var <= 2*F2^2/s)")
+    } catch { case NonFatal(e) => System.err.println(s"[ams-error] failed: $e") }
     // Corpus-scale streaming maintenance demo: the LSH-dedup ingest path
     // (StreamingOps.lshDedupMaintain — sign once, pair intra-batch, pair
     // vs the SAVED signature table, append) over THIS bench corpus split

@@ -1072,7 +1072,7 @@ object CorpusOps {
     *
     * Output: ONE row (n_sketches, n_keys, exact_f2, est_f2, err_ppm). */
   def amsSelfJoinSize(df: DataFrame, keyCol: String,
-      nSketches: Int = 16): DataFrame = {
+      nSketches: Int = 16, seed: String = "ams"): DataFrame = {
     require(nSketches >= 1, s"nSketches must be >= 1, got $nSketches")
     val counts = df.groupBy(col(keyCol).cast("string").as("_k"))
       .agg(count(lit(1)).as("_f"))
@@ -1080,7 +1080,7 @@ object CorpusOps {
     val exact = counts.agg(
       sum(col("_f").cast("decimal(38,0)") * col("_f")).as("_exact"),
       count(lit(1)).as("_keys"))
-    val est = amsZFromCounts(counts, nSketches)
+    val est = amsZFromCounts(counts, nSketches, seed)
       .agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("_sumsq"))
     // Integer-only reporting after the decimal sums: decimal DIVISION
     // semantics differ between engines (scale/rounding of DECIMAL DIV vs
@@ -1107,13 +1107,14 @@ object CorpusOps {
     * disjoint row batches — the property that makes the sketch
     * streaming-maintainable ([[graft.streaming.StreamingOps.amsMaintain]]:
     * per-batch z rows sum into a state table, bit-equal to one shot). */
-  private[graft] def amsZFromCounts(counts: DataFrame, nSketches: Int): DataFrame =
+  private[graft] def amsZFromCounts(counts: DataFrame, nSketches: Int,
+      seed: String = "ams"): DataFrame =
     counts
       .select(col("_k"), col("_f"),
         explode(sequence(lit(0), lit(nSketches - 1))).as("i"))
       .withColumn("_sign",
         graft.functions.Hashing.md5Long(
-          concat_ws("|", lit("ams"), col("i"), col("_k"))) % 2 * 2 - 1)
+          concat_ws("|", lit(seed), col("i"), col("_k"))) % 2 * 2 - 1)
       .groupBy("i").agg(sum(col("_f") * col("_sign")).as("z"))
 
   /** [[amsZFromCounts]] straight from a row frame (the per-batch entry). */

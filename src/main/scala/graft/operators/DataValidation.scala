@@ -157,7 +157,8 @@ object DataValidation {
     *
     * Output: ONE row (n_a, n_b, ks_ppm, at_value) — at_value is the
     * smallest value attaining the max (deterministic tie pin). Empty side
-    * ⇒ ks_ppm = 1000000 against any non-empty other side. */
+    * ⇒ ks_ppm = 1000000 against any non-empty other side; BOTH sides empty
+    * ⇒ the single row is all-NULL (no data, no drift claim). */
   def ksDrift(a: DataFrame, aValCol: String,
               b: DataFrame, bValCol: String): DataFrame = {
     val ca = a.groupBy(col(aValCol).cast("long").as("_v"))
