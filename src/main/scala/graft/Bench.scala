@@ -191,7 +191,11 @@ object Bench {
             s"in-suite $suiteRows vs warm twin $warmRows — the twin is not " +
             "certifying the same plan")
         }
-        val warmRows = runs.headOption.map(_._2).getOrElse(-1L)
+        // publish the DIVERGING count when any re-run disagrees — recording
+        // only run 1's count would let a run-2 divergence print TWIN OK at
+        // the gate this field exists to feed (r15 review catch)
+        val warmRows = runs.find(_._2 != suiteRows).map(_._2)
+          .orElse(runs.headOption.map(_._2)).getOrElse(-1L)
         (s"\"$name\":${if (runs.nonEmpty) runs.map(_._1).min else -1}",
           s"\"$name\":{\"suite\":$suiteRows,\"warm\":$warmRows}")
       }

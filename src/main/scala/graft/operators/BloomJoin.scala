@@ -38,9 +38,11 @@ object BloomJoin {
     val bf: BloomFilter = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // no distinct on the key side: left_semi semantics already dedup the
+    // build side, and a pre-distinct would add a full extra shuffle over
+    // exactly the relation this operator's premise says is big
     probe.filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
-      .join(keys.select(col(keyCol).as(probeKey)).distinct(),
-        Seq(probeKey), "left_semi")
+      .join(keys.select(col(keyCol).as(probeKey)), Seq(probeKey), "left_semi")
   }
 
   /** Fraction of probe rows the sketch passes (diagnostic for the spec and

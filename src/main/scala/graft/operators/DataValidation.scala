@@ -161,10 +161,13 @@ object DataValidation {
     * ⇒ the single row is all-NULL (no data, no drift claim). */
   def ksDrift(a: DataFrame, aValCol: String,
               b: DataFrame, bValCol: String): DataFrame = {
-    val ca = a.groupBy(col(aValCol).cast("long").as("_v"))
-      .agg(count(lit(1)).as("_na"))
-    val cb = b.groupBy(col(bValCol).cast("long").as("_v"))
-      .agg(count(lit(1)).as("_nb"))
+    // the value keeps the CALLER's dtype — casting (the r15 review catch)
+    // would truncate fractional score columns onto one integer and report
+    // zero drift for totally-moved distributions; any orderable type works
+    // (grouping, range-ordering and min are all dtype-generic; only the
+    // COUNTS enter arithmetic)
+    val ca = a.groupBy(col(aValCol).as("_v")).agg(count(lit(1)).as("_na"))
+    val cb = b.groupBy(col(bValCol).as("_v")).agg(count(lit(1)).as("_nb"))
     val merged = ca.join(cb, Seq("_v"), "full_outer")
       .select(col("_v"), coalesce(col("_na"), lit(0L)).as("_fa"),
         coalesce(col("_nb"), lit(0L)).as("_fb"))
@@ -177,17 +180,23 @@ object DataValidation {
     val cum = CorpusOps.prefixSum(
       cumA.withColumn("_n", col("_fb")), Seq(col("_v")), "_pb")
       .withColumn("_cb", col("_pb") + col("_fb"))
-    cum.crossJoin(broadcast(totals))
+    val diffs = cum.crossJoin(broadcast(totals))
       .select(col("_v"), col("_ta"), col("_tb"),
         abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")).as("_d"))
-      // max diff with smallest-value tie pin, driver-free: one max over a
-      // (diff, negated value) struct
-      .agg(max(struct(col("_d"), (-col("_v")).as("_nv"))).as("_m"),
-        first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"))
+      .localCheckpoint(true) // read by the max and the argmin-at-max filter
+    val dmax = diffs.agg(max(col("_d")).as("_dmax"))
+    diffs.crossJoin(broadcast(dmax))
+      .filter(col("_d") === col("_dmax"))
+      .agg(first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
+        first(col("_dmax")).as("_dm"), min(col("_v")).as("at_value"))
       .select(col("n_a"), col("n_b"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _m._d) DIV " +
-          "(CAST(greatest(n_a, 1) AS DECIMAL(38,0)) * greatest(n_b, 1)) AS BIGINT)")
-          .as("ks_ppm"),
-        (-col("_m._nv")).as("at_value"))
+        // the cross-product form degenerates to 0 when a SIDE is empty
+        // (t=0 kills both terms) — but an empty side against a non-empty
+        // one is TOTAL drift, the documented ks = 1 contract
+        when((col("n_a") === 0) =!= (col("n_b") === 0), lit(1000000L))
+          .otherwise(expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _dm) DIV " +
+            "(CAST(greatest(n_a, 1) AS DECIMAL(38,0)) * greatest(n_b, 1)) " +
+            "AS BIGINT)")).as("ks_ppm"),
+        col("at_value"))
   }
 }

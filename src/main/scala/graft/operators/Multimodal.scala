@@ -343,7 +343,11 @@ object Multimodal {
     val frames = Seq.newBuilder[(Long, Int)]
     var sawMovi = false
     var chunks = 0
-    def walk(from: Long, to: Long, inMovi: Boolean): Boolean = { // false = malformed
+    // depth-bounded: real AVIs nest 2-3 LISTs; a crafted chain of thousands
+    // of nested 12-byte LIST headers would otherwise overflow the task
+    // stack (StackOverflowError is fatal, not the documented fallback)
+    def walk(from: Long, to: Long, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 16) return false // malformed by construction
       var o = from
       while (o + 8 <= to) {
         chunks += 1
@@ -356,7 +360,8 @@ object Multimodal {
           if (sz < 4) return false
           val listType = fourcc(dataOfs.toInt)
           if (listType == "movi") sawMovi = true
-          if (!walk(dataOfs + 4, dataOfs + sz, inMovi || listType == "movi"))
+          if (!walk(dataOfs + 4, dataOfs + sz, inMovi || listType == "movi",
+              depth + 1))
             return false
         } else if (inMovi && sz >= 2 &&
             id.length == 4 && id(0).isDigit && id(1).isDigit &&
@@ -371,7 +376,8 @@ object Multimodal {
       }
       true
     }
-    val out = if (walk(12, end, inMovi = false)) frames.result() else Seq.empty
+    val out = if (walk(12, end, inMovi = false, depth = 0)) frames.result()
+      else Seq.empty
     if (sawMovi && out.nonEmpty) Some(out) else None
   }
 
@@ -389,6 +395,8 @@ object Multimodal {
     * width, height) — frame_index counts SAMPLED frames (stride applied). */
   def videoFrames(assets: DataFrame, frameBytes: Int = 256,
       stride: Int = 4): DataFrame = {
+    require(frameBytes >= 1, s"videoFrames: frameBytes must be >= 1, got $frameBytes")
+    require(stride >= 1, s"videoFrames: stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
       StructField("asset_id", StringType, nullable = false),
       StructField("frame_index", IntegerType, nullable = false),

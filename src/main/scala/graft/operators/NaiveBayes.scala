@@ -38,13 +38,25 @@ object NaiveBayes {
     * Everything downstream (smoothed probabilities, scores) derives from
     * these counts, so the model itself is hash-stable across engines. */
   def model(train: DataFrame, labelCol: String, toksCol: String): DataFrame = {
+    val (counts, totals, vocab) = modelParts(train, labelCol, toksCol)
+    counts.join(broadcast(totals.withColumnRenamed("tot", "label_tokens")),
+        Seq("label"))
+      .withColumn("vocab", lit(vocab))
+  }
+
+  /** The shared training aggregations — ONE implementation feeding both
+    * [[model]] and [[predict]] so a smoothing/counting change can never
+    * silently diverge between them (r15 review catch): per-(label, token)
+    * counts, per-label token totals ("tot"), and the vocab-size scalar
+    * (the one driver action here). */
+  private def modelParts(train: DataFrame, labelCol: String,
+      toksCol: String): (DataFrame, DataFrame, Long) = {
     val toks = train.select(col(labelCol).as("label"),
       explode(col(toksCol)).as("token"))
     val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
-    val totals = toks.groupBy("label").agg(count(lit(1)).as("label_tokens"))
+    val totals = toks.groupBy("label").agg(count(lit(1)).as("tot"))
     val vocab = toks.agg(countDistinct(col("token"))).head().getLong(0)
-    counts.join(broadcast(totals), Seq("label"))
-      .withColumn("vocab", lit(vocab))
+    (counts, totals, vocab)
   }
 
   /** Classify `test` docs: returns (id, pred) with `pred` the label whose
@@ -56,11 +68,7 @@ object NaiveBayes {
               toksCol: String, idCol: String, maxTokens: Int = 40): DataFrame = {
     require(maxTokens >= 1 && maxTokens <= 200,
       s"maxTokens must be in [1, 200] (double-underflow guard), got $maxTokens")
-    val toks = train.select(col(labelCol).as("label"),
-      explode(col(toksCol)).as("token"))
-    val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
-    val totals = toks.groupBy("label").agg(count(lit(1)).as("tot"))
-    val vocab = toks.agg(countDistinct(col("token"))).head().getLong(0)
+    val (counts, totals, vocab) = modelParts(train, labelCol, toksCol)
     val priors = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("dc"))
     val dTot = train.count()

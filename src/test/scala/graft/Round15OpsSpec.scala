@@ -431,6 +431,17 @@ class Round15OpsSpec extends SparkSpec {
     assert(ks(Seq(1L, 3L), Seq(2L, 4L)) == (2L, 2L, 500000L, 1L))
     // disjoint supports: KS = 1
     assert(ks(Seq(1L, 1L), Seq(9L, 9L))._3 == 1000000L)
+    // empty side vs non-empty = TOTAL drift (the r15 review catch: the
+    // cross-product form alone degenerates to 0 here)
+    assert(ks(Seq(1L, 2L), Seq.empty) == (2L, 0L, 1000000L, 1L))
+    assert(ks(Seq.empty, Seq(5L))._3 == 1000000L)
+    // fractional values survive (no silent long cast): scores in (0,1)
+    // fully separated must read as total drift, not zero
+    val fr = DataValidation.ksDrift(
+        Seq(0.1, 0.12, 0.11).toDF("v"), "v",
+        Seq(0.9, 0.92).toDF("v"), "v")
+      .select("ks_ppm", "at_value").as[(Long, Double)].head()
+    assert(fr._1 == 1000000L && fr._2 == 0.12, s"got $fr")
   }
 
   test("amsSelfJoinSize: exact on single-key input; estimate/error arithmetic") {

@@ -105,9 +105,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
         else:
             print(f"OK   {name} ({len(got)} rows)")
-    n_fail += check_warm_twins()
+    # twin failures are reported and gate the exit code, but must not
+    # corrupt the oracle pass fraction (their denominator is the twin set)
+    n_twin_fail = check_warm_twins()
     print(f"{'PASS' if n_fail == 0 else 'FAIL'}: {len(oracle) - n_fail}/{len(oracle)}")
-    return 1 if n_fail else 0
+    if n_twin_fail:
+        print(f"TWINS FAILED: {n_twin_fail}")
+    return 1 if (n_fail or n_twin_fail) else 0
 
 
 def check_warm_twins() -> int:

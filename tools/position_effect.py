@@ -27,6 +27,11 @@ def main(fwd_path, rev_path):
     rev, tot_r = load(rev_path)
     names = sorted(set(fwd) & set(rev))
     n = len(names)
+    usable = [q for q in names if fwd[q] > 0 and rev[q] > 0]
+    if n < 4 or len(usable) < 4:
+        print(f"not enough shared positive-time queries to analyze "
+              f"(shared={n}, usable={len(usable)}; need >= 4)")
+        return
     pos_f = {q: i for i, q in enumerate(sorted(fwd))}
     pos_r = {q: i for i, q in enumerate(sorted(rev, reverse=True))}
     xs, ys = [], []
