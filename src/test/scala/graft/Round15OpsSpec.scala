@@ -415,6 +415,33 @@ class Round15OpsSpec extends SparkSpec {
     assert(sep("m") > sep("o"))
   }
 
+  test("PCY equals A-priori on random baskets, any bucket count (no false negatives)") {
+    // the PCY safety argument (a bucket's count bounds every resident
+    // pair's support) must hold for ARBITRARY collision structure — tiny
+    // bucket tables force heavy collisions, the adversarial regime the
+    // md5-hashed board rows never visit
+    import graft.operators.FrequentItemsets
+    import org.scalacheck.Gen
+    val basketsGen = Gen.listOfN(120, for {
+      b <- Gen.chooseNum(0, 15)
+      i <- Gen.chooseNum(0, 9)
+    } yield (b.toLong, s"i$i"))
+    var rounds = 0
+    Iterator.continually(basketsGen.sample).flatten.take(6).foreach { rows =>
+      val df = rows.toDF("basket", "item")
+      for (nBuckets <- Seq(2, 7, 64); minSupport <- Seq(2L, 4L)) {
+        val a = FrequentItemsets.frequentPairs(df, "basket", "item", minSupport)
+          .collect().map(_.toSeq).toSet
+        val p = FrequentItemsets.pcyFrequentPairs(df, "basket", "item",
+            minSupport, nBuckets = nBuckets)
+          .collect().map(_.toSeq).toSet
+        assert(a == p, s"fi1 != fi2 at nBuckets=$nBuckets minSupport=$minSupport")
+        rounds += 1
+      }
+    }
+    assert(rounds == 36)
+  }
+
   test("ksDrift: hand-computed integer cross-products, tie pin, identity zero") {
     import graft.operators.DataValidation
     def ks(a: Seq[Long], b: Seq[Long]) = DataValidation.ksDrift(
