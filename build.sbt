@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST raw stdout line of `sbt runMain graft.Bench`
+// as the bench metric JSON. Two pieces of sbt framing broke that for six
+// rounds (BENCH_r11..r15 `parsed: null`) even after Bench.scala emitted a
+// perfect final compact line: (a) forked-run output is logged through sbt,
+// arriving prefixed `[info] `; (b) sbt appends its own `[success] Total
+// time: …` as the true last line. StdoutOutput passes the forked JVM's
+// stdout through verbatim, and showSuccess kills the trailer — making the
+// compact metric line the literal last raw stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by settings — exclude
+// it from the unused-key lint so every batch invocation stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

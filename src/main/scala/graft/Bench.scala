@@ -111,6 +111,17 @@ object Bench {
       System.err.println(
         f"[bench-warmpass] sf0.001 pass done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // 1-min system load average, sampled at suite start and end: the r15
+    // driver stamp (213.9 s, rag 23.2 s in-suite vs 11.3 s warm twin) was a
+    // loaded-box reading distinguishable from the idle 190.6 s run only by
+    // cross-referencing the README. With load in the payload the artifact
+    // carries its own environment disclosure.
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    val loadStart = loadAvg()
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (if (first.contains(n)) 0 else 1, n) }
     val results = (if (reverse) ordered.reverse else ordered)
@@ -153,8 +164,10 @@ object Bench {
     // carries its own cross-check instead of needing a separate private
     // profiling run. min of 2: the first re-run can still absorb stragglers
     // of the suite's final GC.
+    val loadEnd = loadAvg()
+    val warmRatios = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = if (wanted.isEmpty && results.contains("rag_pipeline")) {
-      // Warm cross-check twins: the flagship plus this run's slowest three
+      // Warm cross-check twins: the flagship plus this run's slowest five
       // other queries — exactly the rows a reader would question. An
       // in-suite reading far above its own warm twin indicts the box or
       // session state, not the plan; a twin that AGREES certifies the
@@ -165,7 +178,7 @@ object Bench {
       // (visible, not silently absent-but-plausible).
       val suspects = "rag_pipeline" +:
         results.filterNot(_._1 == "rag_pipeline").toSeq
-          .sortBy { case (_, (sec, _)) => -sec }.take(3).map(_._1)
+          .sortBy { case (_, (sec, _)) => -sec }.take(5).map(_._1)
       val twins = suspects.map { name =>
         val fn = SparkEntry.queries(name)
         val runs = (1 to 2).flatMap { _ =>
@@ -196,15 +209,27 @@ object Bench {
         // the gate this field exists to feed (r15 review catch)
         val warmRows = runs.find(_._2 != suiteRows).map(_._2)
           .orElse(runs.headOption.map(_._2)).getOrElse(-1L)
+        // warm_ratio = in-suite seconds / warm-twin seconds: the payload's
+        // own box-health signal. ~1.0 certifies the in-suite number; >>1
+        // (r15 driver stamp: rag 2.05) says the suite reading absorbed box
+        // load or session state, and the warm number is the plan's cost.
+        if (runs.nonEmpty) {
+          val r = results(name)._1 / runs.map(_._1).min
+          warmRatios(name) = math.round(r * 100) / 100.0
+        }
         (s"\"$name\":${if (runs.nonEmpty) runs.map(_._1).min else -1}",
           s"\"$name\":{\"suite\":$suiteRows,\"warm\":$warmRows}")
       }
       twins.map(_._1).mkString(""","warm":{""", ",", "}") +
         twins.map(_._2).mkString(""","warm_rows":{""", ",", "}")
     } else ""
+    val ratioJson = warmRatios.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("""{""", ",", "}")
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
     val sb = sharedBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(""","shared_builds":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm$sb,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm""" +
+      s""","warm_ratio":$ratioJson,"load":$loadJson$sb,"sf":"$sfDir"}"""
     // Full payload goes to the file below and (for humans tailing the run) to
     // stderr; stdout carries exactly ONE metric line — the compact final one —
     // so a consumer that scans the whole log can never double-count "total"
@@ -379,6 +404,7 @@ object Bench {
         case (sec, _) => s"\"$n\":$sec" })
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead""" +
+      s""","warm_ratio":$ratioJson,"load":$loadJson""" +
       s""","n_queries":${results.size},"detail":"target/bench_queries.json","sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -5567,8 +5567,13 @@ object SparkEntry {
            |  round(avg(lp), 6) AS mink_logprob_r
            |FROM r WHERE rn <= ceil(n * 0.2) GROUP BY doc_id""".stripMargin.replace("\n", " "),
       // dv3: per-side value counts, full-outer merge, inclusive window
-      // cumsums, exact integer cross-product |cumA·nB - cumB·nA| maxed with
-      // the smallest-value tie pin; only the final ppm divides (floored).
+      // cumsums, exact integer cross-product |cumA·nB - cumB·nA| (HUGEINT
+      // here, DECIMAL(38,0) in Spark — same values) maxed with the
+      // smallest-value tie pin. The ppm division runs ONLY as BIGINT // —
+      // DuckDB's // on DECIMAL true-divides in DOUBLE and rounds half-even
+      // while Spark's DECIMAL DIV truncates (r15 advice, the cs10 drift
+      // class) — nested largest-total-first with least() saturation guards,
+      // mirroring DataValidation.ksDrift term for term.
       "dv3_ks_drift" ->
         """WITH ca AS (SELECT n_chars AS v, count(*) AS fa FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
           |cb AS (SELECT n_chars AS v, count(*) AS fb FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
@@ -5576,11 +5581,16 @@ object SparkEntry {
           |  FROM ca FULL JOIN cb ON ca.v = cb.v),
           |t AS (SELECT CAST(sum(fa) AS BIGINT) AS ta, CAST(sum(fb) AS BIGINT) AS tb FROM m),
           |c AS (SELECT v, sum(fa) OVER (ORDER BY v) AS cfa, sum(fb) OVER (ORDER BY v) AS cfb FROM m),
-          |d AS (SELECT v, abs(cfa * t.tb - cfb * t.ta) AS dd FROM c, t)
-          |SELECT t.ta AS n_a, t.tb AS n_b,
-          |  CAST((CAST(1000000 AS DECIMAL(38,0)) * dd) // (CAST(greatest(t.ta, 1) AS DECIMAL(38,0)) * greatest(t.tb, 1)) AS BIGINT) AS ks_ppm,
+          |d AS (SELECT v, abs(cfa * t.tb - cfb * t.ta) AS dd FROM c, t),
+          |s AS (SELECT v, dd, t.ta, t.tb,
+          |    CAST(least(dd, 9223372036854775807) AS BIGINT) AS ddb,
+          |    greatest(greatest(t.ta, 1), greatest(t.tb, 1)) AS hi,
+          |    least(greatest(t.ta, 1), greatest(t.tb, 1)) AS lo
+          |  FROM d, t)
+          |SELECT ta AS n_a, tb AS n_b,
+          |  ((ddb // hi) * 1000000 + CAST(least(CAST(ddb % hi AS HUGEINT) * 1000000, 9223372036854775807) AS BIGINT) // hi) // lo AS ks_ppm,
           |  CAST(v AS BIGINT) AS at_value
-          |FROM d, t ORDER BY dd DESC, v ASC LIMIT 1""".stripMargin.replace("\n", " "),
+          |FROM s ORDER BY dd DESC, v ASC LIMIT 1""".stripMargin.replace("\n", " "),
       // cs10: the AMS signs replayed from the house md5 arithmetic; every
       // aggregate integer/decimal, the estimate and error integer-DIV'd.
       "cs10_ams_join_size" ->

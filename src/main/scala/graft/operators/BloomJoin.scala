@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.graft.Bridge
 
 /** Bloom-prefiltered semi-join — the shuffle-bytes cut for the 100 TB case
   * where the key side is too big to broadcast as a hash relation but its
@@ -15,33 +15,65 @@ import org.apache.spark.util.sketch.BloomFilter
   * exposing it as an operator makes the cut available unconditionally and
   * with an explicit size/fpp contract.
   *
+  * The probe is the NATIVE `BloomFilterMightContain` expression via
+  * [[org.apache.spark.sql.graft.Bridge.bloomMightContain]] — the serialized
+  * sketch rides the plan as a binary literal and the test participates in
+  * whole-stage codegen, exactly like Spark's own injected runtime filters.
+  * (r15: a per-row Scala UDF here broke codegen on the probe-side scan —
+  * which is, by this operator's own premise, the 100 TB relation it exists
+  * to optimize.) Build side and probe side both hash through `xxhash64`, so
+  * their key columns must share ONE data type — xxhash64 is type-sensitive
+  * and a mismatch would yield silent false NEGATIVES, dropping true matches
+  * before the exact join can restore them (the bloomDecontaminate contract,
+  * CorpusOps.scala).
+  *
   * Single-JVM honesty: on local[n] the shuffle is memory-speed, so the
   * prefilter cannot win here — its win condition is a network shuffle whose
   * byte volume drops by the probe-side miss rate (measured and printed by
   * the spec: ~98% of rows pruned pre-shuffle at the board query's 2%-
   * selective key set). The sketch itself is built with one distributed
-  * aggregation (`DataFrameStatFunctions.bloomFilter`) and broadcast; its
-  * size is driver-bounded by `expectedKeys`/`fpp`, independent of the probe
-  * side.
+  * aggregation (`DataFrameStatFunctions.bloomFilter` over the xxhash64'd
+  * keys) and shipped as a plan literal; its size is driver-bounded by
+  * `expectedKeys`/`fpp`, independent of the probe side.
   */
 object BloomJoin {
 
+  /** Serialized Bloom sketch over `xxhash64(keyCol)` — one distributed
+    * aggregation, driver-bounded bytes. Shared by semiJoin and passRate. */
+  private def sketchBytes(keys: DataFrame, keyCol: String,
+                          expectedKeys: Long, fpp: Double): Array[Byte] = {
+    val hashed = keys.select(xxhash64(col(keyCol)).as("_h"))
+    val bloom = hashed.stat.bloomFilter("_h", expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def requireSameType(probe: DataFrame, probeKey: String,
+                              keys: DataFrame, keyCol: String): Unit = {
+    val pt = probe.schema(probeKey).dataType
+    val kt = keys.schema(keyCol).dataType
+    require(pt == kt,
+      s"BloomJoin: key types must match exactly (probe.$probeKey: $pt vs " +
+        s"keys.$keyCol: $kt) — xxhash64 is type-sensitive, and a mismatch " +
+        "yields silent bloom false negatives")
+  }
+
   /** Left-semi join of `probe` against `keys`, Bloom-prefiltered on the
-    * probe side. Long keys (the id convention of every graft table).
-    * `expectedKeys` sizes the sketch — pass the key-side row estimate; an
-    * undersized sketch only raises the false-positive rate (correctness is
-    * unaffected, the exact join backstops it). */
+    * probe side. `expectedKeys` sizes the sketch — pass the key-side row
+    * estimate; an undersized sketch only raises the false-positive rate
+    * (correctness is unaffected, the exact join backstops it). */
   def semiJoin(probe: DataFrame, keys: DataFrame, probeKey: String,
                keyCol: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     require(expectedKeys > 0, s"expectedKeys must be > 0, got $expectedKeys")
-    val bf: BloomFilter = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    requireSameType(probe, probeKey, keys, keyCol)
+    val might = Bridge.bloomMightContain(
+      sketchBytes(keys, keyCol, expectedKeys, fpp), xxhash64(col(probeKey)))
     // no distinct on the key side: left_semi semantics already dedup the
     // build side, and a pre-distinct would add a full extra shuffle over
     // exactly the relation this operator's premise says is big
-    probe.filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
+    probe.filter(col(probeKey).isNotNull && might)
       .join(keys.select(col(keyCol).as(probeKey)), Seq(probeKey), "left_semi")
   }
 
@@ -49,11 +81,13 @@ object BloomJoin {
     * bench notes — the shuffle-bytes cut a cluster would see is 1 − this). */
   def passRate(probe: DataFrame, keys: DataFrame, probeKey: String,
                keyCol: String, expectedKeys: Long, fpp: Double = 0.01): Double = {
-    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    require(expectedKeys > 0, s"expectedKeys must be > 0, got $expectedKeys")
+    requireSameType(probe, probeKey, keys, keyCol)
+    val might = Bridge.bloomMightContain(
+      sketchBytes(keys, keyCol, expectedKeys, fpp), xxhash64(col(probeKey)))
     val total = probe.count()
     if (total == 0) 0.0
-    else probe.filter(mightContain(col(probeKey))).count().toDouble / total
+    else probe.filter(might).count().toDouble / total
   }
 }

@@ -180,23 +180,42 @@ object DataValidation {
     val cum = CorpusOps.prefixSum(
       cumA.withColumn("_n", col("_fb")), Seq(col("_v")), "_pb")
       .withColumn("_cb", col("_pb") + col("_fb"))
+    // cross-products in DECIMAL(38,0): _ca·_tb reaches n_a·n_b, which wraps
+    // silently in BIGINT past 2^63 (~3e9 rows per side — within the claimed
+    // scale) while the DuckDB twin promotes to HUGEINT; DECIMAL keeps dd
+    // exact on both engines at any realistic corpus size (r15 advice)
     val diffs = cum.crossJoin(broadcast(totals))
       .select(col("_v"), col("_ta"), col("_tb"),
-        abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")).as("_d"))
+        abs(col("_ca").cast("decimal(38,0)") * col("_tb") -
+          col("_cb").cast("decimal(38,0)") * col("_ta")).as("_d"))
       .localCheckpoint(true) // read by the max and the argmin-at-max filter
     val dmax = diffs.agg(max(col("_d")).as("_dmax"))
     diffs.crossJoin(broadcast(dmax))
       .filter(col("_d") === col("_dmax"))
       .agg(first(col("_ta")).as("n_a"), first(col("_tb")).as("n_b"),
         first(col("_dmax")).as("_dm"), min(col("_v")).as("at_value"))
+      // ks_ppm = floor(1e6·dd / (n_a·n_b)) computed ONLY with BIGINT DIV/MOD
+      // (the one integer division both engines perform identically — Spark's
+      // DECIMAL DIV truncates exactly but DuckDB's `//` on DECIMAL true-
+      // divides in DOUBLE and rounds, the cs10 drift class). Nested floor
+      // identity floor(floor(x/hi)/lo) = floor(x/(hi·lo)) lets the divide
+      // run largest-total-first so every intermediate fits BIGINT whenever
+      // max(n_a,n_b) ≤ 9.2e12; beyond that the least() guards saturate
+      // IDENTICALLY on both engines (documented bound, never engine drift).
+      .withColumn("_hi", expr("greatest(greatest(n_a, 1), greatest(n_b, 1))"))
+      .withColumn("_lo", expr("least(greatest(n_a, 1), greatest(n_b, 1))"))
+      .withColumn("_ddb", // dd saturated into BIGINT: exact while n_a·n_b < 2^63
+        expr("CAST(least(_dm, CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)"))
       .select(col("n_a"), col("n_b"),
         // the cross-product form degenerates to 0 when a SIDE is empty
         // (t=0 kills both terms) — but an empty side against a non-empty
         // one is TOTAL drift, the documented ks = 1 contract
         when((col("n_a") === 0) =!= (col("n_b") === 0), lit(1000000L))
-          .otherwise(expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * _dm) DIV " +
-            "(CAST(greatest(n_a, 1) AS DECIMAL(38,0)) * greatest(n_b, 1)) " +
-            "AS BIGINT)")).as("ks_ppm"),
+          .otherwise(expr(
+            "((_ddb DIV _hi) * 1000000 + " + // quotient ≤ _lo ≤ 3e9 ⇒ ·1e6 safe
+              "CAST(least(CAST(_ddb % _hi AS DECIMAL(38,0)) * 1000000, " +
+              "CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT) DIV _hi) " +
+              "DIV _lo")).as("ks_ppm"),
         col("at_value"))
   }
 }

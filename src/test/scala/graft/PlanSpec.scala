@@ -73,6 +73,30 @@ class PlanSpec extends SparkSpec {
     assert(scored.collect().map(_.getString(2)).toSet == Set("d1", "d2", "d4"))
   }
 
+  test("BloomJoin probes with the native BloomFilterMightContain, not a UDF") {
+    import graft.operators.BloomJoin
+    // parquet-backed inputs: on in-memory LocalRelations the optimizer's
+    // ConvertToLocalRelation evaluates the probe filter at plan time and the
+    // expression this test pins would legitimately vanish from the plan
+    val probe = spark.read.parquet(sf("lineitem"))
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val keys = spark.read.parquet(sf("orders"))
+      .filter(col("o_custkey") % 10 === 0).select(col("o_orderkey").as("key"))
+    val joined = BloomJoin.semiJoin(probe, keys, "k", "key", expectedKeys = 1024L)
+    val plan = planOf(joined)
+    // the sketch probe must sit INSIDE whole-stage codegen on the probe-side
+    // scan — a boxed ScalaUDF there breaks codegen on exactly the 100 TB
+    // relation this operator exists to prune (r15 verdict)
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      "native bloom probe missing from plan\n" + plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "boxed UDF in the bloom probe path\n" + plan)
+    // and the prefilter is semantics-invisible: output == plain left-semi
+    val exact = probe.join(keys.select(col("key").as("k")), Seq("k"), "left_semi")
+    assert(joined.count() == exact.count() &&
+      joined.join(exact, Seq("k"), "left_anti").isEmpty)
+  }
+
   test("no unpartitioned window anywhere in the assembly paths") {
     import graft.operators.Assembly
     val ranked = {

@@ -20,11 +20,11 @@ class RagPipelineGoldenSpec extends SparkSpec {
     val df = SparkEntry.queries("rag_pipeline")(spark, dir)
     val cols = df.columns.sorted.toIndexedSeq
     val rows = df.select(cols.map(col): _*).collect()
-      .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(rows.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    (md5, rows.map(r => r.replace('', '|')))
+    (md5, rows.map(r => r.replace('\u0001', '|')))
   }
 
   test("rag_pipeline output is pinned at sf0.001") {

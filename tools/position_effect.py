@@ -59,14 +59,21 @@ def main(fwd_path, rev_path):
         means = [sum(data[q] for q in qq) / len(qq) for qq in quarts]
         print(f"{label} mean s/q by position quartile: " +
               " ".join(f"Q{i+1}={m:.3f}" for i, m in enumerate(means)))
-    # biggest individual position-sensitive queries
+    # biggest individual position-sensitive queries. A query that failed in
+    # one run carries Bench's -1 s sentinel (and 0 is conceivable), which
+    # would crash math.log exactly on the runs most worth analyzing — require
+    # both sides positive and report the skipped names separately.
     per = sorted(((math.log(rev[q] / fwd[q]), q) for q in names
-                  if fwd[q] > 0.5 or rev[q] > 0.5), key=lambda t: abs(t[0]),
+                  if fwd[q] > 0 and rev[q] > 0
+                  and (fwd[q] > 0.5 or rev[q] > 0.5)), key=lambda t: abs(t[0]),
                  reverse=True)[:12]
     print("largest |log ratio| among queries >0.5s:")
     for lr, q in per:
         print(f"  {q}: fwd={fwd[q]:.2f}s rev={rev[q]:.2f}s "
               f"(pos_fwd={pos_f[q]}, pos_rev={pos_r[q]})")
+    skipped = [q for q in names if fwd[q] <= 0 or rev[q] <= 0]
+    if skipped:
+        print(f"skipped (failed in at least one run, time <= 0): {skipped}")
 
 
 if __name__ == "__main__":
