@@ -359,6 +359,27 @@ object Bench {
         "over 5 sign families " + pts.mkString(" ") +
         " (cs10's dial; Var <= 2*F2^2/s)")
     } catch { case NonFatal(e) => System.err.println(s"[ams-error] failed: $e") }
+    // KLL rank-error dial: the cs11 sketch's measured rank error vs the
+    // exact answer on this corpus's price column, at three caps — the
+    // published evidence for the O(1/sqrt(cap)) bound the derandomized
+    // compactor trades down to (vs coin-flip KLL's O(1/cap)); stderr only.
+    if (wanted.isEmpty) try {
+      import org.apache.spark.sql.functions.{col, concat, lit, round}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("id"))
+        .localCheckpoint(true)
+      val pts = Seq(64, 256, 1024).map { cap =>
+        val errs = graft.operators.QuantileSketch.rankError(li, "v",
+          graft.operators.QuantileSketch.quantiles(li, "v", "id", cap))
+          .select("rank_err_ppm").collect().map(_.getLong(0))
+        f"cap=$cap:max=${errs.max / 10000.0}%.2f%%,mean=${errs.sum / errs.length / 10000.0}%.2f%%"
+      }
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(li)
+      System.err.println("[kll-error] lineitem price rank error over 9 quantiles " +
+        pts.mkString(" ") + " (cs11's dial; sampling bound ~1/sqrt(cap))")
+    } catch { case NonFatal(e) => System.err.println(s"[kll-error] failed: $e") }
     // Corpus-scale streaming maintenance demo: the LSH-dedup ingest path
     // (StreamingOps.lshDedupMaintain — sign once, pair intra-batch, pair
     // vs the SAVED signature table, append) over THIS bench corpus split

@@ -2302,6 +2302,24 @@ object SparkEntry {
       CorpusOps.amsSelfJoinSize(t(s, dir, "lineitem"), "l_partkey",
         nSketches = 16)
     }),
+    // CS11 KLL-style mergeable quantile sketch (r16): md5-derandomized
+    // compactor cascade — an item's terminal level is tz(md5(id)), the
+    // sketch is the survivor set at the smallest level fitting cap=256, and
+    // the estimates are integer-rank reads of the survivors. A pure function
+    // of the multiset, so the twin replays the WHOLE sketch in SQL; merge
+    // and streaming maintenance are bit-equal to one-shot (StreamingSpec).
+    // Rank error vs the exact quantiles: Bench's [kll-error] line. See
+    // operators.QuantileSketch.
+    "cs11_kll_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        // round before the cast: the price is a DOUBLE, ×100 lands ±1 ulp
+        // off the integer, and bare CAST truncates in Spark but rounds in
+        // DuckDB; an explicit round() agrees (never an exact .5 here)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("lid"))
+      QuantileSketch.quantiles(li, "price_cents", "lid", cap = 256)
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads: REAL MJPEG-in-AVI
@@ -5604,6 +5622,25 @@ object SparkEntry {
           |  sumsq // 16 AS est_f2,
           |  least(abs(sumsq // 16 - exact_f2), 9000000000000) * 1000000 // greatest(exact_f2, 1) AS err_ppm
           |FROM e, ex""".stripMargin.replace("\n", " "),
+      // cs11: the ENTIRE sketch replayed — house md5 hash per item, terminal
+      // level = trailing zeros of the hash (h & -h isolates the lowest set
+      // bit; log2 of an exact power of two is exact in IEEE double on any
+      // engine), smallest level whose survivor count fits cap=256, then
+      // integer-rank reads of the survivor set in (value, hash, id) order.
+      "cs11_kll_quantiles" ->
+        """WITH items AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+          |    l_orderkey || '-' || l_linenumber AS id FROM lineitem),
+          |hh AS (SELECT v, id, CAST(('0x' || substr(md5('kll|' || id), 1, 8)) AS BIGINT) AS h FROM items),
+          |z AS (SELECT v, id, h, CASE WHEN h = 0 THEN 32 ELSE CAST(round(log2((h & -h))) AS INT) END AS tz FROM hh),
+          |cnt AS (SELECT l, (SELECT count(*) FROM z WHERE tz >= l) AS c FROM generate_series(0, 33) AS g(l)),
+          |lv AS (SELECT CAST(min(l) AS INT) AS level FROM cnt WHERE c <= 256),
+          |kept AS (SELECT v, id, h FROM z, lv WHERE z.tz >= lv.level),
+          |r AS (SELECT v, row_number() OVER (ORDER BY v, h, id) AS rn, count(*) OVER () AS m FROM kept),
+          |qs AS (SELECT unnest([1, 5, 10, 25, 50, 75, 90, 95, 99]) AS q)
+          |SELECT CAST(q AS BIGINT) AS q_pct, CAST(r.v AS BIGINT) AS est,
+          |  (SELECT CAST(level AS BIGINT) FROM lv) AS level,
+          |  CAST(r.m AS BIGINT) AS m_kept
+          |FROM qs JOIN r ON r.rn = greatest(1, (q * r.m + 99) // 100)""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable bounded-memory quantile sketch (cs11) — the rank-error member
+  * of the sketch family: cs1's exact quantiles pay a full per-group sort and
+  * cs6's equi-width histogram has bounded VALUE error but unbounded RANK
+  * error on heavy-tailed distributions; this sketch bounds rank error with
+  * O(cap) state.
+  *
+  * Structure: the KLL compactor cascade (Karnin–Lang–Liberty 2016) with the
+  * per-compaction coin DERANDOMIZED by the house md5 hash — the compaction
+  * from level l to l+1 keeps exactly the items whose hash has more than l
+  * trailing zero bits, so an item's terminal level is `tz(h(id))` and the
+  * whole sketch is {x : tz(h(x)) >= L} at the smallest level L whose
+  * survivor count fits `cap`, every survivor carrying weight 2^L. What the
+  * derandomization buys over coin-flip KLL:
+  *  - the sketch is a PURE FUNCTION of the input multiset — replayable in
+  *    ANSI SQL (the cs11 oracle row recomputes it end to end in DuckDB);
+  *  - merge is bit-equal to one-shot: count(L) is monotone in the input, so
+  *    the combined level L* >= max(La, Lb), and every item with
+  *    tz >= L* survives in whichever side it arrived — merge = concat +
+  *    refilter, no approximation drift across a stream
+  *    ([[graft.streaming.StreamingOps.kllMaintain]] + StreamingSpec);
+  *  - retries/repartitionings cannot change an answer (house rule).
+  * The price is the error bound: per-item coins make each level a uniform
+  * hash-sample, so rank error is the sampling O(sqrt(log n)/sqrt(cap))
+  * rather than coin-flip KLL's O(log(1/d)/cap) — measured against the exact
+  * answer by Bench's [kll-error] line, honest-loss style (fi2 precedent).
+  *
+  * Scale shape: one map-side tz histogram (<= 33 rows) to choose the level,
+  * one distributed filter to keep ~cap rows; ranking/estimation then run on
+  * the cap-bounded survivor set (the only unpartitioned window is over
+  * <= cap rows — bounded by contract, the bt1 pattern). No corpus sort, no
+  * corpus window, no collect beyond the 33-row histogram.
+  */
+object QuantileSketch {
+
+  /** Trailing zero bits of the 32-bit house hash (h == 0 -> 32). `h & -h`
+    * isolates the lowest set bit; log2 of an exact power of two is exact in
+    * IEEE double on any engine, rounded to kill last-ulp libm wobble. SQL
+    * twin: `CASE WHEN h = 0 THEN 32 ELSE CAST(round(log2(h & -h)) AS INT) END`. */
+  private def tzOf(h: Column): Column =
+    when(h === 0, lit(32)).otherwise(
+      round(log2((h.bitwiseAND(-h)).cast("double"))).cast("int"))
+
+  /** Input rows hashed and leveled: (_v value, _id id-as-string, _h, _tz).
+    * The id enters the hash as `seed|id` so independent sketches over the
+    * same ids draw independent levels. */
+  def leveled(df: DataFrame, valueCol: String, idCol: String,
+              seed: String = "kll"): DataFrame = {
+    val h = Hashing.md5Long(concat(lit(seed + "|"), col(idCol).cast("string")))
+    df.select(col(valueCol).as("_v"), col(idCol).cast("string").as("_id"),
+        h.as("_h"))
+      .withColumn("_tz", tzOf(col("_h")))
+  }
+
+  /** Smallest level >= `floor` whose survivor count fits `cap`: one 33-row
+    * aggregate, collected (bounded). Empty input -> `floor`. */
+  def chooseLevel(leveled: DataFrame, cap: Int, floor: Int = 0): Int = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val hist = leveled.groupBy(col("_tz")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = (floor to 33).map(l => hist.filter(_._1 >= l).values.sum)
+    (floor to 33).zip(total).collectFirst { case (l, c) if c <= cap => l }
+      .getOrElse(33)
+  }
+
+  /** The sketch: survivor rows at the chosen level. Columns
+    * (_v, _id, _h, _tz, _level) — _level is constant, carried so a persisted
+    * sketch (streaming state) knows its own floor at merge time. */
+  def build(df: DataFrame, valueCol: String, idCol: String,
+            cap: Int = 256, seed: String = "kll"): DataFrame = {
+    val lv = leveled(df, valueCol, idCol, seed)
+    val level = chooseLevel(lv, cap)
+    lv.filter(col("_tz") >= level).withColumn("_level", lit(level))
+  }
+
+  /** Merge two sketches (or a sketch and a fresh `leveled` batch tagged with
+    * `_level` 0): union, re-choose the level with floor = max of the two,
+    * refilter. Bit-equal to one-shot `build` over the combined input —
+    * count(L) for L >= max(La, Lb) is identical on the union of survivors
+    * and on the full multiset, because a discarded item had tz < its side's
+    * level <= L. */
+  def merge(a: DataFrame, b: DataFrame, cap: Int): DataFrame = {
+    val floor = (a.agg(max(col("_level"))).head().get(0) match {
+      case null => 0
+      case i: Int => i
+    }).max(b.agg(max(col("_level"))).head().get(0) match {
+      case null => 0
+      case i: Int => i
+    })
+    val u = a.unionByName(b).drop("_level")
+    val level = chooseLevel(u, cap, floor)
+    u.filter(col("_tz") >= level).withColumn("_level", lit(level))
+  }
+
+  /** Quantile estimates from a sketch: for each q in `qPcts` (percent,
+    * 1..99), the survivor value at rank ceil(q*m/100) in (value, hash, id)
+    * canonical order — integer arithmetic only, so any engine agrees.
+    * Output: (q_pct BIGINT, est <value dtype>, level BIGINT, m_kept BIGINT).
+    * Empty sketch -> empty result (no data, no estimate). */
+  def quantilesFromSketch(sketch: DataFrame, qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 99),
+      s"qPcts must be in 1..99, got $qPcts")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    // the window is over the cap-bounded survivor set (bounded by contract)
+    val ranked = sketch
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_v"), col("_h"), col("_id"))))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy()))
+    val qs = qPcts.toDF("q_pct")
+    ranked.join(broadcast(qs),
+        col("_rn") === greatest(lit(1L), expr("(q_pct * _m + 99) DIV 100")))
+      .select(col("q_pct").cast("long"),
+        col("_v").as("est"), col("_level").cast("long").as("level"),
+        col("_m").cast("long").as("m_kept"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** End-to-end: build the sketch and estimate `qPcts` quantiles of
+    * `valueCol`. The cs11 board entry. */
+  def quantiles(df: DataFrame, valueCol: String, idCol: String,
+                cap: Int = 256, seed: String = "kll",
+                qPcts: Seq[Int] = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)): DataFrame =
+    quantilesFromSketch(build(df, valueCol, idCol, cap, seed), qPcts)
+
+  /** Exact-rank error of a sketch's estimates against the true distribution:
+    * for each q, |rank(est)/n - q/100| where rank(est) = #{v <= est}. One
+    * broadcast of the <= 9 estimates against one corpus scan. Returns
+    * (q_pct, est, rank_err_ppm). Bench's [kll-error] line reads max/mean. */
+  def rankError(df: DataFrame, valueCol: String, estimates: DataFrame): DataFrame = {
+    val n = df.count()
+    val ests = estimates.select(col("q_pct"), col("est")).collect()
+      .map(r => (r.getLong(0), r.get(1)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = ests.map { case (q, e) =>
+      val rank = df.filter(col(valueCol) <= lit(e)).count()
+      val errPpm = math.abs(rank * 1000000L / math.max(n, 1L) - q * 10000L)
+      (q, e.toString, errPpm)
+    }.toSeq
+    rows.toDF("q_pct", "est", "rank_err_ppm")
+  }
+}

@@ -181,6 +181,35 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming KLL-style quantile-sketch maintenance
+    * ([[graft.operators.QuantileSketch]]): each micro-batch is hashed and
+    * leveled once, unioned with the saved survivor set, and the level is
+    * re-chosen with floor = the saved level — the md5-derandomized compactor
+    * makes the maintained sketch BIT-EQUAL to the one-shot sketch over the
+    * union of all batches (StreamingSpec pins it): survivor counts at any
+    * level >= the floor are identical on (survivors + batch) and on the full
+    * multiset, because every item ever discarded had tz below some earlier
+    * level <= floor. State is <= cap survivor rows + the level, regardless
+    * of stream size; per batch the work is one map-side filter over the
+    * batch plus a 33-row histogram. */
+  def kllMaintain(stream: DataFrame, valueCol: String, idCol: String,
+      statePath: String, cap: Int = 256, seed: String = "kll"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val Q = graft.operators.QuantileSketch
+        val fresh = Q.leveled(batch, valueCol, idCol, seed)
+          .withColumn("_level", org.apache.spark.sql.functions.lit(0))
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => Q.merge(st, fresh, cap)
+          case None => Q.merge(fresh.limit(0), fresh, cap) // first batch
+        }
+        StateTable.overwrite(merged, statePath)
+        ()
+      }
+      .start()
+
   /** Streaming near-dup detection against a growing corpus: each micro-batch
     * of documents is minhash-signed once, paired WITHIN itself
     * ([[graft.operators.Dedup.lshCandidatePairs]]) and against the SAVED

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the round-16 additions: the md5-derandomized KLL-style
+  * quantile sketch (hand-checked small cases, cap bound, merge == one-shot,
+  * measured rank error) and the removable counting-Bloom membership sketch. */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("QuantileSketch: input under cap keeps everything at level 0 and reads exact quantiles") {
+    import graft.operators.QuantileSketch
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val sk = QuantileSketch.build(df, "v", "id", cap = 200)
+    assert(sk.count() == 100)
+    assert(sk.select("_level").head().getInt(0) == 0)
+    // with every item kept, the rank read IS the exact quantile:
+    // est(q) = value at rank ceil(q·100/100) = q
+    val est = QuantileSketch.quantilesFromSketch(sk, Seq(10, 50, 90))
+      .select("q_pct", "est").as[(Long, Long)].collect().toMap
+    assert(est == Map(10L -> 10L, 50L -> 50L, 90L -> 90L))
+  }
+
+  test("QuantileSketch: cap forces a positive level, cap bound holds, estimates stay near-exact") {
+    import graft.operators.QuantileSketch
+    val n = 4000L
+    val df = (1L to n).map(i => (i, i)).toDF("id", "v")
+    val sk = QuantileSketch.build(df, "v", "id", cap = 128)
+    val level = sk.select("_level").head().getInt(0)
+    assert(level > 0, "4000 items at cap=128 must compact")
+    assert(sk.count() <= 128)
+    // uniform values 1..n: the estimate at q should sit within a few
+    // sampling standard deviations (~n/sqrt(m)) of q·n/100
+    val m = sk.count().toDouble
+    val tol = 4.0 * n / math.sqrt(m)
+    val est = QuantileSketch.quantilesFromSketch(sk, Seq(25, 50, 75))
+      .select("q_pct", "est").as[(Long, Long)].collect()
+    est.foreach { case (q, e) =>
+      assert(math.abs(e - q * n / 100.0) < tol,
+        s"q=$q est=$e expected ~${q * n / 100} (tol $tol, m=$m)") }
+  }
+
+  test("QuantileSketch.merge == one-shot build, bit-equal, and floor is respected") {
+    import graft.operators.QuantileSketch
+    val a = (0L until 1500L).map(i => (i, (i * 31) % 997)).toDF("id", "v")
+    val b = (1500L until 2600L).map(i => (i, (i * 17) % 997)).toDF("id", "v")
+    val cap = 64
+    val merged = QuantileSketch.merge(
+      QuantileSketch.build(a, "v", "id", cap),
+      QuantileSketch.build(b, "v", "id", cap), cap)
+    val oneShot = QuantileSketch.build(a.unionByName(b), "v", "id", cap)
+    val ms = merged.as[(Long, String, Long, Int, Int)].collect().toSet
+    val os = oneShot.as[(Long, String, Long, Int, Int)].collect().toSet
+    assert(ms == os && ms.nonEmpty)
+    // and the merged level never fell below either side's (the monotone
+    // count argument the bit-equality proof rests on)
+    val la = QuantileSketch.build(a, "v", "id", cap).select("_level").head().getInt(0)
+    val lb = QuantileSketch.build(b, "v", "id", cap).select("_level").head().getInt(0)
+    assert(ms.head._5 >= math.max(la, lb))
+  }
+
+  test("QuantileSketch.rankError: measured error is small and zero when nothing compacts") {
+    import graft.operators.QuantileSketch
+    val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
+    // no compaction -> exact rank reads -> error < 1/n in ppm terms
+    val exact = QuantileSketch.rankError(df, "v",
+      QuantileSketch.quantiles(df, "v", "id", cap = 1000, qPcts = Seq(50)))
+      .select("rank_err_ppm").as[Long].head()
+    assert(exact <= 1000000 / 500)
+    // compacted at cap=64: sampling error, bounded well under total drift
+    val rough = QuantileSketch.rankError(df, "v",
+      QuantileSketch.quantiles(df, "v", "id", cap = 64, qPcts = Seq(50)))
+      .select("rank_err_ppm").as[Long].head()
+    assert(rough < 300000, s"rank error suspiciously large: $rough ppm")
+  }
+}

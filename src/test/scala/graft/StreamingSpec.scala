@@ -344,6 +344,40 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming KLL maintenance: maintained sketch == one-shot sketch, bit-equal") {
+    import graft.operators.QuantileSketch
+    val dir = Files.createTempDirectory("stream_kll").toString
+    val statePath = s"$dir/state"
+    // heavy-tailed values so compaction is non-trivial: 3000 items force
+    // several levels at cap=64, split across three waves
+    val all = (0L until 3000L).map(i => (i, (i % 100) * (i % 100) + i % 7))
+      .toDF("id", "v")
+    all.filter($"id" < 1000).write.parquet(s"$dir/in/a")
+    all.filter($"id" >= 1000 && $"id" < 2000).write.parquet(s"$dir/in/b")
+    all.filter($"id" >= 2000).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.kllMaintain(stream, "v", "id", statePath, cap = 64)
+    q.processAllAvailable(); q.stop()
+    // the md5-derandomized compactor is a pure function of the multiset with
+    // monotone level counts, so maintain == one-shot EXACTLY: same level,
+    // same survivor rows, hence identical estimates
+    val streamed = spark.read.parquet(statePath)
+      .select("_v", "_id", "_h", "_tz", "_level")
+      .as[(Long, String, Long, Int, Int)].collect().toSet
+    val oneShot = QuantileSketch.build(all, "v", "id", cap = 64)
+      .as[(Long, String, Long, Int, Int)].collect().toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+    assert(streamed.size <= 64, s"cap violated: ${streamed.size}")
+    assert(streamed.map(_._5).head > 0, "expected a non-trivial level at cap=64")
+    val estS = QuantileSketch.quantilesFromSketch(
+      spark.read.parquet(statePath), Seq(10, 50, 90))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val estB = QuantileSketch.quantiles(all, "v", "id", cap = 64,
+      qPcts = Seq(10, 50, 90)).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(estS == estB)
+  }
+
   test("streaming LSH dedup maintenance: union of emitted pairs == one-shot batch pairs") {
     import graft.operators.Dedup
     val dir = Files.createTempDirectory("stream_lsh").toString

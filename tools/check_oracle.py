@@ -132,14 +132,24 @@ def check_warm_twins() -> int:
     warm_rows = payload.get("warm_rows")
     if not warm_rows:
         return 0
+    # environment disclosure (r15 verdict): the artifact's own box-health
+    # signal, so a loaded-box stamp is readable from the payload alone
+    load = payload.get("load") or {}
+    if load:
+        print(f"TWIN ENV  loadavg start={load.get('start')} "
+              f"end={load.get('end')} (1-min system load around the suite)")
+    ratios = payload.get("warm_ratio") or {}
     n_fail = 0
     for name, counts in sorted(warm_rows.items()):
         suite, warm = counts.get("suite"), counts.get("warm")
+        r = ratios.get(name)
+        rtxt = f", warm_ratio={r}" + (" <- suite reading absorbed box load"
+                                      if r and r > 1.5 else "") if r else ""
         if suite == warm and suite is not None and suite >= 0:
-            print(f"TWIN OK   {name} (suite == warm == {suite} rows)")
+            print(f"TWIN OK   {name} (suite == warm == {suite} rows{rtxt})")
         else:
             print(f"TWIN FAIL {name}: in-suite {suite} rows vs warm twin "
-                  f"{warm} — the twin did not run the same plan")
+                  f"{warm} — the twin did not run the same plan{rtxt}")
             n_fail += 1
     return n_fail
 
