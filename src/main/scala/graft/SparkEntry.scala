@@ -73,6 +73,33 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 1000000))
       CorpusOps.snapshotDiff(v1, v2, "doc_id", Seq("text", "source"))
     }),
+    // S12 removable membership (r16): the counting-Bloom sketch maintained
+    // FROM a snapshot diff — adds +1, removes −1 per hash position, so the
+    // delta path is delta-sized work and bit-equal to a rebuild
+    // (Round16OpsSpec). The probe is the codegen'd BitsetGet expression over
+    // the cnt>0 bitset; the exact-confirm backstop makes this output
+    // identical to a plain semi-join against v2's keys (the x20
+    // adjudication), which is what the oracle checks. chooseMaintain picks
+    // the delta path here (diff ≈ 16% of v2, under the 30% crossover).
+    // See operators.CountingBloom.
+    "s12_removable_membership" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 11 === 3 ||
+        (col("doc_id") % 11 =!= 3 && col("doc_id") % 13 =!= 5))
+      val diff = CorpusOps.snapshotDiff(v1, v2, "doc_id", Seq("text"))
+        .localCheckpoint(true) // read for added keys, removed keys, and sizing
+      val added = diff.filter(col("change") === "added").select("doc_id")
+      val removed = diff.filter(col("change") === "removed").select("doc_id")
+      val m = 1 << 14
+      val state0 = CountingBloom.counters(v1.select("doc_id"), "doc_id", m)
+      val state =
+        if (CountingBloom.chooseMaintain(diff.count(), v2.count()))
+          CountingBloom.maintain(state0, added, removed, "doc_id", m)
+        else CountingBloom.counters(v2.select("doc_id"), "doc_id", m)
+      CountingBloom.semiJoin(docs.select("doc_id"), "doc_id",
+        state, v2.select("doc_id"), "doc_id", m)
+    }),
 
     // ------------------------------------------------------------- §2.2 text prep
     // T1 recursive chunker (loaders/chunker.py) — not SQL-expressible, rows check.
@@ -3869,6 +3896,12 @@ object SparkEntry {
           |         WHEN o.fp <> n.fp THEN 'changed' END AS change
           |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
           |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin.replace("\n", " "),
+      // s12: the counting-Bloom prune + maintain path is answer-invisible by
+      // the exact-confirm backstop (x20's adjudication) — the oracle is the
+      // plain membership against v2's key set.
+      "s12_removable_membership" ->
+        """SELECT doc_id FROM documents
+          |WHERE doc_id % 11 = 3 OR (doc_id % 11 <> 3 AND doc_id % 13 <> 5)""".stripMargin.replace("\n", " "),
       // T1 twin of Chunker.chunkText(chunkSize=200, overlap=50): per-doc
       // first-present-separator cascade, split keeping the separator, greedy
       // repack as a recursive CTE (state = open-chunk number + buffer length,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{Bridge, BitsetGet}
+
+/** Removable membership sketch — counting Bloom filter (s12). x20's plain
+  * Bloom cannot forget: one `removed` row in a snapshot diff forces a full
+  * sketch rebuild over the surviving corpus. Counters can: the state is the
+  * per-position insertion count, ADDITIVE under both inserts (+1 per hash
+  * position) and removes (−1), so maintenance from a
+  * [[CorpusOps.snapshotDiff]] delta is delta-sized work and — because
+  * addition commutes — BIT-EQUAL to a rebuild from the surviving key
+  * multiset (Round16OpsSpec pins it).
+  *
+  * State shape: (pos INT, cnt BIGINT), only positions with non-zero count —
+  * at most min(h·n, m) rows, driver-bounded by `m` regardless of corpus
+  * size. Probing collapses the counters to a bitset (cnt > 0, m/8 bytes)
+  * that rides the plan as a binary literal and is tested per row by the
+  * codegen'd [[org.apache.spark.sql.graft.BitsetGet]] expression — the
+  * bf1/x20 plan shape (probe inside whole-stage codegen, no UDF), with the
+  * same exact-confirm backstop making every consumer's OUTPUT independent
+  * of m/h/false positives.
+  *
+  * Multiset discipline (the classic counting-Bloom contract): only remove
+  * keys that were previously added, as many times as they were added — a
+  * snapshot diff satisfies this by construction (`removed` ⊆ old corpus).
+  * Removing a never-added key would drive counters negative and could mask
+  * a genuinely present key (false NEGATIVE); the exact-confirm consumers
+  * would then silently drop rows, so [[bitset]] fails loudly on any
+  * negative counter instead.
+  *
+  * Positions: pos_i(k) = xxhash64(k, i) mod m for i in 0..h−1 — the (key,
+  * seed-index) tuple through Spark's native codegen'd hash, identical at
+  * build and probe. Not SQL-replayed: consumers' oracles are
+  * fpp-independent by the exact-confirm backstop (the x20 adjudication).
+  */
+object CountingBloom {
+
+  /** h hash positions per key, exploded to (pos) rows. */
+  private def positions(keys: DataFrame, keyCol: String, m: Int, h: Int): DataFrame = {
+    require(m > 0 && (m & 7) == 0, s"m must be a positive multiple of 8, got $m")
+    require(h > 0, s"h must be > 0, got $h")
+    keys.select(explode(array((0 until h).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(m.toLong)).cast("int")): _*)).as("pos"))
+  }
+
+  /** Counter state from a key multiset: one shuffle of (pos, partial-count)
+    * pairs (map-side combined; width ≤ m rows, never corpus-sized). */
+  def counters(keys: DataFrame, keyCol: String, m: Int = 1 << 18,
+               h: Int = 5): DataFrame =
+    positions(keys, keyCol, m, h).groupBy("pos").agg(count(lit(1)).as("cnt"))
+
+  /** Apply a snapshot delta: +1 per hash position of `added`, −1 per hash
+    * position of `removed`; zeroed positions drop so the state stays the
+    * support of the counter function. Work ∝ |delta|, state ≤ m rows. */
+  def maintain(state: DataFrame, added: DataFrame, removed: DataFrame,
+               keyCol: String, m: Int = 1 << 18, h: Int = 5): DataFrame =
+    state
+      .unionByName(positions(added, keyCol, m, h)
+        .groupBy("pos").agg(count(lit(1)).as("cnt")))
+      .unionByName(positions(removed, keyCol, m, h)
+        .groupBy("pos").agg((-count(lit(1))).as("cnt")))
+      .groupBy("pos").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Incremental-vs-full decision: maintenance costs O(|delta|·h) and a
+    * rebuild costs O(|newCorpus|·h); below `threshold` the delta path wins
+    * outright, above it the constant factors (two extra unions + the state
+    * scan) stop paying for themselves. Either path yields IDENTICAL
+    * counters — this chooses cost, never semantics. */
+  def chooseMaintain(nDelta: Long, nNew: Long, threshold: Double = 0.3): Boolean =
+    nDelta < threshold * math.max(nNew, 1L)
+
+  /** Collapse counters to a probe bitset: bit pos set iff cnt > 0. m/8
+    * bytes, collected (bounded by m — the sketch-size contract, independent
+    * of corpus size). Fails loudly on negative counters: that is a multiset-
+    * discipline violation upstream and means probes could false-NEGATIVE,
+    * which the exact-confirm consumers cannot repair. */
+  def bitset(state: DataFrame, m: Int = 1 << 18): Array[Byte] = {
+    val bytes = new Array[Byte](m / 8)
+    state.select(col("pos"), col("cnt")).collect().foreach { r =>
+      val pos = r.getInt(0)
+      val cnt = r.getLong(1)
+      require(cnt >= 0, s"CountingBloom: negative counter at pos=$pos " +
+        s"(cnt=$cnt) — a key was removed more times than it was added; " +
+        "membership probes could silently drop present keys")
+      if (cnt > 0) {
+        require(pos >= 0 && pos < m, s"position $pos outside m=$m")
+        bytes(pos >> 3) = (bytes(pos >> 3) | (1 << (pos & 7))).toByte
+      }
+    }
+    bytes
+  }
+
+  /** Codegen'd membership probe: AND over the h bit tests, the bitset as ONE
+    * shared binary literal. False positives possible (rate set by m/h vs
+    * set size), false negatives impossible under multiset discipline. */
+  def mightContain(bits: Array[Byte], key: Column, h: Int = 5): Column = {
+    val blit = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(bits, org.apache.spark.sql.types.BinaryType)
+    (0 until h).map { i =>
+      Bridge.column(BitsetGet(blit,
+        Bridge.expression(pmod(xxhash64(key, lit(i)), lit(bits.length.toLong * 8)))))
+    }.reduce(_ && _)
+  }
+
+  /** Membership filter with the exact-confirm backstop (x20's adjudication):
+    * rows of `probe` whose key is in `truth` — the sketch prunes the probe
+    * side BEFORE its shuffle, the equi-join on the sketch-passing candidates
+    * removes the false positives, so the OUTPUT is independent of m/h/fpp
+    * and equals a plain left-semi join. */
+  def semiJoin(probe: DataFrame, probeKey: String, state: DataFrame,
+               truth: DataFrame, truthKey: String,
+               m: Int = 1 << 18, h: Int = 5): DataFrame = {
+    val might = mightContain(bitset(state, m), col(probeKey), h)
+    probe.filter(col(probeKey).isNotNull && might)
+      .join(truth.select(col(truthKey).as(probeKey)), Seq(probeKey), "left_semi")
+  }
+}

@@ -59,6 +59,67 @@ class Round16OpsSpec extends SparkSpec {
     assert(ms.head._5 >= math.max(la, lb))
   }
 
+  test("CountingBloom: maintain from a delta == rebuild from the survivors, bit-equal") {
+    import graft.operators.CountingBloom
+    val m = 1 << 10
+    val v1 = (0L until 400L).toDF("k")
+    val added = (400L until 450L).toDF("k")
+    val removed = (0L until 400L by 7L).toDF("k")
+    val v2 = (0L until 450L).filter(i => i >= 400 || i % 7 != 0).toDF("k")
+    val maintained = CountingBloom.maintain(
+      CountingBloom.counters(v1, "k", m), added, removed, "k", m)
+      .as[(Int, Long)].collect().toMap
+    val rebuilt = CountingBloom.counters(v2, "k", m)
+      .as[(Int, Long)].collect().toMap
+    assert(maintained == rebuilt && maintained.nonEmpty)
+    // counter mass invariant: every key contributes exactly h positions
+    assert(maintained.values.sum == 5L * v2.count())
+  }
+
+  test("CountingBloom: no false negatives; removal actually forgets; fpp is sane") {
+    import graft.operators.CountingBloom
+    val m = 1 << 12
+    val present = (0L until 300L).toDF("k")
+    val state = CountingBloom.maintain(
+      CountingBloom.counters((0L until 500L).toDF("k"), "k", m),
+      spark.emptyDataset[Long].toDF("k"), (300L until 500L).toDF("k"), "k", m)
+    val bits = CountingBloom.bitset(state, m)
+    // every surviving key passes (false negatives impossible under discipline)
+    assert(present.filter(!CountingBloom.mightContain(bits, col("k"))).isEmpty)
+    // probes over a disjoint range pass only at the false-positive rate —
+    // and removal must have FORGOTTEN most of the removed range's bits:
+    // a plain Bloom would still pass all 200 removed keys
+    val fpProbe = (10000L until 12000L).toDF("k")
+    val fpRate = fpProbe.filter(CountingBloom.mightContain(bits, col("k"))).count() / 2000.0
+    assert(fpRate < 0.25, s"fpp $fpRate out of range for n=300, m=$m")
+    val removedPass = (300L until 500L).toDF("k")
+      .filter(CountingBloom.mightContain(bits, col("k"))).count()
+    assert(removedPass < 100, s"removal did not forget: $removedPass/200 still pass")
+  }
+
+  test("CountingBloom: undisciplined remove fails loudly; chooseMaintain crossover") {
+    import graft.operators.CountingBloom
+    val m = 1 << 10
+    val state = CountingBloom.maintain(
+      CountingBloom.counters((0L until 10L).toDF("k"), "k", m),
+      spark.emptyDataset[Long].toDF("k"),
+      (100L until 140L).toDF("k"), "k", m) // never-added keys
+    val e = intercept[IllegalArgumentException] { CountingBloom.bitset(state, m) }
+    assert(e.getMessage.contains("negative counter"))
+    assert(CountingBloom.chooseMaintain(10, 100) && !CountingBloom.chooseMaintain(50, 100))
+    assert(!CountingBloom.chooseMaintain(1, 0)) // empty new corpus: rebuild is free
+  }
+
+  test("CountingBloom probe plan: codegen'd bitset_get, no ScalaUDF") {
+    import graft.operators.CountingBloom
+    val probe = spark.read.parquet(sf("documents")).select(col("doc_id"))
+    val state = CountingBloom.counters(probe, "doc_id", 1 << 12)
+    val plan = CountingBloom.semiJoin(probe, "doc_id", state, probe, "doc_id", 1 << 12)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bitset_get"), "native bitset probe missing\n" + plan)
+    assert(!plan.contains("ScalaUDF"), "boxed UDF in probe path\n" + plan)
+  }
+
   test("QuantileSketch.rankError: measured error is small and zero when nothing compacts") {
     import graft.operators.QuantileSketch
     val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
