@@ -95,11 +95,16 @@ object ScaleSlope {
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(bigDir)))
       synthesize(spark, baseDir, bigDir)
     else System.err.println(s"[scale-synth] reusing $bigDir")
-    // steady-state warm-up (the Bench rationale: measure the engine, not JIT)
-    QUERIES.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-      catch { case NonFatal(e) => System.err.println(s"[scale-warm] $n: $e") }
-    }
+    // steady-state warm-up (the Bench rationale: measure the engine, not
+    // JIT) on the smallest sibling of baseDir so any data layout works
+    val warmDir = new java.io.File(baseDir).getParent + "/sf0.001"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      QUERIES.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case NonFatal(e) => System.err.println(s"[scale-warm] $n: $e") }
+      }
+    else System.err.println(s"[scale-warm] no $warmDir — first 1x readings " +
+      "will absorb JIT/codegen cost; treat early slopes as upper bounds")
     def timed(name: String, dir: String): (Double, Long) = {
       val pre = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
@@ -116,13 +121,19 @@ object ScaleSlope {
     val results = QUERIES.map { name =>
       val (t1, r1) = timed(name, baseDir)
       val (t10, r10) = timed(name, bigDir)
-      val ratio = if (t1 > 0) t10 / t1 else -1.0
+      // only SUCCESSFUL runs may publish a ratio (the Bench warm-twin rule):
+      // t1 is wall-clock and positive even when the query threw, so the
+      // guard must be on the rows=-1 failure sentinel, not the time
+      val ratio = if (r1 >= 0 && r10 >= 0 && t1 > 0) t10 / t1 else -1.0
       System.err.println(f"[scale-slope] $name t1=$t1%.2fs ($r1 rows) " +
         f"t10=$t10%.2fs ($r10 rows) ratio=$ratio%.1fx")
       (name, t1, t10, ratio, r1, r10)
     }
+    // raw Double interpolation, not %f: locale-dependent formatting would
+    // emit comma decimals — unparseable JSON on a comma-decimal JVM
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     val qjson = results.map { case (n, t1, t10, r, _, _) =>
-      f"""\"$n\":{"t1":$t1%.3f,"t10":$t10%.3f,"ratio":$r%.2f}""" }
+      s""""$n":{"t1":${r3(t1)},"t10":${r3(t10)},"ratio":${r3(r)}}""" }
       .mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_slope","queries":$qjson,"base":"$baseDir","big":"$bigDir"}""")

@@ -91,14 +91,13 @@ object SparkEntry {
         .localCheckpoint(true) // read for added keys, removed keys, and sizing
       val added = diff.filter(col("change") === "added").select("doc_id")
       val removed = diff.filter(col("change") === "removed").select("doc_id")
-      val m = 1 << 14
-      val state0 = CountingBloom.counters(v1.select("doc_id"), "doc_id", m)
+      val state0 = CountingBloom.counters(v1.select("doc_id"), "doc_id", m = 1 << 14)
       val state =
         if (CountingBloom.chooseMaintain(diff.count(), v2.count()))
-          CountingBloom.maintain(state0, added, removed, "doc_id", m)
-        else CountingBloom.counters(v2.select("doc_id"), "doc_id", m)
+          CountingBloom.maintain(state0, added, removed, "doc_id")
+        else CountingBloom.counters(v2.select("doc_id"), "doc_id", m = 1 << 14)
       CountingBloom.semiJoin(docs.select("doc_id"), "doc_id",
-        state, v2.select("doc_id"), "doc_id", m)
+        state, v2.select("doc_id"), "doc_id")
     }),
 
     // ------------------------------------------------------------- §2.2 text prep

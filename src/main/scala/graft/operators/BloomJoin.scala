@@ -42,7 +42,11 @@ object BloomJoin {
     * aggregation, driver-bounded bytes. Shared by semiJoin and passRate. */
   private def sketchBytes(keys: DataFrame, keyCol: String,
                           expectedKeys: Long, fpp: Double): Array[Byte] = {
-    val hashed = keys.select(xxhash64(col(keyCol)).as("_h"))
+    // drop null keys BEFORE hashing: xxhash64(NULL) is the (non-null) seed
+    // constant, so an unfiltered null would insert a phantom key into the
+    // sketch — stat.bloomFilter ignored nulls, this path must too
+    val hashed = keys.filter(col(keyCol).isNotNull)
+      .select(xxhash64(col(keyCol)).as("_h"))
     val bloom = hashed.stat.bloomFilter("_h", expectedKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
@@ -88,6 +92,9 @@ object BloomJoin {
       sketchBytes(keys, keyCol, expectedKeys, fpp), xxhash64(col(probeKey)))
     val total = probe.count()
     if (total == 0) 0.0
-    else probe.filter(might).count().toDouble / total
+    // null probe keys never pass (they cannot match a semi-join either):
+    // xxhash64(NULL) is a non-null constant, so without the isNotNull guard
+    // a null-heavy probe could read as near-1.0 pass rate (r16 review)
+    else probe.filter(col(probeKey).isNotNull && might).count().toDouble / total
   }
 }

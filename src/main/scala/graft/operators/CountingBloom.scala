@@ -13,22 +13,26 @@ import org.apache.spark.sql.graft.{Bridge, BitsetGet}
   * addition commutes — BIT-EQUAL to a rebuild from the surviving key
   * multiset (Round16OpsSpec pins it).
   *
-  * State shape: (pos INT, cnt BIGINT), only positions with non-zero count —
-  * at most min(h·n, m) rows, driver-bounded by `m` regardless of corpus
-  * size. Probing collapses the counters to a bitset (cnt > 0, m/8 bytes)
-  * that rides the plan as a binary literal and is tested per row by the
-  * codegen'd [[org.apache.spark.sql.graft.BitsetGet]] expression — the
-  * bf1/x20 plan shape (probe inside whole-stage codegen, no UDF), with the
-  * same exact-confirm backstop making every consumer's OUTPUT independent
-  * of m/h/false positives.
+  * State shape: (pos INT, cnt BIGINT, m INT, h INT, kt STRING) — m/h/kt are
+  * constant marker columns (the Bm25 stats-marker precedent): a probe or
+  * maintenance batch hashed with a different modulus, hash count, or key
+  * DTYPE than the build would miss bits and silently drop PRESENT keys
+  * (false negatives, which the exact-confirm backstop cannot repair), so
+  * every consumer revalidates against the persisted triple and fails
+  * loudly on drift. Row count ≤ min(h·n, m), driver-bounded by `m`
+  * regardless of corpus size. Probing collapses the counters to a bitset
+  * (cnt > 0, m/8 bytes) that rides the plan as a binary literal and is
+  * tested per row by the codegen'd [[org.apache.spark.sql.graft.BitsetGet]]
+  * expression — the bf1/x20 plan shape (probe inside whole-stage codegen,
+  * no UDF), with the same exact-confirm backstop making every consumer's
+  * OUTPUT independent of m/h/false positives.
   *
   * Multiset discipline (the classic counting-Bloom contract): only remove
   * keys that were previously added, as many times as they were added — a
   * snapshot diff satisfies this by construction (`removed` ⊆ old corpus).
   * Removing a never-added key would drive counters negative and could mask
-  * a genuinely present key (false NEGATIVE); the exact-confirm consumers
-  * would then silently drop rows, so [[bitset]] fails loudly on any
-  * negative counter instead.
+  * a genuinely present key, so [[bitset]] fails loudly on any negative
+  * counter instead.
   *
   * Positions: pos_i(k) = xxhash64(k, i) mod m for i in 0..h−1 — the (key,
   * seed-index) tuple through Spark's native codegen'd hash, identical at
@@ -36,6 +40,9 @@ import org.apache.spark.sql.graft.{Bridge, BitsetGet}
   * fpp-independent by the exact-confirm backstop (the x20 adjudication).
   */
 object CountingBloom {
+
+  private def keyType(df: DataFrame, keyCol: String): String =
+    df.schema(keyCol).dataType.simpleString
 
   /** h hash positions per key, exploded to (pos) rows. */
   private def positions(keys: DataFrame, keyCol: String, m: Int, h: Int): DataFrame = {
@@ -45,24 +52,50 @@ object CountingBloom {
       pmod(xxhash64(col(keyCol), lit(i)), lit(m.toLong)).cast("int")): _*)).as("pos"))
   }
 
+  /** The persisted (m, h, kt) marker of a state frame; ("", default m/h)
+    * never escapes — empty states short-circuit in each consumer. */
+  private def marker(state: DataFrame): (Int, Int, String) =
+    state.select(col("m"), col("h"), col("kt")).limit(1).collect().headOption
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      .getOrElse((8, 1, ""))
+
+  private def withMarker(counts: DataFrame, m: Int, h: Int, kt: String): DataFrame =
+    counts.withColumn("m", lit(m)).withColumn("h", lit(h))
+      .withColumn("kt", lit(kt))
+
   /** Counter state from a key multiset: one shuffle of (pos, partial-count)
     * pairs (map-side combined; width ≤ m rows, never corpus-sized). */
   def counters(keys: DataFrame, keyCol: String, m: Int = 1 << 18,
                h: Int = 5): DataFrame =
-    positions(keys, keyCol, m, h).groupBy("pos").agg(count(lit(1)).as("cnt"))
+    withMarker(
+      positions(keys, keyCol, m, h).groupBy("pos").agg(count(lit(1)).as("cnt")),
+      m, h, keyType(keys, keyCol))
 
   /** Apply a snapshot delta: +1 per hash position of `added`, −1 per hash
     * position of `removed`; zeroed positions drop so the state stays the
-    * support of the counter function. Work ∝ |delta|, state ≤ m rows. */
+    * support of the counter function. m/h/key-dtype come FROM the state's
+    * marker — a caller cannot hash the delta differently than the build.
+    * Work ∝ |delta|, state ≤ m rows. */
   def maintain(state: DataFrame, added: DataFrame, removed: DataFrame,
-               keyCol: String, m: Int = 1 << 18, h: Int = 5): DataFrame =
-    state
-      .unionByName(positions(added, keyCol, m, h)
-        .groupBy("pos").agg(count(lit(1)).as("cnt")))
-      .unionByName(positions(removed, keyCol, m, h)
-        .groupBy("pos").agg((-count(lit(1))).as("cnt")))
-      .groupBy("pos").agg(sum(col("cnt")).as("cnt"))
-      .filter(col("cnt") =!= 0)
+               keyCol: String): DataFrame = {
+    val (m, h, kt) = marker(state)
+    Seq("added" -> added, "removed" -> removed).foreach { case (which, df) =>
+      val dt = keyType(df, keyCol)
+      require(kt.isEmpty || dt == kt,
+        s"CountingBloom.maintain: $which.$keyCol dtype $dt != state key dtype " +
+          s"$kt — xxhash64 is type-sensitive; a mismatch means silent false negatives")
+    }
+    if (kt.isEmpty) counters(added, keyCol, m, h) // empty state: fresh build
+    else withMarker(
+      state.select("pos", "cnt")
+        .unionByName(positions(added, keyCol, m, h)
+          .groupBy("pos").agg(count(lit(1)).as("cnt")))
+        .unionByName(positions(removed, keyCol, m, h)
+          .groupBy("pos").agg((-count(lit(1))).as("cnt")))
+        .groupBy("pos").agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0),
+      m, h, kt)
+  }
 
   /** Incremental-vs-full decision: maintenance costs O(|delta|·h) and a
     * rebuild costs O(|newCorpus|·h); below `threshold` the delta path wins
@@ -72,12 +105,13 @@ object CountingBloom {
   def chooseMaintain(nDelta: Long, nNew: Long, threshold: Double = 0.3): Boolean =
     nDelta < threshold * math.max(nNew, 1L)
 
-  /** Collapse counters to a probe bitset: bit pos set iff cnt > 0. m/8
-    * bytes, collected (bounded by m — the sketch-size contract, independent
-    * of corpus size). Fails loudly on negative counters: that is a multiset-
-    * discipline violation upstream and means probes could false-NEGATIVE,
-    * which the exact-confirm consumers cannot repair. */
-  def bitset(state: DataFrame, m: Int = 1 << 18): Array[Byte] = {
+  /** Collapse counters to a probe bitset: bit pos set iff cnt > 0; sized by
+    * the state's own m (collected — bounded by m, the sketch-size contract,
+    * independent of corpus size). Fails loudly on negative counters: that
+    * is a multiset-discipline violation upstream and means probes could
+    * false-NEGATIVE, which the exact-confirm consumers cannot repair. */
+  def bitset(state: DataFrame): Array[Byte] = {
+    val (m, _, _) = marker(state)
     val bytes = new Array[Byte](m / 8)
     state.select(col("pos"), col("cnt")).collect().foreach { r =>
       val pos = r.getInt(0)
@@ -109,11 +143,16 @@ object CountingBloom {
     * rows of `probe` whose key is in `truth` — the sketch prunes the probe
     * side BEFORE its shuffle, the equi-join on the sketch-passing candidates
     * removes the false positives, so the OUTPUT is independent of m/h/fpp
-    * and equals a plain left-semi join. */
+    * and equals a plain left-semi join. m and h come from the state marker;
+    * the probe key's dtype must match the build's (enforced). */
   def semiJoin(probe: DataFrame, probeKey: String, state: DataFrame,
-               truth: DataFrame, truthKey: String,
-               m: Int = 1 << 18, h: Int = 5): DataFrame = {
-    val might = mightContain(bitset(state, m), col(probeKey), h)
+               truth: DataFrame, truthKey: String): DataFrame = {
+    val (_, h, kt) = marker(state)
+    val pt = keyType(probe, probeKey)
+    require(kt.isEmpty || pt == kt,
+      s"CountingBloom.semiJoin: probe.$probeKey dtype $pt != state key dtype " +
+        s"$kt — xxhash64 is type-sensitive; a mismatch means silent false negatives")
+    val might = mightContain(bitset(state), col(probeKey), h)
     probe.filter(col(probeKey).isNotNull && might)
       .join(truth.select(col(truthKey).as(probeKey)), Seq(probeKey), "left_semi")
   }

@@ -207,10 +207,15 @@ object DataValidation {
       .withColumn("_ddb", // dd saturated into BIGINT: exact while n_a·n_b < 2^63
         expr("CAST(least(_dm, CAST(9223372036854775807 AS DECIMAL(38,0))) AS BIGINT)"))
       .select(col("n_a"), col("n_b"),
-        // the cross-product form degenerates to 0 when a SIDE is empty
-        // (t=0 kills both terms) — but an empty side against a non-empty
-        // one is TOTAL drift, the documented ks = 1 contract
-        when((col("n_a") === 0) =!= (col("n_b") === 0), lit(1000000L))
+        // BOTH sides empty -> the all-NULL row (no data, no drift claim).
+        // Pinned explicitly: least()/greatest() SKIP nulls rather than
+        // propagate them, so without this branch a NULL _dm would read as
+        // Long.MaxValue and the division would emit garbage (r16 review).
+        when(col("n_a").isNull || col("n_b").isNull, lit(null).cast("long"))
+          // the cross-product form degenerates to 0 when a SIDE is empty
+          // (t=0 kills both terms) — but an empty side against a non-empty
+          // one is TOTAL drift, the documented ks = 1 contract
+          .when((col("n_a") === 0) =!= (col("n_b") === 0), lit(1000000L))
           .otherwise(expr(
             "((_ddb DIV _hi) * 1000000 + " + // quotient ≤ _lo ≤ 3e9 ⇒ ·1e6 safe
               "CAST(least(CAST(_ddb % _hi AS DECIMAL(38,0)) * 1000000, " +

@@ -130,20 +130,18 @@ object QuantileSketch {
     quantilesFromSketch(build(df, valueCol, idCol, cap, seed), qPcts)
 
   /** Exact-rank error of a sketch's estimates against the true distribution:
-    * for each q, |rank(est)/n - q/100| where rank(est) = #{v <= est}. One
-    * broadcast of the <= 9 estimates against one corpus scan. Returns
-    * (q_pct, est, rank_err_ppm). Bench's [kll-error] line reads max/mean. */
-  def rankError(df: DataFrame, valueCol: String, estimates: DataFrame): DataFrame = {
-    val n = df.count()
-    val ests = estimates.select(col("q_pct"), col("est")).collect()
-      .map(r => (r.getLong(0), r.get(1)))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val rows = ests.map { case (q, e) =>
-      val rank = df.filter(col(valueCol) <= lit(e)).count()
-      val errPpm = math.abs(rank * 1000000L / math.max(n, 1L) - q * 10000L)
-      (q, e.toString, errPpm)
-    }.toSeq
-    rows.toDF("q_pct", "est", "rank_err_ppm")
-  }
+    * for each q, |rank(est)/n - q/100| where rank(est) = #{v <= est}. ONE
+    * corpus scan: the ≤ 9 estimates broadcast-cross-join every row and a
+    * map-side-combined aggregate counts v ≤ est per estimate (n rides along
+    * as the group count). Returns (q_pct, est, rank_err_ppm). Bench's
+    * [kll-error] line reads max/mean. */
+  def rankError(df: DataFrame, valueCol: String, estimates: DataFrame): DataFrame =
+    df.select(col(valueCol).as("_val"))
+      .crossJoin(broadcast(estimates.select(col("q_pct"), col("est"))))
+      .groupBy(col("q_pct"), col("est"))
+      .agg(sum(when(col("_val") <= col("est"), 1L).otherwise(0L)).as("_rank"),
+        count(lit(1)).as("_n"))
+      .select(col("q_pct"), col("est"),
+        expr("abs(_rank * 1000000 DIV greatest(_n, 1) - q_pct * 10000)")
+          .as("rank_err_ppm"))
 }

@@ -462,6 +462,12 @@ class Round15OpsSpec extends SparkSpec {
     // cross-product form alone degenerates to 0 here)
     assert(ks(Seq(1L, 2L), Seq.empty) == (2L, 0L, 1000000L, 1L))
     assert(ks(Seq.empty, Seq(5L))._3 == 1000000L)
+    // BOTH sides empty: the all-NULL row (r16 review regression guard —
+    // null-skipping least/greatest must not turn NULL _dm into Long.MaxValue)
+    val both = DataValidation.ksDrift(
+        Seq.empty[Long].toDF("v"), "v", Seq.empty[Long].toDF("v"), "v").head()
+    assert(both.isNullAt(0) && both.isNullAt(1) && both.isNullAt(2) && both.isNullAt(3),
+      s"both-empty must be all-NULL, got $both")
     // fractional values survive (no silent long cast): scores in (0,1)
     // fully separated must read as total drift, not zero
     val fr = DataValidation.ksDrift(

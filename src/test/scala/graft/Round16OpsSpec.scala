@@ -67,13 +67,20 @@ class Round16OpsSpec extends SparkSpec {
     val removed = (0L until 400L by 7L).toDF("k")
     val v2 = (0L until 450L).filter(i => i >= 400 || i % 7 != 0).toDF("k")
     val maintained = CountingBloom.maintain(
-      CountingBloom.counters(v1, "k", m), added, removed, "k", m)
-      .as[(Int, Long)].collect().toMap
+      CountingBloom.counters(v1, "k", m), added, removed, "k")
+      .select("pos", "cnt").as[(Int, Long)].collect().toMap
     val rebuilt = CountingBloom.counters(v2, "k", m)
-      .as[(Int, Long)].collect().toMap
+      .select("pos", "cnt").as[(Int, Long)].collect().toMap
     assert(maintained == rebuilt && maintained.nonEmpty)
     // counter mass invariant: every key contributes exactly h positions
     assert(maintained.values.sum == 5L * v2.count())
+    // the state's own marker drives maintenance — a delta with a DIFFERENT
+    // key dtype than the build must fail loudly, not false-negative silently
+    val e = intercept[IllegalArgumentException] {
+      CountingBloom.maintain(CountingBloom.counters(v1, "k", m),
+        Seq(1, 2).toDF("k"), Seq.empty[Int].toDF("k"), "k")
+    }
+    assert(e.getMessage.contains("dtype"))
   }
 
   test("CountingBloom: no false negatives; removal actually forgets; fpp is sane") {
@@ -82,8 +89,8 @@ class Round16OpsSpec extends SparkSpec {
     val present = (0L until 300L).toDF("k")
     val state = CountingBloom.maintain(
       CountingBloom.counters((0L until 500L).toDF("k"), "k", m),
-      spark.emptyDataset[Long].toDF("k"), (300L until 500L).toDF("k"), "k", m)
-    val bits = CountingBloom.bitset(state, m)
+      spark.emptyDataset[Long].toDF("k"), (300L until 500L).toDF("k"), "k")
+    val bits = CountingBloom.bitset(state)
     // every surviving key passes (false negatives impossible under discipline)
     assert(present.filter(!CountingBloom.mightContain(bits, col("k"))).isEmpty)
     // probes over a disjoint range pass only at the false-positive rate —
@@ -103,8 +110,8 @@ class Round16OpsSpec extends SparkSpec {
     val state = CountingBloom.maintain(
       CountingBloom.counters((0L until 10L).toDF("k"), "k", m),
       spark.emptyDataset[Long].toDF("k"),
-      (100L until 140L).toDF("k"), "k", m) // never-added keys
-    val e = intercept[IllegalArgumentException] { CountingBloom.bitset(state, m) }
+      (100L until 140L).toDF("k"), "k") // never-added keys
+    val e = intercept[IllegalArgumentException] { CountingBloom.bitset(state) }
     assert(e.getMessage.contains("negative counter"))
     assert(CountingBloom.chooseMaintain(10, 100) && !CountingBloom.chooseMaintain(50, 100))
     assert(!CountingBloom.chooseMaintain(1, 0)) // empty new corpus: rebuild is free
@@ -114,7 +121,7 @@ class Round16OpsSpec extends SparkSpec {
     import graft.operators.CountingBloom
     val probe = spark.read.parquet(sf("documents")).select(col("doc_id"))
     val state = CountingBloom.counters(probe, "doc_id", 1 << 12)
-    val plan = CountingBloom.semiJoin(probe, "doc_id", state, probe, "doc_id", 1 << 12)
+    val plan = CountingBloom.semiJoin(probe, "doc_id", state, probe, "doc_id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("bitset_get"), "native bitset probe missing\n" + plan)
     assert(!plan.contains("ScalaUDF"), "boxed UDF in probe path\n" + plan)
