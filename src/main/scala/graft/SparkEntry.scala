@@ -2346,6 +2346,15 @@ object SparkEntry {
             col("l_linenumber").cast("string")).as("lid"))
       QuantileSketch.quantiles(li, "price_cents", "lid", cap = 256)
     }),
+    // CS12 per-group KLL quantiles (r16): the fully distributed form of
+    // cs11 — level selection per group as plain SQL over the (group, tz)
+    // histogram (suffix-count window, ≤34 rows per group), NO driver
+    // collect, so a million groups cost one shuffle. Same estimator, same
+    // SQL replay per group. See QuantileSketch.quantilesByGroup.
+    "cs12_kll_grouped" -> ((s, dir) => {
+      QuantileSketch.quantilesByGroup(t(s, dir, "documents"), Seq("lang"),
+        "n_chars", "doc_id", cap = 64)
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads: REAL MJPEG-in-AVI
@@ -5672,6 +5681,23 @@ object SparkEntry {
           |SELECT CAST(q AS BIGINT) AS q_pct, CAST(r.v AS BIGINT) AS est,
           |  (SELECT CAST(level AS BIGINT) FROM lv) AS level,
           |  CAST(r.m AS BIGINT) AS m_kept
+          |FROM qs JOIN r ON r.rn = greatest(1, (q * r.m + 99) // 100)""".stripMargin.replace("\n", " "),
+      // cs12: cs11's replay run PER GROUP — per-lang suffix-count window
+      // picks the level (0 if the group fits cap, else 1 + the last
+      // infeasible tz), then the same rank read inside each group.
+      "cs12_kll_grouped" ->
+        """WITH items AS (SELECT lang, n_chars AS v, CAST(doc_id AS VARCHAR) AS id,
+          |    CAST(('0x' || substr(md5('kll|' || doc_id), 1, 8)) AS BIGINT) AS h FROM documents),
+          |z AS (SELECT lang, v, id, h, CASE WHEN h = 0 THEN 32 ELSE CAST(round(log2((h & -h))) AS INT) END AS tz FROM items),
+          |hist AS (SELECT lang, tz, count(*) AS c FROM z GROUP BY 1, 2),
+          |s AS (SELECT lang, tz, sum(c) OVER (PARTITION BY lang ORDER BY tz DESC) AS sfx FROM hist),
+          |lvl AS (SELECT lang, coalesce(max(CASE WHEN sfx > 64 THEN tz END) + 1, 0) AS level FROM s GROUP BY 1),
+          |kept AS (SELECT z.lang, v, id, h, lvl.level FROM z JOIN lvl ON z.lang = lvl.lang WHERE z.tz >= lvl.level),
+          |r AS (SELECT lang, v, level, row_number() OVER (PARTITION BY lang ORDER BY v, h, id) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS m FROM kept),
+          |qs AS (SELECT unnest([25, 50, 75, 90]) AS q)
+          |SELECT lang, CAST(q AS BIGINT) AS q_pct, CAST(v AS BIGINT) AS est,
+          |  CAST(level AS BIGINT) AS level, CAST(m AS BIGINT) AS m_kept
           |FROM qs JOIN r ON r.rn = greatest(1, (q * r.m + 99) // 100)""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),

@@ -129,6 +129,57 @@ object QuantileSketch {
                 qPcts: Seq[Int] = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)): DataFrame =
     quantilesFromSketch(build(df, valueCol, idCol, cap, seed), qPcts)
 
+  /** Per-GROUP sketched quantiles — the fully distributed form: unlike
+    * [[quantiles]] (one 33-row histogram collect), nothing touches the
+    * driver, so a million groups cost one shuffle, not a million jobs.
+    * Level selection per group runs as plain SQL over the (group, tz)
+    * histogram: s(tz) = suffix count of items at level ≥ tz (one ≤34-row
+    * window per group), and the smallest feasible level is 0 when the
+    * group fits cap outright, else 1 + max{tz : s(tz) > cap} (s is a
+    * non-increasing step function, so the next level after the last
+    * infeasible one is feasible). Survivor ranking windows are partitioned
+    * by group and cap-bounded. Same estimator as the single-group path —
+    * and the same SQL replay, per group (the cs12 oracle row).
+    * Output: (groupCols*, q_pct, est, level, m_kept). Groups whose survivor
+    * set is empty (impossible: cap ≥ 1 keeps at least one item when the
+    * group is non-empty) simply don't appear. */
+  def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCol: String, cap: Int = 256, seed: String = "kll",
+      qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(groupCols.nonEmpty, "quantilesByGroup: no group columns")
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 99),
+      s"qPcts must be in 1..99, got $qPcts")
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val h = Hashing.md5Long(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val lv = df.select(gcols :+ col(valueCol).as("_v") :+
+        col(idCol).cast("string").as("_id") :+ h.as("_h"): _*)
+      .withColumn("_tz", when(col("_h") === 0, lit(32)).otherwise(
+        round(log2((col("_h").bitwiseAND(-col("_h"))).cast("double"))).cast("int")))
+    val hist = lv.groupBy(gcols :+ col("_tz"): _*).agg(count(lit(1)).as("_c"))
+      .withColumn("_s", sum(col("_c")).over( // suffix count: items at ≥ _tz
+        Window.partitionBy(gcols: _*).orderBy(col("_tz").desc)))
+    val levels = hist.groupBy(gcols: _*)
+      .agg(max(when(col("_s") > cap, col("_tz"))).as("_t"))
+      .select(gcols :+
+        coalesce(col("_t") + 1, lit(0)).cast("int").as("_level"): _*)
+    val kept = lv.join(levels, groupCols).filter(col("_tz") >= col("_level"))
+    val ranked = kept
+      .withColumn("_rn", row_number().over(Window.partitionBy(gcols: _*)
+        .orderBy(col("_v"), col("_h"), col("_id"))))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+    val qs = qPcts.toDF("q_pct")
+    ranked.join(broadcast(qs),
+        col("_rn") === greatest(lit(1L), expr("(q_pct * _m + 99) DIV 100")))
+      .select(gcols ++ Seq(col("q_pct").cast("long"), col("_v").as("est"),
+        col("_level").cast("long").as("level"),
+        col("_m").cast("long").as("m_kept")): _*)
+      .orderBy(gcols :+ col("q_pct"): _*)
+  }
+
   /** Exact-rank error of a sketch's estimates against the true distribution:
     * for each q, |rank(est)/n - q/100| where rank(est) = #{v <= est}. ONE
     * corpus scan: the ≤ 9 estimates broadcast-cross-join every row and a

@@ -59,6 +59,31 @@ class Round16OpsSpec extends SparkSpec {
     assert(ms.head._5 >= math.max(la, lb))
   }
 
+  test("QuantileSketch.quantilesByGroup == per-group single-group quantiles") {
+    import graft.operators.QuantileSketch
+    // three groups of very different sizes so levels differ per group
+    val df = ((1L to 2000L).map(i => ("big", i, i)) ++
+      (1L to 90L).map(i => ("mid", 3000L + i, i * 10)) ++
+      (1L to 5L).map(i => ("tiny", 5000L + i, i * 100)))
+      .toDF("g", "id", "v")
+    val cap = 64
+    val grouped = QuantileSketch.quantilesByGroup(df, Seq("g"), "v", "id",
+        cap, qPcts = Seq(25, 50, 75, 90))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // the distributed per-group level/rank must equal running the driver-
+    // collected single-group path on each group separately
+    val single = Seq("big", "mid", "tiny").flatMap { g =>
+      QuantileSketch.quantiles(df.filter($"g" === g), "v", "id", cap,
+          qPcts = Seq(25, 50, 75, 90))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (q, e, l, m) => (g, q, e, l, m) }
+    }.toSet
+    assert(grouped == single && grouped.nonEmpty)
+    // sanity: big compacts (level > 0), tiny keeps everything (level 0)
+    assert(grouped.find(_._1 == "big").get._4 > 0)
+    assert(grouped.find(_._1 == "tiny").get._4 == 0)
+  }
+
   test("CountingBloom: maintain from a delta == rebuild from the survivors, bit-equal") {
     import graft.operators.CountingBloom
     val m = 1 << 10
