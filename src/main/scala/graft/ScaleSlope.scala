@@ -33,10 +33,13 @@ object ScaleSlope {
 
   private val OFF = 100000000L
 
-  private val QUERIES = Seq(
+  private val DEFAULT_QUERIES = Seq(
     "rag_pipeline", "x39_textrank", "pipe3_topic_dedup", "d18_prefix_jaccard",
     "fi1_frequent_pairs", "fi2_pcy_pairs", "p4_degree2", "bt1_bradley_terry",
-    "g14_hits", "pr1_pagerank")
+    "g14_hits", "pr1_pagerank",
+    // the r16 additions, measured on the same footing
+    "cs11_kll_quantiles", "cs12_kll_grouped", "s12_removable_membership",
+    "bf1_bloom_semijoin")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
@@ -80,6 +83,11 @@ object ScaleSlope {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val bigDir = args.drop(1).headOption.getOrElse("/tmp/graft_sf0.1_x10")
+    // args 3+ = query-name filter for incremental measurement (the default
+    // list otherwise); synthesis is unaffected
+    val QUERIES =
+      if (args.length > 2) DEFAULT_QUERIES.filter(args.drop(2).toSet)
+      else DEFAULT_QUERIES
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
