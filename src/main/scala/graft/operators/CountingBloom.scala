@@ -156,4 +156,28 @@ object CountingBloom {
     probe.filter(col(probeKey).isNotNull && might)
       .join(truth.select(col(truthKey).as(probeKey)), Seq(probeKey), "left_semi")
   }
+
+  /** Decontamination form — rows of `corpus` NOT in the maintained set
+    * (the [[CorpusOps.bloomDecontaminate]] shape, with a sketch that can
+    * FORGET): sketch-clean rows pass directly, sketch-hits are exact-
+    * confirmed against `evalKeys` so false positives survive — output ≡
+    * a plain left-anti join regardless of m/h/fpp. This is the x20
+    * call-site a snapshot-diff-maintained eval set needs: eval-set removals
+    * maintain the counters instead of forcing a sketch rebuild. The corpus
+    * is scanned twice (clean ∪ confirmed) — checkpoint nondeterministic
+    * inputs first (the bloomDecontaminate precondition). */
+  def antiJoin(corpus: DataFrame, corpusKey: String, state: DataFrame,
+               evalKeys: DataFrame, evalKeyCol: String): DataFrame = {
+    val (_, h, kt) = marker(state)
+    val ct = keyType(corpus, corpusKey)
+    require(kt.isEmpty || ct == kt,
+      s"CountingBloom.antiJoin: corpus.$corpusKey dtype $ct != state key dtype " +
+        s"$kt — xxhash64 is type-sensitive; a mismatch means silent false negatives")
+    val might = mightContain(bitset(state), col(corpusKey), h)
+    val candidates = corpus.filter(might)
+      .join(evalKeys.select(col(evalKeyCol).as(corpusKey)).distinct(),
+        Seq(corpusKey), "left_anti")
+    corpus.filter(!might)
+      .unionByName(candidates.select(corpus.columns.map(col): _*))
+  }
 }

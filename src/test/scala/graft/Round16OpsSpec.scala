@@ -129,6 +129,26 @@ class Round16OpsSpec extends SparkSpec {
     assert(removedPass < 100, s"removal did not forget: $removedPass/200 still pass")
   }
 
+  test("CountingBloom.antiJoin == plain left-anti after removals (the x20 shape that forgets)") {
+    import graft.operators.CountingBloom
+    val m = 1 << 12
+    // eval set v1 = 0..199, then 100..199 removed: surviving eval = 0..99
+    val evalNow = (0L until 100L).toDF("k")
+    val state = CountingBloom.maintain(
+      CountingBloom.counters((0L until 200L).toDF("k"), "k", m),
+      spark.emptyDataset[Long].toDF("k"), (100L until 200L).toDF("k"), "k")
+    val corpus = (50L until 350L).map(i => (i, s"doc$i")).toDF("k", "body")
+    val got = CountingBloom.antiJoin(corpus, "k", state, evalNow, "k")
+    val want = corpus.join(evalNow, Seq("k"), "left_anti")
+    assert(got.count() == 300 - 50 && // 50..99 contaminated, rest clean
+      got.select("k").except(want.select("k")).isEmpty &&
+      want.select("k").except(got.select("k")).isEmpty)
+    // and the forgetting matters: keys 100..199 (removed from eval) must
+    // NOT be dropped from the corpus — a stale non-removable sketch plus a
+    // stale truth table would have cut them
+    assert(got.filter($"k" >= 100 && $"k" < 200).count() == 100)
+  }
+
   test("CountingBloom: undisciplined remove fails loudly; chooseMaintain crossover") {
     import graft.operators.CountingBloom
     val m = 1 << 10
