@@ -75,18 +75,23 @@ object CountingBloom {
     * position of `removed`; zeroed positions drop so the state stays the
     * support of the counter function. m/h/key-dtype come FROM the state's
     * marker — a caller cannot hash the delta differently than the build.
-    * Work ∝ |delta|, state ≤ m rows. */
+    * A marker-less state (zero counter rows — nothing ever inserted, e.g. a
+    * stream's first batch) adopts `mIfEmpty`/`hIfEmpty` and the delta's own
+    * key dtype; removes against it go NEGATIVE and surface loudly at the
+    * next [[bitset]], never silently drop. Work ∝ |delta|, state ≤ m rows. */
   def maintain(state: DataFrame, added: DataFrame, removed: DataFrame,
-               keyCol: String): DataFrame = {
-    val (m, h, kt) = marker(state)
+               keyCol: String, mIfEmpty: Int = 1 << 18,
+               hIfEmpty: Int = 5): DataFrame = {
+    val (m0, h0, kt0) = marker(state)
+    val (m, h) = if (kt0.isEmpty) (mIfEmpty, hIfEmpty) else (m0, h0)
+    val kt = if (kt0.isEmpty) keyType(added, keyCol) else kt0
     Seq("added" -> added, "removed" -> removed).foreach { case (which, df) =>
       val dt = keyType(df, keyCol)
-      require(kt.isEmpty || dt == kt,
+      require(dt == kt,
         s"CountingBloom.maintain: $which.$keyCol dtype $dt != state key dtype " +
           s"$kt — xxhash64 is type-sensitive; a mismatch means silent false negatives")
     }
-    if (kt.isEmpty) counters(added, keyCol, m, h) // empty state: fresh build
-    else withMarker(
+    withMarker(
       state.select("pos", "cnt")
         .unionByName(positions(added, keyCol, m, h)
           .groupBy("pos").agg(count(lit(1)).as("cnt")))

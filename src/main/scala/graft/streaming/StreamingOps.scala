@@ -181,6 +181,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming counting-Bloom membership maintenance
+    * ([[graft.operators.CountingBloom]]): each micro-batch carries key rows
+    * tagged with an `op` column (`add` | `remove` — the shape a
+    * snapshot-diff CDC stream produces), applied to the saved counter state
+    * via [[graft.operators.CountingBloom.maintain]]. Counters are additive,
+    * so the maintained state is BIT-EQUAL to one batch build over the net
+    * multiset (StreamingSpec pins it): the eval-set sketch that
+    * decontamination probes ([[graft.operators.CountingBloom.antiJoin]])
+    * stays warm on an unbounded add/remove stream — state ≤ m counter rows
+    * regardless of stream size, per batch the work is delta-sized.
+    * Multiset discipline is the stream's contract (remove only what was
+    * added); a violation surfaces loudly at the next bitset() probe. */
+  def countingBloomMaintain(stream: DataFrame, keyCol: String, opCol: String,
+      statePath: String, m: Int = 1 << 18, h: Int = 5): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val CB = graft.operators.CountingBloom
+        val b = batch.localCheckpoint(true) // read twice: adds + removes
+        try {
+          val added = b.filter(col(opCol) === "add").select(keyCol)
+          val removed = b.filter(col(opCol) === "remove").select(keyCol)
+          val merged = StateTable.read(spark, statePath) match {
+            case Some(st) => CB.maintain(st, added, removed, keyCol)
+            case None => // first batch: marker-less empty state adopts m/h
+              CB.maintain(CB.counters(added.limit(0), keyCol, m, h),
+                added, removed, keyCol, mIfEmpty = m, hIfEmpty = h)
+          }
+          StateTable.overwrite(merged, statePath)
+        } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(b)
+        ()
+      }
+      .start()
+
   /** Streaming KLL-style quantile-sketch maintenance
     * ([[graft.operators.QuantileSketch]]): each micro-batch is hashed and
     * leveled once, unioned with the saved survivor set, and the level is

@@ -344,6 +344,41 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming counting-Bloom maintenance: maintained counters == one-shot net build") {
+    import graft.operators.CountingBloom
+    val dir = Files.createTempDirectory("stream_cbf").toString
+    val statePath = s"$dir/state"
+    val m = 1 << 10
+    // three CDC waves: wave 1 adds 0..399 (incl. an add+remove of the same
+    // key INSIDE the first batch), later waves add more and remove earlier
+    // adds — the cross-batch forget path
+    val w1 = (0L until 400L).map(i => (i, "add")) :+ (7L, "remove")
+    val w2 = (400L until 500L).map(i => (i, "add")) ++
+      (0L until 400L by 5L).filter(_ != 7L).map(i => (i, "remove"))
+    val w3 = (500L until 520L).map(i => (i, "add")) ++
+      (400L until 500L by 3L).map(i => (i, "remove"))
+    Seq(w1, w2, w3).zipWithIndex.foreach { case (w, i) =>
+      w.toDF("k", "op").write.parquet(s"$dir/in/$i") }
+    val stream = spark.readStream.schema(w1.toDF("k", "op").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.countingBloomMaintain(stream, "k", "op", statePath, m = m)
+    q.processAllAvailable(); q.stop()
+    // net multiset after all waves, built in ONE batch: bit-equal counters
+    val all = w1 ++ w2 ++ w3
+    val net = all.filter(_._2 == "add").map(_._1)
+      .diff(all.filter(_._2 == "remove").map(_._1)) // multiset difference
+    val streamed = spark.read.parquet(statePath)
+      .select("pos", "cnt", "m", "h", "kt")
+      .as[(Int, Long, Int, Int, String)].collect().toSet
+    val oneShot = CountingBloom.counters(net.toDF("k"), "k", m)
+      .as[(Int, Long, Int, Int, String)].collect().toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // and the maintained sketch still answers membership with no false
+    // negatives on the surviving keys
+    val bits = CountingBloom.bitset(spark.read.parquet(statePath))
+    assert(net.toDF("k").filter(!CountingBloom.mightContain(bits, $"k")).isEmpty)
+  }
+
   test("streaming KLL maintenance: maintained sketch == one-shot sketch, bit-equal") {
     import graft.operators.QuantileSketch
     val dir = Files.createTempDirectory("stream_kll").toString
