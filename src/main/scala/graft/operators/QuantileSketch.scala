@@ -145,29 +145,75 @@ object QuantileSketch {
     * group is non-empty) simply don't appear. */
   def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       idCol: String, cap: Int = 256, seed: String = "kll",
-      qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
-    require(groupCols.nonEmpty, "quantilesByGroup: no group columns")
-    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 99),
-      s"qPcts must be in 1..99, got $qPcts")
+      qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
+    quantilesFromSketchByGroup(
+      buildByGroup(df, groupCols, valueCol, idCol, cap, seed), groupCols, qPcts)
+
+  /** The grouped sketch: survivor rows (groupCols*, _v, _id, _h, _tz,
+    * _level) with _level PER GROUP — the distributed-selection half of
+    * [[quantilesByGroup]], exposed so streams can maintain it
+    * ([[mergeByGroup]] / StreamingOps.kllMaintainByGroup). `floorOf`
+    * (default absent) is an optional per-group floor frame
+    * (groupCols*, _floor) — the merge path's monotonicity clamp. */
+  def buildByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      idCol: String, cap: Int, seed: String = "kll",
+      floorOf: Option[DataFrame] = None): DataFrame = {
+    require(groupCols.nonEmpty, "buildByGroup: no group columns")
     require(cap > 0, s"cap must be > 0, got $cap")
-    val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val gcols = groupCols.map(col)
     val h = Hashing.md5Long(concat(lit(seed + "|"), col(idCol).cast("string")))
-    val lv = df.select(gcols :+ col(valueCol).as("_v") :+
-        col(idCol).cast("string").as("_id") :+ h.as("_h"): _*)
-      .withColumn("_tz", when(col("_h") === 0, lit(32)).otherwise(
-        round(log2((col("_h").bitwiseAND(-col("_h"))).cast("double"))).cast("int")))
+    val lv =
+      if (df.columns.contains("_tz")) // already-leveled rows (merge path)
+        df.select(gcols ++ Seq(col("_v"), col("_id"), col("_h"), col("_tz")): _*)
+      else df.select(gcols :+ col(valueCol).as("_v") :+
+          col(idCol).cast("string").as("_id") :+ h.as("_h"): _*)
+        .withColumn("_tz", when(col("_h") === 0, lit(32)).otherwise(
+          round(log2((col("_h").bitwiseAND(-col("_h"))).cast("double"))).cast("int")))
     val hist = lv.groupBy(gcols :+ col("_tz"): _*).agg(count(lit(1)).as("_c"))
       .withColumn("_s", sum(col("_c")).over( // suffix count: items at ≥ _tz
         Window.partitionBy(gcols: _*).orderBy(col("_tz").desc)))
-    val levels = hist.groupBy(gcols: _*)
+    val minimal = hist.groupBy(gcols: _*)
       .agg(max(when(col("_s") > cap, col("_tz"))).as("_t"))
       .select(gcols :+
-        coalesce(col("_t") + 1, lit(0)).cast("int").as("_level"): _*)
-    val kept = lv.join(levels, groupCols).filter(col("_tz") >= col("_level"))
-    val ranked = kept
+        coalesce(col("_t") + 1, lit(0)).cast("int").as("_lv0"): _*)
+    val levels = floorOf match {
+      case None => minimal.withColumnRenamed("_lv0", "_level")
+      case Some(fl) => minimal
+        .join(fl.select(gcols :+ col("_floor"): _*), groupCols, "left")
+        .select(gcols :+ greatest(col("_lv0"),
+          coalesce(col("_floor"), lit(0))).cast("int").as("_level"): _*)
+    }
+    lv.join(levels, groupCols).filter(col("_tz") >= col("_level"))
+  }
+
+  /** Merge two grouped sketches: union of survivor rows, per-group level
+    * re-chosen with floor = max of the sides' levels for that group — the
+    * per-group instance of [[merge]]'s bit-equality theorem (suffix counts
+    * at any level ≥ the floor agree between the union of survivors and the
+    * full multiset, because every discarded item sat below some earlier
+    * level ≤ floor). */
+  def mergeByGroup(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                   cap: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val u = a.unionByName(b)
+    val floors = u.groupBy(gcols: _*).agg(max(col("_level")).as("_floor"))
+    buildByGroup(u.drop("_level"), groupCols, "_v", "_id", cap,
+      floorOf = Some(floors))
+  }
+
+  /** Quantile reads from a grouped sketch (the [[quantilesFromSketch]]
+    * twin): per-group cap-bounded ranking windows, integer rank arithmetic.
+    * Output: (groupCols*, q_pct, est, level, m_kept). */
+  def quantilesFromSketchByGroup(sketch: DataFrame, groupCols: Seq[String],
+      qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 99),
+      s"qPcts must be in 1..99, got $qPcts")
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val ranked = sketch
       .withColumn("_rn", row_number().over(Window.partitionBy(gcols: _*)
         .orderBy(col("_v"), col("_h"), col("_id"))))
       .withColumn("_m", count(lit(1)).over(Window.partitionBy(gcols: _*)))

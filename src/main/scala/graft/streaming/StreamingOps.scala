@@ -245,6 +245,33 @@ object StreamingOps {
       }
       .start()
 
+  /** Per-GROUP streaming KLL maintenance — the grouped (cs12) twin of
+    * [[kllMaintain]]: each micro-batch is leveled once and merged into the
+    * saved grouped sketch via [[graft.operators.QuantileSketch.mergeByGroup]]
+    * (per-group floor = the saved level, the monotonicity clamp the
+    * bit-equality theorem needs per group). State ≤ cap survivor rows PER
+    * GROUP; groups never touch the driver — the whole maintenance step is
+    * one shuffle, so a million groups stream as cheaply as one. Maintained
+    * state == one-shot buildByGroup over the union of all batches,
+    * bit-equal (StreamingSpec). */
+  def kllMaintainByGroup(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, statePath: String,
+      cap: Int = 256, seed: String = "kll"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val Q = graft.operators.QuantileSketch
+        val fresh = Q.buildByGroup(batch, groupCols, valueCol, idCol, cap, seed)
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => Q.mergeByGroup(st, fresh, groupCols, cap)
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, statePath)
+        ()
+      }
+      .start()
+
   /** Streaming near-dup detection against a growing corpus: each micro-batch
     * of documents is minhash-signed once, paired WITHIN itself
     * ([[graft.operators.Dedup.lshCandidatePairs]]) and against the SAVED

@@ -344,6 +344,43 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming grouped-KLL maintenance: maintained grouped sketch == one-shot, bit-equal") {
+    import graft.operators.QuantileSketch
+    val dir = Files.createTempDirectory("stream_kllg").toString
+    val statePath = s"$dir/state"
+    // skewed groups (one compacts, one never does) + a group that appears
+    // ONLY in the last wave (the merge path's absent-side floor)
+    val all = ((0L until 1800L).map(i => ("big", i, (i * 13) % 501)) ++
+      (0L until 40L).map(i => ("small", 5000L + i, i)) ++
+      (0L until 30L).map(i => ("late", 9000L + i, i * 2)))
+      .toDF("g", "id", "v")
+    all.filter($"id" < 600).write.parquet(s"$dir/in/a")
+    all.filter($"id" >= 600 && $"id" < 1500).write.parquet(s"$dir/in/b")
+    all.filter($"id" >= 1500).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.kllMaintainByGroup(stream, Seq("g"), "v", "id",
+      statePath, cap = 64)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(statePath)
+      .select("g", "_v", "_id", "_h", "_tz", "_level")
+      .as[(String, Long, String, Long, Int, Int)].collect().toSet
+    val oneShot = QuantileSketch.buildByGroup(all, Seq("g"), "v", "id", cap = 64)
+      .select("g", "_v", "_id", "_h", "_tz", "_level")
+      .as[(String, Long, String, Long, Int, Int)].collect().toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // big compacted, small/late kept whole — per-group levels independent
+    val lv = streamed.groupBy(_._1).map { case (g, s) => g -> s.head._6 }
+    assert(lv("big") > 0 && lv("small") == 0 && lv("late") == 0, lv.toString)
+    // and the estimates read from maintained state == the batch board row's
+    val estS = QuantileSketch.quantilesFromSketchByGroup(
+      spark.read.parquet(statePath), Seq("g"), Seq(50))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val estB = QuantileSketch.quantilesByGroup(all, Seq("g"), "v", "id",
+      cap = 64, qPcts = Seq(50)).as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(estS == estB)
+  }
+
   test("streaming counting-Bloom maintenance: maintained counters == one-shot net build") {
     import graft.operators.CountingBloom
     val dir = Files.createTempDirectory("stream_cbf").toString
