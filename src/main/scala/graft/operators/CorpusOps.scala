@@ -1134,25 +1134,42 @@ object CorpusOps {
         expr(s"CAST(least(_sumsq, CAST(${Long.MaxValue} AS DECIMAL(38,0))) " +
           s"AS BIGINT) DIV $nSketches").as("est_f2"))
 
-  def countMinEstimate(df: DataFrame, valueCol: String,
-      probes: DataFrame, probeCol: String,
-      depth: Int = 4, width: Int = 128): DataFrame = {
-    def hashes(c: Column): Column = array((0 until depth).map(r => struct(
+  private def cmHashes(c: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(r => struct(
       lit(r).as("_r"),
       pmod(conv(substring(md5(concat(lit(s"cm$r-"), c)), 1, 8), 16, 10)
         .cast("long"), lit(width.toLong)).as("_b"))): _*)
-    val cells = df
-      .select(explode(hashes(col(valueCol))).as("h"))
+
+  /** The Count-Min cell table itself: (_r, _b, _cnt) counts over one row
+    * frame — depth·width rows max, map-side combined, and SUM-MERGEABLE
+    * across disjoint batches (cells are plain counts of a hash partition),
+    * which is what makes the sketch streaming-maintainable
+    * ([[graft.streaming.StreamingOps.cmsMaintain]]: per-batch cells sum
+    * into a state table, bit-equal to one shot). */
+  def countMinCells(df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 128): DataFrame =
+    df.select(explode(cmHashes(col(valueCol), depth, width)).as("h"))
       .groupBy(col("h._r").as("_r"), col("h._b").as("_b"))
       .agg(count(lit(1)).as("_cnt"))
+
+  /** Point-frequency reads from a SAVED cell table (the read side of
+    * cmsMaintain): min over the depth probed cells, absent cells = 0.
+    * One-sided error: est ≥ true count, inflated only by collisions. */
+  def countMinFromState(state: DataFrame, probes: DataFrame, probeCol: String,
+      depth: Int = 4, width: Int = 128): DataFrame =
     probes.select(col(probeCol).as("_p")).distinct()
-      .select(col("_p"), explode(hashes(col("_p"))).as("h"))
+      .select(col("_p"), explode(cmHashes(col("_p"), depth, width)).as("h"))
       .select(col("_p"), col("h._r").as("_r"), col("h._b").as("_b"))
-      .join(cells, Seq("_r", "_b"), "left")
+      .join(state, Seq("_r", "_b"), "left")
       .groupBy(col("_p"))
       .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_est"))
       .select(col("_p").as(probeCol), col("cms_est"))
-  }
+
+  def countMinEstimate(df: DataFrame, valueCol: String,
+      probes: DataFrame, probeCol: String,
+      depth: Int = 4, width: Int = 128): DataFrame =
+    countMinFromState(countMinCells(df, valueCol, depth, width),
+      probes, probeCol, depth, width)
 
   /** Mergeable equi-width histogram sketch: per (group, bin) counts over a
     * fixed [lo, hi) range — the quantile leg of the deterministic sketch

@@ -181,6 +181,30 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming Count-Min maintenance ([[graft.operators.CorpusOps
+    * .countMinCells]]): per-batch cell counts sum into the (_r, _b, _cnt)
+    * state — cells are plain counts of a hash partition, so the merged
+    * state is BIT-EQUAL to one shot over the union of all batches
+    * (StreamingSpec pins it) and point-frequency reads via
+    * [[graft.operators.CorpusOps.countMinFromState]] stay warm on an
+    * unbounded stream for depth·width rows of state. */
+  def cmsMaintain(stream: DataFrame, valueCol: String, statePath: String,
+      depth: Int = 4, width: Int = 128): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.CorpusOps.countMinCells(batch, valueCol, depth, width)
+        val merged = StateTable.read(spark, statePath) match {
+          case Some(st) => st.unionByName(fresh)
+            .groupBy(col("_r"), col("_b")).agg(sum(col("_cnt")).as("_cnt"))
+          case None => fresh // first batch
+        }
+        StateTable.overwrite(merged, statePath)
+        ()
+      }
+      .start()
+
   /** Streaming counting-Bloom membership maintenance
     * ([[graft.operators.CountingBloom]]): each micro-batch carries key rows
     * tagged with an `op` column (`add` | `remove` — the shape a

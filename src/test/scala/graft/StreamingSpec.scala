@@ -344,6 +344,36 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming Count-Min maintenance: summed cells == one-shot; estimates agree") {
+    import graft.operators.CorpusOps
+    val dir = Files.createTempDirectory("stream_cms").toString
+    val statePath = s"$dir/state"
+    val all = (0L until 3000L).map(i => s"w${i % 113}").toDF("v")
+    all.filter(substring($"v", 2, 10).cast("long") < 40).write.parquet(s"$dir/in/a")
+    all.filter(substring($"v", 2, 10).cast("long") >= 40 &&
+      substring($"v", 2, 10).cast("long") < 80).write.parquet(s"$dir/in/b")
+    all.filter(substring($"v", 2, 10).cast("long") >= 80).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.cmsMaintain(stream, "v", statePath, depth = 4, width = 64)
+    q.processAllAvailable(); q.stop()
+    // cells are plain counts of a hash partition -> sum-mergeable, bit-equal
+    val streamed = spark.read.parquet(statePath)
+      .as[(Int, Long, Long)].collect().toSet
+    val oneShot = CorpusOps.countMinCells(all, "v", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // and the probe read from maintained state == the batch operator's
+    val probes = Seq("w0", "w7", "w112", "nope").toDF("v")
+    val estS = CorpusOps.countMinFromState(spark.read.parquet(statePath),
+      probes, "v", depth = 4, width = 64).as[(String, Long)].collect().toMap
+    val estB = CorpusOps.countMinEstimate(all, "v", probes, "v",
+      depth = 4, width = 64).as[(String, Long)].collect().toMap
+    assert(estS == estB)
+    // one-sided error on a present key: est >= true count (3000/113 -> 27)
+    assert(estS("w7") >= 26)
+  }
+
   test("streaming grouped-KLL maintenance: maintained grouped sketch == one-shot, bit-equal") {
     import graft.operators.QuantileSketch
     val dir = Files.createTempDirectory("stream_kllg").toString
