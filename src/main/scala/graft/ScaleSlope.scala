@@ -39,9 +39,32 @@ object ScaleSlope {
     "g14_hits", "pr1_pagerank",
     // the r16 additions, measured on the same footing
     "cs11_kll_quantiles", "cs12_kll_grouped", "s12_removable_membership",
-    "bf1_bloom_semijoin")
+    "bf1_bloom_semijoin",
+    // r17: every row that read >10x in the r16 FULL-suite 10x run — the
+    // "linear band explained by in-suite box saturation" bracket rested on
+    // one cross-check (pr1); these standalone readings close it per row
+    "m10_calibration", "x32_signal_corr", "m6_pr_curve", "d7_line_dedup",
+    "d16_dup_by_source", "pipe1_corpus", "b7_spell_correct", "nb1_nb_model",
+    "x11_vocab", "g1_explode", "x15_weighted_sample", "pk1_sequence_pack",
+    "mk1_mink_prob",
+    // r17 additions, same footing as the r16 ones
+    "cs13_kll_compact", "pipe4_cdc_decontam", "mm4_audio_fingerprint")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    // key-shift precondition (r17 advice): copies collide SILENTLY if any
+    // scaling key reaches the shift offset — skewing every published slope —
+    // so refuse loudly instead. One cheap scan over the key columns.
+    val keyCols = Seq("customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+      "events" -> "event_id", "events" -> "user_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    keyCols.foreach { case (tbl, k) =>
+      val row = spark.read.parquet(s"$baseDir/$tbl.parquet")
+        .agg(max(col(k).cast("long"))).head()
+      val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(mx < OFF, s"ScaleSlope: $tbl.$k max $mx >= shift offset $OFF — " +
+        "copies would collide; raise OFF")
+    }
     def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$baseDir/$name.parquet")
       (0 until 10).map(k => f(base, k)).reduce(_ unionByName _)
@@ -73,9 +96,13 @@ object ScaleSlope {
       salted.withColumn("doc_id", shift("doc_id", k))
         .withColumn("n_chars", length(coalesce(col("text"), lit(""))).cast("long"))
     })
+    // embedding dim DERIVED from the data (r17 advice): a hardcoded 64 would
+    // silently mis-slice rotated vectors if the corpus dim ever changes
+    val dim = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
     copies("embeddings")((df, k) => {
       val rot = if (k == 0) col("embedding") else concat(
-        slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+        slice(col("embedding"), k + 1, dim - k), slice(col("embedding"), 1, k))
       df.withColumn("embedding", rot).withColumn("vec_id", shift("vec_id", k))
     })
   }

@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
   * rather than coin-flip KLL's O(log(1/d)/cap) — measured against the exact
   * answer by Bench's [kll-error] line, honest-loss style (fi2 precedent).
   *
-  * Scale shape: one map-side tz histogram (<= 33 rows) to choose the level,
-  * one distributed filter to keep ~cap rows; ranking/estimation then run on
-  * the cap-bounded survivor set (the only unpartitioned window is over
-  * <= cap rows — bounded by contract, the bt1 pattern). No corpus sort, no
-  * corpus window, no collect beyond the 33-row histogram.
+  * Scale shape: one map-side tz histogram (<= 33 rows) to choose the level
+  * IN SQL (a suffix-count window over the histogram — the same selection
+  * for single-group and grouped forms since r17, so nothing ever touches
+  * the driver and plan construction runs zero jobs), one distributed filter
+  * to keep ~cap rows; ranking/estimation then run on the cap-bounded
+  * survivor set (the only unpartitioned windows are over <= 33 histogram
+  * rows and <= cap survivors — bounded by contract, the bt1 pattern). No
+  * corpus sort, no corpus window, no collect anywhere.
   */
 object QuantileSketch {
 
@@ -49,54 +52,49 @@ object QuantileSketch {
 
   /** Input rows hashed and leveled: (_v value, _id id-as-string, _h, _tz).
     * The id enters the hash as `seed|id` so independent sketches over the
-    * same ids draw independent levels. */
+    * same ids draw independent levels. Rows with a NULL value or id are
+    * excluded by contract (a NULL id has no hash, so no level; a NULL value
+    * would sort NULLS FIRST in Spark but NULLS LAST in the SQL twin and
+    * drift the rank reads) — a guard, not a behavior change: both cs11/cs12
+    * inputs are non-null. */
   def leveled(df: DataFrame, valueCol: String, idCol: String,
               seed: String = "kll"): DataFrame = {
     val h = Hashing.md5Long(concat(lit(seed + "|"), col(idCol).cast("string")))
-    df.select(col(valueCol).as("_v"), col(idCol).cast("string").as("_id"),
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(valueCol).as("_v"), col(idCol).cast("string").as("_id"),
         h.as("_h"))
       .withColumn("_tz", tzOf(col("_h")))
   }
 
-  /** Smallest level >= `floor` whose survivor count fits `cap`: one 33-row
-    * aggregate, collected (bounded). Empty input -> `floor`. */
-  def chooseLevel(leveled: DataFrame, cap: Int, floor: Int = 0): Int = {
-    require(cap > 0, s"cap must be > 0, got $cap")
-    val hist = leveled.groupBy(col("_tz")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = (floor to 33).map(l => hist.filter(_._1 >= l).values.sum)
-    (floor to 33).zip(total).collectFirst { case (l, c) if c <= cap => l }
-      .getOrElse(33)
-  }
+  /** The grouping column [[build]]/[[merge]] add to route the single-group
+    * paths through [[buildByGroup]]'s SQL suffix-count level selection — ONE
+    * selection implementation for both forms (r17): the single-group paths
+    * previously collected a 33-row histogram plus two `.head()` actions per
+    * [[graft.streaming.StreamingOps.kllMaintain]] micro-batch; as a constant
+    * group they are pure plan construction — ZERO driver jobs until the
+    * caller acts (Round17OpsSpec pins the job count via a listener). */
+  private val OneGroup = "_kll_one"
 
-  /** The sketch: survivor rows at the chosen level. Columns
-    * (_v, _id, _h, _tz, _level) — _level is constant, carried so a persisted
-    * sketch (streaming state) knows its own floor at merge time. */
+  /** The sketch: survivor rows at the smallest level whose survivor count
+    * fits `cap`. Columns (_v, _id, _h, _tz, _level) — _level is constant,
+    * carried so a persisted sketch (streaming state) knows its own floor at
+    * merge time. Lazy: level selection is the constant-group instance of
+    * [[buildByGroup]]'s suffix-count SQL, so construction runs no jobs. */
   def build(df: DataFrame, valueCol: String, idCol: String,
-            cap: Int = 256, seed: String = "kll"): DataFrame = {
-    val lv = leveled(df, valueCol, idCol, seed)
-    val level = chooseLevel(lv, cap)
-    lv.filter(col("_tz") >= level).withColumn("_level", lit(level))
-  }
+            cap: Int = 256, seed: String = "kll"): DataFrame =
+    buildByGroup(df.withColumn(OneGroup, lit(1)), Seq(OneGroup),
+      valueCol, idCol, cap, seed).drop(OneGroup)
 
   /** Merge two sketches (or a sketch and a fresh `leveled` batch tagged with
     * `_level` 0): union, re-choose the level with floor = max of the two,
     * refilter. Bit-equal to one-shot `build` over the combined input —
     * count(L) for L >= max(La, Lb) is identical on the union of survivors
     * and on the full multiset, because a discarded item had tz < its side's
-    * level <= L. */
-  def merge(a: DataFrame, b: DataFrame, cap: Int): DataFrame = {
-    val floor = (a.agg(max(col("_level"))).head().get(0) match {
-      case null => 0
-      case i: Int => i
-    }).max(b.agg(max(col("_level"))).head().get(0) match {
-      case null => 0
-      case i: Int => i
-    })
-    val u = a.unionByName(b).drop("_level")
-    val level = chooseLevel(u, cap, floor)
-    u.filter(col("_tz") >= level).withColumn("_level", lit(level))
-  }
+    * level <= L. Lazy (the constant-group [[mergeByGroup]]): no driver jobs
+    * until the caller acts. */
+  def merge(a: DataFrame, b: DataFrame, cap: Int): DataFrame =
+    mergeByGroup(a.withColumn(OneGroup, lit(1)), b.withColumn(OneGroup, lit(1)),
+      Seq(OneGroup), cap).drop(OneGroup)
 
   /** Quantile estimates from a sketch: for each q in `qPcts` (percent,
     * 1..99), the survivor value at rank ceil(q*m/100) in (value, hash, id)
@@ -154,7 +152,15 @@ object QuantileSketch {
     * [[quantilesByGroup]], exposed so streams can maintain it
     * ([[mergeByGroup]] / StreamingOps.kllMaintainByGroup). `floorOf`
     * (default absent) is an optional per-group floor frame
-    * (groupCols*, _floor) — the merge path's monotonicity clamp. */
+    * (groupCols*, _floor) — the merge path's monotonicity clamp.
+    *
+    * NULL contract (r17, documented + enforced): rows with a NULL group key
+    * are EXCLUDED — previously they silently vanished in the using-column
+    * join with the levels frame (NULL never equi-matches), which the SQL
+    * twin happened to mirror; now the exclusion is an explicit entry filter
+    * so the behavior is a contract, not a join accident. NULL value/id rows
+    * are excluded for the [[leveled]] reasons (no hash / cross-engine NULL
+    * sort drift). */
   def buildByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       idCol: String, cap: Int, seed: String = "kll",
       floorOf: Option[DataFrame] = None): DataFrame = {
@@ -162,11 +168,15 @@ object QuantileSketch {
     require(cap > 0, s"cap must be > 0, got $cap")
     import org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
+    val nonNullGroups = gcols.map(_.isNotNull).reduce(_ && _)
     val h = Hashing.md5Long(concat(lit(seed + "|"), col(idCol).cast("string")))
     val lv =
       if (df.columns.contains("_tz")) // already-leveled rows (merge path)
-        df.select(gcols ++ Seq(col("_v"), col("_id"), col("_h"), col("_tz")): _*)
-      else df.select(gcols :+ col(valueCol).as("_v") :+
+        df.filter(nonNullGroups)
+          .select(gcols ++ Seq(col("_v"), col("_id"), col("_h"), col("_tz")): _*)
+      else df.filter(nonNullGroups &&
+          col(valueCol).isNotNull && col(idCol).isNotNull)
+        .select(gcols :+ col(valueCol).as("_v") :+
           col(idCol).cast("string").as("_id") :+ h.as("_h"): _*)
         .withColumn("_tz", when(col("_h") === 0, lit(32)).otherwise(
           round(log2((col("_h").bitwiseAND(-col("_h"))).cast("double"))).cast("int")))

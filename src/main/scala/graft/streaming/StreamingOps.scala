@@ -27,6 +27,13 @@ object StreamingOps {
   object StateTable {
     import org.apache.hadoop.fs.Path
 
+    /** Last-applied-batchId marker file, INSIDE the state directory: the
+      * "_"-prefix makes it invisible to Spark's parquet file index (the
+      * _SUCCESS convention), and living inside the rotated directory makes
+      * its atomicity the rotation's — no crash point can pair a new batchId
+      * with old rows or vice versa. */
+    private val BatchMarker = "_GRAFT_BATCHID"
+
     /** The current state, surviving a mid-rotation crash: `path` if present,
       * else `{path}.old`, else None (genuinely first batch). Existence-based,
       * not exception-typed — a corrupt read surfaces as its real error
@@ -40,14 +47,56 @@ object StreamingOps {
       else None
     }
 
-    /** Persist `merged` (which may lazily read `statePath`) as the new state. */
-    def overwrite(merged: DataFrame, statePath: String): Unit = {
+    /** The id of the last micro-batch applied to this state, read from the
+      * SAME directory [[read]] would return (live, else `.old`); None for a
+      * fresh state or one written without an id (pre-marker states stay
+      * readable — they just lose replay protection until their next write). */
+    def lastBatchId(spark: SparkSession, statePath: String): Option[Long] = {
+      val fs = new Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = if (fs.exists(new Path(statePath))) statePath
+        else statePath + ".old"
+      val m = new Path(dir, BatchMarker)
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    }
+
+    /** True (and logged) when `batchId` was already applied to the state —
+      * the at-least-once guard: after a checkpointed-stream restart,
+      * Structured Streaming RE-DELIVERS the in-flight micro-batch with the
+      * SAME batchId, and re-applying it would double-count every additive
+      * state (CMS cells, Bloom counters, daily counts) and duplicate KLL
+      * survivor rows. batchIds are monotone within a query (Spark's own
+      * contract), so `<=` is the replay test. Corollary: a NEW query (ids
+      * restarting at 0) pointed at an EXISTING state path no-ops until its
+      * ids pass the stored one — state paths are per-query by contract. */
+    def alreadyApplied(spark: SparkSession, statePath: String, batchId: Long): Boolean =
+      lastBatchId(spark, statePath).exists { last =>
+        val replay = batchId <= last
+        if (replay) System.err.println(s"[state-table] $statePath: batch " +
+          s"$batchId already applied (last=$last) — skipped as checkpoint replay")
+        replay
+      }
+
+    /** Persist `merged` (which may lazily read `statePath`) as the new state;
+      * `batchId` (when given) is recorded inside the new directory so
+      * [[alreadyApplied]] can reject a re-delivery of the same batch. */
+    def overwrite(merged: DataFrame, statePath: String,
+        batchId: Option[Long] = None): Unit = {
       val p = new Path(statePath)
       val tmp = new Path(statePath + ".tmp")
       val old = new Path(statePath + ".old")
       val fs = p.getFileSystem(merged.sparkSession.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true)
       merged.write.mode("overwrite").parquet(tmp.toString) // live table still intact
+      batchId.foreach { id => // into tmp, BEFORE the rotation: crash-atomic
+        val out = fs.create(new Path(tmp, BatchMarker), true)
+        try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      }
       // Hadoop rename returns FALSE on failure instead of throwing — an
       // unchecked false here would silently drop state, the exact loss this
       // helper exists to prevent.
@@ -61,6 +110,14 @@ object StreamingOps {
       renameOrThrow(tmp, p)
       fs.delete(old, true)
     }
+
+    /** Apply-once wrapper: skip when `batchId` was already applied, else
+      * evaluate `merged` and [[overwrite]] with the id recorded. The one
+      * entry point every StateTable-based maintain op routes through. */
+    def appliedOnce(spark: SparkSession, statePath: String, batchId: Long)(
+        merged: => DataFrame): Unit =
+      if (!alreadyApplied(spark, statePath, batchId))
+        overwrite(merged, statePath, Some(batchId))
   }
 
   /** Tumbling-window aggregation with a watermark: events(ts: TIMESTAMP, event_type,
@@ -111,16 +168,17 @@ object StreamingOps {
       registerPath: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fresh = graft.operators.CorpusOps.hllRegisters(batch, groupCols, valueCol)
-        val merged = StateTable.read(spark, registerPath) match {
-          case Some(st) => st.unionByName(fresh)
-            .groupBy((groupCols :+ "_b").map(col): _*)
-            .agg(max(col("_m")).as("_m"))
-          case None => fresh // first batch
+        StateTable.appliedOnce(spark, registerPath, batchId) {
+          val fresh = graft.operators.CorpusOps.hllRegisters(batch, groupCols, valueCol)
+          StateTable.read(spark, registerPath) match {
+            case Some(st) => st.unionByName(fresh)
+              .groupBy((groupCols :+ "_b").map(col): _*)
+              .agg(max(col("_m")).as("_m"))
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, registerPath)
         ()
       }
       .start()
@@ -140,17 +198,18 @@ object StreamingOps {
       statePath: String, scale: Long = 10000L): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fresh = graft.operators.Pca.momentSums(batch, vecCol, dim, scale)
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => st.unionByName(fresh)
-            .groupBy(col("i"), col("j"))
-            .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
-              sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
-          case None => fresh // first batch
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val fresh = graft.operators.Pca.momentSums(batch, vecCol, dim, scale)
+          StateTable.read(spark, statePath) match {
+            case Some(st) => st.unionByName(fresh)
+              .groupBy(col("i"), col("j"))
+              .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+                sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -168,15 +227,16 @@ object StreamingOps {
       nSketches: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fresh = graft.operators.CorpusOps.amsZ(batch, keyCol, nSketches)
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => st.unionByName(fresh)
-            .groupBy(col("i")).agg(sum(col("z")).as("z"))
-          case None => fresh // first batch
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val fresh = graft.operators.CorpusOps.amsZ(batch, keyCol, nSketches)
+          StateTable.read(spark, statePath) match {
+            case Some(st) => st.unionByName(fresh)
+              .groupBy(col("i")).agg(sum(col("z")).as("z"))
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -192,15 +252,16 @@ object StreamingOps {
       depth: Int = 4, width: Int = 128): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fresh = graft.operators.CorpusOps.countMinCells(batch, valueCol, depth, width)
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => st.unionByName(fresh)
-            .groupBy(col("_r"), col("_b")).agg(sum(col("_cnt")).as("_cnt"))
-          case None => fresh // first batch
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val fresh = graft.operators.CorpusOps.countMinCells(batch, valueCol, depth, width)
+          StateTable.read(spark, statePath) match {
+            case Some(st) => st.unionByName(fresh)
+              .groupBy(col("_r"), col("_b")).agg(sum(col("_cnt")).as("_cnt"))
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -221,21 +282,24 @@ object StreamingOps {
       statePath: String, m: Int = 1 << 18, h: Int = 5): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val CB = graft.operators.CountingBloom
-        val b = batch.localCheckpoint(true) // read twice: adds + removes
-        try {
-          val added = b.filter(col(opCol) === "add").select(keyCol)
-          val removed = b.filter(col(opCol) === "remove").select(keyCol)
-          val merged = StateTable.read(spark, statePath) match {
-            case Some(st) => CB.maintain(st, added, removed, keyCol)
-            case None => // first batch: marker-less empty state adopts m/h
-              CB.maintain(CB.counters(added.limit(0), keyCol, m, h),
-                added, removed, keyCol, mIfEmpty = m, hIfEmpty = h)
-          }
-          StateTable.overwrite(merged, statePath)
-        } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(b)
+        // replay guard BEFORE the checkpoint: a skipped batch does no work
+        if (!StateTable.alreadyApplied(spark, statePath, batchId)) {
+          val b = batch.localCheckpoint(true) // read twice: adds + removes
+          try {
+            val added = b.filter(col(opCol) === "add").select(keyCol)
+            val removed = b.filter(col(opCol) === "remove").select(keyCol)
+            val merged = StateTable.read(spark, statePath) match {
+              case Some(st) => CB.maintain(st, added, removed, keyCol)
+              case None => // first batch: marker-less empty state adopts m/h
+                CB.maintain(CB.counters(added.limit(0), keyCol, m, h),
+                  added, removed, keyCol, mIfEmpty = m, hIfEmpty = h)
+            }
+            StateTable.overwrite(merged, statePath, Some(batchId))
+          } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(b)
+        }
         ()
       }
       .start()
@@ -250,21 +314,24 @@ object StreamingOps {
     * multiset, because every item ever discarded had tz below some earlier
     * level <= floor. State is <= cap survivor rows + the level, regardless
     * of stream size; per batch the work is one map-side filter over the
-    * batch plus a 33-row histogram. */
+    * batch plus a 33-row SQL histogram — since r17 the level selection is
+    * the same lazy suffix-count SQL as the grouped path, so the only driver
+    * actions per micro-batch are the StateTable read/write themselves. */
   def kllMaintain(stream: DataFrame, valueCol: String, idCol: String,
       statePath: String, cap: Int = 256, seed: String = "kll"): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val Q = graft.operators.QuantileSketch
-        val fresh = Q.leveled(batch, valueCol, idCol, seed)
-          .withColumn("_level", org.apache.spark.sql.functions.lit(0))
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => Q.merge(st, fresh, cap)
-          case None => Q.merge(fresh.limit(0), fresh, cap) // first batch
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val Q = graft.operators.QuantileSketch
+          val fresh = Q.leveled(batch, valueCol, idCol, seed)
+            .withColumn("_level", org.apache.spark.sql.functions.lit(0))
+          StateTable.read(spark, statePath) match {
+            case Some(st) => Q.merge(st, fresh, cap)
+            case None => Q.merge(fresh.limit(0), fresh, cap) // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -283,15 +350,16 @@ object StreamingOps {
       cap: Int = 256, seed: String = "kll"): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val Q = graft.operators.QuantileSketch
-        val fresh = Q.buildByGroup(batch, groupCols, valueCol, idCol, cap, seed)
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => Q.mergeByGroup(st, fresh, groupCols, cap)
-          case None => fresh // first batch
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val Q = graft.operators.QuantileSketch
+          val fresh = Q.buildByGroup(batch, groupCols, valueCol, idCol, cap, seed)
+          StateTable.read(spark, statePath) match {
+            case Some(st) => Q.mergeByGroup(st, fresh, groupCols, cap)
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -314,7 +382,14 @@ object StreamingOps {
     *
     * Output rows at `pairsPath`: (id_a, id_b) candidate pairs, cross-batch
     * pairs oriented (new, old); canonicalize with least/greatest downstream
-    * if an undirected set is wanted. */
+    * if an undirected set is wanted.
+    *
+    * At-least-once caveat: this op APPENDS (no StateTable rotation), so the
+    * r17 batchId guard does not apply — a checkpoint-restart re-delivery
+    * appends duplicate signature and pair rows. Both outputs are SETS
+    * semantically: read them with `.distinct()` (pairs) / `dropDuplicates
+    * ("id")` (signatures), which makes re-delivery harmless — dedup-on-read
+    * instead of a per-batch anti-join against the whole history. */
   def lshDedupMaintain(docs: DataFrame, idCol: String, textCol: String,
       sigPath: String, pairsPath: String,
       numHashes: Int = 6, shingleSize: Int = 3,
@@ -544,27 +619,27 @@ object StreamingOps {
     * z-score read runs over the state via
     * [[graft.operators.EventAnalytics.anomalousDaysFromDaily]] unchanged).
     * State is (types × active days)-sized; prune old days downstream of
-    * the monitoring window if the stream is unbounded. Re-delivered
-    * batches double-count (the sessionizeStream in-order contract) —
-    * route through exactly-once sinks or dedup upstream. */
+    * the monitoring window if the stream is unbounded. Checkpoint-restart
+    * re-deliveries are rejected by the StateTable batchId guard (r17). */
   def anomalyMaintain(events: DataFrame, typeCol: String, tsNsCol: String,
       statePath: String): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val DayNs = 86400000000000L
-        val fresh = batch
-          .groupBy(col(typeCol).as("event_type"),
-            expr(s"$tsNsCol div $DayNs").as("day"))
-          .agg(count(lit(1)).as("n_events"))
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => st.unionByName(fresh)
-            .groupBy("event_type", "day")
-            .agg(sum(col("n_events")).as("n_events"))
-          case None => fresh // first batch
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val DayNs = 86400000000000L
+          val fresh = batch
+            .groupBy(col(typeCol).as("event_type"),
+              expr(s"$tsNsCol div $DayNs").as("day"))
+            .agg(count(lit(1)).as("n_events"))
+          StateTable.read(spark, statePath) match {
+            case Some(st) => st.unionByName(fresh)
+              .groupBy("event_type", "day")
+              .agg(sum(col("n_events")).as("n_events"))
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -580,34 +655,35 @@ object StreamingOps {
     * classifier's calibration is actually monitored: the scorer runs in
     * the ingest stream, the bins absorb each batch, and the reliability
     * diagram is a bins-row read at any moment — no replay of history.
-    * State is bins-sized, period. Re-delivered batches double-count
-    * (the sessionizeStream in-order contract). */
+    * State is bins-sized, period. Checkpoint-restart re-deliveries are
+    * rejected by the StateTable batchId guard (r17). */
   def calibrationMaintain(scored: DataFrame, scoreCol: String,
       labelCol: String, bins: Int, statePath: String): StreamingQuery =
     scored.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = greatest(least(floor(col(scoreCol) * bins).cast("long"),
-          lit(bins - 1L)), lit(0L))
-        // NULL score/label rows dropped — the batch twin's contract
-        // (least/greatest skip NULLs; an unguarded NULL score would clamp
-        // into the top bin and bake the pollution into persisted state)
-        val fresh = batch
-          .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-          .select(b.as("bin"), col(scoreCol).as("_s"),
-            col(labelCol).cast("long").as("_y"))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
-            sum(col("_s")).as("sum_score"))
-        val merged = StateTable.read(spark, statePath) match {
-          case Some(st) => st.unionByName(fresh)
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val b = greatest(least(floor(col(scoreCol) * bins).cast("long"),
+            lit(bins - 1L)), lit(0L))
+          // NULL score/label rows dropped — the batch twin's contract
+          // (least/greatest skip NULLs; an unguarded NULL score would clamp
+          // into the top bin and bake the pollution into persisted state)
+          val fresh = batch
+            .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+            .select(b.as("bin"), col(scoreCol).as("_s"),
+              col(labelCol).cast("long").as("_y"))
             .groupBy("bin")
-            .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
-              sum(col("sum_score")).as("sum_score"))
-          case None => fresh // first batch
+            .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+              sum(col("_s")).as("sum_score"))
+          StateTable.read(spark, statePath) match {
+            case Some(st) => st.unionByName(fresh)
+              .groupBy("bin")
+              .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+                sum(col("sum_score")).as("sum_score"))
+            case None => fresh // first batch
+          }
         }
-        StateTable.overwrite(merged, statePath)
         ()
       }
       .start()
@@ -642,11 +718,12 @@ object StreamingOps {
       statePath: String, halfLifeDays: Double = 1.0): StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hlNs = halfLifeDays * 86400000000000.0
         val bmax = batch.agg(max(col(tsNsCol))).head()
-        if (!bmax.isNullAt(0)) {
+        if (!bmax.isNullAt(0) &&
+            !StateTable.alreadyApplied(spark, statePath, batchId)) {
           val saved = StateTable.read(spark, statePath)
           val tNew = saved match {
             case Some(st) =>
@@ -668,7 +745,8 @@ object StreamingOps {
               .groupBy("event_type")
               .agg(sum(col("n_events")).as("n_events"), sum(col("decayed")).as("decayed"))
           }
-          StateTable.overwrite(merged0.withColumn("t_ref", lit(tNew)), statePath)
+          StateTable.overwrite(merged0.withColumn("t_ref", lit(tNew)), statePath,
+            Some(batchId))
         }
         ()
       }
