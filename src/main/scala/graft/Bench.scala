@@ -370,15 +370,25 @@ object Bench {
           concat(col("l_orderkey").cast("string"), lit("-"),
             col("l_linenumber").cast("string")).as("id"))
         .localCheckpoint(true)
-      val pts = Seq(64, 256, 1024).map { cap =>
-        val errs = graft.operators.QuantileSketch.rankError(li, "v",
-          graft.operators.QuantileSketch.quantiles(li, "v", "id", cap))
+      def errsOf(est: org.apache.spark.sql.DataFrame): Array[Long] =
+        graft.operators.QuantileSketch.rankError(li, "v", est)
           .select("rank_err_ppm").collect().map(_.getLong(0))
+      val pts = Seq(64, 256, 1024).map { cap =>
+        val errs = errsOf(graft.operators.QuantileSketch.quantiles(li, "v", "id", cap))
+        f"cap=$cap:max=${errs.max / 10000.0}%.2f%%,mean=${errs.sum / errs.length / 10000.0}%.2f%%"
+      }
+      // the r17 collapse compactor at the SAME caps — the measured side of
+      // the O(1/cap)-vs-O(1/sqrt(cap)) A/B (guaranteed <= 100/(2*cap) % for
+      // interior quantiles; ties in the value column can add their span)
+      val cpts = Seq(64, 256, 1024).map { cap =>
+        val errs = errsOf(graft.operators.QuantileSketch.quantilesCompact(li, "v", "id", cap))
         f"cap=$cap:max=${errs.max / 10000.0}%.2f%%,mean=${errs.sum / errs.length / 10000.0}%.2f%%"
       }
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(li)
-      System.err.println("[kll-error] lineitem price rank error over 9 quantiles " +
-        pts.mkString(" ") + " (cs11's dial; sampling bound ~1/sqrt(cap))")
+      System.err.println("[kll-error] lineitem price rank error over 9 quantiles — " +
+        "sampler(cs11) " + pts.mkString(" ") +
+        " | collapse(cs13) " + cpts.mkString(" ") +
+        " (sampler bound ~1/sqrt(cap), collapse bound 1/(2*cap) deterministic)")
     } catch { case NonFatal(e) => System.err.println(s"[kll-error] failed: $e") }
     // Corpus-scale streaming maintenance demo: the LSH-dedup ingest path
     // (StreamingOps.lshDedupMaintain — sign once, pair intra-batch, pair

@@ -2355,6 +2355,23 @@ object SparkEntry {
       QuantileSketch.quantilesByGroup(t(s, dir, "documents"), Seq("lang"),
         "n_chars", "doc_id", cap = 64)
     }),
+    // CS13 collapse-compactor quantiles (r17): the O(1/cap) accuracy upgrade
+    // over cs11's O(1/sqrt(cap)) level sampler at the SAME state size —
+    // survivors at sorted ranks ≡ md5-phase (mod stride), stride =
+    // ceil(n/cap), so every survivor's rank is KNOWN and a nearest-rank read
+    // errs <= stride/2 DETERMINISTICALLY (cap 256: <= 0.195% guaranteed for
+    // interior quantiles, vs the sampler's measured ~3.7% max — Bench's
+    // [kll-error] line publishes both, the fi1/fi2 A/B convention). Pure
+    // function of the multiset: the twin replays ranks, phase, grid and the
+    // nearest-rank read in SQL. One range-partitioned sort is the build's
+    // price (the sampler stays sort-free). See QuantileSketch.compactSketch.
+    "cs13_kll_compact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("lid"))
+      QuantileSketch.quantilesCompact(li, "price_cents", "lid", cap = 256)
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads: REAL MJPEG-in-AVI
@@ -5699,6 +5716,27 @@ object SparkEntry {
           |SELECT lang, CAST(q AS BIGINT) AS q_pct, CAST(v AS BIGINT) AS est,
           |  CAST(level AS BIGINT) AS level, CAST(m AS BIGINT) AS m_kept
           |FROM qs JOIN r ON r.rn = greatest(1, (q * r.m + 99) // 100)""".stripMargin.replace("\n", " "),
+      // cs13: the collapse compactor replayed whole — global ranks in
+      // (value, hash, id) order, stride = ceil(n/cap), md5 phase, survivors
+      // at rank ≡ phase (mod stride), nearest-rank read per quantile. All
+      // integer arithmetic; both mod operands nonnegative so % ≡ pmod.
+      "cs13_kll_compact" ->
+        """WITH items AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+          |    l_orderkey || '-' || l_linenumber AS id FROM lineitem),
+          |hh AS (SELECT v, id, CAST(('0x' || substr(md5('kll|' || id), 1, 8)) AS BIGINT) AS h FROM items),
+          |r AS (SELECT v, h, id, row_number() OVER (ORDER BY v, h, id) - 1 AS rnk FROM hh),
+          |p AS (SELECT count(*) AS n, (count(*) + 255) // 256 AS s FROM hh),
+          |ph AS (SELECT n, s, CAST(('0x' || substr(md5('kll|collapse|' || n), 1, 8)) AS BIGINT) % s AS phi FROM p),
+          |surv AS (SELECT v, rnk FROM r, ph WHERE rnk % ph.s = ph.phi),
+          |mm AS (SELECT count(*) AS m FROM surv),
+          |qs AS (SELECT unnest([1, 5, 10, 25, 50, 75, 90, 95, 99]) AS q),
+          |tgt AS (SELECT q, greatest(1, (q * ph.n + 99) // 100) - 1 AS t FROM qs, ph),
+          |pick AS (SELECT q, v, row_number() OVER (PARTITION BY q ORDER BY abs(rnk - t), rnk) AS pr
+          |  FROM tgt, surv)
+          |SELECT CAST(q AS BIGINT) AS q_pct, CAST(v AS BIGINT) AS est,
+          |  (SELECT CAST(s AS BIGINT) FROM ph) AS stride,
+          |  (SELECT CAST(m AS BIGINT) FROM mm) AS m_kept
+          |FROM pick WHERE pr = 1""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram

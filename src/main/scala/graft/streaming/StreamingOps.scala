@@ -336,6 +336,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming collapse-compactor maintenance — the cs13 twin of
+    * [[kllMaintain]]: each micro-batch is compacted one-shot
+    * ([[graft.operators.QuantileSketch.compactSketch]] — the sort is
+    * batch-sized, never corpus-sized) and folded into the saved sketch via
+    * [[graft.operators.QuantileSketch.mergeCompact]]. DETERMINISTIC: the
+    * maintained state is bit-equal to the same fold replayed in batch code
+    * (StreamingSpec pins it), but NOT to a one-shot sketch over the union —
+    * each resample adds <= stride/2 rank error, accumulating O(Σ strides/2)
+    * over the fold (measured in StreamingSpec beside the one-shot bound).
+    * The A/B against [[kllMaintain]]: the sampler's maintained error is
+    * B-independent (merge == one-shot), the compactor's one-shot error is
+    * ~19x tighter — pick by read pattern; state is <= cap rows either way. */
+  def kllCompactMaintain(stream: DataFrame, valueCol: String, idCol: String,
+      statePath: String, cap: Int = 256, seed: String = "kll"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val Q = graft.operators.QuantileSketch
+          val fresh = Q.compactSketch(batch, valueCol, idCol, cap, seed)
+          StateTable.read(spark, statePath) match {
+            case Some(st) => Q.mergeCompact(st, fresh, cap, seed)
+            case None => fresh // first batch
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Per-GROUP streaming KLL maintenance — the grouped (cs12) twin of
     * [[kllMaintain]]: each micro-batch is leveled once and merged into the
     * saved grouped sketch via [[graft.operators.QuantileSketch.mergeByGroup]]

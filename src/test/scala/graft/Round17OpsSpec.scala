@@ -70,6 +70,72 @@ class Round17OpsSpec extends SparkSpec {
     assert(sk.select("_v").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  // ---------------- cs13: the equal-weight collapse compactor ----------------
+
+  test("compactSketch: input under cap keeps everything at stride 1 and reads exact quantiles") {
+    import graft.operators.QuantileSketch
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val sk = QuantileSketch.compactSketch(df, "v", "id", cap = 200)
+    assert(sk.count() == 100)
+    assert(sk.select("_s").head().getLong(0) == 1L)
+    assert(sk.agg(sum($"_w")).head().getLong(0) == 100L) // weights sum to n
+    val est = QuantileSketch.quantilesFromCompact(sk, Seq(10, 50, 90))
+      .select("q_pct", "est").as[(Long, Long)].collect().toMap
+    assert(est == Map(10L -> 10L, 50L -> 50L, 90L -> 90L))
+  }
+
+  test("compactSketch: DETERMINISTIC stride/2 error bound, cap bound, partition purity") {
+    import graft.operators.QuantileSketch
+    val n = 4000L
+    val df = (1L to n).map(i => (i, i)).toDF("id", "v")
+    val sk = QuantileSketch.compactSketch(df, "v", "id", cap = 128)
+    val stride = sk.select("_s").head().getLong(0)
+    assert(stride == 32L) // ceil(4000/128)
+    assert(sk.count() <= 128)
+    assert(sk.agg(sum($"_w")).head().getLong(0) == n)
+    // values 1..n distinct => rank(v) = v-1; the read's guaranteed bound is
+    // stride/2 for interior quantiles — not a concentration bound, a cert
+    val est = QuantileSketch.quantilesFromCompact(sk, Seq(1, 5, 25, 50, 75, 95, 99))
+      .select("q_pct", "est").as[(Long, Long)].collect()
+    est.foreach { case (q, e) =>
+      val target = math.max(1L, (q * n + 99) / 100)
+      assert(math.abs(e - target) <= stride / 2,
+        s"q=$q est=$e target=$target exceeded the stride/2=${stride / 2} bound") }
+    // purity: the sketch is a pure function of the multiset, any partitioning
+    val sk2 = QuantileSketch.compactSketch(df.repartition(7), "v", "id", cap = 128)
+    assert(sk.collect().toSet == sk2.collect().toSet)
+  }
+
+  test("mergeCompact: a union that fits cap is kept lossless; a big merge is deterministic and bounded") {
+    import graft.operators.QuantileSketch
+    val a = (1L to 30L).map(i => (i, i * 2 - 1)).toDF("id", "v") // odd values
+    val b = (31L to 60L).map(i => (i, (i - 30) * 2)).toDF("id", "v") // even values
+    val small = QuantileSketch.mergeCompact(
+      QuantileSketch.compactSketch(a, "v", "id", cap = 64),
+      QuantileSketch.compactSketch(b, "v", "id", cap = 64), cap = 64)
+    assert(small.count() == 60) // no resample: every survivor kept
+    assert(small.agg(sum($"_w")).head().getLong(0) == 60L)
+    assert(small.select("_v").as[Long].collect().toSet == (1L to 60L).toSet)
+    // big merge: two 2000-item halves at cap 128 (stride 16 each) resample
+    // onto the 4000-mass grid (stride 32); error <= sA/2 + sB/2 + s'/2 + s'/2
+    val n = 4000L
+    val c = (1L to n / 2).map(i => (i, i)).toDF("id", "v")
+    val d = (n / 2 + 1 to n).map(i => (i, i)).toDF("id", "v")
+    val sc = QuantileSketch.compactSketch(c, "v", "id", cap = 128)
+    val sd = QuantileSketch.compactSketch(d, "v", "id", cap = 128)
+    val m1 = QuantileSketch.mergeCompact(sc, sd, cap = 128)
+    val m2 = QuantileSketch.mergeCompact(sc, sd, cap = 128)
+    assert(m1.collect().toSet == m2.collect().toSet) // deterministic
+    assert(m1.count() <= 128)
+    assert(m1.agg(sum($"_w")).head().getLong(0) == n)
+    val est = QuantileSketch.quantilesFromCompact(m1, Seq(25, 50, 75))
+      .select("q_pct", "est").as[(Long, Long)].collect()
+    est.foreach { case (q, e) =>
+      val target = math.max(1L, (q * n + 99) / 100)
+      assert(math.abs(e - target) <= 8 + 8 + 32,
+        s"merged read q=$q est=$e target=$target outside the additive bound") }
+  }
+
   test("StateTable batchId guard: a replayed batch is a no-op, the next applies") {
     import graft.streaming.StreamingOps.StateTable
     val dir = java.nio.file.Files.createTempDirectory("state_bid").toString + "/st"

@@ -480,6 +480,47 @@ class StreamingSpec extends SparkSpec {
     assert(estS == estB)
   }
 
+  test("streaming collapse-compactor maintenance: bit-equal to the replayed fold, error within the additive bound") {
+    import graft.operators.QuantileSketch
+    val dir = Files.createTempDirectory("stream_kllc").toString
+    val statePath = s"$dir/state"
+    val all = (0L until 3000L).map(i => (i, i)).toDF("id", "v")
+    // ONE file per wave: the fold replay below must see the exact same
+    // micro-batch boundaries (maxFilesPerTrigger=1 batches per FILE, and a
+    // multi-part parquet write would split a wave into several batches)
+    all.filter($"id" < 1000).repartition(1).write.parquet(s"$dir/in/a")
+    all.filter($"id" >= 1000 && $"id" < 2000).repartition(1).write.parquet(s"$dir/in/b")
+    all.filter($"id" >= 2000).repartition(1).write.parquet(s"$dir/in/c")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = StreamingOps.kllCompactMaintain(stream, "v", "id", statePath, cap = 64)
+    q.processAllAvailable(); q.stop()
+    // mergeCompact is NOT bit-equal to one-shot (each resample adds
+    // <= stride/2 rank error — documented, measured below); what IS exact
+    // is determinism: the maintained state equals the same fold replayed
+    // in batch code, row for row.
+    val fold = Seq(s"$dir/in/a", s"$dir/in/b", s"$dir/in/c")
+      .map(p => QuantileSketch.compactSketch(spark.read.parquet(p), "v", "id", cap = 64))
+      .reduce((st, fresh) => QuantileSketch.mergeCompact(st, fresh, cap = 64))
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("_v", "_id", "_h", "_r", "_w", "_n", "_s")
+        .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = canon(spark.read.parquet(statePath))
+    assert(streamed == canon(fold) && streamed.nonEmpty)
+    assert(streamed.size <= 64, s"cap violated: ${streamed.size}")
+    assert(spark.read.parquet(statePath).agg(sum($"_w")).head().getLong(0) == 3000L)
+    // measured maintained error vs the exact distribution, against the
+    // additive fold bound: batch strides 16/16/16, fold strides 32 and 47
+    // => sum/2 = 63.5 ranks of 3000 (~2.1%); print the measured number
+    val errs = QuantileSketch.rankError(all, "v",
+      QuantileSketch.quantilesFromCompact(
+        spark.read.parquet(statePath), Seq(10, 25, 50, 75, 90)))
+      .select("rank_err_ppm").as[Long].collect()
+    info(f"maintained collapse error: max=${errs.max / 10000.0}%.2f%% " +
+      f"mean=${errs.sum / errs.length / 10000.0}%.2f%% (fold bound ~2.1%%)")
+    assert(errs.max <= 25000, s"maintained error ${errs.max} ppm exceeds the fold bound")
+  }
+
   test("streaming LSH dedup maintenance: union of emitted pairs == one-shot batch pairs") {
     import graft.operators.Dedup
     val dir = Files.createTempDirectory("stream_lsh").toString
