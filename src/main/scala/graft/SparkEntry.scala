@@ -2862,6 +2862,32 @@ object SparkEntry {
         .groupBy(coalesce(col("keyword"), lit("(none)")).as("topic"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"))
     }),
+    // PIPE4 CDC decontamination end-to-end (r17): the nightly path a 100 TB
+    // pipeline actually runs, pinned as ONE row — diff two eval-set versions
+    // (s11 snapshotDiff: (id, md5) pairs only), maintain the counting-Bloom
+    // membership sketch FROM the delta (s12 maintain: delta-sized work, no
+    // rebuild over the surviving eval set), then re-decontaminate the corpus
+    // through the maintained sketch (antiJoin: sketch-clean rows pass, hits
+    // exact-confirmed). The oracle is the PLAIN two-version left-anti — the
+    // composition's output is provably independent of m/h/fpp, which is the
+    // x20 adjudication this row inherits. Eval-set CDC: v1 = every 9th doc;
+    // v2 drops every 27th of those and adds every 31st non-eval doc.
+    "pipe4_cdc_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 9 === 0)
+      val v2 = docs.filter(
+        (col("doc_id") % 9 === 0 && col("doc_id") % 27 =!= 0) ||
+          (col("doc_id") % 9 =!= 0 && col("doc_id") % 31 === 0))
+      val diff = CorpusOps.snapshotDiff(v1, v2, "doc_id", Seq("text"))
+        .localCheckpoint(true) // read twice: adds + removes
+      val added = diff.filter(col("change") === "added").select("doc_id")
+      val removed = diff.filter(col("change") === "removed").select("doc_id")
+      val state = CountingBloom.maintain(
+        CountingBloom.counters(v1.select("doc_id"), "doc_id", m = 1 << 14),
+        added, removed, "doc_id")
+      CountingBloom.antiJoin(docs.select("doc_id", "lang"), "doc_id",
+        state, v2.select("doc_id"), "doc_id")
+    }),
     // X40 PSL registrable domains (r14): functions.Psl over eight in-query
     // host shapes exercising every rule family — plain gTLD, ccSLD,
     // private suffix (github.io), wildcard (*.ck at depth 4), exception
@@ -6264,6 +6290,17 @@ object SparkEntry {
            |SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS keyword,
            |  CAST(floor(tr * 1e6) AS BIGINT) AS score_u
            |FROM kw WHERE rank <= 5""".stripMargin.replace("\n", " "),
+      // pipe4: the whole CDC-decontamination composition collapses to a
+      // plain left-anti against the v2 eval keys — sketch fpp and the
+      // maintain-vs-rebuild choice are provably output-invisible (the
+      // exact-confirm backstop), so the oracle states the SEMANTICS, not
+      // the mechanism.
+      "pipe4_cdc_decontam" ->
+        """WITH v2 AS (SELECT doc_id FROM documents
+          |  WHERE (doc_id % 9 = 0 AND doc_id % 27 <> 0)
+          |     OR (doc_id % 9 <> 0 AND doc_id % 31 = 0))
+          |SELECT d.doc_id, d.lang FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT doc_id FROM v2)""".stripMargin.replace("\n", " "),
       // pipe3: exact-dedup clusters labeled by their representative's rank-1
       // TextRank keyword — the kw CTE is per-document independent, so
       // computing it corpus-wide and joining reps equals the Spark side's
