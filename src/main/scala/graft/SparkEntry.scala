@@ -3087,6 +3087,24 @@ object SparkEntry {
           col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"),
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
     }),
+    // MM4 perceptual audio fingerprint (r17): sign-of-delta frame energy
+    // over the decoded mono PCM (chromaprint-shaped, gain-invariant — a
+    // volume-shifted/re-quantized copy pairs with its original at small
+    // Hamming distance, MultimodalSpec pins it on WAV fixtures). Real decode
+    // is probed and fails over the synthetic text-byte payloads — the
+    // byte-grid energy fallback runs, which the oracle replays over
+    // character codes (the mm3 ASCII pin). Pairing downstream reuses the
+    // e8/mm3 XOR+popcount machinery. See Multimodal.audioFingerprint.
+    "mm4_audio_fingerprint" -> ((s, dir) => {
+      val assets = Multimodal.toAssets(
+        t(s, dir, "documents").filter(col("n_chars") > 0)
+          .filter(octet_length(col("text")) === length(col("text"))),
+        "doc_id", "text", "audio")
+      Multimodal.audioFingerprint(assets)
+        .select(col("asset_id"), col("decoded"),
+          col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"),
+          shiftrightunsigned(col("fp"), 32).as("fp_hi"))
+    }),
     // NB1 multinomial Naive Bayes model (r15): the trained lang classifier
     // as integer counts — one map-combined aggregation over exploded
     // (label, token) rows; board row is the top-5 tokens per label. See
@@ -6968,6 +6986,29 @@ object SparkEntry {
           |SELECT asset_id, false AS decoded,
           |  coalesce(CAST(sum(CASE WHEN b = 1 AND cell < 32 THEN CAST(pow(2, cell) AS BIGINT) END) AS BIGINT), 0) AS ahash_lo,
           |  coalesce(CAST(sum(CASE WHEN b = 1 AND cell >= 32 THEN CAST(pow(2, cell - 32) AS BIGINT) END) AS BIGINT), 0) AS ahash_hi
+          |FROM bits GROUP BY 1""".stripMargin.replace("\n", " "),
+      // mm4: the byte-grid energy fallback replayed over character codes
+      // (the mm3 ASCII pin): per-cell sum of squared byte values (integer,
+      // exact in BIGINT and in Spark's double for integer sums < 2^53),
+      // bit k = energy(k+1) > energy(k), empty cells coalesce to 0.
+      "mm4_audio_fingerprint" ->
+        """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id, text, length(text) AS n
+          |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)),
+          |pos AS (SELECT asset_id, n, text, unnest(generate_series(1, n)) AS i FROM d),
+          |ch AS (SELECT asset_id, CAST(((i - 1) * 64) // n AS INTEGER) AS cell,
+          |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v FROM pos),
+          |cel AS (SELECT asset_id, cell, CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+          |  FROM ch GROUP BY 1, 2),
+          |grid AS (SELECT asset_id, unnest(generate_series(0, 63)) AS cell FROM d),
+          |eg AS (SELECT g.asset_id, g.cell, coalesce(cel.e, 0) AS e
+          |  FROM grid g LEFT JOIN cel ON g.asset_id = cel.asset_id AND g.cell = cel.cell),
+          |bits AS (SELECT a.asset_id, a.cell AS k,
+          |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+          |  FROM eg a JOIN eg b ON a.asset_id = b.asset_id AND b.cell = a.cell + 1
+          |  WHERE a.cell < 63)
+          |SELECT asset_id, false AS decoded,
+          |  coalesce(CAST(sum(CASE WHEN bit = 1 AND k < 32 THEN CAST(pow(2, k) AS BIGINT) END) AS BIGINT), 0) AS fp_lo,
+          |  coalesce(CAST(sum(CASE WHEN bit = 1 AND k >= 32 THEN CAST(pow(2, k - 32) AS BIGINT) END) AS BIGINT), 0) AS fp_hi
           |FROM bits GROUP BY 1""".stripMargin.replace("\n", " "),
       // nb1: the model IS counts — everything integer, hash-exact.
       "nb1_nb_model" ->

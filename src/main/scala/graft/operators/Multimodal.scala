@@ -308,6 +308,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual audio fingerprint (mm4) — the audio twin of [[imageAHash]],
+    * closing the multimodal near-dup gap (images had aHash; audio only had
+    * amplitude features, no signature). Chromaprint-shaped sign-of-delta
+    * energy: the DECODED mono PCM stream is split into 64 equal frames,
+    * each frame's energy is the sum of squared samples, and bit k
+    * (k = 0..62) is set when frame k+1's energy exceeds frame k's — a
+    * 63-bit signature whose Hamming distance tracks perceptual similarity.
+    * GAIN-INVARIANT by construction: scaling every sample by g > 0 scales
+    * every energy by g², so all 63 comparisons are unchanged — a re-encoded
+    * or volume-shifted copy lands within a few bits of its original
+    * (MultimodalSpec pins a gain-shifted and a re-quantized copy). Bit 63
+    * is unused (0), so the value is non-negative and splits into unsigned
+    * halves like mm3's.
+    *
+    * Frame energies accumulate sequentially per asset (deterministic within
+    * the JVM); the real-decode path is fixture-pinned, not oracle-replayed
+    * — the oracle replays the FALLBACK arm (the mm1/mm2/mm3 convention):
+    * undecodable payloads and non-audio modalities take byte-grid energies
+    * (sum of squared unsigned byte values per 64-cell grid, integer-exact,
+    * `decoded = false`), reproducible by any engine that can read bytes.
+    *
+    * Downstream pairing reuses the e8/mm3 Hamming machinery (XOR +
+    * popcount; band-block on 16-bit signature slices for corpus scale).
+    * Output: (asset_id, decoded BOOLEAN, fp BIGINT — bits 0..62). */
+  def audioFingerprint(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    assets.select("asset_id", "modality", "payload").mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val energies = new Array[Double](64)
+          var isDecoded = false
+          if (r.getString(1) == "audio") decodeAudio(payload).foreach {
+            case (samples, _, _) =>
+              isDecoded = true
+              val n = samples.length
+              var i = 0
+              while (i < n) {
+                val frame = (i.toLong * 64 / n).toInt
+                energies(frame) += samples(i).toDouble * samples(i)
+                i += 1
+              }
+          }
+          if (!isDecoded && payload != null) {
+            val n = payload.length
+            var i = 0
+            while (i < n) {
+              val cell = (i.toLong * 64 / n).toInt
+              val v = (payload(i) & 0xff).toDouble
+              energies(cell) += v * v // integer-valued: exact in a double
+              i += 1
+            }
+          }
+          var fp = 0L
+          var k = 0
+          while (k < 63) {
+            if (energies(k + 1) > energies(k)) fp |= (1L << k)
+            k += 1
+          }
+          Row(r.getString(0), isDecoded, fp)
+        }
+      }
+    }(enc)
+  }
+
   // ====================== REAL video decode: MJPEG-in-AVI ======================
 
   /** Chunk-scan cap: a RIFF file is a flat/nested chunk list, and each chunk

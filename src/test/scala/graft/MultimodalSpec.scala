@@ -156,6 +156,57 @@ class MultimodalSpec extends SparkSpec {
     assert(md5 == "bb9bee2710d075e9b17aca7c478609e3", s"rendered=$rendered md5=$md5")
   }
 
+  test("audioFingerprint: a gain-shifted and a re-quantized WAV copy pair with the original") {
+    import graft.operators.Multimodal
+    // amplitude-modulated tone: frame energies vary smoothly, so the 63
+    // delta bits carry real structure (an unmodulated tone would be all-flat)
+    def tone(phase: Double, gain: Double): Array[Short] =
+      Array.tabulate[Short](2048) { i =>
+        val env = 6000.0 + 4000.0 * math.sin(i * 0.012 + phase)
+        (math.sin(i * 0.31) * env * gain).toShort
+      }
+    val orig = wavBytes(8000f, 1, tone(0.0, 1.0))
+    val gained = wavBytes(8000f, 1, tone(0.0, 0.5)) // volume-shifted copy
+    val requant = wavBytes(8000f, 1, tone(0.0, 0.23)) // heavy re-quantization
+    val other = wavBytes(8000f, 1, tone(2.1, 1.0)) // different signal
+    val assets = Seq(("orig", orig), ("gain", gained), ("req", requant),
+      ("other", other)).toDF("id", "bytes")
+    val fps = Multimodal.audioFingerprint(
+        Multimodal.toAssets(assets, "id", "bytes", "audio"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(fps.values.forall(_._1), "all four WAVs must really decode")
+    val fp = fps.view.mapValues(_._2).toMap
+    assert(fp("orig") != 0L, "fingerprint must carry structure")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // gain invariance is exact in the energy algebra; the only drift is the
+    // 16-bit re-quantization of the scaled samples — a few bits at most
+    assert(ham(fp("orig"), fp("gain")) <= 3,
+      s"gain-shifted copy at Hamming ${ham(fp("orig"), fp("gain"))}")
+    assert(ham(fp("orig"), fp("req")) <= 3,
+      s"re-quantized copy at Hamming ${ham(fp("orig"), fp("req"))}")
+    assert(ham(fp("orig"), fp("other")) >= 10,
+      s"different signal too close: Hamming ${ham(fp("orig"), fp("other"))}")
+  }
+
+  test("audioFingerprint fallback: byte-grid energies, hand-computed, decoded=false") {
+    import graft.operators.Multimodal
+    val text = "abcxyz" * 40 // 240 ASCII bytes
+    val df = Seq(("t1", text)).toDF("id", "text")
+    val row = Multimodal.audioFingerprint(
+        Multimodal.toAssets(df, "id", "text", "audio"))
+      .collect().head
+    assert(!row.getBoolean(1))
+    val bytes = text.getBytes("UTF-8")
+    val e = new Array[Long](64)
+    bytes.indices.foreach { i =>
+      val v = (bytes(i) & 0xff).toLong
+      e((i.toLong * 64 / bytes.length).toInt) += v * v
+    }
+    var want = 0L
+    (0 until 63).foreach { k => if (e(k + 1) > e(k)) want |= (1L << k) }
+    assert(row.getLong(2) == want)
+  }
+
   test("mm1 frame sampling golden hash (deterministic payload set)") {
     // the mm1 driver row is rows-only; this pins its exact output shape on a
     // committed deterministic payload set instead
