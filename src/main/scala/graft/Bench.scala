@@ -21,6 +21,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    // Idle gate (r17): three rounds running, the round's closing stamp was a
+    // loaded-box reading needing twin forensics to interpret. With
+    // SPARK_GRAFT_BENCH_REQUIRE_IDLE set (minutes to wait; "1" = 15), Bench
+    // WAITS for the 1-min load to drop below 2 before starting, polling
+    // every 30 s, and proceeds with a loud note if the budget runs out. The
+    // payload always stamps "idle": whether the suite STARTED below load 2 —
+    // the end reading is the suite's own 32-thread work and is disclosed
+    // separately in "load".
+    sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").foreach { v =>
+      val budgetMin = v.toIntOption.filter(_ > 1).getOrElse(15)
+      val deadline = System.nanoTime() + budgetMin * 60L * 1000000000L
+      while (loadAvg() >= 2.0 && System.nanoTime() < deadline) {
+        System.err.println(f"[bench-idle] load ${loadAvg()}%.2f >= 2.0 — waiting")
+        Thread.sleep(30000)
+      }
+      if (loadAvg() >= 2.0) System.err.println(
+        f"[bench-idle] budget exhausted at load ${loadAvg()}%.2f — proceeding, " +
+          "stamp will carry idle:false")
+    }
+    // idle is judged at ENTRY (before the warm pass — our own 32-thread
+    // warm-up legitimately raises the 1-min load by the time the timed loop
+    // starts; that is the suite's own work, not box contention)
+    val loadEntry = loadAvg()
+    val idle = loadEntry < 2.0
     // Warm-up: JIT/codegen paths and file-system metadata so the first timed
     // query doesn't absorb session start-up cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -116,11 +145,6 @@ object Bench {
     // loaded-box reading distinguishable from the idle 190.6 s run only by
     // cross-referencing the README. With load in the payload the artifact
     // carries its own environment disclosure.
-    def loadAvg(): Double = {
-      val l = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      math.round(l * 100) / 100.0
-    }
     val loadStart = loadAvg()
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (if (first.contains(n)) 0 else 1, n) }
@@ -179,9 +203,10 @@ object Bench {
       val suspects = "rag_pipeline" +:
         results.filterNot(_._1 == "rag_pipeline").toSeq
           .sortBy { case (_, (sec, _)) => -sec }.take(5).map(_._1)
+      val reruns = scala.collection.mutable.LinkedHashMap[String, Double]()
       val twins = suspects.map { name =>
         val fn = SparkEntry.queries(name)
-        val runs = (1 to 2).flatMap { _ =>
+        def oneRun(): Option[(Double, Long)] = {
           val pre = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
           val n = try { Some(fn(spark, sfDir).count()) }
@@ -194,6 +219,16 @@ object Bench {
           System.gc()
           n.map(rows => (s, rows))
         }
+        val runs0 = (1 to 2).flatMap(_ => oneRun())
+        // r17 idle-gate companion: a twin whose in-suite reading still sits
+        // > 1.5x above its warm re-runs gets ONE more attempt, and the extra
+        // reading is PUBLISHED ("warm_rerun") beside the min — the reader
+        // sees both numbers instead of trusting a silent best-of
+        val rerun = if (runs0.nonEmpty &&
+            results(name)._1 / runs0.map(_._1).min > 1.5) oneRun() else None
+        rerun.foreach { case (s, _) =>
+          reruns(name) = math.round(s * 1000) / 1000.0 }
+        val runs = runs0 ++ rerun
         // A warm twin only certifies the in-suite number if it ran the SAME
         // plan: publish both row counts in the payload's "warm_rows" map so
         // the local gate (check_oracle.py) verifies twin == suite — the
@@ -221,15 +256,17 @@ object Bench {
           s"\"$name\":{\"suite\":$suiteRows,\"warm\":$warmRows}")
       }
       twins.map(_._1).mkString(""","warm":{""", ",", "}") +
-        twins.map(_._2).mkString(""","warm_rows":{""", ",", "}")
+        twins.map(_._2).mkString(""","warm_rows":{""", ",", "}") +
+        (if (reruns.nonEmpty) reruns.map { case (k, v) => s"\"$k\":$v" }
+          .mkString(""","warm_rerun":{""", ",", "}") else "")
     } else ""
     val ratioJson = warmRatios.map { case (k, v) => s"\"$k\":$v" }
       .mkString("""{""", ",", "}")
-    val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
+    val loadJson = s"""{"entry":$loadEntry,"start":$loadStart,"end":$loadEnd}"""
     val sb = sharedBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(""","shared_builds":{""", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$warm""" +
-      s""","warm_ratio":$ratioJson,"load":$loadJson$sb,"sf":"$sfDir"}"""
+      s""","warm_ratio":$ratioJson,"load":$loadJson,"idle":$idle$sb,"sf":"$sfDir"}"""
     // Full payload goes to the file below and (for humans tailing the run) to
     // stderr; stdout carries exactly ONE metric line — the compact final one —
     // so a consumer that scans the whole log can never double-count "total"
@@ -435,7 +472,7 @@ object Bench {
         case (sec, _) => s"\"$n\":$sec" })
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead""" +
-      s""","warm_ratio":$ratioJson,"load":$loadJson""" +
+      s""","warm_ratio":$ratioJson,"load":$loadJson,"idle":$idle""" +
       s""","n_queries":${results.size},"detail":"target/bench_queries.json","sf":"$sfDir"}""")
     System.out.flush()
   }
