@@ -80,7 +80,8 @@ object SparkEntry {
     // the cnt>0 bitset; the exact-confirm backstop makes this output
     // identical to a plain semi-join against v2's keys (the x20
     // adjudication), which is what the oracle checks. chooseMaintain picks
-    // the delta path here (diff ≈ 16% of v2, under the 30% crossover).
+    // the delta path here (diff ≈ 16% of v2, under the measured ~0.52
+    // crossover — graft.SweepMaintain, README table).
     // See operators.CountingBloom.
     "s12_removable_membership" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

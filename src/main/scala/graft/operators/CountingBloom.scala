@@ -106,8 +106,15 @@ object CountingBloom {
     * rebuild costs O(|newCorpus|·h); below `threshold` the delta path wins
     * outright, above it the constant factors (two extra unions + the state
     * scan) stop paying for themselves. Either path yields IDENTICAL
-    * counters — this chooses cost, never semantics. */
-  def chooseMaintain(nDelta: Long, nNew: Long, threshold: Double = 0.3): Boolean =
+    * counters — this chooses cost, never semantics.
+    *
+    * The default is MEASURED, not asserted (r17, graft.SweepMaintain over
+    * the 600k-key sf0.1 lineitem multiset — curve in the README): maintain
+    * won at delta/new <= 0.43 (0.77 s vs 0.86 s) and lost at 0.67 (0.87 s
+    * vs 0.73 s), an interpolated crossover of ~0.52; 0.5 keeps a small
+    * margin under it. (The r16 value 0.3 was safe but left wins on the
+    * table between 0.3 and 0.5.) */
+  def chooseMaintain(nDelta: Long, nNew: Long, threshold: Double = 0.5): Boolean =
     nDelta < threshold * math.max(nNew, 1L)
 
   /** Collapse counters to a probe bitset: bit pos set iff cnt > 0; sized by

@@ -158,7 +158,7 @@ class Round16OpsSpec extends SparkSpec {
       (100L until 140L).toDF("k"), "k") // never-added keys
     val e = intercept[IllegalArgumentException] { CountingBloom.bitset(state) }
     assert(e.getMessage.contains("negative counter"))
-    assert(CountingBloom.chooseMaintain(10, 100) && !CountingBloom.chooseMaintain(50, 100))
+    assert(CountingBloom.chooseMaintain(10, 100) && !CountingBloom.chooseMaintain(60, 100))
     assert(!CountingBloom.chooseMaintain(1, 0)) // empty new corpus: rebuild is free
   }
 
