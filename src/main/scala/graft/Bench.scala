@@ -28,14 +28,20 @@ object Bench {
     }
     // Idle gate (r17): three rounds running, the round's closing stamp was a
     // loaded-box reading needing twin forensics to interpret. With
-    // SPARK_GRAFT_BENCH_REQUIRE_IDLE set (minutes to wait; "1" = 15), Bench
-    // WAITS for the 1-min load to drop below 2 before starting, polling
-    // every 30 s, and proceeds with a loud note if the budget runs out. The
-    // payload always stamps "idle": whether the suite STARTED below load 2 —
-    // the end reading is the suite's own 32-thread work and is disclosed
-    // separately in "load".
+    // SPARK_GRAFT_BENCH_REQUIRE_IDLE set (a positive minute budget; any
+    // other value falls back to 15 with a stderr note — review finding:
+    // silent fallback made "=0"/typos indistinguishable from the default),
+    // Bench WAITS for the 1-min load to drop below 2 before starting,
+    // polling every 30 s, and proceeds with a loud note if the budget runs
+    // out. The payload always stamps "idle": whether the suite STARTED
+    // below load 2 — the end reading is the suite's own 32-thread work and
+    // is disclosed separately in "load".
     sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").foreach { v =>
-      val budgetMin = v.toIntOption.filter(_ > 1).getOrElse(15)
+      val budgetMin = v.toIntOption.filter(_ > 0).getOrElse {
+        System.err.println(
+          s"[bench-idle] unparsable budget '$v' — using 15 minutes")
+        15
+      }
       val deadline = System.nanoTime() + budgetMin * 60L * 1000000000L
       while (loadAvg() >= 2.0 && System.nanoTime() < deadline) {
         System.err.println(f"[bench-idle] load ${loadAvg()}%.2f >= 2.0 — waiting")

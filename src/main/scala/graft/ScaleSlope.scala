@@ -53,17 +53,27 @@ object ScaleSlope {
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     // key-shift precondition (r17 advice): copies collide SILENTLY if any
     // scaling key reaches the shift offset — skewing every published slope —
-    // so refuse loudly instead. One cheap scan over the key columns.
-    val keyCols = Seq("customer" -> "c_custkey", "supplier" -> "s_suppkey",
-      "part" -> "p_partkey", "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
-      "events" -> "event_id", "events" -> "user_id", "documents" -> "doc_id",
-      "embeddings" -> "vec_id")
-    keyCols.foreach { case (tbl, k) =>
+    // so refuse loudly instead. ONE aggregate per table (review finding:
+    // the first cut scanned events twice and embeddings twice); a NULL max
+    // is refused too — an all-NULL cast means the key column's dtype
+    // drifted, and `shift` would then corrupt the corpus silently.
+    val keyCols = Seq(
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey"), "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+    keyCols.foreach { case (tbl, ks) =>
       val row = spark.read.parquet(s"$baseDir/$tbl.parquet")
-        .agg(max(col(k).cast("long"))).head()
-      val mx = if (row.isNullAt(0)) 0L else row.getLong(0)
-      require(mx < OFF, s"ScaleSlope: $tbl.$k max $mx >= shift offset $OFF — " +
-        "copies would collide; raise OFF")
+        .agg(max(col(ks.head).cast("long")),
+          ks.tail.map(k => max(col(k).cast("long"))): _*).head()
+      ks.zipWithIndex.foreach { case (k, i) =>
+        require(!row.isNullAt(i),
+          s"ScaleSlope: $tbl.$k max is NULL after cast to long — key dtype " +
+            "drifted; shifting would corrupt the synthesized corpus")
+        require(row.getLong(i) < OFF,
+          s"ScaleSlope: $tbl.$k max ${row.getLong(i)} >= shift offset $OFF — " +
+            "copies would collide; raise OFF")
+      }
     }
     def copies(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$baseDir/$name.parquet")

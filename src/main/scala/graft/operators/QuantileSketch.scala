@@ -260,13 +260,17 @@ object QuantileSketch {
     * published side by side in Bench's [kll-error] line (the fi1/fi2 A/B
     * convention).
     *
-    * Scale shape: ONE range-partitioned sort of the input (repartitionByRange
-    * + sortWithinPartitions + per-partition offsets — the TeraSort shape; no
-    * single-partition window, no collect, fully lazy). The sort is the price
-    * of rank-exact selection and the honest A/B against [[build]]'s
-    * sort-free one-shuffle sketch: collapse when batch accuracy matters,
-    * sampler when the build must stay sort-free or the stream is unbounded
-    * (see [[mergeCompact]]'s error accounting).
+    * Scale shape: ONE range-partitioned sort of the input via the house
+    * two-phase rank ([[CorpusOps.prefixSum]] with unit mass — per-partition
+    * windows + broadcast partition bases; no single-partition window, and
+    * the only driver state is one row per partition). The build is EAGER at
+    * that step (prefixSum localCheckpoints so `_pid` is identical across
+    * its two passes — rank consistency must not depend on exchange reuse;
+    * r17 review finding). The sort is the price of rank-exact selection and
+    * the honest A/B against [[build]]'s sort-free one-shuffle sketch:
+    * collapse when batch accuracy matters, sampler when the build must stay
+    * sort-free or the stream is unbounded (see [[mergeCompact]]'s error
+    * accounting).
     *
     * Sketch rows: (_v, _id, _h, _r BIGINT exact-or-estimated 0-indexed rank,
     * _w BIGINT covered rank mass, _n BIGINT total mass, _s BIGINT stride) —
@@ -276,25 +280,16 @@ object QuantileSketch {
   def compactSketch(df: DataFrame, valueCol: String, idCol: String,
       cap: Int = 256, seed: String = "kll"): DataFrame = {
     require(cap > 0, s"cap must be > 0, got $cap")
+    // global 0-indexed rank = exclusive prefix sum of unit mass in canonical
+    // order — CorpusOps.prefixSum, the shared two-phase rank (also under
+    // pk1/x13/ksDrift), rather than a third hand-rolled copy of the shape
     val lv = leveled(df, valueCol, idCol, seed).drop("_tz")
-    val parted = lv
-      .repartitionByRange(col("_v"), col("_h"), col("_id"))
-      .sortWithinPartitions("_v", "_h", "_id")
-      .withColumn("_pid", spark_partition_id())
-    // local row numbers within each (already sorted) range partition; the
-    // window is per-partition, so no single-partition bottleneck
-    val local = parted.withColumn("_lrn", row_number().over(
-      Window.partitionBy(col("_pid")).orderBy(col("_v"), col("_h"), col("_id"))))
-    // partition-count offsets: <= numShufflePartitions rows, broadcast back
-    val offs = local.groupBy(col("_pid")).agg(count(lit(1)).as("_pc"))
-      .withColumn("_off", coalesce(sum(col("_pc")).over(
-        Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val total = offs.agg(coalesce(sum(col("_pc")), lit(0L)).as("_n"))
-    val ranked = local
-      .join(broadcast(offs.select(col("_pid"), col("_off"))), Seq("_pid"))
+      .withColumn("_n", lit(1L))
+    val ranked0 = CorpusOps.prefixSum(lv,
+      Seq(col("_v"), col("_h"), col("_id")), "_r").drop("_n")
+    val total = ranked0.agg(count(lit(1)).as("_n"))
+    val ranked = ranked0
       .crossJoin(broadcast(total))
-      .withColumn("_r", col("_off") + col("_lrn") - 1) // 0-indexed global rank
       .withColumn("_s", expr(s"(_n + ${cap - 1}) DIV $cap"))
       .withColumn("_phi", pmod(Hashing.md5Long(
         concat(lit(seed + "|collapse|"), col("_n").cast("string"))), col("_s")))

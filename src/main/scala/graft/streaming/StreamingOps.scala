@@ -751,9 +751,11 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hlNs = halfLifeDays * 86400000000000.0
-        val bmax = batch.agg(max(col(tsNsCol))).head()
-        if (!bmax.isNullAt(0) &&
-            !StateTable.alreadyApplied(spark, statePath, batchId)) {
+        // replay guard FIRST (a marker-file read) — the bmax aggregation is
+        // a batch-sized job a skipped re-delivery must not pay
+        if (!StateTable.alreadyApplied(spark, statePath, batchId)) {
+          val bmax = batch.agg(max(col(tsNsCol))).head()
+          if (!bmax.isNullAt(0)) {
           val saved = StateTable.read(spark, statePath)
           val tNew = saved match {
             case Some(st) =>
@@ -775,8 +777,9 @@ object StreamingOps {
               .groupBy("event_type")
               .agg(sum(col("n_events")).as("n_events"), sum(col("decayed")).as("decayed"))
           }
-          StateTable.overwrite(merged0.withColumn("t_ref", lit(tNew)), statePath,
-            Some(batchId))
+            StateTable.overwrite(merged0.withColumn("t_ref", lit(tNew)),
+              statePath, Some(batchId))
+          }
         }
         ()
       }
