@@ -194,7 +194,13 @@ object QuantileSketch {
         .select(gcols :+ greatest(col("_lv0"),
           coalesce(col("_floor"), lit(0))).cast("int").as("_level"): _*)
     }
-    lv.join(levels, groupCols).filter(col("_tz") >= col("_level"))
+    // the constant-group (single-sketch) instance joins on ONE key value —
+    // broadcast explicitly so the corpus never hash-shuffles onto a single
+    // reducer even with AQE off; real groupings keep the planner's choice
+    // (levels is group-count-sized there, possibly too big to broadcast)
+    val levelsSide =
+      if (groupCols == Seq(OneGroup)) broadcast(levels) else levels
+    lv.join(levelsSide, groupCols).filter(col("_tz") >= col("_level"))
   }
 
   /** Merge two grouped sketches: union of survivor rows, per-group level
