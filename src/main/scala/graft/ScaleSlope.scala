@@ -48,7 +48,8 @@ object ScaleSlope {
     "x11_vocab", "g1_explode", "x15_weighted_sample", "pk1_sequence_pack",
     "mk1_mink_prob",
     // r17 additions, same footing as the r16 ones
-    "cs13_kll_compact", "pipe4_cdc_decontam", "mm4_audio_fingerprint")
+    "cs13_kll_compact", "cs14_kll_compact_grouped", "pipe4_cdc_decontam",
+    "mm4_audio_fingerprint")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     // key-shift precondition (r17 advice): copies collide SILENTLY if any

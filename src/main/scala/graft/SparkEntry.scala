@@ -2373,6 +2373,16 @@ object SparkEntry {
             col("l_linenumber").cast("string")).as("lid"))
       QuantileSketch.quantilesCompact(li, "price_cents", "lid", cap = 256)
     }),
+    // CS14 per-group collapse compactor (r17): cs13's grouped form,
+    // completing the family square (cs11/cs12 sort-free samplers,
+    // cs13/cs14 O(1/cap) collapses). Per-group ranks sort within each
+    // group's task (the cs1 exact-quantiles shape — cs12 stays the
+    // mega-group/skew tool); per-group md5 phase, same deterministic
+    // <= stride/2 read bound, same SQL replay per group.
+    "cs14_kll_compact_grouped" -> ((s, dir) => {
+      QuantileSketch.quantilesCompactByGroup(t(s, dir, "documents"),
+        Seq("lang"), "n_chars", "doc_id", cap = 64)
+    }),
 
     // ------------------------------------------------------- multimodal plumbing
     // MM1 video frame sampling over binary payloads: REAL MJPEG-in-AVI
@@ -5782,6 +5792,26 @@ object SparkEntry {
           |  (SELECT CAST(s AS BIGINT) FROM ph) AS stride,
           |  (SELECT CAST(m AS BIGINT) FROM mm) AS m_kept
           |FROM pick WHERE pr = 1""".stripMargin.replace("\n", " "),
+      // cs14: cs13's replay run PER GROUP — per-lang ranks, per-lang
+      // stride/phase, nearest-rank read inside each group.
+      "cs14_kll_compact_grouped" ->
+        """WITH items AS (SELECT lang, n_chars AS v, CAST(doc_id AS VARCHAR) AS id,
+          |    CAST(('0x' || substr(md5('kll|' || doc_id), 1, 8)) AS BIGINT) AS h FROM documents),
+          |r AS (SELECT lang, v, id, h,
+          |    row_number() OVER (PARTITION BY lang ORDER BY v, h, id) - 1 AS rnk,
+          |    count(*) OVER (PARTITION BY lang) AS n FROM items),
+          |p AS (SELECT DISTINCT lang, n, (n + 63) // 64 AS s FROM r),
+          |ph AS (SELECT lang, n, s, CAST(('0x' || substr(md5('kll|collapse|' || lang || '|' || n), 1, 8)) AS BIGINT) % s AS phi FROM p),
+          |surv AS (SELECT r.lang, v, rnk, ph.n, ph.s FROM r JOIN ph ON r.lang = ph.lang WHERE rnk % ph.s = ph.phi),
+          |m AS (SELECT lang, count(*) AS mk FROM surv GROUP BY 1),
+          |qs AS (SELECT unnest([25, 50, 75, 90]) AS q),
+          |tgt AS (SELECT ph.lang, q, greatest(1, (q * ph.n + 99) // 100) - 1 AS t FROM qs, ph),
+          |pick AS (SELECT t.lang, t.q, s.v, s.s,
+          |    row_number() OVER (PARTITION BY t.lang, t.q ORDER BY abs(s.rnk - t.t), s.rnk) AS pr
+          |  FROM tgt t JOIN surv s ON s.lang = t.lang)
+          |SELECT p.lang, CAST(p.q AS BIGINT) AS q_pct, CAST(p.v AS BIGINT) AS est,
+          |  CAST(p.s AS BIGINT) AS stride, CAST(m.mk AS BIGINT) AS m_kept
+          |FROM pick p JOIN m ON m.lang = p.lang WHERE pr = 1""".stripMargin.replace("\n", " "),
       "cs4_countmin" ->
         s"""WITH bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
            |    i -> array_to_string(list_slice(w, i, i+1), ' '))) AS bigram

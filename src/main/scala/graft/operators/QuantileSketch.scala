@@ -404,6 +404,87 @@ object QuantileSketch {
       when(col("_j") === -1L, col("_s")).otherwise(col("_s2")).as("_s"))
   }
 
+  /** Per-GROUP collapse compactor (cs14) — completing the family square:
+    * cs11/cs12 are the sort-free O(1/sqrt(cap)) samplers (single/grouped),
+    * cs13/cs14 the O(1/cap) collapses (single/grouped). Survivors per group
+    * at group-sorted ranks ≡ group-phase (mod group-stride), stride =
+    * ceil(n_g/cap), phase = md5(seed, groupKey, n_g) mod stride — the
+    * per-group instance of [[compactSketch]], same deterministic
+    * <= stride/2 read bound per group, same SQL replay per group (the cs14
+    * oracle row).
+    *
+    * Scale shape + honest price: the per-group rank is a window PARTITIONED
+    * BY GROUP over the raw rows — each group sorts within one task (the cs1
+    * exact-quantiles shape; a mega-group is a skew risk there too). That is
+    * the grouped analogue of cs13's global sort. When groups are huge and
+    * skewed, cs12 (sampler — one shuffle, no sort) is the right tool; cs14
+    * buys the 19x-tighter deterministic bound where per-group sorts are
+    * affordable. NULL contract: [[buildByGroup]]'s (group keys, value, id
+    * all non-null).
+    * Output rows: (groupCols*, _v, _id, _h, _r, _w, _n, _s). */
+  def compactSketchByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, cap: Int = 256,
+      seed: String = "kll"): DataFrame = {
+    require(groupCols.nonEmpty, "compactSketchByGroup: no group columns")
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val gcols = groupCols.map(col)
+    val nonNull = (gcols :+ col(valueCol) :+ col(idCol))
+      .map(_.isNotNull).reduce(_ && _)
+    val h = Hashing.md5Long(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val lv = df.filter(nonNull)
+      .select(gcols :+ col(valueCol).as("_v") :+
+        col(idCol).cast("string").as("_id") :+ h.as("_h"): _*)
+    val ranked = lv
+      .withColumn("_r", row_number().over(Window.partitionBy(gcols: _*)
+        .orderBy(col("_v"), col("_h"), col("_id"))) - 1)
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      .withColumn("_s", expr(s"(_n + ${cap - 1}) DIV $cap"))
+      .withColumn("_phi", pmod(Hashing.md5Long(concat(
+        lit(seed + "|collapse|"),
+        concat_ws("|", gcols.map(_.cast("string")): _*),
+        lit("|"), col("_n").cast("string"))), col("_s")))
+    ranked
+      .filter(pmod(col("_r"), col("_s")) === col("_phi"))
+      .select(gcols ++ Seq(col("_v"), col("_id"), col("_h"), col("_r"),
+        (least(col("_r") + col("_s"), col("_n")) -
+          when(col("_r") === col("_phi"), lit(0L)).otherwise(col("_r"))).as("_w"),
+        col("_n"), col("_s")): _*)
+  }
+
+  /** Per-group quantile reads from a grouped compact sketch — the
+    * [[quantilesFromCompact]] twin: nearest-rank read inside each group,
+    * windows over the per-group cap-bounded survivor sets. Output:
+    * (groupCols*, q_pct, est, stride, m_kept). */
+  def quantilesFromCompactByGroup(sketch: DataFrame, groupCols: Seq[String],
+      qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 99),
+      s"qPcts must be in 1..99, got $qPcts")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val qs = qPcts.toDF("q_pct")
+    sketch
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      .crossJoin(broadcast(qs))
+      .withColumn("_t", greatest(lit(1L), expr("(q_pct * _n + 99) DIV 100")) - 1)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(gcols :+ col("q_pct"): _*)
+          .orderBy(abs(col("_r") - col("_t")), col("_r"))))
+      .filter(col("_rn") === 1)
+      .select(gcols ++ Seq(col("q_pct").cast("long"), col("_v").as("est"),
+        col("_s").cast("long").as("stride"),
+        col("_m").cast("long").as("m_kept")): _*)
+      .orderBy(gcols :+ col("q_pct"): _*)
+  }
+
+  /** End-to-end grouped collapse quantiles — the cs14 board entry. */
+  def quantilesCompactByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, cap: Int = 256, seed: String = "kll",
+      qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
+    quantilesFromCompactByGroup(
+      compactSketchByGroup(df, groupCols, valueCol, idCol, cap, seed),
+      groupCols, qPcts)
+
   /** Exact-rank error of a sketch's estimates against the true distribution:
     * for each q, |rank(est)/n - q/100| where rank(est) = #{v <= est}. ONE
     * corpus scan: the ≤ 9 estimates broadcast-cross-join every row and a

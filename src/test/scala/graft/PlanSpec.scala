@@ -113,4 +113,19 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(_.contains("passage_id")),
       "window without passage_id partitioning:\n" + windows.mkString("\n"))
   }
+
+  test("KLL single-sketch build: levels frame broadcast, never a corpus shuffle on the constant key") {
+    import graft.operators.QuantileSketch
+    val li = spark.read.parquet(sf("lineitem"))
+      .select(col("l_orderkey").as("id"), col("l_quantity").as("v"))
+    val plan = planOf(QuantileSketch.build(li, "v", "id", cap = 64))
+    // the r17 hint: the 1-row levels frame rides a broadcast join — a hash
+    // shuffle on the constant group key would funnel the corpus through one
+    // reducer with AQE off
+    assert(plan.contains("BroadcastExchange"),
+      "constant-group level join must broadcast\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-sized SMJ on a constant key\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -136,6 +136,38 @@ class Round17OpsSpec extends SparkSpec {
         s"merged read q=$q est=$e target=$target outside the additive bound") }
   }
 
+  test("compactSketchByGroup: per-group stride/2 bound, cap bound, grouped == single per group") {
+    import graft.operators.QuantileSketch
+    val df = (1L to 3000L).map(i => (if (i % 3 == 0) "a" else "b", i, i))
+      .toDF("g", "id", "v")
+    val sk = QuantileSketch.compactSketchByGroup(df, Seq("g"), "v", "id", cap = 32)
+    // per-group cap + mass conservation
+    val byG = sk.groupBy("g").agg(count(lit(1)).as("m"), sum($"_w").as("w"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, m, w) => g -> (m, w) }.toMap
+    assert(byG("a")._1 <= 32 && byG("b")._1 <= 32)
+    assert(byG("a")._2 == 1000L && byG("b")._2 == 2000L)
+    // the read honors each group's own deterministic bound
+    val est = QuantileSketch.quantilesFromCompactByGroup(sk, Seq("g"), Seq(25, 50, 75))
+      .select("g", "q_pct", "est").as[(String, Long, Long)].collect()
+    est.foreach { case (g, q, e) =>
+      // group "a" = multiples of 3 (1000 values), "b" = the rest (2000)
+      val n = if (g == "a") 1000L else 2000L
+      val stride = (n + 31) / 32
+      val targetIdx = math.max(1L, (q * n + 99) / 100) // 1-indexed within group
+      val target = if (g == "a") targetIdx * 3
+        else { // k-th non-multiple-of-3 among 1..3000
+          var k = targetIdx; var x = 0L
+          while (k > 0) { x += 1; if (x % 3 != 0) k -= 1 }; x
+        }
+      // values within a group are ~uniform with step 1.5 (b) / 3 (a):
+      // rank error <= stride/2 translates to value error <= step*stride/2
+      val step = if (g == "a") 3.0 else 1.5
+      assert(math.abs(e - target) <= step * stride / 2 + step,
+        s"g=$g q=$q est=$e target=$target stride=$stride")
+    }
+  }
+
   test("StateTable batchId guard: a replayed batch is a no-op, the next applies") {
     import graft.streaming.StreamingOps.StateTable
     val dir = java.nio.file.Files.createTempDirectory("state_bid").toString + "/st"
