@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.QuantileSketch
+import org.scalacheck.Gen
+
+/** Randomized properties for the r17 equal-weight collapse compactor
+  * (cs13/cs14) — the claims its correctness rests on, exercised where random
+  * data finds the corners (duplicate values, empty-side splits, caps near
+  * and above n, multi-way folds):
+  *  1. the one-shot sketch is a pure function of the multiset (partitioning
+  *     invariant), mass-conserving, cap-bounded, and its estimates' EXACT
+  *     ranks respect the DETERMINISTIC stride/2 bound (duplicate runs
+  *     credited at their closest end);
+  *  2. an arbitrary k-way sequential fold through mergeCompact is
+  *     deterministic (replay-bit-equal), mass-exact at every step, and its
+  *     estimates stay within the additive fold bound (sum of half-strides
+  *     along the fold) — the documented mergeCompact error accounting. */
+class CompactPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val inputGen = for {
+    n <- Gen.chooseNum(1, 900)
+    // small value domain => duplicate ties exercised
+    vs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+    cap <- Gen.oneOf(8, 32, 128, 1200) // 1200 > max n: no-compaction path
+    nCuts <- Gen.chooseNum(0, 3)
+    cuts <- Gen.listOfN(nCuts, Gen.chooseNum(0, n)) // may create empty batches
+  } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, cap, cuts.sorted)
+
+  test("one-shot: partition purity, mass conservation, cap, deterministic rank bound") {
+    Iterator.continually(inputGen.sample).flatten.take(6).foreach {
+      case (rows, cap, _) =>
+        val n = rows.size
+        val df = rows.toDF("id", "v")
+        val sk = QuantileSketch.compactSketch(df, "v", "id", cap)
+          .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+        val sk2 = QuantileSketch.compactSketch(
+            df.repartition(5), "v", "id", cap)
+          .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+        assert(sk == sk2, s"not partition-pure: n=$n cap=$cap")
+        assert(sk.size <= cap, s"cap violated: ${sk.size} > $cap")
+        val mass = sk.toSeq.map(_._5).sum // toSeq: Set.map would collapse equal weights
+        assert(mass == n, s"mass $mass != n=$n")
+        val stride = sk.head._7
+        assert(stride == (n + cap - 1) / cap)
+        val sorted = rows.map(_._2).sorted
+        val est = QuantileSketch.quantilesFromCompact(
+            QuantileSketch.compactSketch(df, "v", "id", cap), Seq(25, 50, 75))
+          .select("q_pct", "est").as[(Long, Long)].collect()
+        est.foreach { case (q, e) =>
+          assert(sorted.contains(e), s"estimate $e is not an input value")
+          val lo = sorted.indexOf(e) + 1
+          val hi = sorted.lastIndexOf(e) + 1
+          val target = math.max(1L, (q * n + 99) / 100)
+          // a target INSIDE the estimate's duplicate run is rank-exact
+          val dist = if (target >= lo && target <= hi) 0L
+            else math.min(math.abs(lo - target), math.abs(hi - target))
+          // DETERMINISTIC bound (+1 for the 1-indexed read convention) —
+          // not a concentration tolerance: this is the operator's cert
+          assert(dist <= stride / 2 + 1,
+            s"q=$q est=$e rank=[$lo,$hi] target=$target stride=$stride n=$n")
+        }
+    }
+  }
+
+  test("k-way fold: deterministic replay, mass-exact, estimates within the additive bound") {
+    Iterator.continually(inputGen.sample).flatten.take(6).foreach {
+      case (rows, cap, cuts) =>
+        val n = rows.size
+        // split rows at the sorted cut points -> k batches (some may be empty)
+        val bounds = (0 +: cuts :+ n).distinct.sorted
+        val batches = bounds.zip(bounds.tail).map { case (a, b) =>
+          rows.slice(a, b).toDF("id", "v") }
+        val sks = batches.map(b => QuantileSketch.compactSketch(b, "v", "id", cap))
+        def fold() = sks.reduce((a, b) => QuantileSketch.mergeCompact(a, b, cap))
+        val f1 = fold().as[(Long, String, Long, Long, Long, Long, Long)].collect()
+        val f2 = fold().as[(Long, String, Long, Long, Long, Long, Long)].collect()
+        assert(f1.toSet == f2.toSet, "fold not deterministic")
+        assert(f1.map(_._5).sum == n, s"fold mass ${f1.map(_._5).sum} != n=$n")
+        assert(f1.length <= math.max(cap, 1), s"fold cap violated: ${f1.length}")
+        if (n > 0) {
+          // additive error budget — the provable per-step envelope: each
+          // input batch's survivors carry <= stride_batch/2 rank slack, and
+          // each merge adds <= s_a + s_b + 1.5·s' (cum-position
+          // misattribution from both sides' granularities + grid laydown +
+          // read), all bounded by 3·(final stride + 1) per merge. Loose by
+          // design so random CI draws never flake; the TIGHT accounting is
+          // measured in StreamingSpec (0.90% vs the 2.1% fold bound).
+          val batchHalf = bounds.zip(bounds.tail).map { case (a, b) =>
+            val bn = b - a
+            if (bn == 0) 0L else ((bn + cap - 1) / cap + 1) / 2 }.sum
+          val mergeEnvelope = (1 until sks.length).map { _ =>
+            3L * ((n + cap - 1) / cap + 1) }.sum
+          val budget = batchHalf + mergeEnvelope + 1
+          val sorted = rows.map(_._2).sorted
+          val est = QuantileSketch.quantilesFromCompact(fold(), Seq(50))
+            .select("q_pct", "est").as[(Long, Long)].collect()
+          est.foreach { case (q, e) =>
+            val lo = sorted.indexOf(e) + 1
+            val hi = sorted.lastIndexOf(e) + 1
+            val target = math.max(1L, (q * n + 99) / 100)
+            val dist = if (target >= lo && target <= hi) 0L
+              else math.min(math.abs(lo - target), math.abs(hi - target))
+            assert(dist <= budget,
+              s"q=$q est=$e rank=[$lo,$hi] target=$target budget=$budget " +
+                s"n=$n cap=$cap batches=${batches.size}")
+          }
+        }
+    }
+  }
+}
