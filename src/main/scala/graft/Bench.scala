@@ -26,21 +26,27 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       math.round(l * 100) / 100.0
     }
-    // Idle gate (r17): three rounds running, the round's closing stamp was a
-    // loaded-box reading needing twin forensics to interpret. With
-    // SPARK_GRAFT_BENCH_REQUIRE_IDLE set (a positive minute budget; any
-    // other value falls back to 15 with a stderr note — review finding:
-    // silent fallback made "=0"/typos indistinguishable from the default),
-    // Bench WAITS for the 1-min load to drop below 2 before starting,
-    // polling every 30 s, and proceeds with a loud note if the budget runs
-    // out. The payload always stamps "idle": whether the suite STARTED
-    // below load 2 — the end reading is the suite's own 32-thread work and
-    // is disclosed separately in "load".
-    sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE").foreach { v =>
-      val budgetMin = v.toIntOption.filter(_ > 0).getOrElse {
-        System.err.println(
-          s"[bench-idle] unparsable budget '$v' — using 15 minutes")
-        15
+    // Idle gate — ON BY DEFAULT since r18: the r17 mechanism worked but was
+    // opt-in, so any harness that didn't set the env still stamped a
+    // loaded-box reading needing twin forensics to interpret. Now EVERY
+    // stamp waits (up to 15 minutes, 30 s polls) for the 1-min load to drop
+    // below 2 before starting, and proceeds with a loud note if the budget
+    // runs out. SPARK_GRAFT_BENCH_REQUIRE_IDLE=<minutes> overrides the
+    // budget (a positive minute count; any other value falls back to 15
+    // with a stderr note — review finding: silent fallback made "=0"/typos
+    // indistinguishable from the default); SPARK_GRAFT_BENCH_NO_IDLE_WAIT=1
+    // opts out entirely (fast local iteration on a busy box). The payload
+    // always stamps "idle": whether the suite STARTED below load 2 — the
+    // end reading is the suite's own 32-thread work and is disclosed
+    // separately in "load".
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_IDLE_WAIT")) {
+      val budgetMin = sys.env.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE") match {
+        case None => 15
+        case Some(v) => v.toIntOption.filter(_ > 0).getOrElse {
+          System.err.println(
+            s"[bench-idle] unparsable budget '$v' — using 15 minutes")
+          15
+        }
       }
       val deadline = System.nanoTime() + budgetMin * 60L * 1000000000L
       while (loadAvg() >= 2.0 && System.nanoTime() < deadline) {
@@ -50,7 +56,8 @@ object Bench {
       if (loadAvg() >= 2.0) System.err.println(
         f"[bench-idle] budget exhausted at load ${loadAvg()}%.2f — proceeding, " +
           "stamp will carry idle:false")
-    }
+    } else System.err.println("[bench-idle] wait disabled by " +
+      "SPARK_GRAFT_BENCH_NO_IDLE_WAIT — stamping whatever load the box has")
     // idle is judged at ENTRY (before the warm pass — our own 32-thread
     // warm-up legitimately raises the 1-min load by the time the timed loop
     // starts; that is the suite's own work, not box contention)

@@ -3088,10 +3088,16 @@ object SparkEntry {
       // the oracle replays it over character codes — identical only when
       // char ≡ byte, so both engines filter to ASCII texts (octet_length =
       // char length) and the twin is exact by construction for ANY corpus,
-      // not just the incidentally-ASCII synthetic one.
+      // not just the incidentally-ASCII synthetic one. Magic pin (r18): the
+      // PRINTABLE image-container magics ("BM" = BMP, "GIF8" = GIF) are
+      // excluded on both sides — a text opening with one could in principle
+      // really decode (decoded=true) and silently diverge from the oracle's
+      // hardcoded fallback arm; the exclusion makes decoded=false a
+      // construction, not a corpus accident.
       val assets = Multimodal.toAssets(
         t(s, dir, "documents").filter(col("n_chars") > 0)
-          .filter(octet_length(col("text")) === length(col("text"))),
+          .filter(octet_length(col("text")) === length(col("text")))
+          .filter(!(col("text").startsWith("BM") || col("text").startsWith("GIF8"))),
         "doc_id", "text", "image")
       Multimodal.imageAHash(assets)
         .select(col("asset_id"), col("decoded"),
@@ -3104,12 +3110,18 @@ object SparkEntry {
     // Hamming distance, MultimodalSpec pins it on WAV fixtures). Real decode
     // is probed and fails over the synthetic text-byte payloads — the
     // byte-grid energy fallback runs, which the oracle replays over
-    // character codes (the mm3 ASCII pin). Pairing downstream reuses the
-    // e8/mm3 XOR+popcount machinery. See Multimodal.audioFingerprint.
+    // character codes (the mm3 ASCII pin). Magic pin (r18): real decode is
+    // gated on the 4-byte container magic (Multimodal.AudioMagics — all
+    // three are printable ASCII), and texts opening with one are excluded
+    // on BOTH sides, so decoded=false is a construction (a ".snd"-prefixed
+    // text can never flip the decode arm and drift from the twin), not a
+    // corpus accident. Pairing downstream reuses the e8/mm3 XOR+popcount
+    // machinery. See Multimodal.audioFingerprint.
     "mm4_audio_fingerprint" -> ((s, dir) => {
       val assets = Multimodal.toAssets(
         t(s, dir, "documents").filter(col("n_chars") > 0)
-          .filter(octet_length(col("text")) === length(col("text"))),
+          .filter(octet_length(col("text")) === length(col("text")))
+          .filter(!substring(col("text"), 1, 4).isin("RIFF", ".snd", "FORM")),
         "doc_id", "text", "audio")
       Multimodal.audioFingerprint(assets)
         .select(col("asset_id"), col("decoded"),
@@ -7003,7 +7015,8 @@ object SparkEntry {
       // (pow(2, 63) would overflow BIGINT — the d3 nBits lesson).
       "mm3_image_ahash" ->
         """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id, text, length(text) AS n
-          |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)),
+          |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)
+          |  AND NOT (text LIKE 'BM%' OR text LIKE 'GIF8%')),
           |pos AS (SELECT asset_id, n, text, unnest(generate_series(1, n)) AS i FROM d),
           |ch AS (SELECT asset_id, CAST(((i - 1) * 64) // n AS INTEGER) AS cell,
           |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v FROM pos),
@@ -7024,7 +7037,8 @@ object SparkEntry {
       // bit k = energy(k+1) > energy(k), empty cells coalesce to 0.
       "mm4_audio_fingerprint" ->
         """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id, text, length(text) AS n
-          |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)),
+          |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)
+          |  AND substr(text, 1, 4) NOT IN ('RIFF', '.snd', 'FORM')),
           |pos AS (SELECT asset_id, n, text, unnest(generate_series(1, n)) AS i FROM d),
           |ch AS (SELECT asset_id, CAST(((i - 1) * 64) // n AS INTEGER) AS cell,
           |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v FROM pos),

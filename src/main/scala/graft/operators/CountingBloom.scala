@@ -113,7 +113,12 @@ object CountingBloom {
     * won at delta/new <= 0.43 (0.77 s vs 0.86 s) and lost at 0.67 (0.87 s
     * vs 0.73 s), an interpolated crossover of ~0.52; 0.5 keeps a small
     * margin under it. (The r16 value 0.3 was safe but left wins on the
-    * table between 0.3 and 0.5.) */
+    * table between 0.3 and 0.5.) The crossover is HARDWARE-DEPENDENT —
+    * measured on one 32-core local[32] box with local-disk parquet, and
+    * the ~4% margin under it is thin: slower storage or fewer cores shifts
+    * the curve, so recalibrate by re-running `graft.SweepMaintain` on the
+    * target hardware (the README table documents the procedure) and pass
+    * the measured threshold explicitly rather than trusting the default. */
   def chooseMaintain(nDelta: Long, nNew: Long, threshold: Double = 0.5): Boolean =
     nDelta < threshold * math.max(nNew, 1L)
 

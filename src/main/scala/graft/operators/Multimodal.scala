@@ -106,13 +106,31 @@ object Multimodal {
     out
   }
 
+  /** Container magics of the JDK-decodable audio formats — WAV ("RIFF"),
+    * AU (".snd"), AIFF ("FORM"). All three are PRINTABLE ASCII, so a plain
+    * text payload could in principle open with one and parse as audio; the
+    * magic gate below makes "attempted real decode" a 4-byte-prefix
+    * predicate any SQL engine can replay (r17 advice — the mm4 oracle
+    * filters these prefixes out, so its decoded=false twin is exact by
+    * construction instead of by luck). */
+  private[operators] val AudioMagics = Seq("RIFF", ".snd", "FORM")
+
+  private def hasMagic(payload: Array[Byte], magics: Seq[String]): Boolean =
+    payload != null && payload.length >= 4 && {
+      val head = new String(payload, 0, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      magics.contains(head)
+    }
+
   /** Real audio decode (WAV/AIFF/AU via the JDK's javax.sound.sampled — zero
     * new dependencies): payload bytes → mono float samples in [-1, 1] plus
     * (sampleRate, channels). Non-PCM encodings are converted to signed 16-bit
     * PCM first; bytes that aren't a supported audio container return None.
+    * Gated on the 4-byte container magic BEFORE touching AudioSystem: the
+    * decode arm is then an oracle-expressible predicate (see [[AudioMagics]])
+    * and garbage payloads skip the exception machinery entirely.
     * Each call builds its own streams — safe under task parallelism. */
   private[operators] def decodeAudio(payload: Array[Byte]): Option[(Array[Float], Float, Int)] =
-    if (payload == null) None
+    if (!hasMagic(payload, AudioMagics)) None
     else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))

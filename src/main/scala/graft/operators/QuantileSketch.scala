@@ -312,7 +312,17 @@ object QuantileSketch {
   /** Quantile reads from a compact sketch: 0-indexed target rank
     * t = max(1, ceil(q·n/100)) − 1; the estimate is the survivor whose rank
     * `_r` is nearest t (ties to the lower rank) — for a one-shot
-    * [[compactSketch]] the error is <= stride/2 ranks, deterministic.
+    * [[compactSketch]] the error is <= stride/2 ranks, deterministic, for
+    * INTERIOR quantiles (a target below the md5 phase or above the last
+    * grid point has only a one-sided neighbor, so the extreme reads can
+    * err up to stride−1; qPcts is bounded to 1..99 but a tiny q on a huge
+    * n can still land in the head gap). The bound is a RANK bound: a long
+    * run of duplicate values can make the VALUE at the returned rank equal
+    * the target's anyway — the bound never benefits from that, it is
+    * worst-case over rank distance. After a [[mergeCompact]] fold the
+    * published `stride` is advisory (the max input stride or the resample
+    * stride — see mergeCompact's additive error accounting); only a
+    * one-shot sketch's stride certifies <= stride/2.
     * Integer arithmetic only; windows over the cap-bounded survivor set.
     * Output: (q_pct BIGINT, est, stride BIGINT, m_kept BIGINT); empty
     * sketch -> empty result. */
@@ -360,7 +370,11 @@ object QuantileSketch {
     * deterministic per-merge bound wins), [[merge]] (cs11) for unbounded
     * streams. StreamingSpec measures the folded error beside the one-shot
     * bound. All windows here are over <= |a|+|b| <= 2·cap rows — bounded by
-    * the sketch-size contract. */
+    * the sketch-size contract. The output `_s` is ADVISORY after a merge
+    * (resample branch: the new grid stride; keep branch: the max input
+    * stride — never a per-row source stride, which would understate the
+    * envelope for rows from the finer side): the true folded error is the
+    * additive sum above, which only the caller's fold history knows. */
   def mergeCompact(a: DataFrame, b: DataFrame, cap: Int,
       seed: String = "kll"): DataFrame = {
     require(cap > 0, s"cap must be > 0, got $cap")
@@ -372,6 +386,11 @@ object QuantileSketch {
         ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_nn", sum(col("_w")).over(Window.partitionBy()))
       .withColumn("_mu", count(lit(1)).over(Window.partitionBy()))
+      // keep-branch stride: the WORST input stride across the union, not each
+      // row's own source stride — a post-merge read publishes one `stride` per
+      // answer, and mixed source strides would understate the error envelope
+      // for survivors that happened to come from the finer side (r17 advice)
+      .withColumn("_smax", max(col("_s")).over(Window.partitionBy()))
       .withColumn("_s2", expr(s"(_nn + ${cap - 1}) DIV $cap"))
       .withColumn("_phi", pmod(Hashing.md5Long(
         concat(lit(seed + "|collapse|"), col("_nn").cast("string"))), col("_s2")))
@@ -401,7 +420,7 @@ object QuantileSketch {
             when(col("_j") === 0L, lit(0L))
               .otherwise(col("_phi") + col("_j") * col("_s2"))).as("_w"),
       col("_nn").as("_n"),
-      when(col("_j") === -1L, col("_s")).otherwise(col("_s2")).as("_s"))
+      when(col("_j") === -1L, col("_smax")).otherwise(col("_s2")).as("_s"))
   }
 
   /** Per-GROUP collapse compactor (cs14) — completing the family square:
@@ -453,7 +472,12 @@ object QuantileSketch {
 
   /** Per-group quantile reads from a grouped compact sketch — the
     * [[quantilesFromCompact]] twin: nearest-rank read inside each group,
-    * windows over the per-group cap-bounded survivor sets. Output:
+    * windows over the per-group cap-bounded survivor sets. The same read
+    * caveats apply PER GROUP: the <= stride/2 certificate holds for
+    * interior quantiles of a one-shot [[compactSketchByGroup]] (extreme
+    * targets in the head/tail gap can err up to stride−1), the bound is a
+    * rank bound regardless of duplicate-value runs, and after a grouped
+    * merge fold the published stride is advisory. Output:
     * (groupCols*, q_pct, est, stride, m_kept). */
   def quantilesFromCompactByGroup(sketch: DataFrame, groupCols: Seq[String],
       qPcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {

@@ -71,12 +71,22 @@ object StreamingOps {
       * SAME batchId, and re-applying it would double-count every additive
       * state (CMS cells, Bloom counters, daily counts) and duplicate KLL
       * survivor rows. batchIds are monotone within a query (Spark's own
-      * contract), so `<=` is the replay test. Corollary: a NEW query (ids
-      * restarting at 0) pointed at an EXISTING state path no-ops until its
-      * ids pass the stored one — state paths are per-query by contract. */
+      * contract), so ONLY `== last` is checkpoint replay; `< last` means
+      * the ids regressed — a NEW query (fresh checkpoint, ids restarting
+      * at 0) was pointed at an EXISTING state path, and silently no-oping
+      * every batch until the ids catch up would be data loss — so it
+      * THROWS instead (r17 advice: state paths are per-query by contract,
+      * and a contract violation must fail loudly, not drop batches). */
     def alreadyApplied(spark: SparkSession, statePath: String, batchId: Long): Boolean =
       lastBatchId(spark, statePath).exists { last =>
-        val replay = batchId <= last
+        if (batchId < last) throw new IllegalStateException(
+          s"StateTable $statePath: batch $batchId is OLDER than the " +
+            s"last-applied $last — batchIds are monotone within a query, so " +
+            "this state path belongs to a different query (or its checkpoint " +
+            "was reset). Point the query at a fresh state path, or delete " +
+            "this one deliberately; silently skipping would drop every batch " +
+            s"until ids pass $last.")
+        val replay = batchId == last
         if (replay) System.err.println(s"[state-table] $statePath: batch " +
           s"$batchId already applied (last=$last) — skipped as checkpoint replay")
         replay
