@@ -107,8 +107,15 @@ object IvfIndex {
     * recall degrades gracefully as the corpus drifts from the build-time
     * clustering, and a periodic full [[build]]+[[save]] restores it — the
     * standard IVF compaction contract. Write amplification is bounded by the
-    * cells the new vectors land in, never the index size; the existing-id
-    * probe is one column-pruned scan with the delta-sized id list pushed down. */
+    * cells the new vectors land in, never the index size. The existing-id
+    * probe is JOINS, not driver id-lists (r18): the inverted file's
+    * column-pruned id scan left-semi-joins the delta to find ids already
+    * present, and the delta left-anti-joins that (delta-bounded) result —
+    * no collect of delta ids, no IN-list inlined into the plan, so a
+    * CDC-scale delta works unchanged. Both join sides that can be small
+    * are localCheckpointed, so AQE sees real sizes and broadcasts them —
+    * the planner's call, as it should be; the index side is never
+    * shuffled, only scanned (one column). */
   def addSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
       rows: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = load(spark, dir)
@@ -133,27 +140,36 @@ object IvfIndex {
           .write.mode("overwrite").partitionBy(CellCol).parquet(apath)
         return
       }
-      // Add-only safety probe (delta-sized driver set, same bound as the cell
-      // collect below — the graft path feeds micro-batch-sized deltas).
-      val deltaIds = assigned.select("id").collect().map(_.getString(0)).toSeq
-      val already = idx.assignments.filter(col("id").isin(deltaIds: _*))
-        .select("id").collect().map(_.getString(0)).toSet
-      val fresh = assigned.filter(not(col("id").isin(already.toSeq: _*)))
-      if (already.size == deltaIds.size) return // nothing genuinely new
-      val cells = fresh.select("centroid_id").distinct()
-        .collect().map(_.getString(0))
-      val existing = idx.assignments
-        .filter(col(CellCol).isin(cells.toIndexedSeq.map("c" + _): _*)).drop(CellCol)
-      val merged = existing
-        .unionByName(fresh) // disjoint ids by the probe above
-        .withColumn(CellCol, cellOf(col("centroid_id")))
-        .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
-        // lineage break: the write below overwrites the very files this reads
+      // Add-only safety probe as joins (r18 — no driver id materialization):
+      // `already` scans ONE column of the inverted file and semi-joins the
+      // (checkpointed, size-known) delta; it is delta-bounded, so the anti
+      // join below broadcasts it under AQE. `fresh` materializes eagerly —
+      // the cell collect and the cell-merge union both read it, and the
+      // index id-scan must run once, not per consumer.
+      val already = idx.assignments
+        .join(assigned.select("id"), Seq("id"), "left_semi")
+        .select("id")
+      val fresh = assigned.join(already, Seq("id"), "left_anti")
         .localCheckpoint(true)
-      try merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(CellCol).parquet(apath)
-      finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+      try {
+        if (fresh.isEmpty) return // nothing genuinely new
+        // touched-cell pruning: bounded by nList by contract, never by the
+        // delta — the one collect that stays (it builds the partition filter)
+        val cells = fresh.select("centroid_id").distinct()
+          .collect().map(_.getString(0))
+        val existing = idx.assignments
+          .filter(col(CellCol).isin(cells.toIndexedSeq.map("c" + _): _*)).drop(CellCol)
+        val merged = existing
+          .unionByName(fresh) // disjoint ids by the anti join above
+          .withColumn(CellCol, cellOf(col("centroid_id")))
+          .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+          // lineage break: the write below overwrites the very files this reads
+          .localCheckpoint(true)
+        try merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(CellCol).parquet(apath)
+        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+      } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(fresh)
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(assigned)
   }
 
@@ -166,20 +182,36 @@ object IvfIndex {
     * a zero-row dynamic overwrite writes nothing, so the stale files would
     * silently keep serving the deleted ids. An index emptied entirely
     * collapses back to the readable empty plain-file layout [[save]] uses.
-    * Unknown ids are ignored; `ids` is a delta-sized driver set (the
-    * [[addSaved]] probe bound). */
+    * Unknown ids are ignored. The Seq overload is convenience for CRUD-path
+    * callers with an in-hand id list; the DataFrame form is primary (r18) —
+    * the delta flows through semi/anti JOINS, never an IN-list, so a
+    * CDC-scale delete frame works unchanged (the [[addSaved]] discipline;
+    * the only remaining collects are cell-bounded by nList). */
   def deleteSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: Seq[String]): Unit = {
-    if (ids.isEmpty) return
+      ids: Seq[String]): Unit =
+    if (ids.nonEmpty) {
+      import spark.implicits._
+      deleteSaved(spark, dir, ids.toDF("id"), "id")
+    }
+
+  /** DataFrame-delta delete — see the Seq overload's contract. */
+  def deleteSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
     val idx = load(spark, dir)
     if (idx.assignments.isEmpty) return
     val apath = s"$dir/assignments.parquet"
-    val touched = idx.assignments.filter(col("id").isin(ids: _*))
+    // delta-sized, checkpointed once: two joins read it, and AQE's broadcast
+    // decision needs its real size
+    val del = ids.select(col(idCol).cast("string").as("id")).distinct()
+      .localCheckpoint(true)
+    try {
+    val touched = idx.assignments
+      .join(del, Seq("id"), "left_semi")
       .select(CellCol).distinct().collect().map(_.getString(0))
     if (touched.isEmpty) return
     val survivors = idx.assignments
       .filter(col(CellCol).isin(touched.toIndexedSeq: _*))
-      .filter(not(col("id").isin(ids: _*)))
+      .join(del, Seq("id"), "left_anti")
       // lineage break: the writes below replace the very files this read
       .localCheckpoint(true)
     try {
@@ -200,6 +232,7 @@ object IvfIndex {
         // limit(0) collapses to an empty LocalRelation — schema only
         idx.assignments.limit(0).write.mode("overwrite").parquet(apath)
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(survivors)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(del)
   }
 
   /** Measured recall@k of probe-limited search vs exact KNN, per nProbe — the

@@ -190,23 +190,31 @@ object IvfPq {
         throw new IllegalStateException(
           s"IvfPq.addSaved: $codesPath is empty but the codebook is trained — " +
             "half-written index; rebuild with buildAndSave")
-      // add-only probe against the FULL code table (delta-sized driver sets)
-      val deltaIds = celled.select("id").distinct()
-        .collect().map(_.getString(0)).toSeq
-      val already = existing.filter(col("id").isin(deltaIds: _*))
-        .select("id").distinct().collect().map(_.getString(0)).toSet
-      if (already.size == deltaIds.size) return // nothing genuinely new
-      val fresh = celled.filter(not(col("id").isin(already.toSeq: _*)))
-      val cells = fresh.select(CellCol).distinct().collect().map(_.getString(0))
-      val merged = existing.filter(col(CellCol).isin(cells.toIndexedSeq: _*))
-        .unionByName(fresh) // disjoint ids by the probe above
-        .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
-        // lineage break: the write below overwrites the very files this reads
+      // Add-only probe against the FULL code table as JOINS (r18 — the
+      // IvfIndex.addSaved discipline): the code table's column-pruned id
+      // scan semi-joins the delta ids (output delta-bounded, distinct'd to
+      // one row per id — the table holds m rows per id), and the delta
+      // anti-joins that. No driver id sets, no IN-list in the plan; the
+      // checkpointed sides give AQE real sizes to broadcast by.
+      val already = existing
+        .join(celled.select("id").distinct(), Seq("id"), "left_semi")
+        .select("id").distinct()
+      val fresh = celled.join(already, Seq("id"), "left_anti")
         .localCheckpoint(true)
-      try merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(CellCol).parquet(codesPath)
-      finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+      try {
+        if (fresh.isEmpty) return // nothing genuinely new
+        // touched-cell pruning: bounded by nList, the collect that stays
+        val cells = fresh.select(CellCol).distinct().collect().map(_.getString(0))
+        val merged = existing.filter(col(CellCol).isin(cells.toIndexedSeq: _*))
+          .unionByName(fresh) // disjoint ids by the anti join above
+          .repartition(col(CellCol)).sortWithinPartitions(CellCol, "id")
+          // lineage break: the write below overwrites the very files this reads
+          .localCheckpoint(true)
+        try merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(CellCol).parquet(codesPath)
+        finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(merged)
+      } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(fresh)
   }
 
   /** Incremental DELETE from a saved IVF-PQ index — [[addSaved]]'s other
@@ -216,18 +224,31 @@ object IvfPq {
     * its stale files serving the deleted codes), a fully-emptied code table
     * restored to the readable plain-file layout. Codebooks and centroids
     * are untouched — deletes never degrade the quantizer. Unknown ids are
-    * ignored; `ids` is a delta-sized driver set. */
-  def deleteSaved(spark: SparkSession, dir: String, ids: Seq[String]): Unit = {
-    if (ids.isEmpty) return
+    * ignored. The Seq overload is CRUD-path convenience; the DataFrame form
+    * is primary (r18) — the delta flows through semi/anti joins, never an
+    * IN-list, so a CDC-scale delete frame works unchanged. */
+  def deleteSaved(spark: SparkSession, dir: String, ids: Seq[String]): Unit =
+    if (ids.nonEmpty) {
+      import spark.implicits._
+      deleteSaved(spark, dir, ids.toDF("id"), "id")
+    }
+
+  /** DataFrame-delta delete — see the Seq overload's contract. */
+  def deleteSaved(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
     val codesPath = s"$dir/codes.parquet"
     val existing = spark.read.parquet(codesPath)
     if (existing.isEmpty) return
-    val touched = existing.filter(col("id").isin(ids: _*))
+    val del = ids.select(col(idCol).cast("string").as("id")).distinct()
+      .localCheckpoint(true)
+    try {
+    val touched = existing
+      .join(del, Seq("id"), "left_semi")
       .select(CellCol).distinct().collect().map(_.getString(0))
     if (touched.isEmpty) return
     val survivors = existing
       .filter(col(CellCol).isin(touched.toIndexedSeq: _*))
-      .filter(not(col("id").isin(ids: _*)))
+      .join(del, Seq("id"), "left_anti")
       // lineage break: the writes below replace the very files this read
       .localCheckpoint(true)
     try {
@@ -247,6 +268,7 @@ object IvfPq {
       if (!anyCellLeft)
         existing.limit(0).write.mode("overwrite").parquet(codesPath)
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(survivors)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(del)
   }
 
   def searchSaved(spark: SparkSession, dir: String, queries: DataFrame,
