@@ -501,6 +501,70 @@ object QuantileSketch {
       .orderBy(gcols :+ col("q_pct"): _*)
   }
 
+  /** Merge two GROUPED compact sketches — the per-group instance of
+    * [[mergeCompact]], completing the maintained quarter of the sketch
+    * square (cs11/cs12 sampler single/grouped, cs13/cs14 collapse
+    * single/grouped — r17 left cs14 build-only). Within each group: sort
+    * the union canonically, accumulate coverage mass, lay the group's new
+    * grid (stride' = ceil(n'_g/cap), phase' = md5(seed, groupKey, n'_g)
+    * mod stride' — the [[compactSketchByGroup]] phase convention) over the
+    * cumulative-mass axis, and emit the item covering each grid point; a
+    * group whose union already fits cap keeps every row (weights intact,
+    * ranks re-referenced, `_s` = the group's max input stride — the
+    * [[mergeCompact]] advisory convention). Deterministic per group, so a
+    * maintained fold replays bit-equal.
+    *
+    * Error accounting is PER GROUP and additive exactly as in
+    * [[mergeCompact]]: each resample of group g adds <= stride'_g/2 rank
+    * error on top of the inputs' own — linear in the number of folds
+    * worst-case. The A/B stands per group too: this for few-way fan-in
+    * where the deterministic bound wins, [[mergeByGroup]] (cs12 sampler,
+    * merge bit-equal to one-shot) for unbounded streams. All windows are
+    * per-group over <= 2·cap survivor rows — bounded by the sketch-size
+    * contract, never by group size. */
+  def mergeCompactByGroup(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      cap: Int, seed: String = "kll"): DataFrame = {
+    require(groupCols.nonEmpty, "mergeCompactByGroup: no group columns")
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val gcols = groupCols.map(col)
+    val cols = gcols ++ Seq("_v", "_id", "_h", "_r", "_w", "_n", "_s").map(col)
+    val u = a.select(cols: _*).unionByName(b.select(cols: _*))
+    val gwin = Window.partitionBy(gcols: _*)
+    val ord = gwin.orderBy(col("_v"), col("_h"), col("_id"), col("_r"))
+    val cum = u
+      .withColumn("_cum", coalesce(sum(col("_w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_nn", sum(col("_w")).over(gwin))
+      .withColumn("_mu", count(lit(1)).over(gwin))
+      .withColumn("_smax", max(col("_s")).over(gwin))
+      .withColumn("_s2", expr(s"(_nn + ${cap - 1}) DIV $cap"))
+      .withColumn("_phi", pmod(Hashing.md5Long(concat(
+        lit(seed + "|collapse|"),
+        concat_ws("|", gcols.map(_.cast("string")): _*),
+        lit("|"), col("_nn").cast("string"))), col("_s2")))
+      .withColumn("_jlo", greatest(lit(0L),
+        expr("(_cum - _phi + _s2 - 1) DIV _s2")))
+      // same negative-numerator DIV pin as mergeCompact: an item entirely
+      // before the group's first grid point hosts nothing
+      .withColumn("_jhi", when(col("_cum") + col("_w") - 1 < col("_phi"), lit(-1L))
+        .otherwise(least(expr("(_nn - 1 - _phi) DIV _s2"),
+          expr("(_cum + _w - 1 - _phi) DIV _s2"))))
+      .withColumn("_j", explode(when(col("_mu") <= cap, array(lit(-1L)))
+        .otherwise(when(col("_jhi") >= col("_jlo"),
+          sequence(col("_jlo"), col("_jhi")))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))))
+    cum.select(gcols ++ Seq(col("_v"), col("_id"), col("_h"),
+      when(col("_j") === -1L, col("_cum"))
+        .otherwise(col("_phi") + col("_j") * col("_s2")).as("_r"),
+      when(col("_j") === -1L, col("_w"))
+        .otherwise(
+          least(col("_phi") + (col("_j") + 1) * col("_s2"), col("_nn")) -
+            when(col("_j") === 0L, lit(0L))
+              .otherwise(col("_phi") + col("_j") * col("_s2"))).as("_w"),
+      col("_nn").as("_n"),
+      when(col("_j") === -1L, col("_smax")).otherwise(col("_s2")).as("_s")): _*)
+  }
+
   /** End-to-end grouped collapse quantiles — the cs14 board entry. */
   def quantilesCompactByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, idCol: String, cap: Int = 256, seed: String = "kll",

@@ -404,6 +404,43 @@ object StreamingOps {
       }
       .start()
 
+  /** Per-GROUP streaming collapse-compactor maintenance — the grouped (cs14)
+    * twin of [[kllCompactMaintain]], completing the sketch square's last
+    * maintained form (r17 left cs14 build-only): each micro-batch is
+    * compacted per group one-shot
+    * ([[graft.operators.QuantileSketch.compactSketchByGroup]] — sorts are
+    * per-group within the batch, never corpus-sized) and folded into the
+    * saved grouped sketch via
+    * [[graft.operators.QuantileSketch.mergeCompactByGroup]]. DETERMINISTIC
+    * per group: the maintained state is bit-equal to the same fold replayed
+    * in batch code (Round18OpsSpec pins it), but NOT to a one-shot grouped
+    * sketch over the union — each per-group resample adds <= stride_g/2
+    * rank error, accumulating O(Σ strides/2) per group over the fold
+    * (measured in Round18OpsSpec beside the bound, the cs13 convention).
+    * The A/B stands per group: [[kllMaintainByGroup]] (sampler — maintained
+    * error B-independent) for unbounded streams, this for few-way fan-in
+    * where the ~19x-tighter deterministic bound wins. State is <= cap rows
+    * PER GROUP; groups never touch the driver. Checkpoint-restart
+    * re-deliveries are rejected by the StateTable batchId guard. */
+  def kllCompactMaintainByGroup(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, statePath: String,
+      cap: Int = 256, seed: String = "kll"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        StateTable.appliedOnce(spark, statePath, batchId) {
+          val Q = graft.operators.QuantileSketch
+          val fresh = Q.compactSketchByGroup(batch, groupCols, valueCol, idCol, cap, seed)
+          StateTable.read(spark, statePath) match {
+            case Some(st) => Q.mergeCompactByGroup(st, fresh, groupCols, cap, seed)
+            case None => fresh // first batch
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming near-dup detection against a growing corpus: each micro-batch
     * of documents is minhash-signed once, paired WITHIN itself
     * ([[graft.operators.Dedup.lshCandidatePairs]]) and against the SAVED
@@ -422,37 +459,74 @@ object StreamingOps {
     *
     * Output rows at `pairsPath`: (id_a, id_b) candidate pairs, cross-batch
     * pairs oriented (new, old); canonicalize with least/greatest downstream
-    * if an undirected set is wanted.
+    * if an undirected set is wanted. Both outputs are laid out as one
+    * partition directory PER MICRO-BATCH (`batch=<id>` — readers see the
+    * batch id as a partition column; drop it when only the set matters).
     *
-    * At-least-once caveat: this op APPENDS (no StateTable rotation), so the
-    * r17 batchId guard does not apply — a checkpoint-restart re-delivery
-    * appends duplicate signature and pair rows. Both outputs are SETS
-    * semantically: read them with `.distinct()` (pairs) / `dropDuplicates
-    * ("id")` (signatures), which makes re-delivery harmless — dedup-on-read
-    * instead of a per-batch anti-join against the whole history. */
+    * Re-delivery discipline (r18, closing the one maintain op outside the
+    * r17 batchId guard): the signature table is corpus-sized — one row per
+    * document ever seen — so the StateTable rotation (full rewrite per
+    * batch) would be write-amplified by TABLE size, not batch size; appends
+    * are the right scale shape. The guard is therefore idempotence, not
+    * rotation: each batch OVERWRITES its own `batch=<id>` directories
+    * (signatures are a pure function of the documents and the delta pairing
+    * reads only PRIOR batches' dirs, so a re-run writes bit-identical
+    * content), and a `_GRAFT_DONE` marker — written into the signature
+    * batch dir LAST, invisible to parquet readers — makes a post-commit
+    * replay a true no-op on disk. Every crash point replays clean: before
+    * the marker, the re-run overwrites both partial dirs; after it, the
+    * batch is skipped outright (Round18OpsSpec pins both). */
   def lshDedupMaintain(docs: DataFrame, idCol: String, textCol: String,
       sigPath: String, pairsPath: String,
       numHashes: Int = 6, shingleSize: Int = 3,
       bands: Int = 3, rowsPerBand: Int = 2): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val D = graft.operators.Dedup
-        val sigs = D.minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
-          .localCheckpoint(true) // feeds intra-pairing, cross-pairing, and the append
-        try {
-          val intra = D.lshCandidatePairs(sigs, bands, rowsPerBand)
-          val pairs =
-            try intra.unionByName(
-              D.lshDeltaPairs(sigs, spark.read.parquet(sigPath), bands, rowsPerBand))
-            catch { case _: org.apache.spark.sql.AnalysisException => intra } // first batch
-          pairs.write.mode("append").parquet(pairsPath)
-          sigs.write.mode("append").parquet(sigPath)
-        } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sigs)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lshDedupApplyBatch(batch, batchId, idCol, textCol, sigPath, pairsPath,
+          numHashes, shingleSize, bands, rowsPerBand)
       }
       .start()
+
+  /** One micro-batch of [[lshDedupMaintain]] — split out so replay
+    * semantics are testable without a checkpoint-restart harness (and
+    * usable for batch-mode backfills with caller-chosen batch ids). */
+  private[graft] def lshDedupApplyBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, sigPath: String, pairsPath: String,
+      numHashes: Int, shingleSize: Int, bands: Int, rowsPerBand: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val sigBatchDir = new Path(s"$sigPath/batch=$batchId")
+    val fs = sigBatchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(sigBatchDir, "_GRAFT_DONE")
+    if (fs.exists(marker)) {
+      System.err.println(s"[lsh-maintain] $sigPath: batch $batchId already " +
+        "applied — skipped as checkpoint replay")
+      return
+    }
+    val D = graft.operators.Dedup
+    val sigs = D.minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint(true) // feeds intra-pairing, cross-pairing, and the write
+    try {
+      val intra = D.lshCandidatePairs(sigs, bands, rowsPerBand)
+      val pairs =
+        try {
+          // prior batches only: a crashed half-write of THIS batch's dir
+          // must not pair the batch against itself (partition pruning skips
+          // the dir without reading its possibly-partial files)
+          val saved = spark.read.parquet(sigPath)
+            .filter(col("batch") =!= batchId).drop("batch")
+          intra.unionByName(D.lshDeltaPairs(sigs, saved, bands, rowsPerBand))
+        }
+        catch { case _: org.apache.spark.sql.AnalysisException => intra } // first batch
+      pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+      sigs.write.mode("overwrite").parquet(sigBatchDir.toString)
+      // commit point: marker LAST, so its existence implies both dirs are
+      // complete ("_"-prefix keeps it out of Spark's file index)
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sigs)
+  }
 
   /** One user-session state machine for flatMapGroupsWithState. */
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
