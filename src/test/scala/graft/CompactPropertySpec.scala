@@ -63,6 +63,68 @@ class CompactPropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped k-way fold (r18): per-group determinism, mass, cap and additive bound") {
+    val groupedGen = for {
+      n <- Gen.chooseNum(1, 900)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+      gs <- Gen.listOfN(n, Gen.oneOf("g1", "g2", "g3"))
+      cap <- Gen.oneOf(8, 32, 1200)
+      nCuts <- Gen.chooseNum(0, 3)
+      cuts <- Gen.listOfN(nCuts, Gen.chooseNum(0, n))
+    } yield (vs.zip(gs).zipWithIndex.map { case ((v, g), i) => (g, i.toLong, v) },
+      cap, cuts.sorted)
+    Iterator.continually(groupedGen.sample).flatten.take(6).foreach {
+      case (rows, cap, cuts) =>
+        val n = rows.size
+        val bounds = (0 +: cuts :+ n).distinct.sorted
+        val batches = bounds.zip(bounds.tail).map { case (a, b) =>
+          rows.slice(a, b).toDF("g", "id", "v") }
+        val sks = batches.map(b =>
+          QuantileSketch.compactSketchByGroup(b, Seq("g"), "v", "id", cap))
+        def fold() = sks.reduce((a, b) =>
+          QuantileSketch.mergeCompactByGroup(a, b, Seq("g"), cap))
+        val canon = (df: org.apache.spark.sql.DataFrame) =>
+          df.as[(String, Long, String, Long, Long, Long, Long, Long)].collect()
+        val f1 = canon(fold())
+        assert(f1.toSet == canon(fold()).toSet, "grouped fold not deterministic")
+        val byG = rows.groupBy(_._1)
+        // per-group: mass conservation + cap
+        f1.groupBy(_._1).foreach { case (g, svs) =>
+          assert(svs.map(_._6).sum == byG(g).size.toLong,
+            s"group $g mass ${svs.map(_._6).sum} != ${byG(g).size}")
+          assert(svs.length <= cap, s"group $g cap violated: ${svs.length}")
+        }
+        assert(f1.map(_._1).toSet == byG.keySet, "groups lost or invented")
+        // per-group median read within the (loose CI) additive envelope —
+        // the same budget shape as the single-group property, per group:
+        // group batch sizes are <= the batch's total, so the single-group
+        // stride bound per step is a valid (over-)budget per group too
+        byG.foreach { case (g, grows) =>
+          val gn = grows.size
+          val batchHalf = bounds.zip(bounds.tail).map { case (a, b) =>
+            val bn = rows.slice(a, b).count(_._1 == g)
+            if (bn == 0) 0L else ((bn + cap - 1) / cap + 1) / 2 }.sum
+          val mergeEnvelope = (1 until sks.length).map { _ =>
+            3L * ((gn + cap - 1) / cap + 1) }.sum
+          val budget = batchHalf + mergeEnvelope + 1
+          val sorted = grows.map(_._3).sorted
+          QuantileSketch.quantilesFromCompactByGroup(fold(), Seq("g"), Seq(50))
+            .filter($"g" === g)
+            .select("q_pct", "est").as[(Long, Long)].collect()
+            .foreach { case (q, e) =>
+              val lo = sorted.indexOf(e) + 1
+              val hi = sorted.lastIndexOf(e) + 1
+              val target = math.max(1L, (q * gn + 99) / 100)
+              val dist = if (target >= lo && target <= hi) 0L
+                else math.min(math.abs(lo - target), math.abs(hi - target))
+              assert(dist <= budget,
+                s"group $g q=$q est=$e rank=[$lo,$hi] target=$target " +
+                  s"budget=$budget gn=$gn cap=$cap batches=${batches.size}")
+            }
+        }
+    }
+  }
+
   test("k-way fold: deterministic replay, mass-exact, estimates within the additive bound") {
     Iterator.continually(inputGen.sample).flatten.take(6).foreach {
       case (rows, cap, cuts) =>
