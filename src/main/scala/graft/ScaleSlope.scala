@@ -141,16 +141,7 @@ object ScaleSlope {
     // the byte-preservation contract, asserted where it can't rot: a future
     // salting change that re-inflates the corpus fails the synth loudly
     // instead of silently skewing every published slope (the r17 lesson)
-    def textBytes(dir: String): Long =
-      spark.read.parquet(s"$dir/documents.parquet")
-        .agg(sum(length(coalesce(col("text"), lit(""))))).head().getLong(0)
-    val (baseBytes, bigBytes) = (textBytes(baseDir), textBytes(outDir))
-    System.err.println(f"[scale-synth] documents text bytes: base=$baseBytes " +
-      f"x$nCopies=$bigBytes (${bigBytes.toDouble / baseBytes}%.3fx)")
-    require(math.abs(bigBytes - nCopies.toDouble * baseBytes)
-        <= 0.02 * nCopies * baseBytes,
-      s"scale-synth: ${nCopies}x corpus is ${bigBytes.toDouble / baseBytes}x " +
-        "in text bytes — salting is no longer byte-preserving")
+    assertBytePreserving(spark, baseDir, outDir, nCopies)
     // embedding dim DERIVED from the data (r17 advice): a hardcoded 64 would
     // silently mis-slice rotated vectors if the corpus dim ever changes
     val dim = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -161,6 +152,82 @@ object ScaleSlope {
         slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r))
       df.withColumn("embedding", rot).withColumn("vec_id", shift("vec_id", k))
     })
+  }
+
+  /** The byte-preservation contract of [[synthesize]], checkable after the
+    * fact: `sum(length(text))` of the Nx corpus within 2% of N× the base.
+    * Run on REUSE too (r18 review) — a stale big dir synthesized by the r17
+    * suffix salting (13.28x in bytes) would otherwise be timed silently,
+    * re-inflating every published text-row slope the moment the read-side
+    * correction factor was removed. */
+  private[graft] def assertBytePreserving(spark: SparkSession, baseDir: String,
+      bigDir: String, nCopies: Int): Unit = {
+    def textBytes(dir: String): Long =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .agg(sum(length(coalesce(col("text"), lit(""))))).head().getLong(0)
+    val (baseBytes, bigBytes) = (textBytes(baseDir), textBytes(bigDir))
+    System.err.println(f"[scale-synth] documents text bytes: base=$baseBytes " +
+      f"x$nCopies=$bigBytes (${bigBytes.toDouble / baseBytes}%.3fx)")
+    require(math.abs(bigBytes - nCopies.toDouble * baseBytes)
+        <= 0.02 * nCopies * baseBytes,
+      s"scale-synth: ${nCopies}x corpus at $bigDir is " +
+        f"${bigBytes.toDouble / baseBytes}%.3fx in text bytes — salting is " +
+        "not byte-preserving (stale pre-r18 dir? delete it and re-synthesize)")
+  }
+
+  /** Synthesize `bigDir` when absent; when present, re-assert the byte
+    * contract on the EXISTING data before any timing trusts it. */
+  private[graft] def ensureCorpus(spark: SparkSession, baseDir: String,
+      bigDir: String, nCopies: Int): Unit =
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(bigDir)))
+      synthesize(spark, baseDir, bigDir, nCopies)
+    else {
+      System.err.println(s"[scale-synth] reusing $bigDir")
+      assertBytePreserving(spark, baseDir, bigDir, nCopies)
+    }
+
+  /** Validated query-name args: taken VERBATIM against the board (any
+    * SparkEntry row can be probed), not intersected with a default list —
+    * the r18 review caught `ScaleSlope100 ... m10_calibration` silently
+    * timing nothing because m10 wasn't in the 5-row default. */
+  private[graft] def namedQueries(names: Seq[String], default: Seq[String]): Seq[String] =
+    if (names.isEmpty) default
+    else {
+      names.foreach(q => require(SparkEntry.queries.contains(q),
+        s"unknown query '$q' — not a SparkEntry.queries key"))
+      names
+    }
+
+  /** The shared timing session — ONE definition, so a config tuning change
+    * cannot skew one slope main relative to the other. */
+  private[graft] def buildSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Steady-state warm-up (the Bench rationale: measure the engine, not JIT)
+    * on the smallest sibling of baseDir, so any data layout works. */
+  private[graft] def warmPass(spark: SparkSession, baseDir: String,
+      queries: Seq[String]): Unit = {
+    val warmDir = new java.io.File(baseDir).getParent + "/sf0.001"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      queries.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case NonFatal(e) => System.err.println(s"[scale-warm] $n: $e") }
+      }
+    else System.err.println(s"[scale-warm] no $warmDir — first 1x readings " +
+      "will absorb JIT/codegen cost; treat early slopes as upper bounds")
   }
 
   /** One standalone timed run of a board query: wall-clock + row count
@@ -188,36 +255,12 @@ object ScaleSlope {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val bigDir = args.drop(1).headOption.getOrElse("/tmp/graft_sf0.1_x10")
-    // args 3+ = query-name filter for incremental measurement (the default
-    // list otherwise); synthesis is unaffected
-    val QUERIES =
-      if (args.length > 2) DEFAULT_QUERIES.filter(args.drop(2).toSet)
-      else DEFAULT_QUERIES
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(bigDir)))
-      synthesize(spark, baseDir, bigDir)
-    else System.err.println(s"[scale-synth] reusing $bigDir")
-    // steady-state warm-up (the Bench rationale: measure the engine, not
-    // JIT) on the smallest sibling of baseDir so any data layout works
-    val warmDir = new java.io.File(baseDir).getParent + "/sf0.001"
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      QUERIES.foreach { n =>
-        try SparkEntry.queries(n)(spark, warmDir).count()
-        catch { case NonFatal(e) => System.err.println(s"[scale-warm] $n: $e") }
-      }
-    else System.err.println(s"[scale-warm] no $warmDir — first 1x readings " +
-      "will absorb JIT/codegen cost; treat early slopes as upper bounds")
+    // args 3+ = query names for incremental measurement (the default list
+    // otherwise) — validated verbatim against the board
+    val QUERIES = namedQueries(args.drop(2).toSeq, DEFAULT_QUERIES)
+    val spark = buildSession()
+    ensureCorpus(spark, baseDir, bigDir, 10)
+    warmPass(spark, baseDir, QUERIES)
     val results = QUERIES.map { name =>
       val (t1, r1) = timeQuery(spark, name, baseDir)
       val (t10, r10) = timeQuery(spark, name, bigDir)
@@ -260,34 +303,11 @@ object ScaleSlope100 {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val x10Dir = args.drop(1).headOption.getOrElse("/tmp/graft_sf0.1_x10")
     val x100Dir = args.drop(2).headOption.getOrElse("/tmp/graft_sf0.1_x100")
-    val QUERIES =
-      if (args.length > 3) DEFAULT_QUERIES.filter(args.drop(3).toSet)
-      else DEFAULT_QUERIES
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def ensure(dir: String, n: Int): Unit =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-        ScaleSlope.synthesize(spark, baseDir, dir, n)
-      else System.err.println(s"[scale-synth] reusing $dir")
-    ensure(x10Dir, 10)
-    ensure(x100Dir, 100)
-    // steady-state warm-up at the smallest scale (the ScaleSlope rationale)
-    val warmDir = new java.io.File(baseDir).getParent + "/sf0.001"
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      QUERIES.foreach { n =>
-        try SparkEntry.queries(n)(spark, warmDir).count()
-        catch { case NonFatal(e) => System.err.println(s"[scale-warm] $n: $e") }
-      }
+    val QUERIES = ScaleSlope.namedQueries(args.drop(3).toSeq, DEFAULT_QUERIES)
+    val spark = ScaleSlope.buildSession()
+    ScaleSlope.ensureCorpus(spark, baseDir, x10Dir, 10)
+    ScaleSlope.ensureCorpus(spark, baseDir, x100Dir, 100)
+    ScaleSlope.warmPass(spark, baseDir, QUERIES)
     val results = QUERIES.map { name =>
       val (t1, r1) = ScaleSlope.timeQuery(spark, name, baseDir)
       val (t10, r10) = ScaleSlope.timeQuery(spark, name, x10Dir)

@@ -3088,16 +3088,23 @@ object SparkEntry {
       // the oracle replays it over character codes — identical only when
       // char ≡ byte, so both engines filter to ASCII texts (octet_length =
       // char length) and the twin is exact by construction for ANY corpus,
-      // not just the incidentally-ASCII synthetic one. Magic pin (r18): the
-      // PRINTABLE image-container magics ("BM" = BMP, "GIF8" = GIF) are
-      // excluded on both sides — a text opening with one could in principle
+      // not just the incidentally-ASCII synthetic one. Magic pin (r18): real
+      // image decode is gated on a CLOSED magic list
+      // (Multimodal.ImageMagicBytes), and the magics whose bytes can appear
+      // in 1-byte-per-char text — "BM" (BMP), "GIF8" (GIF), "II*\0"/"MM\0*"
+      // (TIFF; NUL is one byte, so octet_length = length admits it) — are
+      // excluded on both sides via their printable prefixes (II*/MM are
+      // slightly overbroad, which is harmless: symmetric filters only need
+      // to agree, not be minimal). A text opening with one could otherwise
       // really decode (decoded=true) and silently diverge from the oracle's
-      // hardcoded fallback arm; the exclusion makes decoded=false a
-      // construction, not a corpus accident.
+      // hardcoded fallback arm; the gate + exclusion make decoded=false a
+      // construction, not a corpus accident. PNG/JPEG magics start with
+      // bytes > 0x7F, unreachable under the ASCII pin.
       val assets = Multimodal.toAssets(
         t(s, dir, "documents").filter(col("n_chars") > 0)
           .filter(octet_length(col("text")) === length(col("text")))
-          .filter(!(col("text").startsWith("BM") || col("text").startsWith("GIF8"))),
+          .filter(!(col("text").startsWith("BM") || col("text").startsWith("GIF8") ||
+            col("text").startsWith("II*") || col("text").startsWith("MM"))),
         "doc_id", "text", "image")
       Multimodal.imageAHash(assets)
         .select(col("asset_id"), col("decoded"),
@@ -7016,7 +7023,7 @@ object SparkEntry {
       "mm3_image_ahash" ->
         """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS asset_id, text, length(text) AS n
           |  FROM documents WHERE n_chars > 0 AND octet_length(encode(text)) = length(text)
-          |  AND NOT (text LIKE 'BM%' OR text LIKE 'GIF8%')),
+          |  AND NOT (text LIKE 'BM%' OR text LIKE 'GIF8%' OR text LIKE 'II*%' OR text LIKE 'MM%')),
           |pos AS (SELECT asset_id, n, text, unnest(generate_series(1, n)) AS i FROM d),
           |ch AS (SELECT asset_id, CAST(((i - 1) * 64) // n AS INTEGER) AS cell,
           |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v FROM pos),

@@ -45,7 +45,7 @@ object Multimodal {
       lit(s"application/x-fake-$modality").as("mime"),
       map(lit("origin"), lit("synthetic")).as("meta"))
 
-  /** Real image decode (PNG/BMP/JPEG/GIF via the JDK's javax.imageio):
+  /** Real image decode (PNG/BMP/JPEG/GIF/TIFF via the JDK's javax.imageio):
     * payload bytes → BufferedImage, None when the bytes aren't a supported
     * image. ImageIO instances are not thread-safe to share, but each call
     * creates its own reader — safe under Spark's task parallelism. */
@@ -56,8 +56,29 @@ object Multimodal {
     * slow task. Same contract as [[MaxDecodedAudioBytes]]. */
   private[operators] val MaxDecodedPixels: Long = 16L * 1024 * 1024
 
+  /** Container magics of the image formats this operator decodes — PNG,
+    * JPEG, GIF, BMP, TIFF (both byte orders). WBMP is deliberately ABSENT:
+    * ImageIO's WBMP sniff is two near-NUL bytes plus plausible dimensions —
+    * lax enough that non-image bytes can pass — which would make the decode
+    * arm data-dependent in a way no SQL twin can replay. The gate runs
+    * BEFORE ImageIO sniffing, making "attempted real decode" a closed
+    * byte-prefix predicate (the [[AudioMagics]] convention; r18 advice —
+    * only BM/GIF8/II*&#92;0/MM&#92;0* can appear in 1-byte-per-char text, so
+    * the ASCII-pinned board rows exclude those prefixes on both sides). */
+  private[operators] val ImageMagicBytes: Seq[Array[Byte]] = Seq(
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+    Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
+    "GIF8".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+    "BM".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+    Array('I'.toByte, 'I'.toByte, '*'.toByte, 0.toByte),
+    Array('M'.toByte, 'M'.toByte, 0.toByte, '*'.toByte))
+
+  private def hasImageMagic(payload: Array[Byte]): Boolean =
+    payload != null && ImageMagicBytes.exists(m =>
+      payload.length >= m.length && m.indices.forall(i => payload(i) == m(i)))
+
   private[operators] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (payload == null) None
+    if (!hasImageMagic(payload)) None
     else try {
       // ImageIO's default disk cache would create a temp file PER PAYLOAD
       // (including every non-image probe) — wrap the already-in-memory bytes

@@ -326,23 +326,11 @@ object QuantileSketch {
     * Integer arithmetic only; windows over the cap-bounded survivor set.
     * Output: (q_pct BIGINT, est, stride BIGINT, m_kept BIGINT); empty
     * sketch -> empty result. */
-  def quantilesFromCompact(sketch: DataFrame, qPcts: Seq[Int]): DataFrame = {
-    require(qPcts.nonEmpty && qPcts.forall(q => q >= 1 && q <= 99),
-      s"qPcts must be in 1..99, got $qPcts")
-    val spark = sketch.sparkSession
-    import spark.implicits._
-    val qs = qPcts.toDF("q_pct")
-    sketch
-      .withColumn("_m", count(lit(1)).over(Window.partitionBy()))
-      .crossJoin(broadcast(qs))
-      .withColumn("_t", greatest(lit(1L), expr("(q_pct * _n + 99) DIV 100")) - 1)
-      .withColumn("_rn", row_number().over(Window.partitionBy(col("q_pct"))
-        .orderBy(abs(col("_r") - col("_t")), col("_r"))))
-      .filter(col("_rn") === 1)
-      .select(col("q_pct").cast("long"), col("_v").as("est"),
-        col("_s").cast("long").as("stride"), col("_m").cast("long").as("m_kept"))
-      .orderBy(col("q_pct"))
-  }
+  def quantilesFromCompact(sketch: DataFrame, qPcts: Seq[Int]): DataFrame =
+    // the empty-group instance of the grouped read (r18 review
+    // unification): with no group columns its windows and ordering are
+    // exactly this read's pre-unification forms
+    quantilesFromCompactByGroup(sketch, Seq.empty, qPcts)
 
   /** End-to-end collapse-compactor quantiles — the cs13 board entry. */
   def quantilesCompact(df: DataFrame, valueCol: String, idCol: String,
@@ -376,52 +364,14 @@ object QuantileSketch {
     * envelope for rows from the finer side): the true folded error is the
     * additive sum above, which only the caller's fold history knows. */
   def mergeCompact(a: DataFrame, b: DataFrame, cap: Int,
-      seed: String = "kll"): DataFrame = {
-    require(cap > 0, s"cap must be > 0, got $cap")
-    val cols = Seq("_v", "_id", "_h", "_r", "_w", "_n", "_s").map(col)
-    val u = a.select(cols: _*).unionByName(b.select(cols: _*))
-    val ord = Window.orderBy(col("_v"), col("_h"), col("_id"), col("_r"))
-    val cum = u
-      .withColumn("_cum", coalesce(sum(col("_w")).over(
-        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("_nn", sum(col("_w")).over(Window.partitionBy()))
-      .withColumn("_mu", count(lit(1)).over(Window.partitionBy()))
-      // keep-branch stride: the WORST input stride across the union, not each
-      // row's own source stride — a post-merge read publishes one `stride` per
-      // answer, and mixed source strides would understate the error envelope
-      // for survivors that happened to come from the finer side (r17 advice)
-      .withColumn("_smax", max(col("_s")).over(Window.partitionBy()))
-      .withColumn("_s2", expr(s"(_nn + ${cap - 1}) DIV $cap"))
-      .withColumn("_phi", pmod(Hashing.md5Long(
-        concat(lit(seed + "|collapse|"), col("_nn").cast("string"))), col("_s2")))
-      // grid points j hosted by this item's coverage [_cum, _cum + _w):
-      // phase' + j·stride' in that interval, clamped to the grid's extent
-      .withColumn("_jlo", greatest(lit(0L),
-        expr("(_cum - _phi + _s2 - 1) DIV _s2")))
-      // an item entirely BEFORE the first grid point must host nothing:
-      // Spark's DIV truncates toward zero, so a negative numerator would
-      // round UP to 0 and double-emit grid point 0 (mass inflation — caught
-      // by the StreamingSpec conservation check); pin it to -1 explicitly
-      .withColumn("_jhi", when(col("_cum") + col("_w") - 1 < col("_phi"), lit(-1L))
-        .otherwise(least(expr("(_nn - 1 - _phi) DIV _s2"),
-          expr("(_cum + _w - 1 - _phi) DIV _s2"))))
-      // keep-branch marker -1 when the union fits cap (no resample);
-      // a reversed range means "hosts no grid point" -> drop via explode
-      .withColumn("_j", explode(when(col("_mu") <= cap, array(lit(-1L)))
-        .otherwise(when(col("_jhi") >= col("_jlo"),
-          sequence(col("_jlo"), col("_jhi")))
-          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))))
-    cum.select(col("_v"), col("_id"), col("_h"),
-      when(col("_j") === -1L, col("_cum"))
-        .otherwise(col("_phi") + col("_j") * col("_s2")).as("_r"),
-      when(col("_j") === -1L, col("_w"))
-        .otherwise( // same b-interval convention as compactSketch
-          least(col("_phi") + (col("_j") + 1) * col("_s2"), col("_nn")) -
-            when(col("_j") === 0L, lit(0L))
-              .otherwise(col("_phi") + col("_j") * col("_s2"))).as("_w"),
-      col("_nn").as("_n"),
-      when(col("_j") === -1L, col("_smax")).otherwise(col("_s2")).as("_s"))
-  }
+      seed: String = "kll"): DataFrame =
+    // the single-group instance of the grouped impl (r18 review: the two
+    // bodies were near-duplicate windowed-resample logic that had to be
+    // fixed in lockstep — the r17 cs11-onto-cs12 unification precedent).
+    // With NO group columns the phase string and windows degenerate to
+    // exactly the pre-unification single-group forms, so existing folds
+    // replay bit-equal (CompactPropertySpec/StreamingSpec pin it).
+    mergeCompactImpl(a, b, Seq.empty, cap, seed)
 
   /** Per-GROUP collapse compactor (cs14) — completing the family square:
     * cs11/cs12 are the sort-free O(1/sqrt(cap)) samplers (single/grouped),
@@ -525,30 +475,55 @@ object QuantileSketch {
   def mergeCompactByGroup(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       cap: Int, seed: String = "kll"): DataFrame = {
     require(groupCols.nonEmpty, "mergeCompactByGroup: no group columns")
+    mergeCompactImpl(a, b, groupCols, cap, seed)
+  }
+
+  /** The shared merge body ([[mergeCompact]] = empty groupCols,
+    * [[mergeCompactByGroup]] = non-empty): with no group columns every
+    * window is global and the phase string omits the group segment, so the
+    * degenerate case IS the original single-group merge bit-for-bit. */
+  private def mergeCompactImpl(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], cap: Int, seed: String): DataFrame = {
     require(cap > 0, s"cap must be > 0, got $cap")
     val gcols = groupCols.map(col)
     val cols = gcols ++ Seq("_v", "_id", "_h", "_r", "_w", "_n", "_s").map(col)
     val u = a.select(cols: _*).unionByName(b.select(cols: _*))
     val gwin = Window.partitionBy(gcols: _*)
     val ord = gwin.orderBy(col("_v"), col("_h"), col("_id"), col("_r"))
+    // the compactSketch(ByGroup) phase convention: group segment only when
+    // grouped, so single-group folds stay replay-compatible
+    val phaseKey =
+      if (groupCols.isEmpty)
+        concat(lit(seed + "|collapse|"), col("_nn").cast("string"))
+      else concat(lit(seed + "|collapse|"),
+        concat_ws("|", gcols.map(_.cast("string")): _*),
+        lit("|"), col("_nn").cast("string"))
     val cum = u
       .withColumn("_cum", coalesce(sum(col("_w")).over(
         ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_nn", sum(col("_w")).over(gwin))
       .withColumn("_mu", count(lit(1)).over(gwin))
+      // keep-branch stride: the WORST input stride across the (group's)
+      // union, not each row's own source stride — a post-merge read
+      // publishes one `stride` per answer, and mixed source strides would
+      // understate the error envelope for survivors that happened to come
+      // from the finer side (r17 advice)
       .withColumn("_smax", max(col("_s")).over(gwin))
       .withColumn("_s2", expr(s"(_nn + ${cap - 1}) DIV $cap"))
-      .withColumn("_phi", pmod(Hashing.md5Long(concat(
-        lit(seed + "|collapse|"),
-        concat_ws("|", gcols.map(_.cast("string")): _*),
-        lit("|"), col("_nn").cast("string"))), col("_s2")))
+      .withColumn("_phi", pmod(Hashing.md5Long(phaseKey), col("_s2")))
+      // grid points j hosted by this item's coverage [_cum, _cum + _w):
+      // phase' + j·stride' in that interval, clamped to the grid's extent
       .withColumn("_jlo", greatest(lit(0L),
         expr("(_cum - _phi + _s2 - 1) DIV _s2")))
-      // same negative-numerator DIV pin as mergeCompact: an item entirely
-      // before the group's first grid point hosts nothing
+      // an item entirely BEFORE the first grid point must host nothing:
+      // Spark's DIV truncates toward zero, so a negative numerator would
+      // round UP to 0 and double-emit grid point 0 (mass inflation — caught
+      // by the StreamingSpec conservation check); pin it to -1 explicitly
       .withColumn("_jhi", when(col("_cum") + col("_w") - 1 < col("_phi"), lit(-1L))
         .otherwise(least(expr("(_nn - 1 - _phi) DIV _s2"),
           expr("(_cum + _w - 1 - _phi) DIV _s2"))))
+      // keep-branch marker -1 when the union fits cap (no resample);
+      // a reversed range means "hosts no grid point" -> drop via explode
       .withColumn("_j", explode(when(col("_mu") <= cap, array(lit(-1L)))
         .otherwise(when(col("_jhi") >= col("_jlo"),
           sequence(col("_jlo"), col("_jhi")))
@@ -557,7 +532,7 @@ object QuantileSketch {
       when(col("_j") === -1L, col("_cum"))
         .otherwise(col("_phi") + col("_j") * col("_s2")).as("_r"),
       when(col("_j") === -1L, col("_w"))
-        .otherwise(
+        .otherwise( // same b-interval convention as compactSketch
           least(col("_phi") + (col("_j") + 1) * col("_s2"), col("_nn")) -
             when(col("_j") === 0L, lit(0L))
               .otherwise(col("_phi") + col("_j") * col("_s2"))).as("_w"),

@@ -473,9 +473,15 @@ object StreamingOps {
     * reads only PRIOR batches' dirs, so a re-run writes bit-identical
     * content), and a `_GRAFT_DONE` marker — written into the signature
     * batch dir LAST, invisible to parquet readers — makes a post-commit
-    * replay a true no-op on disk. Every crash point replays clean: before
-    * the marker, the re-run overwrites both partial dirs; after it, the
-    * batch is skipped outright (Round18OpsSpec pins both). */
+    * replay a true no-op on disk. The marker records an order-free content
+    * fingerprint of the batch, so a marker hit with DIFFERENT content — a
+    * NEW query whose fresh checkpoint restarts ids at 0 over a kept
+    * sigPath — THROWS instead of silently dropping the new documents (the
+    * StateTable.alreadyApplied discipline, which plain batch-dir markers
+    * cannot provide alone). Every crash point replays clean: before the
+    * marker, the re-run overwrites both partial dirs; after it, an
+    * identical-content batch is skipped outright (Round18OpsSpec pins
+    * both). */
   def lshDedupMaintain(docs: DataFrame, idCol: String, textCol: String,
       sigPath: String, pairsPath: String,
       numHashes: Int = 6, shingleSize: Int = 3,
@@ -499,10 +505,36 @@ object StreamingOps {
     val sigBatchDir = new Path(s"$sigPath/batch=$batchId")
     val fs = sigBatchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(sigBatchDir, "_GRAFT_DONE")
+    // Content fingerprint (r18 review): the marker alone cannot distinguish
+    // a checkpoint REPLAY (same batch re-delivered — skip is correct) from a
+    // NEW query whose fresh checkpoint restarts ids at 0 over a kept
+    // sigPath (skipping would silently drop its documents — the exact loss
+    // mode StateTable.alreadyApplied throws on). An order-free
+    // (count, sum-of-crc32) digest of the batch content disambiguates: one
+    // batch-sized aggregate, no shuffle.
+    val fpRow = batch.agg(
+      count(lit(1)),
+      coalesce(sum(crc32(concat_ws("\u0001", col(idCol).cast("string"),
+        coalesce(col(textCol), lit(""))))), lit(0L))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     if (fs.exists(marker)) {
-      System.err.println(s"[lsh-maintain] $sigPath: batch $batchId already " +
-        "applied — skipped as checkpoint replay")
-      return
+      val stored = {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val storedFp = stored.linesIterator.drop(1).toSeq.headOption.getOrElse("")
+      if (storedFp == fingerprint) {
+        System.err.println(s"[lsh-maintain] $sigPath: batch $batchId already " +
+          "applied with identical content — skipped as checkpoint replay")
+        return
+      }
+      throw new IllegalStateException(
+        s"lshDedupMaintain: batch $batchId at $sigPath is marked applied but " +
+          s"the delivered content differs (stored fp '$storedFp', got " +
+          s"'$fingerprint') — a NEW query (fresh checkpoint, ids restarting) " +
+          "is pointed at an existing signature path; skipping would silently " +
+          "drop its documents. Use a fresh sigPath/pairsPath or restore the " +
+          "matching checkpoint.")
     }
     val D = graft.operators.Dedup
     val sigs = D.minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
@@ -522,9 +554,10 @@ object StreamingOps {
       pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
       sigs.write.mode("overwrite").parquet(sigBatchDir.toString)
       // commit point: marker LAST, so its existence implies both dirs are
-      // complete ("_"-prefix keeps it out of Spark's file index)
+      // complete ("_"-prefix keeps it out of Spark's file index); line 2 is
+      // the content fingerprint the replay guard above compares against
       val out = fs.create(marker, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(s"$batchId\n$fingerprint".getBytes("UTF-8")) finally out.close()
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sigs)
   }
 

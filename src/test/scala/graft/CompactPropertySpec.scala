@@ -88,6 +88,13 @@ class CompactPropertySpec extends SparkSpec {
         val f1 = canon(fold())
         assert(f1.toSet == canon(fold()).toSet, "grouped fold not deterministic")
         val byG = rows.groupBy(_._1)
+        // ONE materialized fold for every read below (determinism is pinned
+        // above, so re-folding per group would just re-run identical Spark
+        // jobs); the per-group reads filter this frame
+        val foldedReads = QuantileSketch
+          .quantilesFromCompactByGroup(fold(), Seq("g"), Seq(50))
+          .select("g", "q_pct", "est").as[(String, Long, Long)].collect()
+          .groupBy(_._1)
         // per-group: mass conservation + cap
         f1.groupBy(_._1).foreach { case (g, svs) =>
           assert(svs.map(_._6).sum == byG(g).size.toLong,
@@ -108,10 +115,8 @@ class CompactPropertySpec extends SparkSpec {
             3L * ((gn + cap - 1) / cap + 1) }.sum
           val budget = batchHalf + mergeEnvelope + 1
           val sorted = grows.map(_._3).sorted
-          QuantileSketch.quantilesFromCompactByGroup(fold(), Seq("g"), Seq(50))
-            .filter($"g" === g)
-            .select("q_pct", "est").as[(Long, Long)].collect()
-            .foreach { case (q, e) =>
+          foldedReads.getOrElse(g, Array.empty)
+            .foreach { case (_, q, e) =>
               val lo = sorted.indexOf(e) + 1
               val hi = sorted.lastIndexOf(e) + 1
               val target = math.max(1L, (q * gn + 99) / 100)

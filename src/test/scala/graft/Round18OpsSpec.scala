@@ -154,6 +154,14 @@ class Round18OpsSpec extends SparkSpec {
     assert(spark.read.parquet(pairsPath).count() == pairRowCount)
     // total sig state: one row per doc ever seen, across the batch dirs
     assert(spark.read.parquet(sigPath).count() == 40L)
+    // a NEW query (fresh checkpoint, ids restarting) pointed at this
+    // sigPath delivers DIFFERENT content under a committed batchId: the
+    // marker fingerprint mismatches and the batch must throw, not silently
+    // skip (the StateTable.alreadyApplied discipline)
+    val ex = intercept[IllegalStateException] { apply(0, 10, 1L) }
+    assert(ex.getMessage.contains("content differs"))
+    assert(spark.read.parquet(sigPath).count() == 40L,
+      "the rejected batch must leave the state untouched")
   }
 
   test("StateTable: a batchId BELOW the stored marker throws instead of silently skipping") {
