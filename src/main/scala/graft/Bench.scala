@@ -171,9 +171,15 @@ object Bench {
       val preExisting = spark.sparkContext.getPersistentRDDs.keySet
       if (debug) System.err.println(
         s"[bench-state] pre $name ${org.apache.spark.sql.graft.Bridge.benchState(spark.sparkContext)}")
+      // UI/event-log accountability (guide §1.5): label every query's jobs so
+      // a profiling session can map stages back to board rows. Set outside
+      // the timed window; cleared after so stray jobs (GC, cleanup) are not
+      // misattributed to the last query.
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       val rows = try { fn(spark, sfDir).count() } catch { case NonFatal(_) => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // Operators localCheckpoint eagerly (correct per-query), but the
       // checkpointed blocks outlive the query; across an 85-query suite they
       // accumulate in the block manager and later queries pay eviction/GC
