@@ -47,13 +47,32 @@ object TextRank {
     // key type) but the OUTPUT projection restores the caller's dtype — a
     // BIGINT doc_id in must be a BIGINT doc_id out
     val idType = docs.schema(idCol).dataType
-    val toks = docs
+    // Window-2 edges built AT THE ARRAY LEVEL (r18, guide §2.4): adjacent
+    // token pairs are generated inside one projection over the tokenized
+    // document. The previous posexplode self-join shuffled the entire token
+    // stream TWICE (one hash exchange per join side on (doc, pos)) and
+    // tokenized the corpus twice, just to pair each token with its
+    // successor — a successor that already sits next to it in the token
+    // array. The pair set is IDENTICAL: transform i∈[1, n−1] emits
+    // (ts[i], ts[i+1]), exactly the old (a.doc = b.doc AND a.pos+1 = b.pos)
+    // join, and the u≠v filter is the old join's third conjunct; the
+    // downstream union+distinct is untouched, so the edge set — and every
+    // score bit after it — is unchanged (oracle-verified). EvalBarrier on
+    // the token array: CollapseProject would otherwise inline normTokens
+    // into every element_at of the lambda (the rag_pipeline lesson — one
+    // regexp+split per TOKEN instead of per document). The when-guard keeps
+    // sequence() off the size<2 case (sequence(1,0) counts DOWN, the
+    // Norm.shingles convention).
+    val half = docs
       .select(col(idCol).cast("string").as("doc"),
-        posexplode(Norm.normTokens(col(textCol))).as(Seq("pos", "w")))
-    val half = toks.as("a").join(toks.as("b"),
-        col("a.doc") === col("b.doc") && col("a.pos") + 1 === col("b.pos") &&
-        col("a.w") =!= col("b.w"))
-      .select(col("a.doc").as("doc"), col("a.w").as("u"), col("b.w").as("v"))
+        Norm.evalOnce(Norm.normTokens(col(textCol))).as("ts"))
+      .select(col("doc"), explode(when(size(col("ts")) < 2,
+          array().cast("array<struct<u:string,v:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("u"),
+            element_at(col("ts"), i + 1).as("v"))))).as("p"))
+      .filter(col("p.u") =!= col("p.v"))
+      .select(col("doc"), col("p.u").as("u"), col("p.v").as("v"))
     // symmetric, distinct — the undirected co-occurrence graph; pinned once,
     // read by deg + every iteration's contribution join
     val edges = half
