@@ -205,6 +205,20 @@ object ScaleSlope {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-ADAPTIVE reduce partitioning (r18, guide §2.2/§2.5): this
+      // session times the SAME query at 1x, 10x and 100x the corpus, so a
+      // constant reducer count tuned for 1x is wrong by construction — at
+      // 100x, 1/32nd of the corpus per task blew the heap inside x39's
+      // collect_list ObjectHashAggregate (measured OOM, task 20/stage 443).
+      // AQE starts every shuffle at cpus×16 partitions and coalesces DOWN
+      // by byte size (advisoryPartitionSizeInBytes), so per-task state is
+      // data-driven at every scale and the 1x/10x/100x readings stay
+      // comparable: small inputs coalesce back to few tasks, big inputs
+      // keep the width they need. Bench is untouched — single-scale at
+      // sf0.1, where the fixed local default IS the contract the driver
+      // compares across rounds.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -603,6 +603,11 @@ object Dedup {
       s"prefixFilteredJaccardPairs: threshold must be in (0, 1], got $minJaccard")
     import org.apache.spark.sql.expressions.Window
     val df = docSh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // sizes stays the cheap map-side-combinable count aggregate: the prefix
+    // self-join below duplicates its whole subtree into both join branches,
+    // so anything feeding `prefix` is computed twice — a count agg twice is
+    // noise, a collect_set twice would not be (measured: deriving sz from
+    // the verify arrays planned FOUR ObjectHashAggregate copies).
     val sizes = docSh.groupBy("id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("sh"))
     // ⌈t·sz⌉ guarded against IEEE round-up: when t·sz is exactly integer k
@@ -622,13 +627,28 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inter = cand
-      .join(docSh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(docSh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_i"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sza")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), Seq("id_b"))
+    // Exact verify via per-doc shingle ARRAYS (r18, guide §2.3/§2.4): the
+    // previous row-level verify joined each candidate pair with doc a's
+    // whole posting list (Σ_pairs sz_a intermediate rows) and then
+    // hash-aggregated the (id_b, sh) matches — three exchanges plus a
+    // pair×shingle row blowup, followed by two more size joins. Each doc's
+    // set instead collapses to ONE array row (docSh is DISTINCT per
+    // (id, sh) by this function's input contract, so collect_set loses
+    // nothing and size(_shs) == the old per-id row count); the pair then
+    // reads both arrays in two equi-joins and intersects them in one
+    // codegen expression. _i, sizes, and the jaccard double are
+    // bit-identical (same integers, same one double division — the oracle
+    // twin is unchanged). Arrays are document-sized — the same per-task
+    // bound the posting-list rows already had, now moved once per pair
+    // side instead of once per (pair, shingle).
+    val sets = docSh.groupBy("id").agg(collect_set(col("sh")).as("_shs"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("_shs").as("_sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("_shs").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_i"),
+        size(col("_sa")).cast("long").as("_sza"),
+        size(col("_sb")).cast("long").as("_szb"))
       .select(col("id_a"), col("id_b"),
         (col("_i").cast("double") / (col("_sza") + col("_szb") - col("_i"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
