@@ -622,9 +622,26 @@ object Dedup {
       .join(sizes, Seq("id"))
       .filter(col("_rk") <=
         col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("sh"))
+      .select(col("id"), col("sh"), col("_rk"), col("sz"))
+    // POSITIONAL filter (r18 — the ppjoin component the family is named
+    // for, Xiao et al. WWW'08 §3): J(x,y) >= t needs overlap >=
+    // ceil(t/(1+t)·(|x|+|y|)), and a collision at ranks (i, j) of the
+    // shared canonical (_df, sh) order bounds the overlap by
+    // 1 + min(|x|−i, |y|−j) — every OTHER common shingle sorts after the
+    // first collision in BOTH documents (total order), so it lives in both
+    // suffixes. Applied per collision ROW (no extra shuffle): the bound is
+    // loosest at the pair's first collision, so the pair survives the
+    // per-row filter iff it survives the first-collision test — candidates
+    // that cannot reach t never enter the distinct or the verify arrays.
+    // The epsilon guard errs on KEEP (a looser alpha admits extra
+    // candidates; the exact verify below restores precision), the prefix
+    // ceil convention. Output-invariant by the overlap bound; pinned by
+    // the oracle row and EvalPropertySpec's randomized equality property.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+        lit(1) + least(col("a.sz") - col("a._rk"), col("b.sz") - col("b._rk")) >=
+          ceil(lit(minJaccard / (1.0 + minJaccard)) *
+            (col("a.sz") + col("b.sz")) - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Exact verify via per-doc shingle ARRAYS (r18, guide §2.3/§2.4): the
