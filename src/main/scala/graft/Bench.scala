@@ -153,6 +153,29 @@ object Bench {
       System.err.println(
         f"[bench-warmpass] sf0.001 pass done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // SETTLE between the warm pass and the timed loop (r19 — the r18 driver
+    // stamp started its timed loop at 1-min load 10.03, the warm pass's own
+    // 32-thread wake, and the early-alphabet sub-second rows absorbed it:
+    // five phantom "regressions" whose 8-core twins reproduced the prior
+    // round exactly). The entry idle-gate judges BOX contention; this gate
+    // waits out OUR OWN residual load (scheduler wake + GC debt from the
+    // warm pass) so the first timed rows measure their plans, not the warm
+    // pass's tail. Budgeted (default 4 min — 1-min load decays ~e^(-t/60s),
+    // 10 -> 2.5 in ~85 s, so the budget is generous), 10 s polls, same
+    // opt-out as the entry gate; the post-settle reading is what the
+    // payload's load.start has always disclosed, so the artifact shows
+    // whether the settle succeeded.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_IDLE_WAIT")) {
+      val settleDeadline = System.nanoTime() + 4L * 60 * 1000000000L
+      while (loadAvg() >= 2.5 && System.nanoTime() < settleDeadline) {
+        System.err.println(f"[bench-settle] load ${loadAvg()}%.2f >= 2.5 — " +
+          "letting the warm pass's wake decay before the timed loop")
+        Thread.sleep(10000)
+      }
+      if (loadAvg() >= 2.5) System.err.println(
+        f"[bench-settle] budget exhausted at load ${loadAvg()}%.2f — " +
+          "proceeding; load.start below discloses it")
+    }
     // 1-min system load average, sampled at suite start and end: the r15
     // driver stamp (213.9 s, rag 23.2 s in-suite vs 11.3 s warm twin) was a
     // loaded-box reading distinguishable from the idle 190.6 s run only by

@@ -2848,8 +2848,13 @@ object SparkEntry {
     // scores land exactly on .5 rounding boundaries where the two engines'
     // round() disagree (see TextRank scaladoc). See operators.TextRank.
     "x39_textrank" -> ((s, dir) => {
+      // spread(): the r19 array-level TextRank is ZERO-exchange after the
+      // scan, so the scan's split count is the query's entire parallelism —
+      // locally the single-file documents table is 1 split (the rag
+      // spread() rationale; at real scale the scan's own splits make this
+      // an AQE-skippable near-no-op)
       graft.operators.TextRank.keywords(
-        t(s, dir, "documents"), "doc_id", "text", topK = 5, iterations = 2)
+        spread(t(s, dir, "documents")), "doc_id", "text", topK = 5, iterations = 2)
         .select(col("doc_id"), col("rank"), col("keyword"),
           floor(col("score") * lit(1e6)).cast("long").as("score_u"))
     }),
@@ -2866,8 +2871,11 @@ object SparkEntry {
         .select(col("keep_id"), col("n_dups"))
       val reps = docs.join(clusters.select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+      // spread(): same rationale as x39 — the array-level TextRank has no
+      // exchange of its own, and the semi-join output inherits the 1-split
+      // scan's parallelism
       val kw = graft.operators.TextRank.keywords(
-          reps, "doc_id", "text", topK = 1, iterations = 2)
+          spread(reps), "doc_id", "text", topK = 1, iterations = 2)
         .select(col("doc_id").as("keep_id"), col("keyword"))
       clusters.join(kw, Seq("keep_id"), "left")
         .groupBy(coalesce(col("keyword"), lit("(none)")).as("topic"))

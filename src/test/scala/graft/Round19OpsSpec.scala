@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-19 optimization pins: every behavior-preserving rewrite this round
+  * gets its equality asserted here against the retained reference form. */
+class Round19OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def textrankRows(df: org.apache.spark.sql.DataFrame) = df
+    .collect()
+    .map(r => (r.get(0).toString, r.getInt(1), r.getString(2),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+    .sortBy(t => (t._1, t._2))
+    .toSeq
+
+  test("TextRank array form == join form, bit-identical, on the corpus") {
+    import graft.operators.TextRank
+    val docs = spark.read.parquet(sf("documents"))
+    val a = textrankRows(
+      TextRank.keywords(docs, "doc_id", "text", topK = 5, iterations = 2))
+    val b = textrankRows(
+      TextRank.keywordsJoin(docs, "doc_id", "text", topK = 5, iterations = 2))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("TextRank array form == join form on adversarial docs") {
+    import graft.operators.TextRank
+    val docs = Seq(
+      ("d1", "a b a c"),                        // tie-break on equal scores
+      ("d2", "solo"),                           // single token: no node
+      ("d3", ""),                               // empty
+      ("d4", "x x x x"),                        // all self-pairs filtered
+      ("d5", "a a b b a c a"),                  // repeated adjacents
+      ("d6", "Q9 q9 Q9! q8? q7 q9"),            // normalization collisions
+      ("d7", (1 to 40).map(i => s"w${i % 7}").mkString(" ")), // dense cycle
+      ("d8", "z y x w v u t s r q p o n m l k j i h g f e d c b a"),
+      ("d9", "a b c a b c a b c d e")
+    ).toDF("id", "text")
+    val a = textrankRows(
+      TextRank.keywords(docs, "id", "text", topK = 3, iterations = 3))
+    val b = textrankRows(
+      TextRank.keywordsJoin(docs, "id", "text", topK = 3, iterations = 3))
+    assert(a.nonEmpty && a == b)
+  }
+}
