@@ -78,12 +78,62 @@ object QuantileSketch {
   /** The sketch: survivor rows at the smallest level whose survivor count
     * fits `cap`. Columns (_v, _id, _h, _tz, _level) — _level is constant,
     * carried so a persisted sketch (streaming state) knows its own floor at
-    * merge time. Lazy: level selection is the constant-group instance of
-    * [[buildByGroup]]'s suffix-count SQL, so construction runs no jobs. */
+    * merge time.
+    *
+    * ONE md5 pass instead of two (r19, guide §1.2 "remove unnecessary
+    * passes"): the lazy constant-group form computed the per-row md5 chain
+    * in BOTH plan branches — the tz histogram and the survivor filter each
+    * re-scanned the corpus (measured at sf0.1: each pass ~1.1 s of which
+    * ~0.45 s is the hash chain; the two-branch build 3.4 s). This path
+    * instead (1) counts the valid rows — a column-pruned scan, no hash
+    * (isnotnull over the null-intolerant projections collapses to source
+    * null checks); (2) prefilters ONE hashed pass to `_tz >= lHat` where
+    * lHat = max(0, floor(log2(n/cap)) − 3) and checkpoints the ~2³·cap-row
+    * superset; (3) selects the level driver-side from the superset's ≤ 33-row
+    * histogram. Output-invariant: cnt(lHat) > cap forces the true level
+    * above lHat, where the superset's suffix counts equal the full
+    * multiset's; if the md5 stream anti-concentrates so far that
+    * cnt(lHat) <= cap with lHat > 0 (a ~8×-below-mean binomial deviation —
+    * never observed; Chernoff puts it past e^{-700} at cap 256), the exact
+    * two-pass form recomputes from scratch. Degenerate inputs whose ids are
+    * massively duplicated can inflate the superset toward the corpus (every
+    * copy shares one hash) — they produce the same sketch either way, just
+    * without the saving. EAGER: runs the count + checkpoint + histogram at
+    * construction (3 bounded driver actions); streaming maintenance
+    * ([[merge]]/[[graft.streaming.StreamingOps.kllMaintain]]) never calls
+    * this — its per-batch path stays the lazy [[mergeByGroup]] SQL. */
   def build(df: DataFrame, valueCol: String, idCol: String,
-            cap: Int = 256, seed: String = "kll"): DataFrame =
-    buildByGroup(df.withColumn(OneGroup, lit(1)), Seq(OneGroup),
-      valueCol, idCol, cap, seed).drop(OneGroup)
+            cap: Int = 256, seed: String = "kll"): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val lv = leveled(df, valueCol, idCol, seed)
+    val n = lv.count()
+    if (n == 0) return lv.withColumn("_level", lit(0))
+    val lHat = math.max(0,
+      (if (n / cap > 0) 63 - java.lang.Long.numberOfLeadingZeros(n / cap)
+       else 0) - 3)
+    val sup = lv.filter(col("_tz") >= lHat).localCheckpoint(true)
+    val hist = sup.groupBy("_tz").agg(count(lit(1)).as("_c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val cntHat = hist.map(_._2).sum
+    if (lHat == 0 || cntHat > cap) {
+      // the original selection, on suffix counts that provably agree with
+      // the full multiset: L = 1 + max{tz : s(tz) > cap}, or 0 when no
+      // level's suffix count exceeds cap
+      var suffix = 0L
+      var maxBad = -1
+      hist.foreach { case (tz, c) =>
+        suffix += c
+        if (suffix > cap && tz > maxBad) maxBad = tz
+      }
+      val level = maxBad + 1
+      sup.filter(col("_tz") >= level).withColumn("_level", lit(level))
+    } else {
+      // anti-concentration fallback: exact, never wrong, ~never taken
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sup)
+      buildByGroup(df.withColumn(OneGroup, lit(1)), Seq(OneGroup),
+        valueCol, idCol, cap, seed).drop(OneGroup)
+    }
+  }
 
   /** Merge two sketches (or a sketch and a fresh `leveled` batch tagged with
     * `_level` 0): union, re-choose the level with floor = max of the two,

@@ -114,18 +114,18 @@ class PlanSpec extends SparkSpec {
       "window without passage_id partitioning:\n" + windows.mkString("\n"))
   }
 
-  test("KLL single-sketch build: levels frame broadcast, never a corpus shuffle on the constant key") {
+  test("KLL single-sketch build: one-md5-pass fast path — no join, no corpus shuffle") {
     import graft.operators.QuantileSketch
     val li = spark.read.parquet(sf("lineitem"))
       .select(col("l_orderkey").as("id"), col("l_quantity").as("v"))
+    // r19: the single-sketch build is the eager one-md5-pass form — the
+    // returned frame is a filter over the checkpointed tz-superset; the old
+    // guarded hazard (a constant-key corpus hash-shuffle with AQE off) can
+    // no longer appear because no join exists at all
     val plan = planOf(QuantileSketch.build(li, "v", "id", cap = 64))
-    // the r17 hint: the 1-row levels frame rides a broadcast join — a hash
-    // shuffle on the constant group key would funnel the corpus through one
-    // reducer with AQE off
-    assert(plan.contains("BroadcastExchange"),
-      "constant-group level join must broadcast\n" + plan)
-    assert(!plan.contains("SortMergeJoin"),
-      "corpus-sized SMJ on a constant key\n" + plan)
+    assert(!plan.contains("Exchange"),
+      "fast-path sketch frame must not shuffle\n" + plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 }

@@ -9,10 +9,19 @@ import org.apache.spark.sql.functions._
 class Round17OpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("KLL build/merge/read construction runs ZERO driver jobs (lazy SQL level selection)") {
+  test("KLL merge/read construction runs ZERO driver jobs (lazy SQL level selection)") {
     import graft.operators.QuantileSketch
+    // the streaming per-batch shape (kllMaintain): saved state merged with a
+    // freshly leveled batch — the r17 contract this pin protects is that
+    // CONSTRUCTING that merge runs no driver jobs per micro-batch (the r16
+    // path collected a 33-row histogram + two head() actions here). build()
+    // itself is deliberately EAGER since r19 (one md5 pass instead of two —
+    // three bounded actions at construction); the streaming path never
+    // calls it, so the per-batch laziness contract is unchanged.
     val df = (1L to 500L).map(i => (i, (i * 37) % 211)).toDF("id", "v")
     val df2 = (501L to 900L).map(i => (i, (i * 13) % 211)).toDF("id", "v")
+    val state = QuantileSketch.build(df, "v", "id", cap = 64)
+      .localCheckpoint(true) // the StateTable stand-in, materialized up front
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -22,10 +31,10 @@ class Round17OpsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     try {
+      val fresh = QuantileSketch.leveled(df2, "v", "id")
+        .withColumn("_level", org.apache.spark.sql.functions.lit(0))
       val q = QuantileSketch.quantilesFromSketch(
-        QuantileSketch.merge(
-          QuantileSketch.build(df, "v", "id", cap = 64),
-          QuantileSketch.build(df2, "v", "id", cap = 64), cap = 64),
+        QuantileSketch.merge(state, fresh, cap = 64),
         Seq(25, 50, 75))
       org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
       assert(jobs.get() == 0,

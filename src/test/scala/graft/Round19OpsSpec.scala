@@ -24,6 +24,31 @@ class Round19OpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("KLL build fast path == lazy two-pass form, survivors and level") {
+    import graft.operators.QuantileSketch
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 6) {
+      val n = Seq(1, 7, 63, 300, 2000, 9000)(trial - 1)
+      val cap = Seq(1, 4, 16, 64, 256, 64)(trial - 1)
+      val df = (1 to n).map(i => (rnd.nextInt(500).toLong, s"id$i"))
+        .toDF("v", "id")
+      def rows(sk: org.apache.spark.sql.DataFrame) = sk
+        .select("_v", "_id", "_h", "_tz", "_level").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+          r.getInt(4))).sortBy(t => (t._1, t._2)).toSeq
+      val fast = rows(QuantileSketch.build(df, "v", "id", cap))
+      // the reference: the generic grouped path on a constant group
+      val slow = rows(QuantileSketch.buildByGroup(
+        df.withColumn("_g19", lit(1)), Seq("_g19"), "v", "id", cap)
+        .drop("_g19"))
+      assert(fast == slow, s"trial $trial: n=$n cap=$cap")
+    }
+    // empty input: empty sketch, right schema
+    val empty = QuantileSketch.build(
+      Seq.empty[(Long, String)].toDF("v", "id"), "v", "id", 8)
+    assert(empty.count() == 0 && empty.columns.contains("_level"))
+  }
+
   test("TextRank array form == join form on adversarial docs") {
     import graft.operators.TextRank
     val docs = Seq(
