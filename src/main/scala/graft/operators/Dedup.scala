@@ -598,11 +598,45 @@ object Dedup {
     * [[ngramJaccardPairsFromShingles]] rows at the same threshold (the
     * d8/d9 two-algorithms-one-oracle pattern; equality is oracle-checked
     * at minJaccard = 0.5 and spec-checked against the full join). */
-  def prefixFilteredJaccardPairs(docSh: DataFrame, minJaccard: Double): DataFrame = {
+  def prefixFilteredJaccardPairs(docSh: DataFrame, minJaccard: Double): DataFrame =
+    prefixFilteredJaccardPairs(docSh, minJaccard, bigBytes = 256L << 20)
+
+  /** `bigBytes`: optimized-plan size of `docSh` above which the SCALE regime
+    * engages — shingle strings dictionary-coded to longs and the verify legs
+    * hinted SHUFFLE_HASH (see body comments). Package-visible so the spec can
+    * force the regime on small data and pin output equality; production
+    * callers use the default. */
+  private[graft] def prefixFilteredJaccardPairs(docSh: DataFrame,
+      minJaccard: Double, bigBytes: Long): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"prefixFilteredJaccardPairs: threshold must be in (0, 1], got $minJaccard")
     import org.apache.spark.sql.expressions.Window
-    val df = docSh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // SCALE regime (r19, guide §2.3 "narrower types" + §8 "move light
+    // proxies, not payloads"): past any broadcast regime the verify below
+    // must SHUFFLE candidate rows carrying whole shingle arrays (the r18
+    // 100× probe measured that stage spill-bound at 41×/decade as an SMJ;
+    // as a shuffled-hash join it is bytes/CPU-bound — 7.4 GB compressed
+    // array payload through one exchange). Dictionary-coding each distinct
+    // shingle to a long (monotonically_increasing_id over the — anyway
+    // needed — df aggregate, checkpointed once so every consumer reads ONE
+    // assignment) shrinks every downstream pair-keyed structure: prefix
+    // rows, the candidate join key, and the verify arrays carry 8-byte
+    // codes instead of ~25-byte strings, and array_intersect hashes longs
+    // instead of UTF8Strings. Injective relabeling ⇒ ranks (the window
+    // still orders by (_df, sh) on the string), candidate pairs,
+    // intersection counts, and the jaccard double are all unchanged —
+    // Round19OpsSpec pins big-regime ≡ default-regime output on forced
+    // small data. Below the threshold nothing changes (plan identical to
+    // r18's, bench rows comparable; the threshold reads checkpointed-input
+    // stats, no job).
+    val big = docSh.queryExecution.optimizedPlan.stats.sizeInBytes > bigBytes
+    val dfRaw = docSh.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // (sh, _df[, _code]) — checkpointed in the big regime so the df
+    // aggregate runs once and the code assignment is pinned across its
+    // three consumers (two prefix self-join branches + the verify sets)
+    val df = if (big)
+      dfRaw.withColumn("_code", monotonically_increasing_id()).localCheckpoint(true)
+    else dfRaw
     // sizes stays the cheap map-side-combinable count aggregate: the prefix
     // self-join below duplicates its whole subtree into both join branches,
     // so anything feeding `prefix` is computed twice — a count agg twice is
@@ -622,7 +656,8 @@ object Dedup {
       .join(sizes, Seq("id"))
       .filter(col("_rk") <=
         col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("sh"), col("_rk"), col("sz"))
+      .select(col("id"), (if (big) col("_code") else col("sh")).as("sh"),
+        col("_rk"), col("sz"))
     // POSITIONAL filter (r18 — the ppjoin component the family is named
     // for, Xiao et al. WWW'08 §3): J(x,y) >= t needs overlap >=
     // ceil(t/(1+t)·(|x|+|y|)), and a collision at ranks (i, j) of the
@@ -658,10 +693,28 @@ object Dedup {
     // twin is unchanged). Arrays are document-sized — the same per-task
     // bound the posting-list rows already had, now moved once per pair
     // side instead of once per (pair, shingle).
-    val sets = docSh.groupBy("id").agg(collect_set(col("sh")).as("_shs"))
+    val sets = (if (big)
+        docSh.join(df.select(col("sh"), col("_code")), Seq("sh"))
+          .select(col("id"), col("_code").as("sh"))
+      else docSh)
+      .groupBy("id").agg(collect_set(col("sh")).as("_shs"))
+    // Bound the verify join's PER-TASK working set at scale (r19, guide §5 +
+    // §3.1; the r18 100× probe measured this stage execution-spill-bound:
+    // the second verify leg's sort moves every candidate row WITH doc a's
+    // array attached — ~120 GB of transient sort payload in a 24 GiB JVM,
+    // decade-2 slope 41×). In the big regime, hint both legs SHUFFLE_HASH
+    // with the ARRAY side as build: the fat pair rows then STREAM through
+    // both joins unsorted, and per-task memory is one hash-partition of doc
+    // arrays (corpus/N — AQE sizes N from bytes). Below the threshold the
+    // planner keeps its own choice (AQE broadcasts both legs at bench scale
+    // — plan unchanged locally, so driver bench numbers stay comparable).
+    def setsLeg(idAs: String, shsAs: String): DataFrame = {
+      val leg = sets.select(col("id").as(idAs), col("_shs").as(shsAs))
+      if (big) leg.hint("shuffle_hash") else leg
+    }
     cand
-      .join(sets.select(col("id").as("id_a"), col("_shs").as("_sa")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("_shs").as("_sb")), Seq("id_b"))
+      .join(setsLeg("id_a", "_sa"), Seq("id_a"))
+      .join(setsLeg("id_b", "_sb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_i"),
         size(col("_sa")).cast("long").as("_sza"),

@@ -49,6 +49,23 @@ class Round19OpsSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("_level"))
   }
 
+  test("d18 big regime (dictionary codes + shuffle-hash verify) == default regime") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(sf("documents"))
+    val docSh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .distinct().localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.get(1).toString,
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (t <- Seq(0.28, 0.5, 0.8)) {
+      val big = rows(Dedup.prefixFilteredJaccardPairs(docSh, t, bigBytes = 0L))
+      val dft = rows(Dedup.prefixFilteredJaccardPairs(docSh, t))
+      assert(big == dft, s"threshold $t")
+      if (t == 0.28) assert(big.nonEmpty)
+    }
+  }
+
   test("TextRank array form == join form on adversarial docs") {
     import graft.operators.TextRank
     val docs = Seq(
