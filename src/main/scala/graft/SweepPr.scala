@@ -37,8 +37,7 @@ object SweepPr {
     def edges(n: Long) = spark.range(n).toDF("src")
       .select(col("src"), explode(sequence(lit(1), lit(8))).as("j"))
       .select(col("src"),
-        pmod(col("src") * 2862933555777941757L + col("j") * 1442695040888963407L,
-          lit(n)).as("dst"))
+        pmod(xxhash64(col("src"), col("j")), lit(n)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
 
